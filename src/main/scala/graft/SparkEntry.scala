@@ -1,13 +1,50 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in [[queries]] demonstrates one operator family from
+  * SURVEY.md §2 over the driver's synthetic tables; [[oracleSql]] holds
+  * the DuckDB-equivalent SQL for the hash-compare correctness gate.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1/A7: partial+final aggregation with multiple measures
+    // (reference summary stats, eodatadownlandsatgoogsensor.py:2932-3051).
+    "q01_pricing_summary" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+  )
 }
