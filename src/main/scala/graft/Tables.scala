@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
 
 /** Table registry over the driver-generated parquet test tables
   * (TESTDATA.md). At production scale these would be date-partitioned
@@ -14,5 +15,15 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects
+      // outright. Read nanos as long and truncate to micros —
+      // integer `div`, not `/`, because epoch-nanos (~1.7e18)
+      // overflows a double's 53-bit mantissa.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    } else {
+      spark.read.parquet(s"$dir/$name.parquet")
+    }
 }

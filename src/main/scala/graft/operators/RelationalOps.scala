@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Generic relational operators re-expressing the reference's procedural
+  * query patterns as declarative Spark plans (SURVEY.md §2.2–§2.7).
+  *
+  * Scale notes (100 TB): every operator here stays a single declarative
+  * plan so Catalyst can push filters/projections into the scan, choose
+  * broadcast vs shuffle joins, and plan partial aggregation. Nothing
+  * collects to the driver.
+  */
+object RelationalOps {
+
+  /** Ingest anti-join (J1): keep rows of `incoming` whose key is absent
+    * from `existing`. Reference does a per-row lookup loop
+    * (eodatadownlandsatgoogsensor.py:637-639); here it is one
+    * `left_anti` join which Catalyst plans as broadcast-hash when the
+    * build side is small, shuffle-hash otherwise.
+    */
+  def antiJoin(incoming: DataFrame, existing: DataFrame, keys: Seq[String]): DataFrame =
+    incoming.join(existing.select(keys.map(col): _*), keys, "left_anti")
+
+  /** Keep-if-present semi join (J2 "keep" side). */
+  def semiJoin(left: DataFrame, right: DataFrame, keys: Seq[String]): DataFrame =
+    left.join(right.select(keys.map(col): _*), keys, "left_semi")
+
+  /** Dedup-keep-newest (J6): one surviving row per key, newest first by
+    * `order`. Reference groups + deletes row-at-a-time
+    * (eodatadownlandsatgoogsensor.py:473-518); here a ranking window —
+    * a single shuffle on the key, whole-stage codegen'd.
+    * `order` columns must make the ranking deterministic (add a
+    * tiebreaker key).
+    */
+  def dedupKeepNewest(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Top-k rows per group (latent ranking pattern, SURVEY §2.5). */
+  def topKPerGroup(df: DataFrame, keys: Seq[String], order: Seq[Column], k: Int,
+                   rankCol: String = "rank"): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
+  }
+
+  /** Ordered pagination (O3): reference slices in Python after fetch
+    * (eodatadownlandsatgoogsensor.py:1994); Spark ≥3.4 plans
+    * offset+limit natively (GlobalLimit/Offset), so only `offset+n`
+    * rows ever reach the driver side of the sort.
+    */
+  def paginate(df: DataFrame, order: Seq[Column], offset: Int, n: Int): DataFrame =
+    df.orderBy(order: _*).offset(offset).limit(n)
+
+  /** Work-list union + dedup (U1/U2, eodatadownrun.py:790-845). */
+  def unionDistinct(dfs: Seq[DataFrame]): DataFrame =
+    dfs.reduce(_.unionByName(_)).distinct()
+
+  /** High-watermark per group (A2 + per-product variant F13,
+    * eodatadownICESAT2sensor.py:532-539): max event time per key in one
+    * partial-aggregated pass (no per-key queries).
+    */
+  def watermarkPerGroup(df: DataFrame, keys: Seq[String], tsCol: String,
+                        out: String = "watermark"): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(max(col(tsCol)).as(out))
+
+  /** Summary statistics (A7): the reference fetches whole tables into
+    * Python `statistics` (eodatadownlandsatgoogsensor.py:2932-3051);
+    * here one aggregation pass with exact interpolated percentiles.
+    */
+  def summaryStats(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame = {
+    val v = col(valueCol)
+    df.groupBy(keys.map(col): _*).agg(
+      count(v).as("n"),
+      round(sum(v), 2).as("sum_v"),
+      round(avg(v), 2).as("avg_v"),
+      round(min(v), 2).as("min_v"),
+      round(max(v), 2).as("max_v"),
+      round(stddev_samp(v), 4).as("stddev_v"),
+      round(percentile(v, lit(0.25)), 5).as("p25_v"),
+      round(percentile(v, lit(0.5)), 5).as("median_v"),
+      round(percentile(v, lit(0.75)), 5).as("p75_v"))
+  }
+
+  /** State-machine counts (A1): N conditional counters in one pass via
+    * `sum(when(flag))` instead of N filtered `count(*)` scans.
+    */
+  def conditionalCounts(df: DataFrame, keys: Seq[String],
+                        conds: Seq[(String, Column)]): DataFrame = {
+    val aggs = conds.map { case (name, c) =>
+      sum(when(c, 1L).otherwise(0L)).as(name)
+    } :+ count(lit(1)).as("n_total")
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Gaps-and-islands sessionization over an event stream: a new
+    * session starts after `gapSeconds` of inactivity. Lag + conditional
+    * sum — one shuffle on the entity key.
+    */
+  def sessionCounts(df: DataFrame, entityCol: String, tsCol: String,
+                    tieBreak: String, gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(col(entityCol)).orderBy(col(tsCol), col(tieBreak))
+    df.withColumn("__prev", lag(col(tsCol), 1).over(w))
+      .withColumn("__new_session",
+        when(col("__prev").isNull ||
+          col(tsCol).cast("long") - col("__prev").cast("long") > gapSeconds, 1L)
+          .otherwise(0L))
+      .groupBy(col(entityCol))
+      .agg(count(lit(1)).as("n_events"), sum(col("__new_session")).as("n_sessions"))
+  }
+}
