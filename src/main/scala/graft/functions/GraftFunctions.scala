@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge.expression
+import org.apache.spark.sql.functions._
+
+import graft.functions.expressions._
+
+/** Column-level API over the custom Catalyst expressions plus
+  * composed built-in functions for text / similarity analysis.
+  * Everything here is a pure `Column` transformation — no UDFs, no
+  * driver-side loops — so plans stay codegen-friendly and distributed.
+  */
+object GraftFunctions {
+
+  private def c(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(e)
+
+  // ---- geo (SURVEY §2.8 C8–C10) ----
+
+  def bboxFromWkt(wkt: Column): Column = c(BBoxFromWkt(expression(wkt)))
+
+  def bboxToWkt(bbox: Column): Column = c(BBoxToWkt(expression(bbox)))
+
+  def bboxSplit(bbox: Column, maxWidthDeg: Double): Column =
+    c(BBoxSplit(expression(bbox), expression(lit(maxWidthDeg))))
+
+  def bboxIntersects(a: Column, b: Column): Column =
+    c(BBoxIntersects(expression(a), expression(b)))
+
+  /** Build a bbox struct from four coordinate columns. */
+  def bbox(north: Column, south: Column, east: Column, west: Column): Column =
+    struct(north.cast("double").as("north"), south.cast("double").as("south"),
+      east.cast("double").as("east"), west.cast("double").as("west"))
+
+  // ---- hashing / fingerprints ----
+
+  /** 64-bit SimHash fingerprint of a token array. */
+  def simhash64(tokens: Column): Column = c(SimHash64(expression(tokens)))
+
+  /** k-element MinHash signature of a token/shingle array. */
+  def minhashSig(tokens: Column, k: Int): Column =
+    c(MinHashSignature(expression(tokens), expression(lit(k))))
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  // ---- vectors ----
+
+  /** Cosine similarity; accepts float or double arrays. */
+  def cosineSim(a: Column, b: Column): Column =
+    c(CosineSimilarity(
+      expression(a.cast("array<double>")),
+      expression(b.cast("array<double>"))))
+
+  // ---- text analysis (composed built-ins) ----
+
+  /** Whitespace tokenization after lowercase+trim. */
+  def tokens(text: Column): Column =
+    split(lower(trim(text)), "\\s+")
+
+  /** k-word shingles joined by a space: size n-k+1 (empty if n<k). */
+  def wordShingles(toks: Column, k: Int): Column =
+    when(size(toks) < k, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - lit(k)),
+        i => array_join(slice(toks, i + 1, lit(k)), " ")))
+
+  /** BPE-ish token count: word pieces + standalone punctuation
+    * (SURVEY §7.2 scale extensions; regex, not a learned vocab).
+    */
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Fraction of tokens that appear in `stopwords` (duplicates count). */
+  def stopwordRatio(toks: Column, stopwords: Seq[String]): Column = {
+    val sw = array(stopwords.map(lit): _*)
+    when(size(toks) === 0, 0.0)
+      .otherwise(size(filter(toks, t => array_contains(sw, t)))
+        .cast("double") / size(toks).cast("double"))
+  }
+
+  /** Heuristic quality score in [0,1]: mixes length, alpha ratio and
+    * stopword presence (reference-free; LLM-pipeline extension).
+    */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(text)
+    val lenScore = least(size(toks).cast("double") / lit(20.0), lit(1.0))
+    val alphaRatio =
+      when(length(text) === 0, 0.0)
+        .otherwise(length(regexp_replace(text, "[^A-Za-z ]", "")).cast("double") /
+          length(text).cast("double"))
+    val swScore = least(stopwordRatio(toks, stopwords) * lit(4.0), lit(1.0))
+    round((lenScore + alphaRatio + swScore) / lit(3.0), 6)
+  }
+
+  /** N-gram-profile language ID: scores the token array against each
+    * language's marker-word list, returns the argmax language code or
+    * `und` when nothing matches (SURVEY §7.2; heuristic, not a model).
+    */
+  def langIdNgram(toks: Column, profiles: Map[String, Seq[String]]): Column = {
+    val scored = profiles.toSeq.sortBy(_._1).map { case (lang, markers) =>
+      val mk = array(markers.map(lit): _*)
+      struct(size(filter(toks, t => array_contains(mk, t))).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Rolling-hash document fingerprint: min-of-ngram-hashes (winnowing
+    * lite) — stable under small edits away from the minimizing ngram.
+    */
+  def fingerprintMinNgram(toks: Column, n: Int): Column =
+    array_min(transform(wordShingles(toks, n), s => xxhash64(s)))
+}

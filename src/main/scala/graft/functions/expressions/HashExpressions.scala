@@ -1,0 +1,165 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Hot-path hash/vector expressions with real codegen: `doGenCode`
+  * emits a static call into [[HashImpl]] / [[VectorImpl]], so the
+  * expressions stay inside whole-stage codegen (no boxing, no
+  * interpreted eval) — these run per-row over the full documents /
+  * embeddings tables at 100 TB scale.
+  */
+object HashImpl {
+  /** FNV-1a 64-bit over UTF-8 bytes — public-domain hash, stable
+    * across JVMs (no object hashCode involvement).
+    */
+  def fnv1a64(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** SimHash over a token array: per-token 64-bit hash votes ±1 on each
+    * bit position; the sign of each tally sets the output bit
+    * (Charikar 2002 — near-identical token multisets land within a few
+    * bits of Hamming distance).
+    */
+  def simhash(tokens: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = fnv1a64(tokens.getUTF8String(i).getBytes)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** splitmix64 finalizer (public-domain, Steele et al. 2014): a strong
+    * 64-bit mixer used to derive the k MinHash functions from one base
+    * hash. A plain seeded-FNV family is NOT min-wise independent (the
+    * seed only shifts the init state, largely preserving hash order
+    * across seeds, which collapses the Jaccard estimate); mixing
+    * `base ^ seed_j` through splitmix64 gives effectively independent
+    * permutations.
+    */
+  def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** MinHash signature: element j = min over tokens of
+    * splitmix64(fnv1a64(token) ^ seed_j). One byte-scan per token, k
+    * cheap mixes per token. Empty/all-null input ⇒ Long.MaxValue.
+    */
+  def minhash(tokens: ArrayData, k: Int): ArrayData = {
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val seeds = new Array[Long](k)
+    var j = 0
+    while (j < k) { seeds(j) = splitmix64(j.toLong); j += 1 }
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val base = fnv1a64(tokens.getUTF8String(i).getBytes)
+        j = 0
+        while (j < k) {
+          val h = splitmix64(base ^ seeds(j))
+          if (h < sig(j)) sig(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    ArrayData.toArrayData(sig)
+  }
+}
+
+object VectorImpl {
+  /** Cosine similarity in one pass (dot + both norms); 0.0 for zero
+    * vectors. Arrays must be DoubleType.
+    */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i)
+      val y = b.getDouble(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}
+
+/** `simhash64(array<string>)` → long fingerprint. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    HashImpl.simhash(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.expressions.HashImpl.simhash($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+  override def prettyName: String = "simhash64"
+}
+
+/** `minhash_sig(array<string>, k)` → array<long> signature (k const). */
+case class MinHashSignature(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(tokens: Any, k: Any): Any =
+    HashImpl.minhash(tokens.asInstanceOf[ArrayData], k.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (t, k) => s"graft.functions.expressions.HashImpl.minhash($t, $k)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MinHashSignature =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "minhash_sig"
+}
+
+/** `cosine_sim(array<double>, array<double>)` → double in [-1, 1]. */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorImpl.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.expressions.VectorImpl.cosine($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "cosine_sim"
+}

@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{GraftFunctions => G}
+import graft.operators.{SceneQueryOps => S}
+
+/** Spatial/bbox operator queries (SURVEY.md §2.3 J2, §2.8 C8–C10).
+  * The synthetic tables carry no geometry, so scene-like footprints are
+  * derived from integer keys with exact arithmetic — identical in
+  * Spark and the DuckDB oracle — and the custom WKT expressions are
+  * exercised against that arithmetic oracle.
+  */
+object GeoQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Derived integer footprint per customer (exact in both engines):
+    * south = key%160-80, north = south+1+key%7,
+    * west = (key*7)%340-170, east = west+1+key%11.
+    */
+  private def footprints(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(
+      col("c_custkey"),
+      (col("c_custkey") % 160 - 80).cast("double").as("south0"),
+      ((col("c_custkey") * 7) % 340 - 170).cast("double").as("west0"))
+      .select(
+        col("c_custkey"),
+        (col("south0") + lit(1.0) + (col("c_custkey") % 7).cast("double")).as("north"),
+        col("south0").as("south"),
+        (col("west0") + lit(1.0) + (col("c_custkey") % 11).cast("double")).as("east"),
+        col("west0").as("west"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // C8 + F7 + J2: WKT round-trip through the custom Catalyst
+    // expressions, then strict-overlap semi-filter against a query
+    // window (the broadcast spatial-join probe side). The WKT string is
+    // built, parsed back to a bbox, and the parsed values are both
+    // filtered and returned — so the oracle checks parse correctness.
+    "q23_bbox_overlap_wkt" -> { (s, dir) =>
+      val fp = footprints(s, dir)
+      val wkt = concat(
+        lit("POLYGON(("),
+        col("west"), lit(" "), col("south"), lit(", "),
+        col("east"), lit(" "), col("south"), lit(", "),
+        col("east"), lit(" "), col("north"), lit(", "),
+        col("west"), lit(" "), col("north"), lit(", "),
+        col("west"), lit(" "), col("south"), lit("))"))
+      fp.withColumn("bbox", G.bboxFromWkt(wkt))
+        .filter(G.bboxIntersects(
+          col("bbox"),
+          G.bbox(lit(30.0), lit(-10.0), lit(60.0), lit(0.0))))
+        .select(
+          col("c_custkey"),
+          col("bbox.north").as("north"), col("bbox.south").as("south"),
+          col("bbox.east").as("east"), col("bbox.west").as("west"))
+        .orderBy("c_custkey")
+    },
+
+    // C9: antimeridian-style split — wide boxes explode into ≤90°
+    // slices; count parts and check span conservation per row.
+    "q24_bbox_split" -> { (s, dir) =>
+      val wide = t(s, dir, "supplier").select(
+        col("s_suppkey"),
+        lit(10.0).as("north"), lit(0.0).as("south"),
+        ((col("s_suppkey") % 5) * 67 - 160).cast("double").as("west"))
+        .withColumn("east", col("west") + lit(140.0) + (col("s_suppkey") % 3).cast("double") * 50)
+      wide
+        .select(col("s_suppkey"), col("east"), col("west"),
+          explode(G.bboxSplit(G.bbox(col("north"), col("south"), col("east"), col("west")), 90.0)).as("p"))
+        .groupBy("s_suppkey")
+        .agg(count(lit(1)).as("n_parts"),
+          round(sum(col("p.east") - col("p.west")), 6).as("span_sum"),
+          round(max(col("p.east") - col("p.west")), 6).as("max_width"))
+        .orderBy("s_suppkey")
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q23_bbox_overlap_wkt" ->
+      """WITH fp AS (
+        |  SELECT c_custkey,
+        |    CAST(c_custkey % 160 - 80 + 1 + c_custkey % 7 AS DOUBLE) AS north,
+        |    CAST(c_custkey % 160 - 80 AS DOUBLE) AS south,
+        |    CAST((c_custkey * 7) % 340 - 170 + 1 + c_custkey % 11 AS DOUBLE) AS east,
+        |    CAST((c_custkey * 7) % 340 - 170 AS DOUBLE) AS west
+        |  FROM customer)
+        |SELECT c_custkey, north, south, east, west FROM fp
+        |WHERE 60.0 > west AND east > 0.0 AND 30.0 > south AND north > -10.0
+        |ORDER BY c_custkey""".stripMargin,
+
+    // split into ceil(width/90) equal parts: n_parts, conserved span,
+    // max single width = width / n_parts
+    "q24_bbox_split" ->
+      """WITH wide AS (
+        |  SELECT s_suppkey,
+        |    CAST((s_suppkey % 5) * 67 - 160 AS DOUBLE) AS west,
+        |    CAST((s_suppkey % 5) * 67 - 160 + 140 + (s_suppkey % 3) * 50 AS DOUBLE) AS east
+        |  FROM supplier)
+        |SELECT s_suppkey,
+        |  CAST(ceil((east - west) / 90.0) AS BIGINT) AS n_parts,
+        |  round(east - west, 6) AS span_sum,
+        |  round((east - west) / ceil((east - west) / 90.0), 6) AS max_width
+        |FROM wide ORDER BY s_suppkey""".stripMargin
+  )
+}

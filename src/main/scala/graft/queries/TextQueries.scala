@@ -1,0 +1,235 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{GraftFunctions => G}
+
+/** LLM-training-data text operators over the `documents` table
+  * (SURVEY.md §7.2 scale extensions): exact dedup, MinHash+LSH and
+  * SimHash near-dup, n-gram Jaccard, language ID, quality scoring,
+  * token counting, fingerprinting.
+  *
+  * Scale design: every pairwise operator is blocked (LSH band buckets,
+  * simhash band prefixes, language partitions) before any join, so the
+  * candidate set — never the full cross product — is shuffled. The
+  * all-pairs joins below on the tiny synthetic corpus are the
+  * *verification* paths of those blocked operators.
+  */
+object TextQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def toks(c: Column): Column = G.tokens(c)
+
+  private val enStop = Seq("the", "a", "of", "and", "to", "in")
+
+  private val langProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of"),
+    "es" -> Seq("el", "la", "de", "y"),
+    "de" -> Seq("der", "die", "und", "das"),
+    "fr" -> Seq("le", "la", "et", "de"),
+    "zh" -> Seq("de5", "shi4", "le5", "he2"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact dedup: one keeper per distinct text via content hash —
+    // hash-groupBy, partial-aggregated, no driver involvement.
+    "q25_dedup_exact" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(md5(col("text")).as("text_hash"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("keep_id")
+    },
+
+    // Token counting: BPE-ish regex pieces + whitespace words.
+    "q26_token_stats" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy("source")
+        .agg(
+          sum(G.tokenCountBpe(col("text"))).as("bpe_tokens"),
+          sum(size(toks(col("text")))).as("ws_tokens"),
+          round(avg(size(toks(col("text")))), 6).as("avg_words"))
+        .orderBy("source")
+    },
+
+    // Quality scoring components per document.
+    "q27_quality_scores" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      d.select(
+          col("doc_id"),
+          size(toks(col("text"))).as("n_tokens"),
+          round(G.stopwordRatio(toks(col("text")), enStop), 6).as("stop_ratio"),
+          round(
+            length(regexp_replace(col("text"), "[^A-Za-z ]", "")).cast("double") /
+              length(col("text")).cast("double"), 6).as("alpha_ratio"))
+        .orderBy("doc_id")
+    },
+
+    // Language-ID heuristic vs labeled lang → confusion matrix.
+    // Argmax ties break toward the lexicographically larger language
+    // code (struct array_max), mirrored exactly in the oracle.
+    "q28_lang_confusion" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"),
+          G.langIdNgram(toks(col("text")), langProfiles).as("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "pred_lang")
+    },
+
+    // Exact n-gram (unigram-set) Jaccard near-dup pairs within a
+    // language block. The blocked join keeps the pair space
+    // per-language; at scale the block key would be an LSH bucket.
+    "q29_jaccard_pairs" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          array_distinct(toks(col("text"))).as("ws"))
+      val a = d.select(col("doc_id").as("doc_a"), col("lang"),
+        col("ws").as("ws_a"))
+      val b = d.select(col("doc_id").as("doc_b"), col("lang"),
+        col("ws").as("ws_b"))
+      a.join(b, Seq("lang"))
+        .filter(col("doc_a") < col("doc_b"))
+        .withColumn("jac",
+          size(array_intersect(col("ws_a"), col("ws_b"))).cast("double") /
+            size(array_union(col("ws_a"), col("ws_b"))).cast("double"))
+        .filter(col("jac") >= 0.9)
+        .select(col("lang"), col("doc_a"), col("doc_b"),
+          round(col("jac"), 6).as("jac"))
+        .orderBy("lang", "doc_a", "doc_b")
+    },
+
+    // MinHash + LSH near-dup candidates, then exact-Jaccard verify —
+    // the scale path: band-hash buckets bound the join, the full cross
+    // product is never materialized.
+    "q30_minhash_lsh_pairs" -> { (s, dir) =>
+      val k = 32
+      val bands = 8
+      val rows = k / bands
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), array_distinct(toks(col("text"))).as("ws"))
+        .withColumn("sig", G.minhashSig(col("ws"), k))
+      val banded = d.select(
+        col("doc_id"), col("ws"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          i => xxhash64(i, slice(col("sig"), i * lit(rows) + lit(1), lit(rows))))))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      val a = banded.select(col("band"), col("bucket"),
+        col("doc_id").as("doc_a"), col("ws").as("ws_a"))
+      val b = banded.select(col("band"), col("bucket"),
+        col("doc_id").as("doc_b"), col("ws").as("ws_b"))
+      a.join(b, Seq("band", "bucket"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b", "ws_a", "ws_b").distinct()
+        .withColumn("jac",
+          size(array_intersect(col("ws_a"), col("ws_b"))).cast("double") /
+            size(array_union(col("ws_a"), col("ws_b"))).cast("double"))
+        .filter(col("jac") >= 0.9)
+        .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // SimHash near-dup: 64-bit fingerprints, banded into 4×16-bit
+    // blocking keys (a true near-pair within 3 bits shares ≥1 intact
+    // band), verified by exact Hamming distance.
+    "q31_simhash_pairs" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), G.simhash64(toks(col("text"))).as("sh"))
+      val banded = d.select(col("doc_id"), col("sh"),
+        posexplode(array((0 until 4).map(i =>
+          col("sh").bitwiseAND(lit(0xffffL << (16 * i)))): _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      val a = banded.select(col("band"), col("bucket"),
+        col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      val b = banded.select(col("band"), col("bucket"),
+        col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      a.join(b, Seq("band", "bucket"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
+        .withColumn("hamming", G.hamming64(col("sh_a"), col("sh_b")))
+        .filter(col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // Rolling-hash document fingerprint groups (winnowing-lite).
+    "q32_fingerprint_groups" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(G.fingerprintMinNgram(toks(col("text")), 3).as("fp"))
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
+        .filter(col("n_docs") >= 2)
+        .select("fp", "n_docs", "first_doc")
+        .orderBy("first_doc")
+    }
+  )
+
+  // Tie-break order for the lang-ID argmax: scores equal ⇒ larger lang
+  // code wins (array_max on struct(score, lang)). The oracle mirrors
+  // this with a descending-alphabetical CASE chain using >=.
+  val oracleSql: Map[String, String] = Map(
+    "q25_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+
+    "q26_token_stats" ->
+      """SELECT source,
+        |  sum(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')))
+        |    AS bpe_tokens,
+        |  sum(len(string_split(trim(lower(text)), ' '))) AS ws_tokens,
+        |  round(avg(len(string_split(trim(lower(text)), ' '))), 6) AS avg_words
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q27_quality_scores" ->
+      """SELECT doc_id,
+        |  len(string_split(trim(lower(text)), ' ')) AS n_tokens,
+        |  round(len(list_filter(string_split(trim(lower(text)), ' '),
+        |      t -> t IN ('the','a','of','and','to','in')))::DOUBLE /
+        |    len(string_split(trim(lower(text)), ' ')), 6) AS stop_ratio,
+        |  round(length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))::DOUBLE /
+        |    length(text), 6) AS alpha_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q28_lang_confusion" ->
+      """WITH scored AS (
+        |  SELECT lang,
+        |    len(list_filter(string_split(trim(lower(text)), ' '),
+        |      t -> t IN ('the','a','and','of'))) AS s_en,
+        |    len(list_filter(string_split(trim(lower(text)), ' '),
+        |      t -> t IN ('el','la','de','y'))) AS s_es,
+        |    len(list_filter(string_split(trim(lower(text)), ' '),
+        |      t -> t IN ('der','die','und','das'))) AS s_de,
+        |    len(list_filter(string_split(trim(lower(text)), ' '),
+        |      t -> t IN ('le','la','et','de'))) AS s_fr,
+        |    len(list_filter(string_split(trim(lower(text)), ' '),
+        |      t -> t IN ('de5','shi4','le5','he2'))) AS s_zh
+        |  FROM documents),
+        |pred AS (
+        |  SELECT lang,
+        |    CASE WHEN greatest(s_en, s_es, s_de, s_fr, s_zh) = 0 THEN 'und'
+        |         WHEN s_zh >= greatest(s_en, s_es, s_de, s_fr) THEN 'zh'
+        |         WHEN s_fr >= greatest(s_en, s_es, s_de) THEN 'fr'
+        |         WHEN s_es >= greatest(s_en, s_de) THEN 'es'
+        |         WHEN s_en >= s_de THEN 'en'
+        |         ELSE 'de' END AS pred_lang
+        |  FROM scored)
+        |SELECT lang, pred_lang, count(*) AS n FROM pred
+        |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin,
+
+    "q29_jaccard_pairs" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(string_split(trim(lower(text)), ' ')) AS ws
+        |  FROM documents)
+        |SELECT a.lang AS lang, a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(len(list_intersect(a.ws, b.ws))::DOUBLE /
+        |    len(list_distinct(list_concat(a.ws, b.ws))), 6) AS jac
+        |FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.ws, b.ws))::DOUBLE /
+        |    len(list_distinct(list_concat(a.ws, b.ws))) >= 0.9
+        |ORDER BY lang, doc_a, doc_b""".stripMargin
+  )
+}

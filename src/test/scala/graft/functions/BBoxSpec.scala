@@ -1,0 +1,97 @@
+package graft.functions
+
+import scala.util.Random
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.{GraftFunctions => G}
+
+class BBoxSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def parseOne(wkt: String): Option[Row] =
+    Seq(wkt).toDF("wkt").select(G.bboxFromWkt($"wkt").as("b"))
+      .collect().headOption.flatMap(r => Option(r.getStruct(0)))
+
+  test("WKT polygon parses to enclosing bbox") {
+    val b = parseOne("POLYGON((10 50, 20 50, 20 40, 10 40, 10 50))").get
+    assert(b.getDouble(0) == 50.0 && b.getDouble(1) == 40.0)
+    assert(b.getDouble(2) == 20.0 && b.getDouble(3) == 10.0)
+  }
+
+  test("MULTIPOLYGON and negative coords parse") {
+    val b = parseOne(
+      "MULTIPOLYGON(((-170 10, -160 10, -160 -5, -170 -5, -170 10)), ((175 8, 179 8, 179 2, 175 2, 175 8)))").get
+    assert(b.getDouble(0) == 10.0 && b.getDouble(1) == -5.0)
+    assert(b.getDouble(2) == 179.0 && b.getDouble(3) == -170.0)
+  }
+
+  test("malformed WKT yields null, not an exception") {
+    assert(parseOne("not a polygon").isEmpty)
+  }
+
+  test("wkt -> bbox -> wkt round trip is stable") {
+    val wkt = "POLYGON((10.5 50.25, 20.0 50.25, 20.0 40.0, 10.5 40.0, 10.5 50.25))"
+    val w2 = Seq(wkt).toDF("wkt")
+      .select(G.bboxToWkt(G.bboxFromWkt($"wkt")).as("w2")).as[String].head()
+    val b = Seq(w2).toDF("wkt").select(G.bboxFromWkt($"wkt").as("b"))
+      .collect().head.getStruct(0)
+    assert(b.getDouble(0) == 50.25 && b.getDouble(3) == 10.5)
+  }
+
+  private case class Box(n: Double, s: Double, e: Double, w: Double)
+
+  private def randBox(r: Random): Box = {
+    val s = -89.0 + r.nextDouble() * 177.0
+    val n = s + 0.001 + r.nextDouble() * (89.0 - s - 0.001)
+    val w = -179.0 + r.nextDouble() * 357.0
+    val e = w + 0.001 + r.nextDouble() * (179.0 - w - 0.001)
+    Box(n, s, e, w)
+  }
+
+  test("property: split never widens and unions back to the original") {
+    val r = new Random(42)
+    for (_ <- 1 to 30) {
+      val b = randBox(r)
+      val maxW = 1.0 + r.nextDouble() * 29.0
+      val parts = Seq((b.n, b.s, b.e, b.w)).toDF("n", "s", "e", "w")
+        .select(explode(G.bboxSplit(G.bbox($"n", $"s", $"e", $"w"), maxW)).as("p"))
+        .select("p.north", "p.south", "p.east", "p.west")
+        .collect()
+        .map(x => Box(x.getDouble(0), x.getDouble(1), x.getDouble(2), x.getDouble(3)))
+      parts.foreach { p =>
+        assert(p.e - p.w <= maxW + 1e-9)
+        assert(p.n == b.n && p.s == b.s && p.w >= b.w - 1e-9 && p.e <= b.e + 1e-9)
+      }
+      assert(math.abs(parts.map(_.w).min - b.w) < 1e-9)
+      assert(math.abs(parts.map(_.e).max - b.e) < 1e-9)
+      val sorted = parts.sortBy(_.w)
+      sorted.sliding(2).foreach {
+        case Array(a, c) => assert(math.abs(a.e - c.w) < 1e-9)
+        case _ =>
+      }
+    }
+  }
+
+  test("property: intersects is symmetric; strict on shared edges") {
+    val r = new Random(7)
+    val pairs = (1 to 40).map(_ => (randBox(r), randBox(r)))
+    val df = pairs.map { case (a, b) => (a.n, a.s, a.e, a.w, b.n, b.s, b.e, b.w) }
+      .toDF("an", "as", "ae", "aw", "bn", "bs", "be", "bw")
+      .select(
+        G.bboxIntersects(G.bbox($"an", $"as", $"ae", $"aw"),
+          G.bbox($"bn", $"bs", $"be", $"bw")).as("ab"),
+        G.bboxIntersects(G.bbox($"bn", $"bs", $"be", $"bw"),
+          G.bbox($"an", $"as", $"ae", $"aw")).as("ba"))
+    df.collect().foreach(x => assert(x.getBoolean(0) == x.getBoolean(1)))
+    // shared edge: east of A == west of B -> strictly NOT intersecting (F7)
+    val shared = Seq(1).toDF("x").select(
+      G.bboxIntersects(
+        G.bbox(lit(10.0), lit(0.0), lit(20.0), lit(0.0)),
+        G.bbox(lit(10.0), lit(0.0), lit(40.0), lit(20.0))).as("i"))
+      .collect().head
+    assert(!shared.getBoolean(0))
+  }
+}
