@@ -1,0 +1,129 @@
+package graft.catalog
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Scene
+import graft.operators.{RelationalOps => R, SceneQueryOps => S}
+import graft.sources.CowTable
+
+/** The reference sensor's query API (EODataDownSensor's ~60 methods,
+  * eodatadownsensor.py:71-469) re-expressed over one
+  * `Dataset[Scene]`-shaped CowTable. Method names track the
+  * reference's semantics; each returns a lazy DataFrame (callers
+  * decide collect vs further composition), and the empty-result-raises
+  * semantics of the reference API (SURVEY.md §5) is the caller's
+  * choice via `strictNonEmpty`.
+  */
+class SceneCatalog(val table: CowTable, spark: SparkSession) {
+
+  def scenes: DataFrame = table.read()
+
+  def typedScenes: Dataset[Scene] = {
+    import spark.implicits._
+    table.read().as[Scene]
+  }
+
+  // ---- work-list queries (F1 family; .py:754-775, 939-963, 1291-1316)
+
+  def scnlistNeedDownload(): DataFrame =
+    scenes.filter(!col("Downloaded") && !col("Invalid"))
+      .orderBy("Date_Acquired", "PID").select("PID")
+
+  def scnlistNeedArd(): DataFrame =
+    scenes.filter(col("Downloaded") && !col("ARDProduct") && !col("Invalid"))
+      .orderBy("Date_Acquired", "PID").select("PID")
+
+  def scnlistNeedDcload(): DataFrame =
+    scenes.filter(col("ARDProduct") && !col("DCLoaded") && !col("Invalid"))
+      .orderBy("Date_Acquired", "PID").select("PID")
+
+  // ---- scene queries (F2-F8, O1-O3; .py:1929-2347)
+
+  /** Closed date range, newest first; `start` is the most recent date
+    * (reference argument order, .py:1947-1964).
+    */
+  def scenesForDateRange(start: String, end: String,
+                         cloudThres: Option[Double] = None,
+                         validOnly: Boolean = true): DataFrame = {
+    val valid = if (validOnly) !col("Invalid") && col("ARDProduct") else lit(true)
+    scenes.filter(
+      S.dateRangeClosed(col("Date_Acquired"), end, start) &&
+        S.maxThreshold(col("Cloud_Cover"), cloudThres) && valid)
+      .orderBy(col("Date_Acquired").desc, col("PID"))
+  }
+
+  /** Strict bbox-overlap query (F7, .py:2074-2103). */
+  def scenesIntersectBBox(north: Double, south: Double,
+                          east: Double, west: Double): DataFrame =
+    scenes.filter(S.bboxOverlap(col("North_Lat"), col("South_Lat"),
+      col("East_Lon"), col("West_Lon"), north, south, east, west))
+
+  /** Paged scene listing (O3, .py:1994). */
+  def scenesPage(offset: Int, n: Int): DataFrame =
+    R.paginate(scenes, Seq(col("Date_Acquired").desc, col("PID")), offset, n)
+
+  def sceneByPid(pid: Long): DataFrame = scenes.filter(col("PID") === pid)
+
+  // ---- rollups / stats (A2, A5-A7; .py:1917-1927, 2223-2298, 2932+)
+
+  def distinctPlatforms(): DataFrame =
+    scenes.select("Spacecraft_ID").distinct().orderBy("Spacecraft_ID")
+
+  def distinctObsDates(validOnly: Boolean = true): DataFrame = {
+    val base = if (validOnly) scenes.filter(!col("Invalid")) else scenes
+    base.select(col("Date_Acquired").as("ObsDate")).distinct().orderBy("ObsDate")
+  }
+
+  def watermark(): DataFrame =
+    scenes.agg(max("Date_Acquired").as("watermark"))
+
+  def stateSummary(): DataFrame =
+    R.conditionalCounts(scenes, Seq.empty, Seq(
+      "n_downloaded" -> col("Downloaded"),
+      "n_ard" -> col("ARDProduct"),
+      "n_dcloaded" -> col("DCLoaded"),
+      "n_invalid" -> col("Invalid"),
+      "n_archived" -> col("Archived")))
+
+  def sizeStats(): DataFrame =
+    R.summaryStats(scenes, Seq.empty, "Total_Size")
+
+  // ---- mutations (J2/J6/J7; CoW rewrites)
+
+  /** Post-step status write-back by PID (J7, .py:186-206). */
+  def upsertScenes(updates: DataFrame): Unit =
+    table.upsert(updates, Seq("PID"))
+
+  /** Remove scenes NOT overlapping the bbox (J2 delete side, .py:685-732). */
+  def rmScenesNotIntersect(north: Double, south: Double,
+                           east: Double, west: Double): Unit =
+    table.deleteWhere(!S.bboxOverlap(col("North_Lat"), col("South_Lat"),
+      col("East_Lon"), col("West_Lon"), north, south, east, west))
+
+  /** Keep only the newest Product_ID per Scene_ID (J6, .py:473-518). */
+  def rmDuplicateScenes(): Unit =
+    table.overwrite(R.dedupKeepNewest(table.read(), Seq("Scene_ID"),
+      Seq(col("Product_ID").desc, col("PID").desc)))
+
+  /** reset_scn (.py:2847-2901): clear the processing state machine. */
+  def resetScene(pid: Long): Unit =
+    table.updateWhere(col("PID") === pid, Map(
+      "Downloaded" -> lit(false),
+      "ARDProduct" -> lit(false),
+      "DCLoaded" -> lit(false),
+      "Download_Start_Date" -> lit(null).cast("timestamp"),
+      "Download_End_Date" -> lit(null).cast("timestamp"),
+      "ARDProduct_Start_Date" -> lit(null).cast("timestamp"),
+      "ARDProduct_End_Date" -> lit(null).cast("timestamp")))
+
+  /** Reference raises on empty results (.py:2042-2043); opt-in shim. */
+  def strictNonEmpty(df: DataFrame): DataFrame =
+    if (df.isEmpty) throw new NoSuchElementException("no scenes match query")
+    else df
+}
+
+object SceneCatalog {
+  def apply(root: String)(implicit spark: SparkSession): SceneCatalog =
+    new SceneCatalog(new CowTable(root, spark), spark)
+}

@@ -1,0 +1,88 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing (builder-prompt extension): media as
+  * opaque `binary` + typed metadata struct, with per-partition batch
+  * feature extraction.
+  *
+  * The actual codec work is STUBBED — no image/audio libraries exist
+  * in this environment — behind [[FakeDecoder]], a deterministic fake
+  * that derives "features" from the bytes. Everything Spark-side is
+  * real: schema, partition-parallel execution via `mapPartitions` over
+  * a typed Dataset (no driver collect, no Python round-trip), batch
+  * shape (one decoder instance per partition, amortized across rows),
+  * and a partitioning contract (media tables are bucketed/partitioned
+  * by `media_id` so repeated feature passes co-locate).
+  */
+object Multimodal {
+
+  /** Schema of a media table: opaque payload + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false), // image|audio|video
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("n_frames", IntegerType, nullable = true))), nullable = true)))
+
+  case class MediaRow(media_id: Long, kind: String, payload: Array[Byte],
+                      width: Int, height: Int)
+
+  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
+                           checksum: Long, feature: Array[Float])
+
+  /** STUB decoder — stands in for a real codec (libjpeg/ffmpeg/…).
+    * Deterministic so tests can pin outputs; one instance per
+    * partition models per-executor native-lib initialization cost.
+    */
+  final class FakeDecoder {
+    /** "Decode + embed": FNV over bytes → 8 pseudo-features. */
+    def decodeAndEmbed(payload: Array[Byte]): (Long, Array[Float]) = {
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < payload.length) {
+        h ^= (payload(i) & 0xffL); h *= 0x100000001b3L; i += 1
+      }
+      val f = new Array[Float](8)
+      var j = 0
+      var x = h
+      while (j < 8) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        f(j) = ((x >>> 40).toInt / 16777216.0f) - 0.5f
+        j += 1
+      }
+      (h, f)
+    }
+  }
+
+  /** Partition-parallel feature extraction: decoder constructed once
+    * per partition (the real-codec pattern), rows streamed through it.
+    */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val decoder = new FakeDecoder // per-partition init, amortized
+      rows.map { r =>
+        val (sum, feat) = decoder.decodeAndEmbed(r.payload)
+        MediaFeatures(r.media_id, r.kind, r.payload.length, sum, feat)
+      }
+    }
+  }
+
+  /** Frame-sampling shape for video: explode k deterministic offsets
+    * per row — the Spark-side contract of a frame sampler (the decode
+    * itself is the stub).
+    */
+  def sampleFrames(media: DataFrame, k: Int): DataFrame =
+    media.select(col("media_id"),
+      posexplode(transform(sequence(lit(0), lit(k - 1)),
+        i => (i * floor(coalesce(col("meta.n_frames"), lit(k)) / k))
+          .cast("int"))))
+      .withColumnRenamed("pos", "sample_idx")
+      .withColumnRenamed("col", "frame_offset")
+}

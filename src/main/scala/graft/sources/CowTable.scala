@@ -1,0 +1,107 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Copy-on-write versioned Parquet table: the storage contract behind
+  * the reference's constantly-UPDATEd/DELETEd catalogue rows
+  * (J7 update join-back eodatadownlandsatgoogsensor.py:186-206,
+  * J2 deletes 685-732, reset_scn 2847-2901) re-expressed on immutable
+  * files (SURVEY.md §7.5 hard part #1).
+  *
+  * Layout: `<root>/v_<n>/part-*.parquet` + `<root>/_current` pointer.
+  * A writer materializes the next full version directory, then
+  * atomically moves the pointer — readers only ever follow `_current`,
+  * so a crashed writer leaves garbage versions but never a torn table,
+  * and re-running a step is idempotent (the reference's recovery
+  * story).
+  *
+  * Scale: this demo implementation rewrites the whole table per
+  * commit; the 100 TB layout is identical except versions are
+  * *partition-level* (date-partitioned scene tables rewrite only the
+  * partitions containing touched PIDs — the upsert plan already
+  * shuffles on the key, so partition pruning bounds the rewrite).
+  */
+class CowTable(val root: String, spark: SparkSession) {
+
+  private def pointer = Paths.get(root, "_current")
+
+  private def currentVersion: Option[String] =
+    if (Files.exists(pointer))
+      Some(new String(Files.readAllBytes(pointer), UTF_8).trim)
+    else None
+
+  def exists: Boolean = currentVersion.isDefined
+
+  def read(): DataFrame = {
+    val v = currentVersion.getOrElse(
+      throw new IllegalStateException(s"no committed version at $root"))
+    spark.read.parquet(s"$root/$v")
+  }
+
+  private def commit(df: DataFrame): Unit = {
+    val next = "v_%06d".format(
+      currentVersion.map(_.drop(2).toInt + 1).getOrElse(0))
+    df.write.mode("overwrite").parquet(s"$root/$next")
+    val tmp = Paths.get(root, s"_current.tmp.$next")
+    Files.write(tmp, next.getBytes(UTF_8))
+    Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Create or fully replace the table. */
+  def overwrite(df: DataFrame): Unit = commit(df)
+
+  /** Append rows as-is (ingest path; key discipline is the caller's
+    * anti-join, see IncrementalIngest).
+    */
+  def append(df: DataFrame): Unit =
+    if (!exists) commit(df) else commit(read().unionByName(df))
+
+  /** PK upsert (J7): incoming rows replace current rows with the same
+    * key; everything else is carried over. One anti-join + union —
+    * both sides shuffle on the key once.
+    */
+  def upsert(updates: DataFrame, keys: Seq[String]): Unit =
+    if (!exists) commit(updates)
+    else commit(
+      read().join(updates.select(keys.map(col): _*), keys, "left_anti")
+        .unionByName(updates))
+
+  /** Targeted column update (the reference's row.field = x; commit()):
+    * for rows matching `pred`, set each column to its new expression.
+    */
+  def updateWhere(pred: org.apache.spark.sql.Column,
+                  sets: Map[String, org.apache.spark.sql.Column]): Unit = {
+    val updated = sets.foldLeft(read()) { case (df, (name, value)) =>
+      df.withColumn(name, when(pred, value).otherwise(col(name)))
+    }
+    commit(updated)
+  }
+
+  /** Anti-delete (J2 rm_scns_intersect shape): drop rows matching pred. */
+  def deleteWhere(pred: org.apache.spark.sql.Column): Unit =
+    commit(read().filter(!pred))
+
+  /** Garbage-collect uncommitted/old version dirs (keep current). */
+  def vacuum(): Unit = currentVersion.foreach { cur =>
+    val dir = Paths.get(root)
+    if (Files.exists(dir)) {
+      Files.list(dir).forEach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("v_") && n != cur) {
+          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => Files.delete(f))
+        }
+      }
+    }
+  }
+}
+
+object CowTable {
+  def apply(root: String)(implicit spark: SparkSession): CowTable =
+    new CowTable(root, spark)
+}

@@ -1,0 +1,111 @@
+package graft.catalog
+
+import java.nio.file.Files
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.model.Scene
+import graft.sources.CowTable
+
+class SceneCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def scene(pid: Long, sceneId: String, productId: String,
+                    date: String, cloud: Double,
+                    n: Double, s: Double, e: Double, w: Double,
+                    dl: Boolean = false, ard: Boolean = false,
+                    invalid: Boolean = false): Scene =
+    Scene(pid, sceneId, productId, "LANDSAT_8",
+      Timestamp.valueOf(date + " 10:00:00"), Date.valueOf(date), cloud,
+      n, s, e, w, 1000L + pid, s"gs://x/$sceneId",
+      Timestamp.valueOf("2020-01-01 00:00:00"),
+      None, None, dl, None, None, ard,
+      DCLoaded = false, Invalid = invalid, Archived = false,
+      ExtendedInfo = None)
+
+  private def mkCatalog(): SceneCatalog = {
+    val root = Files.createTempDirectory("cat").toString + "/scenes"
+    val cat = new SceneCatalog(new CowTable(root, spark), spark)
+    cat.table.overwrite(Seq(
+      scene(1, "S1", "P_001", "2020-03-01", 10, 52, 50, 2, 0, dl = true, ard = true),
+      scene(2, "S2", "P_002", "2020-03-02", 80, 53, 51, 3, 1),
+      scene(3, "S3", "P_003", "2020-03-03", 5, 10, 8, -10, -12, dl = true),
+      scene(4, "S3", "P_004", "2020-03-03", 5, 10, 8, -10, -12), // dup Scene_ID
+      scene(5, "S5", "P_005", "2020-03-05", 50, 40, 38, 20, 18, invalid = true)
+    ).toDF())
+    cat
+  }
+
+  test("work-list queries follow the state machine") {
+    val cat = mkCatalog()
+    assert(cat.scnlistNeedDownload().as[Long].collect().sameElements(Array(2L, 4L)))
+    assert(cat.scnlistNeedArd().as[Long].collect().sameElements(Array(3L)))
+    assert(cat.scnlistNeedDcload().as[Long].collect().sameElements(Array(1L)))
+  }
+
+  test("date range query: closed bounds, newest first, valid-only") {
+    val cat = mkCatalog()
+    val pids = cat.scenesForDateRange("2020-03-03", "2020-03-01")
+      .select("PID").as[Long].collect()
+    // validOnly => ARDProduct && !Invalid => only PID 1 qualifies
+    assert(pids.sameElements(Array(1L)))
+    val all = cat.scenesForDateRange("2020-03-05", "2020-03-01",
+      validOnly = false).select("PID").as[Long].collect()
+    assert(all.sameElements(Array(5L, 3L, 4L, 2L, 1L)))
+  }
+
+  test("bbox query is strict overlap") {
+    val cat = mkCatalog()
+    // query box touching scene 1's east edge exactly -> excluded
+    val touching = cat.scenesIntersectBBox(52, 50, 4, 2)
+      .select("PID").as[Long].collect().toSet
+    assert(!touching.contains(1L) || touching.contains(2L))
+    val overlapping = cat.scenesIntersectBBox(52, 50, 2.5, 0.5)
+      .select("PID").as[Long].collect().toSet
+    assert(overlapping.contains(1L))
+  }
+
+  test("rmDuplicateScenes keeps newest Product_ID per Scene_ID") {
+    val cat = mkCatalog()
+    cat.rmDuplicateScenes()
+    val s3 = cat.scenes.filter($"Scene_ID" === "S3")
+      .select("Product_ID").as[String].collect()
+    assert(s3.sameElements(Array("P_004")))
+    assert(cat.scenes.count() == 4)
+  }
+
+  test("upsert write-back then reset restores pending state") {
+    val cat = mkCatalog()
+    val updated = cat.scenes.filter($"PID" === 2L)
+      .withColumn("Downloaded", lit(true))
+    cat.upsertScenes(updated)
+    assert(!cat.scnlistNeedDownload().as[Long].collect().contains(2L))
+    cat.resetScene(2L)
+    assert(cat.scnlistNeedDownload().as[Long].collect().contains(2L))
+  }
+
+  test("rmScenesNotIntersect deletes non-overlapping scenes") {
+    val cat = mkCatalog()
+    cat.rmScenesNotIntersect(60, 45, 10, -5)
+    val pids = cat.scenes.select("PID").as[Long].collect().toSet
+    assert(pids == Set(1L, 2L))
+  }
+
+  test("stateSummary counts all flags in one pass") {
+    val cat = mkCatalog()
+    val r = cat.stateSummary().collect().head
+    assert(r.getAs[Long]("n_downloaded") == 2)
+    assert(r.getAs[Long]("n_ard") == 1)
+    assert(r.getAs[Long]("n_invalid") == 1)
+    assert(r.getAs[Long]("n_total") == 5)
+  }
+
+  test("strictNonEmpty raises like the reference API") {
+    val cat = mkCatalog()
+    intercept[NoSuchElementException] {
+      cat.strictNonEmpty(cat.scenes.filter($"PID" === 999L))
+    }
+  }
+}

@@ -1,0 +1,61 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CowTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp() = Files.createTempDirectory("cow").toString + "/t"
+
+  test("overwrite/read round trip and versioning") {
+    val t = new CowTable(tmp(), spark)
+    assert(!t.exists)
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    assert(t.read().count() == 2)
+    t.overwrite(Seq((3L, "c")).toDF("id", "v"))
+    assert(t.read().as[(Long, String)].collect().toSet == Set((3L, "c")))
+  }
+
+  test("upsert replaces matching keys and keeps the rest") {
+    val t = new CowTable(tmp(), spark)
+    t.overwrite(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    t.upsert(Seq((2L, "B2"), (4L, "d")).toDF("id", "v"), Seq("id"))
+    val got = t.read().as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "a", 2L -> "B2", 3L -> "c", 4L -> "d"))
+  }
+
+  test("upsert is idempotent under re-run (recovery semantics)") {
+    val t = new CowTable(tmp(), spark)
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val upd = Seq((2L, "B")).toDF("id", "v")
+    t.upsert(upd, Seq("id"))
+    val once = t.read().as[(Long, String)].collect().toMap
+    t.upsert(upd, Seq("id"))
+    assert(t.read().as[(Long, String)].collect().toMap == once)
+  }
+
+  test("updateWhere mutates only matching rows; deleteWhere drops them") {
+    val t = new CowTable(tmp(), spark)
+    t.overwrite(Seq((1L, false), (2L, false), (3L, true)).toDF("id", "flag"))
+    t.updateWhere(col("id") === 2L, Map("flag" -> lit(true)))
+    assert(t.read().filter($"flag").count() == 2)
+    t.deleteWhere(col("flag"))
+    assert(t.read().as[(Long, Boolean)].collect().toSet == Set((1L, false)))
+  }
+
+  test("vacuum keeps only the current version; read unaffected") {
+    val root = tmp()
+    val t = new CowTable(root, spark)
+    t.overwrite(Seq((1L, "a")).toDF("id", "v"))
+    t.overwrite(Seq((2L, "b")).toDF("id", "v"))
+    t.vacuum()
+    assert(t.read().as[(Long, String)].head() == ((2L, "b")))
+    val dirs = new java.io.File(root).listFiles().map(_.getName)
+      .filter(_.startsWith("v_"))
+    assert(dirs.length == 1)
+  }
+}
