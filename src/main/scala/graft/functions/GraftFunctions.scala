@@ -46,6 +46,16 @@ object GraftFunctions {
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** Exact Jaccard over pre-sorted distinct token arrays (one-pass
+    * merge, codegen'd; pair with `sortedWordSet`).
+    */
+  def sortedJaccard(a: Column, b: Column): Column =
+    c(SortedJaccard(expression(a), expression(b)))
+
+  /** Canonical word-set form for sortedJaccard. */
+  def sortedWordSet(text: Column): Column =
+    array_sort(array_distinct(tokens(text)))
+
   // ---- vectors ----
 
   /** Cosine similarity; accepts float or double arrays. */
@@ -96,13 +106,16 @@ object GraftFunctions {
   }
 
   /** N-gram-profile language ID: scores the token array against each
-    * language's marker-word list, returns the argmax language code or
-    * `und` when nothing matches (SURVEY §7.2; heuristic, not a model).
+    * language's marker-word list (distinct-marker hits via the
+    * codegen'd set-intersect — a lambda `filter` here drops the whole
+    * projection out of whole-stage codegen), returns the argmax
+    * language code or `und` when nothing matches. Ties break toward
+    * the lexicographically larger code (struct array_max).
     */
   def langIdNgram(toks: Column, profiles: Map[String, Seq[String]]): Column = {
     val scored = profiles.toSeq.sortBy(_._1).map { case (lang, markers) =>
       val mk = array(markers.map(lit): _*)
-      struct(size(filter(toks, t => array_contains(mk, t))).as("score"),
+      struct(size(array_intersect(toks, mk)).as("score"),
         lit(lang).as("lang"))
     }
     val best = array_max(array(scored: _*))
@@ -111,7 +124,9 @@ object GraftFunctions {
 
   /** Rolling-hash document fingerprint: min-of-ngram-hashes (winnowing
     * lite) — stable under small edits away from the minimizing ngram.
+    * One-pass codegen'd expression (per-token hash + polynomial window
+    * combine); 0 for texts shorter than n tokens.
     */
   def fingerprintMinNgram(toks: Column, n: Int): Column =
-    array_min(transform(wordShingles(toks, n), s => xxhash64(s)))
+    c(MinNgramHash(expression(toks), expression(lit(n))))
 }

@@ -70,6 +70,39 @@ object HashImpl {
     x ^ (x >>> 31)
   }
 
+  /** Rolling n-gram fingerprint (winnowing-lite): min over all n-token
+    * windows of a polynomial combination of per-token FNV hashes. Each
+    * token is hashed once; windows combine hashes arithmetically — one
+    * pass, no string re-concatenation per window (the compose-built-in
+    * form via transform+slice+array_join is interpreted and allocates
+    * per window). Returns 0 for fewer than n tokens.
+    */
+  def minNgramHash(tokens: ArrayData, n: Int): Long = {
+    val cnt = tokens.numElements()
+    if (cnt < n) return 0L
+    val hs = new Array[Long](cnt)
+    var i = 0
+    while (i < cnt) {
+      hs(i) = if (tokens.isNullAt(i)) 0L
+        else fnv1a64(tokens.getUTF8String(i).getBytes)
+      i += 1
+    }
+    var best = Long.MaxValue
+    i = 0
+    while (i <= cnt - n) {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < n) {
+        h = h * 0x100000001b3L + hs(i + j)
+        j += 1
+      }
+      val mixed = splitmix64(h)
+      if (mixed < best) best = mixed
+      i += 1
+    }
+    best
+  }
+
   /** MinHash signature: element j = min over tokens of
     * splitmix64(fnv1a64(token) ^ seed_j). One byte-scan per token, k
     * cheap mixes per token. Empty/all-null input ⇒ Long.MaxValue.
@@ -95,6 +128,29 @@ object HashImpl {
       i += 1
     }
     ArrayData.toArrayData(sig)
+  }
+}
+
+object JaccardImpl {
+  /** Exact Jaccard over two SORTED, DISTINCT string arrays: one
+    * merge-walk counting |∩| and |∪| — no per-call hash-set builds
+    * (Spark's array_intersect + array_union allocate two hash maps per
+    * row-pair; on an all-pairs verify stage that dominates runtime).
+    */
+  def sortedJaccard(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 && nb == 0) return 0.0
+    var i = 0
+    var j = 0
+    var common = 0
+    while (i < na && j < nb) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { common += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    common.toDouble / (na + nb - common).toDouble
   }
 }
 
@@ -147,6 +203,38 @@ case class MinHashSignature(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): MinHashSignature =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "minhash_sig"
+}
+
+/** `min_ngram_hash(array<string>, n)` → long rolling fingerprint. */
+case class MinNgramHash(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(tokens: Any, n: Any): Any =
+    HashImpl.minNgramHash(tokens.asInstanceOf[ArrayData], n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (t, n) => s"graft.functions.expressions.HashImpl.minNgramHash($t, $n)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MinNgramHash =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "min_ngram_hash"
+}
+
+/** `sorted_jaccard(array<string>, array<string>)` → double in [0, 1].
+  * Inputs MUST be sorted and distinct (use array_sort ∘ array_distinct).
+  */
+case class SortedJaccard(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    JaccardImpl.sortedJaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.expressions.JaccardImpl.sortedJaccard($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedJaccard =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "sorted_jaccard"
 }
 
 /** `cosine_sim(array<double>, array<double>)` → double in [-1, 1]. */

@@ -69,12 +69,27 @@ object TextQueries {
     },
 
     // Language-ID heuristic vs labeled lang → confusion matrix.
-    // Argmax ties break toward the lexicographically larger language
-    // code (struct array_max), mirrored exactly in the oracle.
+    // Scale pattern: distinct tokens exploded and broadcast-joined to a
+    // (word → lang) marker table, hits counted per (doc, lang), argmax
+    // via max_by with ties toward the larger lang code. Equivalent to
+    // GraftFunctions.langIdNgram (used for small fixed profiles) but
+    // scales to arbitrary marker vocabularies and keeps codegen units
+    // small. Oracle mirrors the distinct-marker-hit scoring.
     "q28_lang_confusion" -> { (s, dir) =>
-      t(s, dir, "documents")
-        .select(col("lang"),
-          G.langIdNgram(toks(col("text")), langProfiles).as("pred_lang"))
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), toks(col("text")).as("tk"))
+      val markers = s.createDataFrame(
+        langProfiles.toSeq.flatMap { case (l, ws) => ws.map(w => (w, l)) })
+        .toDF("w", "plang")
+      val hits = d.select(col("doc_id"), explode(array_distinct(col("tk"))).as("w"))
+        .join(broadcast(markers), Seq("w"))
+        .groupBy("doc_id", "plang")
+        .agg(count(lit(1)).as("score"))
+      val pred = hits
+        .groupBy("doc_id")
+        .agg(max_by(col("plang"), struct(col("score"), col("plang"))).as("pl"))
+      d.join(pred, Seq("doc_id"), "left")
+        .select(col("lang"), coalesce(col("pl"), lit("und")).as("pred_lang"))
         .groupBy("lang", "pred_lang")
         .agg(count(lit(1)).as("n"))
         .orderBy("lang", "pred_lang")
@@ -86,16 +101,14 @@ object TextQueries {
     "q29_jaccard_pairs" -> { (s, dir) =>
       val d = t(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
-          array_distinct(toks(col("text"))).as("ws"))
+          G.sortedWordSet(col("text")).as("ws"))
       val a = d.select(col("doc_id").as("doc_a"), col("lang"),
         col("ws").as("ws_a"))
       val b = d.select(col("doc_id").as("doc_b"), col("lang"),
         col("ws").as("ws_b"))
       a.join(b, Seq("lang"))
         .filter(col("doc_a") < col("doc_b"))
-        .withColumn("jac",
-          size(array_intersect(col("ws_a"), col("ws_b"))).cast("double") /
-            size(array_union(col("ws_a"), col("ws_b"))).cast("double"))
+        .withColumn("jac", G.sortedJaccard(col("ws_a"), col("ws_b")))
         .filter(col("jac") >= 0.9)
         .select(col("lang"), col("doc_a"), col("doc_b"),
           round(col("jac"), 6).as("jac"))
@@ -105,28 +118,32 @@ object TextQueries {
     // MinHash + LSH near-dup candidates, then exact-Jaccard verify —
     // the scale path: band-hash buckets bound the join, the full cross
     // product is never materialized.
+    // Join order matters at scale: band-hash buckets produce candidate
+    // (doc_a, doc_b) ID pairs FIRST (longs only — no token arrays ride
+    // the band join or the distinct), then token sets are joined back
+    // for the exact verify. Banding 16×8 over k=128 keeps recall at
+    // τ=0.9 above 0.999 while pruning the low-similarity mass.
     "q30_minhash_lsh_pairs" -> { (s, dir) =>
-      val k = 32
-      val bands = 8
+      val k = 128
+      val bands = 16
       val rows = k / bands
       val d = t(s, dir, "documents")
-        .select(col("doc_id"), array_distinct(toks(col("text"))).as("ws"))
-        .withColumn("sig", G.minhashSig(col("ws"), k))
-      val banded = d.select(
-        col("doc_id"), col("ws"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          i => xxhash64(i, slice(col("sig"), i * lit(rows) + lit(1), lit(rows))))))
+        .select(col("doc_id"), G.sortedWordSet(col("text")).as("ws"))
+      val banded = d
+        .select(col("doc_id"), G.minhashSig(col("ws"), k).as("sig"))
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), lit(bands - 1)),
+            i => xxhash64(i, slice(col("sig"), i * lit(rows) + lit(1), lit(rows))))))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-      val a = banded.select(col("band"), col("bucket"),
-        col("doc_id").as("doc_a"), col("ws").as("ws_a"))
-      val b = banded.select(col("band"), col("bucket"),
-        col("doc_id").as("doc_b"), col("ws").as("ws_b"))
-      a.join(b, Seq("band", "bucket"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b", "ws_a", "ws_b").distinct()
-        .withColumn("jac",
-          size(array_intersect(col("ws_a"), col("ws_b"))).cast("double") /
-            size(array_union(col("ws_a"), col("ws_b"))).cast("double"))
+      val pairs = banded.alias("x")
+        .join(banded.alias("y"), Seq("band", "bucket"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      pairs
+        .join(d.select(col("doc_id").as("doc_a"), col("ws").as("ws_a")), Seq("doc_a"))
+        .join(d.select(col("doc_id").as("doc_b"), col("ws").as("ws_b")), Seq("doc_b"))
+        .withColumn("jac", G.sortedJaccard(col("ws_a"), col("ws_b")))
         .filter(col("jac") >= 0.9)
         .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
         .orderBy("doc_a", "doc_b")
@@ -196,16 +213,16 @@ object TextQueries {
     "q28_lang_confusion" ->
       """WITH scored AS (
         |  SELECT lang,
-        |    len(list_filter(string_split(trim(lower(text)), ' '),
-        |      t -> t IN ('the','a','and','of'))) AS s_en,
-        |    len(list_filter(string_split(trim(lower(text)), ' '),
-        |      t -> t IN ('el','la','de','y'))) AS s_es,
-        |    len(list_filter(string_split(trim(lower(text)), ' '),
-        |      t -> t IN ('der','die','und','das'))) AS s_de,
-        |    len(list_filter(string_split(trim(lower(text)), ' '),
-        |      t -> t IN ('le','la','et','de'))) AS s_fr,
-        |    len(list_filter(string_split(trim(lower(text)), ' '),
-        |      t -> t IN ('de5','shi4','le5','he2'))) AS s_zh
+        |    len(list_intersect(string_split(trim(lower(text)), ' '),
+        |      ['the','a','and','of'])) AS s_en,
+        |    len(list_intersect(string_split(trim(lower(text)), ' '),
+        |      ['el','la','de','y'])) AS s_es,
+        |    len(list_intersect(string_split(trim(lower(text)), ' '),
+        |      ['der','die','und','das'])) AS s_de,
+        |    len(list_intersect(string_split(trim(lower(text)), ' '),
+        |      ['le','la','et','de'])) AS s_fr,
+        |    len(list_intersect(string_split(trim(lower(text)), ' '),
+        |      ['de5','shi4','le5','he2'])) AS s_zh
         |  FROM documents),
         |pred AS (
         |  SELECT lang,

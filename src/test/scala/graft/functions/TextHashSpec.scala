@@ -79,13 +79,15 @@ class TextHashSpec extends SparkSpec {
     assert(df.as[String].collect().sameElements(Array("en", "es", "und")))
   }
 
-  test("fingerprint stable under distant edits") {
-    val df = Seq(
-      "alpha beta gamma delta epsilon zeta eta theta",
-      "alpha beta gamma delta epsilon zeta eta iota").toDF("t")
+  test("fingerprint: deterministic, min-over-windows, short-text zero") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val superset = base + " iota kappa lambda"
+    val df = Seq(base, base, superset, "one two").toDF("t")
       .select(G.fingerprintMinNgram(G.tokens($"t"), 3).as("f"))
     val fs = df.as[Long].collect()
-    // same minimizing 3-gram survives the tail edit with high probability
-    assert(fs(0) == fs(1))
+    assert(fs(0) == fs(1)) // deterministic
+    // superset of windows -> min can only stay or decrease
+    assert(fs(2) <= fs(0))
+    assert(fs(3) == 0L) // fewer than n tokens
   }
 }
