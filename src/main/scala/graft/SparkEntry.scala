@@ -20,7 +20,8 @@ object SparkEntry {
     graft.queries.RelationalQueries.queries ++
       graft.queries.GeoQueries.queries ++
       graft.queries.TextQueries.queries ++
-      graft.queries.VectorQueries.queries
+      graft.queries.VectorQueries.queries ++
+      graft.queries.CoverageQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +29,6 @@ object SparkEntry {
     graft.queries.RelationalQueries.oracleSql ++
       graft.queries.GeoQueries.oracleSql ++
       graft.queries.TextQueries.oracleSql ++
-      graft.queries.VectorQueries.oracleSql
+      graft.queries.VectorQueries.oracleSql ++
+      graft.queries.CoverageQueries.oracleSql
 }

@@ -1,0 +1,104 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{And, Expression, ExpressionInfo, GetStructField, GreaterThan}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+
+import graft.functions.expressions._
+
+/** Catalyst integration (SURVEY.md §4):
+  *
+  * 1. SQL function registration — every graft expression becomes
+  *    callable from `spark.sql` / `expr(...)`.
+  * 2. [[ExpandBBoxIntersects]] optimizer rule — rewrites the
+  *    interpreted `bbox_intersects(a, b)` predicate into its four
+  *    strict field comparisons when both sides are cheap, which (a)
+  *    returns the filter to whole-stage codegen and (b) exposes plain
+  *    `>` comparisons on struct fields that Catalyst can push toward
+  *    the scan / use for partition pruning — the reference's R-tree
+  *    envelope prefilter (eodatadownutils.py:1799-1868), derived
+  *    automatically instead of hand-built.
+  *
+  * Deployment: `--conf spark.sql.extensions=graft.plans.GraftExtensions`
+  * at session build, or [[GraftExtensions.install]] on a live session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+    ext.injectOptimizerRule(_ => ExpandBBoxIntersects)
+  }
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("bbox_from_wkt", info("bbox_from_wkt", "parse WKT to bbox struct"),
+      (e: Seq[Expression]) => BBoxFromWkt(e.head)),
+    ("bbox_to_wkt", info("bbox_to_wkt", "bbox struct to POLYGON WKT"),
+      (e: Seq[Expression]) => BBoxToWkt(e.head)),
+    ("bbox_split", info("bbox_split", "split bbox into <=maxWidth slices"),
+      (e: Seq[Expression]) => BBoxSplit(e(0), e(1))),
+    ("bbox_intersects", info("bbox_intersects", "strict bbox overlap"),
+      (e: Seq[Expression]) => BBoxIntersects(e(0), e(1))),
+    ("simhash64", info("simhash64", "64-bit simhash of token array"),
+      (e: Seq[Expression]) => SimHash64(e.head)),
+    ("minhash_sig", info("minhash_sig", "k-element minhash signature"),
+      (e: Seq[Expression]) => MinHashSignature(e(0), e(1))),
+    ("min_ngram_hash", info("min_ngram_hash", "rolling min n-gram hash"),
+      (e: Seq[Expression]) => MinNgramHash(e(0), e(1))),
+    ("sorted_jaccard", info("sorted_jaccard", "jaccard of sorted distinct arrays"),
+      (e: Seq[Expression]) => SortedJaccard(e(0), e(1))),
+    ("cosine_sim", info("cosine_sim", "cosine similarity of double arrays"),
+      (e: Seq[Expression]) => CosineSimilarity(e(0), e(1))))
+
+  /** Runtime injection into an existing session (tests, notebooks). */
+  def install(spark: SparkSession): Unit = {
+    functions.foreach { case (name, inf, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name), inf, builder)
+    }
+    if (!spark.experimental.extraOptimizations.contains(ExpandBBoxIntersects))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ ExpandBBoxIntersects
+  }
+}
+
+/** `bbox_intersects(a, b)` → four strict `>` comparisons over struct
+  * fields (north=0, south=1, east=2, west=3), when both inputs are
+  * cheap to duplicate (attributes, literals, or structs thereof).
+  * Null semantics match under Filter: any null field ⇒ predicate not
+  * true ⇒ row dropped, same as the expression's null result.
+  */
+object ExpandBBoxIntersects extends Rule[LogicalPlan] {
+
+  private def cheap(e: Expression): Boolean = e match {
+    case _: org.apache.spark.sql.catalyst.expressions.AttributeReference => true
+    case _ if e.foldable => true
+    case c: org.apache.spark.sql.catalyst.expressions.CreateNamedStruct =>
+      c.valExprs.forall(cheap)
+    case g: GetStructField => cheap(g.child)
+    case _ => false
+  }
+
+  private val names = Seq("north", "south", "east", "west")
+
+  private def field(e: Expression, i: Int): Expression =
+    GetStructField(e, i, Some(names(i)))
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case BBoxIntersects(a, b) if cheap(a) && cheap(b) =>
+        And(
+          And(GreaterThan(field(b, 2), field(a, 3)),   // b.east > a.west
+            GreaterThan(field(a, 2), field(b, 3))),    // a.east > b.west
+          And(GreaterThan(field(b, 0), field(a, 1)),   // b.north > a.south
+            GreaterThan(field(a, 0), field(b, 1))))    // a.north > b.south
+    }
+}

@@ -1,0 +1,215 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Remaining SURVEY.md §2 operator families not yet demonstrated by
+  * q01–q35: strict ranges (F3), top-1 (O2), key allocation (A3),
+  * existence (A8), day-of-year parse (C1), when-chain derivations
+  * (C15/C16), grouped collect (A9/J5), time-bucket rollup (§2.9),
+  * and the JSON export→import round trip (S7/S8).
+  */
+object CoverageQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // F3: STRICT date bounds (obs-date query family,
+    // eodatadownsensor.py:720-721 — deliberately different from the
+    // closed bounds of F2).
+    "q36_strict_date_range" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderdate") > lit("1997-03-15") &&
+          col("o_orderdate") < lit("1997-04-15"))
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("d")
+    },
+
+    // O2/A2: top-1 by sort (the reference's watermark idiom
+    // order_by(desc).first(), eodatadownlandsatgoogsensor.py:541-542).
+    "q37_top1_watermark" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+        .limit(1)
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("latest"))
+    },
+
+    // A3: surrogate-key allocation — next_pid = max(existing PID) +
+    // row_number over the incoming batch (the reference computes
+    // max+1 per row, .py:546-550; one max + one window here).
+    "q38_key_allocation" -> { (s, dir) =>
+      val existing = t(s, dir, "orders")
+      val incoming = t(s, dir, "customer").filter(col("c_custkey") <= 10)
+        .select(col("c_custkey"), col("c_name"))
+      val maxPid = existing.agg(max(col("o_orderkey")).as("max_pid"))
+      incoming.crossJoin(broadcast(maxPid))
+        .withColumn("new_pid",
+          col("max_pid") + row_number().over(
+            Window.orderBy(col("c_custkey"))))
+        .select("c_custkey", "c_name", "new_pid")
+        .orderBy("c_custkey")
+    },
+
+    // A8: first-row existence probes in one aggregated pass
+    // (.py:540 `first() is not None`).
+    "q39_existence" -> { (s, dir) =>
+      t(s, dir, "orders").agg(
+        (count(when(col("o_orderstatus") === "P", 1)) > 0).as("has_pending"),
+        (count(when(col("o_totalprice") > 1000000, 1)) > 0).as("has_huge"),
+        (count(lit(1)) > 0).as("has_any"))
+    },
+
+    // C1: %Y%j day-of-year filename parse (GEDI granule names,
+    // eodatadownGEDIsensor.py:401-414): synthesize the filename shape,
+    // then parse it back — parsed date must equal the source date.
+    "q40_dayofyear_parse" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .withColumn("fname",
+          concat(lit("GRAN_"), date_format(col("o_orderdate"), "yyyyDDD"),
+            lit("_"), col("o_orderkey")))
+        .withColumn("parsed",
+          to_date(regexp_extract(col("fname"), "GRAN_([0-9]{7})_", 1), "yyyyDDD"))
+        .groupBy((col("parsed") === to_date(col("o_orderdate"))).as("roundtrip_ok"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("roundtrip_ok")
+    },
+
+    // C15/C16: containment-driven derivation chains (platform from
+    // datatake id, spacecraft → band combo; sentinel2googsensor
+    // .py:536-540): derive a tier label, then a lookup per tier.
+    "q41_when_chain_derivation" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .withColumn("tier",
+          when(col("o_orderpriority").contains("URGENT"), "T0")
+            .when(col("o_orderpriority").contains("HIGH"), "T1")
+            .when(col("o_orderpriority").contains("MEDIUM"), "T2")
+            .otherwise("T3"))
+        .withColumn("sla_days",
+          when(col("tier") === "T0", 1)
+            .when(col("tier") === "T1", 3)
+            .when(col("tier") === "T2", 7)
+            .otherwise(30))
+        .groupBy("tier", "sla_days")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("tier")
+    },
+
+    // A9/J5: per-key grouped collect (scene-PIDs-per-date /
+    // plugin-rows-per-scene, .py:2350-2364, 1732-1740) — sorted and
+    // joined to a string for deterministic hashing.
+    "q42_grouped_collect" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") <= 100)
+        .groupBy("l_orderkey")
+        .agg(
+          array_join(sort_array(collect_set(col("l_linenumber"))), ",")
+            .as("line_numbers"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("l_orderkey")
+    },
+
+    // §2.9: event-time bucket rollup (tumbling 1-hour window as batch;
+    // the streaming variant uses window($"ts", "1 hour") with a
+    // watermark — same bucketing).
+    "q43_hourly_rollup" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy("h", "event_type")
+    },
+
+    // S7/S8: JSON export → import round trip with schema-on-read;
+    // the aggregate over the re-imported table must match the oracle
+    // computed on the original parquet.
+    "q44_json_roundtrip" -> { (s, dir) =>
+      val src = t(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_json").toString + "/docs"
+      graft.sources.ExportImport.exportJson(src, tmp)
+      graft.sources.ExportImport.importJson(s, tmp, src.schema)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+          min("doc_id").as("min_doc"))
+        .orderBy("lang")
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q36_strict_date_range" ->
+      """SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n FROM orders
+        |WHERE o_orderdate > TIMESTAMP '1997-03-15'
+        |  AND o_orderdate < TIMESTAMP '1997-04-15'
+        |GROUP BY d ORDER BY d""".stripMargin,
+
+    "q37_top1_watermark" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS latest FROM orders
+        |ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1""".stripMargin,
+
+    "q38_key_allocation" ->
+      """SELECT c_custkey, c_name,
+        |  (SELECT max(o_orderkey) FROM orders) +
+        |    row_number() OVER (ORDER BY c_custkey) AS new_pid
+        |FROM customer WHERE c_custkey <= 10
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q39_existence" ->
+      """SELECT
+        |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) > 0 AS has_pending,
+        |  count(CASE WHEN o_totalprice > 1000000 THEN 1 END) > 0 AS has_huge,
+        |  count(*) > 0 AS has_any
+        |FROM orders""".stripMargin,
+
+    // NB: DuckDB strptime's %Y is greedy and misparses '%Y%j', so the
+    // oracle decodes yyyyDDD with substring arithmetic instead.
+    "q40_dayofyear_parse" ->
+      """WITH f AS (
+        |  SELECT o_orderdate,
+        |    'GRAN_' || strftime(o_orderdate, '%Y%j') || '_' || o_orderkey AS fname
+        |  FROM orders),
+        |p AS (
+        |  SELECT o_orderdate,
+        |    regexp_extract(fname, 'GRAN_([0-9]{7})_', 1) AS yj
+        |  FROM f)
+        |SELECT make_date(CAST(substr(yj, 1, 4) AS INT), 1, 1) +
+        |    (CAST(substr(yj, 5, 3) AS INT) - 1)
+        |    = CAST(o_orderdate AS DATE) AS roundtrip_ok,
+        |  count(*) AS n
+        |FROM p GROUP BY roundtrip_ok ORDER BY roundtrip_ok""".stripMargin,
+
+    "q41_when_chain_derivation" ->
+      """SELECT
+        |  CASE WHEN o_orderpriority LIKE '%URGENT%' THEN 'T0'
+        |       WHEN o_orderpriority LIKE '%HIGH%' THEN 'T1'
+        |       WHEN o_orderpriority LIKE '%MEDIUM%' THEN 'T2'
+        |       ELSE 'T3' END AS tier,
+        |  CASE WHEN o_orderpriority LIKE '%URGENT%' THEN 1
+        |       WHEN o_orderpriority LIKE '%HIGH%' THEN 3
+        |       WHEN o_orderpriority LIKE '%MEDIUM%' THEN 7
+        |       ELSE 30 END AS sla_days,
+        |  count(*) AS n
+        |FROM orders GROUP BY tier, sla_days ORDER BY tier""".stripMargin,
+
+    "q42_grouped_collect" ->
+      """SELECT l_orderkey,
+        |  array_to_string(list_sort(list(DISTINCT l_linenumber)), ',')
+        |    AS line_numbers,
+        |  count(*) AS n_lines
+        |FROM lineitem WHERE l_orderkey <= 100
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+    "q43_hourly_rollup" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY h, event_type ORDER BY h, event_type""".stripMargin,
+
+    "q44_json_roundtrip" ->
+      """SELECT lang, count(*) AS n, sum(n_chars) AS sum_chars,
+        |  min(doc_id) AS min_doc
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+  )
+}

@@ -1,0 +1,53 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.{GraftFunctions => G}
+
+class GraftExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val installed = { GraftExtensions.install(spark); true }
+
+  test("registered SQL functions are callable from spark.sql") {
+    assert(installed)
+    val r = spark.sql(
+      """SELECT
+        |  bbox_intersects(bbox_from_wkt('POLYGON((0 0, 10 0, 10 10, 0 10, 0 0))'),
+        |                  bbox_from_wkt('POLYGON((5 5, 15 5, 15 15, 5 15, 5 5))')) AS i,
+        |  simhash64(array('a','b','c')) AS sh,
+        |  sorted_jaccard(array('a','b','c'), array('b','c','d')) AS j,
+        |  cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c
+        |""".stripMargin).collect().head
+    assert(r.getBoolean(0))
+    assert(r.getLong(1) != 0L)
+    assert(math.abs(r.getDouble(2) - 0.5) < 1e-9)
+    assert(math.abs(r.getDouble(3) - 1.0) < 1e-9)
+  }
+
+  test("ExpandBBoxIntersects rewrites the predicate to field comparisons") {
+    assert(installed)
+    val df = Seq((12.0, 8.0, 30.0, 20.0), (52.0, 50.0, 2.0, 0.0))
+      .toDF("n", "s", "e", "w")
+    val q = df.filter(G.bboxIntersects(
+      G.bbox($"n", $"s", $"e", $"w"),
+      G.bbox(lit(15.0), lit(5.0), lit(25.0), lit(18.0))))
+    val optimized = q.queryExecution.optimizedPlan
+    val stillThere = optimized.expressions.exists(
+      _.exists(_.isInstanceOf[graft.functions.expressions.BBoxIntersects]))
+    assert(!stillThere, s"BBoxIntersects not expanded:\n$optimized")
+    // and the result is still correct (only the first row overlaps)
+    assert(q.select("n").as[Double].collect().sameElements(Array(12.0)))
+  }
+
+  test("expansion preserves strict-edge and null semantics") {
+    assert(installed)
+    // shared edge -> no overlap, with the rule active
+    val df = Seq((10.0, 0.0, 20.0, 10.0)).toDF("n", "s", "e", "w")
+    val q = df.filter(G.bboxIntersects(
+      G.bbox($"n", $"s", $"e", $"w"),
+      G.bbox(lit(10.0), lit(0.0), lit(30.0), lit(20.0))))
+    assert(q.count() == 0)
+  }
+}
