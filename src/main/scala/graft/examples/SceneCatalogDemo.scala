@@ -69,6 +69,35 @@ object SceneCatalogDemo {
     catch { case e: IllegalStateException =>
       println("EMPTY_READ_ERR=" + e.getMessage)
     }
+
+    // state-machine pipeline: download (PID 3 fails once) → ard; retry
+    val audit = new graft.pipeline.AuditLog(root + "/audit", spark)
+    val res1 = graft.pipeline.StepRunner.runAll(spark, cat,
+      Seq(new DemoDownloadStep(failPid = 3L), new DemoArdStep),
+      parallelism = 2, Some(audit))
+    println("PIPELINE_RUN1=" + res1.mkString(";"))
+    val res2 = graft.pipeline.StepRunner.runAll(spark, cat,
+      Seq(new DemoDownloadStep(failPid = -1L), new DemoArdStep),
+      parallelism = 2, Some(audit))
+    println("PIPELINE_RUN2=" + res2.mkString(";"))
+    println("AUDIT_ROWS=" + audit.entries().count())
     spark.stop()
   }
+}
+
+private class DemoDownloadStep(failPid: Long)
+    extends graft.pipeline.StepRunner.SceneStep {
+  val name = "download"
+  def workList(cat: SceneCatalog) = cat.scnlistNeedDownload()
+  def process(pid: Long) =
+    graft.pipeline.StepRunner.StepResult(pid, pid != failPid, s"dl $pid")
+  def onSuccess = Map("Downloaded" -> lit(true))
+}
+
+private class DemoArdStep extends graft.pipeline.StepRunner.SceneStep {
+  val name = "ard"
+  def workList(cat: SceneCatalog) = cat.scnlistNeedArd()
+  def process(pid: Long) =
+    graft.pipeline.StepRunner.StepResult(pid, success = true, s"ard $pid")
+  def onSuccess = Map("ARDProduct" -> lit(true))
 }
