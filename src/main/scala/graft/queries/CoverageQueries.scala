@@ -124,6 +124,22 @@ object CoverageQueries {
         .orderBy("h", "event_type")
     },
 
+    // Sketch aggregation (scale extension): HLL approximate distinct
+    // vs exact, asserted within tolerance — at 100 TB the sketch is
+    // mergeable across partitions with constant memory where exact
+    // countDistinct shuffles every key.
+    "q45_approx_distinct" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts")).cast("double") /
+            col("exact_parts") <= 0.1).as("within_tol"))
+        .orderBy("l_returnflag")
+    },
+
     // S7/S8: JSON export → import round trip with schema-on-read;
     // the aggregate over the re-imported table must match the oracle
     // computed on the original parquet.
@@ -210,6 +226,16 @@ object CoverageQueries {
     "q44_json_roundtrip" ->
       """SELECT lang, count(*) AS n, sum(n_chars) AS sum_chars,
         |  min(doc_id) AS min_doc
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // each engine's own sketch must land within 10% of exact
+    "q45_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  abs(approx_count_distinct(l_partkey) -
+        |      count(DISTINCT l_partkey))::DOUBLE /
+        |    count(DISTINCT l_partkey) <= 0.1 AS within_tol
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
   )
 }

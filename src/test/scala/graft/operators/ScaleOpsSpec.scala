@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join equals plain join on a skewed key") {
+    // one hot key (90% of rows) + a tail
+    val left = ((1 to 900).map(_ => ("hot", 1)) ++
+      (1 to 100).map(i => (s"k$i", i))).toDF("k", "v")
+    val right = Seq(("hot", 10), ("k5", 50), ("k7", 70)).toDF("k", "w")
+    val plain = left.join(right, "k").groupBy("k")
+      .agg(count(lit(1)).as("n"), sum($"v" + $"w").as("s"))
+    val salted = ScaleOps.saltedJoin(left, right, "k", salt = 8)
+      .groupBy("k").agg(count(lit(1)).as("n"), sum($"v" + $"w").as("s"))
+    val p = plain.orderBy("k").as[(String, Long, Long)].collect()
+    val s = salted.orderBy("k").as[(String, Long, Long)].collect()
+    assert(s.sameElements(p))
+  }
+
+  test("bucketed tables join without a shuffle on the join keys") {
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("b_orders")
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("b_lineitem")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_lineitem")
+        .join(spark.table("b_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      joined.collect() // force execution so AQE finalizes the plan
+      val finalPlan = joined.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val exchanges = finalPlan.collect { case e: ShuffleExchangeExec => e }
+      // bucket co-location removes the two join-side exchanges; only
+      // the post-aggregation exchange on o_orderstatus may remain
+      assert(exchanges.size <= 1,
+        s"expected <=1 exchange, got ${exchanges.size}:\n$finalPlan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
+  test("partition-pruned range predicate composes month + row bounds") {
+    val df = Seq(
+      ("2020-03", "2020-03-05"), ("2020-04", "2020-04-20"),
+      ("2020-06", "2020-06-01")).toDF("month", "d")
+    val got = df.filter(ScaleOps.partitionPrunedRange(
+        $"month", $"d", "2020-03-04", "2020-04-30"))
+      .select("d").as[String].collect().sorted
+    assert(got.sameElements(Array("2020-03-05", "2020-04-20")))
+  }
+}
