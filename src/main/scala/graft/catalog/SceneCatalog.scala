@@ -121,6 +121,92 @@ class SceneCatalog(val table: CowTable, spark: SparkSession) {
   def strictNonEmpty(df: DataFrame): DataFrame =
     if (df.isEmpty) throw new NoSuchElementException("no scenes match query")
     else df
+
+  // ---- JSONB-key work-lists (F9, .py:1304-1310, 1437-1443):
+  // scenes whose ExtendedInfo JSON lacks a product key still need that
+  // product generated.
+
+  private def missingExtKey(key: String): Column =
+    col("ExtendedInfo").isNull ||
+      get_json_object(col("ExtendedInfo"), s"$$.$key").isNull
+
+  def scnlistNeedQuicklook(): DataFrame =
+    scenes.filter(col("ARDProduct") && !col("Invalid") && missingExtKey("quicklook"))
+      .orderBy("Date_Acquired", "PID").select("PID")
+
+  def scnlistNeedTilecache(): DataFrame =
+    scenes.filter(col("ARDProduct") && !col("Invalid") && missingExtKey("tilecache"))
+      .orderBy("Date_Acquired", "PID").select("PID")
+
+  // ---- per-scene predicates (has_scn_* family, .py:988-1008 etc.)
+
+  def hasScnFlag(pid: Long, flag: String): Boolean =
+    !scenes.filter(col("PID") === pid && col(flag)).isEmpty
+
+  def isScnInvalid(pid: Long): Boolean = hasScnFlag(pid, "Invalid")
+
+  /** get_scn_unq_name_record (.py:1581-1604): lookup by Scene_ID. */
+  def sceneBySceneId(sceneId: String): DataFrame =
+    scenes.filter(col("Scene_ID") === sceneId)
+
+  // ---- combined date+bbox queries (+count variants,
+  // .py:2046-2221: query_scn_records_date_bbox[_count])
+
+  def scenesForDateRangeBBox(start: String, end: String,
+                             north: Double, south: Double,
+                             east: Double, west: Double,
+                             cloudThres: Option[Double] = None,
+                             validOnly: Boolean = true): DataFrame =
+    scenesForDateRange(start, end, cloudThres, validOnly)
+      .filter(S.bboxOverlap(col("North_Lat"), col("South_Lat"),
+        col("East_Lon"), col("West_Lon"), north, south, east, west))
+
+  def countScenesForDateRange(start: String, end: String,
+                              cloudThres: Option[Double] = None,
+                              validOnly: Boolean = true): Long =
+    scenesForDateRange(start, end, cloudThres, validOnly).count()
+
+  /** get_scns_for_date (.py:2314-2347): day-equality query where
+    * `valid` and `ardProd` are INDEPENDENT toggles (pinned §5 edge —
+    * unlike scenesForDateRange where valid implies ARD).
+    */
+  def scenesForDate(date: String, platform: Option[String] = None,
+                    valid: Boolean = true, ardProd: Boolean = true): DataFrame = {
+    val p = S.allOf(
+      Some(col("Date_Acquired") === lit(date)),
+      if (valid) Some(!col("Invalid")) else None,
+      if (ardProd) Some(col("ARDProduct")) else None,
+      platform.map(col("Spacecraft_ID") === _))
+    scenes.filter(p).orderBy("PID")
+  }
+
+  // ---- path-rewrite updates (update_dwnld_path / update_ard_path /
+  // update_extended_info_*_paths, .py:3107-3316): prefix rewrite over
+  // path-valued columns for matching rows.
+
+  def updatePathPrefix(column: String, from: String, to: String): Unit =
+    table.updateWhere(col(column).startsWith(from), Map(
+      column -> regexp_replace(col(column),
+        "^" + java.util.regex.Pattern.quote(from), to)))
+
+  /** reset_dc_load (.py:2903-2930). */
+  def resetDcLoad(pid: Long): Unit =
+    table.updateWhere(col("PID") === pid, Map("DCLoaded" -> lit(false)))
+
+  /** dwnlds_archived (.py:1010-1045): mark downloaded scenes archived. */
+  def markArchived(pids: Seq[Long]): Unit =
+    table.updateWhere(col("PID").isin(pids.map(Long.box): _*) && col("Downloaded"),
+      Map("Archived" -> lit(true)))
+
+  // ---- export/import (S7/S8, .py:2527-2686)
+
+  def exportJson(path: String): Unit =
+    graft.sources.ExportImport.exportJson(scenes, path)
+
+  def importJson(path: String,
+                 pathRewrites: Map[String, (String, String)] = Map.empty): Unit =
+    table.overwrite(graft.sources.ExportImport.importJson(
+      spark, path, scenes.schema, pathRewrites = pathRewrites))
 }
 
 object SceneCatalog {

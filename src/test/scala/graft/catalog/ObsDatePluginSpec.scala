@@ -1,0 +1,113 @@
+package graft.catalog
+
+import java.nio.file.Files
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.model.Scene
+import graft.sources.CowTable
+
+class ObsDatePluginSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def scene(pid: Long, platform: String, date: String,
+                    invalid: Boolean = false, extInfo: Option[String] = None): Scene =
+    Scene(pid, s"S$pid", s"P$pid", platform,
+      Timestamp.valueOf(date + " 10:00:00"), Date.valueOf(date), 10.0,
+      52, 50, 2, 0, 1000, s"/data/raw/s$pid.zip",
+      Timestamp.valueOf("2020-01-01 00:00:00"),
+      None, None, Downloaded = true, None, None, ARDProduct = true,
+      DCLoaded = false, Invalid = invalid, Archived = false,
+      ExtendedInfo = extInfo)
+
+  private def mkScenes() = Seq(
+    scene(1, "L8", "2020-03-01"),
+    scene(2, "L8", "2020-03-01"),
+    scene(3, "L9", "2020-03-02"),
+    scene(4, "L8", "2020-03-03", invalid = true),
+    scene(5, "L9", "2020-03-02", extInfo = Some("""{"quicklook":{"p":"x"}}""")))
+
+  test("obs-date refresh derives both tables; flags survive refresh") {
+    implicit val s = spark
+    val root = Files.createTempDirectory("obs").toString
+    val cat = ObsDateCatalog("LandsatGOOG", root)
+    cat.refresh(mkScenes().toDF())
+    // invalid scene 4 excluded -> 2 distinct (platform, date) rows
+    assert(cat.obsDates.count() == 2)
+    assert(cat.scenesFor("L8", "2020-03-01").select("Scene_PID")
+      .as[Long].collect().sameElements(Array(1L, 2L)))
+    assert(cat.needProcessing().count() == 2)
+    cat.markProcessed("L8", "2020-03-01")
+    assert(cat.needProcessing().count() == 1)
+    // refresh with a new scene on a new date: processed flag preserved
+    cat.refresh((mkScenes() :+ scene(6, "L8", "2020-03-05")).toDF())
+    assert(cat.obsDates.count() == 3)
+    assert(cat.obsDates.filter($"OverviewCreated").count() == 1)
+    assert(cat.needProcessing().count() == 2)
+  }
+
+  test("strict obs-date range uses open bounds") {
+    implicit val s = spark
+    val cat = ObsDateCatalog("LandsatGOOG",
+      Files.createTempDirectory("obs2").toString)
+    cat.refresh(mkScenes().toDF())
+    // (2020-03-01, 2020-03-02) strictly between -> nothing
+    assert(cat.datesInRangeStrict("2020-03-01", "2020-03-02").count() == 0)
+    assert(cat.datesInRangeStrict("2020-02-28", "2020-03-02").count() == 1)
+  }
+
+  test("plugin catalog: need-list, upsert, reset, summary") {
+    implicit val s = spark
+    val plug = PluginCatalog(Files.createTempDirectory("plug").toString + "/t")
+    val scenes = mkScenes().toDF().filter(!$"Invalid")
+    // nothing recorded yet -> all 4 eligible scenes need the plugin
+    assert(plug.scenesNeedingPlugin(scenes, "ndvi").as[Long].collect().length == 4)
+    val t0 = Timestamp.valueOf("2020-03-10 00:00:00")
+    val t1 = Timestamp.valueOf("2020-03-10 00:01:40")
+    plug.upsert(Seq(
+      plug.mkResult(1L, "ndvi", success = true, t0, t1, Some("""{"v":1}""")),
+      plug.mkResult(2L, "ndvi", success = false, t0, t1)).toDS().toDF())
+    assert(plug.scenesNeedingPlugin(scenes, "ndvi").as[Long].collect()
+      .sameElements(Array(3L, 5L)))
+    // composite key: same scene, different plugin is independent
+    assert(plug.scenesNeedingPlugin(scenes, "evi").as[Long].collect().length == 4)
+    val sum = plug.summary().collect().head
+    assert(sum.getAs[Long]("n_completed") == 2 &&
+      sum.getAs[Long]("n_success") == 1 &&
+      sum.getAs[Double]("avg_duration_s") == 100.0)
+    plug.reset("ndvi", Some(Seq(2L)))
+    assert(plug.scenesNeedingPlugin(scenes, "ndvi").as[Long].collect()
+      .sameElements(Array(2L, 3L, 5L)))
+  }
+
+  test("scene catalog: json work-lists, date query toggles, path rewrite") {
+    val root = Files.createTempDirectory("sc").toString + "/scenes"
+    val cat = new SceneCatalog(new CowTable(root, spark), spark)
+    cat.table.overwrite(mkScenes().toDF())
+    // scene 5 has a quicklook key; 4 is invalid -> 1,2,3 need quicklook
+    assert(cat.scnlistNeedQuicklook().as[Long].collect()
+      .sameElements(Array(1L, 2L, 3L)))
+    assert(cat.scnlistNeedTilecache().as[Long].collect()
+      .sameElements(Array(1L, 2L, 3L, 5L)))
+    // independent toggles: valid=false includes the invalid scene
+    assert(cat.scenesForDate("2020-03-03", valid = false, ardProd = false)
+      .select("PID").as[Long].collect().sameElements(Array(4L)))
+    assert(cat.scenesForDate("2020-03-03").count() == 0)
+    assert(cat.scenesForDate("2020-03-02", platform = Some("L9"))
+      .count() == 2)
+    assert(cat.hasScnFlag(1L, "Downloaded") && !cat.isScnInvalid(1L))
+    assert(cat.isScnInvalid(4L))
+    assert(cat.sceneBySceneId("S3").select("PID").as[Long].head() == 3L)
+    cat.updatePathPrefix("Remote_URL", "/data/raw", "/archive")
+    assert(cat.scenes.filter($"Remote_URL".startsWith("/archive")).count() == 5)
+    cat.markArchived(Seq(1L, 4L))
+    // 4 is not Downloaded=false... scene 4 IS downloaded; both archived
+    assert(cat.scenes.filter($"Archived").count() == 2)
+    assert(cat.countScenesForDateRange("2020-03-03", "2020-03-01",
+      validOnly = false) == 5)
+    assert(cat.scenesForDateRangeBBox("2020-03-03", "2020-03-01",
+      60, 45, 10, -5, validOnly = false).count() == 5)
+  }
+}
