@@ -64,6 +64,13 @@ object GraftFunctions {
       expression(a.cast("array<double>")),
       expression(b.cast("array<double>"))))
 
+  /** Random-hyperplane angular signature (SimHash for vectors):
+    * hamming64 between signatures ≈ nbits·θ/π. The hash-bucketed ANN
+    * path: block on signature prefixes/bands, verify with cosineSim.
+    */
+  def hyperplaneHash(vec: Column, nbits: Int): Column =
+    c(HyperplaneHash(expression(vec.cast("array<double>")), expression(lit(nbits))))
+
   // ---- text analysis (composed built-ins) ----
 
   /** Whitespace tokenization after lowercase+trim. */

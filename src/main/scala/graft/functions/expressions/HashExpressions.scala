@@ -155,6 +155,33 @@ object JaccardImpl {
 }
 
 object VectorImpl {
+  /** Random-hyperplane (SimHash-for-vectors, Charikar 2002) signature:
+    * bit b = sign of ⟨v, r_b⟩ where plane r_b is a deterministic
+    * pseudo-random ±-Gaussian-ish vector derived from splitmix64 of
+    * (b, dim index) — no stored plane matrix, any dimensionality,
+    * identical across executors. Hamming distance between signatures
+    * estimates angular distance: P(bit differs) = θ/π.
+    */
+  def hyperplaneHash(v: ArrayData, nbits: Int): Long = {
+    val d = v.numElements()
+    var out = 0L
+    var b = 0
+    while (b < nbits) {
+      var dot = 0.0
+      var i = 0
+      while (i < d) {
+        // uniform in [-1, 1) from a strong mix of (bit, dim)
+        val h = HashImpl.splitmix64(b.toLong * 0x9e3779b97f4a7c15L + i)
+        val r = (h >> 11).toDouble / (1L << 52).toDouble - 0.5
+        dot += v.getDouble(i) * r
+        i += 1
+      }
+      if (dot > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
   /** Cosine similarity in one pass (dot + both norms); 0.0 for zero
     * vectors. Arrays must be DoubleType.
     */
@@ -235,6 +262,21 @@ case class SortedJaccard(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): SortedJaccard =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "sorted_jaccard"
+}
+
+/** `hyperplane_hash(array<double>, nbits)` → long angular signature. */
+case class HyperplaneHash(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any, nbits: Any): Any =
+    VectorImpl.hyperplaneHash(v.asInstanceOf[ArrayData], nbits.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (v, n) => s"graft.functions.expressions.VectorImpl.hyperplaneHash($v, $n)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HyperplaneHash =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "hyperplane_hash"
 }
 
 /** `cosine_sim(array<double>, array<double>)` → double in [-1, 1]. */

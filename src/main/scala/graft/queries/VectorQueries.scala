@@ -83,6 +83,30 @@ object VectorQueries {
         .orderBy(col("cos").desc, col("vec_id"))
         .limit(10)
         .select(col("vec_id"), col("cluster"), round(col("cos"), 6).as("cos"))
+    },
+
+    // Random-hyperplane LSH ANN: 64-bit angular signatures, banded
+    // into 8×8-bit blocking keys; candidates sharing ≥1 band with the
+    // query are ranked by exact cosine. The third ANN strategy beside
+    // brute force (q33) and IVF (q35): pure hash blocking, no
+    // training, ideal when queries arrive as a stream. Band width sets
+    // the recall/candidate-rate trade: 8-bit bands admit ~(1-θ/π)^8
+    // per band — sized for this corpus's ~70-90° neighbor angles.
+    "q46_ann_hyperplane" -> { (s, dir) =>
+      val e = emb(s, dir).withColumn("sig", G.hyperplaneHash(col("v"), 64))
+      val banded = e.select(col("vec_id"), col("v"), col("sig"),
+        posexplode(array((0 until 8).map(i =>
+          col("sig").bitwiseAND(lit(0xffL << (8 * i)))): _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      val qb = banded.filter(col("vec_id") === 0)
+        .select(col("band"), col("bucket"), col("v").as("qv"))
+      banded.join(broadcast(qb), Seq("band", "bucket"))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("v"), col("qv")).distinct()
+        .withColumn("cos", G.cosineSim(col("v"), col("qv")))
+        .orderBy(col("cos").desc, col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), round(col("cos"), 6).as("cos"))
     }
   )
 

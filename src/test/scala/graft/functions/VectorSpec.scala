@@ -20,6 +20,26 @@ class VectorSpec extends SparkSpec {
     assert(r.sameElements(Array(0.0, 1.0, -1.0, 0.0)))
   }
 
+  test("hyperplane hash: angular locality") {
+    val df = Seq(
+      (Array(1.0f, 0.0f, 0.0f, 0.0f), "e1"),
+      (Array(1.0f, 0.001f, 0.0f, 0.0f), "e1eps"), // ~same direction
+      (Array(-1.0f, 0.0f, 0.0f, 0.0f), "negE1"),
+      (Array(0.0f, 1.0f, 0.0f, 0.0f), "e2"))
+      .toDF("v", "name")
+      .select($"name", G.hyperplaneHash($"v", 64).as("h"))
+    val hs = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hs("e1"), hs("e1eps")) <= 3) // tiny angle, few bits
+    assert(ham(hs("e1"), hs("negE1")) == 64) // opposite, all bits flip
+    val orth = ham(hs("e1"), hs("e2")) // 90 deg -> ~32 of 64
+    assert(orth > 16 && orth < 48)
+    // deterministic across evaluations
+    val again = Seq(Array(1.0f, 0.0f, 0.0f, 0.0f)).toDF("v")
+      .select(G.hyperplaneHash($"v", 64)).as[Long].head()
+    assert(again == hs("e1"))
+  }
+
   test("cosine expression matches HOF composition") {
     val hof = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) => {
       val ad = a.cast("array<double>")
