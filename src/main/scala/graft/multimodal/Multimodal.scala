@@ -58,6 +58,20 @@ object Multimodal {
       }
       (h, f)
     }
+
+    /** "Resample": deterministic fold of the source bytes into the
+      * w·h·3 buffer a real RGB resampler would produce.
+      */
+    def resample(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val out = new Array[Byte](w * h * 3)
+      var i = 0
+      while (i < out.length) {
+        out(i) = if (payload.length == 0) 0
+                 else (payload(i % payload.length) ^ (i >> 8)).toByte
+        i += 1
+      }
+      out
+    }
   }
 
   /** Partition-parallel feature extraction: decoder constructed once
@@ -72,6 +86,34 @@ object Multimodal {
         MediaFeatures(r.media_id, r.kind, r.payload.length, sum, feat)
       }
     }
+  }
+
+  /** Resize shape for images: payload → payload', meta.width/height
+    * rewritten to the target box (aspect-preserving fit). The pixel
+    * resample itself is the stub — a deterministic byte fold to the
+    * size a real resampler would emit (w·h·3) — but the Spark-side
+    * contract is real: per-partition codec init, payload column
+    * rewritten in place, metadata struct rebuilt without disturbing
+    * the audio/video fields, schema preserved for downstream writers.
+    */
+  def resize(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.rdd.mapPartitions { rows =>
+      val decoder = new FakeDecoder // per-partition init, amortized
+      rows.map { r =>
+        val meta = r.getStruct(r.fieldIndex("meta"))
+        val payload = r.getAs[Array[Byte]]("payload")
+        val (w, h) = (Option(meta.get(0)).fold(maxW)(_.asInstanceOf[Int]),
+          Option(meta.get(1)).fold(maxH)(_.asInstanceOf[Int]))
+        val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
+        val (nw, nh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+        val out =
+          if (r.getString(r.fieldIndex("kind")) != "image" || payload == null) payload
+          else decoder.resample(payload, nw, nh)
+        Row(r.getLong(0), r.getString(1), out, Row(nw, nh, meta.get(2), meta.get(3)))
+      }
+    }
+    spark.createDataFrame(rdd, mediaSchema)
   }
 
   /** Frame-sampling shape for video: explode k deterministic offsets

@@ -25,6 +25,31 @@ class MultimodalSpec extends SparkSpec {
     assert(again.map(_.checksum).sameElements(feats.map(_.checksum)))
   }
 
+  test("resize rewrites payload and metadata, preserves schema") {
+    import org.apache.spark.sql.Row
+    val rows = java.util.Arrays.asList(
+      Row(1L, "image", Array.fill[Byte](32)(7),
+        Row(Integer.valueOf(400), Integer.valueOf(200), null, null)),
+      Row(2L, "image", Array.fill[Byte](32)(7),
+        Row(Integer.valueOf(50), Integer.valueOf(50), null, null)),   // under box: untouched dims
+      Row(3L, "audio", Array.fill[Byte](32)(1),
+        Row(null, null, Integer.valueOf(16000), null)))               // non-image: payload passthrough
+    val df = spark.createDataFrame(rows, Multimodal.mediaSchema).repartition(2)
+    val out = Multimodal.resize(df, 100, 100)
+    assert(out.schema == Multimodal.mediaSchema)
+    val m = out.collect().map(r => r.getLong(0) -> r).toMap
+    // aspect-preserving fit: 400x200 -> 100x50, payload sized w*h*3
+    assert(m(1L).getStruct(3).getInt(0) == 100 && m(1L).getStruct(3).getInt(1) == 50)
+    assert(m(1L).getAs[Array[Byte]]("payload").length == 100 * 50 * 3)
+    assert(m(2L).getStruct(3).getInt(0) == 50)
+    // audio row keeps its payload and sample_rate
+    assert(m(3L).getAs[Array[Byte]]("payload").sameElements(Array.fill[Byte](32)(1)))
+    assert(m(3L).getStruct(3).getInt(2) == 16000)
+    // deterministic
+    assert(Multimodal.resize(df, 100, 100).collect().map(_.getLong(0)).sorted
+      .sameElements(Array(1L, 2L, 3L)))
+  }
+
   test("frame sampling explodes k offsets per row") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
