@@ -42,6 +42,22 @@ object IncrementalIngest {
       case _ => None
     }
 
+  /** Per-product watermarks (ICESAT2 keeps one high-water mark per
+    * product, eodatadownICESAT2sensor.py:532-539): the checkpoint is a
+    * small keyed table, not a scalar (SURVEY §7.5). Computed as one
+    * groupBy-max pass; collected to the driver because cardinality is
+    * the product count, not the data size.
+    */
+  def watermarkPerKey(table: CowTable, keyCol: String,
+                      tsCol: String): Map[String, java.sql.Timestamp] =
+    if (!table.exists) Map.empty
+    else table.read().groupBy(col(keyCol)).agg(max(col(tsCol)).as("wm"))
+      .collect().flatMap { r =>
+        Option(r.get(1)).collect { case t: java.sql.Timestamp =>
+          r.get(0).toString -> t
+        }
+      }.toMap
+
   /** Continuous ingest: any streaming source → foreachBatch upsert.
     * Checkpointing gives at-least-once delivery; the key anti-join in
     * ingestBatch upgrades it to effective exactly-once on the table.

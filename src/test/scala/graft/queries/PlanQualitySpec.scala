@@ -51,6 +51,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject") || p.contains("GlobalLimit"), p)
   }
 
+  test("q30 LSH: all joins broadcast, no shuffle beyond dedup + sort") {
+    val p = plan("q30_minhash_lsh_pairs")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    // the band self-join and both verify join-backs build broadcast sides
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3, p)
+    // exactly 2 non-broadcast exchanges: pair-dedup aggregate + final sort
+    assert("(?m)^\\s*\\(\\d+\\) Exchange".r.findAllIn(p).length <= 2, p)
+  }
+
   test("whole-stage codegen covers the custom expressions") {
     import org.apache.spark.sql.execution.WholeStageCodegenExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec

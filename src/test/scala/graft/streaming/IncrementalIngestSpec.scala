@@ -52,6 +52,20 @@ class IncrementalIngestSpec extends SparkSpec {
       .contains(ts("2020-01-07 00:00:00")))
   }
 
+  test("watermarkPerKey: empty on absent table, keyed maxes otherwise") {
+    val t = new CowTable(tmp("wmk") + "/t", spark)
+    assert(IncrementalIngest.watermarkPerKey(t, "product_id", "ts").isEmpty)
+    IncrementalIngest.ingestBatch(t,
+      Seq(CatRow("A", "ATL03", ts("2020-01-02 00:00:00"), 1),
+        CatRow("B", "ATL03", ts("2020-01-07 00:00:00"), 2),
+        CatRow("C", "ATL08", ts("2020-01-05 00:00:00"), 3)).toDF,
+      Seq("scene_id"), Seq(col("ts").desc))
+    val wm = IncrementalIngest.watermarkPerKey(t, "product_id", "ts")
+    assert(wm == Map(
+      "ATL03" -> ts("2020-01-07 00:00:00"),
+      "ATL08" -> ts("2020-01-05 00:00:00")))
+  }
+
   test("streaming source -> foreachBatch ingest with checkpoint") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[CatRow]
