@@ -130,6 +130,16 @@ class SceneCatalog(val table: CowTable, spark: SparkSession) {
     col("ExtendedInfo").isNull ||
       get_json_object(col("ExtendedInfo"), s"$$.$key").isNull
 
+  /** Merge one key into ExtendedInfo, preserving sibling keys — the
+    * reference's read-modify-write + flag_modified (.py:1398-1408);
+    * quicklook and tilecache steps interleave safely because each
+    * touches only its own key.
+    */
+  def setExtendedInfoKey(pid: Long, key: String, valueJson: String): Unit =
+    table.updateWhere(col("PID") === pid, Map("ExtendedInfo" ->
+      graft.functions.GraftFunctions.jsonSetKey(
+        col("ExtendedInfo"), lit(key), lit(valueJson))))
+
   def scnlistNeedQuicklook(): DataFrame =
     scenes.filter(col("ARDProduct") && !col("Invalid") && missingExtKey("quicklook"))
       .orderBy("Date_Acquired", "PID").select("PID")

@@ -33,6 +33,14 @@ object GraftFunctions {
     struct(north.cast("double").as("north"), south.cast("double").as("south"),
       east.cast("double").as("east"), west.cast("double").as("west"))
 
+  // ---- JSON mutation (SURVEY §7.5 JSONB read-modify-write) ----
+
+  /** Set/replace one key in a JSON object column, preserving siblings;
+    * null json starts `{}`, value parsed as JSON fragment when valid.
+    */
+  def jsonSetKey(json: Column, key: Column, value: Column): Column =
+    c(JsonSetKey(expression(json), expression(key), expression(value)))
+
   // ---- hashing / fingerprints ----
 
   /** 64-bit SimHash fingerprint of a token array. */

@@ -56,7 +56,9 @@ object GraftExtensions {
     ("sorted_jaccard", info("sorted_jaccard", "jaccard of sorted distinct arrays"),
       (e: Seq[Expression]) => SortedJaccard(e(0), e(1))),
     ("cosine_sim", info("cosine_sim", "cosine similarity of double arrays"),
-      (e: Seq[Expression]) => CosineSimilarity(e(0), e(1))))
+      (e: Seq[Expression]) => CosineSimilarity(e(0), e(1))),
+    ("json_set_key", info("json_set_key", "set one key in a JSON object, preserving siblings"),
+      (e: Seq[Expression]) => JsonSetKey(e(0), e(1), e(2))))
 
   /** Runtime injection into an existing session (tests, notebooks). */
   def install(spark: SparkSession): Unit = {

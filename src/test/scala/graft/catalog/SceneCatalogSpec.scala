@@ -102,6 +102,24 @@ class SceneCatalogSpec extends SparkSpec {
     assert(r.getAs[Long]("n_total") == 5)
   }
 
+  test("setExtendedInfoKey merges without clobbering; feeds work-lists") {
+    val cat = mkCatalog()
+    // scene 1 is ARD'd and valid -> needs both quicklook and tilecache
+    assert(cat.scnlistNeedQuicklook().as[Long].collect().contains(1L))
+    cat.setExtendedInfoKey(1, "quicklook", """{"quicklookimgs":["q.png"]}""")
+    assert(!cat.scnlistNeedQuicklook().as[Long].collect().contains(1L))
+    assert(cat.scnlistNeedTilecache().as[Long].collect().contains(1L))
+    // the interleaved second write must keep the first key intact
+    cat.setExtendedInfoKey(1, "tilecache", """{"tiles":"t"}""")
+    assert(!cat.scnlistNeedTilecache().as[Long].collect().contains(1L))
+    val info = cat.sceneByPid(1).select("ExtendedInfo").as[String].head()
+    val q = Seq(info).toDF("j")
+      .select(get_json_object($"j", "$.quicklook.quicklookimgs[0]").as("a"),
+        get_json_object($"j", "$.tilecache.tiles").as("b"))
+      .as[(String, String)].head()
+    assert(q == ("q.png", "t"))
+  }
+
   test("strictNonEmpty raises like the reference API") {
     val cat = mkCatalog()
     intercept[NoSuchElementException] {
