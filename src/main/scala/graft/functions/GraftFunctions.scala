@@ -33,6 +33,43 @@ object GraftFunctions {
     struct(north.cast("double").as("north"), south.cast("double").as("south"),
       east.cast("double").as("east"), west.cast("double").as("west"))
 
+  // ---- C11: bbox reprojection (eodatadownlandsatgoogsensor.py:723-725
+  // reprojects the scene bbox to the vector layer's EPSG before the
+  // spatial join). Closed-form spherical web-mercator (EPSG:4326 ⇄
+  // 3857) composed from built-in math functions — stays inside
+  // whole-stage codegen, no UDF. Other EPSG codes stay out of scope
+  // (the reference's own data is effectively 4326; SURVEY C11).
+
+  private val EarthR = 6378137.0
+
+  /** Longitude degrees → web-mercator x meters. */
+  def mercX(lon: Column): Column = radians(lon) * EarthR
+
+  /** Latitude degrees → web-mercator y meters (clamped to ±85.051129°,
+    * the square-mercator domain).
+    */
+  def mercY(lat: Column): Column = {
+    val clamped = greatest(lit(-85.051129), least(lit(85.051129), lat))
+    log(tan(radians(clamped) / 2 + lit(math.Pi / 4))) * EarthR
+  }
+
+  /** Web-mercator x meters → longitude degrees. */
+  def invMercX(x: Column): Column = degrees(x / EarthR)
+
+  /** Web-mercator y meters → latitude degrees. */
+  def invMercY(y: Column): Column =
+    degrees(atan(exp(y / EarthR)) * 2 - lit(math.Pi / 2))
+
+  /** bbox struct in degrees → bbox struct in EPSG:3857 meters. */
+  def bboxToWebMercator(b: Column): Column =
+    struct(mercY(b("north")).as("north"), mercY(b("south")).as("south"),
+      mercX(b("east")).as("east"), mercX(b("west")).as("west"))
+
+  /** bbox struct in EPSG:3857 meters → bbox struct in degrees. */
+  def bboxFromWebMercator(b: Column): Column =
+    struct(invMercY(b("north")).as("north"), invMercY(b("south")).as("south"),
+      invMercX(b("east")).as("east"), invMercX(b("west")).as("west"))
+
   // ---- JSON mutation (SURVEY §7.5 JSONB read-modify-write) ----
 
   /** Set/replace one key in a JSON object column, preserving siblings;

@@ -75,6 +75,31 @@ class BBoxSpec extends SparkSpec {
     }
   }
 
+  test("web-mercator reprojection: known values and roundtrip") {
+    // known anchors: (0,0) -> (0,0); lon 180 -> 20037508.34; lat 45 -> 5621521.49
+    val known = Seq(1).toDF("x").select(
+      G.mercX(lit(180.0)).as("x180"), G.mercY(lit(0.0)).as("y0"),
+      G.mercY(lit(45.0)).as("y45"))
+      .collect().head
+    assert(math.abs(known.getDouble(0) - 20037508.342789244) < 1e-6)
+    assert(math.abs(known.getDouble(1)) < 1e-9)
+    assert(math.abs(known.getDouble(2) - 5621521.486192335) < 1e-6)
+    // property: bbox roundtrip within the mercator domain
+    val r = new Random(11)
+    (1 to 40).foreach { _ =>
+      val b = randBox(r)
+      val back = Seq((b.n, b.s, b.e, b.w)).toDF("n", "s", "e", "w")
+        .select(G.bboxFromWebMercator(
+          G.bboxToWebMercator(G.bbox($"n", $"s", $"e", $"w"))).as("b"))
+        .select("b.north", "b.south", "b.east", "b.west")
+        .collect().head
+      assert(math.abs(back.getDouble(0) - math.max(-85.051129, math.min(85.051129, b.n))) < 1e-9)
+      assert(math.abs(back.getDouble(1) - math.max(-85.051129, math.min(85.051129, b.s))) < 1e-9)
+      assert(math.abs(back.getDouble(2) - b.e) < 1e-9)
+      assert(math.abs(back.getDouble(3) - b.w) < 1e-9)
+    }
+  }
+
   test("property: intersects is symmetric; strict on shared edges") {
     val r = new Random(7)
     val pairs = (1 to 40).map(_ => (randBox(r), randBox(r)))
