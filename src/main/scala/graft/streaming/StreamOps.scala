@@ -1,7 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Event-time streaming aggregations (SURVEY.md §2.9). The reference
   * has no native windows (its rollups are batch, A6/J4); these are the
@@ -22,6 +25,59 @@ object StreamOps {
       .withWatermark(tsCol, lateness)
       .groupBy(window(col(tsCol), windowDuration) +: keys: _*)
       .agg(aggs.head, aggs.tail: _*)
+
+  /** One processing-step event for a scene (download finished, ARD
+    * built, datacube loaded — the reference's boolean state flags as
+    * an event stream).
+    */
+  case class StepEvent(scene_id: String, step: String, ts: Timestamp)
+
+  /** Consolidated per-scene progress through the state machine. */
+  case class SceneProgress(scene_id: String, downloaded: Boolean,
+                           ard: Boolean, dcloaded: Boolean,
+                           last_ts: Timestamp, n_events: Int)
+
+  /** The reference's per-scene state machine (Downloaded → ARDProduct
+    * → DCLoaded, eodatadownlandsatgoogsensor.py:69-106) maintained as
+    * keyed custom state over a step-event stream via
+    * `flatMapGroupsWithState`: each arriving step folds into the
+    * scene's state and emits the consolidated progress row. State is
+    * BOUNDED — scenes idle past `idleGapMs` of event time are dropped
+    * from the store (event-time timeout against the watermark), which
+    * is what keeps the state store finite over an unbounded catalogue.
+    */
+  def sceneStateMachine(events: Dataset[StepEvent],
+                        lateness: String,
+                        idleGapMs: Long): Dataset[SceneProgress] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.scene_id)
+      .flatMapGroupsWithState[SceneProgress, SceneProgress](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (sceneId: String, batch: Iterator[StepEvent],
+         state: GroupState[SceneProgress]) =>
+          if (state.hasTimedOut) {
+            state.remove() // idle scene: free the store, emit nothing
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(
+              SceneProgress(sceneId, downloaded = false, ard = false,
+                dcloaded = false, last_ts = new Timestamp(0), n_events = 0))
+            val next = batch.foldLeft(prev) { (p, e) =>
+              SceneProgress(sceneId,
+                p.downloaded || e.step == "download",
+                p.ard || e.step == "ard",
+                p.dcloaded || e.step == "dcload",
+                if (e.ts.after(p.last_ts)) e.ts else p.last_ts,
+                p.n_events + 1)
+            }
+            state.update(next)
+            state.setTimeoutTimestamp(next.last_ts.getTime + idleGapMs)
+            Iterator.single(next)
+          }
+      }
+  }
 
   /** Obs-date rollup (A6/J4) maintained over a stream: one row per
     * (date, key) with counts — the streaming twin of q19.

@@ -39,6 +39,49 @@ class StreamOpsSpec extends SparkSpec {
       ("2024-01-01 11:00:00", "b", 1L, 5.0))))
   }
 
+  test("scene state machine: keyed custom state folds steps, expires idle") {
+    import StreamOps.StepEvent
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StepEvent]
+    mem.addData(
+      StepEvent("A", "download", ts("2024-01-01 10:00:00")),
+      StepEvent("B", "download", ts("2024-01-01 10:05:00")),
+      StepEvent("A", "ard", ts("2024-01-01 11:00:00")))
+    val out = StreamOps.sceneStateMachine(mem.toDS(), "10 minutes",
+      idleGapMs = 3600L * 1000)
+    val cp = java.nio.file.Files.createTempDirectory("smcp").toString
+    // memory sink can't recover a checkpoint; foreachBatch can — and
+    // the function runs on the driver, so a local buffer is a sink
+    val sink = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Boolean, Boolean, Boolean, Int)]
+    def drain(): Unit = {
+      val q = out.writeStream
+        .option("checkpointLocation", cp)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[StreamOps.SceneProgress], _: Long) =>
+            sink ++= b.collect().map(p =>
+              (p.scene_id, p.downloaded, p.ard, p.dcloaded, p.n_events))
+            ()
+        }.start()
+      q.awaitTermination(60000)
+    }
+    drain()
+    // one consolidated row per scene: A folded both steps in-batch
+    assert(sink.sortBy(_._1) == Seq(
+      ("A", true, true, false, 2), ("B", true, false, false, 1)))
+    // second delivery: A progresses (state restored from checkpoint);
+    // a far-future event drives the watermark past B's idle timeout
+    sink.clear()
+    mem.addData(
+      StepEvent("A", "dcload", ts("2024-01-01 11:30:00")),
+      StepEvent("C", "download", ts("2024-01-02 09:00:00")))
+    drain()
+    assert(sink.filter(_._1 == "A") == Seq(("A", true, true, true, 3)))
+    // idle B expired from the store (timeout emits nothing, state freed)
+    assert(!sink.exists(_._1 == "B"))
+  }
+
   test("streaming obs-date rollup matches the batch rollup shape") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
