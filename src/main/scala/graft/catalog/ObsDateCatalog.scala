@@ -2,8 +2,9 @@ package graft.catalog
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
-import graft.sources.CowTable
+import graft.sources.{CowTable, ExportImport}
 
 /** The obs-date rollup tables `EDDObsDates` / `EDDObsDatesScns`
   * (eodatadownsensor.py:53-68, built by create_obs_date_records
@@ -47,6 +48,7 @@ class ObsDateCatalog(val sensorId: String,
       .withColumn("OverviewCreated", lit(false))
       .withColumn("NeedUpdate", lit(true))
       .withColumn("Invalid", lit(false))
+      .withColumn("Overviews", lit(null).cast("string"))
     if (!datesTable.exists) datesTable.overwrite(dates)
     else
       // keep existing rows (their processed flags survive), add new dates
@@ -70,15 +72,62 @@ class ObsDateCatalog(val sensorId: String,
     obsDates.filter(col("ObsDate") > lit(startExcl) &&
       col("ObsDate") < lit(endExcl)).orderBy("PlatformID", "ObsDate")
 
-  /** Mark a date processed (overview built; .py:676-694 write-back). */
-  def markProcessed(platform: String, date: String): Unit =
+  /** Mark a date processed (overview built; .py:676-694 write-back
+    * sets OverviewCreated AND stores the overview-image paths into the
+    * Overviews JSONB).
+    */
+  def markProcessed(platform: String, date: String,
+                    overviewsJson: Option[String] = None): Unit =
     datesTable.updateWhere(
       col("PlatformID") === platform && col("ObsDate") === lit(date),
-      Map("OverviewCreated" -> lit(true), "NeedUpdate" -> lit(false)))
+      Map("OverviewCreated" -> lit(true), "NeedUpdate" -> lit(false)) ++
+        overviewsJson.map(j => "Overviews" -> lit(j)))
+
+  /** update_overview_file_paths (eodatadownsensor.py:838-877): rewrite
+    * path prefixes inside the Overviews JSON (archive moves, imports).
+    */
+  def updateOverviewPathPrefix(from: String, to: String): Unit =
+    datesTable.updateWhere(col("Overviews").isNotNull,
+      Map("Overviews" -> regexp_replace(col("Overviews"),
+        java.util.regex.Pattern.quote(from), to)))
+
+  /** export_obsdate_db_to_json (eodatadownsensor.py:794-836). */
+  def exportJson(datesPath: String, scnsPath: String): Unit = {
+    ExportImport.exportJson(obsDates, datesPath)
+    ExportImport.exportJson(obsDateScns, scnsPath)
+  }
+
+  /** import_obsdates_db (eodatadownsensor.py:838-900): JSON → tables,
+    * rewriting path prefixes inside the Overviews JSON (the reference
+    * runs update_overview_file_paths on every imported row).
+    */
+  def importJson(datesPath: String, scnsPath: String,
+                 pathRewrites: Map[String, String] = Map.empty): Unit = {
+    val dates = ExportImport.importJson(spark, datesPath, ObsDateCatalog.datesSchema)
+    val rewritten = pathRewrites.foldLeft(dates) { case (d, (from, to)) =>
+      d.withColumn("Overviews", regexp_replace(col("Overviews"),
+        java.util.regex.Pattern.quote(from), to))
+    }
+    datesTable.overwrite(rewritten)
+    scnsTable.overwrite(
+      ExportImport.importJson(spark, scnsPath, ObsDateCatalog.scnsSchema))
+  }
 }
 
 object ObsDateCatalog {
   def apply(sensorId: String, root: String)(implicit spark: SparkSession): ObsDateCatalog =
     new ObsDateCatalog(sensorId, new CowTable(s"$root/obs_dates", spark),
       new CowTable(s"$root/obs_date_scns", spark), spark)
+
+  /** EDDObsDates schema (eodatadownsensor.py:53-61). */
+  val datesSchema: StructType = StructType(Seq(
+    StructField("SensorID", StringType), StructField("PlatformID", StringType),
+    StructField("ObsDate", DateType), StructField("OverviewCreated", BooleanType),
+    StructField("NeedUpdate", BooleanType), StructField("Invalid", BooleanType),
+    StructField("Overviews", StringType)))
+
+  /** EDDObsDatesScns schema (eodatadownsensor.py:63-68). */
+  val scnsSchema: StructType = StructType(Seq(
+    StructField("SensorID", StringType), StructField("PlatformID", StringType),
+    StructField("ObsDate", DateType), StructField("Scene_PID", LongType)))
 }

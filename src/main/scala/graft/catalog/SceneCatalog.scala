@@ -150,6 +150,12 @@ class SceneCatalog(val table: CowTable, spark: SparkSession) {
 
   // ---- per-scene predicates (has_scn_* family, .py:988-1008 etc.)
 
+  /** has_scn_quicklook / has_scn_tilecache (.py:1291-1302, 1424-1435):
+    * product presence = its key exists in ExtendedInfo.
+    */
+  def hasScnProduct(pid: Long, key: String): Boolean =
+    !scenes.filter(col("PID") === pid && !missingExtKey(key)).isEmpty
+
   def hasScnFlag(pid: Long, flag: String): Boolean =
     !scenes.filter(col("PID") === pid && col(flag)).isEmpty
 

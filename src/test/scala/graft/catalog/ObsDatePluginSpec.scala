@@ -48,6 +48,27 @@ class ObsDatePluginSpec extends SparkSpec {
     assert(cat.needProcessing().count() == 2)
   }
 
+  test("overviews JSON: write-back, path rewrite, export/import roundtrip") {
+    implicit val s = spark
+    val root = Files.createTempDirectory("obs3").toString
+    val cat = ObsDateCatalog("LandsatGOOG", root)
+    cat.refresh(mkScenes().toDF())
+    cat.markProcessed("L8", "2020-03-01",
+      Some("""{"mosaic":"/data/vis/l8_0301.png"}"""))
+    assert(cat.obsDates.filter($"Overviews".isNotNull).count() == 1)
+    cat.updateOverviewPathPrefix("/data/vis", "/archive/vis")
+    assert(cat.obsDates.filter($"Overviews".contains("/archive/vis")).count() == 1)
+    // export -> import into a fresh catalog with a path rewrite
+    cat.exportJson(s"$root/dates.json", s"$root/scns.json")
+    val cat2 = ObsDateCatalog("LandsatGOOG",
+      Files.createTempDirectory("obs4").toString)
+    cat2.importJson(s"$root/dates.json", s"$root/scns.json",
+      pathRewrites = Map("/archive/vis" -> "/new/vis"))
+    assert(cat2.obsDates.count() == 2 && cat2.obsDateScns.count() == 4)
+    assert(cat2.obsDates.filter($"Overviews".contains("/new/vis")).count() == 1)
+    assert(cat2.obsDates.filter($"OverviewCreated").count() == 1)
+  }
+
   test("strict obs-date range uses open bounds") {
     implicit val s = spark
     val cat = ObsDateCatalog("LandsatGOOG",

@@ -106,7 +106,9 @@ class SceneCatalogSpec extends SparkSpec {
     val cat = mkCatalog()
     // scene 1 is ARD'd and valid -> needs both quicklook and tilecache
     assert(cat.scnlistNeedQuicklook().as[Long].collect().contains(1L))
+    assert(!cat.hasScnProduct(1, "quicklook"))
     cat.setExtendedInfoKey(1, "quicklook", """{"quicklookimgs":["q.png"]}""")
+    assert(cat.hasScnProduct(1, "quicklook"))
     assert(!cat.scnlistNeedQuicklook().as[Long].collect().contains(1L))
     assert(cat.scnlistNeedTilecache().as[Long].collect().contains(1L))
     // the interleaved second write must keep the first key intact
