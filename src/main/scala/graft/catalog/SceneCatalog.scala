@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.model.Scene
 import graft.operators.{RelationalOps => R, SceneQueryOps => S}
-import graft.sources.CowTable
+import graft.sources.{CowTable, VersionedTable}
 
 /** The reference sensor's query API (EODataDownSensor's ~60 methods,
   * eodatadownsensor.py:71-469) re-expressed over one
@@ -15,7 +15,7 @@ import graft.sources.CowTable
   * semantics of the reference API (SURVEY.md §5) is the caller's
   * choice via `strictNonEmpty`.
   */
-class SceneCatalog(val table: CowTable, spark: SparkSession) {
+class SceneCatalog(val table: VersionedTable, spark: SparkSession) {
 
   def scenes: DataFrame = table.read()
 

@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions._
   * partitions containing touched PIDs — the upsert plan already
   * shuffles on the key, so partition pruning bounds the rewrite).
   */
-class CowTable(val root: String, spark: SparkSession) {
+class CowTable(val root: String, spark: SparkSession) extends VersionedTable {
 
   private def pointer = Paths.get(root, "_current")
 

@@ -1,0 +1,205 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Partition-level copy-on-write table — the 100 TB layout promised by
+  * [[CowTable]]'s scaladoc, implemented. A version is a MANIFEST
+  * (JSON: partition value → data directory) rather than a data
+  * directory: committing an update writes ONLY the partitions
+  * containing touched rows into a fresh `w_<n>/` dir and re-references
+  * every untouched partition's existing directory. A catalogue update
+  * that touches one acquisition month rewrites that month, not the
+  * table — unchanged bytes are shared across versions, the same
+  * file-re-listing idea as Delta/Iceberg, without the dependency.
+  *
+  * Layout: `<root>/w_<n>/__part=<value>/part-*.parquet` (data; one
+  * Spark job per commit via `partitionBy`), `<root>/v_<n>.json`
+  * (manifest: partitions + schema DDL), `<root>/_current` (atomic
+  * pointer). Readers follow `_current` → manifest → dirs, so a
+  * crashed writer never tears the table and re-runs are idempotent
+  * (the reference's recovery story, SURVEY.md §7.5 #1).
+  *
+  * Constraints (pinned in PartitionedCowTableSpec): `partCol` values
+  * must be non-null and path-safe (dates/months are); a key's
+  * partition value must not change across upserts (the reference
+  * never rewrites `Date_Acquired`). Rows keep `partCol` as a normal
+  * column — each partition dir has a constant value for it, so
+  * parquet min/max stats prune it even on full-table reads.
+  */
+class PartitionedCowTable(val root: String, val partCol: String,
+                          spark: SparkSession) extends VersionedTable {
+
+  private val mapper = new ObjectMapper()
+  private def pointer = Paths.get(root, "_current")
+
+  private def currentVersion: Option[Int] =
+    if (Files.exists(pointer))
+      Some(new String(Files.readAllBytes(pointer), UTF_8).trim.toInt)
+    else None
+
+  override def exists: Boolean = currentVersion.isDefined
+
+  private def requireVersion: Int = currentVersion.getOrElse(
+    throw new IllegalStateException(s"no committed version at $root"))
+
+  /** partition value → data dir relative to root (current version) —
+    * public introspection, the `DESCRIBE DETAIL` analogue.
+    */
+  def manifest: Map[String, String] = manifestAt(requireVersion)
+
+  private def manifestAt(v: Int): Map[String, String] = {
+    val node = mapper.readTree(Files.readAllBytes(
+      Paths.get(root, f"v_$v%06d.json")))
+    node.get("partitions").fields().asScala
+      .map(e => e.getKey -> e.getValue.asText()).toMap
+  }
+
+  private def schemaAt(v: Int): StructType =
+    StructType.fromDDL(mapper.readTree(Files.readAllBytes(
+      Paths.get(root, f"v_$v%06d.json"))).get("schema").asText())
+
+  override def read(): DataFrame = readWhere(_ => true)
+
+  /** Manifest-level partition pruning: only matching partitions' dirs
+    * are listed, opened, or scheduled — the reader never touches the
+    * rest (the watermark/date-range scan path at scale).
+    */
+  def readWhere(partFilter: String => Boolean): DataFrame = {
+    val v = requireVersion
+    val dirs = manifestAt(v).filter { case (value, _) => partFilter(value) }
+      .values.map(d => s"$root/$d").toSeq
+    if (dirs.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schemaAt(v))
+    else spark.read.parquet(dirs: _*)
+  }
+
+  /** The distinct partition values present in a DataFrame — small by
+    * construction (a commit touches few partitions), so the collect is
+    * bounded by partition count, not data size.
+    */
+  private def touchedValues(df: DataFrame): Set[String] =
+    df.select(col(partCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
+
+  /** Core commit: write `data` as the new content of exactly the
+    * partitions in `touched` (a touched partition absent from `data`
+    * is dropped — it became empty); carry every untouched partition
+    * from `carried`.
+    */
+  private def commit(data: DataFrame, touched: Set[String],
+                     carried: Map[String, String]): Unit = {
+    val next = currentVersion.map(_ + 1).getOrElse(0)
+    val wdir = f"w_$next%06d"
+    data
+      .withColumn("__part", col(partCol).cast("string"))
+      .write.partitionBy("__part").mode("overwrite").parquet(s"$root/$wdir")
+    val written: Map[String, String] =
+      Files.list(Paths.get(root, wdir)).iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.startsWith("__part="))
+        .map(n => n.stripPrefix("__part=") -> s"$wdir/$n").toMap
+    writeVersion(next, data.schema.toDDL, (carried -- touched) ++ written)
+  }
+
+  private def writeVersion(v: Int, schemaDdl: String,
+                           partitions: Map[String, String]): Unit = {
+    val node = mapper.createObjectNode()
+    node.put("schema", schemaDdl)
+    val parts = node.putObject("partitions")
+    partitions.toSeq.sortBy(_._1).foreach { case (k, d) => parts.put(k, d) }
+    Files.write(Paths.get(root, f"v_$v%06d.json"),
+      mapper.writeValueAsBytes(node))
+    val tmp = Paths.get(root, s"_current.tmp.$v")
+    Files.write(tmp, v.toString.getBytes(UTF_8))
+    Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def currentManifestOrEmpty: Map[String, String] =
+    currentVersion.map(manifestAt).getOrElse(Map.empty)
+
+  /** Create or fully replace the table (every partition rewritten). */
+  override def overwrite(df: DataFrame): Unit = {
+    val all = currentManifestOrEmpty.keySet ++ touchedValues(df)
+    commit(df, all, currentManifestOrEmpty)
+  }
+
+  /** Append rows: only the partitions the batch lands in are
+    * rewritten (existing rows of those partitions union the batch).
+    */
+  override def append(df: DataFrame): Unit =
+    if (!exists) overwrite(df)
+    else {
+      val touched = touchedValues(df)
+      commit(readWhere(touched).unionByName(df), touched, manifest)
+    }
+
+  /** PK upsert (J7): incoming rows replace same-key rows; untouched
+    * PARTITIONS (not just rows) are carried by reference.
+    */
+  override def upsert(updates: DataFrame, keys: Seq[String]): Unit =
+    if (!exists) overwrite(updates)
+    else {
+      val touched = touchedValues(updates)
+      commit(
+        readWhere(touched)
+          .join(updates.select(keys.map(col): _*), keys, "left_anti")
+          .unionByName(updates),
+        touched, manifest)
+    }
+
+  /** Targeted column update: partitions containing matching rows are
+    * found first (pruned scan), then only those are rewritten.
+    */
+  override def updateWhere(pred: Column,
+                           sets: Map[String, Column]): Unit = {
+    val touched = touchedValues(read().filter(pred))
+    if (touched.nonEmpty) {
+      val updated = sets.foldLeft(readWhere(touched)) {
+        case (df, (name, value)) =>
+          df.withColumn(name, when(pred, value).otherwise(col(name)))
+      }
+      commit(updated, touched, manifest)
+    }
+  }
+
+  /** Anti-delete: only partitions containing matching rows are
+    * rewritten; a partition deleted empty leaves the manifest.
+    */
+  override def deleteWhere(pred: Column): Unit = {
+    val touched = touchedValues(read().filter(pred))
+    if (touched.nonEmpty)
+      commit(readWhere(touched).filter(!pred), touched, manifest)
+  }
+
+  /** Drop every `w_*` dir and `v_*.json` no longer reachable from the
+    * current manifest; shared dirs it still references survive.
+    */
+  override def vacuum(): Unit = currentVersion.foreach { cur =>
+    val live = manifestAt(cur).values.map(_.split('/').head).toSet
+    Files.list(Paths.get(root)).iterator().asScala.toSeq.foreach { p =>
+      val n = p.getFileName.toString
+      val deadData = n.startsWith("w_") && !live.contains(n)
+      val deadManifest = n.startsWith("v_") && n.endsWith(".json") &&
+        n != f"v_$cur%06d.json"
+      if (deadData || deadManifest) {
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.delete(f))
+      }
+    }
+  }
+}
+
+object PartitionedCowTable {
+  def apply(root: String, partCol: String)
+           (implicit spark: SparkSession): PartitionedCowTable =
+    new PartitionedCowTable(root, partCol, spark)
+}

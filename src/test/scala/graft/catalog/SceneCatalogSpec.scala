@@ -122,6 +122,28 @@ class SceneCatalogSpec extends SparkSpec {
     assert(q == ("q.png", "t"))
   }
 
+  test("full API runs over the partition-level COW backend") {
+    implicit val s = spark
+    val t = graft.sources.PartitionedCowTable(
+      Files.createTempDirectory("pcat").toString + "/scenes", "Date_Acquired")
+    val cat = new SceneCatalog(t, spark)
+    cat.table.overwrite(Seq(
+      scene(1, "S1", "P_001", "2020-03-01", 10, 52, 50, 2, 0, dl = true, ard = true),
+      scene(2, "S2", "P_002", "2020-03-02", 80, 53, 51, 3, 1),
+      scene(3, "S3", "P_003", "2020-03-03", 5, 10, 8, -10, -12)).toDF())
+    assert(cat.scnlistNeedDownload().as[Long].collect().sameElements(Array(2L, 3L)))
+    val before = t.manifest
+    // download write-back touches only scene 2's acquisition date
+    cat.upsertScenes(cat.scenes.filter($"PID" === 2L)
+      .withColumn("Downloaded", lit(true)))
+    assert(t.manifest("2020-03-01") == before("2020-03-01"))
+    assert(t.manifest("2020-03-02") != before("2020-03-02"))
+    assert(cat.scnlistNeedDownload().as[Long].collect().sameElements(Array(3L)))
+    cat.setExtendedInfoKey(1, "quicklook", """{"q":"x"}""")
+    assert(cat.hasScnProduct(1, "quicklook"))
+    assert(cat.stateSummary().count() == 1)
+  }
+
   test("strictNonEmpty raises like the reference API") {
     val cat = mkCatalog()
     intercept[NoSuchElementException] {

@@ -1,0 +1,113 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class PartitionedCowTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mk(): PartitionedCowTable = {
+    implicit val s = spark
+    val t = PartitionedCowTable(
+      Files.createTempDirectory("pcow").toString + "/t", "month")
+    t.overwrite(Seq(
+      (1L, "2020-03", "a", false),
+      (2L, "2020-03", "b", false),
+      (3L, "2020-04", "c", false),
+      (4L, "2020-05", "d", false)).toDF("pid", "month", "v", "flag"))
+    t
+  }
+
+  test("overwrite/read roundtrip with per-partition dirs") {
+    val t = mk()
+    assert(t.read().count() == 4)
+    assert(t.manifest.keySet == Set("2020-03", "2020-04", "2020-05"))
+    assert(t.read().filter($"month" === "2020-04").select("v")
+      .as[String].head() == "c")
+  }
+
+  test("upsert rewrites only touched partitions; others carried by reference") {
+    val t = mk()
+    val before = t.manifest
+    t.upsert(Seq((2L, "2020-03", "B", true)).toDF("pid", "month", "v", "flag"),
+      Seq("pid"))
+    val after = t.manifest
+    // untouched partitions: same directory reference (no bytes rewritten)
+    assert(after("2020-04") == before("2020-04"))
+    assert(after("2020-05") == before("2020-05"))
+    // touched partition: new directory
+    assert(after("2020-03") != before("2020-03"))
+    val march = t.read().filter($"month" === "2020-03")
+      .select("pid", "v").as[(Long, String)].collect().sortBy(_._1)
+    assert(march.sameElements(Array((1L, "a"), (2L, "B"))))
+    assert(t.read().count() == 4)
+  }
+
+  test("updateWhere prunes to matching partitions") {
+    val t = mk()
+    val before = t.manifest
+    t.updateWhere($"pid" === 3L, Map("flag" -> lit(true)))
+    val after = t.manifest
+    assert(after("2020-03") == before("2020-03"))
+    assert(after("2020-04") != before("2020-04"))
+    assert(t.read().filter($"flag").select("pid").as[Long].collect()
+      .sameElements(Array(3L)))
+  }
+
+  test("deleteWhere: partial delete rewrites; emptied partition leaves manifest") {
+    val t = mk()
+    t.deleteWhere($"pid" === 1L) // partial: 2020-03 keeps pid 2
+    assert(t.read().filter($"month" === "2020-03").count() == 1)
+    t.deleteWhere($"month" === "2020-05") // full partition gone
+    assert(t.manifest.keySet == Set("2020-03", "2020-04"))
+    assert(t.read().count() == 2)
+  }
+
+  test("readWhere prunes at the manifest, empty selection keeps schema") {
+    val t = mk()
+    assert(t.readWhere(_ == "2020-04").count() == 1)
+    val none = t.readWhere(_ == "1999-01")
+    assert(none.count() == 0)
+    assert(none.schema.fieldNames.sameElements(
+      Array("pid", "month", "v", "flag")))
+  }
+
+  test("append lands in its partitions only") {
+    val t = mk()
+    val before = t.manifest
+    t.append(Seq((9L, "2020-04", "x", false)).toDF("pid", "month", "v", "flag"))
+    assert(t.manifest("2020-03") == before("2020-03"))
+    assert(t.read().filter($"month" === "2020-04").count() == 2)
+  }
+
+  test("vacuum keeps dirs the current manifest references") {
+    val t = mk()
+    t.upsert(Seq((2L, "2020-03", "B", true)).toDF("pid", "month", "v", "flag"),
+      Seq("pid"))
+    t.vacuum()
+    // shared (untouched) partitions from the first write must survive
+    assert(t.read().count() == 4)
+    assert(t.read().filter($"month" === "2020-05").select("v")
+      .as[String].head() == "d")
+  }
+
+  test("overwrite drops partitions absent from the new data") {
+    val t = mk()
+    t.overwrite(Seq((7L, "2021-01", "z", false))
+      .toDF("pid", "month", "v", "flag"))
+    assert(t.manifest.keySet == Set("2021-01"))
+    assert(t.read().count() == 1)
+  }
+
+  test("idempotent re-run: same upsert twice, same table") {
+    val t = mk()
+    val up = Seq((2L, "2020-03", "B", true)).toDF("pid", "month", "v", "flag")
+    t.upsert(up, Seq("pid"))
+    t.upsert(up, Seq("pid"))
+    assert(t.read().count() == 4)
+    assert(t.read().filter($"v" === "B").count() == 1)
+  }
+}
