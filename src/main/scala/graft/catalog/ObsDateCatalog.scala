@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.sources.{CowTable, ExportImport}
+import graft.sources.{CowTable, ExportImport, VersionedTable}
 
 /** The obs-date rollup tables `EDDObsDates` / `EDDObsDatesScns`
   * (eodatadownsensor.py:53-68, built by create_obs_date_records
@@ -20,7 +20,7 @@ import graft.sources.{CowTable, ExportImport}
   * scene fan-out is replaced, processed flags are preserved).
   */
 class ObsDateCatalog(val sensorId: String,
-                     datesTable: CowTable, scnsTable: CowTable,
+                     datesTable: VersionedTable, scnsTable: VersionedTable,
                      spark: SparkSession) {
 
   def obsDates: DataFrame = datesTable.read()

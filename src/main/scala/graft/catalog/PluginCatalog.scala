@@ -13,7 +13,7 @@ import graft.sources.CowTable
   * family (run_usr_analysis bookkeeping, :1679-1814; summary counters
   * :3053-3105).
   */
-class PluginCatalog(table: CowTable, spark: SparkSession) {
+class PluginCatalog(table: graft.sources.VersionedTable, spark: SparkSession) {
 
   def results: DataFrame = table.read()
 

@@ -19,11 +19,10 @@ import org.apache.spark.sql.functions._
   * and re-running a step is idempotent (the reference's recovery
   * story).
   *
-  * Scale: this demo implementation rewrites the whole table per
-  * commit; the 100 TB layout is identical except versions are
-  * *partition-level* (date-partitioned scene tables rewrite only the
-  * partitions containing touched PIDs — the upsert plan already
-  * shuffles on the key, so partition pruning bounds the rewrite).
+  * Scale: this implementation rewrites the whole table per commit —
+  * right for small metadata tables (plugin results, obs-dates,
+  * usage log). The 100 TB scene-table path is [[PartitionedCowTable]]
+  * (same [[VersionedTable]] contract, partition-level rewrite).
   */
 class CowTable(val root: String, spark: SparkSession) extends VersionedTable {
 
