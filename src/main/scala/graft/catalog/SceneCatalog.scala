@@ -47,10 +47,22 @@ class SceneCatalog(val table: VersionedTable, spark: SparkSession) {
                          cloudThres: Option[Double] = None,
                          validOnly: Boolean = true): DataFrame = {
     val valid = if (validOnly) !col("Invalid") && col("ARDProduct") else lit(true)
-    scenes.filter(
+    scenesPrunedTo(end, start).filter(
       S.dateRangeClosed(col("Date_Acquired"), end, start) &&
         S.maxThreshold(col("Cloud_Cover"), cloudThres) && valid)
       .orderBy(col("Date_Acquired").desc, col("PID"))
+  }
+
+  /** Date-range scans start from a manifest-pruned read when the
+    * backend is date-partitioned: only partitions inside the closed
+    * range are listed/opened (ISO date strings compare lexically).
+    * The row-level filter still applies on top, so semantics are
+    * identical on any backend.
+    */
+  private def scenesPrunedTo(lo: String, hi: String): DataFrame = table match {
+    case p: graft.sources.PartitionedCowTable if p.partCol == "Date_Acquired" =>
+      p.readWhere(v => v >= lo && v <= hi)
+    case _ => scenes
   }
 
   /** Strict bbox-overlap query (F7, .py:2074-2103). */

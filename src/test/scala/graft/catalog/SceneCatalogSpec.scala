@@ -142,6 +142,13 @@ class SceneCatalogSpec extends SparkSpec {
     cat.setExtendedInfoKey(1, "quicklook", """{"q":"x"}""")
     assert(cat.hasScnProduct(1, "quicklook"))
     assert(cat.stateSummary().count() == 1)
+    // date-range query rides manifest pruning: same answer, and the
+    // pruned read only references in-range partition dirs
+    assert(cat.scenesForDateRange("2020-03-02", "2020-03-01",
+      validOnly = false).select("PID").as[Long].collect()
+      .sameElements(Array(2L, 1L)))
+    assert(t.readWhere(v => v >= "2020-03-01" && v <= "2020-03-02")
+      .inputFiles.forall(f => !f.contains("2020-03-03")))
   }
 
   test("strictNonEmpty raises like the reference API") {
