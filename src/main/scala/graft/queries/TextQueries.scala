@@ -108,6 +108,12 @@ object TextQueries {
         col("ws").as("ws_b"))
       a.join(b, Seq("lang"))
         .filter(col("doc_a") < col("doc_b"))
+        // size-ratio prefilter: jac(A,B) ≤ min(|A|,|B|)/max(|A|,|B|),
+        // so pairs failing the ratio can't reach the threshold — the
+        // cheap integer compare runs before the merge in the same
+        // codegen stage and prunes the verify work, never the answer
+        .filter(least(size(col("ws_a")), size(col("ws_b"))) >=
+          greatest(size(col("ws_a")), size(col("ws_b"))) * 0.9)
         .withColumn("jac", G.sortedJaccard(col("ws_a"), col("ws_b")))
         .filter(col("jac") >= 0.9)
         .select(col("lang"), col("doc_a"), col("doc_b"),
@@ -143,6 +149,9 @@ object TextQueries {
       pairs
         .join(d.select(col("doc_id").as("doc_a"), col("ws").as("ws_a")), Seq("doc_a"))
         .join(d.select(col("doc_id").as("doc_b"), col("ws").as("ws_b")), Seq("doc_b"))
+        // (q29's size-ratio prune measured SLOWER here: LSH candidates
+        // are already high-similarity, so it prunes little and only
+        // perturbs the all-broadcast plan)
         .withColumn("jac", G.sortedJaccard(col("ws_a"), col("ws_b")))
         .filter(col("jac") >= 0.9)
         .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
