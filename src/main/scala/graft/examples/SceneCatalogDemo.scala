@@ -33,7 +33,10 @@ object SceneCatalogDemo {
         None, None, dl, None, None, ard, false, false, false, None)
 
     val root = java.nio.file.Files.createTempDirectory("demo").toString
-    val cat = new SceneCatalog(new CowTable(root + "/scenes", spark), spark)
+    // the scale backend: partition-level COW keyed on acquisition date
+    val scenesTable = graft.sources.PartitionedCowTable(
+      root + "/scenes", "Date_Acquired")(spark)
+    val cat = new SceneCatalog(scenesTable, spark)
     cat.table.overwrite(Seq(
       sc(1, "A", "P1", "2020-03-01", dl = true, ard = true),
       sc(2, "B", "P1", "2020-03-02", dl = false, ard = false),
@@ -52,6 +55,10 @@ object SceneCatalogDemo {
     cat.resetScene(3L)
     println("AFTER_RESET_NEED_DL=" +
       cat.scnlistNeedDownload().as[Long].collect().mkString(","))
+    // the upsert+reset touched only 2020-03-02's partition; 03-01's
+    // directory is still the one written by the initial load
+    println("MANIFEST=" + scenesTable.manifest.toSeq.sorted
+      .map { case (d, dir) => s"$d->${dir.split('/').head}" }.mkString(","))
 
     val ing = new CowTable(root + "/ing", spark)
     println("WATERMARK_EMPTY=" + IncrementalIngest.watermark(ing, "Sensing_Time"))
