@@ -170,9 +170,12 @@ object VectorImpl {
       var dot = 0.0
       var i = 0
       while (i < d) {
-        // uniform in [-1, 1) from a strong mix of (bit, dim)
+        // uniform in [-1, 1): signed h >> 11 spans [-2^52, 2^52), so
+        // dividing by 2^52 is already zero-mean — no further shift
+        // (a previous -0.5 here biased planes to mean -0.5, skewing
+        // hamming ≈ nbits·θ/π low for non-negative embeddings)
         val h = HashImpl.splitmix64(b.toLong * 0x9e3779b97f4a7c15L + i)
-        val r = (h >> 11).toDouble / (1L << 52).toDouble - 0.5
+        val r = (h >> 11).toDouble / (1L << 52).toDouble
         dot += v.getDouble(i) * r
         i += 1
       }

@@ -224,7 +224,8 @@ object CoverageQueries {
         |FROM events GROUP BY h, event_type ORDER BY h, event_type""".stripMargin,
 
     "q44_json_roundtrip" ->
-      """SELECT lang, count(*) AS n, sum(n_chars) AS sum_chars,
+      """SELECT lang, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  min(doc_id) AS min_doc
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 

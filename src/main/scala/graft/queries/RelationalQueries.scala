@@ -341,9 +341,9 @@ object RelationalQueries {
 
     "q12_state_counts" ->
       """SELECT o_orderpriority,
-        |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
-        |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
-        |  sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_pending,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending,
         |  count(*) AS n_total
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
@@ -395,9 +395,9 @@ object RelationalQueries {
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
         |  FROM events)
         |SELECT user_id, count(*) AS n_events,
-        |  sum(CASE WHEN prev IS NULL
+        |  CAST(sum(CASE WHEN prev IS NULL
         |           OR date_diff('second', prev, ts) > 1800
-        |           THEN 1 ELSE 0 END) AS n_sessions
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q21_topk_per_group" ->

@@ -203,9 +203,10 @@ object TextQueries {
 
     "q26_token_stats" ->
       """SELECT source,
-        |  sum(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')))
-        |    AS bpe_tokens,
-        |  sum(len(string_split(trim(lower(text)), ' '))) AS ws_tokens,
+        |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')))
+        |    AS BIGINT) AS bpe_tokens,
+        |  CAST(sum(len(string_split(trim(lower(text)), ' '))) AS BIGINT)
+        |    AS ws_tokens,
         |  round(avg(len(string_split(trim(lower(text)), ' '))), 6) AS avg_words
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
@@ -256,6 +257,23 @@ object TextQueries {
         |FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.ws, b.ws))::DOUBLE /
         |    len(list_distinct(list_concat(a.ws, b.ws))) >= 0.9
-        |ORDER BY lang, doc_a, doc_b""".stripMargin
+        |ORDER BY lang, doc_a, doc_b""".stripMargin,
+
+    // Exact all-pairs Jaccard at the same τ — a *stronger* oracle than
+    // a mirror: measured LSH recall at τ=0.9 is 1.0 on this corpus
+    // (COVERAGE.md §7.2), so the LSH output must equal the exact pair
+    // set; any recall regression now fails the hash gate loudly.
+    "q30_minhash_lsh_pairs" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    list_distinct(string_split(trim(lower(text)), ' ')) AS ws
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(len(list_intersect(a.ws, b.ws))::DOUBLE /
+        |    len(list_distinct(list_concat(a.ws, b.ws))), 6) AS jac
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.ws, b.ws))::DOUBLE /
+        |    len(list_distinct(list_concat(a.ws, b.ws))) >= 0.9
+        |ORDER BY doc_a, doc_b""".stripMargin
   )
 }
