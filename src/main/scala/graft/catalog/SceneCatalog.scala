@@ -3,6 +3,7 @@ package graft.catalog
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.{GraftFunctions => G}
 import graft.model.Scene
 import graft.operators.{RelationalOps => R, SceneQueryOps => S}
 import graft.sources.{CowTable, VersionedTable}
@@ -112,6 +113,37 @@ class SceneCatalog(val table: VersionedTable, spark: SparkSession) {
                            east: Double, west: Double): Unit =
     table.deleteWhere(!S.bboxOverlap(col("North_Lat"), col("South_Lat"),
       col("East_Lon"), col("West_Lon"), north, south, east, west))
+
+  /** Exact-geometry intersection predicate for a scene footprint vs a
+    * layer polygon WKT: cheap CLOSED envelope prefilter (the R-tree
+    * stage of eodatadownutils.py:1839-1868) AND the exact closed
+    * rect-vs-polygon test — both stay in one codegen'd filter. The
+    * envelope must be closed (not the strict-open F7 compare) so
+    * boundary-touch pairs survive to the exact stage.
+    */
+  private def geomIntersectsCond(wkt: Column): Column = {
+    val env = G.bboxFromWkt(wkt)
+    val fp = G.bbox(col("North_Lat"), col("South_Lat"),
+      col("East_Lon"), col("West_Lon"))
+    col("East_Lon") >= env.getField("west") &&
+      col("West_Lon") <= env.getField("east") &&
+      col("North_Lat") >= env.getField("south") &&
+      col("South_Lat") <= env.getField("north") &&
+      G.polygonIntersects(fp, wkt)
+  }
+
+  /** Scenes whose footprint intersects the EXACT layer geometry (J2
+    * keep side, second stage after the envelope prefilter).
+    */
+  def scenesIntersectGeom(wkt: String): DataFrame =
+    scenes.filter(geomIntersectsCond(lit(wkt)))
+
+  /** Delete scenes NOT intersecting the exact geometry — the
+    * `rm_scns_intersect` semantics (eodatadownlandsatgoogsensor.py:
+    * 685-732) with a real polygon test, not just its envelope.
+    */
+  def rmScenesNotIntersectGeom(wkt: String): Unit =
+    table.deleteWhere(!geomIntersectsCond(lit(wkt)))
 
   /** Keep only the newest Product_ID per Scene_ID (J6, .py:473-518). */
   def rmDuplicateScenes(): Unit =

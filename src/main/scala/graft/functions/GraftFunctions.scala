@@ -28,6 +28,12 @@ object GraftFunctions {
   def bboxIntersects(a: Column, b: Column): Column =
     c(BBoxIntersects(expression(a), expression(b)))
 
+  /** Exact closed rect-vs-polygon test (J2/J3 second stage) — run it
+    * AFTER a bbox prefilter; supports POLYGON with holes + MULTIPOLYGON.
+    */
+  def polygonIntersects(bbox: Column, wkt: Column): Column =
+    c(PolygonIntersects(expression(bbox), expression(wkt)))
+
   /** Build a bbox struct from four coordinate columns. */
   def bbox(north: Column, south: Column, east: Column, west: Column): Column =
     struct(north.cast("double").as("north"), south.cast("double").as("south"),

@@ -77,6 +77,33 @@ object GeoQueries {
           round(sum(col("p.east") - col("p.west")), 6).as("span_sum"),
           round(max(col("p.east") - col("p.west")), 6).as("max_width"))
         .orderBy("s_suppkey")
+    },
+
+    // J2/J3 second stage: exact polygon intersection after the closed
+    // envelope prefilter. The engine runs the GENERAL even-odd +
+    // segment-test expression; the oracle replays each layer geometry
+    // in closed form (SAT for the convex shapes, rect-union for the
+    // L). Rows are envelope-stage survivors; `env_only` marks the ones
+    // the exact test rejects — that divergence IS the test: a
+    // bbox-only engine would emit env_only = false everywhere.
+    "q47_polygon_intersect" -> { (s, dir) =>
+      val fp = footprints(s, dir)
+      val layer = s.createDataFrame(Seq(
+        ("tri", "POLYGON((0 0, 40 0, 0 40, 0 0))"),
+        ("lshape", "POLYGON((-60 -60, -30 -60, -30 -45, -45 -45, -45 -30, -60 -30, -60 -60))"),
+        ("diamond", "POLYGON((100 0, 110 10, 100 20, 90 10, 100 0))"))
+      ).toDF("geom", "wkt")
+      val env = G.bboxFromWkt(col("wkt"))
+      fp.crossJoin(broadcast(layer))
+        .filter(col("east") >= env.getField("west") &&
+          col("west") <= env.getField("east") &&
+          col("north") >= env.getField("south") &&
+          col("south") <= env.getField("north"))
+        .withColumn("exact", G.polygonIntersects(
+          G.bbox(col("north"), col("south"), col("east"), col("west")),
+          col("wkt")))
+        .select(col("geom"), col("c_custkey"), (!col("exact")).as("env_only"))
+        .orderBy("geom", "c_custkey")
     }
   )
 
@@ -105,6 +132,42 @@ object GeoQueries {
         |  CAST(ceil((east - west) / 90.0) AS BIGINT) AS n_parts,
         |  round(east - west, 6) AS span_sum,
         |  round((east - west) / ceil((east - west) / 90.0), 6) AS max_width
-        |FROM wide ORDER BY s_suppkey""".stripMargin
+        |FROM wide ORDER BY s_suppkey""".stripMargin,
+
+    // Closed-form exact intersection per geometry:
+    //  tri     — SAT over axes x, y and the hypotenuse normal (1,1)
+    //  lshape  — union of rects [-60,-30]x[-60,-45] and [-60,-45]x[-45,-30]
+    //  diamond — SAT over axes x, y, (1,1) and (1,-1)
+    // (separating-axis conditions are exact for convex shapes; closed
+    // inequalities everywhere = boundary touch intersects)
+    "q47_polygon_intersect" ->
+      """WITH fp AS (
+        |  SELECT c_custkey,
+        |    CAST(c_custkey % 160 - 80 + 1 + c_custkey % 7 AS DOUBLE) AS north,
+        |    CAST(c_custkey % 160 - 80 AS DOUBLE) AS south,
+        |    CAST((c_custkey * 7) % 340 - 170 + 1 + c_custkey % 11 AS DOUBLE) AS east,
+        |    CAST((c_custkey * 7) % 340 - 170 AS DOUBLE) AS west
+        |  FROM customer),
+        |layer(geom, env_w, env_e, env_s, env_n) AS (
+        |  VALUES ('tri', 0.0, 40.0, 0.0, 40.0),
+        |         ('lshape', -60.0, -30.0, -60.0, -30.0),
+        |         ('diamond', 90.0, 110.0, 0.0, 20.0))
+        |SELECT geom, c_custkey,
+        |  NOT (CASE geom
+        |    WHEN 'tri' THEN
+        |      east >= 0 AND west <= 40 AND north >= 0 AND south <= 40
+        |      AND west + south <= 40 AND east + north >= 0
+        |    WHEN 'lshape' THEN
+        |      (east >= -60 AND west <= -30 AND north >= -60 AND south <= -45)
+        |      OR (east >= -60 AND west <= -45 AND north >= -45 AND south <= -30)
+        |    ELSE
+        |      east >= 90 AND west <= 110 AND north >= 0 AND south <= 20
+        |      AND west + south <= 120 AND east + north >= 100
+        |      AND west - north <= 100 AND east - south >= 80
+        |    END) AS env_only
+        |FROM fp CROSS JOIN layer
+        |WHERE east >= env_w AND west <= env_e
+        |  AND north >= env_s AND south <= env_n
+        |ORDER BY geom, c_custkey""".stripMargin
   )
 }

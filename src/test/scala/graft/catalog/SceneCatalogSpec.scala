@@ -93,6 +93,21 @@ class SceneCatalogSpec extends SparkSpec {
     assert(pids == Set(1L, 2L))
   }
 
+  test("rmScenesNotIntersectGeom: exact polygon, not just its envelope") {
+    val cat = mkCatalog()
+    // part 1: upper-right triangle of envelope [20,30]x[40,50] — scene 5
+    //   ([18,20]x[38,40]) touches that ENVELOPE at its (20,40) corner but
+    //   sits entirely below the x+y=70 hypotenuse, so exact must drop it;
+    //   an envelope-only engine would keep it (that's the regression pin)
+    // part 2: square covering scenes 1 and 2
+    val wkt = "MULTIPOLYGON(((30 40, 30 50, 20 50, 30 40)), " +
+      "((0 50, 2 50, 2 52, 0 52, 0 50)))"
+    assert(cat.scenesIntersectGeom(wkt)
+      .select("PID").as[Long].collect().toSet == Set(1L, 2L))
+    cat.rmScenesNotIntersectGeom(wkt)
+    assert(cat.scenes.select("PID").as[Long].collect().toSet == Set(1L, 2L))
+  }
+
   test("stateSummary counts all flags in one pass") {
     val cat = mkCatalog()
     val r = cat.stateSummary().collect().head
