@@ -68,6 +68,37 @@ object RelationalOps {
                         out: String = "watermark"): DataFrame =
     df.groupBy(keys.map(col): _*).agg(max(col(tsCol)).as(out))
 
+  /** Surrogate-key allocation (A3): assign `base + global_rank(order)`
+    * WITHOUT a global single-partition window. Two-phase: range
+    * repartition on the order key (so partition p's keys all precede
+    * partition p+1's), per-partition `row_number` (parallel), then add
+    * each partition's exclusive prefix count — the prefix sum runs over
+    * one row PER PARTITION (bounded metadata, ~#partitions rows), never
+    * over the data. Deterministic for a unique order key regardless of
+    * where range sampling places the boundaries.
+    */
+  def allocateKeys(incoming: DataFrame, orderCol: String, base: Column,
+                   out: String = "new_pid", partitions: Int = 32): DataFrame = {
+    val spark = incoming.sparkSession
+    import spark.implicits._
+    val parted = incoming.repartitionByRange(partitions, col(orderCol))
+      .withColumn("__part", spark_partition_id())
+    val local = parted.withColumn("__rk",
+      row_number().over(Window.partitionBy(col("__part")).orderBy(col(orderCol))))
+    // exclusive prefix sum over ONE COUNT PER PARTITION — bounded
+    // metadata (~#partitions rows), folded on the driver like the
+    // watermark scalars, then broadcast back; the data itself never
+    // passes through a single-partition window
+    val counts = local.groupBy(col("__part")).agg(count(lit(1)).as("__cnt"))
+      .orderBy("__part").as[(Int, Long)].collect()
+    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (p, n)) =>
+      (p, acc + n)
+    }.init.zip(counts).map { case ((_, off), (p, _)) => (p, off) }
+    local.join(broadcast(offsets.toSeq.toDF("__part", "__offset")), Seq("__part"))
+      .withColumn(out, base + col("__offset") + col("__rk"))
+      .drop("__part", "__rk")
+  }
+
   /** Summary statistics (A7): the reference fetches whole tables into
     * Python `statistics` (eodatadownlandsatgoogsensor.py:2932-3051);
     * here one aggregation pass with exact interpolated percentiles.

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.operators.{RelationalOps => R}
 
 /** Remaining SURVEY.md §2 operator families not yet demonstrated by
   * q01–q35: strict ranges (F3), top-1 (O2), key allocation (A3),
@@ -41,17 +42,19 @@ object CoverageQueries {
     },
 
     // A3: surrogate-key allocation — next_pid = max(existing PID) +
-    // row_number over the incoming batch (the reference computes
-    // max+1 per row, .py:546-550; one max + one window here).
+    // global rank over the incoming batch (the reference computes
+    // max+1 per row, .py:546-550). Two-phase allocation: NO global
+    // single-partition window — range partition + per-partition
+    // row_number + broadcast prefix offsets (RelationalOps.allocateKeys)
+    // so the incoming batch never serializes through one task.
     "q38_key_allocation" -> { (s, dir) =>
       val existing = t(s, dir, "orders")
       val incoming = t(s, dir, "customer").filter(col("c_custkey") <= 10)
         .select(col("c_custkey"), col("c_name"))
       val maxPid = existing.agg(max(col("o_orderkey")).as("max_pid"))
-      incoming.crossJoin(broadcast(maxPid))
-        .withColumn("new_pid",
-          col("max_pid") + row_number().over(
-            Window.orderBy(col("c_custkey"))))
+      R.allocateKeys(
+          incoming.crossJoin(broadcast(maxPid)),
+          "c_custkey", col("max_pid"))
         .select("c_custkey", "c_name", "new_pid")
         .orderBy("c_custkey")
     },
