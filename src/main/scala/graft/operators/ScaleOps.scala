@@ -30,6 +30,44 @@ object ScaleOps {
       .drop("__salt")
   }
 
+  /** Candidate ID pairs from band-blocked LSH buckets, with a
+    * degenerate-bucket guard. The unguarded band self-join is quadratic
+    * PER BUCKET — mass-duplicated boilerplate (the common case in
+    * web-scale corpora) lands thousands of near-identical docs in one
+    * bucket and a single reducer does size²/2 work. Guard: buckets
+    * with ≤ `bucketCap` members pair all-vs-all as usual; larger
+    * buckets are STAR-REDUCED to (min-id, member) pairs — linear in
+    * bucket size, and for the boilerplate pathology the downstream
+    * exact verify still links every member to the representative, so
+    * duplicate GROUPS survive (transitive closure) even though
+    * intra-bucket non-representative pairs are not emitted. Pick
+    * `bucketCap` above the corpus's organic bucket sizes so the guard
+    * only fires on pathology (measure with `graft.examples.LshStats`).
+    *
+    * Bucket sizes come from a partial-aggregated groupBy joined back
+    * (AQE broadcasts the small side) — deliberately NOT a window over
+    * the band keys, which would force a shuffle of the banded rows and
+    * lose the all-broadcast plan on corpora that fit.
+    */
+  def bandedCandidatePairs(banded: DataFrame, bandCols: Seq[String],
+                           idCol: String, bucketCap: Int,
+                           outA: String = "id_a", outB: String = "id_b"): DataFrame = {
+    val bc = bandCols.map(col)
+    val sizes = banded.groupBy(bc: _*)
+      .agg(count(lit(1)).as("__bsz"), min(col(idCol)).as("__rep"))
+    val sized = banded.join(sizes, bandCols)
+    val small = sized.filter(col("__bsz") <= bucketCap)
+    val x = small.select(bc :+ col(idCol).as(outA): _*)
+    val y = small.select(bc :+ col(idCol).as(outB): _*)
+    val smallPairs = x.join(y, bandCols)
+      .filter(col(outA) < col(outB))
+      .select(outA, outB)
+    val starPairs = sized
+      .filter(col("__bsz") > bucketCap && col(idCol) =!= col("__rep"))
+      .select(col("__rep").as(outA), col(idCol).as(outB))
+    smallPairs.union(starPairs).distinct()
+  }
+
   /** Range-partition pruning predicate for date-partitioned tables:
     * partition column filter composed alongside the row filter so the
     * scan skips whole partitions (the watermark-incremental read,

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{GraftFunctions => G}
+import graft.operators.{ScaleOps => Sc}
 
 /** LLM-training-data text operators over the `documents` table
   * (SURVEY.md §7.2 scale extensions): exact dedup, MinHash+LSH and
@@ -133,6 +134,14 @@ object TextQueries {
       val k = 128
       val bands = 16
       val rows = k / bands
+      // degenerate-bucket guard (ScaleOps.bandedCandidatePairs): the cap
+      // must sit above the corpus's organic bucket sizes (LshStats
+      // measured max 2045 at sf0.1 — the 31-word vocab makes this
+      // corpus genuinely boilerplate-heavy) so results stay identical
+      // to the unguarded join and the exact-Jaccard oracle holds; a
+      // bucket beyond the cap is star-reduced instead of exploding
+      // quadratically (SkewGuardSpec pins that behavior)
+      val bucketCap = 5000
       val d = t(s, dir, "documents")
         .select(col("doc_id"), G.sortedWordSet(col("text")).as("ws"))
       val banded = d
@@ -141,11 +150,8 @@ object TextQueries {
           posexplode(transform(sequence(lit(0), lit(bands - 1)),
             i => xxhash64(i, slice(col("sig"), i * lit(rows) + lit(1), lit(rows))))))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-      val pairs = banded.alias("x")
-        .join(banded.alias("y"), Seq("band", "bucket"))
-        .filter(col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
+      val pairs = Sc.bandedCandidatePairs(banded, Seq("band", "bucket"),
+        "doc_id", bucketCap, "doc_a", "doc_b")
       pairs
         .join(d.select(col("doc_id").as("doc_a"), col("ws").as("ws_a")), Seq("doc_a"))
         .join(d.select(col("doc_id").as("doc_b"), col("ws").as("ws_b")), Seq("doc_b"))
