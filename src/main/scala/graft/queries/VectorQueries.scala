@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{GraftFunctions => G}
+import graft.operators.{VectorOps => V}
 
 /** Similarity search over the `embeddings` table (SURVEY.md §7.2):
   * brute-force cosine top-k as the exact baseline, an IVF-style
@@ -42,19 +43,16 @@ object VectorQueries {
         .select(col("vec_id"), round(col("cos"), 6).as("cos"))
     },
 
-    // Per-vector nearest neighbor within each label block (embedding
-    // near-dup shape: blocked pair space + argmax, no global sort).
+    // Per-vector EXACT nearest neighbor within each label block — via
+    // triangle-inequality cluster pruning (VectorOps.exactNnPerVector),
+    // not the naive all-pairs join: blocks grow 100× at 100× data, and
+    // metric pruning bounds the verify work without ever risking the
+    // exact answer (the all-pairs SQL remains this query's oracle).
     "q34_nn_per_vector" -> { (s, dir) =>
       val e = emb(s, dir).filter(col("vec_id") < 50)
-      val a = e.select(col("label"), col("vec_id").as("id_a"), col("v").as("v_a"))
-      val b = e.select(col("label"), col("vec_id").as("id_b"), col("v").as("v_b"))
-      a.join(b, Seq("label"))
-        .filter(col("id_a") =!= col("id_b"))
-        .withColumn("cos", G.cosineSim(col("v_a"), col("v_b")))
-        .groupBy(col("label"), col("id_a"))
-        .agg(max_by(col("id_b"), struct(col("cos"), -col("id_b"))).as("nn_id"),
-          round(max(col("cos")), 6).as("nn_cos"))
-        .orderBy("label", "id_a")
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      V.exactNnPerVector(e, cents).orderBy("label", "id_a")
     },
 
     // IVF-style ANN: coarse centroids = first 16 vectors (deterministic

@@ -40,6 +40,25 @@ class VectorSpec extends SparkSpec {
     assert(again == hs("e1"))
   }
 
+  test("triangle-inequality pruned NN equals brute force on the full table") {
+    import graft.operators.VectorOps
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
+    val cents = e.filter($"vec_id" < 8)
+      .select($"vec_id".as("cid"), $"v".as("cv"))
+    val pruned = VectorOps.exactNnPerVector(e, cents)
+    val a = e.select($"label", $"vec_id".as("id_a"), $"v".as("v_a"))
+    val b = e.select($"label", $"vec_id".as("id_b"), $"v".as("v_b"))
+    val brute = a.join(b, Seq("label"))
+      .filter($"id_a" =!= $"id_b")
+      .withColumn("cos", G.cosineSim($"v_a", $"v_b"))
+      .groupBy($"label", $"id_a")
+      .agg(max_by($"id_b", struct($"cos", -$"id_b")).as("nn_id"),
+        round(max($"cos"), 6).as("nn_cos"))
+    assert(pruned.count() > 0)
+    assert(pruned.exceptAll(brute).isEmpty && brute.exceptAll(pruned).isEmpty)
+  }
+
   test("cosine expression matches HOF composition") {
     val hof = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) => {
       val ad = a.cast("array<double>")
