@@ -33,16 +33,13 @@ class ObsDateCatalog(val sensorId: String,
         col("Spacecraft_ID").as("PlatformID"),
         col("Date_Acquired").as("ObsDate"),
         col("PID").as("Scene_PID"))
-    if (!scnsTable.exists) scnsTable.overwrite(fanout)
-    else {
-      // replace the fan-out of every (platform, date) present in the
-      // new derivation; dates that disappeared keep their old rows
-      scnsTable.overwrite(
-        scnsTable.read()
-          .join(fanout.select("SensorID", "PlatformID", "ObsDate").distinct(),
-            Seq("SensorID", "PlatformID", "ObsDate"), "left_anti")
-          .unionByName(fanout))
-    }
+    // group-keyed upsert: replaces the fan-out of every (platform,
+    // date) present in the new derivation, keeps rows of dates that
+    // disappeared — and on a date-partitioned PartitionedCowTable only
+    // the touched date partitions are rewritten (untouched dirs are
+    // carried by reference), instead of the full-table overwrite this
+    // used to do
+    scnsTable.upsert(fanout, Seq("SensorID", "PlatformID", "ObsDate"))
     val dates = fanout
       .select("SensorID", "PlatformID", "ObsDate").distinct()
       .withColumn("OverviewCreated", lit(false))

@@ -48,6 +48,26 @@ class ObsDatePluginSpec extends SparkSpec {
     assert(cat.needProcessing().count() == 2)
   }
 
+  test("refresh on a date-partitioned backend rewrites only touched dates") {
+    import graft.sources.PartitionedCowTable
+    val root = Files.createTempDirectory("obsp").toString
+    val scns = new PartitionedCowTable(s"$root/obs_date_scns", "ObsDate", spark)
+    val cat = new ObsDateCatalog("LandsatGOOG",
+      new CowTable(s"$root/obs_dates", spark), scns, spark)
+    cat.refresh(mkScenes().toDF())
+    val before = scns.manifest
+    assert(before.keySet == Set("2020-03-01", "2020-03-02"))
+    // second refresh touches only the new date: the 03-01/03-02
+    // partitions must be carried by reference (same dirs), not rewritten
+    cat.refresh(Seq(scene(6, "L8", "2020-03-05")).toDF())
+    val after = scns.manifest
+    assert(after.keySet ==
+      Set("2020-03-01", "2020-03-02", "2020-03-05"))
+    assert(after("2020-03-01") == before("2020-03-01"))
+    assert(after("2020-03-02") == before("2020-03-02"))
+    assert(cat.scenesFor("L8", "2020-03-05").count() == 1)
+  }
+
   test("overviews JSON: write-back, path rewrite, export/import roundtrip") {
     implicit val s = spark
     val root = Files.createTempDirectory("obs3").toString
