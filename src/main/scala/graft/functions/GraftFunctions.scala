@@ -25,6 +25,12 @@ object GraftFunctions {
   def bboxSplit(bbox: Column, maxWidthDeg: Double): Column =
     c(BBoxSplit(expression(bbox), expression(lit(maxWidthDeg))))
 
+  /** Reference C9 wrap cut: complement boxes for spans wider than
+    * `thresDeg` (see BBox.cutWrap for the exact semantics).
+    */
+  def bboxCutWrap(bbox: Column, thresDeg: Double): Column =
+    c(BBoxCutWrap(expression(bbox), expression(lit(thresDeg))))
+
   def bboxIntersects(a: Column, b: Column): Column =
     c(BBoxIntersects(expression(a), expression(b)))
 

@@ -64,9 +64,10 @@ object BBox {
       s"POLYGON(($w $n, $e $n, $e $s, $w $s, $w $n))")
   }
 
-  /** Antimeridian/width split (C9): a box wider than `maxWidth` degrees
-    * is split longitudinally into equal slices no wider than maxWidth
-    * (reference: eodatadownutils.py:1036-1080 splits into 2 or 4).
+  /** Equal-slice width split: a box wider than `maxWidth` degrees is
+    * split longitudinally into equal slices no wider than maxWidth — a
+    * tiling utility, NOT the reference's C9 wrap cut (that is
+    * [[cutWrap]]). A box with east < west is returned unsplit.
     */
   def split(bbox: InternalRow, maxWidth: Double): ArrayData = {
     val n = bbox.getDouble(0); val s = bbox.getDouble(1)
@@ -87,6 +88,31 @@ object BBox {
       }
       new GenericArrayData(out)
     }
+  }
+
+  /** C9 wrap cut (eodatadownutils.py getGeoBBoxsCut4LatLonBounds,
+    * :1035-1079): a span wider than `thres` degrees is assumed to wrap
+    * the world the wrong way, so the COMPLEMENT boxes are emitted —
+    * lon parts {[-180, west], [east, 180]} when east−west > thres, lat
+    * parts {[north, 90], [−90, south]} when north−south > thres — and
+    * when both axes cut, their cross product (4 boxes), exactly the
+    * reference's nested emission. Divergence, deliberate: the
+    * reference's lat-only branch iterates an empty list and returns NO
+    * boxes (violating its own "must have at least 1" contract); here
+    * the lat complements still pair with the original lon span. A box
+    * with east < west or north < south has non-positive spans, cuts
+    * nothing, and is returned as-is.
+    */
+  def cutWrap(bbox: InternalRow, thres: Double): ArrayData = {
+    val n = bbox.getDouble(0); val s = bbox.getDouble(1)
+    val e = bbox.getDouble(2); val w = bbox.getDouble(3)
+    val lonParts: Seq[(Double, Double)] =
+      if (e - w > thres) Seq((-180.0, w), (e, 180.0)) else Seq((w, e))
+    val latParts: Seq[(Double, Double)] =
+      if (n - s > thres) Seq((n, 90.0), (-90.0, s)) else Seq((s, n))
+    new GenericArrayData(
+      (for ((lo, hi) <- latParts; (wl, el) <- lonParts)
+        yield InternalRow(hi, lo, el, wl): Any).toArray)
   }
 
   /** Strict open-interval overlap (F7 semantics — shared edges do NOT
@@ -134,6 +160,18 @@ case class BBoxSplit(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): BBoxSplit =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "bbox_split"
+}
+
+/** `bbox_cut_wrap(bbox, thresDegrees)` → array<bbox> complement cut. */
+case class BBoxCutWrap(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(BBox.dataType, containsNull = false)
+  override def nullSafeEval(bbox: Any, thres: Any): Any =
+    BBox.cutWrap(bbox.asInstanceOf[InternalRow], thres.asInstanceOf[Double])
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BBoxCutWrap =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "bbox_cut_wrap"
 }
 
 /** `bbox_intersects(a, b)` → boolean, strict open-interval overlap. */

@@ -103,14 +103,21 @@ object Multimodal {
       rows.map { r =>
         val meta = r.getStruct(r.fieldIndex("meta"))
         val payload = r.getAs[Array[Byte]]("payload")
-        val (w, h) = (Option(meta.get(0)).fold(maxW)(_.asInstanceOf[Int]),
-          Option(meta.get(1)).fold(maxH)(_.asInstanceOf[Int]))
-        val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
-        val (nw, nh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
-        val out =
-          if (r.getString(r.fieldIndex("kind")) != "image" || payload == null) payload
-          else decoder.resample(payload, nw, nh)
-        Row(r.getLong(0), r.getString(1), out, Row(nw, nh, meta.get(2), meta.get(3)))
+        val isImage = r.getString(r.fieldIndex("kind")) == "image" &&
+          meta != null && payload != null
+        if (!isImage) {
+          // non-image rows (and null meta) pass through COMPLETELY
+          // undisturbed — fabricating width/height for audio/video
+          // would corrupt their metadata contract
+          Row(r.getLong(0), r.getString(1), payload, meta)
+        } else {
+          val (w, h) = (Option(meta.get(0)).fold(maxW)(_.asInstanceOf[Int]),
+            Option(meta.get(1)).fold(maxH)(_.asInstanceOf[Int]))
+          val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
+          val (nw, nh) = (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+          Row(r.getLong(0), r.getString(1), decoder.resample(payload, nw, nh),
+            Row(nw, nh, meta.get(2), meta.get(3)))
+        }
       }
     }
     spark.createDataFrame(rdd, mediaSchema)

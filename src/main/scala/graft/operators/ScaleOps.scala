@@ -22,6 +22,15 @@ object ScaleOps {
     */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  salt: Int, joinType: String = "inner"): DataFrame = {
+    // the build side is replicated `salt` times, so any join type that
+    // emits unmatched RIGHT rows would emit them once per replica —
+    // only inner and left-side joins are correct under salting
+    val norm = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti",
+        "cross").contains(norm),
+      s"saltedJoin supports inner/left joins only, got '$joinType': " +
+        "right/full-outer would emit unmatched build-side rows " +
+        s"$salt times")
     val saltedLeft = left.withColumn("__salt",
       pmod(xxhash64(monotonically_increasing_id()), lit(salt)).cast("int"))
     val saltedRight = right.withColumn("__salt",

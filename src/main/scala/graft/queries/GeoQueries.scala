@@ -79,6 +79,29 @@ object GeoQueries {
         .orderBy("s_suppkey")
     },
 
+    // C9 proper: the reference's wrong-way-wrap cut — spans over 90°
+    // emit their COMPLEMENT boxes (lon parts × lat parts; see
+    // BBox.cutWrap). Synthetic boxes hit all four branches: no cut,
+    // lon-only, lat-only, both.
+    "q48_bbox_wrap_cut" -> { (s, dir) =>
+      val b = t(s, dir, "supplier").select(
+        col("s_suppkey"),
+        ((col("s_suppkey") % 4) * 20 - 60).cast("double").as("south"),
+        ((col("s_suppkey") % 5) * 30 - 100).cast("double").as("west"))
+        .withColumn("north",
+          col("south") + lit(40.0) + (col("s_suppkey") % 3).cast("double") * 30)
+        .withColumn("east",
+          col("west") + lit(60.0) + (col("s_suppkey") % 4).cast("double") * 40)
+      b.select(col("s_suppkey"),
+          explode(G.bboxCutWrap(
+            G.bbox(col("north"), col("south"), col("east"), col("west")),
+            90.0)).as("p"))
+        .select(col("s_suppkey"),
+          col("p.north").as("north"), col("p.south").as("south"),
+          col("p.east").as("east"), col("p.west").as("west"))
+        .orderBy("s_suppkey", "west", "south")
+    },
+
     // J2/J3 second stage: exact polygon intersection after the closed
     // envelope prefilter. The engine runs the GENERAL even-odd +
     // segment-test expression; the oracle replays each layer geometry
@@ -133,6 +156,34 @@ object GeoQueries {
         |  round(east - west, 6) AS span_sum,
         |  round((east - west) / ceil((east - west) / 90.0), 6) AS max_width
         |FROM wide ORDER BY s_suppkey""".stripMargin,
+
+    // The wrap cut is a cross product of independent per-axis parts:
+    // lon → {original} or {[-180,w],[e,180]}, lat → {original} or
+    // {[n,90],[-90,s]} — the join reconstructs 1, 2 or 4 boxes per row.
+    "q48_bbox_wrap_cut" ->
+      """WITH b AS (
+        |  SELECT s_suppkey,
+        |    CAST((s_suppkey % 4) * 20 - 60 AS DOUBLE) AS south,
+        |    CAST((s_suppkey % 5) * 30 - 100 AS DOUBLE) AS west,
+        |    CAST((s_suppkey % 4) * 20 - 60 + 40 + (s_suppkey % 3) * 30
+        |      AS DOUBLE) AS north,
+        |    CAST((s_suppkey % 5) * 30 - 100 + 60 + (s_suppkey % 4) * 40
+        |      AS DOUBLE) AS east
+        |  FROM supplier),
+        |lon AS (
+        |  SELECT s_suppkey, west AS w2, east AS e2 FROM b
+        |  WHERE east - west <= 90
+        |  UNION ALL SELECT s_suppkey, -180.0, west FROM b WHERE east - west > 90
+        |  UNION ALL SELECT s_suppkey, east, 180.0 FROM b WHERE east - west > 90),
+        |lat AS (
+        |  SELECT s_suppkey, south AS s2, north AS n2 FROM b
+        |  WHERE north - south <= 90
+        |  UNION ALL SELECT s_suppkey, north, 90.0 FROM b WHERE north - south > 90
+        |  UNION ALL SELECT s_suppkey, -90.0, south FROM b WHERE north - south > 90)
+        |SELECT lon.s_suppkey AS s_suppkey, n2 AS north, s2 AS south,
+        |  e2 AS east, w2 AS west
+        |FROM lon JOIN lat ON lon.s_suppkey = lat.s_suppkey
+        |ORDER BY s_suppkey, west, south""".stripMargin,
 
     // Closed-form exact intersection per geometry:
     //  tri     — SAT over axes x, y and the hypotenuse normal (1,1)

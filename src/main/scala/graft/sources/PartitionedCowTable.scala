@@ -85,9 +85,25 @@ class PartitionedCowTable(val root: String, val partCol: String,
     * construction (a commit touches few partitions), so the collect is
     * bounded by partition count, not data size.
     */
-  private def touchedValues(df: DataFrame): Set[String] =
-    df.select(col(partCol).cast("string")).distinct()
+  private def touchedValues(df: DataFrame): Set[String] = {
+    val vals = df.select(col(partCol).cast("string")).distinct()
       .collect().map(_.getString(0)).toSet
+    // manifest keys are recovered from `__part=<value>` directory
+    // names, which Spark percent-escapes — a value that doesn't
+    // round-trip would mismatch its raw form here, leave the stale
+    // manifest entry in place, and silently duplicate rows on read.
+    // Enforce the documented constraint instead of trusting it.
+    vals.foreach { v =>
+      require(v != null,
+        s"partition column '$partCol' contains null — not supported")
+      val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(v)
+      require(esc == v,
+        s"partition value '$v' is not path-safe (escapes to '$esc'); " +
+          s"use a path-safe derivation for '$partCol' (dates/months are)")
+    }
+    vals
+  }
 
   /** Core commit: write `data` as the new content of exactly the
     * partitions in `touched` (a touched partition absent from `data`

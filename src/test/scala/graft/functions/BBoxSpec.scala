@@ -75,6 +75,35 @@ class BBoxSpec extends SparkSpec {
     }
   }
 
+  test("wrap cut: complement boxes per axis, cross product when both") {
+    def cut(n: Double, s: Double, e: Double, w: Double): Seq[(Double, Double, Double, Double)] =
+      Seq((n, s, e, w)).toDF("n", "s", "e", "w")
+        .select(explode(G.bboxCutWrap(G.bbox($"n", $"s", $"e", $"w"), 90.0)).as("p"))
+        .select("p.north", "p.south", "p.east", "p.west")
+        .collect()
+        .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+        .toSeq.sortBy(b => (b._4, b._2))
+    // narrow box: unchanged
+    assert(cut(10, 0, 30, 20) == Seq((10.0, 0.0, 30.0, 20.0)))
+    // wide box (wraps E/W): complements [-180,w] and [e,180]
+    assert(cut(10, 0, 170, -150) ==
+      Seq((10.0, 0.0, -150.0, -180.0), (10.0, 0.0, 180.0, 170.0)))
+    // tall box (wraps N/S): complements [n,90] and [-90,s] over the
+    // original lon span (the reference's lat-only branch returns an
+    // EMPTY list — a latent bug its own docstring contradicts; pinned
+    // here as fixed, see BBox.cutWrap)
+    assert(cut(85, -85, 30, 20) ==
+      Seq((-85.0, -90.0, 30.0, 20.0), (90.0, 85.0, 30.0, 20.0)))
+    // both: 2x2 cross product
+    val both = cut(85, -85, 170, -150)
+    assert(both.size == 4)
+    assert(both.toSet == Set(
+      (90.0, 85.0, -150.0, -180.0), (-85.0, -90.0, -150.0, -180.0),
+      (90.0, 85.0, 180.0, 170.0), (-85.0, -90.0, 180.0, 170.0)))
+    // east<west (already wrapped form): non-positive span, returned as-is
+    assert(cut(10, 0, -170, 170) == Seq((10.0, 0.0, -170.0, 170.0)))
+  }
+
   test("web-mercator reprojection: known values and roundtrip") {
     // known anchors: (0,0) -> (0,0); lon 180 -> 20037508.34; lat 45 -> 5621521.49
     val known = Seq(1).toDF("x").select(

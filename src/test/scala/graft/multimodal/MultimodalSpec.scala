@@ -42,12 +42,24 @@ class MultimodalSpec extends SparkSpec {
     assert(m(1L).getStruct(3).getInt(0) == 100 && m(1L).getStruct(3).getInt(1) == 50)
     assert(m(1L).getAs[Array[Byte]]("payload").length == 100 * 50 * 3)
     assert(m(2L).getStruct(3).getInt(0) == 50)
-    // audio row keeps its payload and sample_rate
+    // audio row keeps its payload and its FULL metadata — width/height
+    // stay null, never fabricated from the target box
     assert(m(3L).getAs[Array[Byte]]("payload").sameElements(Array.fill[Byte](32)(1)))
+    assert(m(3L).getStruct(3).isNullAt(0) && m(3L).getStruct(3).isNullAt(1))
     assert(m(3L).getStruct(3).getInt(2) == 16000)
     // deterministic
     assert(Multimodal.resize(df, 100, 100).collect().map(_.getLong(0)).sorted
       .sameElements(Array(1L, 2L, 3L)))
+  }
+
+  test("resize survives a null meta struct") {
+    import org.apache.spark.sql.Row
+    val rows = java.util.Arrays.asList(
+      Row(9L, "video", Array.fill[Byte](8)(3), null))
+    val df = spark.createDataFrame(rows, Multimodal.mediaSchema)
+    val out = Multimodal.resize(df, 100, 100).collect().head
+    assert(out.getAs[Array[Byte]]("payload").length == 8)
+    assert(out.isNullAt(3))
   }
 
   test("frame sampling explodes k offsets per row") {

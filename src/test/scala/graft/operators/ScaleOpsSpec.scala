@@ -23,6 +23,19 @@ class ScaleOpsSpec extends SparkSpec {
     assert(s.sameElements(p))
   }
 
+  test("salted join rejects join types that duplicate the build side") {
+    val left = Seq(("a", 1)).toDF("k", "v")
+    val right = Seq(("a", 10), ("b", 20)).toDF("k", "w")
+    intercept[IllegalArgumentException] {
+      ScaleOps.saltedJoin(left, right, "k", salt = 4, joinType = "right")
+    }
+    intercept[IllegalArgumentException] {
+      ScaleOps.saltedJoin(left, right, "k", salt = 4, joinType = "full_outer")
+    }
+    // left joins stay allowed
+    assert(ScaleOps.saltedJoin(left, right, "k", 4, "left").count() == 1)
+  }
+
   test("bucketed tables join without a shuffle on the join keys") {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")

@@ -21,6 +21,21 @@ class PartitionedCowTableSpec extends SparkSpec {
     t
   }
 
+  test("non-path-safe partition values are rejected, not silently mangled") {
+    implicit val s = spark
+    val t = PartitionedCowTable(
+      Files.createTempDirectory("pcow").toString + "/t", "month")
+    // ':' percent-escapes in the __part= dir name, so the manifest key
+    // would diverge from the raw value and duplicate rows across
+    // versions — the constraint is enforced at commit time
+    val bad = Seq((1L, "2020:03", "a", false)).toDF("pid", "month", "v", "flag")
+    intercept[IllegalArgumentException] { t.overwrite(bad) }
+    val nullVal = Seq((1L, null.asInstanceOf[String], "a", false))
+      .toDF("pid", "month", "v", "flag")
+    intercept[IllegalArgumentException] { t.overwrite(nullVal) }
+    assert(!t.exists)
+  }
+
   test("overwrite/read roundtrip with per-partition dirs") {
     val t = mk()
     assert(t.read().count() == 4)
