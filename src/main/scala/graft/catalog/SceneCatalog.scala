@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GraftFunctions => G}
-import graft.model.Scene
+import graft.model.{Scene, SensorSchema, SensorSchemas}
 import graft.operators.{RelationalOps => R, SceneQueryOps => S}
 import graft.sources.{CowTable, VersionedTable}
 
@@ -16,28 +16,34 @@ import graft.sources.{CowTable, VersionedTable}
   * semantics of the reference API (SURVEY.md §5) is the caller's
   * choice via `strictNonEmpty`.
   */
-class SceneCatalog(val table: VersionedTable, spark: SparkSession) {
+class SceneCatalog(val table: VersionedTable, spark: SparkSession,
+                   val sensor: SensorSchema = SensorSchemas.landsat) {
 
   def scenes: DataFrame = table.read()
 
+  /** Typed view for the Landsat-canonical schema only; other sensors
+    * use their own case class via `scenes.as[...]`.
+    */
   def typedScenes: Dataset[Scene] = {
     import spark.implicits._
     table.read().as[Scene]
   }
 
+  private def obsDate: Column = sensor.obsDate
+
   // ---- work-list queries (F1 family; .py:754-775, 939-963, 1291-1316)
 
   def scnlistNeedDownload(): DataFrame =
     scenes.filter(!col("Downloaded") && !col("Invalid"))
-      .orderBy("Date_Acquired", "PID").select("PID")
+      .orderBy(obsDate, col("PID")).select("PID")
 
   def scnlistNeedArd(): DataFrame =
     scenes.filter(col("Downloaded") && !col("ARDProduct") && !col("Invalid"))
-      .orderBy("Date_Acquired", "PID").select("PID")
+      .orderBy(obsDate, col("PID")).select("PID")
 
   def scnlistNeedDcload(): DataFrame =
     scenes.filter(col("ARDProduct") && !col("DCLoaded") && !col("Invalid"))
-      .orderBy("Date_Acquired", "PID").select("PID")
+      .orderBy(obsDate, col("PID")).select("PID")
 
   // ---- scene queries (F2-F8, O1-O3; .py:1929-2347)
 
@@ -47,11 +53,13 @@ class SceneCatalog(val table: VersionedTable, spark: SparkSession) {
   def scenesForDateRange(start: String, end: String,
                          cloudThres: Option[Double] = None,
                          validOnly: Boolean = true): DataFrame = {
+    require(cloudThres.isEmpty || sensor.cloud.isDefined,
+      s"sensor ${sensor.sensor} has no cloud-cover column")
     val valid = if (validOnly) !col("Invalid") && col("ARDProduct") else lit(true)
     scenesPrunedTo(end, start).filter(
-      S.dateRangeClosed(col("Date_Acquired"), end, start) &&
-        S.maxThreshold(col("Cloud_Cover"), cloudThres) && valid)
-      .orderBy(col("Date_Acquired").desc, col("PID"))
+      S.dateRangeClosed(obsDate, end, start) &&
+        S.maxThreshold(cloudCol, cloudThres) && valid)
+      .orderBy(obsDate.desc, col("PID"))
   }
 
   /** Date-range scans start from a manifest-pruned read when the
@@ -60,8 +68,14 @@ class SceneCatalog(val table: VersionedTable, spark: SparkSession) {
     * The row-level filter still applies on top, so semantics are
     * identical on any backend.
     */
+  /** Cloud threshold only exists for optical sensors; passing a
+    * threshold for a sensor without a cloud column is a caller bug.
+    */
+  private def cloudCol: Column =
+    sensor.cloud.map(col).getOrElse(lit(null).cast("double"))
+
   private def scenesPrunedTo(lo: String, hi: String): DataFrame = table match {
-    case p: graft.sources.PartitionedCowTable if p.partCol == "Date_Acquired" =>
+    case p: graft.sources.PartitionedCowTable if p.partCol == sensor.obsDateCol =>
       p.readWhere(v => v >= lo && v <= hi)
     case _ => scenes
   }
@@ -74,22 +88,25 @@ class SceneCatalog(val table: VersionedTable, spark: SparkSession) {
 
   /** Paged scene listing (O3, .py:1994). */
   def scenesPage(offset: Int, n: Int): DataFrame =
-    R.paginate(scenes, Seq(col("Date_Acquired").desc, col("PID")), offset, n)
+    R.paginate(scenes, Seq(obsDate.desc, col("PID")), offset, n)
 
   def sceneByPid(pid: Long): DataFrame = scenes.filter(col("PID") === pid)
 
   // ---- rollups / stats (A2, A5-A7; .py:1917-1927, 2223-2298, 2932+)
 
-  def distinctPlatforms(): DataFrame =
-    scenes.select("Spacecraft_ID").distinct().orderBy("Spacecraft_ID")
+  def distinctPlatforms(): DataFrame = {
+    val pcol = sensor.platform.getOrElse(throw new IllegalArgumentException(
+      s"sensor ${sensor.sensor} has no platform column"))
+    scenes.select(col(pcol).as("Platform")).distinct().orderBy("Platform")
+  }
 
   def distinctObsDates(validOnly: Boolean = true): DataFrame = {
     val base = if (validOnly) scenes.filter(!col("Invalid")) else scenes
-    base.select(col("Date_Acquired").as("ObsDate")).distinct().orderBy("ObsDate")
+    base.select(obsDate.as("ObsDate")).distinct().orderBy("ObsDate")
   }
 
   def watermark(): DataFrame =
-    scenes.agg(max("Date_Acquired").as("watermark"))
+    scenes.agg(max(obsDate).as("watermark"))
 
   def stateSummary(): DataFrame =
     R.conditionalCounts(scenes, Seq.empty, Seq(
@@ -147,8 +164,8 @@ class SceneCatalog(val table: VersionedTable, spark: SparkSession) {
 
   /** Keep only the newest Product_ID per Scene_ID (J6, .py:473-518). */
   def rmDuplicateScenes(): Unit =
-    table.overwrite(R.dedupKeepNewest(table.read(), Seq("Scene_ID"),
-      Seq(col("Product_ID").desc, col("PID").desc)))
+    table.overwrite(R.dedupKeepNewest(table.read(), Seq(sensor.dupKey),
+      Seq(col(sensor.dupOrder).desc, col("PID").desc)))
 
   /** reset_scn (.py:2847-2901): clear the processing state machine. */
   def resetScene(pid: Long): Unit =
@@ -186,11 +203,11 @@ class SceneCatalog(val table: VersionedTable, spark: SparkSession) {
 
   def scnlistNeedQuicklook(): DataFrame =
     scenes.filter(col("ARDProduct") && !col("Invalid") && missingExtKey("quicklook"))
-      .orderBy("Date_Acquired", "PID").select("PID")
+      .orderBy(obsDate, col("PID")).select("PID")
 
   def scnlistNeedTilecache(): DataFrame =
     scenes.filter(col("ARDProduct") && !col("Invalid") && missingExtKey("tilecache"))
-      .orderBy("Date_Acquired", "PID").select("PID")
+      .orderBy(obsDate, col("PID")).select("PID")
 
   // ---- per-scene predicates (has_scn_* family, .py:988-1008 etc.)
 
@@ -205,9 +222,11 @@ class SceneCatalog(val table: VersionedTable, spark: SparkSession) {
 
   def isScnInvalid(pid: Long): Boolean = hasScnFlag(pid, "Invalid")
 
-  /** get_scn_unq_name_record (.py:1581-1604): lookup by Scene_ID. */
+  /** get_scn_unq_name_record (.py:1581-1604): lookup by the sensor's
+    * unique-name column (Scene_ID / Granule_ID / FileName).
+    */
   def sceneBySceneId(sceneId: String): DataFrame =
-    scenes.filter(col("Scene_ID") === sceneId)
+    scenes.filter(col(sensor.dupKey) === sceneId)
 
   // ---- combined date+bbox queries (+count variants,
   // .py:2046-2221: query_scn_records_date_bbox[_count])
@@ -233,10 +252,12 @@ class SceneCatalog(val table: VersionedTable, spark: SparkSession) {
   def scenesForDate(date: String, platform: Option[String] = None,
                     valid: Boolean = true, ardProd: Boolean = true): DataFrame = {
     val p = S.allOf(
-      Some(col("Date_Acquired") === lit(date)),
+      Some(obsDate === lit(date)),
       if (valid) Some(!col("Invalid")) else None,
       if (ardProd) Some(col("ARDProduct")) else None,
-      platform.map(col("Spacecraft_ID") === _))
+      platform.map(pl => col(sensor.platform.getOrElse(
+        throw new IllegalArgumentException(
+          s"sensor ${sensor.sensor} has no platform column"))) === pl))
     scenes.filter(p).orderBy("PID")
   }
 

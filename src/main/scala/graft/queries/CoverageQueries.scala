@@ -155,10 +155,53 @@ object CoverageQueries {
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
           min("doc_id").as("min_doc"))
         .orderBy("lang")
+    },
+
+    // Per-sensor schemas (SURVEY §1.1): S1-shaped rows with TYPED
+    // sensor-specific columns (incidence angle, orbit, polarization —
+    // model.Sentinel1Scene), filtered and aggregated directly; the
+    // ExtendedInfo-JSON fallback could never push these filters down.
+    // Integer-derived values keep both engines exact.
+    "q49_s1_incidence" -> { (s, dir) =>
+      val s1 = t(s, dir, "orders").select(
+        col("o_orderkey").as("pid"),
+        when(col("o_orderkey") % 2 === 0, "Sentinel-1A")
+          .otherwise("Sentinel-1B").as("platform"),
+        (col("o_orderkey") % 175).cast("int").as("rel_orbit"),
+        (col("o_orderkey") % 4600).as("inc_centi"),
+        when(col("o_orderkey") % 3 === 0, "VV VH").otherwise("HH")
+          .as("polarization"),
+        col("o_orderdate").as("acquisition_date"))
+      s1.filter((col("inc_centi") / 100.0).between(30.0, 46.0) &&
+          col("platform") === "Sentinel-1A" &&
+          col("polarization") === "VV VH")
+        .groupBy("rel_orbit")
+        .agg(count(lit(1)).as("n"), sum(col("inc_centi")).as("sum_inc"),
+          max(to_date(col("acquisition_date"))).as("latest"))
+        .orderBy("rel_orbit")
     }
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q49_s1_incidence" ->
+      """WITH s1 AS (
+        |  SELECT o_orderkey AS pid,
+        |    CASE WHEN o_orderkey % 2 = 0 THEN 'Sentinel-1A'
+        |         ELSE 'Sentinel-1B' END AS platform,
+        |    CAST(o_orderkey % 175 AS INT) AS rel_orbit,
+        |    o_orderkey % 4600 AS inc_centi,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN 'VV VH' ELSE 'HH' END
+        |      AS polarization,
+        |    o_orderdate AS acquisition_date
+        |  FROM orders)
+        |SELECT rel_orbit, count(*) AS n,
+        |  CAST(sum(inc_centi) AS BIGINT) AS sum_inc,
+        |  CAST(max(acquisition_date) AS DATE) AS latest
+        |FROM s1
+        |WHERE inc_centi / 100.0 BETWEEN 30.0 AND 46.0
+        |  AND platform = 'Sentinel-1A' AND polarization = 'VV VH'
+        |GROUP BY rel_orbit ORDER BY rel_orbit""".stripMargin,
+
     "q36_strict_date_range" ->
       """SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n FROM orders
         |WHERE o_orderdate > TIMESTAMP '1997-03-15'
