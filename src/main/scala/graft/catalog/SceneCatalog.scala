@@ -288,6 +288,21 @@ class SceneCatalog(val table: VersionedTable, spark: SparkSession,
                  pathRewrites: Map[String, (String, String)] = Map.empty): Unit =
     table.overwrite(graft.sources.ExportImport.importJson(
       spark, path, scenes.schema, pathRewrites = pathRewrites))
+
+  /** export_db_to_json fidelity (.py:2527-2603): ONE nested JSON file
+    * (`{"scn_db": {"<PID>": {...}}, "plgin_db": ...}`, ISO dates,
+    * "" for None) — interchange-compatible with reference dumps, where
+    * [[exportJson]] is the engine-internal distributed format.
+    */
+  def exportDbToJson(path: String,
+                     plugins: Option[DataFrame] = None): Unit =
+    graft.sources.ExportImport.exportJsonSingleFile(scenes, path, plugins)
+
+  /** import_db_from_json counterpart for reference-shaped dumps. */
+  def importDbFromJson(path: String): Unit =
+    table.overwrite(graft.sources.ExportImport.importJsonSingleFile(
+      spark, path, scenes.schema)
+      .select(scenes.columns.map(col): _*))
 }
 
 object SceneCatalog {

@@ -40,6 +40,23 @@ object GraftFunctions {
   def polygonIntersects(bbox: Column, wkt: Column): Column =
     c(PolygonIntersects(expression(bbox), expression(wkt)))
 
+  // ---- C11 general reprojection: UTM (EPSG:326zz/327zz) closed forms
+
+  /** struct<lon,lat> degrees → struct<easting,northing> meters. */
+  def utmForward(pt: Column, epsg: Int): Column =
+    c(UtmForward(expression(pt), expression(lit(epsg))))
+
+  /** struct<easting,northing> meters → struct<lon,lat> degrees. */
+  def utmInverse(pt: Column, epsg: Int): Column =
+    c(UtmInverse(expression(pt), expression(lit(epsg))))
+
+  /** bbox degrees → bbox in the UTM CRS (corner reprojection +
+    * envelope — the reference's reprojBBOX_epsg shape for the
+    * scene-vs-layer join, eodatadownlandsatgoogsensor.py:723-725).
+    */
+  def bboxToUtm(b: Column, epsg: Int): Column =
+    c(BBoxToUtm(expression(b), expression(lit(epsg))))
+
   /** Build a bbox struct from four coordinate columns. */
   def bbox(north: Column, south: Column, east: Column, west: Column): Column =
     struct(north.cast("double").as("north"), south.cast("double").as("south"),

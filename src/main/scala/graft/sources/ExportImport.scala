@@ -1,8 +1,14 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DateType, StructType, TimestampType}
 
 /** JSON table export/import (SURVEY.md §2.1 S7/S8):
   * the reference dumps whole sensor tables to a JSON file and reloads
@@ -41,5 +47,111 @@ object ExportImport {
     StructType(schema.fields.map { f =>
       inverse.get(f.name).map(legacy => f.copy(name = legacy)).getOrElse(f)
     })
+  }
+
+  // ---- single-file interchange dumps (reference fidelity) ----
+
+  /** Date/timestamp columns as the reference's ISO strings (None ⇒ ""),
+    * everything else untouched.
+    */
+  private def isoStringified(df: DataFrame): DataFrame = {
+    val cols: Seq[Column] = df.schema.fields.toSeq.map { f =>
+      f.dataType match {
+        case TimestampType =>
+          coalesce(date_format(col(f.name), "yyyy-MM-dd'T'HH:mm:ss"), lit(""))
+            .as(f.name)
+        case DateType =>
+          coalesce(date_format(col(f.name), "yyyy-MM-dd"), lit("")).as(f.name)
+        case _ => col(f.name)
+      }
+    }
+    df.select(cols: _*)
+  }
+
+  /** ONE nested JSON document per table dump, interchange-compatible
+    * with the reference's `export_db_to_json`
+    * (eodatadownlandsatgoogsensor.py:2527-2603):
+    * `{"scn_db": {"<PID>": {row}}, "plgin_db": {"<plugin>": {"<pid>": {row}}}}`
+    * with date/time values as ISO strings and None ⇒ "".
+    *
+    * Metadata-table scale by definition (the reference materializes the
+    * whole table in a Python dict); rows stream through
+    * `toLocalIterator`, so the driver holds one partition at a time,
+    * and the distributed part-file path ([[exportJson]]) remains the
+    * engine-internal format.
+    */
+  def exportJsonSingleFile(scenes: DataFrame, path: String,
+                           plugins: Option[DataFrame] = None): Unit = {
+    val mapper = new ObjectMapper()
+    val out = new StringBuilder("{\n\"scn_db\": {")
+    var first = true
+    isoStringified(scenes)
+      .select(col("PID").cast("string"), to_json(struct(col("*"))))
+      .toLocalIterator().asScala.foreach { r =>
+        if (!first) out.append(',')
+        first = false
+        out.append('\n').append(mapper.writeValueAsString(r.getString(0)))
+          .append(": ").append(r.getString(1))
+      }
+    out.append("\n}")
+    plugins.foreach { pl =>
+      out.append(",\n\"plgin_db\": {")
+      var firstPlugin = true
+      // per-plugin nesting keyed by Scene_PID, as the reference emits
+      pl.select("PlugInName").distinct().orderBy("PlugInName")
+        .collect().map(_.getString(0)).foreach { name =>
+          if (!firstPlugin) out.append(',')
+          firstPlugin = false
+          out.append('\n').append(mapper.writeValueAsString(name)).append(": {")
+          var firstRow = true
+          isoStringified(pl.filter(col("PlugInName") === name))
+            .select(col("Scene_PID").cast("string"), to_json(struct(col("*"))))
+            .toLocalIterator().asScala.foreach { r =>
+              if (!firstRow) out.append(',')
+              firstRow = false
+              out.append('\n').append(mapper.writeValueAsString(r.getString(0)))
+                .append(": ").append(r.getString(1))
+            }
+          out.append("\n}")
+        }
+      out.append("\n}")
+    }
+    out.append("\n}\n")
+    Files.createDirectories(Paths.get(path).getParent)
+    Files.write(Paths.get(path), out.toString.getBytes(UTF_8))
+  }
+
+  /** Load one section of a reference-shaped single-file dump back into
+    * a typed DataFrame. ISO strings (and the reference's "" for None)
+    * cast back to the target date/timestamp types.
+    */
+  def importJsonSingleFile(spark: SparkSession, path: String,
+                           schema: StructType,
+                           section: String = "scn_db",
+                           plugin: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val mapper = new ObjectMapper()
+    val rootNode = mapper.readTree(Files.readAllBytes(Paths.get(path)))
+    val sectionNode = rootNode.get(section)
+    val rowsNode = plugin.map(sectionNode.get).getOrElse(sectionNode)
+    val rowJsons = rowsNode.fields().asScala
+      .map(_.getValue.toString).toSeq
+    val asStrings = StructType(schema.fields.map { f =>
+      f.dataType match {
+        case TimestampType | DateType =>
+          f.copy(dataType = org.apache.spark.sql.types.StringType)
+        case _ => f
+      }
+    })
+    val raw = spark.read.schema(asStrings).json(rowJsons.toDS())
+    schema.fields.foldLeft(raw) { (df, f) =>
+      f.dataType match {
+        case TimestampType => df.withColumn(f.name,
+          to_timestamp(nullif(col(f.name), lit(""))))
+        case DateType => df.withColumn(f.name,
+          to_date(nullif(col(f.name), lit(""))))
+        case _ => df
+      }
+    }
   }
 }

@@ -1,6 +1,7 @@
 package graft.sources
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.types._
 
@@ -26,6 +27,43 @@ class ExportImportSpec extends SparkSpec {
     assert(rows.sameElements(Array(
       (1L, "catA", "/new/base/scene1.tif"),
       (2L, "catB", "/new/base/scene2.tif"))))
+  }
+
+  test("single-file dump: reference shape, null dates, plugin section") {
+    import java.sql.{Date, Timestamp}
+    import org.apache.spark.sql.functions.col
+    val scenes = Seq(
+      (1L, "S1", Date.valueOf("2020-03-01"),
+        Some(Timestamp.valueOf("2020-03-02 10:30:00")), Some("""{"k":1}""")),
+      (2L, "S2", Date.valueOf("2020-03-05"), None, None))
+      .toDF("PID", "Scene_ID", "Date_Acquired", "Download_End_Date",
+        "ExtendedInfo")
+    val plugins = Seq(
+      (1L, "ndvi", true), (2L, "ndvi", false), (1L, "water", true))
+      .toDF("Scene_PID", "PlugInName", "Completed")
+    val file = Files.createTempDirectory("ei3").toString + "/dump.json"
+    ExportImport.exportJsonSingleFile(scenes, file, Some(plugins))
+    // exactly ONE file, with the reference's nesting and ISO strings
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(file)), "UTF-8")
+    val tree = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+    assert(tree.get("scn_db").fieldNames().asScala.toSet == Set("1", "2"))
+    assert(tree.get("scn_db").get("1").get("Download_End_Date").asText()
+      == "2020-03-02T10:30:00")
+    assert(tree.get("scn_db").get("2").get("Download_End_Date").asText() == "")
+    assert(tree.get("plgin_db").fieldNames().asScala.toSet ==
+      Set("ndvi", "water"))
+    assert(tree.get("plgin_db").get("ndvi").fieldNames().asScala.toSet ==
+      Set("1", "2"))
+    // round trip back to typed DataFrames
+    val back = ExportImport.importJsonSingleFile(spark, file, scenes.schema)
+      .select(scenes.columns.map(col): _*)
+    assert(back.orderBy("PID").collect().toSeq ==
+      scenes.orderBy("PID").collect().toSeq)
+    val backPl = ExportImport.importJsonSingleFile(spark, file,
+      plugins.schema, section = "plgin_db", plugin = Some("ndvi"))
+      .select(plugins.columns.map(col): _*)
+    assert(backPl.count() == 2)
   }
 
   test("typed columns survive the round trip (schema-on-read)") {
