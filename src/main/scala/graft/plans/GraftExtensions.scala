@@ -58,7 +58,19 @@ object GraftExtensions {
     ("cosine_sim", info("cosine_sim", "cosine similarity of double arrays"),
       (e: Seq[Expression]) => CosineSimilarity(e(0), e(1))),
     ("json_set_key", info("json_set_key", "set one key in a JSON object, preserving siblings"),
-      (e: Seq[Expression]) => JsonSetKey(e(0), e(1), e(2))))
+      (e: Seq[Expression]) => JsonSetKey(e(0), e(1), e(2))),
+    ("bbox_cut_wrap", info("bbox_cut_wrap", "complement-box wrap cut over threshold"),
+      (e: Seq[Expression]) => BBoxCutWrap(e(0), e(1))),
+    ("polygon_intersects", info("polygon_intersects", "exact closed rect-vs-polygon test"),
+      (e: Seq[Expression]) => PolygonIntersects(e(0), e(1))),
+    ("hyperplane_hash", info("hyperplane_hash", "angular LSH signature of double array"),
+      (e: Seq[Expression]) => HyperplaneHash(e(0), e(1))),
+    ("utm_forward", info("utm_forward", "struct<lon,lat> to UTM struct<easting,northing>"),
+      (e: Seq[Expression]) => UtmForward(e(0), e(1))),
+    ("utm_inverse", info("utm_inverse", "UTM struct<easting,northing> to struct<lon,lat>"),
+      (e: Seq[Expression]) => UtmInverse(e(0), e(1))),
+    ("bbox_to_utm", info("bbox_to_utm", "bbox degrees to UTM meters envelope"),
+      (e: Seq[Expression]) => BBoxToUtm(e(0), e(1))))
 
   /** Runtime injection into an existing session (tests, notebooks). */
   def install(spark: SparkSession): Unit = {

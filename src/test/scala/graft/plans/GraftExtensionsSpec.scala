@@ -24,6 +24,17 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getLong(1) != 0L)
     assert(math.abs(r.getDouble(2) - 0.5) < 1e-9)
     assert(math.abs(r.getDouble(3) - 1.0) < 1e-9)
+    val r2 = spark.sql(
+      """SELECT
+        |  polygon_intersects(bbox_from_wkt('POLYGON((0 0, 5 0, 5 5, 0 5, 0 0))'),
+        |                     'POLYGON((0 0, 40 0, 0 40, 0 0))') AS pi,
+        |  size(bbox_cut_wrap(bbox_from_wkt(
+        |    'POLYGON((-150 0, 170 0, 170 10, -150 10, -150 0))'), 90.0d)) AS nc,
+        |  utm_forward(named_struct('lon', 3.0d, 'lat', 0.0d), 32631).easting AS e
+        |""".stripMargin).collect().head
+    assert(r2.getBoolean(0))
+    assert(r2.getInt(1) == 2)
+    assert(math.abs(r2.getDouble(2) - 500000.0) < 1e-6)
   }
 
   test("ExpandBBoxIntersects rewrites the predicate to field comparisons") {
