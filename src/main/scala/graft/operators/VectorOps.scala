@@ -30,6 +30,42 @@ object VectorOps {
   private def clamp(c: Column): Column =
     least(lit(1.0), greatest(lit(-1.0), c))
 
+  /** Spherical k-means (cosine metric) for IVF coarse centroids —
+    * Lloyd's iterations as dataflow: assign via broadcast crossJoin +
+    * argmax, recompute centroids as element-wise member means. The
+    * centroid set is bounded metadata (k × dim doubles), so each
+    * iteration collects it to the driver and re-broadcasts — constant
+    * driver memory, no lineage growth, the same loop structure every
+    * production implementation uses. Deterministic: seeded from the k
+    * smallest `vec_id`s, ties toward the smaller cid.
+    *
+    * @return (cid, cv) centroid DataFrame, directly usable as the
+    *         `cents` input of [[exactNnPerVector]] / the q35 probe.
+    */
+  def kmeansFit(e: DataFrame, k: Int, iters: Int): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    var cents: Seq[(Int, Seq[Double])] = e.orderBy("vec_id").limit(k)
+      .select(col("v")).as[Seq[Double]].collect()
+      .zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+    for (_ <- 1 to iters) {
+      val cdf = broadcast(cents.toDF("cid", "cv"))
+      cents = e.crossJoin(cdf)
+        .withColumn("cc", G.cosineSim(col("v"), col("cv").cast("array<double>")))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("cid"), struct(col("cc"), -col("cid"))).as("cid"),
+          first(col("v")).as("v"))
+        .select(col("cid"), posexplode(col("v")))
+        .groupBy("cid", "pos").agg(avg("col").as("m"))
+        .groupBy("cid")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("cv"))
+        .as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
+    }
+    cents.toDF("cid", "cv").select(col("cid"), col("cv").cast("array<double>").as("cv"))
+  }
+
   /** Exact nearest neighbor per vector within each `label` block.
     *
     * @param e    columns: vec_id, label, v (array<double>)

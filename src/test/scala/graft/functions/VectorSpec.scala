@@ -59,6 +59,36 @@ class VectorSpec extends SparkSpec {
     assert(pruned.exceptAll(brute).isEmpty && brute.exceptAll(pruned).isEmpty)
   }
 
+  test("kmeansFit recovers well-separated angular clusters") {
+    import graft.operators.VectorOps
+    val r = new scala.util.Random(11)
+    // three angularly separated directions in 4D, 20 noisy members each
+    val dirs = Seq(
+      Array(1.0, 0.0, 0.0, 0.0),
+      Array(0.0, 1.0, 0.0, 0.0),
+      Array(0.0, 0.0, 1.0, 0.0))
+    val rows = for {
+      (d, g) <- dirs.zipWithIndex
+      i <- 0 until 20
+    } yield (g * 20L + i, g.toString,
+      d.map(x => x * (1.0 + r.nextDouble()) + r.nextDouble() * 0.05).toSeq)
+    val e = rows.toDF("vec_id", "label", "v")
+      .select($"vec_id", $"label", $"v".cast("array<double>").as("v"))
+    val cents = VectorOps.kmeansFit(e, k = 3, iters = 5)
+    assert(cents.count() == 3)
+    // every vector's nearest centroid groups it with its own direction:
+    // all members of a true cluster share one centroid, 3 distinct
+    val assign = e.crossJoin(broadcast(cents))
+      .withColumn("cc", G.cosineSim($"v", $"cv"))
+      .groupBy($"vec_id", $"label")
+      .agg(max_by($"cid", struct($"cc", -$"cid")).as("cid"))
+      .groupBy("label").agg(countDistinct($"cid").as("n"),
+        first($"cid").as("c"))
+      .collect()
+    assert(assign.forall(_.getLong(1) == 1L))
+    assert(assign.map(_.getInt(2)).distinct.length == 3)
+  }
+
   test("cosine expression matches HOF composition") {
     val hof = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) => {
       val ad = a.cast("array<double>")
