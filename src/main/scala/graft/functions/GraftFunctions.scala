@@ -120,6 +120,12 @@ object GraftFunctions {
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** First index where two long arrays agree (-1 if none) — the
+    * first-band-wins LSH dedup primitive.
+    */
+  def firstEqualIndex(a: Column, b: Column): Column =
+    c(FirstEqualIndex(expression(a), expression(b)))
+
   /** Exact Jaccard over pre-sorted distinct token arrays (one-pass
     * merge, codegen'd; pair with `sortedWordSet`).
     */

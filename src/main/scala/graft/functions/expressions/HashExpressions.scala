@@ -131,6 +131,24 @@ object HashImpl {
   }
 }
 
+object BandImpl {
+  /** Index of the first position where the two long arrays are equal,
+    * -1 if none. The first-band-wins LSH dedup primitive: a candidate
+    * pair is emitted only from the FIRST band whose hashes collide, so
+    * the band join needs no distinct over the (larger-by-the-average-
+    * collision-count) candidate multiset.
+    */
+  def firstEqualIndex(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) return i
+      i += 1
+    }
+    -1
+  }
+}
+
 object JaccardImpl {
   /** Exact Jaccard over two SORTED, DISTINCT string arrays: one
     * merge-walk counting |∩| and |∪| — no per-call hash-set builds
@@ -248,6 +266,21 @@ case class MinNgramHash(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): MinNgramHash =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "min_ngram_hash"
+}
+
+/** `first_equal_index(array<long>, array<long>)` → int, -1 if none. */
+case class FirstEqualIndex(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    BandImpl.firstEqualIndex(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.expressions.BandImpl.firstEqualIndex($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FirstEqualIndex =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "first_equal_index"
 }
 
 /** `sorted_jaccard(array<string>, array<string>)` → double in [0, 1].

@@ -79,6 +79,17 @@ class TextHashSpec extends SparkSpec {
     assert(df.as[String].collect().sameElements(Array("en", "es", "und")))
   }
 
+  test("firstEqualIndex finds the first agreeing band, -1 if none") {
+    val r = Seq(
+      (Seq(1L, 2L, 3L), Seq(9L, 2L, 3L)), // first match at 1
+      (Seq(1L, 2L), Seq(1L, 2L)), // match at 0
+      (Seq(1L, 2L), Seq(3L, 4L)), // none
+      (Seq(1L, 2L, 3L), Seq(9L, 9L, 9L, 9L))) // length mismatch, none
+      .toDF("a", "b")
+      .select(G.firstEqualIndex($"a", $"b").as("i")).as[Int].collect()
+    assert(r.sameElements(Array(1, 0, -1, -1)))
+  }
+
   test("fingerprint: deterministic, min-over-windows, short-text zero") {
     val base = "alpha beta gamma delta epsilon zeta eta theta"
     val superset = base + " iota kappa lambda"
