@@ -195,6 +195,27 @@ object TextQueries {
         .filter(col("n_docs") >= 2)
         .select("fp", "n_docs", "first_doc")
         .orderBy("first_doc")
+    },
+
+    // Repetition-ratio quality signals (the Gopher-rules n-gram
+    // repetition filters of LLM data curation): per-document duplicate
+    // 2-gram fraction and top-2-gram coverage. One explode + two
+    // partial-aggregated groupBys — the shuffle carries (doc, gram)
+    // pairs, never documents.
+    "q50_repetition_stats" -> { (s, dir) =>
+      val grams = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(G.wordShingles(toks(col("text")), 2)).as("g"))
+      grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_grams"),
+          count(lit(1)).as("n_distinct"),
+          max(col("c")).as("top_n"))
+        .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+          round(lit(1.0) - col("n_distinct") / col("n_grams").cast("double"), 6)
+            .as("dup_frac"),
+          round(col("top_n") / col("n_grams").cast("double"), 6).as("top_cov"))
+        .orderBy("doc_id")
     }
   )
 
@@ -280,6 +301,23 @@ object TextQueries {
         |FROM s a JOIN s b ON a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.ws, b.ws))::DOUBLE /
         |    len(list_distinct(list_concat(a.ws, b.ws))) >= 0.9
-        |ORDER BY doc_a, doc_b""".stripMargin
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q50_repetition_stats" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(trim(lower(text)), ' ') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |    unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS g
+        |  FROM toks),
+        |per AS (
+        |  SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g)
+        |SELECT doc_id,
+        |  CAST(sum(c) AS BIGINT) AS n_grams,
+        |  count(*) AS n_distinct,
+        |  round(1.0 - count(*) / CAST(sum(c) AS DOUBLE), 6) AS dup_frac,
+        |  round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_cov
+        |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

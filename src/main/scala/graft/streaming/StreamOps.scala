@@ -90,4 +90,22 @@ object StreamOps {
       .agg(count(lit(1)).as("n_events"))
       .select((Seq(to_date(col("window.start")).as("obs_date")) ++ keys :+
         col("n_events")): _*)
+
+  /** Streaming exact dedup — the streaming twin of the q25 batch
+    * dedup: exactly one row survives per content hash (later arrivals
+    * drop; within one micro-batch the survivor is partition-order
+    * dependent). `dropDuplicatesWithinWatermark` bounds the state
+    * store: a hash older than the event-time watermark is forgotten,
+    * so an unbounded corpus stream runs in bounded memory (the dedup
+    * guarantee then holds within the lateness horizon — exactly the
+    * contract an ingest pipeline wants; a global guarantee would need
+    * unbounded state on any engine).
+    */
+  def streamingDedup(stream: DataFrame, contentCol: String, tsCol: String,
+                     lateness: String): DataFrame =
+    stream
+      .withColumn("__content_hash", md5(col(contentCol)))
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark("__content_hash")
+      .drop("__content_hash")
 }

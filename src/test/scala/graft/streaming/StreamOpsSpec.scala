@@ -15,6 +15,24 @@ class StreamOpsSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("streaming dedup keeps first occurrence, bounded by watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val dedup = StreamOps.streamingDedup(mem.toDF(), "kind", "ts", "1 hour")
+    mem.addData(
+      Ev(ts("2024-01-01 10:00:00"), "docA", 1.0),
+      Ev(ts("2024-01-01 10:05:00"), "docA", 2.0), // dup within watermark
+      Ev(ts("2024-01-01 10:10:00"), "docB", 3.0))
+    val q = dedup.writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    // exactly one survivor per content key (which of the two docA
+    // rows survives within a micro-batch is partition-order dependent)
+    val got = spark.table("sdedup").select("kind", "value")
+      .as[(String, Double)].collect().sortBy(_._1)
+    assert(got.map(_._1).sameElements(Array("docA", "docB")))
+  }
+
   test("tumbling window agg with watermark finalizes closed windows") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
