@@ -63,6 +63,39 @@ class PolygonSpec extends SparkSpec {
     assert(!hit(5, 4, 5, 4, "nonsense")) // unparseable => false
   }
 
+  test("property: matches independent SAT oracle on random rects vs convex polygons") {
+    val r = new scala.util.Random(3)
+    // convex polygons with their SAT data: (wkt, vertices)
+    val polys = Seq(
+      (tri, Seq((0.0, 0.0), (40.0, 0.0), (0.0, 40.0))),
+      ("POLYGON((100 0, 110 10, 100 20, 90 10, 100 0))",
+        Seq((100.0, 0.0), (110.0, 10.0), (100.0, 20.0), (90.0, 10.0))))
+    // independent implementation: separating-axis test over the rect
+    // axes and every polygon edge normal (closed semantics)
+    def satIntersects(n: Double, s: Double, e: Double, w: Double,
+                      vs: Seq[(Double, Double)]): Boolean = {
+      val axes = Seq((1.0, 0.0), (0.0, 1.0)) ++
+        vs.indices.map { i =>
+          val (x1, y1) = vs(i); val (x2, y2) = vs((i + 1) % vs.length)
+          (-(y2 - y1), x2 - x1)
+        }
+      axes.forall { case (ax, ay) =>
+        val rp = Seq(w * ax + s * ay, w * ax + n * ay,
+          e * ax + s * ay, e * ax + n * ay)
+        val pp = vs.map { case (x, y) => x * ax + y * ay }
+        rp.max >= pp.min && pp.max >= rp.min
+      }
+    }
+    val cases = for (_ <- 1 to 120) yield {
+      val w = r.nextInt(240) - 120.0; val s = r.nextInt(120) - 60.0
+      (s + 1 + r.nextInt(40), s, w + 1 + r.nextInt(40), w)
+    }
+    for ((n, s, e, w) <- cases; (wkt, vs) <- polys) {
+      assert(hit(n, s, e, w, wkt) == satIntersects(n, s, e, w, vs),
+        s"rect n=$n s=$s e=$e w=$w vs $wkt")
+    }
+  }
+
   test("parser: rings split correctly, closing vertex dropped") {
     val g = PolygonImpl.parse(holed)
     assert(g.rings.length == 2)

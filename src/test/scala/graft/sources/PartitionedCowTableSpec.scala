@@ -117,6 +117,25 @@ class PartitionedCowTableSpec extends SparkSpec {
     assert(t.read().count() == 1)
   }
 
+  test("torn commit: stray write dir without pointer flip is invisible") {
+    implicit val s = spark
+    val t = mk()
+    val v0 = t.read().count()
+    val m0 = t.manifest
+    // simulate a writer that died after writing data + manifest but
+    // BEFORE the atomic _current flip: readers must stay on the old
+    // version, and a re-run must commit cleanly on top
+    val root = java.nio.file.Paths.get(t.root)
+    java.nio.file.Files.createDirectories(root.resolve("w_000099/__part=2020-09"))
+    java.nio.file.Files.write(root.resolve("v_000099.json"),
+      """{"schema":"x INT","partitions":{}}""".getBytes("UTF-8"))
+    assert(t.read().count() == v0)
+    assert(t.manifest == m0)
+    t.append(Seq((9L, "2020-06", "z", false)).toDF("pid", "month", "v", "flag"))
+    assert(t.read().count() == v0 + 1)
+    assert(t.manifest.keySet.contains("2020-06"))
+  }
+
   test("idempotent re-run: same upsert twice, same table") {
     val t = mk()
     val up = Seq((2L, "2020-03", "B", true)).toDF("pid", "month", "v", "flag")
