@@ -75,7 +75,16 @@ class SceneCatalog(val table: VersionedTable, spark: SparkSession,
     sensor.cloud.map(col).getOrElse(lit(null).cast("double"))
 
   private def scenesPrunedTo(lo: String, hi: String): DataFrame = table match {
-    case p: graft.sources.PartitionedCowTable if p.partCol == sensor.obsDateCol =>
+    // prune only when the partition column is a DATE: ISO date strings
+    // compare lexically, but a TIMESTAMP-typed obs-date column (S1/S2/
+    // ICESAT2) renders with a time suffix, and "2020-03-02 05:30:00"
+    // <= "2020-03-02" is false — the upper-boundary day would be
+    // silently pruned. Those sensors fall back to the full read + row
+    // filter (identical semantics, no pruning).
+    case p: graft.sources.PartitionedCowTable
+        if p.partCol == sensor.obsDateCol &&
+          sensor.schema(sensor.obsDateCol).dataType ==
+            org.apache.spark.sql.types.DateType =>
       p.readWhere(v => v >= lo && v <= hi)
     case _ => scenes
   }
@@ -149,18 +158,35 @@ class SceneCatalog(val table: VersionedTable, spark: SparkSession,
       G.polygonIntersects(fp, wkt)
   }
 
+  /** Malformed/empty WKT makes `geomIntersectsCond` false for EVERY
+    * row — which on the delete path would silently wipe the table.
+    * Validate on the driver before building any plan (the reference
+    * raises on malformed WKT too).
+    */
+  private def requireValidGeom(wkt: String): Unit = {
+    require(
+      graft.functions.expressions.PolygonImpl.parse(wkt).rings.nonEmpty,
+      s"WKT has no valid ring (need >= 3 coordinate pairs): '$wkt'")
+    require(wkt.count(_ == '(') == wkt.count(_ == ')'),
+      s"unbalanced parentheses in WKT: '$wkt'")
+  }
+
   /** Scenes whose footprint intersects the EXACT layer geometry (J2
     * keep side, second stage after the envelope prefilter).
     */
-  def scenesIntersectGeom(wkt: String): DataFrame =
+  def scenesIntersectGeom(wkt: String): DataFrame = {
+    requireValidGeom(wkt)
     scenes.filter(geomIntersectsCond(lit(wkt)))
+  }
 
   /** Delete scenes NOT intersecting the exact geometry — the
     * `rm_scns_intersect` semantics (eodatadownlandsatgoogsensor.py:
     * 685-732) with a real polygon test, not just its envelope.
     */
-  def rmScenesNotIntersectGeom(wkt: String): Unit =
+  def rmScenesNotIntersectGeom(wkt: String): Unit = {
+    requireValidGeom(wkt)
     table.deleteWhere(!geomIntersectsCond(lit(wkt)))
+  }
 
   /** Keep only the newest Product_ID per Scene_ID (J6, .py:473-518). */
   def rmDuplicateScenes(): Unit =
@@ -284,10 +310,13 @@ class SceneCatalog(val table: VersionedTable, spark: SparkSession,
   def exportJson(path: String): Unit =
     graft.sources.ExportImport.exportJson(scenes, path)
 
+  // imports read the schema from the SENSOR DESCRIPTOR, not the live
+  // table — importing into a fresh, not-yet-created catalog is exactly
+  // the bootstrap path the reference's import_sensor_db serves
   def importJson(path: String,
                  pathRewrites: Map[String, (String, String)] = Map.empty): Unit =
     table.overwrite(graft.sources.ExportImport.importJson(
-      spark, path, scenes.schema, pathRewrites = pathRewrites))
+      spark, path, sensor.schema, pathRewrites = pathRewrites))
 
   /** export_db_to_json fidelity (.py:2527-2603): ONE nested JSON file
     * (`{"scn_db": {"<PID>": {...}}, "plgin_db": ...}`, ISO dates,
@@ -298,11 +327,13 @@ class SceneCatalog(val table: VersionedTable, spark: SparkSession,
                      plugins: Option[DataFrame] = None): Unit =
     graft.sources.ExportImport.exportJsonSingleFile(scenes, path, plugins)
 
-  /** import_db_from_json counterpart for reference-shaped dumps. */
+  /** import_db_from_json counterpart for reference-shaped dumps; works
+    * on a fresh catalog (schema comes from the sensor descriptor).
+    */
   def importDbFromJson(path: String): Unit =
     table.overwrite(graft.sources.ExportImport.importJsonSingleFile(
-      spark, path, scenes.schema)
-      .select(scenes.columns.map(col): _*))
+      spark, path, sensor.schema)
+      .select(sensor.schema.fieldNames.map(col).toSeq: _*))
 }
 
 object SceneCatalog {

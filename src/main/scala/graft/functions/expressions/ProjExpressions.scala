@@ -44,6 +44,10 @@ object ProjImpl {
     */
   def utmForward(lonDeg: Double, latDeg: Double, zone: Int,
                  south: Boolean): InternalRow = {
+    // validated HERE so the codegen path (which bypasses nullSafeEval)
+    // also fails loudly on an unsupported EPSG instead of projecting
+    // through a nonsense central meridian
+    require(zone >= 1 && zone <= 60, s"unsupported UTM zone $zone")
     val phi = math.toRadians(latDeg)
     val lam = math.toRadians(lonDeg)
     val lam0 = math.toRadians(centralMeridian(zone))
@@ -68,6 +72,7 @@ object ProjImpl {
     */
   def utmInverse(easting: Double, northing: Double, zone: Int,
                  south: Boolean): InternalRow = {
+    require(zone >= 1 && zone <= 60, s"unsupported UTM zone $zone")
     val x = easting - 500000.0
     val y = if (south) northing - 10000000.0 else northing
     val m = y / k0

@@ -81,8 +81,13 @@ object RelationalOps {
                    out: String = "new_pid", partitions: Int = 32): DataFrame = {
     val spark = incoming.sparkSession
     import spark.implicits._
+    // persisted: the counts job and the caller's final action must see
+    // the SAME range boundaries and partition ids — re-executing the
+    // range sample against a source whose order changed (task retry,
+    // AQE re-plan) could silently shift offsets and collide keys
     val parted = incoming.repartitionByRange(partitions, col(orderCol))
       .withColumn("__part", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val local = parted.withColumn("__rk",
       row_number().over(Window.partitionBy(col("__part")).orderBy(col(orderCol))))
     // exclusive prefix sum over ONE COUNT PER PARTITION — bounded

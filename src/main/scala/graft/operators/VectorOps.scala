@@ -50,7 +50,7 @@ object VectorOps {
       .zipWithIndex.map { case (v, i) => (i, v) }.toSeq
     for (_ <- 1 to iters) {
       val cdf = broadcast(cents.toDF("cid", "cv"))
-      cents = e.crossJoin(cdf)
+      val updated = e.crossJoin(cdf)
         .withColumn("cc", G.cosineSim(col("v"), col("cv").cast("array<double>")))
         .groupBy(col("vec_id"))
         .agg(max_by(col("cid"), struct(col("cc"), -col("cid"))).as("cid"),
@@ -61,7 +61,12 @@ object VectorOps {
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("m")))),
           x => x.getField("m")).as("cv"))
-        .as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
+        .as[(Int, Seq[Double])].collect().toMap
+      // a cluster that captured no vectors keeps its previous centroid,
+      // so the result always has exactly k rows (the k × dim contract)
+      cents = cents.map { case (cid, prev) =>
+        (cid, updated.getOrElse(cid, prev))
+      }
     }
     cents.toDF("cid", "cv").select(col("cid"), col("cv").cast("array<double>").as("cv"))
   }

@@ -80,45 +80,52 @@ object ExportImport {
     * and the distributed part-file path ([[exportJson]]) remains the
     * engine-internal format.
     */
+  // every column present in every row (reference json.dump writes null
+  // for None) — Spark's to_json drops null fields by default
+  private val keepNulls = Map("ignoreNullFields" -> "false")
+
   def exportJsonSingleFile(scenes: DataFrame, path: String,
                            plugins: Option[DataFrame] = None): Unit = {
     val mapper = new ObjectMapper()
-    val out = new StringBuilder("{\n\"scn_db\": {")
-    var first = true
-    isoStringified(scenes)
-      .select(col("PID").cast("string"), to_json(struct(col("*"))))
-      .toLocalIterator().asScala.foreach { r =>
-        if (!first) out.append(',')
-        first = false
-        out.append('\n').append(mapper.writeValueAsString(r.getString(0)))
-          .append(": ").append(r.getString(1))
+    val p = Paths.get(path)
+    Option(p.getParent).foreach(Files.createDirectories(_))
+    val w = Files.newBufferedWriter(p, UTF_8)
+    try {
+      def writeKeyed(df: DataFrame, keyCol: String): Unit = {
+        var first = true
+        isoStringified(df)
+          .select(col(keyCol).cast("string"),
+            to_json(struct(col("*")), keepNulls.asJava))
+          .toLocalIterator().asScala.foreach { r =>
+            if (!first) w.write(",")
+            first = false
+            w.write("\n")
+            w.write(mapper.writeValueAsString(r.getString(0)))
+            w.write(": ")
+            w.write(r.getString(1))
+          }
       }
-    out.append("\n}")
-    plugins.foreach { pl =>
-      out.append(",\n\"plgin_db\": {")
-      var firstPlugin = true
-      // per-plugin nesting keyed by Scene_PID, as the reference emits
-      pl.select("PlugInName").distinct().orderBy("PlugInName")
-        .collect().map(_.getString(0)).foreach { name =>
-          if (!firstPlugin) out.append(',')
-          firstPlugin = false
-          out.append('\n').append(mapper.writeValueAsString(name)).append(": {")
-          var firstRow = true
-          isoStringified(pl.filter(col("PlugInName") === name))
-            .select(col("Scene_PID").cast("string"), to_json(struct(col("*"))))
-            .toLocalIterator().asScala.foreach { r =>
-              if (!firstRow) out.append(',')
-              firstRow = false
-              out.append('\n').append(mapper.writeValueAsString(r.getString(0)))
-                .append(": ").append(r.getString(1))
-            }
-          out.append("\n}")
-        }
-      out.append("\n}")
-    }
-    out.append("\n}\n")
-    Files.createDirectories(Paths.get(path).getParent)
-    Files.write(Paths.get(path), out.toString.getBytes(UTF_8))
+      w.write("{\n\"scn_db\": {")
+      writeKeyed(scenes, "PID")
+      w.write("\n}")
+      plugins.foreach { pl =>
+        w.write(",\n\"plgin_db\": {")
+        var firstPlugin = true
+        // per-plugin nesting keyed by Scene_PID, as the reference emits
+        pl.select("PlugInName").distinct().orderBy("PlugInName")
+          .collect().map(_.getString(0)).foreach { name =>
+            if (!firstPlugin) w.write(",")
+            firstPlugin = false
+            w.write("\n")
+            w.write(mapper.writeValueAsString(name))
+            w.write(": {")
+            writeKeyed(pl.filter(col("PlugInName") === name), "Scene_PID")
+            w.write("\n}")
+          }
+        w.write("\n}")
+      }
+      w.write("\n}\n")
+    } finally w.close()
   }
 
   /** Load one section of a reference-shaped single-file dump back into

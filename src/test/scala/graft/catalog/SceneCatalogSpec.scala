@@ -104,8 +104,29 @@ class SceneCatalogSpec extends SparkSpec {
       "((0 50, 2 50, 2 52, 0 52, 0 50)))"
     assert(cat.scenesIntersectGeom(wkt)
       .select("PID").as[Long].collect().toSet == Set(1L, 2L))
+    // malformed WKT must fail loudly BEFORE any delete plan runs — a
+    // silently-false predicate here would wipe the table
+    intercept[IllegalArgumentException] {
+      cat.rmScenesNotIntersectGeom("POLYGON((0 0, 40 0, 0 40, 0 0)")
+    }
+    intercept[IllegalArgumentException] {
+      cat.rmScenesNotIntersectGeom("POLYGON EMPTY")
+    }
+    assert(cat.scenes.count() == 5)
     cat.rmScenesNotIntersectGeom(wkt)
     assert(cat.scenes.select("PID").as[Long].collect().toSet == Set(1L, 2L))
+  }
+
+  test("single-file dump bootstraps a FRESH catalog (import_sensor_db path)") {
+    val cat = mkCatalog()
+    val dump = Files.createTempDirectory("dump").toString + "/db.json"
+    cat.exportDbToJson(dump)
+    val freshRoot = Files.createTempDirectory("fresh").toString + "/scenes"
+    val fresh = new SceneCatalog(new CowTable(freshRoot, spark), spark)
+    fresh.importDbFromJson(dump) // table does not exist yet
+    assert(fresh.scenes.count() == 5)
+    assert(fresh.scenes.orderBy("PID").collect().toSeq ==
+      cat.scenes.orderBy("PID").collect().toSeq)
   }
 
   test("stateSummary counts all flags in one pass") {

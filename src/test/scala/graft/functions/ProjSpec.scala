@@ -75,11 +75,15 @@ class ProjSpec extends SparkSpec {
       assert(x >= b._4 - 1e-6 && x <= b._3 + 1e-6)
       assert(y >= b._2 - 1e-6 && y <= b._1 + 1e-6)
     }
-    // unsupported EPSG fails loudly, not silently wrong
+    // unsupported EPSG fails loudly, not silently wrong — including
+    // through the codegen path of the scalar expressions (validation
+    // lives in ProjImpl, not just nullSafeEval)
     intercept[Exception] {
       Seq((52.0, 50.0, 2.9, 0.1)).toDF("n", "s", "e", "w")
         .select(G.bboxToUtm(G.bbox($"n", $"s", $"e", $"w"), 27700))
         .collect()
     }
+    intercept[Exception] { fwd(3.0, 0.0, 4326) }
+    intercept[Exception] { inv(500000.0, 0.0, 27700) }
   }
 }

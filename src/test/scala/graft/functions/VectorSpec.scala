@@ -76,6 +76,9 @@ class VectorSpec extends SparkSpec {
       .select($"vec_id", $"label", $"v".cast("array<double>").as("v"))
     val cents = VectorOps.kmeansFit(e, k = 3, iters = 5)
     assert(cents.count() == 3)
+    // k larger than the natural cluster count: emptied clusters keep
+    // their previous centroid, the k-row contract holds
+    assert(VectorOps.kmeansFit(e, k = 10, iters = 3).count() == 10)
     // every vector's nearest centroid groups it with its own direction:
     // all members of a true cluster share one centroid, 3 distinct
     val assign = e.crossJoin(broadcast(cents))

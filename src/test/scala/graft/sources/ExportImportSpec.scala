@@ -51,6 +51,10 @@ class ExportImportSpec extends SparkSpec {
     assert(tree.get("scn_db").get("1").get("Download_End_Date").asText()
       == "2020-03-02T10:30:00")
     assert(tree.get("scn_db").get("2").get("Download_End_Date").asText() == "")
+    // null NON-date columns must still be present (as JSON null), like
+    // the reference's json.dump of None — not silently dropped keys
+    assert(tree.get("scn_db").get("2").has("ExtendedInfo"))
+    assert(tree.get("scn_db").get("2").get("ExtendedInfo").isNull)
     assert(tree.get("plgin_db").fieldNames().asScala.toSet ==
       Set("ndvi", "water"))
     assert(tree.get("plgin_db").get("ndvi").fieldNames().asScala.toSet ==
