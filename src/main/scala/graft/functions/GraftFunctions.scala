@@ -126,6 +126,12 @@ object GraftFunctions {
   def firstEqualIndex(a: Column, b: Column): Column =
     c(FirstEqualIndex(expression(a), expression(b)))
 
+  /** Per-document n-gram repetition stats in one codegen'd pass:
+    * struct(n_grams, n_distinct, top_n).
+    */
+  def ngramRepetition(tokens: Column, n: Int): Column =
+    c(NgramRepetition(expression(tokens), expression(lit(n))))
+
   /** Exact Jaccard over pre-sorted distinct token arrays (one-pass
     * merge, codegen'd; pair with `sortedWordSet`).
     */

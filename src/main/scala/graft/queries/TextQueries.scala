@@ -199,22 +199,23 @@ object TextQueries {
 
     // Repetition-ratio quality signals (the Gopher-rules n-gram
     // repetition filters of LLM data curation): per-document duplicate
-    // 2-gram fraction and top-2-gram coverage. One explode + two
-    // partial-aggregated groupBys — the shuffle carries (doc, gram)
-    // pairs, never documents.
+    // 2-gram fraction and top-2-gram coverage. A per-row statistic, so
+    // it's ONE codegen'd pass over the scan (ngram_repetition
+    // expression) — no explode, no shuffle; the explode + double
+    // groupBy formulation measured 3.7 s here vs sub-second for this.
     "q50_repetition_stats" -> { (s, dir) =>
-      val grams = t(s, dir, "documents")
+      t(s, dir, "documents")
         .select(col("doc_id"),
-          explode(G.wordShingles(toks(col("text")), 2)).as("g"))
-      grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id")
-        .agg(sum(col("c")).as("n_grams"),
-          count(lit(1)).as("n_distinct"),
-          max(col("c")).as("top_n"))
-        .select(col("doc_id"), col("n_grams"), col("n_distinct"),
-          round(lit(1.0) - col("n_distinct") / col("n_grams").cast("double"), 6)
+          G.ngramRepetition(toks(col("text")), 2).as("r"))
+        .filter(col("r.n_grams") > 0)
+        .select(col("doc_id"),
+          col("r.n_grams").as("n_grams"),
+          col("r.n_distinct").as("n_distinct"),
+          round(lit(1.0) -
+            col("r.n_distinct") / col("r.n_grams").cast("double"), 6)
             .as("dup_frac"),
-          round(col("top_n") / col("n_grams").cast("double"), 6).as("top_cov"))
+          round(col("r.top_n") / col("r.n_grams").cast("double"), 6)
+            .as("top_cov"))
         .orderBy("doc_id")
     }
   )
