@@ -70,7 +70,11 @@ object GraftExtensions {
     ("utm_inverse", info("utm_inverse", "UTM struct<easting,northing> to struct<lon,lat>"),
       (e: Seq[Expression]) => UtmInverse(e(0), e(1))),
     ("bbox_to_utm", info("bbox_to_utm", "bbox degrees to UTM meters envelope"),
-      (e: Seq[Expression]) => BBoxToUtm(e(0), e(1))))
+      (e: Seq[Expression]) => BBoxToUtm(e(0), e(1))),
+    ("ngram_repetition", info("ngram_repetition", "per-row n-gram repetition stats"),
+      (e: Seq[Expression]) => NgramRepetition(e(0), e(1))),
+    ("first_equal_index", info("first_equal_index", "first index where long arrays agree"),
+      (e: Seq[Expression]) => FirstEqualIndex(e(0), e(1))))
 
   /** Runtime injection into an existing session (tests, notebooks). */
   def install(spark: SparkSession): Unit = {

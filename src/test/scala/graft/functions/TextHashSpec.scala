@@ -79,6 +79,18 @@ class TextHashSpec extends SparkSpec {
     assert(df.as[String].collect().sameElements(Array("en", "es", "und")))
   }
 
+  test("ngramRepetition: totals, distinct, top, short-text zero") {
+    val r = Seq("a b a b c", "x y", "solo")
+      .toDF("t")
+      .select(G.ngramRepetition(G.tokens($"t"), 2).as("r"))
+      .select("r.n_grams", "r.n_distinct", "r.top_n")
+      .as[(Long, Long, Long)].collect()
+    // "a b a b c": grams [a b, b a, a b, b c] -> 4 total, 3 distinct, top 2
+    assert(r(0) == ((4L, 3L, 2L)))
+    assert(r(1) == ((1L, 1L, 1L)))
+    assert(r(2) == ((0L, 0L, 0L))) // fewer than n tokens
+  }
+
   test("firstEqualIndex finds the first agreeing band, -1 if none") {
     val r = Seq(
       (Seq(1L, 2L, 3L), Seq(9L, 2L, 3L)), // first match at 1
