@@ -183,9 +183,7 @@ object PolygonImpl {
   }
 }
 
-/** `polygon_intersects(bbox, wkt)` → boolean, closed OGC semantics. */
-case class PolygonIntersects(left: Expression, right: Expression)
-    extends BinaryExpression {
+sealed trait PolygonIntersectsLike extends BinaryExpression {
   override def dataType: DataType = BooleanType
   override def nullSafeEval(bbox: Any, wkt: Any): Any =
     PolygonImpl.intersects(bbox.asInstanceOf[InternalRow],
@@ -193,8 +191,29 @@ case class PolygonIntersects(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
       (b, w) => s"graft.functions.expressions.PolygonImpl.intersects($b, $w)")
+}
+
+/** `polygon_intersects(bbox, wkt)` → boolean, closed OGC semantics.
+  * Under [[graft.plans.ExpandPolygonEnvelope]] a foldable-WKT call is
+  * rewritten to closed envelope comparisons AND
+  * [[PolygonIntersectsExact]] — the R-tree prefilter derived
+  * automatically, with the plain comparisons pushable to the scan.
+  */
+case class PolygonIntersects(left: Expression, right: Expression)
+    extends PolygonIntersectsLike {
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): PolygonIntersects =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "polygon_intersects"
+}
+
+/** The exact stage the optimizer leaves behind after deriving the
+  * envelope — a distinct node so the rewrite is idempotent.
+  */
+case class PolygonIntersectsExact(left: Expression, right: Expression)
+    extends PolygonIntersectsLike {
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PolygonIntersectsExact =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "polygon_intersects_exact"
 }

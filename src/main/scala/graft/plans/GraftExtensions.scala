@@ -30,6 +30,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
     ext.injectOptimizerRule(_ => ExpandBBoxIntersects)
+    ext.injectOptimizerRule(_ => ExpandPolygonEnvelope)
   }
 }
 
@@ -85,7 +86,48 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(ExpandBBoxIntersects))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ ExpandBBoxIntersects
+    if (!spark.experimental.extraOptimizations.contains(ExpandPolygonEnvelope))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ ExpandPolygonEnvelope
   }
+}
+
+/** `polygon_intersects(bbox, <foldable wkt>)` → closed envelope
+  * comparisons (computed from the literal geometry at plan time) AND
+  * `polygon_intersects_exact` — the reference's R-tree envelope
+  * prefilter (eodatadownutils.py:1839-1868) derived automatically.
+  * The plain `>=`/`<=` on struct fields simplify to attribute
+  * comparisons that Catalyst pushes to the parquet scan, while the
+  * exact test stays codegen'd behind them in the same filter.
+  * Rewriting to the distinct Exact node makes the rule idempotent.
+  * Null semantics match under Filter: a null coordinate fails the
+  * comparisons, and the expression's null result drops the row too.
+  * Unparseable WKT (null envelope) is left untouched — the
+  * expression then returns false everywhere, same as before.
+  */
+object ExpandPolygonEnvelope extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{GreaterThanOrEqual, LessThanOrEqual, Literal}
+  import graft.functions.expressions.{BBox, PolygonIntersects, PolygonIntersectsExact}
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case PolygonIntersects(fp, wkt)
+          if wkt.foldable && ExpandBBoxIntersects.cheapInput(fp) =>
+        val env = BBox.fromWkt(
+          wkt.eval().asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+        if (env == null) PolygonIntersectsExact(fp, wkt)
+        else {
+          def f(i: Int) = GetStructField(fp, i,
+            Some(Seq("north", "south", "east", "west")(i)))
+          And(
+            And(GreaterThanOrEqual(f(2), Literal(env.getDouble(3))),   // east >= env.west
+              LessThanOrEqual(f(3), Literal(env.getDouble(2)))),       // west <= env.east
+            And(
+              And(GreaterThanOrEqual(f(0), Literal(env.getDouble(1))), // north >= env.south
+                LessThanOrEqual(f(1), Literal(env.getDouble(0)))),     // south <= env.north
+              PolygonIntersectsExact(fp, wkt)))
+        }
+    }
 }
 
 /** `bbox_intersects(a, b)` → four strict `>` comparisons over struct
@@ -95,6 +137,11 @@ object GraftExtensions {
   * true ⇒ row dropped, same as the expression's null result.
   */
 object ExpandBBoxIntersects extends Rule[LogicalPlan] {
+
+  /** Cheap-to-duplicate inputs: attributes, literals, structs
+    * thereof (shared with ExpandPolygonEnvelope).
+    */
+  def cheapInput(e: Expression): Boolean = cheap(e)
 
   private def cheap(e: Expression): Boolean = e match {
     case _: org.apache.spark.sql.catalyst.expressions.AttributeReference => true
