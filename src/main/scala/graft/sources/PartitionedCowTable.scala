@@ -81,6 +81,28 @@ class PartitionedCowTable(val root: String, val partCol: String,
     else spark.read.parquet(dirs: _*)
   }
 
+  /** Current committed version number (for [[changedSince]]). */
+  def version: Int = requireVersion
+
+  /** CDC-lite: rows of every partition whose data directory differs
+    * from version `sinceVersion`'s manifest (rewritten, newly created,
+    * or re-created). Untouched partitions share their directory across
+    * versions by construction, so the manifest diff IS the change set —
+    * a downstream consumer checkpoints the version number and
+    * re-processes only rewritten partitions, never the table.
+    * `sinceVersion < 0` means everything.
+    */
+  def changedSince(sinceVersion: Int): DataFrame = {
+    val cur = requireVersion
+    val old =
+      if (sinceVersion < 0) Map.empty[String, String]
+      else manifestAt(sinceVersion)
+    val changed = manifestAt(cur).filter { case (k, d) =>
+      !old.get(k).contains(d)
+    }.keySet
+    readWhere(changed.contains)
+  }
+
   /** The distinct partition values present in a DataFrame — small by
     * construction (a commit touches few partitions), so the collect is
     * bounded by partition count, not data size.

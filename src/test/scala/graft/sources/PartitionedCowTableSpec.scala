@@ -117,6 +117,24 @@ class PartitionedCowTableSpec extends SparkSpec {
     assert(t.read().count() == 1)
   }
 
+  test("changedSince: manifest diff is the change feed") {
+    implicit val s = spark
+    val t = mk()
+    val v0 = t.version
+    // full history from "before anything": all rows
+    assert(t.changedSince(-1).count() == 4)
+    // no commits since v0: empty, schema intact
+    assert(t.changedSince(v0).count() == 0)
+    t.upsert(Seq((2L, "2020-03", "b2", true)).toDF("pid", "month", "v", "flag"),
+      Seq("pid"))
+    // only the rewritten 2020-03 partition flows; 04/05 are shared dirs
+    val changed = t.changedSince(v0)
+    assert(changed.select("month").distinct().as[String].collect()
+      .sameElements(Array("2020-03")))
+    assert(changed.count() == 2)
+    assert(t.changedSince(t.version).count() == 0)
+  }
+
   test("torn commit: stray write dir without pointer flip is invisible") {
     implicit val s = spark
     val t = mk()
