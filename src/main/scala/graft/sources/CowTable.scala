@@ -42,9 +42,21 @@ class CowTable(val root: String, spark: SparkSession) extends VersionedTable {
   }
 
   private def commit(df: DataFrame): Unit = {
-    val next = "v_%06d".format(
-      currentVersion.map(_.drop(2).toInt + 1).getOrElse(0))
+    val base = currentVersion
+    val next = "v_%06d".format(base.map(_.drop(2).toInt + 1).getOrElse(0))
     df.write.mode("overwrite").parquet(s"$root/$next")
+    // optimistic concurrency: if another writer advanced the pointer
+    // while this commit materialized, flipping it would silently THROW
+    // AWAY the competing commit (the data just written derives from a
+    // stale read). Fail loudly instead — the caller re-reads and
+    // retries. (A race inside the check-then-move window remains
+    // possible; single-writer-per-table is still the deployment rule,
+    // this guard just turns most violations into errors.)
+    if (currentVersion != base)
+      throw new java.util.ConcurrentModificationException(
+        s"concurrent commit detected at $root: expected base " +
+          s"${base.getOrElse("<none>")}, found " +
+          s"${currentVersion.getOrElse("<none>")}")
     val tmp = Paths.get(root, s"_current.tmp.$next")
     Files.write(tmp, next.getBytes(UTF_8))
     Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,

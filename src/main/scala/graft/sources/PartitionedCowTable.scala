@@ -149,6 +149,16 @@ class PartitionedCowTable(val root: String, val partCol: String,
 
   private def writeVersion(v: Int, schemaDdl: String,
                            partitions: Map[String, String]): Unit = {
+    // optimistic concurrency (see CowTable.commit): a competing writer
+    // advancing the pointer mid-commit means this manifest's carried
+    // partitions derive from a stale read — fail loudly, don't
+    // silently drop the other commit
+    val expected = if (v == 0) None else Some(v - 1)
+    if (currentVersion != expected)
+      throw new java.util.ConcurrentModificationException(
+        s"concurrent commit detected at $root: expected base " +
+          s"${expected.getOrElse("<none>")}, found " +
+          s"${currentVersion.getOrElse("<none>")}")
     val node = mapper.createObjectNode()
     node.put("schema", schemaDdl)
     val parts = node.putObject("partitions")

@@ -47,6 +47,27 @@ class CowTableSpec extends SparkSpec {
     assert(t.read().as[(Long, Boolean)].collect().toSet == Set((1L, false)))
   }
 
+  test("a commit racing a concurrent pointer advance fails loudly") {
+    val root = tmp()
+    val t = new CowTable(root, spark)
+    t.overwrite(Seq((1L, "a")).toDF("id", "v")) // v0
+    // a side-effecting UDF advances the pointer WHILE the commit's
+    // parquet write executes — i.e. after commit snapshots its base
+    // version, before the pointer flip: the in-flight data derives
+    // from a stale read and must not clobber the competing commit
+    RacingWriter.target = root + "/_current"
+    val race = udf(RacingWriter.fire)
+    intercept[java.util.ConcurrentModificationException] {
+      t.append(Seq((2L, "b")).toDF("id", "v")
+        .withColumn("id", race($"id")))
+    }
+    // a clean retry from the (new) current version then succeeds
+    java.nio.file.Files.write(java.nio.file.Paths.get(RacingWriter.target),
+      "v_000000".getBytes("UTF-8"))
+    t.append(Seq((3L, "c")).toDF("id", "v"))
+    assert(t.read().count() == 2)
+  }
+
   test("vacuum keeps only the current version; read unaffected") {
     val root = tmp()
     val t = new CowTable(root, spark)
@@ -57,5 +78,19 @@ class CowTableSpec extends SparkSpec {
     val dirs = new java.io.File(root).listFiles().map(_.getName)
       .filter(_.startsWith("v_"))
     assert(dirs.length == 1)
+  }
+}
+
+/** Simulates a competing writer from inside a running commit: the UDF
+  * fires on executors during the parquet write (local mode shares the
+  * JVM/filesystem) and advances `_current` before the pointer flip.
+  * Top-level so the closure doesn't capture the suite.
+  */
+object RacingWriter extends Serializable {
+  @volatile var target: String = _
+  val fire: Long => Long = { x =>
+    java.nio.file.Files.write(java.nio.file.Paths.get(target),
+      "v_000042".getBytes("UTF-8"))
+    x
   }
 }
