@@ -90,7 +90,9 @@ class PartitionedCowTable(val root: String, val partCol: String,
     * versions by construction, so the manifest diff IS the change set —
     * a downstream consumer checkpoints the version number and
     * re-processes only rewritten partitions, never the table.
-    * `sinceVersion < 0` means everything.
+    * `sinceVersion < 0` means everything. Note `vacuum()` retention:
+    * a vacuumed-away base version can no longer be diffed against
+    * (same contract as Delta-style time travel).
     */
   def changedSince(sinceVersion: Int): DataFrame = {
     val cur = requireVersion
