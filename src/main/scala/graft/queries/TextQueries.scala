@@ -125,41 +125,64 @@ object TextQueries {
     // MinHash + LSH near-dup candidates, then exact-Jaccard verify —
     // the scale path: band-hash buckets bound the join, the full cross
     // product is never materialized.
-    // Join order matters at scale: band-hash buckets produce candidate
-    // (doc_a, doc_b) ID pairs FIRST (longs only — no token arrays ride
-    // the band join or the distinct), then token sets are joined back
-    // for the exact verify. Banding 16×8 over k=128 keeps recall at
-    // τ=0.9 above 0.999 while pruning the low-similarity mass.
+    //
+    // Exact-dedup-first: web-scale corpora are boilerplate-heavy, so
+    // identical token SETS are grouped before any hashing — the
+    // signature/band/verify pipeline runs once per DISTINCT set, and
+    // doc-level pairs are reconstructed at the end (intra-group pairs
+    // are jac=1.0 by definition; cross-group set pairs fan out through
+    // the id-only membership map). Everything between the first groupBy
+    // and the final fan-out carries (long, long) IDs only. Banding 16×8
+    // over k=128 keeps recall at τ=0.9 above 0.999.
     "q30_minhash_lsh_pairs" -> { (s, dir) =>
       val k = 128
       val bands = 16
       val rows = k / bands
       // degenerate-bucket guard (ScaleOps.bandedCandidatePairs): the cap
-      // must sit above the corpus's organic bucket sizes (LshStats
-      // measured max 2045 at sf0.1 — the 31-word vocab makes this
-      // corpus genuinely boilerplate-heavy) so results stay identical
-      // to the unguarded join and the exact-Jaccard oracle holds; a
-      // bucket beyond the cap is star-reduced instead of exploding
-      // quadratically (SkewGuardSpec pins that behavior)
+      // must sit above the corpus's organic bucket sizes among DISTINCT
+      // sets (LshStats measured max 2045 at sf0.1 pre-dedup; dedup only
+      // shrinks buckets) so results stay identical to the unguarded
+      // join and the exact-Jaccard oracle holds; a bucket beyond the
+      // cap is star-reduced instead of exploding quadratically
+      // (SkewGuardSpec pins that behavior). Re-measure via LshStats
+      // when the corpus grows.
       val bucketCap = 5000
       val d = t(s, dir, "documents")
         .select(col("doc_id"), G.sortedWordSet(col("text")).as("ws"))
-      val banded = d
-        .select(col("doc_id"), G.minhashSig(col("ws"), k).as("sig"))
-        .select(col("doc_id"),
+      // one row per distinct word set, keyed by its min doc id
+      val sets = d.groupBy("ws")
+        .agg(min("doc_id").as("sid"), count(lit(1)).as("gsz"))
+      // id-only membership map doc_id → set id (no arrays downstream)
+      val members = d.join(sets.select(col("ws"), col("sid")), Seq("ws"))
+        .select(col("sid"), col("doc_id"))
+      val banded = sets
+        .select(col("sid"), G.minhashSig(col("ws"), k).as("sig"))
+        .select(col("sid"),
           posexplode(transform(sequence(lit(0), lit(bands - 1)),
             i => xxhash64(i, slice(col("sig"), i * lit(rows) + lit(1), lit(rows))))))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-      val pairs = Sc.bandedCandidatePairs(banded, Seq("band", "bucket"),
-        "doc_id", bucketCap, "doc_a", "doc_b")
-      pairs
-        .join(d.select(col("doc_id").as("doc_a"), col("ws").as("ws_a")), Seq("doc_a"))
-        .join(d.select(col("doc_id").as("doc_b"), col("ws").as("ws_b")), Seq("doc_b"))
-        // (q29's size-ratio prune measured SLOWER here: LSH candidates
-        // are already high-similarity, so it prunes little and only
-        // perturbs the all-broadcast plan)
+      val cand = Sc.bandedCandidatePairs(banded, Seq("band", "bucket"),
+        "sid", bucketCap, "sid_a", "sid_b")
+      // exact verify once per distinct-set pair
+      val setPairs = cand
+        .join(sets.select(col("sid").as("sid_a"), col("ws").as("ws_a")), Seq("sid_a"))
+        .join(sets.select(col("sid").as("sid_b"), col("ws").as("ws_b")), Seq("sid_b"))
         .withColumn("jac", G.sortedJaccard(col("ws_a"), col("ws_b")))
         .filter(col("jac") >= 0.9)
+        .select(col("sid_a"), col("sid_b"), col("jac"))
+      // fan back out to doc ids: identical-set pairs are exact dups …
+      val intra = members.select(col("sid"), col("doc_id").as("doc_a"))
+        .join(members.select(col("sid"), col("doc_id").as("doc_b")), Seq("sid"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), lit(1.0).as("jac"))
+      // … and each verified set pair links every member of one group to
+      // every member of the other (same jac for all of them)
+      val cross = setPairs
+        .join(members.select(col("sid").as("sid_a"), col("doc_id").as("da")), Seq("sid_a"))
+        .join(members.select(col("sid").as("sid_b"), col("doc_id").as("db")), Seq("sid_b"))
+        .select(least(col("da"), col("db")).as("doc_a"),
+          greatest(col("da"), col("db")).as("doc_b"), col("jac"))
+      intra.union(cross)
         .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
         .orderBy("doc_a", "doc_b")
     },
