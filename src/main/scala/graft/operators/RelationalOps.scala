@@ -81,13 +81,17 @@ object RelationalOps {
                    out: String = "new_pid", partitions: Int = 32): DataFrame = {
     val spark = incoming.sparkSession
     import spark.implicits._
-    // persisted: the counts job and the caller's final action must see
-    // the SAME range boundaries and partition ids — re-executing the
-    // range sample against a source whose order changed (task retry,
-    // AQE re-plan) could silently shift offsets and collide keys
+    // eagerly local-checkpointed: the counts job and the caller's final
+    // action must see the SAME range boundaries and partition ids —
+    // re-executing the range sample against a source whose order
+    // changed (task retry, AQE re-plan) could silently shift offsets
+    // and collide keys. localCheckpoint truncates lineage (a lost block
+    // fails the job loudly instead of silently recomputing shifted
+    // boundaries) and its storage is reclaimed by the ContextCleaner
+    // when the plan is dropped, so no persist handle leaks to callers.
     val parted = incoming.repartitionByRange(partitions, col(orderCol))
       .withColumn("__part", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val local = parted.withColumn("__rk",
       row_number().over(Window.partitionBy(col("__part")).orderBy(col(orderCol))))
     // exclusive prefix sum over ONE COUNT PER PARTITION — bounded
@@ -101,7 +105,7 @@ object RelationalOps {
     }.init.zip(counts).map { case ((_, off), (p, _)) => (p, off) }
     local.join(broadcast(offsets.toSeq.toDF("__part", "__offset")), Seq("__part"))
       .withColumn(out, base + col("__offset") + col("__rk"))
-      .drop("__part", "__rk")
+      .drop("__part", "__rk", "__offset")
   }
 
   /** Summary statistics (A7): the reference fetches whole tables into

@@ -57,6 +57,12 @@ object ScaleOps {
     * (AQE broadcasts the small side) — deliberately NOT a window over
     * the band keys, which would force a shuffle of the banded rows and
     * lose the all-broadcast plan on corpora that fit.
+    *
+    * Cap firings are silent in the pairs output by design (the guard
+    * exists to keep the job alive); run [[starReducedBuckets]] with the
+    * SAME arguments alongside any production job so a fired cap is
+    * observed and the cap re-measured as the corpus grows — an organic
+    * bucket crossing the cap drops intra-bucket pairs.
     */
   def bandedCandidatePairs(banded: DataFrame, bandCols: Seq[String],
                            idCol: String, bucketCap: Int,
@@ -76,6 +82,19 @@ object ScaleOps {
       .select(col("__rep").as(outA), col(idCol).as(outB))
     smallPairs.union(starPairs).distinct()
   }
+
+  /** Diagnostic twin of [[bandedCandidatePairs]]: the buckets the guard
+    * STAR-REDUCES (size > `bucketCap`), with their sizes and
+    * representative id. Empty ⇒ the guard never fired and the pairs
+    * output is identical to the unguarded all-pairs join (the property
+    * q30's exact-Jaccard oracle relies on). One partial-aggregated
+    * groupBy over the banded rows — cheap next to the pairs job itself.
+    */
+  def starReducedBuckets(banded: DataFrame, bandCols: Seq[String],
+                         idCol: String, bucketCap: Int): DataFrame =
+    banded.groupBy(bandCols.map(col): _*)
+      .agg(count(lit(1)).as("bucket_size"), min(col(idCol)).as("rep_id"))
+      .filter(col("bucket_size") > bucketCap)
 
   /** Range-partition pruning predicate for date-partitioned tables:
     * partition column filter composed alongside the row filter so the

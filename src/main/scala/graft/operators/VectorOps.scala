@@ -81,7 +81,12 @@ object VectorOps {
     *         smaller nn_id — identical to the all-pairs contract)
     */
   def exactNnPerVector(e: DataFrame, cents: DataFrame): DataFrame = {
-    val eps = 1e-9
+    // pruning slack must exceed acos's conditioning error: near cos=1,
+    // dθ ≈ dcos/sin θ blows up, so a 1e-9 slack could prune the cluster
+    // holding a near-duplicate true NN. 1e-6 rad is far above the
+    // float64 acos error everywhere and harmless (nn_cos is rounded to
+    // 6 decimals; the bound only decides which clusters to VERIFY).
+    val eps = 1e-6
     // 1. assign every vector to its nearest centroid (ties: smaller cid)
     val assigned = e.crossJoin(broadcast(cents))
       .withColumn("cc", G.cosineSim(col("v"), col("cv")))

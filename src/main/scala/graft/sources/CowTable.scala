@@ -44,23 +44,54 @@ class CowTable(val root: String, spark: SparkSession) extends VersionedTable {
   private def commit(df: DataFrame): Unit = {
     val base = currentVersion
     val next = "v_%06d".format(base.map(_.drop(2).toInt + 1).getOrElse(0))
-    df.write.mode("overwrite").parquet(s"$root/$next")
-    // optimistic concurrency: if another writer advanced the pointer
+    // stage under a writer-unique name: two writers racing from the
+    // same base would otherwise BOTH target v_<next>, and the loser's
+    // mode=overwrite could delete the winner's already-committed files
+    // mid-write. Each writer materializes privately, then claims the
+    // version directory with a no-replace rename — the dir-name
+    // collision itself fails the loser before any shared state is
+    // touched.
+    val stage = s"_stage_${next}_${java.util.UUID.randomUUID()}"
+    df.write.mode("overwrite").parquet(s"$root/$stage")
+    try {
+      Files.move(Paths.get(root, stage), Paths.get(root, next))
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        deleteRecursively(stage)
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent commit detected at $root: version dir $next " +
+            s"already exists (competing writer from base " +
+            s"${base.getOrElse("<none>")})")
+    }
+    // second line of defense: if another writer advanced the pointer
     // while this commit materialized, flipping it would silently THROW
     // AWAY the competing commit (the data just written derives from a
     // stale read). Fail loudly instead — the caller re-reads and
     // retries. (A race inside the check-then-move window remains
     // possible; single-writer-per-table is still the deployment rule,
     // this guard just turns most violations into errors.)
-    if (currentVersion != base)
+    if (currentVersion != base) {
+      // the claimed dir is ours (the rename succeeded) and the pointer
+      // never referenced it — remove it so a clean retry from the new
+      // base isn't blocked by the orphan; keep it only in the corrupt
+      // state where the pointer somehow already names it
+      if (!currentVersion.contains(next)) deleteRecursively(next)
       throw new java.util.ConcurrentModificationException(
         s"concurrent commit detected at $root: expected base " +
           s"${base.getOrElse("<none>")}, found " +
           s"${currentVersion.getOrElse("<none>")}")
+    }
     val tmp = Paths.get(root, s"_current.tmp.$next")
     Files.write(tmp, next.getBytes(UTF_8))
     Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def deleteRecursively(name: String): Unit = {
+    val p = Paths.get(root, name)
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
   }
 
   /** Create or fully replace the table. */
@@ -97,13 +128,15 @@ class CowTable(val root: String, spark: SparkSession) extends VersionedTable {
   def deleteWhere(pred: org.apache.spark.sql.Column): Unit =
     commit(read().filter(!pred))
 
-  /** Garbage-collect uncommitted/old version dirs (keep current). */
+  /** Garbage-collect uncommitted/old version dirs and abandoned
+    * staging dirs (keep current).
+    */
   def vacuum(): Unit = currentVersion.foreach { cur =>
     val dir = Paths.get(root)
     if (Files.exists(dir)) {
       Files.list(dir).forEach { p =>
         val n = p.getFileName.toString
-        if (n.startsWith("v_") && n != cur) {
+        if ((n.startsWith("v_") && n != cur) || n.startsWith("_stage_")) {
           Files.walk(p).sorted(java.util.Comparator.reverseOrder())
             .forEach(f => Files.delete(f))
         }

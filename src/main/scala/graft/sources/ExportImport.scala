@@ -140,7 +140,16 @@ object ExportImport {
     val mapper = new ObjectMapper()
     val rootNode = mapper.readTree(Files.readAllBytes(Paths.get(path)))
     val sectionNode = rootNode.get(section)
-    val rowsNode = plugin.map(sectionNode.get).getOrElse(sectionNode)
+    require(sectionNode != null,
+      s"section '$section' not present in $path (sections: " +
+        s"${rootNode.fieldNames().asScala.mkString(", ")})")
+    val rowsNode = plugin.map { p =>
+      val n = sectionNode.get(p)
+      require(n != null,
+        s"plugin '$p' not present in section '$section' of $path " +
+          s"(plugins: ${sectionNode.fieldNames().asScala.mkString(", ")})")
+      n
+    }.getOrElse(sectionNode)
     val rowJsons = rowsNode.fields().asScala
       .map(_.getValue.toString).toSeq
     val asStrings = StructType(schema.fields.map { f =>

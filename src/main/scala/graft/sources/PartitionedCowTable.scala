@@ -138,15 +138,43 @@ class PartitionedCowTable(val root: String, val partCol: String,
                      carried: Map[String, String]): Unit = {
     val next = currentVersion.map(_ + 1).getOrElse(0)
     val wdir = f"w_$next%06d"
+    // stage under a writer-unique name, then claim w_<next> with a
+    // no-replace rename (see CowTable.commit): two writers racing from
+    // the same base both target w_<next>, and the loser's overwrite
+    // could delete the winner's committed files mid-write — the
+    // dir-name collision fails the loser before shared state is touched
+    val stage = s"_stage_${wdir}_${java.util.UUID.randomUUID()}"
     data
       .withColumn("__part", col(partCol).cast("string"))
-      .write.partitionBy("__part").mode("overwrite").parquet(s"$root/$wdir")
+      .write.partitionBy("__part").mode("overwrite").parquet(s"$root/$stage")
+    try {
+      Files.move(Paths.get(root, stage), Paths.get(root, wdir))
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.walk(Paths.get(root, stage))
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.delete(f))
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent commit detected at $root: data dir $wdir " +
+            "already exists (competing writer from the same base)")
+    }
     val written: Map[String, String] =
       Files.list(Paths.get(root, wdir)).iterator().asScala
         .map(_.getFileName.toString)
         .filter(_.startsWith("__part="))
         .map(n => n.stripPrefix("__part=") -> s"$wdir/$n").toMap
-    writeVersion(next, data.schema.toDDL, (carried -- touched) ++ written)
+    try {
+      writeVersion(next, data.schema.toDDL, (carried -- touched) ++ written)
+    } catch {
+      case e: java.util.ConcurrentModificationException =>
+        // the claimed data dir is ours (the rename succeeded) and no
+        // manifest references it — remove it so a clean retry from the
+        // new base isn't blocked by the orphan
+        Files.walk(Paths.get(root, wdir))
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.delete(f))
+        throw e
+    }
   }
 
   private def writeVersion(v: Int, schemaDdl: String,
@@ -240,7 +268,8 @@ class PartitionedCowTable(val root: String, val partCol: String,
       val deadData = n.startsWith("w_") && !live.contains(n)
       val deadManifest = n.startsWith("v_") && n.endsWith(".json") &&
         n != f"v_$cur%06d.json"
-      if (deadData || deadManifest) {
+      val deadStage = n.startsWith("_stage_")
+      if (deadData || deadManifest || deadStage) {
         Files.walk(p).sorted(java.util.Comparator.reverseOrder())
           .forEach(f => Files.delete(f))
       }

@@ -51,6 +51,22 @@ class SkewGuardSpec extends SparkSpec {
       .toSeq == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("starReducedBuckets makes cap firings observable") {
+    val boiler = (100L until 400L).map(i => (i, "spam spam spam spam spam"))
+    val organic = Seq[(Long, String)](
+      (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"))
+    val b = banded(boiler ++ organic)
+    // fired: the boilerplate bucket appears once per band, rep = 100
+    val fired = ScaleOps.starReducedBuckets(b, Seq("band", "bucket"),
+      "doc_id", bucketCap = 100)
+    assert(fired.count() == bands)
+    assert(fired.select("bucket_size", "rep_id").distinct()
+      .as[(Long, Long)].head() == ((300L, 100L)))
+    // cap above every organic bucket: no firings ⇒ pairs == unguarded
+    assert(ScaleOps.starReducedBuckets(b, Seq("band", "bucket"),
+      "doc_id", bucketCap = 5000).count() == 0)
+  }
+
   test("mixed corpus: pathological group capped, organic pairs intact") {
     val boiler = (100L until 400L).map(i => (i, "spam spam spam spam spam"))
     val organic = Seq[(Long, String)](

@@ -71,8 +71,12 @@ class PlanQualitySpec extends SparkSpec {
         b.contains("band") && b.contains("bucket"))
     assert(bandStage.nonEmpty, p)
     bandStage.foreach(b => assert(tokenCol.findFirstIn(b).isEmpty, b))
+    // pair dedup runs on distinct-set ids (sid_a/sid_b) since the
+    // exact-dedup-first rewrite; doc_a/doc_b only appear in the final
+    // fan-out — either way the aggregate must carry longs only
     val dedups = blocks.filter(b => b.startsWith("HashAggregate") &&
-      b.contains("doc_a") && b.contains("doc_b"))
+      ((b.contains("sid_a") && b.contains("sid_b")) ||
+        (b.contains("doc_a") && b.contains("doc_b"))))
     assert(dedups.nonEmpty, p)
     dedups.foreach(b => assert(tokenCol.findFirstIn(b).isEmpty, b))
   }

@@ -1,6 +1,7 @@
 package graft.sources
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.functions._
 
@@ -66,6 +67,28 @@ class CowTableSpec extends SparkSpec {
       "v_000000".getBytes("UTF-8"))
     t.append(Seq((3L, "c")).toDF("id", "v"))
     assert(t.read().count() == 2)
+  }
+
+  test("version-dir collision fails the loser without touching the winner's data") {
+    val root = tmp()
+    val t = new CowTable(root, spark)
+    t.overwrite(Seq((1L, "a")).toDF("id", "v")) // v0
+    // a competing writer from the same base has already claimed
+    // v_000001 (renamed into place, pointer flip still in flight):
+    // the loser must fail on the name collision and must NOT delete
+    // or overwrite the winner's files
+    val winner = java.nio.file.Paths.get(root, "v_000001")
+    java.nio.file.Files.createDirectory(winner)
+    java.nio.file.Files.write(winner.resolve("part-winner.parquet"),
+      "winner-bytes".getBytes("UTF-8"))
+    intercept[java.util.ConcurrentModificationException] {
+      t.append(Seq((2L, "b")).toDF("id", "v"))
+    }
+    assert(java.nio.file.Files.exists(winner.resolve("part-winner.parquet")))
+    // and no staging garbage is left behind after vacuum
+    t.vacuum()
+    assert(!java.nio.file.Files.list(java.nio.file.Paths.get(root))
+      .iterator().asScala.exists(_.getFileName.toString.startsWith("_stage_")))
   }
 
   test("vacuum keeps only the current version; read unaffected") {
