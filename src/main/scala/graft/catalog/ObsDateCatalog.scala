@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.model.{SensorSchema, SensorSchemas}
 import graft.sources.{CowTable, ExportImport, VersionedTable}
 
 /** The obs-date rollup tables `EDDObsDates` / `EDDObsDatesScns`
@@ -15,23 +16,44 @@ import graft.sources.{CowTable, ExportImport, VersionedTable}
   * - obsDateScns: (SensorID, PlatformID, ObsDate, Scene_PID)
   *
   * The reference builds these with per-(platform,date) queries in a
-  * loop; here one grouped pass over the scene table derives both, and
-  * refresh() upserts incrementally (new dates appear, existing rows'
-  * scene fan-out is replaced, processed flags are preserved).
+  * loop, generic over any sensor via per-sensor hooks
+  * (`find_unique_platforms` / `get_scn_pids_for_date`,
+  * eodatadownsensor.py:560-603); here the [[SensorSchema]] descriptor
+  * carries the same information (platform column, obs-date
+  * expression), and one grouped pass over the scene table derives
+  * both tables. refresh() upserts incrementally (new dates appear,
+  * existing rows' scene fan-out is replaced, processed flags are
+  * preserved).
   */
-class ObsDateCatalog(val sensorId: String,
+class ObsDateCatalog(val sensor: SensorSchema,
                      datesTable: VersionedTable, scnsTable: VersionedTable,
                      spark: SparkSession) {
+
+  val sensorId: String = sensor.sensor
 
   def obsDates: DataFrame = datesTable.read()
   def obsDateScns: DataFrame = scnsTable.read()
 
-  /** Derive/refresh both tables from the scene table. */
-  def refresh(scenes: DataFrame): Unit = {
-    val fanout = scenes.filter(!col("Invalid"))
+  /** Derive/refresh both tables from the scene table, optionally
+    * restricted to an inclusive obs-date window (the reference's
+    * start/end args). Sensors without a platform column raise, exactly
+    * like the reference's unimplemented `find_unique_platforms`
+    * (eodatadownGEDIsensor.py:1020-1021).
+    */
+  def refresh(scenes: DataFrame, startIncl: Option[String] = None,
+              endIncl: Option[String] = None): Unit = {
+    val platformCol = sensor.platform.getOrElse(throw
+      new UnsupportedOperationException(
+        s"sensor ${sensor.sensor} has no platform column — obs-date " +
+          "rollups are not supported (reference raises the same)"))
+    val inWindow = Seq(
+      startIncl.map(s => sensor.obsDate >= lit(s)),
+      endIncl.map(e => sensor.obsDate <= lit(e))
+    ).flatten.foldLeft(!col("Invalid"))(_ && _)
+    val fanout = scenes.filter(inWindow)
       .select(lit(sensorId).as("SensorID"),
-        col("Spacecraft_ID").as("PlatformID"),
-        col("Date_Acquired").as("ObsDate"),
+        col(platformCol).as("PlatformID"),
+        sensor.obsDate.as("ObsDate"),
         col("PID").as("Scene_PID"))
     // group-keyed upsert: replaces the fan-out of every (platform,
     // date) present in the new derivation, keeps rows of dates that
@@ -112,9 +134,18 @@ class ObsDateCatalog(val sensorId: String,
 }
 
 object ObsDateCatalog {
-  def apply(sensorId: String, root: String)(implicit spark: SparkSession): ObsDateCatalog =
-    new ObsDateCatalog(sensorId, new CowTable(s"$root/obs_dates", spark),
+  def apply(sensor: SensorSchema, root: String)(implicit spark: SparkSession): ObsDateCatalog =
+    new ObsDateCatalog(sensor, new CowTable(s"$root/obs_dates", spark),
       new CowTable(s"$root/obs_date_scns", spark), spark)
+
+  /** Landsat-named convenience kept for callers addressing sensors by
+    * id string (resolved against [[SensorSchemas.all]]).
+    */
+  def apply(sensorId: String, root: String)(implicit spark: SparkSession): ObsDateCatalog =
+    apply(SensorSchemas.all.find(_.sensor == sensorId).getOrElse(
+      throw new IllegalArgumentException(
+        s"unknown sensor '$sensorId' (known: " +
+          s"${SensorSchemas.all.map(_.sensor).mkString(", ")})")), root)
 
   /** EDDObsDates schema (eodatadownsensor.py:53-61). */
   val datesSchema: StructType = StructType(Seq(

@@ -52,7 +52,7 @@ class ObsDatePluginSpec extends SparkSpec {
     import graft.sources.PartitionedCowTable
     val root = Files.createTempDirectory("obsp").toString
     val scns = new PartitionedCowTable(s"$root/obs_date_scns", "ObsDate", spark)
-    val cat = new ObsDateCatalog("LandsatGOOG",
+    val cat = new ObsDateCatalog(graft.model.SensorSchemas.landsat,
       new CowTable(s"$root/obs_dates", spark), scns, spark)
     cat.refresh(mkScenes().toDF())
     val before = scns.manifest
@@ -66,6 +66,45 @@ class ObsDatePluginSpec extends SparkSpec {
     assert(after("2020-03-01") == before("2020-03-01"))
     assert(after("2020-03-02") == before("2020-03-02"))
     assert(cat.scenesFor("L8", "2020-03-05").count() == 1)
+  }
+
+  test("obs-date catalog is sensor-generic: S1/S2 schemas, timestamp cast, window") {
+    import graft.model.SensorSchemas
+    implicit val s = spark
+    // Sentinel-1: platform col `Platform`, obs date cast from the
+    // `Acquisition_Date` TIMESTAMP (the generic obsDate expression)
+    val s1 = Seq(
+      (1L, "Sentinel-1A", Timestamp.valueOf("2020-03-01 05:00:00"), false),
+      (2L, "Sentinel-1A", Timestamp.valueOf("2020-03-01 06:10:00"), false),
+      (3L, "Sentinel-1B", Timestamp.valueOf("2020-03-02 05:00:00"), false),
+      (4L, "Sentinel-1A", Timestamp.valueOf("2020-03-03 05:00:00"), true)
+    ).toDF("PID", "Platform", "Acquisition_Date", "Invalid")
+    val c1 = ObsDateCatalog(SensorSchemas.sentinel1,
+      Files.createTempDirectory("obs_s1").toString)
+    c1.refresh(s1)
+    assert(c1.obsDates.count() == 2) // invalid 4 excluded
+    assert(c1.scenesFor("Sentinel-1A", "2020-03-01").select("Scene_PID")
+      .as[Long].collect().sameElements(Array(1L, 2L)))
+    assert(c1.obsDates.select("SensorID").distinct().as[String].head() ==
+      "Sentinel1ASF")
+    // Sentinel-2: platform col `Platform_ID`, obs date from Sensing_Time
+    val s2 = Seq(
+      (10L, "Sentinel-2A", Timestamp.valueOf("2020-04-01 10:00:00"), false),
+      (11L, "Sentinel-2B", Timestamp.valueOf("2020-04-02 10:00:00"), false)
+    ).toDF("PID", "Platform_ID", "Sensing_Time", "Invalid")
+    val c2 = ObsDateCatalog(SensorSchemas.sentinel2,
+      Files.createTempDirectory("obs_s2").toString)
+    // inclusive refresh window (the reference's start/end args)
+    c2.refresh(s2, startIncl = Some("2020-04-02"))
+    assert(c2.obsDates.count() == 1)
+    assert(c2.scenesFor("Sentinel-2B", "2020-04-02").count() == 1)
+    // a sensor with no platform column fails loudly, like the
+    // reference's unimplemented find_unique_platforms
+    val g = Seq((20L, Date.valueOf("2020-05-01"), false))
+      .toDF("PID", "Date_Acquired", "Invalid")
+    val cg = ObsDateCatalog(SensorSchemas.gedi,
+      Files.createTempDirectory("obs_g").toString)
+    intercept[UnsupportedOperationException] { cg.refresh(g) }
   }
 
   test("overviews JSON: write-back, path rewrite, export/import roundtrip") {
