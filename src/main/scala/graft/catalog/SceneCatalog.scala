@@ -291,10 +291,33 @@ class SceneCatalog(val table: VersionedTable, spark: SparkSession,
   // update_extended_info_*_paths, .py:3107-3316): prefix rewrite over
   // path-valued columns for matching rows.
 
+  /** Prefix rewrite for columns whose VALUE is a path. The filter and
+    * the `^` anchor both assume the column starts with the path —
+    * for JSON columns (ExtendedInfo starts with `{`) this matches
+    * nothing; use [[jsonPathRewrite]] there.
+    */
   def updatePathPrefix(column: String, from: String, to: String): Unit =
     table.updateWhere(col(column).startsWith(from), Map(
       column -> regexp_replace(col(column),
         "^" + java.util.regex.Pattern.quote(from), to)))
+
+  /** update_extended_info_qklook_tilecache_paths
+    * (eodatadownsensor.py:424-452, applied per-row on import at
+    * eodatadownlandsatgoogsensor.py:2660): rewrite path prefixes
+    * INSIDE a JSON column's values — quicklook image lists, tilecache
+    * paths, and any other path-valued entry. Contains-filter +
+    * unanchored quoted-prefix replace, so only rows embedding the
+    * prefix are rewritten (partition pruning still applies) and every
+    * occurrence inside the JSON is updated. Unlike the reference,
+    * sibling keys SURVIVE (the reference rebuilds the dict from just
+    * quicklook/tilecache and documents the data loss as a known
+    * limitation — eodatadownsensor.py:426-428).
+    */
+  def jsonPathRewrite(column: String, from: String, to: String): Unit =
+    table.updateWhere(col(column).isNotNull && col(column).contains(from),
+      Map(column -> regexp_replace(col(column),
+        java.util.regex.Pattern.quote(from),
+        java.util.regex.Matcher.quoteReplacement(to))))
 
   /** reset_dc_load (.py:2903-2930). */
   def resetDcLoad(pid: Long): Unit =

@@ -129,6 +129,36 @@ class SceneCatalogSpec extends SparkSpec {
       cat.scenes.orderBy("PID").collect().toSeq)
   }
 
+  test("jsonPathRewrite rewrites paths INSIDE ExtendedInfo; siblings survive") {
+    val root = Files.createTempDirectory("cat").toString + "/scenes"
+    val cat = new SceneCatalog(new CowTable(root, spark), spark)
+    val ext = """{"quicklook":{"quicklookimgs":["/data/vis/s1_a.png",""" +
+      """"/data/vis/s1_b.png"]},"tilecache":{"visgtiff":"/data/vis/s1.tif",""" +
+      """"tilecachepath":"/data/tiles/s1"},"other":{"note":"keep-me"}}"""
+    cat.table.overwrite(Seq(
+      scene(1, "S1", "P_001", "2020-03-01", 10, 52, 50, 2, 0)
+        .copy(ExtendedInfo = Some(ext)),
+      scene(2, "S2", "P_002", "2020-03-02", 20, 52, 50, 2, 0)).toDF())
+    // the plain-column form is a documented no-op on JSON (value starts
+    // with '{', not the path) — the exact trap the split API closes
+    cat.updatePathPrefix("ExtendedInfo", "/data/vis", "/archive/vis")
+    assert(cat.scenes.filter($"ExtendedInfo".contains("/archive")).count() == 0)
+    cat.jsonPathRewrite("ExtendedInfo", "/data/vis", "/archive/vis")
+    val after = cat.scenes.filter($"PID" === 1)
+      .select("ExtendedInfo").as[String].head()
+    // every embedded occurrence rewritten: both quicklook imgs + visgtiff
+    assert(after.contains("/archive/vis/s1_a.png"))
+    assert(after.contains("/archive/vis/s1_b.png"))
+    assert(after.contains("/archive/vis/s1.tif"))
+    assert(!after.contains("/data/vis"))
+    // untouched entries and sibling keys survive (unlike the reference,
+    // which drops non-quicklook/tilecache keys)
+    assert(after.contains("/data/tiles/s1"))
+    assert(after.contains("keep-me"))
+    // rows without the prefix are untouched
+    assert(cat.scenes.filter($"PID" === 2 && $"ExtendedInfo".isNull).count() == 1)
+  }
+
   test("stateSummary counts all flags in one pass") {
     val cat = mkCatalog()
     val r = cat.stateSummary().collect().head
