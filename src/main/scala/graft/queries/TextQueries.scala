@@ -187,15 +187,36 @@ object TextQueries {
         .orderBy("doc_a", "doc_b")
     },
 
-    // SimHash near-dup: 64-bit fingerprints, banded into 4×16-bit
+    // SimHash near-dup: 60-bit fingerprints, banded into 4×15-bit
     // blocking keys (a true near-pair within 3 bits shares ≥1 intact
-    // band), verified by exact Hamming distance.
+    // band — pigeonhole), verified by exact Hamming distance.
+    //
+    // Token hashes are md5-derived (first 15 hex chars → positive
+    // int64): Spark and DuckDB md5 agree byte-for-byte, so the WHOLE
+    // pipeline — token hash, per-bit vote, fingerprint, pair set — is
+    // mirrored in the oracle, whose all-pairs form also re-proves the
+    // banding lossless at every refresh. The codegen'd FNV kernel
+    // (G.simhash64, HashExpressions) remains the throughput path for
+    // hot loops; this md5 derivation is the cross-engine-checkable
+    // form. Shape at scale: one explode + one partial-aggregated
+    // groupBy per doc, band join on (band, bucket) longs only.
     "q31_simhash_pairs" -> { (s, dir) =>
-      val d = t(s, dir, "documents")
-        .select(col("doc_id"), G.simhash64(toks(col("text"))).as("sh"))
+      val nbits = 60
+      val bandBits = 15
+      val th = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
+      val tokens = t(s, dir, "documents")
+        .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+        .select(col("doc_id"), th.as("th"))
+      val bitAggs = (0 until nbits).map(i =>
+        sum(when(shiftright(col("th"), i).bitwiseAND(lit(1L)) === 1L, 1)
+          .otherwise(-1)).as(s"b$i"))
+      val sums = tokens.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+      val fp = (0 until nbits).map(i =>
+        when(col(s"b$i") >= 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+      val d = sums.select(col("doc_id"), fp.as("sh"))
       val banded = d.select(col("doc_id"), col("sh"),
         posexplode(array((0 until 4).map(i =>
-          col("sh").bitwiseAND(lit(0xffffL << (16 * i)))): _*)))
+          col("sh").bitwiseAND(lit(0x7fffL << (bandBits * i)))): _*)))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
       val a = banded.select(col("band"), col("bucket"),
         col("doc_id").as("doc_a"), col("sh").as("sh_a"))
@@ -204,16 +225,29 @@ object TextQueries {
       a.join(b, Seq("band", "bucket"))
         .filter(col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
-        .withColumn("hamming", G.hamming64(col("sh_a"), col("sh_b")))
+        .withColumn("hamming", G.hamming64(col("sh_a"), col("sh_b")).cast("long"))
         .filter(col("hamming") <= 3)
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
     },
 
-    // Rolling-hash document fingerprint groups (winnowing-lite).
+    // Document fingerprint groups: min 3-gram hash per document
+    // (winnowing-lite). Same md5-derived 60-bit hash as q31 so DuckDB
+    // mirrors the full pipeline (the rolling-hash kernel
+    // G.fingerprintMinNgram stays the one-pass throughput path —
+    // FingerprintSpec + SelfOracleSpec cover it). Docs with <3 tokens
+    // have no 3-gram and are excluded on both sides.
     "q32_fingerprint_groups" -> { (s, dir) =>
-      t(s, dir, "documents")
-        .groupBy(G.fingerprintMinNgram(toks(col("text")), 3).as("fp"))
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), toks(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 3)
+      val fp = array_min(transform(
+        sequence(lit(0), size(col("tk")) - 3),
+        i => conv(substring(md5(concat_ws(" ",
+          get(col("tk"), i), get(col("tk"), i + 1), get(col("tk"), i + 2))),
+          1, 15), 16, 10).cast("long")))
+      d.select(col("doc_id"), fp.as("fp"))
+        .groupBy("fp")
         .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
         .filter(col("n_docs") >= 2)
         .select("fp", "n_docs", "first_doc")
@@ -326,6 +360,49 @@ object TextQueries {
         |WHERE len(list_intersect(a.ws, b.ws))::DOUBLE /
         |    len(list_distinct(list_concat(a.ws, b.ws))) >= 0.9
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Full-pipeline mirror (md5 agrees across engines): token hash →
+    // per-bit vote → fingerprint — then ALL-PAIRS hamming, which is
+    // stronger than mirroring the band join: it re-proves the 4×15-bit
+    // banding lossless for hamming ≤ 3 on every run.
+    "q31_simhash_pairs" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(trim(lower(text)), ' ')) AS tok
+        |  FROM documents),
+        |th AS (
+        |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+        |  FROM tok),
+        |bits AS (
+        |  SELECT doc_id, ix.i AS i,
+        |    sum(CASE WHEN (h >> ix.i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM th CROSS JOIN (SELECT unnest(range(60)) AS i) ix
+        |  GROUP BY doc_id, ix.i),
+        |fp AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN s >= 0 THEN (1::BIGINT << i) ELSE 0 END)
+        |      AS BIGINT) AS sh
+        |  FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q32_fingerprint_groups" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(trim(lower(text)), ' ') AS t
+        |  FROM documents
+        |  WHERE len(string_split(trim(lower(text)), ' ')) >= 3),
+        |grams AS (
+        |  SELECT doc_id,
+        |    unnest([('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]),
+        |      1, 15))::BIGINT for i in range(1, len(t) - 1)]) AS h
+        |  FROM tk),
+        |fps AS (
+        |  SELECT doc_id, min(h) AS fp FROM grams GROUP BY doc_id)
+        |SELECT fp, count(*) AS n_docs, min(doc_id) AS first_doc
+        |FROM fps GROUP BY fp HAVING count(*) >= 2
+        |ORDER BY first_doc""".stripMargin,
 
     "q50_repetition_stats" ->
       """WITH toks AS (

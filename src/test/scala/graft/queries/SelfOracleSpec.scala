@@ -3,19 +3,20 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
-import graft.SparkEntry
 import graft.functions.{GraftFunctions => G}
 
-/** Self-oracles for the two driver queries whose hash functions
-  * (FNV-1a / splitmix64) are not reproducible in DuckDB SQL, so the
-  * driver records only a rows-only check (COVERAGE.md §7.2):
+/** Self-oracles for the codegen'd FNV-1a/splitmix64 hash kernels —
+  * the THROUGHPUT path of simhash/fingerprint dedup. (The driver
+  * queries q31/q32 use an md5-derived hash precisely so DuckDB can
+  * mirror the whole pipeline; these tests keep the faster FNV kernels
+  * equally verified.)
   *
-  *  - q31 (simhash pairs): the banded plan must equal brute-force
-  *    all-pairs — not just on this corpus but ALWAYS: hamming ≤ 3 with
-  *    4 disjoint 16-bit bands pigeonholes at least one intact band, so
+  *  - banded simhash blocking must equal brute-force all-pairs — not
+  *    just on this corpus but ALWAYS: hamming ≤ 3 with 4 disjoint
+  *    16-bit bands pigeonholes at least one intact band, so
   *    band-blocking recall is provably 1.0. Comparing the two plans is
   *    therefore an exact oracle computed by a different route.
-  *  - q31/q32 hash kernels: per-row recomputation with an independent
+  *  - hash kernels: per-row recomputation with an independent
   *    test-local reimplementation of the public-domain hash math,
   *    applied via a (test-only) UDF — exercises interpreted-UDF eval
   *    against the codegen'd Catalyst expressions.
@@ -25,10 +26,23 @@ class SelfOracleSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
 
-  test("q31 banded simhash pairs == brute-force all-pairs plan") {
-    val banded = SparkEntry.queries("q31_simhash_pairs")(spark, sfDir)
+  test("banded simhash blocking == brute-force all-pairs (FNV kernel path)") {
     val d = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), G.simhash64(G.tokens(col("text"))).as("sh"))
+    val banded0 = d.select(col("doc_id"), col("sh"),
+      posexplode(array((0 until 4).map(i =>
+        col("sh").bitwiseAND(lit(0xffffL << (16 * i)))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val banded = banded0
+      .select(col("band"), col("bucket"), col("doc_id").as("doc_a"),
+        col("sh").as("sh_a"))
+      .join(banded0.select(col("band"), col("bucket"),
+        col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
+      .withColumn("hamming", G.hamming64(col("sh_a"), col("sh_b")))
+      .filter(col("hamming") <= 3)
+      .select("doc_a", "doc_b", "hamming")
     val a = d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     val brute = a.crossJoin(b)
