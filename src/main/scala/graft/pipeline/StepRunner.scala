@@ -38,6 +38,17 @@ object StepRunner {
     def workList(cat: SceneCatalog): DataFrame
     /** Row-local processing; runs on executors. */
     def process(pid: Long): StepResult
+    /** Partition-batched processing: override to amortize per-task
+      * setup (an HTTP client, a GDAL/ARCSI process, a DB connection)
+      * over every scene in the partition — the same per-worker
+      * amortization the reference gets from its multiprocessing Pool
+      * (eodatadownrun.py:786-787, one process reused across scenes).
+      * The default delegates row-wise to [[process]]. Implementations
+      * must consume lazily (return a mapped iterator, not a
+      * materialized list) so results stream.
+      */
+    def processPartition(pids: Iterator[Long]): Iterator[StepResult] =
+      pids.map(process)
     /** Column updates applied to rows whose step succeeded. */
     def onSuccess: Map[String, org.apache.spark.sql.Column]
   }
@@ -51,7 +62,7 @@ object StepRunner {
     val work = step.workList(cat).select("PID").as[Long]
     val results = work
       .repartition(parallelism)
-      .mapPartitions { pids => pids.map(step.process) }
+      .mapPartitions { pids => step.processPartition(pids) }
       .cache()
     val nTotal = results.count()
     val ok = results.filter(_.success)
