@@ -50,6 +50,15 @@ object GraftFunctions {
   def utmInverse(pt: Column, epsg: Int): Column =
     c(UtmInverse(expression(pt), expression(lit(epsg))))
 
+  /** Per-row EPSG variants (each scene reprojected into its own zone —
+    * the multi-zone catalogue case).
+    */
+  def utmForward(pt: Column, epsg: Column): Column =
+    c(UtmForward(expression(pt), expression(epsg)))
+
+  def utmInverse(pt: Column, epsg: Column): Column =
+    c(UtmInverse(expression(pt), expression(epsg)))
+
   /** bbox degrees → bbox in the UTM CRS (corner reprojection +
     * envelope — the reference's reprojBBOX_epsg shape for the
     * scene-vs-layer join, eodatadownlandsatgoogsensor.py:723-725).

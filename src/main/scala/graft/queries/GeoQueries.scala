@@ -102,6 +102,29 @@ object GeoQueries {
         .orderBy("s_suppkey", "west", "south")
     },
 
+    // C11 under the driver gate: UTM forward∘inverse closure on
+    // integer-derived coords — the Snyder series' total roundtrip error
+    // is ~1e-9° inside a zone, which vanishes under the 6-decimal
+    // round, so the oracle states the identity directly — plus the
+    // web-mercator forward mirrored formula-for-formula in DuckDB.
+    // Every row picks the UTM zone (and hemisphere EPSG family) from
+    // its own coordinates, so all 60 north + south codes are exercised
+    // via the per-row EPSG expression path.
+    "q51_utm_roundtrip" -> { (s, dir) =>
+      val lon = (col("p_partkey") % 360).cast("double") - 180.0 + 0.5
+      val lat = (col("p_partkey") % 160).cast("double") - 80.0 + 0.25
+      val zone = (floor((lon + lit(180.0)) / 6) + 1).cast("int")
+      val epsg = when(lat < 0, lit(32700) + zone).otherwise(lit(32600) + zone)
+      val inv = G.utmInverse(
+        G.utmForward(struct(lon.as("lon"), lat.as("lat")), epsg), epsg)
+      t(s, dir, "part").select(col("p_partkey"), epsg.as("epsg"),
+          round(inv.getField("lon"), 6).as("lon_rt"),
+          round(inv.getField("lat"), 6).as("lat_rt"),
+          round(G.mercX(lon), 3).as("merc_x"),
+          round(G.mercY(lat), 3).as("merc_y"))
+        .orderBy("p_partkey")
+    },
+
     // J2/J3 second stage: exact polygon intersection after the closed
     // envelope prefilter. The engine runs the GENERAL even-odd +
     // segment-test expression; the oracle replays each layer geometry
@@ -131,6 +154,29 @@ object GeoQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // roundtrip closure: the oracle asserts the identity (series error
+    // ~1e-9° << the 6-decimal round); web-mercator is the same closed
+    // form evaluated by DuckDB's own math functions (ulp-level engine
+    // differences << the 3-decimal round)
+    "q51_utm_roundtrip" ->
+      """WITH d AS (
+        |  SELECT p_partkey,
+        |    (p_partkey % 360)::DOUBLE - 180.0 + 0.5 AS lon,
+        |    (p_partkey % 160)::DOUBLE - 80.0 + 0.25 AS lat
+        |  FROM part),
+        |z AS (
+        |  SELECT p_partkey, lon, lat,
+        |    CAST(floor((lon + 180.0) / 6) + 1 AS INT) AS zone
+        |  FROM d)
+        |SELECT p_partkey,
+        |  CAST(CASE WHEN lat < 0 THEN 32700 + zone
+        |            ELSE 32600 + zone END AS INT) AS epsg,
+        |  round(lon, 6) AS lon_rt,
+        |  round(lat, 6) AS lat_rt,
+        |  round(radians(lon) * 6378137.0, 3) AS merc_x,
+        |  round(ln(tan(radians(lat) / 2 + pi() / 4)) * 6378137.0, 3) AS merc_y
+        |FROM z ORDER BY p_partkey""".stripMargin,
+
     "q23_bbox_overlap_wkt" ->
       """WITH fp AS (
         |  SELECT c_custkey,
