@@ -81,6 +81,50 @@ class PlanQualitySpec extends SparkSpec {
     dedups.foreach(b => assert(tokenCol.findFirstIn(b).isEmpty, b))
   }
 
+  // The 100 TB read-path claims, asserted at the I/O layer (which
+  // FILES the scan lists), not just on results: a date-range scan over
+  // a date-partitioned PartitionedCowTable must touch only the
+  // manifest-pruned partition dirs, and a CDC read must touch only the
+  // partitions the new version rewrote.
+  test("storage I/O shape: pruned date scan and CDC list only their dirs") {
+    import java.sql.{Date, Timestamp}
+    import graft.catalog.SceneCatalog
+    import graft.model.Scene
+    import graft.sources.PartitionedCowTable
+    def scene(pid: Long, date: String): Scene =
+      Scene(pid, s"S$pid", s"P$pid", "LANDSAT_8",
+        Timestamp.valueOf(date + " 10:00:00"), Date.valueOf(date), 10.0,
+        52, 50, 2, 0, 1000, "gs://x",
+        Timestamp.valueOf("2020-01-01 00:00:00"),
+        None, None, Downloaded = false, None, None, ARDProduct = false,
+        DCLoaded = false, Invalid = false, Archived = false,
+        ExtendedInfo = None)
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("pq").toString + "/scenes"
+    val tbl = new PartitionedCowTable(root, "Date_Acquired", spark)
+    val cat = new SceneCatalog(tbl, spark)
+    cat.table.overwrite(Seq(scene(1, "2020-03-01"), scene(2, "2020-03-02"),
+      scene(3, "2020-03-03")).toDF())
+    val v0 = tbl.version
+    // closed range [03-01, 03-02]: the 03-03 dir must not even be listed
+    val pruned = cat.scenesForDateRange("2020-03-02", "2020-03-01",
+      validOnly = false)
+    val prunedFiles = pruned.inputFiles
+    assert(prunedFiles.nonEmpty)
+    assert(prunedFiles.forall(f => f.contains("__part=2020-03-01") ||
+      f.contains("__part=2020-03-02")), prunedFiles.mkString("\n"))
+    assert(pruned.select("PID").as[Long].collect().toSet == Set(1L, 2L))
+    // upsert touching ONE date: the change feed reads only that
+    // partition's rewritten dir in the new w_ version
+    tbl.upsert(Seq(scene(4, "2020-03-03")).toDF(), Seq("PID"))
+    val cdc = tbl.changedSince(v0)
+    val cdcFiles = cdc.inputFiles
+    assert(cdcFiles.nonEmpty)
+    assert(cdcFiles.forall(f => f.contains("__part=2020-03-03") &&
+      f.contains("w_000001")), cdcFiles.mkString("\n"))
+    assert(cdc.select("PID").as[Long].collect().toSet == Set(3L, 4L))
+  }
+
   test("whole-stage codegen covers the custom expressions") {
     import org.apache.spark.sql.execution.WholeStageCodegenExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
