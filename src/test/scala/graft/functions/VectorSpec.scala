@@ -59,6 +59,42 @@ class VectorSpec extends SparkSpec {
     assert(pruned.exceptAll(brute).isEmpty && brute.exceptAll(pruned).isEmpty)
   }
 
+  test("pruned NN stays exact on near-duplicate vectors (acos conditioning)") {
+    import graft.operators.VectorOps
+    // Near-duplicates make acos ill-conditioned (dθ ≈ dcos/sinθ blows
+    // up as cos→1): with the old 1e-9 slack the triangle bound could
+    // prune the cluster holding the true NN. Pairs of ~identical
+    // vectors split ACROSS clusters are exactly the adversarial case.
+    val r = new scala.util.Random(7)
+    val base = (0 until 30).map { i =>
+      Array.fill(8)(r.nextGaussian())
+    }
+    val rows = base.zipWithIndex.flatMap { case (v, i) =>
+      // twin differs by ~1e-9 relative — θ(twin) ≈ 5e-5 rad, cos ≈ 1
+      val twin = v.map(x => x * (1.0 + 1e-9) + 1e-9)
+      Seq((i.toLong * 2, "x", v.toSeq), (i.toLong * 2 + 1, "x", twin.toSeq))
+    }
+    val e = rows.toDF("vec_id", "label", "v")
+      .select($"vec_id", $"label", $"v".cast("array<double>").as("v"))
+    // centroids deliberately NOT aligned with the twins: the twin of a
+    // seed vector can land in another cluster's probe set
+    val cents = e.filter($"vec_id" % 7 === 0)
+      .select(($"vec_id" / 7).cast("int").as("cid"), $"v".as("cv"))
+    val pruned = VectorOps.exactNnPerVector(e, cents)
+    val a = e.select($"label", $"vec_id".as("id_a"), $"v".as("v_a"))
+    val b = e.select($"label", $"vec_id".as("id_b"), $"v".as("v_b"))
+    val brute = a.join(b, Seq("label"))
+      .filter($"id_a" =!= $"id_b")
+      .withColumn("cos", G.cosineSim($"v_a", $"v_b"))
+      .groupBy($"label", $"id_a")
+      .agg(max_by($"id_b", struct($"cos", -$"id_b")).as("nn_id"),
+        round(max($"cos"), 6).as("nn_cos"))
+    assert(pruned.exceptAll(brute).isEmpty && brute.exceptAll(pruned).isEmpty)
+    // and the expected structure holds: every vector's NN is its twin
+    val twinned = pruned.filter(($"id_a" / 2).cast("long") === ($"nn_id" / 2).cast("long"))
+    assert(twinned.count() == 60)
+  }
+
   test("kmeansFit recovers well-separated angular clusters") {
     import graft.operators.VectorOps
     val r = new scala.util.Random(11)

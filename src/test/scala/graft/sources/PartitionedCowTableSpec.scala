@@ -154,6 +154,29 @@ class PartitionedCowTableSpec extends SparkSpec {
     assert(t.manifest.keySet.contains("2020-06"))
   }
 
+  test("data-dir collision fails the loser without touching the winner's files") {
+    implicit val s = spark
+    val t = mk()
+    // a competing writer from the same base already claimed w_000001
+    // (renamed into place, pointer flip in flight): the loser must fail
+    // on the name collision, leave the winner's files alone, and leave
+    // no staging garbage behind
+    val root = java.nio.file.Paths.get(t.root)
+    val winner = root.resolve("w_000001/__part=2020-07")
+    java.nio.file.Files.createDirectories(winner)
+    java.nio.file.Files.write(winner.resolve("part-winner.parquet"),
+      "winner-bytes".getBytes("UTF-8"))
+    intercept[java.util.ConcurrentModificationException] {
+      t.append(Seq((9L, "2020-06", "z", false)).toDF("pid", "month", "v", "flag"))
+    }
+    assert(java.nio.file.Files.exists(winner.resolve("part-winner.parquet")))
+    import scala.jdk.CollectionConverters._
+    assert(!java.nio.file.Files.list(root).iterator().asScala
+      .exists(_.getFileName.toString.startsWith("_stage_")))
+    // the table itself is untouched and still readable
+    assert(t.read().count() == 4)
+  }
+
   test("idempotent re-run: same upsert twice, same table") {
     val t = mk()
     val up = Seq((2L, "2020-03", "B", true)).toDF("pid", "month", "v", "flag")
