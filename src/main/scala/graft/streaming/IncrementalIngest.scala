@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.operators.RelationalOps
-import graft.sources.CowTable
+import graft.sources.VersionedTable
 
 /** Incremental catalogue ingest (SURVEY.md §2.9): the reference's
   * polled `check_new_scns` loop (watermark query + per-row anti-join
@@ -24,7 +24,7 @@ object IncrementalIngest {
     * key once; at scale the existing-side is pruned to the partitions
     * the watermark admits.
     */
-  def ingestBatch(table: CowTable, batch: DataFrame, keys: Seq[String],
+  def ingestBatch(table: VersionedTable, batch: DataFrame, keys: Seq[String],
                   newestFirst: Seq[org.apache.spark.sql.Column]): Unit = {
     val deduped = RelationalOps.dedupKeepNewest(batch, keys, newestFirst)
     if (!table.exists) table.overwrite(deduped)
@@ -35,7 +35,7 @@ object IncrementalIngest {
     * on an empty/absent table (reference falls back to the configured
     * start date, .py:536-543).
     */
-  def watermark(table: CowTable, tsCol: String): Option[java.sql.Timestamp] =
+  def watermark(table: VersionedTable, tsCol: String): Option[java.sql.Timestamp] =
     if (!table.exists) None
     else table.read().agg(max(col(tsCol))).collect()(0).get(0) match {
       case t: java.sql.Timestamp => Some(t)
@@ -48,7 +48,7 @@ object IncrementalIngest {
     * groupBy-max pass; collected to the driver because cardinality is
     * the product count, not the data size.
     */
-  def watermarkPerKey(table: CowTable, keyCol: String,
+  def watermarkPerKey(table: VersionedTable, keyCol: String,
                       tsCol: String): Map[String, java.sql.Timestamp] =
     if (!table.exists) Map.empty
     else table.read().groupBy(col(keyCol)).agg(max(col(tsCol)).as("wm"))
@@ -62,7 +62,7 @@ object IncrementalIngest {
     * Checkpointing gives at-least-once delivery; the key anti-join in
     * ingestBatch upgrades it to effective exactly-once on the table.
     */
-  def stream(source: DataFrame, table: CowTable, keys: Seq[String],
+  def stream(source: DataFrame, table: VersionedTable, keys: Seq[String],
              newestFirst: Seq[org.apache.spark.sql.Column],
              checkpoint: String,
              trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
