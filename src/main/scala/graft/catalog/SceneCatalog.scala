@@ -333,6 +333,18 @@ class SceneCatalog(val table: VersionedTable, spark: SparkSession,
   def exportJson(path: String): Unit =
     graft.sources.ExportImport.exportJson(scenes, path)
 
+  /** create_gdal_gis_lyr (S9, .py:2688-2800): scene footprints + the
+    * sensor's identity/date/platform/cloud attributes as a GeoJSON
+    * FeatureCollection (the GPKG container is app-layer; see
+    * [[graft.sources.ExportImport.exportGeoJson]]).
+    */
+  def exportFootprintsGeoJson(path: String, props: Seq[String] = Nil): Unit = {
+    val defaults = (Seq("PID", sensor.dupKey, sensor.dupOrder) ++
+      sensor.platform ++ Seq(sensor.obsDateCol) ++ sensor.cloud).distinct
+    graft.sources.ExportImport.exportGeoJson(scenes, path,
+      if (props.nonEmpty) props else defaults)
+  }
+
   // imports read the schema from the SENSOR DESCRIPTOR, not the live
   // table — importing into a fresh, not-yet-created catalog is exactly
   // the bootstrap path the reference's import_sensor_db serves

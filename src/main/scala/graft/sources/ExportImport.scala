@@ -84,6 +84,49 @@ object ExportImport {
   // for None) — Spark's to_json drops null fields by default
   private val keepNulls = Map("ignoreNullFields" -> "false")
 
+  /** Vector footprint export (S9, create_gdal_gis_lyr
+    * eodatadownlandsatgoogsensor.py:2688-2800): scene bbox outlines +
+    * selected attributes as a vector layer. The reference writes a
+    * GPKG via GDAL/OGR; the sqlite container stays app-layer here, and
+    * the ENGINE work — geometry construction + attribute projection —
+    * emits a GeoJSON FeatureCollection (RFC 7946, implicitly
+    * EPSG:4326 like the reference's layer), which GDAL/QGIS read
+    * directly (`ogr2ogr out.gpkg out.geojson` completes the container
+    * step).
+    *
+    * Feature rows are built DISTRIBUTED (one codegen'd to_json per
+    * row); only the single-file container assembly streams through
+    * `toLocalIterator` — interchange path, not the engine-internal
+    * format.
+    */
+  def exportGeoJson(df: DataFrame, path: String, props: Seq[String],
+                    north: String = "North_Lat", south: String = "South_Lat",
+                    east: String = "East_Lon", west: String = "West_Lon"): Unit = {
+    val ring = array(
+      array(col(west), col(south)), array(col(east), col(south)),
+      array(col(east), col(north)), array(col(west), col(north)),
+      array(col(west), col(south)))
+    val feature = to_json(struct(
+      lit("Feature").as("type"),
+      struct(lit("Polygon").as("type"),
+        array(ring).as("coordinates")).as("geometry"),
+      struct(props.map(col): _*).as("properties")), keepNulls.asJava)
+    val p = Paths.get(path)
+    Option(p.getParent).foreach(Files.createDirectories(_))
+    val w = Files.newBufferedWriter(p, UTF_8)
+    try {
+      w.write("{\"type\": \"FeatureCollection\", \"features\": [")
+      var first = true
+      isoStringified(df).select(feature).toLocalIterator().asScala.foreach { r =>
+        if (!first) w.write(",")
+        first = false
+        w.write("\n")
+        w.write(r.getString(0))
+      }
+      w.write("\n]}\n")
+    } finally w.close()
+  }
+
   def exportJsonSingleFile(scenes: DataFrame, path: String,
                            plugins: Option[DataFrame] = None): Unit = {
     val mapper = new ObjectMapper()

@@ -29,6 +29,39 @@ class ExportImportSpec extends SparkSpec {
       (2L, "catB", "/new/base/scene2.tif"))))
   }
 
+  test("GeoJSON footprint export: valid FeatureCollection, closed rings") {
+    import java.sql.Date
+    val scenes = Seq(
+      (1L, "S1", Date.valueOf("2020-03-01"), Some(12.5), 52.0, 50.0, 2.0, 0.0),
+      (2L, "S2", Date.valueOf("2020-03-02"), None, 10.0, 8.0, -10.0, -12.0))
+      .toDF("PID", "Scene_ID", "Date_Acquired", "Cloud_Cover",
+        "North_Lat", "South_Lat", "East_Lon", "West_Lon")
+    val file = Files.createTempDirectory("gj").toString + "/scenes.geojson"
+    ExportImport.exportGeoJson(scenes, file,
+      props = Seq("PID", "Scene_ID", "Date_Acquired", "Cloud_Cover"))
+    val tree = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(file)))
+    assert(tree.get("type").asText() == "FeatureCollection")
+    val feats = tree.get("features")
+    assert(feats.size() == 2)
+    val f1 = feats.get(0)
+    assert(f1.get("type").asText() == "Feature")
+    assert(f1.get("geometry").get("type").asText() == "Polygon")
+    val ring = f1.get("geometry").get("coordinates").get(0)
+    // closed ring, 5 points, [lon, lat] order, bbox corners
+    assert(ring.size() == 5)
+    assert(ring.get(0).get(0).asDouble() == 0.0) // west
+    assert(ring.get(0).get(1).asDouble() == 50.0) // south
+    assert(ring.get(2).get(0).asDouble() == 2.0) // east
+    assert(ring.get(2).get(1).asDouble() == 52.0) // north
+    assert(ring.get(0).toString == ring.get(4).toString)
+    assert(f1.get("properties").get("Scene_ID").asText() == "S1")
+    assert(f1.get("properties").get("Date_Acquired").asText() == "2020-03-01")
+    // None attribute survives as JSON null, not a dropped key
+    assert(feats.get(1).get("properties").has("Cloud_Cover"))
+    assert(feats.get(1).get("properties").get("Cloud_Cover").isNull)
+  }
+
   test("single-file dump: reference shape, null dates, plugin section") {
     import java.sql.{Date, Timestamp}
     import org.apache.spark.sql.functions.col
