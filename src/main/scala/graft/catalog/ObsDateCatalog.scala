@@ -108,7 +108,8 @@ class ObsDateCatalog(val sensor: SensorSchema,
   def updateOverviewPathPrefix(from: String, to: String): Unit =
     datesTable.updateWhere(col("Overviews").isNotNull,
       Map("Overviews" -> regexp_replace(col("Overviews"),
-        java.util.regex.Pattern.quote(from), to)))
+        java.util.regex.Pattern.quote(from),
+        java.util.regex.Matcher.quoteReplacement(to))))
 
   /** export_obsdate_db_to_json (eodatadownsensor.py:794-836). */
   def exportJson(datesPath: String, scnsPath: String): Unit = {
@@ -125,7 +126,8 @@ class ObsDateCatalog(val sensor: SensorSchema,
     val dates = ExportImport.importJson(spark, datesPath, ObsDateCatalog.datesSchema)
     val rewritten = pathRewrites.foldLeft(dates) { case (d, (from, to)) =>
       d.withColumn("Overviews", regexp_replace(col("Overviews"),
-        java.util.regex.Pattern.quote(from), to))
+        java.util.regex.Pattern.quote(from),
+        java.util.regex.Matcher.quoteReplacement(to)))
     }
     datesTable.overwrite(rewritten)
     scnsTable.overwrite(

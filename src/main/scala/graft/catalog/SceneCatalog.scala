@@ -299,7 +299,8 @@ class SceneCatalog(val table: VersionedTable, spark: SparkSession,
   def updatePathPrefix(column: String, from: String, to: String): Unit =
     table.updateWhere(col(column).startsWith(from), Map(
       column -> regexp_replace(col(column),
-        "^" + java.util.regex.Pattern.quote(from), to)))
+        "^" + java.util.regex.Pattern.quote(from),
+        java.util.regex.Matcher.quoteReplacement(to))))
 
   /** update_extended_info_qklook_tilecache_paths
     * (eodatadownsensor.py:424-452, applied per-row on import at

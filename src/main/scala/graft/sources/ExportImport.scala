@@ -37,7 +37,8 @@ object ExportImport {
     }
     pathRewrites.foreach { case (column, (from, to)) =>
       df = df.withColumn(column,
-        regexp_replace(col(column), "^" + java.util.regex.Pattern.quote(from), to))
+        regexp_replace(col(column), "^" + java.util.regex.Pattern.quote(from),
+          java.util.regex.Matcher.quoteReplacement(to)))
     }
     df
   }

@@ -258,6 +258,21 @@ class PartitionedCowTable(val root: String, val partCol: String,
       commit(readWhere(touched).filter(!pred), touched, manifest)
   }
 
+  /** Compact the selected partitions: rewrite each as a single task's
+    * output (one file per partition dir), carrying everything else by
+    * reference. The small-file antidote for long-lived tables — every
+    * upsert rewrites whole partitions with the writer's parallelism,
+    * so file counts grow with commit history; compaction is the same
+    * commit path with a hash repartition on the partition column, so
+    * each partition's rows land in exactly one task. Row content is
+    * unchanged (a pure layout commit); old dirs become vacuumable.
+    */
+  def compact(partFilter: String => Boolean = _ => true): Unit = {
+    val touched = manifest.keySet.filter(partFilter)
+    if (touched.nonEmpty)
+      commit(readWhere(touched).repartition(col(partCol)), touched, manifest)
+  }
+
   /** Drop every `w_*` dir and `v_*.json` no longer reachable from the
     * current manifest; shared dirs it still references survive.
     */

@@ -154,6 +154,35 @@ class PartitionedCowTableSpec extends SparkSpec {
     assert(t.manifest.keySet.contains("2020-06"))
   }
 
+  test("compact: one file per partition, same rows, untouched dirs carried") {
+    implicit val s = spark
+    val t = mk()
+    // grow the 2020-03 partition's file count across several commits
+    // with multi-task writes
+    for (i <- 10 to 13) {
+      t.append(Seq((i.toLong, "2020-03", s"v$i", false))
+        .toDF("pid", "month", "v", "flag").repartition(4))
+    }
+    val before = t.read().orderBy("pid").collect()
+    val root = java.nio.file.Paths.get(t.root)
+    import scala.jdk.CollectionConverters._
+    def parquetFiles(relDir: String): Long =
+      java.nio.file.Files.list(root.resolve(relDir)).iterator().asScala
+        .count(_.getFileName.toString.endsWith(".parquet"))
+    assert(parquetFiles(t.manifest("2020-03")) > 1)
+    val aprDirBefore = t.manifest("2020-04")
+    t.compact(_ == "2020-03")
+    // layout-only commit: same rows, one file, other partitions carried
+    assert(t.read().orderBy("pid").collect().sameElements(before))
+    assert(parquetFiles(t.manifest("2020-03")) == 1)
+    assert(t.manifest("2020-04") == aprDirBefore)
+    // full compact + vacuum leaves a minimal table
+    t.compact()
+    t.vacuum()
+    assert(t.read().orderBy("pid").collect().sameElements(before))
+    assert(t.manifest.values.forall(parquetFiles(_) == 1))
+  }
+
   test("data-dir collision fails the loser without touching the winner's files") {
     implicit val s = spark
     val t = mk()
