@@ -4,7 +4,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // default 5 reps: medians-of-3 still let one contended rep shift a
+    // sub-second query 2-3x round-over-round (seen r2->r3 on q41-q44,
+    // none of whose code had changed); 5 reps cost ~1 extra minute and
+    // make the median robust to two outliers
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

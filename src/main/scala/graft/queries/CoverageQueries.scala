@@ -148,7 +148,16 @@ object CoverageQueries {
     // computed on the original parquet.
     "q44_json_roundtrip" -> { (s, dir) =>
       val src = t(s, dir, "documents")
-      val tmp = java.nio.file.Files.createTempDirectory("graft_json").toString + "/docs"
+      // one scratch dir per Spark application (not per call): the export
+      // is mode=overwrite, so repeated bench reps reuse it instead of
+      // leaking a fresh temp dir + 5k JSON files into /tmp every run.
+      // Prefer tmpfs when present — the query measures the round-trip
+      // operator shape, not the scratch disk.
+      val base =
+        if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
+          "/dev/shm"
+        else System.getProperty("java.io.tmpdir")
+      val tmp = s"$base/graft_q44_${s.sparkContext.applicationId}/docs"
       graft.sources.ExportImport.exportJson(src, tmp)
       graft.sources.ExportImport.importJson(s, tmp, src.schema)
         .groupBy("lang")

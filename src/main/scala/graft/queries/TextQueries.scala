@@ -147,8 +147,15 @@ object TextQueries {
       // (SkewGuardSpec pins that behavior). Re-measure via LshStats
       // when the corpus grows.
       val bucketCap = 5000
+      // empty word sets (whitespace-only docs) are excluded: Jaccard of
+      // two empty sets is 0/0 — the oracle's NULL division filters such
+      // pairs out, and sortedJaccard scores them 0.0, so the only
+      // consistent cross-engine semantics is to drop them before the
+      // dedup groupBy (otherwise two empty docs would pair at the
+      // intra-group jac=1.0 shortcut).
       val d = t(s, dir, "documents")
         .select(col("doc_id"), G.sortedWordSet(col("text")).as("ws"))
+        .filter(size(col("ws")) > 0)
       // one row per distinct word set, keyed by its min doc id
       val sets = d.groupBy("ws")
         .agg(min("doc_id").as("sid"), count(lit(1)).as("gsz"))

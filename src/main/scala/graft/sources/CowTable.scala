@@ -53,15 +53,23 @@ class CowTable(val root: String, spark: SparkSession) extends VersionedTable {
     // touched.
     val stage = s"_stage_${next}_${java.util.UUID.randomUUID()}"
     df.write.mode("overwrite").parquet(s"$root/$stage")
+    // Files.move without options is check-then-rename: the
+    // FileAlreadyExistsException comes from a pre-rename existence
+    // stat, so two racers passing the check together fall through to
+    // raw rename(2), which surfaces as DirectoryNotEmptyException (or
+    // another FileSystemException) on a non-empty target. Catch the
+    // whole family — any rename failure here means the version dir was
+    // claimed by a competing writer.
     try {
       Files.move(Paths.get(root, stage), Paths.get(root, next))
     } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
+      case e: java.nio.file.FileSystemException =>
         deleteRecursively(stage)
         throw new java.util.ConcurrentModificationException(
           s"concurrent commit detected at $root: version dir $next " +
-            s"already exists (competing writer from base " +
-            s"${base.getOrElse("<none>")})")
+            s"already claimed (competing writer from base " +
+            s"${base.getOrElse("<none>")}; rename failed with " +
+            s"${e.getClass.getSimpleName})")
     }
     // second line of defense: if another writer advanced the pointer
     // while this commit materialized, flipping it would silently THROW
@@ -89,9 +97,7 @@ class CowTable(val root: String, spark: SparkSession) extends VersionedTable {
 
   private def deleteRecursively(name: String): Unit = {
     val p = Paths.get(root, name)
-    if (Files.exists(p))
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.delete(f))
+    if (Files.exists(p)) CowTable.walkDelete(p)
   }
 
   /** Create or fully replace the table. */
@@ -134,13 +140,14 @@ class CowTable(val root: String, spark: SparkSession) extends VersionedTable {
   def vacuum(): Unit = currentVersion.foreach { cur =>
     val dir = Paths.get(root)
     if (Files.exists(dir)) {
-      Files.list(dir).forEach { p =>
-        val n = p.getFileName.toString
-        if ((n.startsWith("v_") && n != cur) || n.startsWith("_stage_")) {
-          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-            .forEach(f => Files.delete(f))
+      val listing = Files.list(dir)
+      try {
+        listing.forEach { p =>
+          val n = p.getFileName.toString
+          if ((n.startsWith("v_") && n != cur) || n.startsWith("_stage_"))
+            CowTable.walkDelete(p)
         }
-      }
+      } finally listing.close()
     }
   }
 }
@@ -148,4 +155,15 @@ class CowTable(val root: String, spark: SparkSession) extends VersionedTable {
 object CowTable {
   def apply(root: String)(implicit spark: SparkSession): CowTable =
     new CowTable(root, spark)
+
+  /** Depth-first delete, closing the walk stream (an unclosed
+    * `Files.walk` leaks a directory fd until GC — repeated
+    * commit-collision retries on a long-lived driver add up).
+    */
+  private[sources] def walkDelete(p: java.nio.file.Path): Unit = {
+    val s = Files.walk(p)
+    try s.sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => Files.delete(f))
+    finally s.close()
+  }
 }

@@ -23,6 +23,34 @@ object ExportImport {
   def exportJson(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** Default row cap for the single-file (driver-streamed) export
+    * paths. These interchange formats exist for reference fidelity on
+    * METADATA-SCALE tables; they serialize rows distributed but stream
+    * the bytes through one driver thread into one file, so cost is
+    * O(rows) driver wall-clock and the output is a single unsplittable
+    * file. A 100 TB table must go through [[exportJson]] (distributed
+    * part-files) instead — the guard turns that mistake into an error
+    * rather than a melted driver.
+    */
+  val DefaultSingleFileMaxRows: Long = 1000000L
+
+  /** Fails loudly when `df` exceeds the single-file row contract.
+    * Uses `limit(max+1).count()` so the probe short-circuits instead of
+    * scanning the full table it is trying to protect against.
+    */
+  private def requireSingleFileScale(df: DataFrame, maxRows: Long,
+                                     api: String): Unit = {
+    require(maxRows > 0, s"$api: maxRows must be positive, got $maxRows")
+    val probe = df.limit((maxRows + 1).min(Int.MaxValue.toLong).toInt).count()
+    if (probe > maxRows)
+      throw new IllegalArgumentException(
+        s"$api is a single-file, driver-streamed interchange path " +
+          s"(metadata-table scale): input exceeds $maxRows rows. " +
+          s"Use ExportImport.exportJson (distributed part-files) for " +
+          s"large tables, or raise maxRows explicitly if the driver " +
+          s"can really hold/stream this output.")
+  }
+
   /** Import with explicit schema; `renames` maps legacy column names
     * (e.g. the reference's `Collection_Catagory` typo) onto current
     * ones, and `pathRewrites` applies prefix rewrites to path-valued
@@ -98,11 +126,23 @@ object ExportImport {
     * Feature rows are built DISTRIBUTED (one codegen'd to_json per
     * row); only the single-file container assembly streams through
     * `toLocalIterator` — interchange path, not the engine-internal
-    * format.
+    * format. Size contract: at most `maxRows` rows (default
+    * [[DefaultSingleFileMaxRows]]) — fails loudly beyond that.
+    *
+    * Assumes bbox columns do NOT cross the antimeridian (west ≤ east,
+    * matching the reference's layer writer, which has the same
+    * limitation); wrap-crossing scenes must be cut first with
+    * `bboxCutWrap`/`bboxSplitWrap` (C9) so each part is a plain ring.
     */
   def exportGeoJson(df: DataFrame, path: String, props: Seq[String],
                     north: String = "North_Lat", south: String = "South_Lat",
-                    east: String = "East_Lon", west: String = "West_Lon"): Unit = {
+                    east: String = "East_Lon", west: String = "West_Lon",
+                    maxRows: Long = DefaultSingleFileMaxRows): Unit = {
+    require(props.nonEmpty,
+      "exportGeoJson: props must name at least one attribute column " +
+        "(GeoJSON features with empty properties are almost always a " +
+        "caller bug — pass the id/PID column at minimum)")
+    requireSingleFileScale(df, maxRows, "exportGeoJson")
     val ring = array(
       array(col(west), col(south)), array(col(east), col(south)),
       array(col(east), col(north)), array(col(west), col(north)),
@@ -129,7 +169,11 @@ object ExportImport {
   }
 
   def exportJsonSingleFile(scenes: DataFrame, path: String,
-                           plugins: Option[DataFrame] = None): Unit = {
+                           plugins: Option[DataFrame] = None,
+                           maxRows: Long = DefaultSingleFileMaxRows): Unit = {
+    requireSingleFileScale(scenes, maxRows, "exportJsonSingleFile")
+    plugins.foreach(requireSingleFileScale(_, maxRows,
+      "exportJsonSingleFile(plugins)"))
     val mapper = new ObjectMapper()
     val p = Paths.get(path)
     Option(p.getParent).foreach(Files.createDirectories(_))

@@ -147,22 +147,29 @@ class PartitionedCowTable(val root: String, val partCol: String,
     data
       .withColumn("__part", col(partCol).cast("string"))
       .write.partitionBy("__part").mode("overwrite").parquet(s"$root/$stage")
+    // catch the whole FileSystemException family, not just the
+    // pre-rename existence stat's FileAlreadyExistsException: two
+    // racers passing that check together fall through to raw
+    // rename(2), which surfaces as DirectoryNotEmptyException on a
+    // non-empty claimed target (see CowTable.commit)
     try {
       Files.move(Paths.get(root, stage), Paths.get(root, wdir))
     } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        Files.walk(Paths.get(root, stage))
-          .sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => Files.delete(f))
+      case e: java.nio.file.FileSystemException =>
+        CowTable.walkDelete(Paths.get(root, stage))
         throw new java.util.ConcurrentModificationException(
           s"concurrent commit detected at $root: data dir $wdir " +
-            "already exists (competing writer from the same base)")
+            s"already claimed (competing writer from the same base; " +
+            s"rename failed with ${e.getClass.getSimpleName})")
     }
-    val written: Map[String, String] =
-      Files.list(Paths.get(root, wdir)).iterator().asScala
+    val written: Map[String, String] = {
+      val listing = Files.list(Paths.get(root, wdir))
+      try listing.iterator().asScala
         .map(_.getFileName.toString)
         .filter(_.startsWith("__part="))
         .map(n => n.stripPrefix("__part=") -> s"$wdir/$n").toMap
+      finally listing.close()
+    }
     try {
       writeVersion(next, data.schema.toDDL, (carried -- touched) ++ written)
     } catch {
@@ -170,9 +177,7 @@ class PartitionedCowTable(val root: String, val partCol: String,
         // the claimed data dir is ours (the rename succeeded) and no
         // manifest references it — remove it so a clean retry from the
         // new base isn't blocked by the orphan
-        Files.walk(Paths.get(root, wdir))
-          .sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => Files.delete(f))
+        CowTable.walkDelete(Paths.get(root, wdir))
         throw e
     }
   }
@@ -278,16 +283,17 @@ class PartitionedCowTable(val root: String, val partCol: String,
     */
   override def vacuum(): Unit = currentVersion.foreach { cur =>
     val live = manifestAt(cur).values.map(_.split('/').head).toSet
-    Files.list(Paths.get(root)).iterator().asScala.toSeq.foreach { p =>
+    val entries = {
+      val listing = Files.list(Paths.get(root))
+      try listing.iterator().asScala.toSeq finally listing.close()
+    }
+    entries.foreach { p =>
       val n = p.getFileName.toString
       val deadData = n.startsWith("w_") && !live.contains(n)
       val deadManifest = n.startsWith("v_") && n.endsWith(".json") &&
         n != f"v_$cur%06d.json"
       val deadStage = n.startsWith("_stage_")
-      if (deadData || deadManifest || deadStage) {
-        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => Files.delete(f))
-      }
+      if (deadData || deadManifest || deadStage) CowTable.walkDelete(p)
     }
   }
 }

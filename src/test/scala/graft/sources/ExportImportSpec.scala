@@ -103,6 +103,36 @@ class ExportImportSpec extends SparkSpec {
     assert(backPl.count() == 2)
   }
 
+  test("single-file exports enforce their driver-scale row contract") {
+    import java.sql.Date
+    val scenes = (1L to 50L).map(i =>
+      (i, s"S$i", Date.valueOf("2020-03-01"), 52.0, 50.0, 2.0, 0.0))
+      .toDF("PID", "Scene_ID", "Date_Acquired",
+        "North_Lat", "South_Lat", "East_Lon", "West_Lon")
+    val dir = Files.createTempDirectory("guard").toString
+    // over the cap: both single-file paths fail loudly, naming the
+    // distributed alternative, and write nothing
+    val e1 = intercept[IllegalArgumentException] {
+      ExportImport.exportGeoJson(scenes, s"$dir/a.geojson",
+        props = Seq("PID"), maxRows = 10)
+    }
+    assert(e1.getMessage.contains("exportJson"))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$dir/a.geojson")))
+    val e2 = intercept[IllegalArgumentException] {
+      ExportImport.exportJsonSingleFile(scenes, s"$dir/b.json", maxRows = 10)
+    }
+    assert(e2.getMessage.contains("exportJson"))
+    // at the cap exactly: allowed
+    ExportImport.exportGeoJson(scenes, s"$dir/c.geojson",
+      props = Seq("PID"), maxRows = 50)
+    assert(Files.exists(java.nio.file.Paths.get(s"$dir/c.geojson")))
+    // empty props is a caller bug, refused before any job runs
+    val e3 = intercept[IllegalArgumentException] {
+      ExportImport.exportGeoJson(scenes, s"$dir/d.geojson", props = Nil)
+    }
+    assert(e3.getMessage.contains("props"))
+  }
+
   test("typed columns survive the round trip (schema-on-read)") {
     val df = Seq((1L, 2.5, java.sql.Date.valueOf("2020-05-05"), true))
       .toDF("k", "x", "d", "b")
