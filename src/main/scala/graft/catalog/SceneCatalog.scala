@@ -163,13 +163,8 @@ class SceneCatalog(val table: VersionedTable, spark: SparkSession,
     * Validate on the driver before building any plan (the reference
     * raises on malformed WKT too).
     */
-  private def requireValidGeom(wkt: String): Unit = {
-    require(
-      graft.functions.expressions.PolygonImpl.parse(wkt).rings.nonEmpty,
-      s"WKT has no valid ring (need >= 3 coordinate pairs): '$wkt'")
-    require(wkt.count(_ == '(') == wkt.count(_ == ')'),
-      s"unbalanced parentheses in WKT: '$wkt'")
-  }
+  private def requireValidGeom(wkt: String): Unit =
+    SceneCatalog.requireValidGeom(wkt)
 
   /** Scenes whose footprint intersects the EXACT layer geometry (J2
     * keep side, second stage after the envelope prefilter).
@@ -370,9 +365,82 @@ class SceneCatalog(val table: VersionedTable, spark: SparkSession,
     table.overwrite(graft.sources.ExportImport.importJsonSingleFile(
       spark, path, sensor.schema)
       .select(sensor.schema.fieldNames.map(col).toSeq: _*))
+
+  // ---- ROI→tile-list LUT (J3, findSensorROI / get_sensor_lut_tiles,
+  // eodatadownutils.py:1735-1794): given ROI polygons, which sensor
+  // tiles does a user need to ingest?
+
+  /** Per-ROI sorted distinct tile identifiers from THIS catalog's rows
+    * (tile identity defaults to the sensor's unique-name column —
+    * Scene_ID / Granule_ID / FileName; pass e.g. `Seq("Mgrs_Tile")` for
+    * the Sentinel-2 MGRS list, or WRS path/row columns for a Landsat
+    * LUT table loaded into a catalog). See [[SceneCatalog.tilesForRoi]]
+    * for the general form over any LUT DataFrame.
+    */
+  def tilesForRoi(layer: Seq[(String, String)],
+                  tileCols: Seq[String] = Seq(sensor.dupKey)): DataFrame =
+    SceneCatalog.tilesForRoi(spark, scenes, layer, tileCols)
 }
 
 object SceneCatalog {
   def apply(root: String)(implicit spark: SparkSession): SceneCatalog =
     new SceneCatalog(new CowTable(root, spark), spark)
+
+  private[catalog] def requireValidGeom(wkt: String): Unit = {
+    require(
+      graft.functions.expressions.PolygonImpl.parse(wkt).rings.nonEmpty,
+      s"WKT has no valid ring (need >= 3 coordinate pairs): '$wkt'")
+    require(wkt.count(_ == '(') == wkt.count(_ == ')'),
+      s"unbalanced parentheses in WKT: '$wkt'")
+  }
+
+  /** J3 ROI→tile-list LUT join (findSensorROI over sensor_scn_lut
+    * layers, eodatadownutils.py:1735-1794): for each named ROI polygon
+    * in `layer`, the sorted distinct tile identifiers whose footprints
+    * intersect the EXACT geometry (Landsat WRS2 PATH/ROW, Sentinel-2
+    * MGRS names — the reference dedupes the S2 list through a set; the
+    * `collect_set` here is that dedup).
+    *
+    * Shape at scale: `layer` is driver-side ROI metadata (a handful of
+    * polygons) — envelopes are precomputed once per ROI row, the tiny
+    * side broadcasts, the LUT/scene side never shuffles, and the
+    * closed-envelope prefilter + exact polygon test run in one
+    * codegen'd filter; `collect_set` partial-aggregates per ROI before
+    * the final 1-row-per-ROI shuffle.
+    *
+    * @param lut      tile/scene table with bbox footprint columns
+    * @param layer    (roi_name, polygon WKT) pairs; EPSG:4326 lon/lat
+    * @param tileCols tile identity columns; multiple columns join with
+    *                 '_' into one id (the reference's (PATH, ROW) pair)
+    */
+  def tilesForRoi(spark: SparkSession, lut: DataFrame,
+                  layer: Seq[(String, String)], tileCols: Seq[String],
+                  north: String = "North_Lat", south: String = "South_Lat",
+                  east: String = "East_Lon", west: String = "West_Lon"): DataFrame = {
+    require(layer.nonEmpty, "tilesForRoi: layer has no ROI polygons")
+    require(tileCols.nonEmpty, "tilesForRoi: tileCols is empty")
+    layer.foreach { case (_, wkt) => requireValidGeom(wkt) }
+    import spark.implicits._
+    val rois = layer.toDF("roi", "wkt")
+      .withColumn("env", G.bboxFromWkt(col("wkt")))
+    val tileId =
+      if (tileCols.sizeIs == 1) col(tileCols.head).cast("string")
+      else concat_ws("_", tileCols.map(c => col(c).cast("string")): _*)
+    val hits = lut.join(broadcast(rois),
+        col(east) >= col("env.west") && col(west) <= col("env.east") &&
+          col(north) >= col("env.south") && col(south) <= col("env.north") &&
+          G.polygonIntersects(
+            G.bbox(col(north), col(south), col(east), col(west)), col("wkt")))
+      .groupBy("roi")
+      .agg(sort_array(collect_set(tileId)).as("tiles"))
+    // an ROI intersecting nothing still reports (reference emits an
+    // empty tile list, not a missing key) — rejoin the tiny ROI side
+    rois.select("roi").join(hits, Seq("roi"), "left")
+      .select(col("roi"),
+        coalesce(col("tiles"),
+          array().cast(org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType))).as("tiles"))
+      .select(col("roi"), col("tiles"), size(col("tiles")).as("n_tiles"))
+      .orderBy("roi")
+  }
 }

@@ -150,6 +150,30 @@ object GeoQueries {
           col("wkt")))
         .select(col("geom"), col("c_custkey"), (!col("exact")).as("env_only"))
         .orderBy("geom", "c_custkey")
+    },
+
+    // J3: ROI→tile-list LUT (SceneCatalog.tilesForRoi; findSensorROI,
+    // eodatadownutils.py:1735-1794). Footprints carry a WRS-like
+    // (path, row) grid id; per ROI polygon, the sorted distinct tile
+    // ids intersecting the EXACT geometry come back as one list —
+    // the reference's landsat PATH/ROW + dedup'd sentinel2 Name lists.
+    // The oracle replays the same closed-form intersections as q47 and
+    // aggregates with list(DISTINCT); an ROI with no tiles must still
+    // report an empty list.
+    "q52_roi_tile_lut" -> { (s, dir) =>
+      val fp = footprints(s, dir)
+        .withColumn("tile_path", floor((col("west") + 170.0) / 20.0).cast("int"))
+        .withColumn("tile_row", floor((col("south") + 80.0) / 20.0).cast("int"))
+      val layer = Seq(
+        ("tri", "POLYGON((0 0, 40 0, 0 40, 0 0))"),
+        ("lshape", "POLYGON((-60 -60, -30 -60, -30 -45, -45 -45, -45 -30, -60 -30, -60 -60))"),
+        ("diamond", "POLYGON((100 0, 110 10, 100 20, 90 10, 100 0))"))
+      graft.catalog.SceneCatalog.tilesForRoi(s, fp, layer,
+          tileCols = Seq("tile_path", "tile_row"),
+          north = "north", south = "south", east = "east", west = "west")
+        .select(col("roi"), array_join(col("tiles"), ",").as("tiles"),
+          col("n_tiles"))
+        .orderBy("roi")
     }
   )
 
@@ -265,6 +289,49 @@ object GeoQueries {
         |FROM fp CROSS JOIN layer
         |WHERE east >= env_w AND west <= env_e
         |  AND north >= env_s AND south <= env_n
-        |ORDER BY geom, c_custkey""".stripMargin
+        |ORDER BY geom, c_custkey""".stripMargin,
+
+    // Same closed-form exact intersections as q47 (SAT / rect-union),
+    // aggregated to per-ROI distinct sorted tile lists; the rois LEFT
+    // JOIN keeps an ROI with zero tiles as ('', 0) exactly like the
+    // engine's empty-array branch.
+    "q52_roi_tile_lut" ->
+      """WITH fp AS (
+        |  SELECT c_custkey,
+        |    CAST(c_custkey % 160 - 80 + 1 + c_custkey % 7 AS DOUBLE) AS north,
+        |    CAST(c_custkey % 160 - 80 AS DOUBLE) AS south,
+        |    CAST((c_custkey * 7) % 340 - 170 + 1 + c_custkey % 11 AS DOUBLE) AS east,
+        |    CAST((c_custkey * 7) % 340 - 170 AS DOUBLE) AS west
+        |  FROM customer),
+        |tiles AS (
+        |  SELECT *,
+        |    CAST(CAST(floor((west + 170.0) / 20.0) AS INT) AS VARCHAR)
+        |      || '_' ||
+        |    CAST(CAST(floor((south + 80.0) / 20.0) AS INT) AS VARCHAR)
+        |      AS tile_id
+        |  FROM fp),
+        |hits AS (
+        |  SELECT 'tri' AS roi, tile_id FROM tiles
+        |  WHERE east >= 0 AND west <= 40 AND north >= 0 AND south <= 40
+        |    AND west + south <= 40 AND east + north >= 0
+        |  UNION ALL
+        |  SELECT 'lshape', tile_id FROM tiles
+        |  WHERE (east >= -60 AND west <= -30 AND north >= -60 AND south <= -45)
+        |     OR (east >= -60 AND west <= -45 AND north >= -45 AND south <= -30)
+        |  UNION ALL
+        |  SELECT 'diamond', tile_id FROM tiles
+        |  WHERE east >= 90 AND west <= 110 AND north >= 0 AND south <= 20
+        |    AND west + south <= 120 AND east + north >= 100
+        |    AND west - north <= 100 AND east - south >= 80),
+        |rois(roi) AS (VALUES ('tri'), ('lshape'), ('diamond')),
+        |agg AS (
+        |  SELECT roi,
+        |    array_to_string(list_sort(list(DISTINCT tile_id)), ',') AS tiles,
+        |    CAST(count(DISTINCT tile_id) AS INT) AS n_tiles
+        |  FROM hits GROUP BY roi)
+        |SELECT rois.roi AS roi, coalesce(agg.tiles, '') AS tiles,
+        |  coalesce(agg.n_tiles, 0) AS n_tiles
+        |FROM rois LEFT JOIN agg ON rois.roi = agg.roi
+        |ORDER BY roi""".stripMargin
   )
 }

@@ -117,6 +117,42 @@ class SceneCatalogSpec extends SparkSpec {
     assert(cat.scenes.select("PID").as[Long].collect().toSet == Set(1L, 2L))
   }
 
+  test("tilesForRoi: per-ROI exact-intersect tile lists, empty ROI kept") {
+    val cat = mkCatalog()
+    // triangle below x+y=70 over the [0,30]x[40,60] corner: scenes 1
+    // ([0,2]x[50,52]) and 2 ([1,3]x[51,53]) intersect exactly; the
+    // far-east 'nowhere' ROI intersects nothing but must still report
+    // an EMPTY list (reference emits an empty sentinel2 set, not a
+    // missing key); scenes 3+4 share one Scene_ID footprint — the
+    // default tile identity (dupKey) dedupes them to ONE id.
+    // (triangle starts at y=41, not 40: closed OGC semantics would
+    // otherwise count scene 5's north=40 edge as a boundary touch)
+    val rois = Seq(
+      ("west_eu", "POLYGON((0 41, 30 41, 0 71, 0 41))"),
+      ("africa", "POLYGON((-20 0, 0 0, 0 20, -20 20, -20 0))"),
+      ("nowhere", "POLYGON((150 -60, 160 -60, 160 -50, 150 -50, 150 -60))"))
+    val out = cat.tilesForRoi(rois).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("africa", "nowhere", "west_eu"))
+    val byRoi = out.map(r => r.getString(0) ->
+      (r.getSeq[String](1), r.getInt(2))).toMap
+    assert(byRoi("west_eu") == ((Seq("S1", "S2"), 2)))
+    assert(byRoi("africa") == ((Seq("S3"), 1))) // S3 dup'd across 2 rows
+    assert(byRoi("nowhere") == ((Seq.empty[String], 0)))
+    // (PATH, ROW)-style multi-column identity joins with '_'
+    val pr = graft.catalog.SceneCatalog.tilesForRoi(spark,
+      cat.scenes.withColumn("p", (col("PID") % 3).cast("int"))
+        .withColumn("r", lit(7)),
+      rois.take(1), tileCols = Seq("p", "r"))
+    assert(pr.collect().head.getSeq[String](1) == Seq("1_7", "2_7"))
+    // malformed WKT fails before any plan runs
+    intercept[IllegalArgumentException] {
+      cat.tilesForRoi(Seq(("bad", "POLYGON((0 0, 1 0")))
+    }
+    intercept[IllegalArgumentException] {
+      cat.tilesForRoi(Seq.empty)
+    }
+  }
+
   test("single-file dump bootstraps a FRESH catalog (import_sensor_db path)") {
     val cat = mkCatalog()
     val dump = Files.createTempDirectory("dump").toString + "/db.json"
