@@ -66,6 +66,26 @@ object GraftFunctions {
   def bboxToUtm(b: Column, epsg: Int): Column =
     c(BBoxToUtm(expression(b), expression(lit(epsg))))
 
+  // ---- C11 polar family: polar stereographic closed forms for the
+  // grids polar ICESAT2/GEDI products actually ship in — EPSG:3413
+  // (NSIDC Arctic) / EPSG:3031 (Antarctic). Same Snyder-series codegen
+  // pattern as UTM; unsupported codes fail loudly.
+
+  /** struct<lon,lat> degrees → struct<x,y> polar stereographic meters. */
+  def psForward(pt: Column, epsg: Int): Column =
+    c(PsForward(expression(pt), expression(lit(epsg))))
+
+  /** struct<x,y> meters → struct<lon,lat> degrees. */
+  def psInverse(pt: Column, epsg: Int): Column =
+    c(PsInverse(expression(pt), expression(lit(epsg))))
+
+  /** Per-row EPSG variants (mixed-hemisphere catalogues). */
+  def psForward(pt: Column, epsg: Column): Column =
+    c(PsForward(expression(pt), expression(epsg)))
+
+  def psInverse(pt: Column, epsg: Column): Column =
+    c(PsInverse(expression(pt), expression(epsg)))
+
   /** Build a bbox struct from four coordinate columns. */
   def bbox(north: Column, south: Column, east: Column, west: Column): Column =
     struct(north.cast("double").as("north"), south.cast("double").as("south"),

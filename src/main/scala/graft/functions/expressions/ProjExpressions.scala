@@ -112,6 +112,106 @@ object ProjImpl {
 
   def isSouth(epsg: Int): Boolean = epsg >= 32701 && epsg <= 32760
 
+  // ---- polar stereographic (C11 polar family): EPSG:3413 (NSIDC
+  // Sea Ice Polar Stereographic North — the grid ICESAT2/Arctic
+  // products ship in; lat_ts=70, lon_0=-45) and EPSG:3031 (Antarctic
+  // Polar Stereographic — GEDI/ICESAT2 Antarctic grids; lat_ts=-71,
+  // lon_0=0), both WGS84, FE=FN=0. Ellipsoidal closed forms from
+  // Snyder 1987 §21 (eqs. 15-9, 14-15, 21-34) = EPSG Guidance Note
+  // 7-2 "Polar Stereographic variant B".
+
+  private val e = math.sqrt(e2)
+
+  /** Snyder eq. 15-9 (north-aspect t). */
+  private def psT(phi: Double): Double =
+    math.tan(math.Pi / 4 - phi / 2) *
+      math.pow((1 + e * math.sin(phi)) / (1 - e * math.sin(phi)), e / 2)
+
+  /** Snyder eq. 14-15. */
+  private def psM(phi: Double): Double = {
+    val s = math.sin(phi)
+    math.cos(phi) / math.sqrt(1 - e2 * s * s)
+  }
+
+  /** Generic variant-B forward: (lon, lat) degrees → (x, y) meters,
+    * for a standard parallel `latTs` (sign gives the aspect) and
+    * central meridian `lon0`. Exposed (not just the EPSG dispatch) so
+    * tests can replay the published EPSG Guidance Note example.
+    */
+  def psForwardParams(lonDeg: Double, latDeg: Double,
+                      latTs: Double, lon0: Double): InternalRow = {
+    val south = latTs < 0
+    // south aspect = north-aspect formulas on the mirrored sphere
+    val phi = math.toRadians(if (south) -latDeg else latDeg)
+    val dLam = math.toRadians(
+      if (south) -(lonDeg - lon0) else lonDeg - lon0)
+    val phiC = math.toRadians(math.abs(latTs))
+    val rho = a * psM(phiC) * psT(phi) / psT(phiC)
+    val x = rho * math.sin(dLam)
+    val y = -rho * math.cos(dLam)
+    if (south) InternalRow(-x, -y) else InternalRow(x, y)
+  }
+
+  /** Generic variant-B inverse: (x, y) meters → (lon, lat) degrees
+    * (footpoint-free; conformal-latitude series, Snyder eq. 3-5).
+    */
+  def psInverseParams(xm: Double, ym: Double,
+                      latTs: Double, lon0: Double): InternalRow = {
+    val south = latTs < 0
+    val x = if (south) -xm else xm
+    val y = if (south) -ym else ym
+    val phiC = math.toRadians(math.abs(latTs))
+    val rho = math.hypot(x, y)
+    val t = rho * psT(phiC) / (a * psM(phiC))
+    val chi = math.Pi / 2 - 2 * math.atan(t)
+    val e4 = e2 * e2; val e6 = e4 * e2; val e8 = e6 * e2
+    val phi = chi +
+      (e2 / 2 + 5 * e4 / 24 + e6 / 12 + 13 * e8 / 360) * math.sin(2 * chi) +
+      (7 * e4 / 48 + 29 * e6 / 240 + 811 * e8 / 11520) * math.sin(4 * chi) +
+      (7 * e6 / 120 + 81 * e8 / 1120) * math.sin(6 * chi) +
+      (4279 * e8 / 161280) * math.sin(8 * chi)
+    val lam = if (rho == 0) 0.0 else math.atan2(x, -y)
+    // λ0 + atan2 can leave (−180, 180] (e.g. 3413's λ0=−45 with an
+    // eastern-hemisphere point) — normalize so forward∘inverse is the
+    // identity on canonical longitudes
+    if (south)
+      InternalRow(normLon(lon0 - math.toDegrees(lam)), -math.toDegrees(phi))
+    else
+      InternalRow(normLon(lon0 + math.toDegrees(lam)), math.toDegrees(phi))
+  }
+
+  private def normLon(d: Double): Double = {
+    val m = math.IEEEremainder(d, 360.0) // lands in [-180, 180]
+    if (m <= -180.0) m + 360.0 else m
+  }
+
+  /** Standard parallel for a supported polar EPSG; NaN when not polar. */
+  def psLatTs(epsg: Int): Double = epsg match {
+    case 3413 => 70.0
+    case 3031 => -71.0
+    case _ => Double.NaN
+  }
+
+  def psLon0(epsg: Int): Double = epsg match {
+    case 3413 => -45.0
+    case 3031 => 0.0
+    case _ => Double.NaN
+  }
+
+  private def requirePolar(epsg: Int): Unit =
+    require(epsg == 3413 || epsg == 3031,
+      s"unsupported polar EPSG:$epsg (expected 3413 north / 3031 south)")
+
+  def psForward(lonDeg: Double, latDeg: Double, epsg: Int): InternalRow = {
+    requirePolar(epsg)
+    psForwardParams(lonDeg, latDeg, psLatTs(epsg), psLon0(epsg))
+  }
+
+  def psInverse(x: Double, y: Double, epsg: Int): InternalRow = {
+    requirePolar(epsg)
+    psInverseParams(x, y, psLatTs(epsg), psLon0(epsg))
+  }
+
   /** bbox struct (degrees) → bbox struct (target CRS meters), corner
     * reprojection + envelope (what reprojBBOX does for a rectangle).
     * Throws on unsupported EPSG — silently wrong geometry is worse.
@@ -180,6 +280,48 @@ case class UtmInverse(left: Expression, right: Expression)
          |  graft.functions.expressions.ProjImpl.utmZoneOf($c),
          |  graft.functions.expressions.ProjImpl.isSouth($c))""".stripMargin)
   override def prettyName: String = "utm_inverse"
+}
+
+/** `ps_forward(struct<lon,lat>, epsg)` → struct<x,y> polar
+  * stereographic meters (EPSG:3413 north / 3031 south).
+  */
+case class PsForward(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("x", DoubleType, nullable = false),
+    StructField("y", DoubleType, nullable = false)))
+  override def nullSafeEval(pt: Any, epsg: Any): Any = {
+    val p = pt.asInstanceOf[InternalRow]
+    ProjImpl.psForward(p.getDouble(0), p.getDouble(1), epsg.asInstanceOf[Int])
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PsForward =
+    copy(left = newLeft, right = newRight)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (p, c) =>
+      s"""graft.functions.expressions.ProjImpl.psForward(
+         |  $p.getDouble(0), $p.getDouble(1), $c)""".stripMargin)
+  override def prettyName: String = "ps_forward"
+}
+
+/** `ps_inverse(struct<x,y>, epsg)` → struct<lon,lat> degrees. */
+case class PsInverse(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("lon", DoubleType, nullable = false),
+    StructField("lat", DoubleType, nullable = false)))
+  override def nullSafeEval(pt: Any, epsg: Any): Any = {
+    val p = pt.asInstanceOf[InternalRow]
+    ProjImpl.psInverse(p.getDouble(0), p.getDouble(1), epsg.asInstanceOf[Int])
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PsInverse =
+    copy(left = newLeft, right = newRight)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (p, c) =>
+      s"""graft.functions.expressions.ProjImpl.psInverse(
+         |  $p.getDouble(0), $p.getDouble(1), $c)""".stripMargin)
+  override def prettyName: String = "ps_inverse"
 }
 
 /** `bbox_to_utm(bbox, epsg)` → bbox in target CRS meters. */

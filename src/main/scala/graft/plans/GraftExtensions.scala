@@ -72,6 +72,10 @@ object GraftExtensions {
       (e: Seq[Expression]) => UtmInverse(e(0), e(1))),
     ("bbox_to_utm", info("bbox_to_utm", "bbox degrees to UTM meters envelope"),
       (e: Seq[Expression]) => BBoxToUtm(e(0), e(1))),
+    ("ps_forward", info("ps_forward", "struct<lon,lat> to polar stereographic struct<x,y>"),
+      (e: Seq[Expression]) => PsForward(e(0), e(1))),
+    ("ps_inverse", info("ps_inverse", "polar stereographic struct<x,y> to struct<lon,lat>"),
+      (e: Seq[Expression]) => PsInverse(e(0), e(1))),
     ("ngram_repetition", info("ngram_repetition", "per-row n-gram repetition stats"),
       (e: Seq[Expression]) => NgramRepetition(e(0), e(1))),
     ("first_equal_index", info("first_equal_index", "first index where long arrays agree"),

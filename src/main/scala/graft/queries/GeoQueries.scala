@@ -152,6 +152,30 @@ object GeoQueries {
         .orderBy("geom", "c_custkey")
     },
 
+    // C11 polar family under the driver gate: polar stereographic
+    // (EPSG:3413 Arctic / 3031 Antarctic) forward mirrored
+    // formula-for-formula in DuckDB (Snyder §21 is all tan/pow/sin —
+    // DuckDB-expressible like q51's mercator), plus the
+    // forward∘inverse closure stated as an identity (series error
+    // ~1e-11 rad << the 6-decimal round). Rows alternate hemispheres,
+    // so both EPSG branches of the per-row dispatch are exercised,
+    // including |λ−λ0|>180 wraps for 3413 (λ0=−45°).
+    "q53_polar_roundtrip" -> { (s, dir) =>
+      val lon = (col("p_partkey") % 360).cast("double") - 180.0 + 0.5
+      val latAbs = (col("p_partkey") % 28).cast("double") + 60.25
+      val isN = col("p_partkey") % 2 === 0
+      val epsg = when(isN, 3413).otherwise(3031)
+      val lat = when(isN, latAbs).otherwise(-latAbs)
+      val fwd = G.psForward(struct(lon.as("lon"), lat.as("lat")), epsg)
+      val inv = G.psInverse(fwd, epsg)
+      t(s, dir, "part").select(col("p_partkey"), epsg.as("epsg"),
+          round(inv.getField("lon"), 6).as("lon_rt"),
+          round(inv.getField("lat"), 6).as("lat_rt"),
+          round(fwd.getField("x"), 1).as("ps_x"),
+          round(fwd.getField("y"), 1).as("ps_y"))
+        .orderBy("p_partkey")
+    },
+
     // J3: ROI→tile-list LUT (SceneCatalog.tilesForRoi; findSensorROI,
     // eodatadownutils.py:1735-1794). Footprints carry a WRS-like
     // (path, row) grid id; per ROI polygon, the sorted distinct tile
@@ -290,6 +314,42 @@ object GeoQueries {
         |WHERE east >= env_w AND west <= env_e
         |  AND north >= env_s AND south <= env_n
         |ORDER BY geom, c_custkey""".stripMargin,
+
+    // Forward mirrored term-for-term (Snyder §21 / EPSG variant B;
+    // the south aspect is the north formulas on |lat| with flipped
+    // x/y composition, so ONE t/ρ pipeline covers both hemispheres);
+    // the roundtrip columns assert the identity directly.
+    "q53_polar_roundtrip" ->
+      """WITH d AS (
+        |  SELECT p_partkey,
+        |    (p_partkey % 360)::DOUBLE - 180.0 + 0.5 AS lon,
+        |    (p_partkey % 28)::DOUBLE + 60.25 AS alat,
+        |    p_partkey % 2 = 0 AS north,
+        |    sqrt((1.0/298.257223563) * (2 - 1.0/298.257223563)) AS es,
+        |    6378137.0 AS aa
+        |  FROM part),
+        |c AS (
+        |  SELECT *,
+        |    CASE WHEN north THEN radians(70.0) ELSE radians(71.0) END AS phic,
+        |    CASE WHEN north THEN lon + 45.0 ELSE lon END AS dlam
+        |  FROM d),
+        |p AS (
+        |  SELECT *,
+        |    aa * (cos(phic) / sqrt(1 - es*es*sin(phic)*sin(phic)))
+        |      * (tan(pi()/4 - radians(alat)/2) *
+        |         pow((1 + es*sin(radians(alat))) /
+        |             (1 - es*sin(radians(alat))), es/2))
+        |      / (tan(pi()/4 - phic/2) *
+        |         pow((1 + es*sin(phic)) / (1 - es*sin(phic)), es/2)) AS rho
+        |  FROM c)
+        |SELECT p_partkey,
+        |  CAST(CASE WHEN north THEN 3413 ELSE 3031 END AS INT) AS epsg,
+        |  round(lon, 6) AS lon_rt,
+        |  round(CASE WHEN north THEN alat ELSE -alat END, 6) AS lat_rt,
+        |  round(rho * sin(radians(dlam)), 1) AS ps_x,
+        |  round(CASE WHEN north THEN -rho * cos(radians(dlam))
+        |             ELSE rho * cos(radians(dlam)) END, 1) AS ps_y
+        |FROM p ORDER BY p_partkey""".stripMargin,
 
     // Same closed-form exact intersections as q47 (SAT / rect-union),
     // aggregated to per-ROI distinct sorted tile lists; the rois LEFT

@@ -63,6 +63,74 @@ class ProjSpec extends SparkSpec {
     }
   }
 
+  private def psF(lon: Double, lat: Double, epsg: Int): (Double, Double) =
+    Seq((lon, lat)).toDF("lon", "lat")
+      .select(G.psForward(struct($"lon", $"lat"), epsg).as("p"))
+      .select("p.x", "p.y").as[(Double, Double)].head()
+
+  private def psI(x: Double, y: Double, epsg: Int): (Double, Double) =
+    Seq((x, y)).toDF("x", "y")
+      .select(G.psInverse(struct($"x", $"y"), epsg).as("p"))
+      .select("p.lon", "p.lat").as[(Double, Double)].head()
+
+  test("polar stereographic matches the published EPSG variant-B example") {
+    // IOGP Guidance Note 7-2, Polar Stereographic variant B worked
+    // example (Australian Antarctic Polar Stereographic): standard
+    // parallel 71°S, longitude of origin 70°E, FE = FN = 6,000,000 m;
+    // (120°E, 75°S) → E 7,255,380.79 m, N 7,053,389.56 m.
+    val out = graft.functions.expressions.ProjImpl
+      .psForwardParams(120.0, -75.0, latTs = -71.0, lon0 = 70.0)
+    val e = out.getDouble(0) + 6000000.0
+    val n = out.getDouble(1) + 6000000.0
+    assert(math.abs(e - 7255380.79) < 0.05, s"E was $e")
+    assert(math.abs(n - 7053389.56) < 0.05, s"N was $n")
+    val back = graft.functions.expressions.ProjImpl
+      .psInverseParams(out.getDouble(0), out.getDouble(1),
+        latTs = -71.0, lon0 = 70.0)
+    assert(math.abs(back.getDouble(0) - 120.0) < 1e-8)
+    assert(math.abs(back.getDouble(1) + 75.0) < 1e-8)
+  }
+
+  test("polar stereographic axes, poles, and standard-parallel scale") {
+    // both poles project to the grid origin
+    val (px, py) = psF(13.0, 90.0, 3413)
+    assert(math.abs(px) < 1e-6 && math.abs(py) < 1e-6)
+    val (sx, sy) = psF(13.0, -90.0, 3031)
+    assert(math.abs(sx) < 1e-6 && math.abs(sy) < 1e-6)
+    // on the central meridian: north aspect runs down-grid (y<0),
+    // south aspect up-grid (y>0)
+    val (nx, ny) = psF(-45.0, 75.0, 3413)
+    assert(math.abs(nx) < 1e-6 && ny < -1000000)
+    val (ax, ay) = psF(0.0, -75.0, 3031)
+    assert(math.abs(ax) < 1e-6 && ay > 1000000)
+    // scale factor at the standard parallel is 1: a 0.01° step along
+    // lat 70N measures its true ellipsoidal parallel-arc length
+    val (x1, y1) = psF(10.0, 70.0, 3413)
+    val (x2, y2) = psF(10.01, 70.0, 3413)
+    val planar = math.hypot(x2 - x1, y2 - y1)
+    val aWgs = 6378137.0; val e2 = (1 / 298.257223563) * (2 - 1 / 298.257223563)
+    val s70 = math.sin(math.toRadians(70))
+    val arc = math.toRadians(0.01) *
+      aWgs * math.cos(math.toRadians(70)) / math.sqrt(1 - e2 * s70 * s70)
+    assert(math.abs(planar / arc - 1.0) < 1e-6, s"scale ${planar / arc}")
+  }
+
+  test("polar forward∘inverse identity incl. wrap longitudes; bad EPSG raises") {
+    val r = new Random(11)
+    for (_ <- 1 to 40) {
+      val north = r.nextBoolean()
+      val epsg = if (north) 3413 else 3031
+      val lon = (r.nextDouble() - 0.5) * 359.9 // includes |λ−λ0| > 180 wraps
+      val lat = (if (north) 1 else -1) * (55 + r.nextDouble() * 34.9)
+      val (x, y) = psF(lon, lat, epsg)
+      val (lon2, lat2) = psI(x, y, epsg)
+      assert(math.abs(lon2 - lon) < 1e-8, s"lon $lon -> $lon2 (epsg $epsg)")
+      assert(math.abs(lat2 - lat) < 1e-8, s"lat $lat -> $lat2 (epsg $epsg)")
+    }
+    intercept[Exception] { psF(0.0, 80.0, 32631) }
+    intercept[Exception] { psI(0.0, 1000.0, 3857) }
+  }
+
   test("bbox reprojection keeps envelope orientation and contains corners") {
     val b = Seq((52.0, 50.0, 2.9, 0.1)).toDF("n", "s", "e", "w")
       .select(G.bboxToUtm(G.bbox($"n", $"s", $"e", $"w"), 32631).as("p"))
