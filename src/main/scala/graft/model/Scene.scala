@@ -58,3 +58,22 @@ case class UsageLog(
     Update_Time: Timestamp,
     Scene_PID: Option[Long],
     Description: String)
+
+/** Date-report registry row (EDDDateReports,
+  * eodatadowndatereports.py:60-71): metadata about a produced
+  * date-report artifact. The PDF render itself is app-layer; this row
+  * is the engine-side record of it. `Start_Date` is the MOST RECENT
+  * date of the reported range and `End_Date` the earliest, matching
+  * the reference's argument convention; the JSONB columns ride as JSON
+  * strings like ExtendedInfo does on scenes.
+  */
+case class DateReport(
+    PID: Long,
+    File_Path: String,
+    Start_Date: Date,
+    End_Date: Date,
+    Production_Date: Timestamp,
+    Sensor: String,
+    Platform: String,
+    Scn_Images: Option[String],
+    ExtendedInfo: Option[String])
