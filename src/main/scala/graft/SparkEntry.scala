@@ -21,7 +21,8 @@ object SparkEntry {
       graft.queries.GeoQueries.queries ++
       graft.queries.TextQueries.queries ++
       graft.queries.VectorQueries.queries ++
-      graft.queries.CoverageQueries.queries
+      graft.queries.CoverageQueries.queries ++
+      graft.queries.MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +31,6 @@ object SparkEntry {
       graft.queries.GeoQueries.oracleSql ++
       graft.queries.TextQueries.oracleSql ++
       graft.queries.VectorQueries.oracleSql ++
-      graft.queries.CoverageQueries.oracleSql
+      graft.queries.CoverageQueries.oracleSql ++
+      graft.queries.MultimodalQueries.oracleSql
 }

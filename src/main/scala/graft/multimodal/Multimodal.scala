@@ -88,6 +88,37 @@ object Multimodal {
     }
   }
 
+  case class MediaFeaturesMd5(media_id: Long, kind: String, n_bytes: Int,
+                              checksum: Long, feature: Array[Double])
+
+  /** Same mapPartitions execution shape as [[extractFeatures]], with
+    * the stub embed derived from MD5 instead of FNV: MD5 of the same
+    * bytes agrees across engines (the q31 device), so the ENTIRE
+    * binary-column pipeline — payload bytes, per-partition decoder
+    * init, checksum, feature derivation — sits under the driver's
+    * cross-engine hash gate (q54), not just a spec. Features are
+    * 24-bit hex windows scaled by 2^-24 (exact in double on both
+    * engines). The FNV form remains the throughput stub.
+    */
+  def extractFeaturesMd5(media: Dataset[MediaRow]): Dataset[MediaFeaturesMd5] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition init (MessageDigest.digest resets between rows)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val hex = md.digest(r.payload)
+          .map(b => f"${b & 0xff}%02x").mkString
+        val checksum = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+        val feature = Array.tabulate(4) { j =>
+          java.lang.Integer.parseInt(hex.substring(6 * j, 6 * j + 6), 16) /
+            16777216.0 - 0.5
+        }
+        MediaFeaturesMd5(r.media_id, r.kind, r.payload.length, checksum,
+          feature)
+      }
+    }
+  }
+
   /** Resize shape for images: payload → payload', meta.width/height
     * rewritten to the target box (aspect-preserving fit). The pixel
     * resample itself is the stub — a deterministic byte fold to the

@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.multimodal.{Multimodal => M}
+
+/** Multimodal binary-column pipeline under the driver gate
+  * (SURVEY.md builder extension; previously spec-only).
+  *
+  * The synthetic tables carry no real media, so payloads are the
+  * UTF-8 document bytes treated as an opaque `binary` column — which
+  * is exactly what the engine-side contract is: Spark never interprets
+  * the payload, only the (stub) codec does. The decode stub is
+  * md5-derived so DuckDB replays byte-identical checksums/features
+  * from the same bytes (the q31 device); the execution path is the
+  * REAL one a production codec would use — typed Dataset,
+  * mapPartitions, one decoder instance per partition, no driver
+  * collect, no interpretation outside the codec.
+  */
+object MultimodalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // decode+embed feature extraction over a binary media column:
+    // documents → media rows (payload = UTF-8 bytes, kind cycles
+    // image/audio/video, synthetic dimensions) → per-partition stub
+    // codec → checksum + 4-dim feature vector.
+    "q54_media_features" -> { (s, dir) =>
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"),
+          when(col("doc_id") % 3 === 0, "image")
+            .when(col("doc_id") % 3 === 1, "audio")
+            .otherwise("video").as("kind"),
+          col("text").cast("binary").as("payload"),
+          (col("n_chars") % 640 + 32).cast("int").as("width"),
+          (col("n_chars") % 480 + 32).cast("int").as("height"))
+        .as[M.MediaRow]
+      M.extractFeaturesMd5(media).toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"), col("checksum"),
+          round(element_at(col("feature"), 1), 6).as("f0"),
+          round(element_at(col("feature"), 2), 6).as("f1"),
+          round(element_at(col("feature"), 3), 6).as("f2"),
+          round(element_at(col("feature"), 4), 6).as("f3"))
+        .orderBy("media_id")
+    }
+  )
+
+  // md5 of the same UTF-8 bytes agrees across engines; strlen counts
+  // bytes in DuckDB (payload length of the cast); 24-bit hex windows
+  // scaled by 2^-24 are exact doubles, so round(…,6) sees identical
+  // values on both sides.
+  val oracleSql: Map[String, String] = Map(
+    "q54_media_features" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |         WHEN doc_id % 3 = 1 THEN 'audio'
+        |         ELSE 'video' END AS kind,
+        |    md5(text) AS hex,
+        |    strlen(text) AS n_bytes
+        |  FROM documents)
+        |SELECT media_id, kind, CAST(n_bytes AS INT) AS n_bytes,
+        |  ('0x' || substr(hex, 1, 15))::BIGINT AS checksum,
+        |  round(('0x' || substr(hex, 1, 6))::BIGINT / 16777216.0 - 0.5, 6) AS f0,
+        |  round(('0x' || substr(hex, 7, 6))::BIGINT / 16777216.0 - 0.5, 6) AS f1,
+        |  round(('0x' || substr(hex, 13, 6))::BIGINT / 16777216.0 - 0.5, 6) AS f2,
+        |  round(('0x' || substr(hex, 19, 6))::BIGINT / 16777216.0 - 0.5, 6) AS f3
+        |FROM m ORDER BY media_id""".stripMargin
+  )
+}

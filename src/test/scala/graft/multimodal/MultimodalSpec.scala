@@ -25,6 +25,25 @@ class MultimodalSpec extends SparkSpec {
     assert(again.map(_.checksum).sameElements(feats.map(_.checksum)))
   }
 
+  test("md5-derived extraction matches the known MD5 test vector") {
+    // RFC 1321 test suite: md5("abc") = 900150983cd24fb0d6963f7d28e17f72
+    // checksum = first 15 hex chars; features = 24-bit windows / 2^24 - 0.5
+    val ds = Seq(MediaRow(1L, "image", "abc".getBytes("UTF-8"), 4, 4)).toDS()
+    val f = Multimodal.extractFeaturesMd5(ds).collect().head
+    assert(f.n_bytes == 3)
+    assert(f.checksum == java.lang.Long.parseLong("900150983cd24fb", 16))
+    assert(f.feature.length == 4)
+    assert(f.feature(0) == 0x900150 / 16777216.0 - 0.5)
+    assert(f.feature(1) == 0x983cd2 / 16777216.0 - 0.5)
+    // determinism across repartition (per-partition digest instances)
+    val many = (0L until 12L).map(i =>
+      MediaRow(i, "audio", Array.fill[Byte](8)((i % 3).toByte), 1, 1))
+    val out = Multimodal.extractFeaturesMd5(many.toDS().repartition(5))
+      .collect().sortBy(_.media_id)
+    assert(out.groupBy(_.media_id % 3).values
+      .forall(g => g.map(_.checksum).distinct.length == 1))
+  }
+
   test("resize rewrites payload and metadata, preserves schema") {
     import org.apache.spark.sql.Row
     val rows = java.util.Arrays.asList(
