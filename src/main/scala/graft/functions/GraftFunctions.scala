@@ -59,9 +59,12 @@ object GraftFunctions {
   def utmInverse(pt: Column, epsg: Column): Column =
     c(UtmInverse(expression(pt), expression(epsg)))
 
-  /** bbox degrees → bbox in the UTM CRS (corner reprojection +
+  /** bbox degrees → bbox in the target CRS (corner reprojection +
     * envelope — the reference's reprojBBOX_epsg shape for the
     * scene-vs-layer join, eodatadownlandsatgoogsensor.py:723-725).
+    * Supports both projection families: UTM 326zz/327zz and polar
+    * stereographic 3413/3031 (see ProjImpl.bboxToUtm for the polar
+    * envelope caveat on pole-spanning boxes).
     */
   def bboxToUtm(b: Column, epsg: Int): Column =
     c(BBoxToUtm(expression(b), expression(lit(epsg))))

@@ -215,15 +215,29 @@ object ProjImpl {
   /** bbox struct (degrees) → bbox struct (target CRS meters), corner
     * reprojection + envelope (what reprojBBOX does for a rectangle).
     * Throws on unsupported EPSG — silently wrong geometry is worse.
+    * Dispatches across BOTH supported projection families: UTM
+    * 326zz/327zz and polar stereographic 3413/3031. NB: a corner
+    * envelope in a polar CRS UNDER-covers a box that spans the pole or
+    * wide longitudes (the projected edges bulge); callers doing polar
+    * containment joins should cut wide boxes first (bboxSplit) exactly
+    * as they do for the antimeridian.
     */
   def bboxToUtm(bbox: InternalRow, epsg: Int): InternalRow = {
-    val zone = utmZoneOf(epsg)
-    require(zone > 0, s"unsupported EPSG:$epsg (expected 326zz/327zz)")
-    val south = isSouth(epsg)
     val n = bbox.getDouble(0); val s = bbox.getDouble(1)
     val e = bbox.getDouble(2); val w = bbox.getDouble(3)
-    val corners = Array((w, s), (w, n), (e, s), (e, n))
-      .map { case (lon, lat) => utmForward(lon, lat, zone, south) }
+    val zone = utmZoneOf(epsg)
+    val corners =
+      if (zone > 0) {
+        val south = isSouth(epsg)
+        Array((w, s), (w, n), (e, s), (e, n))
+          .map { case (lon, lat) => utmForward(lon, lat, zone, south) }
+      } else {
+        require(epsg == 3413 || epsg == 3031,
+          s"unsupported EPSG:$epsg (expected UTM 326zz/327zz or " +
+            "polar stereographic 3413/3031)")
+        Array((w, s), (w, n), (e, s), (e, n))
+          .map { case (lon, lat) => psForward(lon, lat, epsg) }
+      }
     InternalRow(
       corners.map(_.getDouble(1)).max, corners.map(_.getDouble(1)).min,
       corners.map(_.getDouble(0)).max, corners.map(_.getDouble(0)).min)

@@ -131,6 +131,19 @@ class ProjSpec extends SparkSpec {
     intercept[Exception] { psI(0.0, 1000.0, 3857) }
   }
 
+  test("bbox reprojection dispatches to the polar family") {
+    val b = Seq((80.0, 72.0, 20.0, 10.0)).toDF("n", "s", "e", "w")
+      .select(G.bboxToUtm(G.bbox($"n", $"s", $"e", $"w"), 3413).as("p"))
+      .select("p.north", "p.south", "p.east", "p.west")
+      .as[(Double, Double, Double, Double)].head()
+    assert(b._1 > b._2 && b._3 > b._4)
+    for (lon <- Seq(10.0, 20.0); lat <- Seq(72.0, 80.0)) {
+      val (x, y) = psF(lon, lat, 3413)
+      assert(x >= b._4 - 1e-6 && x <= b._3 + 1e-6)
+      assert(y >= b._2 - 1e-6 && y <= b._1 + 1e-6)
+    }
+  }
+
   test("bbox reprojection keeps envelope orientation and contains corners") {
     val b = Seq((52.0, 50.0, 2.9, 0.1)).toDF("n", "s", "e", "w")
       .select(G.bboxToUtm(G.bbox($"n", $"s", $"e", $"w"), 32631).as("p"))
