@@ -96,6 +96,70 @@ object ScaleOps {
       .agg(count(lit(1)).as("bucket_size"), min(col(idCol)).as("rep_id"))
       .filter(col("bucket_size") > bucketCap)
 
+  /** Connected components over an undirected edge list — the step that
+    * turns near-dup PAIRS (q30 MinHash / q31 SimHash output) into
+    * dedup GROUPS so a pipeline can keep one representative per group
+    * (the union-find of every production dedup job, re-expressed as
+    * dataflow).
+    *
+    * Iterative min-label propagation: every vertex starts labeled with
+    * its own id; each round it takes the min of its label and its
+    * neighbors' labels. The min label floods one hop per round, so
+    * rounds = component diameter — small for dedup graphs, where the
+    * star-reduction guard ([[bandedCandidatePairs]]) additionally caps
+    * pathological components at diameter ≤ 2 per bucket. Each round is
+    * one shuffle-on-`dst` join + one partial-aggregated groupBy;
+    * labels are `localCheckpoint`ed every round so lineage stays flat
+    * at any iteration count. Convergence is detected by the label sum
+    * (labels only ever decrease, so an unchanged sum ⇔ a fixpoint) —
+    * one cheap aggregate per round instead of a change-count join.
+    * Fails loudly if `maxIters` rounds don't converge (a silently
+    * half-merged component would split dedup groups).
+    *
+    * @return (id, rep) for every vertex in `edges`; `rep` = the
+    *         component's minimum id. Vertices with no edges are absent
+    *         (callers union singletons if they need total coverage).
+    */
+  def connectedComponents(edges: DataFrame, aCol: String = "id_a",
+                          bCol: String = "id_b",
+                          maxIters: Int = 25): DataFrame = {
+    val sym = edges.select(col(aCol).cast("long").as("src"),
+        col(bCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val both = sym.union(sym.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = both.select(col("src").as("id")).distinct()
+      .withColumn("lab", col("id"))
+      .localCheckpoint()
+    def labelSum(): Long =
+      labels.agg(coalesce(sum("lab"), lit(0L))).head().getLong(0)
+    var lastSum = labelSum()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val nbrMin = both
+        .join(labels.select(col("id").as("dst"), col("lab").as("nlab")),
+          Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min("nlab").as("nbr_lab"))
+      labels = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lab"), coalesce(col("nbr_lab"), col("lab"))).as("lab"))
+        .localCheckpoint()
+      val s = labelSum()
+      converged = s == lastSum
+      lastSum = s
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds — " +
+          "component diameter exceeds maxIters; raise it (rounds are " +
+          "O(diameter), so this graph is unusually chainlike)")
+    labels.select(col("id"), col("lab").as("rep"))
+  }
+
   /** Range-partition pruning predicate for date-partitioned tables:
     * partition column filter composed alongside the row filter so the
     * scan skips whole partitions (the watermark-incremental read,

@@ -34,6 +34,78 @@ object TextQueries {
     "fr" -> Seq("le", "la", "et", "de"),
     "zh" -> Seq("de5", "shi4", "le5", "he2"))
 
+  /** q30's pipeline (shared with q55): MinHash + LSH near-dup pairs at
+    * τ=0.9, exact-Jaccard verified.
+    *
+    * Exact-dedup-first: web-scale corpora are boilerplate-heavy, so
+    * identical token SETS are grouped before any hashing — the
+    * signature/band/verify pipeline runs once per DISTINCT set, and
+    * doc-level pairs are reconstructed at the end (intra-group pairs
+    * are jac=1.0 by definition; cross-group set pairs fan out through
+    * the id-only membership map). Everything between the first groupBy
+    * and the final fan-out carries (long, long) IDs only. Banding 16×8
+    * over k=128 keeps recall at τ=0.9 above 0.999.
+    */
+  private def minhashDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val k = 128
+    val bands = 16
+    val rows = k / bands
+    // degenerate-bucket guard (ScaleOps.bandedCandidatePairs): the cap
+    // must sit above the corpus's organic bucket sizes among DISTINCT
+    // sets (LshStats measured max 2045 at sf0.1 pre-dedup; dedup only
+    // shrinks buckets) so results stay identical to the unguarded
+    // join and the exact-Jaccard oracle holds; a bucket beyond the
+    // cap is star-reduced instead of exploding quadratically
+    // (SkewGuardSpec pins that behavior). Re-measure via LshStats
+    // when the corpus grows.
+    val bucketCap = 5000
+    // empty word sets (whitespace-only docs) are excluded: Jaccard of
+    // two empty sets is 0/0 — the oracle's NULL division filters such
+    // pairs out, and sortedJaccard scores them 0.0, so the only
+    // consistent cross-engine semantics is to drop them before the
+    // dedup groupBy (otherwise two empty docs would pair at the
+    // intra-group jac=1.0 shortcut).
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), G.sortedWordSet(col("text")).as("ws"))
+      .filter(size(col("ws")) > 0)
+    // one row per distinct word set, keyed by its min doc id
+    val sets = d.groupBy("ws")
+      .agg(min("doc_id").as("sid"), count(lit(1)).as("gsz"))
+    // id-only membership map doc_id → set id (no arrays downstream)
+    val members = d.join(sets.select(col("ws"), col("sid")), Seq("ws"))
+      .select(col("sid"), col("doc_id"))
+    val banded = sets
+      .select(col("sid"), G.minhashSig(col("ws"), k).as("sig"))
+      .select(col("sid"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          i => xxhash64(i, slice(col("sig"), i * lit(rows) + lit(1), lit(rows))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val cand = Sc.bandedCandidatePairs(banded, Seq("band", "bucket"),
+      "sid", bucketCap, "sid_a", "sid_b")
+    // exact verify once per distinct-set pair
+    val setPairs = cand
+      .join(sets.select(col("sid").as("sid_a"), col("ws").as("ws_a")), Seq("sid_a"))
+      .join(sets.select(col("sid").as("sid_b"), col("ws").as("ws_b")), Seq("sid_b"))
+      .withColumn("jac", G.sortedJaccard(col("ws_a"), col("ws_b")))
+      .filter(col("jac") >= 0.9)
+      .select(col("sid_a"), col("sid_b"), col("jac"))
+    // fan back out to doc ids: identical-set pairs are exact dups …
+    val intra = members.select(col("sid"), col("doc_id").as("doc_a"))
+      .join(members.select(col("sid"), col("doc_id").as("doc_b")), Seq("sid"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), lit(1.0).as("jac"))
+    // … and each verified set pair links every member of one group to
+    // every member of the other (same jac for all of them)
+    val cross = setPairs
+      .join(members.select(col("sid").as("sid_a"), col("doc_id").as("da")), Seq("sid_a"))
+      .join(members.select(col("sid").as("sid_b"), col("doc_id").as("db")), Seq("sid_b"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("jac"))
+    intra.union(cross)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup: one keeper per distinct text via content hash —
@@ -124,74 +196,26 @@ object TextQueries {
 
     // MinHash + LSH near-dup candidates, then exact-Jaccard verify —
     // the scale path: band-hash buckets bound the join, the full cross
-    // product is never materialized.
-    //
-    // Exact-dedup-first: web-scale corpora are boilerplate-heavy, so
-    // identical token SETS are grouped before any hashing — the
-    // signature/band/verify pipeline runs once per DISTINCT set, and
-    // doc-level pairs are reconstructed at the end (intra-group pairs
-    // are jac=1.0 by definition; cross-group set pairs fan out through
-    // the id-only membership map). Everything between the first groupBy
-    // and the final fan-out carries (long, long) IDs only. Banding 16×8
-    // over k=128 keeps recall at τ=0.9 above 0.999.
-    "q30_minhash_lsh_pairs" -> { (s, dir) =>
-      val k = 128
-      val bands = 16
-      val rows = k / bands
-      // degenerate-bucket guard (ScaleOps.bandedCandidatePairs): the cap
-      // must sit above the corpus's organic bucket sizes among DISTINCT
-      // sets (LshStats measured max 2045 at sf0.1 pre-dedup; dedup only
-      // shrinks buckets) so results stay identical to the unguarded
-      // join and the exact-Jaccard oracle holds; a bucket beyond the
-      // cap is star-reduced instead of exploding quadratically
-      // (SkewGuardSpec pins that behavior). Re-measure via LshStats
-      // when the corpus grows.
-      val bucketCap = 5000
-      // empty word sets (whitespace-only docs) are excluded: Jaccard of
-      // two empty sets is 0/0 — the oracle's NULL division filters such
-      // pairs out, and sortedJaccard scores them 0.0, so the only
-      // consistent cross-engine semantics is to drop them before the
-      // dedup groupBy (otherwise two empty docs would pair at the
-      // intra-group jac=1.0 shortcut).
-      val d = t(s, dir, "documents")
-        .select(col("doc_id"), G.sortedWordSet(col("text")).as("ws"))
-        .filter(size(col("ws")) > 0)
-      // one row per distinct word set, keyed by its min doc id
-      val sets = d.groupBy("ws")
-        .agg(min("doc_id").as("sid"), count(lit(1)).as("gsz"))
-      // id-only membership map doc_id → set id (no arrays downstream)
-      val members = d.join(sets.select(col("ws"), col("sid")), Seq("ws"))
-        .select(col("sid"), col("doc_id"))
-      val banded = sets
-        .select(col("sid"), G.minhashSig(col("ws"), k).as("sig"))
-        .select(col("sid"),
-          posexplode(transform(sequence(lit(0), lit(bands - 1)),
-            i => xxhash64(i, slice(col("sig"), i * lit(rows) + lit(1), lit(rows))))))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-      val cand = Sc.bandedCandidatePairs(banded, Seq("band", "bucket"),
-        "sid", bucketCap, "sid_a", "sid_b")
-      // exact verify once per distinct-set pair
-      val setPairs = cand
-        .join(sets.select(col("sid").as("sid_a"), col("ws").as("ws_a")), Seq("sid_a"))
-        .join(sets.select(col("sid").as("sid_b"), col("ws").as("ws_b")), Seq("sid_b"))
-        .withColumn("jac", G.sortedJaccard(col("ws_a"), col("ws_b")))
-        .filter(col("jac") >= 0.9)
-        .select(col("sid_a"), col("sid_b"), col("jac"))
-      // fan back out to doc ids: identical-set pairs are exact dups …
-      val intra = members.select(col("sid"), col("doc_id").as("doc_a"))
-        .join(members.select(col("sid"), col("doc_id").as("doc_b")), Seq("sid"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"), lit(1.0).as("jac"))
-      // … and each verified set pair links every member of one group to
-      // every member of the other (same jac for all of them)
-      val cross = setPairs
-        .join(members.select(col("sid").as("sid_a"), col("doc_id").as("da")), Seq("sid_a"))
-        .join(members.select(col("sid").as("sid_b"), col("doc_id").as("db")), Seq("sid_b"))
-        .select(least(col("da"), col("db")).as("doc_a"),
-          greatest(col("da"), col("db")).as("doc_b"), col("jac"))
-      intra.union(cross)
-        .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
-        .orderBy("doc_a", "doc_b")
+    // product is never materialized. (Pipeline body shared with q55 as
+    // [[minhashDupPairs]].)
+    "q30_minhash_lsh_pairs" -> { (s, dir) => minhashDupPairs(s, dir) },
+
+    // Dedup GROUPS from the near-dup pairs: connected components over
+    // the q30 pair list (ScaleOps.connectedComponents — iterative
+    // min-label propagation, O(diameter) rounds), rolled up to one row
+    // per group with its representative (min doc id) and membership
+    // stats — the "keep one per near-dup cluster" step every
+    // production dedup pipeline ends with. The oracle recomputes the
+    // pairs with exact all-pairs Jaccard and closes them with a
+    // recursive CTE — an independent union-find, not a mirror.
+    "q55_dedup_groups" -> { (s, dir) =>
+      val cc = Sc.connectedComponents(
+        minhashDupPairs(s, dir).select(col("doc_a"), col("doc_b")),
+        "doc_a", "doc_b")
+      cc.groupBy(col("rep").as("group_id"))
+        .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_doc"),
+          sum(col("id")).as("docs_sum"))
+        .orderBy("group_id")
     },
 
     // SimHash near-dup: 60-bit fingerprints, banded into 4×15-bit
@@ -367,6 +391,31 @@ object TextQueries {
         |WHERE len(list_intersect(a.ws, b.ws))::DOUBLE /
         |    len(list_distinct(list_concat(a.ws, b.ws))) >= 0.9
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Independent union-find: exact all-pairs Jaccard pairs (the q30
+    // oracle), symmetrized, then min-label transitive closure via a
+    // recursive CTE — component rep = min reachable id, which is
+    // exactly what the engine's label propagation converges to.
+    "q55_dedup_groups" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT doc_id,
+        |    list_distinct(string_split(trim(lower(text)), ' ')) AS ws
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.ws, b.ws))::DOUBLE /
+        |      len(list_distinct(list_concat(a.ws, b.ws))) >= 0.9),
+        |e AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p),
+        |reach(id, lab) AS (
+        |  SELECT a AS id, a AS lab FROM e
+        |  UNION
+        |  SELECT e.a AS id, r.lab AS lab
+        |  FROM e JOIN reach r ON e.b = r.id),
+        |comp AS (SELECT id, min(lab) AS rep FROM reach GROUP BY id)
+        |SELECT rep AS group_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |  max(id) AS max_doc, CAST(sum(id) AS BIGINT) AS docs_sum
+        |FROM comp GROUP BY rep ORDER BY group_id""".stripMargin,
 
     // Full-pipeline mirror (md5 agrees across engines): token hash →
     // per-bit vote → fingerprint — then ALL-PAIRS hamming, which is

@@ -68,6 +68,34 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("connected components: chains, stars, disjoint groups, empty input") {
+    // chain 1-2-3-4 (diameter 3: exercises multi-round propagation),
+    // star 10-{11,12,13}, isolated pair 20-21, duplicate + reversed
+    // edges, and a self-loop that must be ignored
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (13L, 10L),
+      (20L, 21L), (21L, 20L), (20L, 21L),
+      (30L, 30L)).toDF("id_a", "id_b")
+    val got = ScaleOps.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      20L -> 20L, 21L -> 20L))
+    // a long chain converges (rounds = diameter) …
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labs = ScaleOps.connectedComponents(chain, maxIters = 15)
+      .select("rep").distinct().as[Long].collect()
+    assert(labs.sameElements(Array(1L)))
+    // … and fails LOUDLY when maxIters is below the diameter
+    intercept[IllegalStateException] {
+      ScaleOps.connectedComponents(chain, maxIters = 3)
+    }
+    // empty edge list: empty result, no crash
+    assert(ScaleOps.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b")).count() == 0)
+  }
+
   test("partition-pruned range predicate composes month + row bounds") {
     val df = Seq(
       ("2020-03", "2020-03-05"), ("2020-04", "2020-04-20"),
