@@ -34,19 +34,23 @@ object TextQueries {
     "fr" -> Seq("le", "la", "et", "de"),
     "zh" -> Seq("de5", "shi4", "le5", "he2"))
 
-  /** q30's pipeline (shared with q55): MinHash + LSH near-dup pairs at
-    * τ=0.9, exact-Jaccard verified.
+  /** The MinHash+LSH core shared by q30 (pairs) and q55 (groups):
+    * MinHash over DISTINCT word sets, banded buckets, exact-Jaccard
+    * verified set pairs at τ=0.9.
     *
     * Exact-dedup-first: web-scale corpora are boilerplate-heavy, so
     * identical token SETS are grouped before any hashing — the
     * signature/band/verify pipeline runs once per DISTINCT set, and
-    * doc-level pairs are reconstructed at the end (intra-group pairs
-    * are jac=1.0 by definition; cross-group set pairs fan out through
-    * the id-only membership map). Everything between the first groupBy
-    * and the final fan-out carries (long, long) IDs only. Banding 16×8
+    * doc-level results are reconstructed at the end through the
+    * id-only membership map. Everything between the first groupBy and
+    * the final fan-out carries (long, long) IDs only. Banding 16×8
     * over k=128 keeps recall at τ=0.9 above 0.999.
+    *
+    * @return (members: sid→doc_id map, sets: (ws, sid, gsz),
+    *         setPairs: verified (sid_a, sid_b, jac))
     */
-  private def minhashDupPairs(s: SparkSession, dir: String): DataFrame = {
+  private def minhashDupCore(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val k = 128
     val bands = 16
     val rows = k / bands
@@ -89,6 +93,12 @@ object TextQueries {
       .withColumn("jac", G.sortedJaccard(col("ws_a"), col("ws_b")))
       .filter(col("jac") >= 0.9)
       .select(col("sid_a"), col("sid_b"), col("jac"))
+    (members, sets, setPairs)
+  }
+
+  /** q30: doc-level near-dup pairs from the core's set pairs. */
+  private def minhashDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val (members, _, setPairs) = minhashDupCore(s, dir)
     // fan back out to doc ids: identical-set pairs are exact dups …
     val intra = members.select(col("sid"), col("doc_id").as("doc_a"))
       .join(members.select(col("sid"), col("doc_id").as("doc_b")), Seq("sid"))
@@ -200,21 +210,33 @@ object TextQueries {
     // [[minhashDupPairs]].)
     "q30_minhash_lsh_pairs" -> { (s, dir) => minhashDupPairs(s, dir) },
 
-    // Dedup GROUPS from the near-dup pairs: connected components over
-    // the q30 pair list (ScaleOps.connectedComponents — iterative
-    // min-label propagation, O(diameter) rounds), rolled up to one row
-    // per group with its representative (min doc id) and membership
-    // stats — the "keep one per near-dup cluster" step every
-    // production dedup pipeline ends with. The oracle recomputes the
-    // pairs with exact all-pairs Jaccard and closes them with a
-    // recursive CTE — an independent union-find, not a mirror.
+    // Dedup GROUPS from the near-dup detection — the "keep one per
+    // near-dup cluster" step every production dedup pipeline ends
+    // with. Connectivity lives at the DISTINCT-SET level: docs sharing
+    // a word set are mutual dups by definition, and a verified set
+    // pair links two whole sid clusters — so connected components
+    // (ScaleOps.connectedComponents, iterative min-label propagation)
+    // run over the sid graph (thousands of nodes), NEVER over
+    // materialized doc pairs, which go quadratic in group size on
+    // boilerplate-heavy corpora (a 10k-copy document is one sid node
+    // here vs 50M doc pairs). Docs fan in only for the final rollup.
+    // The oracle is an independent union-find at the DOC level —
+    // exact all-pairs Jaccard closed by a recursive CTE — so the
+    // sid-level shortcut is itself under test, not mirrored.
     "q55_dedup_groups" -> { (s, dir) =>
+      val (members, sets, setPairs) = minhashDupCore(s, dir)
       val cc = Sc.connectedComponents(
-        minhashDupPairs(s, dir).select(col("doc_a"), col("doc_b")),
-        "doc_a", "doc_b")
-      cc.groupBy(col("rep").as("group_id"))
-        .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_doc"),
-          sum(col("id")).as("docs_sum"))
+        setPairs.select(col("sid_a"), col("sid_b")), "sid_a", "sid_b")
+      // sids in no cross-set pair are their own component
+      val sidRep = sets.select(col("sid"))
+        .join(cc.withColumnRenamed("id", "sid"), Seq("sid"), "left")
+        .select(col("sid"), coalesce(col("rep"), col("sid")).as("rep_sid"))
+      members.join(sidRep, Seq("sid"))
+        .groupBy("rep_sid")
+        .agg(min("doc_id").as("group_id"), count(lit(1)).as("n_docs"),
+          max("doc_id").as("max_doc"), sum("doc_id").as("docs_sum"))
+        .filter(col("n_docs") >= 2) // singleton docs are not dup groups
+        .select("group_id", "n_docs", "max_doc", "docs_sum")
         .orderBy("group_id")
     },
 
