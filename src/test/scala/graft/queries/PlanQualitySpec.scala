@@ -86,6 +86,29 @@ class PlanQualitySpec extends SparkSpec {
   // a date-partitioned PartitionedCowTable must touch only the
   // manifest-pruned partition dirs, and a CDC read must touch only the
   // partitions the new version rewrote.
+  test("q52 ROI LUT: the tiny ROI side broadcasts, collect_set pre-aggregates") {
+    val p = plan("q52_roi_tile_lut")
+    // the LUT/scene side must never shuffle for the join itself — the
+    // ROI layer (a handful of polygons) is the broadcast side
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    // per-ROI collect_set partial-aggregates before the 1-row-per-ROI
+    // exchange (ObjectHashAggregate pair)
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q54 multimodal: single scan, no shuffle before the feature map") {
+    val p = plan("q54_media_features")
+    // one documents scan, the mapPartitions codec pass, and only the
+    // final orderBy exchange — a shuffle before the codec would move
+    // payload bytes for nothing (formatted mode prints each scan once
+    // in the tree and once in the detail section, so count locations)
+    assert("Location: InMemoryFileIndex".r.findAllIn(p).length == 1, p)
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"expected only the sort exchange(s), got $exchanges:\n$p")
+  }
+
   test("storage I/O shape: pruned date scan and CDC list only their dirs") {
     import java.sql.{Date, Timestamp}
     import graft.catalog.SceneCatalog
