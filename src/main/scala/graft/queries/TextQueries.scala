@@ -72,7 +72,10 @@ object TextQueries {
     val d = t(s, dir, "documents")
       .select(col("doc_id"), G.sortedWordSet(col("text")).as("ws"))
       .filter(size(col("ws")) > 0)
-    // one row per distinct word set, keyed by its min doc id
+    // one row per distinct word set, keyed by its min doc id.
+    // (Measured: lazy-localCheckpointing sets/members changes nothing
+    // at sf0.1 — Spark already reuses the exchanges across the
+    // multiple references, so the plain lineage stays.)
     val sets = d.groupBy("ws")
       .agg(min("doc_id").as("sid"), count(lit(1)).as("gsz"))
     // id-only membership map doc_id → set id (no arrays downstream)
