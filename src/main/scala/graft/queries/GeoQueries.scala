@@ -176,6 +176,39 @@ object GeoQueries {
         .orderBy("p_partkey")
     },
 
+    // S9 under the driver gate: GeoJSON FeatureCollection round trip.
+    // Footprints export through the real single-file writer
+    // (ExportImport.exportGeoJson — distributed feature build,
+    // driver-streamed container), then read back as a
+    // FeatureCollection (multiLine JSON → explode(features)) and the
+    // ring corners are compared against the closed-form footprint
+    // arithmetic in DuckDB. Pins ring orientation/closure and the
+    // [lon, lat] coordinate order — a transposed writer or unclosed
+    // ring fails the hash, not just a spec.
+    "q56_geojson_roundtrip" -> { (s, dir) =>
+      val fp = footprints(s, dir)
+      val base =
+        if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
+          "/dev/shm"
+        else System.getProperty("java.io.tmpdir")
+      val path = s"$base/graft_q56_${s.sparkContext.applicationId}/fp.geojson"
+      graft.sources.ExportImport.exportGeoJson(fp, path,
+        props = Seq("c_custkey"),
+        north = "north", south = "south", east = "east", west = "west")
+      val ring = col("f.geometry.coordinates").getItem(0)
+      s.read.option("multiLine", "true").json(path)
+        .select(explode(col("features")).as("f"))
+        .select(
+          col("f.properties.c_custkey").as("c_custkey"),
+          ring.getItem(2).getItem(1).as("north"),
+          ring.getItem(0).getItem(1).as("south"),
+          ring.getItem(2).getItem(0).as("east"),
+          ring.getItem(0).getItem(0).as("west"),
+          size(ring).as("n_points"),
+          (ring.getItem(0) === ring.getItem(4)).as("ring_closed"))
+        .orderBy("c_custkey")
+    },
+
     // J3: ROI→tile-list LUT (SceneCatalog.tilesForRoi; findSensorROI,
     // eodatadownutils.py:1735-1794). Footprints carry a WRS-like
     // (path, row) grid id; per ROI polygon, the sorted distinct tile
@@ -350,6 +383,20 @@ object GeoQueries {
         |  round(CASE WHEN north THEN -rho * cos(radians(dlam))
         |             ELSE rho * cos(radians(dlam)) END, 1) AS ps_y
         |FROM p ORDER BY p_partkey""".stripMargin,
+
+    // The oracle recomputes the footprints directly — the engine side
+    // must reproduce them THROUGH the GeoJSON file format.
+    "q56_geojson_roundtrip" ->
+      """WITH fp AS (
+        |  SELECT c_custkey,
+        |    CAST(c_custkey % 160 - 80 + 1 + c_custkey % 7 AS DOUBLE) AS north,
+        |    CAST(c_custkey % 160 - 80 AS DOUBLE) AS south,
+        |    CAST((c_custkey * 7) % 340 - 170 + 1 + c_custkey % 11 AS DOUBLE) AS east,
+        |    CAST((c_custkey * 7) % 340 - 170 AS DOUBLE) AS west
+        |  FROM customer)
+        |SELECT c_custkey, north, south, east, west,
+        |  CAST(5 AS INT) AS n_points, true AS ring_closed
+        |FROM fp ORDER BY c_custkey""".stripMargin,
 
     // Same closed-form exact intersections as q47 (SAT / rect-union),
     // aggregated to per-ROI distinct sorted tile lists; the rois LEFT
