@@ -166,6 +166,46 @@ object CoverageQueries {
         .orderBy("lang")
     },
 
+    // S6/J7 under the driver gate: the copy-on-write mutation sequence
+    // every processing step runs — create, PK upsert (the "download"
+    // write-back), predicate update, anti-delete — executed against a
+    // real CowTable on scratch storage, then the FINAL TABLE STATE is
+    // read back and aggregated. The oracle computes the same end state
+    // closed-form from orders, so a torn commit, a lost carry-over row,
+    // or wrong upsert/update semantics fails the hash gate, not just
+    // the storage specs. (Each rep rebuilds from overwrite, so the
+    // query is deterministic under repetition; versions accumulate in
+    // the per-application scratch dir by CoW design.)
+    "q57_cow_upsert_roundtrip" -> { (s, dir) =>
+      val base =
+        if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
+          "/dev/shm"
+        else System.getProperty("java.io.tmpdir")
+      val root = s"$base/graft_q57_${s.sparkContext.applicationId}/tbl"
+      val src = t(s, dir, "orders").filter(col("o_orderkey") <= 500)
+        .select(col("o_orderkey").as("PID"),
+          col("o_orderstatus").as("status"),
+          lit(false).as("Downloaded"),
+          lit(null).cast("double").as("size_mb"))
+      val tbl = new graft.sources.CowTable(root, s)
+      tbl.overwrite(src)
+      // step write-back: even PIDs "download" with a computed size
+      tbl.upsert(src.filter(col("PID") % 2 === 0)
+        .withColumn("Downloaded", lit(true))
+        .withColumn("size_mb", (col("PID") % 97).cast("double") / 4.0),
+        Seq("PID"))
+      // reset pending-status rows (updateWhere touches ONE column)
+      tbl.updateWhere(col("status") === "P",
+        Map("Downloaded" -> lit(false)))
+      // anti-delete a slice
+      tbl.deleteWhere(col("PID") % 10 === 9)
+      tbl.read()
+        .groupBy("status", "Downloaded")
+        .agg(count(lit(1)).as("n"), sum(col("size_mb")).as("sum_size"),
+          min("PID").as("min_pid"), max("PID").as("max_pid"))
+        .orderBy("status", "Downloaded")
+    },
+
     // Per-sensor schemas (SURVEY §1.1): S1-shaped rows with TYPED
     // sensor-specific columns (incidence angle, orbit, polarization —
     // model.Sentinel1Scene), filtered and aggregated directly; the
@@ -283,6 +323,28 @@ object CoverageQueries {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  min(doc_id) AS min_doc
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // The oracle replays the mutation sequence closed-form: upsert =
+    // CASE on the even-PID condition, updateWhere = CASE on status,
+    // delete = WHERE. sum_size stays exact (quarters are binary
+    // fractions) and NULL-for-never-downloaded flows through sum on
+    // both engines identically.
+    "q57_cow_upsert_roundtrip" ->
+      """WITH t0 AS (
+        |  SELECT o_orderkey AS PID, o_orderstatus AS status,
+        |    o_orderkey % 2 = 0 AS dl0,
+        |    CASE WHEN o_orderkey % 2 = 0 THEN (o_orderkey % 97) / 4.0
+        |         ELSE NULL END AS size_mb
+        |  FROM orders WHERE o_orderkey <= 500),
+        |t1 AS (
+        |  SELECT PID, status,
+        |    CASE WHEN status = 'P' THEN false ELSE dl0 END AS Downloaded,
+        |    size_mb
+        |  FROM t0 WHERE PID % 10 <> 9)
+        |SELECT status, Downloaded, count(*) AS n, sum(size_mb) AS sum_size,
+        |  min(PID) AS min_pid, max(PID) AS max_pid
+        |FROM t1 GROUP BY status, Downloaded
+        |ORDER BY status, Downloaded""".stripMargin,
 
     // each engine's own sketch must land within 10% of exact
     "q45_approx_distinct" ->
