@@ -18,6 +18,27 @@ object CoverageQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Deterministic scene step for q58: succeeds unless PID % failMod
+    * == 0, work-list = rows with `flagCol` unset (and `preCol` set,
+    * for ordered pipelines). Top-level case class with primitive
+    * fields only — ships to executors without capturing the suite
+    * (SceneStep is Serializable).
+    */
+  private final case class ModStep(stepName: String, preCol: Option[String],
+                                   flagCol: String, failMod: Int)
+      extends graft.pipeline.StepRunner.SceneStep {
+    override def name: String = stepName
+    override def workList(cat: graft.catalog.SceneCatalog): DataFrame = {
+      val pre = preCol.map(col(_)).getOrElse(lit(true))
+      cat.scenes.filter(pre && !col(flagCol) && !col("Invalid"))
+        .orderBy(col("Date_Acquired"), col("PID")).select("PID")
+    }
+    override def process(pid: Long): graft.pipeline.StepRunner.StepResult =
+      graft.pipeline.StepRunner.StepResult(pid, pid % failMod != 0, "")
+    override def onSuccess: Map[String, org.apache.spark.sql.Column] =
+      Map(flagCol -> lit(true))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // F3: STRICT date bounds (obs-date query family,
@@ -206,6 +227,47 @@ object CoverageQueries {
         .orderBy("status", "Downloaded")
     },
 
+    // §2.10/S12 under the driver gate: the per-scene processing state
+    // machine end-to-end — work-list query → partition-parallel step
+    // execution (mapPartitions on executors) → join-back upsert →
+    // audit append — run for TWO ordered steps (download then ARD,
+    // the reference's run_scn_analysis sequencing) with deterministic
+    // success rules, then the final catalog state is read back and
+    // rolled up. The oracle computes the same end state closed-form;
+    // the audit row count rides along as a column, so a lost audit
+    // append also fails the hash.
+    "q58_step_runner_state" -> { (s, dir) =>
+      val base =
+        if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
+          "/dev/shm"
+        else System.getProperty("java.io.tmpdir")
+      // fresh roots per CALL: the audit log is append-only by design,
+      // so reusing a root across bench reps would accumulate entries
+      val uid = java.util.UUID.randomUUID().toString
+      val root = s"$base/graft_q58_${s.sparkContext.applicationId}/$uid"
+      val src = t(s, dir, "orders").filter(col("o_orderkey") <= 500)
+        .select(col("o_orderkey").as("PID"),
+          to_date(col("o_orderdate")).as("Date_Acquired"),
+          lit(false).as("Downloaded"), lit(false).as("ARDProduct"),
+          lit(false).as("DCLoaded"), lit(false).as("Invalid"),
+          lit(false).as("Archived"))
+      val cat = new graft.catalog.SceneCatalog(
+        new graft.sources.CowTable(s"$root/scenes", s), s)
+      cat.table.overwrite(src)
+      val audit = new graft.pipeline.AuditLog(s"$root/audit", s)
+      graft.pipeline.StepRunner.runAll(s, cat, Seq(
+        ModStep("download", None, "Downloaded", failMod = 7),
+        ModStep("ard", Some("Downloaded"), "ARDProduct", failMod = 5)),
+        parallelism = 8, audit = Some(audit))
+      val auditRows = audit.entries().count()
+      cat.scenes
+        .groupBy("Downloaded", "ARDProduct")
+        .agg(count(lit(1)).as("n"), min("PID").as("min_pid"),
+          max("PID").as("max_pid"))
+        .withColumn("audit_rows", lit(auditRows))
+        .orderBy("Downloaded", "ARDProduct")
+    },
+
     // Per-sensor schemas (SURVEY §1.1): S1-shaped rows with TYPED
     // sensor-specific columns (incidence angle, orbit, polarization —
     // model.Sentinel1Scene), filtered and aggregated directly; the
@@ -323,6 +385,20 @@ object CoverageQueries {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  min(doc_id) AS min_doc
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Closed-form end state: download ok ⇔ pid%7≠0; ard ran only on
+    // downloaded rows, ok ⇔ pid%5≠0; two audit rows (one per step).
+    "q58_step_runner_state" ->
+      """WITH t AS (
+        |  SELECT o_orderkey AS pid,
+        |    o_orderkey % 7 <> 0 AS Downloaded,
+        |    o_orderkey % 7 <> 0 AND o_orderkey % 5 <> 0 AS ARDProduct
+        |  FROM orders WHERE o_orderkey <= 500)
+        |SELECT Downloaded, ARDProduct, count(*) AS n,
+        |  min(pid) AS min_pid, max(pid) AS max_pid,
+        |  CAST(2 AS BIGINT) AS audit_rows
+        |FROM t GROUP BY Downloaded, ARDProduct
+        |ORDER BY Downloaded, ARDProduct""".stripMargin,
 
     // The oracle replays the mutation sequence closed-form: upsert =
     // CASE on the even-PID condition, updateWhere = CASE on status,
