@@ -143,6 +143,10 @@ object ScaleOps {
           Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min("nlab").as("nbr_lab"))
+      // (Measured: fusing a pointer-jumping self-join into each round
+      // — O(log diameter) rounds — is SLOWER here: the extra join per
+      // round outweighs the saved rounds on dedup graphs, whose
+      // diameter is already small. Plain one-hop propagation wins.)
       labels = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("lab"), coalesce(col("nbr_lab"), col("lab"))).as("lab"))
