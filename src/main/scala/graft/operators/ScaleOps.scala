@@ -116,19 +116,51 @@ object ScaleOps {
     * Fails loudly if `maxIters` rounds don't converge (a silently
     * half-merged component would split dedup groups).
     *
+    * Small graphs short-circuit to a driver-side union-find (the
+    * broadcast-join-threshold pattern): below `localEdgeThreshold`
+    * distinct edges, collecting (long, long) pairs and path-compressed
+    * union-find beat any number of distributed rounds — identical
+    * output, zero iterations. Above it, the iterative dataflow runs;
+    * the threshold probe is a short-circuiting `limit(n+1).count()`,
+    * not a full count.
+    *
     * @return (id, rep) for every vertex in `edges`; `rep` = the
     *         component's minimum id. Vertices with no edges are absent
     *         (callers union singletons if they need total coverage).
     */
   def connectedComponents(edges: DataFrame, aCol: String = "id_a",
                           bCol: String = "id_b",
-                          maxIters: Int = 25): DataFrame = {
+                          maxIters: Int = 25,
+                          localEdgeThreshold: Long = 1000000L): DataFrame = {
+    val spark = edges.sparkSession
     val sym = edges.select(col(aCol).cast("long").as("src"),
         col(bCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
     val both = sym.union(sym.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint()
+    val probeCap = localEdgeThreshold.min(Int.MaxValue.toLong - 1).toInt
+    if (localEdgeThreshold > 0 &&
+        both.limit(probeCap + 1).count() <= localEdgeThreshold) {
+      import spark.implicits._
+      val pairs = both.as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { // union toward the smaller root = min-id rep
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val vertices = pairs.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
+      return vertices.toSeq.sorted.map(v => (v, find(v))).toDF("id", "rep")
+    }
     var labels = both.select(col("src").as("id")).distinct()
       .withColumn("lab", col("id"))
       .localCheckpoint()

@@ -77,23 +77,32 @@ class ScaleOpsSpec extends SparkSpec {
       (10L, 11L), (10L, 12L), (13L, 10L),
       (20L, 21L), (21L, 20L), (20L, 21L),
       (30L, 30L)).toDF("id_a", "id_b")
-    val got = ScaleOps.connectedComponents(edges)
-      .as[(Long, Long)].collect().toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
-      20L -> 20L, 21L -> 20L))
+      20L -> 20L, 21L -> 20L)
+    // BOTH paths must agree: driver union-find (small-graph
+    // short-circuit) and the distributed propagation (forced by
+    // localEdgeThreshold = 0)
+    assert(ScaleOps.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap == expected)
+    assert(ScaleOps.connectedComponents(edges, localEdgeThreshold = 0)
+      .as[(Long, Long)].collect().toMap == expected)
     // a long chain converges (rounds = diameter) …
     val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val labs = ScaleOps.connectedComponents(chain, maxIters = 15)
-      .select("rep").distinct().as[Long].collect()
+    val labs = ScaleOps.connectedComponents(chain, maxIters = 15,
+      localEdgeThreshold = 0).select("rep").distinct().as[Long].collect()
     assert(labs.sameElements(Array(1L)))
     // … and fails LOUDLY when maxIters is below the diameter
     intercept[IllegalStateException] {
-      ScaleOps.connectedComponents(chain, maxIters = 3)
+      ScaleOps.connectedComponents(chain, maxIters = 3,
+        localEdgeThreshold = 0)
     }
-    // empty edge list: empty result, no crash
+    // empty edge list: empty result, no crash — on both paths
     assert(ScaleOps.connectedComponents(
       Seq.empty[(Long, Long)].toDF("id_a", "id_b")).count() == 0)
+    assert(ScaleOps.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"),
+      localEdgeThreshold = 0).count() == 0)
   }
 
   test("partition-pruned range predicate composes month + row bounds") {
