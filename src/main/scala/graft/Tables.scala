@@ -14,6 +14,15 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Scratch base for queries that exercise real file/table I/O
+    * (q44/q56/q57/q58): tmpfs when present — those queries measure
+    * operator shape, not the scratch disk.
+    */
+  def scratchBase: String =
+    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
+      "/dev/shm"
+    else System.getProperty("java.io.tmpdir")
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects

@@ -3,11 +3,11 @@ package graft.examples
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.functions.{GraftFunctions => G}
 import graft.operators.VectorOps
 
 /** Dev diagnostic (LshStats sibling): recall@10 of the IVF probe
-  * pipeline under TRAINED kmeansFit centroids, swept over nprobe.
+  * pipeline (`VectorOps.ivfProbeTopK` — the same operator VectorSpec
+  * pins) under TRAINED kmeansFit centroids, swept over nprobe.
   * Grounds the nprobe/recall trade recorded in VectorSpec — on this
   * corpus recall is 9/10 for every nprobe 3..7 and 10/10 only at
   * nprobe=k (no cluster structure to exploit).
@@ -23,22 +23,12 @@ object IvfProbeMeasure {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select($"vec_id", $"embedding".cast("array<double>").as("v")).cache()
     val cents = VectorOps.kmeansFit(e, 8, 4)
-    val q = e.filter($"vec_id" === 0).select($"v".as("qv"))
-    val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("cc", G.cosineSim($"v", $"cv"))
-      .groupBy("vec_id")
-      .agg(max_by($"cid", struct($"cc", -$"cid")).as("cluster"), first($"v").as("v")).cache()
-    val brute = e.crossJoin(broadcast(q)).filter($"vec_id" =!= 0)
-      .withColumn("cos", round(G.cosineSim($"v", $"qv"), 9))
-      .orderBy($"cos".desc, $"vec_id").limit(10).select($"vec_id").as[Long].collect().toSet
+    val brute = VectorOps.bruteTopK(e, queryVecId = 0, k = 10)
+      .select("vec_id").as[Long].collect().toSet
     for (np <- 3 to 8) {
-      val probed = cents.crossJoin(broadcast(q))
-        .withColumn("qc", G.cosineSim($"cv", $"qv"))
-        .orderBy($"qc".desc, $"cid").limit(np).select($"cid".as("cluster"))
-      val ivf = assigned.join(broadcast(probed), Seq("cluster"))
-        .crossJoin(broadcast(q)).filter($"vec_id" =!= 0)
-        .withColumn("cos", round(G.cosineSim($"v", $"qv"), 9))
-        .orderBy($"cos".desc, $"vec_id").limit(10).select($"vec_id").as[Long].collect().toSet
+      val ivf = VectorOps.ivfProbeTopK(e, cents, queryVecId = 0,
+          nprobe = np, k = 10)
+        .select("vec_id").as[Long].collect().toSet
       println(s"[measure] nprobe=$np recall=${(ivf & brute).size}/10")
     }
     spark.stop()

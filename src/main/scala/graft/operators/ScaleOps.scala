@@ -139,9 +139,11 @@ object ScaleOps {
     val both = sym.union(sym.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint()
-    val probeCap = localEdgeThreshold.min(Int.MaxValue.toLong - 1).toInt
+    // `both` holds TWO rows per distinct undirected edge — probe
+    // against 2×threshold so the knob means what the scaladoc says
+    val symRowCap = (2L * localEdgeThreshold).min(Int.MaxValue.toLong - 1)
     if (localEdgeThreshold > 0 &&
-        both.limit(probeCap + 1).count() <= localEdgeThreshold) {
+        both.limit(symRowCap.toInt + 1).count() <= symRowCap) {
       import spark.implicits._
       val pairs = both.as[(Long, Long)].collect()
       val parent = scala.collection.mutable.Map.empty[Long, Long]

@@ -71,6 +71,52 @@ object VectorOps {
     cents.toDF("cid", "cv").select(col("cid"), col("cv").cast("array<double>").as("cv"))
   }
 
+  /** The IVF probe pipeline (q35's shape) as one reusable operator:
+    * assign every vector to its nearest centroid (broadcast + argmax,
+    * ties to the smaller cid), probe the `nprobe` clusters nearest the
+    * query vector, rank surviving candidates by exact cosine.
+    * APPROXIMATE unless nprobe = centroid count — on corpora without
+    * cluster structure the measured recall@10 plateaus below 1.0 at
+    * any partial nprobe (VectorSpec pins 9/10 on the test corpus);
+    * exact per-vector NN belongs to [[exactNnPerVector]]. Shared by
+    * the spec and the IvfProbeMeasure diagnostic so the pinned
+    * behavior and the measured sweep can never drift apart.
+    */
+  def ivfProbeTopK(e: DataFrame, cents: DataFrame, queryVecId: Long,
+                   nprobe: Int, k: Int): DataFrame = {
+    val q = e.filter(col("vec_id") === queryVecId).select(col("v").as("qv"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("cc", G.cosineSim(col("v"), col("cv")))
+      .groupBy("vec_id")
+      .agg(max_by(col("cid"), struct(col("cc"), -col("cid"))).as("cluster"),
+        first(col("v")).as("v"))
+    val probed = cents.crossJoin(broadcast(q))
+      .withColumn("qc", G.cosineSim(col("cv"), col("qv")))
+      .orderBy(col("qc").desc, col("cid"))
+      .limit(nprobe)
+      .select(col("cid").as("cluster"))
+    assigned.join(broadcast(probed), Seq("cluster"))
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= queryVecId)
+      .withColumn("cos", round(G.cosineSim(col("v"), col("qv")), 9))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("cos"))
+  }
+
+  /** Exact brute-force top-k with [[ivfProbeTopK]]'s output contract —
+    * the baseline any ANN variant is judged against.
+    */
+  def bruteTopK(e: DataFrame, queryVecId: Long, k: Int): DataFrame = {
+    val q = e.filter(col("vec_id") === queryVecId).select(col("v").as("qv"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= queryVecId)
+      .withColumn("cos", round(G.cosineSim(col("v"), col("qv")), 9))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("cos"))
+  }
+
   /** Exact nearest neighbor per vector within each `label` block.
     *
     * @param e    columns: vec_id, label, v (array<double>)

@@ -171,14 +171,9 @@ object CoverageQueries {
       val src = t(s, dir, "documents")
       // one scratch dir per Spark application (not per call): the export
       // is mode=overwrite, so repeated bench reps reuse it instead of
-      // leaking a fresh temp dir + 5k JSON files into /tmp every run.
-      // Prefer tmpfs when present — the query measures the round-trip
-      // operator shape, not the scratch disk.
-      val base =
-        if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
-          "/dev/shm"
-        else System.getProperty("java.io.tmpdir")
-      val tmp = s"$base/graft_q44_${s.sparkContext.applicationId}/docs"
+      // leaking a fresh temp dir + 5k JSON files into /tmp every run
+      val tmp =
+        s"${Tables.scratchBase}/graft_q44_${s.sparkContext.applicationId}/docs"
       graft.sources.ExportImport.exportJson(src, tmp)
       graft.sources.ExportImport.importJson(s, tmp, src.schema)
         .groupBy("lang")
@@ -198,11 +193,8 @@ object CoverageQueries {
     // query is deterministic under repetition; versions accumulate in
     // the per-application scratch dir by CoW design.)
     "q57_cow_upsert_roundtrip" -> { (s, dir) =>
-      val base =
-        if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
-          "/dev/shm"
-        else System.getProperty("java.io.tmpdir")
-      val root = s"$base/graft_q57_${s.sparkContext.applicationId}/tbl"
+      val root =
+        s"${Tables.scratchBase}/graft_q57_${s.sparkContext.applicationId}/tbl"
       val src = t(s, dir, "orders").filter(col("o_orderkey") <= 500)
         .select(col("o_orderkey").as("PID"),
           col("o_orderstatus").as("status"),
@@ -237,14 +229,11 @@ object CoverageQueries {
     // the audit row count rides along as a column, so a lost audit
     // append also fails the hash.
     "q58_step_runner_state" -> { (s, dir) =>
-      val base =
-        if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
-          "/dev/shm"
-        else System.getProperty("java.io.tmpdir")
       // fresh roots per CALL: the audit log is append-only by design,
       // so reusing a root across bench reps would accumulate entries
       val uid = java.util.UUID.randomUUID().toString
-      val root = s"$base/graft_q58_${s.sparkContext.applicationId}/$uid"
+      val root =
+        s"${Tables.scratchBase}/graft_q58_${s.sparkContext.applicationId}/$uid"
       val src = t(s, dir, "orders").filter(col("o_orderkey") <= 500)
         .select(col("o_orderkey").as("PID"),
           to_date(col("o_orderdate")).as("Date_Acquired"),

@@ -187,11 +187,8 @@ object GeoQueries {
     // ring fails the hash, not just a spec.
     "q56_geojson_roundtrip" -> { (s, dir) =>
       val fp = footprints(s, dir)
-      val base =
-        if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
-          "/dev/shm"
-        else System.getProperty("java.io.tmpdir")
-      val path = s"$base/graft_q56_${s.sparkContext.applicationId}/fp.geojson"
+      val path = s"${Tables.scratchBase}/graft_q56_" +
+        s"${s.sparkContext.applicationId}/fp.geojson"
       graft.sources.ExportImport.exportGeoJson(fp, path,
         props = Seq("c_custkey"),
         north = "north", south = "south", east = "east", west = "west")

@@ -46,14 +46,13 @@ object TextQueries {
     * the final fan-out carries (long, long) IDs only. Banding 16×8
     * over k=128 keeps recall at τ=0.9 above 0.999.
     *
-    * @return (members: sid→doc_id map, sets: (ws, sid, gsz),
-    *         setPairs: verified (sid_a, sid_b, jac))
-    */
-  /** @param checkpointMaps materialize sets/members once (eager local
+    * @param checkpointMaps materialize sets/members once (eager local
     *        checkpoint) — pays off when the caller executes MULTIPLE
     *        actions over the core (q55: edge materialization + final
     *        rollup); within q30's single action, exchange reuse
     *        already covers the repeated references.
+    * @return (members: sid→doc_id map, sets: (ws, sid, gsz),
+    *         setPairs: verified (sid_a, sid_b, jac))
     */
   private def minhashDupCore(s: SparkSession, dir: String,
                              checkpointMaps: Boolean = false)
@@ -70,12 +69,14 @@ object TextQueries {
     // (SkewGuardSpec pins that behavior). Re-measure via LshStats
     // when the corpus grows.
     val bucketCap = 5000
-    // empty word sets (whitespace-only docs) are excluded: Jaccard of
-    // two empty sets is 0/0 — the oracle's NULL division filters such
-    // pairs out, and sortedJaccard scores them 0.0, so the only
-    // consistent cross-engine semantics is to drop them before the
-    // dedup groupBy (otherwise two empty docs would pair at the
-    // intra-group jac=1.0 shortcut).
+    // Degenerate-text semantics, aligned with the oracle on BOTH
+    // engines: a whitespace-only doc tokenizes to [""] (split of an
+    // empty trimmed string yields one empty token in Spark AND in
+    // DuckDB's string_split), so two such docs share ws=[""] and pair
+    // at jac=1.0 — they ARE duplicates of the empty content. The
+    // size > 0 guard therefore only drops NULL-text rows (size(NULL)
+    // filters false); a TRULY empty array can't arise from
+    // sortedWordSet and would diverge from the oracle if one ever did.
     val d = t(s, dir, "documents")
       .select(col("doc_id"), G.sortedWordSet(col("text")).as("ws"))
       .filter(size(col("ws")) > 0)

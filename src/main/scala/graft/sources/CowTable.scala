@@ -64,12 +64,18 @@ class CowTable(val root: String, spark: SparkSession) extends VersionedTable {
       Files.move(Paths.get(root, stage), Paths.get(root, next))
     } catch {
       case e: java.nio.file.FileSystemException =>
-        deleteRecursively(stage)
-        throw new java.util.ConcurrentModificationException(
+        // best-effort cleanup: a cleanup failure (e.g. read-only FS —
+        // the same condition that failed the rename) must not replace
+        // the rename diagnosis
+        try deleteRecursively(stage)
+        catch { case c: Exception => e.addSuppressed(c) }
+        val cme = new java.util.ConcurrentModificationException(
           s"concurrent commit detected at $root: version dir $next " +
             s"already claimed (competing writer from base " +
             s"${base.getOrElse("<none>")}; rename failed with " +
             s"${e.getClass.getSimpleName})")
+        cme.initCause(e) // keep path/message/stack for non-race failures
+        throw cme
     }
     // second line of defense: if another writer advanced the pointer
     // while this commit materialized, flipping it would silently THROW

@@ -156,11 +156,15 @@ class PartitionedCowTable(val root: String, val partCol: String,
       Files.move(Paths.get(root, stage), Paths.get(root, wdir))
     } catch {
       case e: java.nio.file.FileSystemException =>
-        CowTable.walkDelete(Paths.get(root, stage))
-        throw new java.util.ConcurrentModificationException(
+        // best-effort cleanup; never mask the rename diagnosis
+        try CowTable.walkDelete(Paths.get(root, stage))
+        catch { case c: Exception => e.addSuppressed(c) }
+        val cme = new java.util.ConcurrentModificationException(
           s"concurrent commit detected at $root: data dir $wdir " +
             s"already claimed (competing writer from the same base; " +
             s"rename failed with ${e.getClass.getSimpleName})")
+        cme.initCause(e)
+        throw cme
     }
     val written: Map[String, String] = {
       val listing = Files.list(Paths.get(root, wdir))

@@ -151,33 +151,10 @@ class VectorSpec extends SparkSpec {
       .cache()
     val cents = VectorOps.kmeansFit(e, k = 8, iters = 4)
       .select($"cid", $"cv")
-    val q = e.filter($"vec_id" === 0).select($"v".as("qv"))
-    val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("cc", G.cosineSim($"v", $"cv"))
-      .groupBy("vec_id")
-      .agg(max_by($"cid", struct($"cc", -$"cid")).as("cluster"),
-        first($"v").as("v"))
-    def ivfTop10(nprobe: Int): Seq[(Long, Double)] = {
-      val probed = cents.crossJoin(broadcast(q))
-        .withColumn("qc", G.cosineSim($"cv", $"qv"))
-        .orderBy($"qc".desc, $"cid")
-        .limit(nprobe)
-        .select($"cid".as("cluster"))
-      assigned.join(broadcast(probed), Seq("cluster"))
-        .crossJoin(broadcast(q))
-        .filter($"vec_id" =!= 0)
-        .withColumn("cos", round(G.cosineSim($"v", $"qv"), 9))
-        .orderBy($"cos".desc, $"vec_id")
-        .limit(10)
-        .select($"vec_id", $"cos")
+    def ivfTop10(nprobe: Int): Seq[(Long, Double)] =
+      VectorOps.ivfProbeTopK(e, cents, queryVecId = 0, nprobe = nprobe, k = 10)
         .as[(Long, Double)].collect().toSeq
-    }
-    val brute = e.crossJoin(broadcast(q))
-      .filter($"vec_id" =!= 0)
-      .withColumn("cos", round(G.cosineSim($"v", $"qv"), 9))
-      .orderBy($"cos".desc, $"vec_id")
-      .limit(10)
-      .select($"vec_id", $"cos")
+    val brute = VectorOps.bruteTopK(e, queryVecId = 0, k = 10)
       .as[(Long, Double)].collect().toSeq
     val full = ivfTop10(nprobe = 8)
     assert(full == brute,
