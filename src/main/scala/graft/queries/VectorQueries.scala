@@ -110,6 +110,31 @@ object VectorQueries {
         .orderBy(col("cos").desc, col("vec_id"))
         .limit(10)
         .select(col("vec_id"), round(col("cos"), 6).as("cos"))
+    },
+
+    // Embedding-cosine near-dup DEDUP: threshold pairs → connected
+    // components → one group per near-dup cluster (the embedding twin
+    // of q55's text groups). Pair generation here is the label-blocked
+    // all-pairs VERIFICATION form (q29's framing — this corpus has no
+    // dup structure above cos 0.51, so τ=0.35 manufactures organic
+    // small groups); at scale the block key is an LSH band (q46) or
+    // IVF cell (q35) and the downstream grouping is unchanged. The
+    // oracle is the independent recursive-CTE union-find over exact
+    // all-pairs cosine.
+    "q59_embedding_dedup_groups" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val a = e.select(col("vec_id").as("id_a"), col("label"),
+        col("v").as("va"))
+      val b = e.select(col("vec_id").as("id_b"), col("label"),
+        col("v").as("vb"))
+      val pairs = a.join(b, Seq("label"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(G.cosineSim(col("va"), col("vb")) >= 0.35)
+        .select(col("id_a"), col("id_b"))
+      graft.operators.ScaleOps.connectedComponents(pairs)
+        .groupBy(col("rep").as("group_id"))
+        .agg(count(lit(1)).as("n_vecs"), max(col("id")).as("max_vec"))
+        .orderBy("group_id")
     }
   )
 
@@ -176,6 +201,27 @@ object VectorQueries {
         |  (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) q
         |WHERE vec_id <> 0
         |ORDER BY list_cosine_similarity(embedding::DOUBLE[], q.qv) DESC, vec_id
-        |LIMIT 10""".stripMargin
+        |LIMIT 10""".stripMargin,
+
+    // independent union-find at the vector level (q55's device):
+    // exact all-pairs cosine within label blocks, symmetrized, closed
+    // by a recursive CTE, rolled up per min-id representative
+    "q59_embedding_dedup_groups" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.35),
+        |ed AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p),
+        |reach(id, lab) AS (
+        |  SELECT a AS id, a AS lab FROM ed
+        |  UNION
+        |  SELECT ed.a AS id, r.lab AS lab
+        |  FROM ed JOIN reach r ON ed.b = r.id),
+        |comp AS (SELECT id, min(lab) AS rep FROM reach GROUP BY id)
+        |SELECT rep AS group_id, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  max(id) AS max_vec
+        |FROM comp GROUP BY rep ORDER BY group_id""".stripMargin
   )
 }
