@@ -129,6 +129,40 @@ object TextQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** q31's pipeline (shared with q60): md5-derived 60-bit SimHash
+    * fingerprints, 4×15-bit pigeonhole bands, exact-Hamming verified
+    * pairs at distance ≤ 3. Columns: doc_a, doc_b, hamming.
+    */
+  private def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val nbits = 60
+    val bandBits = 15
+    val th = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
+    val tokens = t(s, dir, "documents")
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .select(col("doc_id"), th.as("th"))
+    val bitAggs = (0 until nbits).map(i =>
+      sum(when(shiftright(col("th"), i).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"b$i"))
+    val sums = tokens.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+    val fp = (0 until nbits).map(i =>
+      when(col(s"b$i") >= 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+    val d = sums.select(col("doc_id"), fp.as("sh"))
+    val banded = d.select(col("doc_id"), col("sh"),
+      posexplode(array((0 until 4).map(i =>
+        col("sh").bitwiseAND(lit(0x7fffL << (bandBits * i)))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val a = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
+      .withColumn("hamming", G.hamming64(col("sh_a"), col("sh_b")).cast("long"))
+      .filter(col("hamming") <= 3)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup: one keeper per distinct text via content hash —
@@ -268,34 +302,21 @@ object TextQueries {
     // form. Shape at scale: one explode + one partial-aggregated
     // groupBy per doc, band join on (band, bucket) longs only.
     "q31_simhash_pairs" -> { (s, dir) =>
-      val nbits = 60
-      val bandBits = 15
-      val th = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
-      val tokens = t(s, dir, "documents")
-        .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
-        .select(col("doc_id"), th.as("th"))
-      val bitAggs = (0 until nbits).map(i =>
-        sum(when(shiftright(col("th"), i).bitwiseAND(lit(1L)) === 1L, 1)
-          .otherwise(-1)).as(s"b$i"))
-      val sums = tokens.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
-      val fp = (0 until nbits).map(i =>
-        when(col(s"b$i") >= 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
-      val d = sums.select(col("doc_id"), fp.as("sh"))
-      val banded = d.select(col("doc_id"), col("sh"),
-        posexplode(array((0 until 4).map(i =>
-          col("sh").bitwiseAND(lit(0x7fffL << (bandBits * i)))): _*)))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-      val a = banded.select(col("band"), col("bucket"),
-        col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-      val b = banded.select(col("band"), col("bucket"),
-        col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-      a.join(b, Seq("band", "bucket"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
-        .withColumn("hamming", G.hamming64(col("sh_a"), col("sh_b")).cast("long"))
-        .filter(col("hamming") <= 3)
-        .select("doc_a", "doc_b", "hamming")
-        .orderBy("doc_a", "doc_b")
+      simhashPairs(s, dir).orderBy("doc_a", "doc_b")
+    },
+
+    // SimHash dedup GROUPS — same grouping step as q55/q59 over the
+    // q31 pair list, completing the triad (MinHash, SimHash, embedding
+    // cosine each end in kept-representative groups). The oracle
+    // closes the all-pairs-hamming oracle with the recursive-CTE
+    // union-find.
+    "q60_simhash_groups" -> { (s, dir) =>
+      graft.operators.ScaleOps.connectedComponents(
+          simhashPairs(s, dir).select(col("doc_a"), col("doc_b")),
+          "doc_a", "doc_b")
+        .groupBy(col("rep").as("group_id"))
+        .agg(count(lit(1)).as("n_docs"), max(col("id")).as("max_doc"))
+        .orderBy("group_id")
     },
 
     // Document fingerprint groups: min 3-gram hash per document
@@ -479,6 +500,40 @@ object TextQueries {
         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sh, b.sh)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // q31's fingerprint oracle closed into groups by the recursive-CTE
+    // union-find (the q55/q59 device)
+    "q60_simhash_groups" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, unnest(string_split(trim(lower(text)), ' ')) AS tok
+        |  FROM documents),
+        |th AS (
+        |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+        |  FROM tok),
+        |bits AS (
+        |  SELECT doc_id, ix.i AS i,
+        |    sum(CASE WHEN (h >> ix.i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM th CROSS JOIN (SELECT unnest(range(60)) AS i) ix
+        |  GROUP BY doc_id, ix.i),
+        |fp AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN s >= 0 THEN (1::BIGINT << i) ELSE 0 END)
+        |      AS BIGINT) AS sh
+        |  FROM bits GROUP BY doc_id),
+        |p AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+        |ed AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p),
+        |reach(id, lab) AS (
+        |  SELECT a AS id, a AS lab FROM ed
+        |  UNION
+        |  SELECT ed.a AS id, r.lab AS lab
+        |  FROM ed JOIN reach r ON ed.b = r.id),
+        |comp AS (SELECT id, min(lab) AS rep FROM reach GROUP BY id)
+        |SELECT rep AS group_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |  max(id) AS max_doc
+        |FROM comp GROUP BY rep ORDER BY group_id""".stripMargin,
 
     "q32_fingerprint_groups" ->
       """WITH tk AS (
