@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked process's stdout through verbatim instead of routing
+// it through sbt's logger: the driver greps the run output for Bench's
+// one-line JSON, and the default LoggedOutput prefixes every line with
+// "[info] ", which breaks a startsWith("{") parse.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
