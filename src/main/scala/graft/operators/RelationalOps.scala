@@ -152,4 +152,77 @@ object RelationalOps {
       .groupBy(col(entityCol))
       .agg(count(lit(1)).as("n_events"), sum(col("__new_session")).as("n_sessions"))
   }
+
+  /** As-of join (prior match): for each left row, attach the payload of
+    * the one right row with the greatest `rightTs <= leftTs` for the
+    * same key, as a struct column `asofCol` (null when no prior right
+    * row exists — left-outer semantics).
+    *
+    * Spark has no native as-of join, and the naive formulation — an
+    * inequality theta-join plus a per-key max — plans as a
+    * broadcast-nested-loop that is quadratic per key. The scalable form
+    * used here is union-then-window: tag both sides, sort within the
+    * key by (time, side) with right rows first at equal times (so a
+    * left row exactly at `rightTs` matches it, i.e. <= semantics), and
+    * carry the most recent right payload forward with
+    * last(ignoreNulls). ONE shuffle on the key, linear in rows, no join
+    * explosion — the same shape works at any key cardinality or skew
+    * because a key's partition is only ever scanned once in time order.
+    *
+    * Right rows must be unique per (key, rightTs); pre-aggregate the
+    * right side so the match is deterministic (the caller owns the
+    * tiebreak policy). `leftTs` and `rightTs` must have the same
+    * (orderable) type.
+    */
+  def asofJoinPrior(left: DataFrame, right: DataFrame, key: String,
+                    leftTs: String, rightTs: String,
+                    asofCol: String = "asof"): DataFrame = {
+    val payload = struct(right.columns.filterNot(_ == key).map(col).toSeq: _*)
+    val r = right.select(col(key).as("__k"), col(rightTs).as("__t"),
+      lit(0).as("__side"), payload.as("__p"))
+    val l = left.select(struct(left.columns.map(col).toSeq: _*).as("__row"))
+      .select(col("__row"), col(s"__row.$key").as("__k"),
+        col(s"__row.$leftTs").as("__t"), lit(1).as("__side"),
+        lit(null).cast(r.schema("__p").dataType).as("__p"))
+    val u = r
+      .select(lit(null).cast(l.schema("__row").dataType).as("__row"),
+        col("__k"), col("__t"), col("__side"), col("__p"))
+      .unionByName(l)
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(col("__row.*"), col("__m").as(asofCol))
+  }
+
+  /** Interval (range) join without an equi key: pair each left row
+    * whose timestamp `pointCol` falls inside a right row's
+    * [`startCol`, `endCol`) interval. Returns left columns + right
+    * columns (caller guarantees distinct names).
+    *
+    * The naive plan for a pure inequality join is a
+    * broadcast-nested-loop — quadratic. This form buckets time into
+    * `bucketSeconds`-wide epochs, explodes each right interval into
+    * the buckets it spans, and equi-joins on the bucket id before
+    * applying the exact range predicate: the classic bucketed range
+    * join. Each left row lands in exactly one bucket and an interval
+    * covers a bucket at most once, so no post-join dedup is needed.
+    * Shuffle volume = left rows + right rows x avg(interval/bucket);
+    * pick bucketSeconds near the median interval length.
+    */
+  def rangeJoinBucketed(left: DataFrame, pointCol: String,
+                        right: DataFrame, startCol: String, endCol: String,
+                        bucketSeconds: Long): DataFrame = {
+    // TIMESTAMP_NTZ has no direct numeric cast; go via TIMESTAMP
+    // (identity for the session's pinned-UTC clock) to epoch seconds.
+    def epochBucket(c: Column): Column =
+      floor(c.cast("timestamp").cast("long") / bucketSeconds).cast("long")
+    val lb = left.withColumn("__b", epochBucket(col(pointCol)))
+    val rb = right.withColumn("__b", explode(sequence(
+      epochBucket(col(startCol)), epochBucket(col(endCol)))))
+    lb.join(rb, lb("__b") === rb("__b") &&
+        lb(pointCol) >= rb(startCol) && lb(pointCol) < rb(endCol))
+      .drop("__b")
+  }
 }

@@ -252,6 +252,44 @@ object RelationalQueries {
         .groupBy("d", "src")
         .agg(count(lit(1)).as("n"))
         .orderBy("d", "src")
+    },
+
+    // As-of join: each event matched to the user's latest order at or
+    // before the event time. The reference resolves "state as of a
+    // scene's acquisition" with per-row lookups in Python
+    // (eodatadownrun.py:939-976 walks per-date lists); here it is the
+    // union-then-window as-of — one shuffle on the key, linear, no
+    // inequality-join explosion (see RelationalOps.asofJoinPrior).
+    // Right side is pre-aggregated to one row per (custkey, orderdate)
+    // so the prior match is deterministic.
+    "q62_asof_join" -> { (s, dir) =>
+      val ev = t(s, dir, "events").select("event_id", "user_id", "ts")
+      val ord = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("user_id"), col("o_orderdate").as("t"))
+        .agg(max("o_orderkey").as("as_of_orderkey"))
+      R.asofJoinPrior(ev, ord, "user_id", "ts", "t")
+        .select(col("event_id"), col("user_id"),
+          col("asof").getField("as_of_orderkey").as("as_of_orderkey"),
+          to_date(col("asof").getField("t")).as("as_of_date"))
+        .orderBy("event_id")
+    },
+
+    // Bucketed range join: every event landing inside the one-hour
+    // window after any high-value "anomaly" event — a pure interval
+    // predicate with NO equi key, the shape Catalyst would otherwise
+    // plan as a broadcast-nested-loop. Hour-wide epoch buckets turn it
+    // into an equi-join (see RelationalOps.rangeJoinBucketed).
+    "q65_range_join" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val pts = ev.select(col("event_id"), col("ts"))
+      val hot = ev.filter(col("value") > 300.0)
+        .select(col("event_id").as("anchor_id"),
+          col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("w_end"))
+      R.rangeJoinBucketed(pts, "ts", hot, "w_start", "w_end", 3600L)
+        .filter(col("event_id") =!= col("anchor_id"))
+        .select(col("anchor_id"), col("event_id"))
+        .orderBy("anchor_id", "event_id")
     }
   )
 
@@ -415,6 +453,30 @@ object RelationalQueries {
         |  UNION ALL
         |  SELECT 'lineitem' AS src, CAST(l_shipdate AS DATE) AS d FROM lineitem)
         |WHERE d >= DATE '2001-06-01'
-        |GROUP BY d, src ORDER BY d, src""".stripMargin
+        |GROUP BY d, src ORDER BY d, src""".stripMargin,
+
+    // DuckDB has a native ASOF JOIN — the ideal oracle for ours: an
+    // entirely independent implementation of the same semantics.
+    "q62_asof_join" ->
+      """WITH o AS (
+        |  SELECT o_custkey AS user_id, o_orderdate AS t,
+        |         max(o_orderkey) AS as_of_orderkey
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, o.as_of_orderkey,
+        |       CAST(o.t AS DATE) AS as_of_date
+        |FROM events e ASOF LEFT JOIN o
+        |  ON e.user_id = o.user_id AND e.ts >= o.t
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q65_range_join" ->
+      """WITH hot AS (
+        |  SELECT event_id AS anchor_id, ts AS w_start,
+        |         ts + INTERVAL 1 HOUR AS w_end
+        |  FROM events WHERE value > 300.0)
+        |SELECT h.anchor_id, e.event_id
+        |FROM hot h JOIN events e
+        |  ON e.ts >= h.w_start AND e.ts < h.w_end
+        | AND e.event_id <> h.anchor_id
+        |ORDER BY h.anchor_id, e.event_id""".stripMargin
   )
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -362,6 +363,87 @@ object TextQueries {
           round(col("r.top_n") / col("r.n_grams").cast("double"), 6)
             .as("top_cov"))
         .orderBy("doc_id")
+    },
+
+    // C4-style corpus-wide segment dedup: split every document into
+    // fixed 10-token windows, keep each distinct window's FIRST
+    // occurrence corpus-wide (min doc_id, then position — C4 dedups
+    // lines this way; this corpus has no newlines, so windows stand in
+    // for lines), and reassemble the surviving text per document.
+    // Plan: scan → explode windows → ONE shuffle keyed by window
+    // content (the ranking window) → groupBy doc. At 100 TB the only
+    // change is keying that shuffle by a 128-bit content hash instead
+    // of the window text to cut shuffle bytes; semantics identical
+    // barring astronomically-unlikely collisions.
+    "q61_chunk_dedup" -> { (s, dir) =>
+      val W = 10
+      val chunks = t(s, dir, "documents")
+        .select(col("doc_id"), toks(col("text")).as("tk"))
+        .withColumn("chunk_idx", explode(sequence(lit(0L),
+          floor((size(col("tk")) + (W - 1)) / W).cast("long") - 1)))
+        .select(col("doc_id"), col("chunk_idx"),
+          array_join(slice(col("tk"),
+            (col("chunk_idx") * W + 1).cast("int"), lit(W)), " ").as("chunk"))
+      val w = Window.partitionBy("chunk").orderBy("doc_id", "chunk_idx")
+      chunks.withColumn("rn", row_number().over(w))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_chunks"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+          array_join(transform(
+            array_sort(collect_list(when(col("rn") === 1,
+              struct(col("chunk_idx"), col("chunk"))))),
+            x => x.getField("chunk")), " ").as("kept_text"))
+        .orderBy("doc_id")
+    },
+
+    // Stratified deterministic sampling: cap each language stratum at
+    // K docs, ranked by an md5-derived uniform key — the "balance the
+    // language mix" step of training-data curation. Deterministic
+    // (hash of the doc id, not rand()), so the sample is reproducible
+    // across runs/engines and the gate can hash-compare it. One
+    // ranking window per stratum — a single shuffle on lang; at scale
+    // swap row_number for a per-stratum hash-threshold filter
+    // (keep if key < p·2^60: no window, no shuffle) when the cap is a
+    // rate rather than an exact count.
+    "q63_stratified_sample" -> { (s, dir) =>
+      val K = 30
+      val skey = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+        16, 10).cast("long")
+      val w = Window.partitionBy("lang").orderBy(col("skey"), col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), skey.as("skey"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= K)
+        .select(col("doc_id"), col("lang"),
+          col("rn").cast("long").as("sample_rank"))
+        .orderBy("lang", "sample_rank")
+    },
+
+    // Greedy sequence packing: assign documents (in stable doc_id
+    // order per language) to fixed token-budget shards — the
+    // "pack documents into training shards" step. A running-sum window
+    // per stratum, then one aggregation per shard. The cumulative sum
+    // is a single shuffle on lang; shard boundaries are start-offset
+    // packing (shard = cum_tokens_before / budget), the
+    // order-preserving variant used when document order must survive
+    // packing.
+    "q64_shard_pack" -> { (s, dir) =>
+      val B = 2000L
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(toks(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("cum", sum("n_tokens").over(w))
+        .withColumn("shard_id",
+          floor((col("cum") - col("n_tokens")) / B).cast("long"))
+        .groupBy("lang", "shard_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("sum_tokens"),
+          min("doc_id").as("first_doc"),
+          max("doc_id").as("last_doc"))
+        .orderBy("lang", "shard_id")
     }
   )
 
@@ -566,6 +648,50 @@ object TextQueries {
         |  count(*) AS n_distinct,
         |  round(1.0 - count(*) / CAST(sum(c) AS DOUBLE), 6) AS dup_frac,
         |  round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_cov
-        |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q61_chunk_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(trim(lower(text)), ' ') AS tk
+        |  FROM documents),
+        |chunks AS (
+        |  SELECT doc_id, i AS chunk_idx,
+        |         array_to_string(tk[(i*10+1):(i*10+10)], ' ') AS chunk
+        |  FROM toks, UNNEST(range(0, (len(tk)+9)//10)) AS u(i)),
+        |ranked AS (
+        |  SELECT doc_id, chunk_idx, chunk,
+        |         row_number() OVER (PARTITION BY chunk
+        |                            ORDER BY doc_id, chunk_idx) AS rn
+        |  FROM chunks)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
+        |                      ORDER BY chunk_idx), '') AS kept_text
+        |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q63_stratified_sample" ->
+      """SELECT doc_id, lang, CAST(rn AS BIGINT) AS sample_rank FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+        |                1, 15))::BIGINT, doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 30 ORDER BY lang, sample_rank""".stripMargin,
+
+    "q64_shard_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |         len(string_split(trim(lower(text)), ' ')) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, doc_id, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM d)
+        |SELECT lang, CAST((cum - n_tokens) // 2000 AS BIGINT) AS shard_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY lang, shard_id ORDER BY lang, shard_id""".stripMargin
   )
 }
