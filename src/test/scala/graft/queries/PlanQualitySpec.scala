@@ -166,4 +166,29 @@ class PlanQualitySpec extends SparkSpec {
     assert(lines.exists(l => l.contains("*(") && l.contains("sorted_jaccard")),
       exec.toString)
   }
+
+  test("q62 as-of: union-then-window form — no join operator, one key shuffle") {
+    val p = plan("q62_asof_join")
+    // the scalable as-of has NO join node (a theta-join form would
+    // plan a BroadcastNestedLoopJoin); right-side pre-agg + the window
+    // are the only exchanges besides the final order
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+    assert("hashpartitioning\\(__k".r.findAllIn(p).length >= 1, p)
+  }
+
+  test("q65 range join: bucketed equi join, never a nested loop") {
+    val p = plan("q65_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("q61 chunk dedup: the keep-first shuffle is keyed by chunk content") {
+    val p = plan("q61_chunk_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Window"), p)
+    assert(p.contains("hashpartitioning(chunk"), p)
+  }
 }
