@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{RelationalOps => R, SceneQueryOps => S}
+import graft.operators.{RelationalOps => R, ScaleOps => Sc, SceneQueryOps => S}
 
 /** SURVEY.md §2.2–§2.7 operator inventory re-expressed over the driver's
   * synthetic tables, each with a DuckDB oracle. Names q01–q22.
@@ -290,6 +290,27 @@ object RelationalQueries {
         .filter(col("event_id") =!= col("anchor_id"))
         .select(col("anchor_id"), col("event_id"))
         .orderBy("anchor_id", "event_id")
+    },
+
+    // Salted skew join under the gate: the revenue join routed through
+    // ScaleOps.saltedJoin (probe side salted, build side replicated per
+    // salt) must produce byte-identical results to the plain join the
+    // oracle runs — proving the skew device is a pure execution-shape
+    // change. At 100 TB this is the fallback when one hot key floods a
+    // reducer and AQE's skew split isn't available (e.g. a
+    // non-sort-merge plan).
+    "q66_salted_join" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      Sc.saltedJoin(li, ord, "l_orderkey", 8)
+        .groupBy("o_orderpriority")
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("o_orderpriority")
     }
   )
 
@@ -477,6 +498,14 @@ object RelationalQueries {
         |FROM hot h JOIN events e
         |  ON e.ts >= h.w_start AND e.ts < h.w_end
         | AND e.event_id <> h.anchor_id
-        |ORDER BY h.anchor_id, e.event_id""".stripMargin
+        |ORDER BY h.anchor_id, e.event_id""".stripMargin,
+
+    // The oracle is the PLAIN join: salting must not change results.
+    "q66_salted_join" ->
+      """SELECT o_orderpriority,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
 }

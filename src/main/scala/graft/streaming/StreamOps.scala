@@ -108,4 +108,85 @@ object StreamOps {
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark("__content_hash")
       .drop("__content_hash")
+
+  /** One element of a merged as-of stream: a dimension update
+    * (side = 0, payload set) or a fact event (side = 1). The caller
+    * unions the two sources into this shape.
+    */
+  case class AsofInput(key: Long, ts: Timestamp, side: Int,
+                       payload: String, event_id: Long)
+
+  /** A fact event enriched with the dimension version in force at its
+    * event time (nulls when no version that old is retained).
+    */
+  case class AsofEnriched(event_id: Long, key: Long, ts: Timestamp,
+                          asof_payload: String, asof_ts: Timestamp)
+
+  /** Keyed state for [[streamingAsofEnrich]]: parallel version
+    * arrays (timestamps ascending) — parallel Seqs rather than a
+    * Seq of tuples because the case-class state encoder must be
+    * codegen-friendly (and the class must be public for the
+    * generated code to reach its accessors).
+    */
+  case class AsofState(versionTs: Seq[Long], versionPayload: Seq[String],
+                       maxTs: Long)
+
+  /** Streaming as-of enrichment — the continuous twin of
+    * [[graft.operators.RelationalOps.asofJoinPrior]]: facts are
+    * enriched with the latest dimension version whose timestamp is
+    * <= the fact's event time.
+    *
+    * Per-key custom state via `flatMapGroupsWithState` holds the last
+    * `retainVersions` dimension versions (a few hundred bytes per key
+    * — bounded regardless of stream length), and keys idle past
+    * `idleGapMs` of event time are dropped on event-time timeout, so
+    * the store stays finite over an unbounded key space.
+    *
+    * Semantics contract: inputs are processed in event-time order
+    * WITHIN each micro-batch (so intra-batch disorder is corrected),
+    * but a dimension update arriving in a LATER batch than a fact it
+    * should have enriched does not retro-correct that fact — the
+    * standard streaming-enrichment trade; widen the upstream
+    * watermark/batch interval if cross-batch disorder matters.
+    */
+  def streamingAsofEnrich(inputs: Dataset[AsofInput], lateness: String,
+                          retainVersions: Int,
+                          idleGapMs: Long): Dataset[AsofEnriched] = {
+    import inputs.sparkSession.implicits._
+    inputs
+      .withWatermark("ts", lateness)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[AsofState, AsofEnriched](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, batch: Iterator[AsofInput],
+         state: GroupState[AsofState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption
+              .getOrElse(AsofState(Vector.empty, Vector.empty, 0L))
+            var versions = prev.versionTs.zip(prev.versionPayload).toVector
+            var maxTs = prev.maxTs
+            val out = Vector.newBuilder[AsofEnriched]
+            // dims sort before facts at equal ts: <= match semantics
+            batch.toVector.sortBy(e => (e.ts.getTime, e.side)).foreach { e =>
+              maxTs = math.max(maxTs, e.ts.getTime)
+              if (e.side == 0) {
+                versions = (versions :+ (e.ts.getTime -> e.payload))
+                  .sortBy(_._1).takeRight(retainVersions)
+              } else {
+                val m = versions.filter(_._1 <= e.ts.getTime).lastOption
+                out += AsofEnriched(e.event_id, key, e.ts,
+                  m.map(_._2).orNull,
+                  m.map(v => new Timestamp(v._1)).orNull)
+              }
+            }
+            state.update(
+              AsofState(versions.map(_._1), versions.map(_._2), maxTs))
+            state.setTimeoutTimestamp(maxTs + idleGapMs)
+            out.result().iterator
+          }
+      }
+  }
 }

@@ -120,4 +120,37 @@ class StreamOpsSpec extends SparkSpec {
       ("2024-01-01", "a", 2L),
       ("2024-01-02", "b", 1L))))
   }
+
+  test("streaming as-of enrich: facts get the dim version at their event time") {
+    import StreamOps.AsofInput
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[AsofInput]
+    def dim(k: Long, t: String, v: String) = AsofInput(k, ts(t), 0, v, -1L)
+    def fact(id: Long, k: Long, t: String) = AsofInput(k, ts(t), 1, null, id)
+    // intra-batch disorder on purpose: the fact at 10:30 arrives
+    // before the 10:00 dim it must match
+    mem.addData(
+      fact(11L, 1L, "2024-01-01 10:30:00"),
+      dim(1L, "2024-01-01 10:00:00", "v1"),
+      dim(1L, "2024-01-01 11:00:00", "v2"),
+      fact(10L, 1L, "2024-01-01 09:30:00"), // before any dim -> null
+      fact(12L, 1L, "2024-01-01 11:00:00"), // == dim ts -> v2 (<=)
+      fact(13L, 2L, "2024-01-01 10:30:00")) // key with no dims -> null
+    val out = StreamOps.streamingAsofEnrich(mem.toDS(), "1 hour",
+      retainVersions = 4, idleGapMs = 3600000L)
+    val q = out.writeStream.format("memory").queryName("sasof")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // second batch: a fact later than every retained version — the
+    // dim state must survive across micro-batches
+    mem.addData(fact(14L, 1L, "2024-01-01 12:00:00"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sasof")
+      .select("event_id", "asof_payload")
+      .as[(Long, Option[String])].collect().sortBy(_._1)
+    assert(got.sameElements(Array(
+      10L -> None, 11L -> Some("v1"), 12L -> Some("v2"),
+      13L -> None, 14L -> Some("v2"))))
+  }
 }
