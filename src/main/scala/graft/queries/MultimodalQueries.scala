@@ -48,6 +48,26 @@ object MultimodalQueries {
           round(element_at(col("feature"), 3), 6).as("f2"),
           round(element_at(col("feature"), 4), 6).as("f3"))
         .orderBy("media_id")
+    },
+
+    // Frame sampling over the video-shaped rows: k evenly-spaced
+    // deterministic frame offsets per media row (the decode of each
+    // frame is the codec stub's job; the offsets, explode shape, and
+    // schema ARE the engine contract). Scan-stage transform + explode
+    // — no shuffle until the final order.
+    "q67_frame_sample" -> { (s, dir) =>
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"),
+          lit("video").as("kind"),
+          col("text").cast("binary").as("payload"),
+          struct(
+            lit(null).cast("int").as("width"),
+            lit(null).cast("int").as("height"),
+            lit(null).cast("int").as("sample_rate"),
+            (col("n_chars") % 100 + 10).cast("int").as("n_frames")).as("meta"))
+      M.sampleFrames(media, 4)
+        .select(col("media_id"), col("sample_idx"), col("frame_offset"))
+        .orderBy("media_id", "sample_idx")
     }
   )
 
@@ -71,6 +91,16 @@ object MultimodalQueries {
         |  round(('0x' || substr(hex, 7, 6))::BIGINT / 16777216.0 - 0.5, 6) AS f1,
         |  round(('0x' || substr(hex, 13, 6))::BIGINT / 16777216.0 - 0.5, 6) AS f2,
         |  round(('0x' || substr(hex, 19, 6))::BIGINT / 16777216.0 - 0.5, 6) AS f3
-        |FROM m ORDER BY media_id""".stripMargin
+        |FROM m ORDER BY media_id""".stripMargin,
+
+    "q67_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, (n_chars % 100 + 10) AS n_frames
+        |  FROM documents),
+        |i AS (SELECT unnest(range(4)) AS idx)
+        |SELECT m.media_id, CAST(i.idx AS INT) AS sample_idx,
+        |  CAST(i.idx * (m.n_frames // 4) AS INT) AS frame_offset
+        |FROM m CROSS JOIN i
+        |ORDER BY media_id, sample_idx""".stripMargin
   )
 }
