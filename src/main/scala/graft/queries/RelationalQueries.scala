@@ -304,7 +304,7 @@ object RelationalQueries {
         .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
       val ord = t(s, dir, "orders")
         .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
-      Sc.saltedJoin(li, ord, "l_orderkey", 8)
+      Sc.saltedJoin(li, ord, "l_orderkey", 4)
         .groupBy("o_orderpriority")
         .agg(
           round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
