@@ -177,6 +177,11 @@ object RelationalOps {
   def asofJoinPrior(left: DataFrame, right: DataFrame, key: String,
                     leftTs: String, rightTs: String,
                     asofCol: String = "asof"): DataFrame = {
+    require(!left.columns.contains(asofCol),
+      s"left already has a column named '$asofCol'; pass a different asofCol")
+    val internal = Set("__k", "__t", "__side", "__p", "__row", "__m")
+    require(!(left.columns ++ right.columns).exists(internal),
+      s"column names ${internal.mkString(", ")} are reserved by asofJoinPrior")
     val payload = struct(right.columns.filterNot(_ == key).map(col).toSeq: _*)
     val r = right.select(col(key).as("__k"), col(rightTs).as("__t"),
       lit(0).as("__side"), payload.as("__p"))
@@ -214,6 +219,9 @@ object RelationalOps {
   def rangeJoinBucketed(left: DataFrame, pointCol: String,
                         right: DataFrame, startCol: String, endCol: String,
                         bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, s"bucketSeconds must be > 0, got $bucketSeconds")
+    require(!(left.columns ++ right.columns).contains("__b"),
+      "column name '__b' is reserved by rangeJoinBucketed")
     // TIMESTAMP_NTZ has no direct numeric cast; go via TIMESTAMP
     // (identity for the session's pinned-UTC clock) to epoch seconds.
     def epochBucket(c: Column): Column =

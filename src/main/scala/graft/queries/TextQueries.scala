@@ -444,6 +444,27 @@ object TextQueries {
           min("doc_id").as("first_doc"),
           max("doc_id").as("last_doc"))
         .orderBy("lang", "shard_id")
+    },
+
+    // Benchmark decontamination (the GPT-3-style 13-gram scan): flag
+    // corpus documents sharing any 13-token shingle with a holdout/
+    // benchmark set (stand-in: doc_id % 100 < 2). The benchmark gram
+    // set is BROADCAST — eval suites are tiny against a 100 TB corpus,
+    // so the scan side never shuffles: explode shingles, hash-probe
+    // the broadcast set, partial-agg the distinct hits per doc.
+    "q68_decontaminate" -> { (s, dir) =>
+      val n = 13
+      val grams = t(s, dir, "documents")
+        .select(col("doc_id"), toks(col("text")).as("tk"))
+        .filter(size(col("tk")) >= n)
+        .select(col("doc_id"), explode(G.wordShingles(col("tk"), n)).as("g"))
+      val bench = grams.filter(col("doc_id") % 100 < 2)
+        .select("g").distinct()
+      grams.filter(col("doc_id") % 100 >= 2)
+        .join(broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(countDistinct("g").as("n_shared"))
+        .orderBy("doc_id")
     }
   )
 
@@ -692,6 +713,20 @@ object TextQueries {
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
-        |FROM c GROUP BY lang, shard_id ORDER BY lang, shard_id""".stripMargin
+        |FROM c GROUP BY lang, shard_id ORDER BY lang, shard_id""".stripMargin,
+
+    "q68_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(trim(lower(text)), ' ') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, array_to_string(t[i:i+12], ' ') AS g
+        |  FROM toks, UNNEST(range(1, len(t) - 13 + 2)) AS u(i)
+        |  WHERE len(t) >= 13),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 100 < 2)
+        |SELECT g.doc_id, count(DISTINCT g.g) AS n_shared
+        |FROM grams g JOIN bench b ON g.g = b.g
+        |WHERE g.doc_id % 100 >= 2
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
   )
 }

@@ -152,6 +152,8 @@ object StreamOps {
   def streamingAsofEnrich(inputs: Dataset[AsofInput], lateness: String,
                           retainVersions: Int,
                           idleGapMs: Long): Dataset[AsofEnriched] = {
+    require(retainVersions >= 1,
+      s"retainVersions must be >= 1, got $retainVersions")
     import inputs.sparkSession.implicits._
     inputs
       .withWatermark("ts", lateness)
