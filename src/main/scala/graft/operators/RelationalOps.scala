@@ -171,8 +171,12 @@ object RelationalOps {
     *
     * Right rows must be unique per (key, rightTs); pre-aggregate the
     * right side so the match is deterministic (the caller owns the
-    * tiebreak policy). `leftTs` and `rightTs` must have the same
-    * (orderable) type.
+    * tiebreak policy). `leftTs` and `rightTs` must have the SAME
+    * (orderable) type — enforced, because a silent union coercion
+    * (e.g. ntz→ltz) would depend on the session timezone. Right rows
+    * with a null key or null rightTs never match (SQL join-null
+    * semantics: ascending-nulls-first ordering would otherwise make a
+    * null-ts right row the "prior" of everything in its key).
     */
   def asofJoinPrior(left: DataFrame, right: DataFrame, key: String,
                     leftTs: String, rightTs: String,
@@ -182,9 +186,15 @@ object RelationalOps {
     val internal = Set("__k", "__t", "__side", "__p", "__row", "__m")
     require(!(left.columns ++ right.columns).exists(internal),
       s"column names ${internal.mkString(", ")} are reserved by asofJoinPrior")
+    require(left.schema(leftTs).dataType == right.schema(rightTs).dataType,
+      s"leftTs and rightTs must have the same type, got " +
+        s"${left.schema(leftTs).dataType} vs ${right.schema(rightTs).dataType}" +
+        " — cast explicitly (a union coercion would be tz-dependent)")
     val payload = struct(right.columns.filterNot(_ == key).map(col).toSeq: _*)
-    val r = right.select(col(key).as("__k"), col(rightTs).as("__t"),
-      lit(0).as("__side"), payload.as("__p"))
+    val r = right
+      .filter(col(key).isNotNull && col(rightTs).isNotNull)
+      .select(col(key).as("__k"), col(rightTs).as("__t"),
+        lit(0).as("__side"), payload.as("__p"))
     val l = left.select(struct(left.columns.map(col).toSeq: _*).as("__row"))
       .select(col("__row"), col(s"__row.$key").as("__k"),
         col(s"__row.$leftTs").as("__t"), lit(1).as("__side"),

@@ -264,8 +264,12 @@ object RelationalQueries {
     // so the prior match is deterministic.
     "q62_asof_join" -> { (s, dir) =>
       val ev = t(s, dir, "events").select("event_id", "user_id", "ts")
+      // o_orderdate reads as timestamp_ntz while events.ts is ltz:
+      // align explicitly (identity under the pinned-UTC session) —
+      // asofJoinPrior refuses a silent, tz-dependent union coercion
       val ord = t(s, dir, "orders")
-        .groupBy(col("o_custkey").as("user_id"), col("o_orderdate").as("t"))
+        .groupBy(col("o_custkey").as("user_id"),
+          col("o_orderdate").cast("timestamp").as("t"))
         .agg(max("o_orderkey").as("as_of_orderkey"))
       R.asofJoinPrior(ev, ord, "user_id", "ts", "t")
         .select(col("event_id"), col("user_id"),

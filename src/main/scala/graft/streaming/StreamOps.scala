@@ -148,6 +148,11 @@ object StreamOps {
     * should have enriched does not retro-correct that fact — the
     * standard streaming-enrichment trade; widen the upstream
     * watermark/batch interval if cross-batch disorder matters.
+    * Dimension updates sharing (key, ts) REPLACE each other (the one
+    * processed last wins) — re-delivery is idempotent, but a source
+    * that emits genuinely different payloads at the same (key, ts)
+    * has no defined winner; deduplicate upstream, as with the batch
+    * twin's unique-per-(key, rightTs) precondition.
     */
   def streamingAsofEnrich(inputs: Dataset[AsofInput], lateness: String,
                           retainVersions: Int,
@@ -175,7 +180,9 @@ object StreamOps {
             batch.toVector.sortBy(e => (e.ts.getTime, e.side)).foreach { e =>
               maxTs = math.max(maxTs, e.ts.getTime)
               if (e.side == 0) {
-                versions = (versions :+ (e.ts.getTime -> e.payload))
+                // same-ts update replaces: idempotent re-delivery
+                versions = (versions.filter(_._1 != e.ts.getTime) :+
+                    (e.ts.getTime -> e.payload))
                   .sortBy(_._1).takeRight(retainVersions)
               } else {
                 val m = versions.filter(_._1 <= e.ts.getTime).lastOption

@@ -48,6 +48,31 @@ class JoinOpsSpec extends SparkSpec {
     assert(out.columns.toSeq === Seq("id", "k", "tt", "asof"))
   }
 
+  test("asofJoinPrior never matches null-key or null-time right rows") {
+    val q = Seq(
+      (Option(1L), Option(ts("2024-01-01 10:00:00")), 100.0),
+      (Option(1L), Option.empty[Timestamp], 999.0), // null time
+      (Option.empty[Long], Option(ts("2024-01-01 09:00:00")), 888.0) // null key
+    ).toDF("k", "qt", "px")
+    val l = Seq(
+      (20L, Option(1L), ts("2024-01-01 11:00:00")),
+      (21L, Option.empty[Long], ts("2024-01-01 11:00:00"))
+    ).toDF("id", "k", "tt")
+    val out = RelationalOps.asofJoinPrior(l, q, "k", "tt", "qt")
+      .select(col("id"), col("asof.px").as("px"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(20L).contains(100.0)) // not the null-ts 999 row
+    assert(out(21L).isEmpty) // null left key matches nothing
+  }
+
+  test("asofJoinPrior refuses mismatched time types (tz-dependent coercion)") {
+    val q = Seq((1L, java.sql.Date.valueOf("2024-01-01"), 1.0))
+      .toDF("k", "qt", "px")
+    assertThrows[IllegalArgumentException] {
+      RelationalOps.asofJoinPrior(trades, q, "k", "tt", "qt")
+    }
+  }
+
   test("rangeJoinBucketed is [start, end) and spans bucket boundaries") {
     val points = Seq(
       (1L, ts("2024-01-01 10:00:00")), // == start -> in

@@ -136,8 +136,11 @@ class StreamOpsSpec extends SparkSpec {
       fact(10L, 1L, "2024-01-01 09:30:00"), // before any dim -> null
       fact(12L, 1L, "2024-01-01 11:00:00"), // == dim ts -> v2 (<=)
       fact(13L, 2L, "2024-01-01 10:30:00")) // key with no dims -> null
-    val out = StreamOps.streamingAsofEnrich(mem.toDS(), "1 hour",
-      retainVersions = 4, idleGapMs = 3600000L)
+    // lateness wide enough that the batch-3 same-ts dim replay is not
+    // dropped as late data — this test pins replace semantics, not
+    // watermark filtering
+    val out = StreamOps.streamingAsofEnrich(mem.toDS(), "10 hours",
+      retainVersions = 4, idleGapMs = 36000000L)
     val q = out.writeStream.format("memory").queryName("sasof")
       .outputMode("append").start()
     q.processAllAvailable()
@@ -145,12 +148,17 @@ class StreamOpsSpec extends SparkSpec {
     // dim state must survive across micro-batches
     mem.addData(fact(14L, 1L, "2024-01-01 12:00:00"))
     q.processAllAvailable()
+    // third batch: a same-ts dim update REPLACES v2 (idempotent
+    // re-delivery contract), so later facts see the replacement
+    mem.addData(dim(1L, "2024-01-01 11:00:00", "v2b"),
+      fact(15L, 1L, "2024-01-01 12:30:00"))
+    q.processAllAvailable()
     q.stop()
     val got = spark.table("sasof")
       .select("event_id", "asof_payload")
       .as[(Long, Option[String])].collect().sortBy(_._1)
     assert(got.sameElements(Array(
       10L -> None, 11L -> Some("v1"), 12L -> Some("v2"),
-      13L -> None, 14L -> Some("v2"))))
+      13L -> None, 14L -> Some("v2"), 15L -> Some("v2b"))))
   }
 }
