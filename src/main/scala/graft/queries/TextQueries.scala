@@ -465,6 +465,27 @@ object TextQueries {
         .groupBy("doc_id")
         .agg(countDistinct("g").as("n_shared"))
         .orderBy("doc_id")
+    },
+
+    // Multi-level ROLLUP report: corpus composition at (lang, source),
+    // per-lang, and grand-total levels in ONE pass — the
+    // generalization of the reference's per-sensor/date summary
+    // reports (A4/A7 family). Spark plans rollup as a single Expand +
+    // partial-aggregated groupBy: no extra scans per level. GROUPING
+    // flags disambiguate rolled-up NULLs from data NULLs.
+    "q69_rollup_report" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"), col("source"),
+          size(toks(col("text"))).cast("long").as("tok"))
+        .rollup("lang", "source")
+        .agg(
+          // grouping() is only resolvable inside the rollup's agg
+          grouping(col("lang")).cast("int").as("gl"),
+          grouping(col("source")).cast("int").as("gs"),
+          count(lit(1)).as("n_docs"), sum("tok").as("n_tokens"))
+        .select(col("lang"), col("source"), col("gl"), col("gs"),
+          col("n_docs"), col("n_tokens"))
+        .orderBy("gl", "gs", "lang", "source")
     }
   )
 
@@ -727,6 +748,15 @@ object TextQueries {
         |SELECT g.doc_id, count(DISTINCT g.g) AS n_shared
         |FROM grams g JOIN bench b ON g.g = b.g
         |WHERE g.doc_id % 100 >= 2
-        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+
+    "q69_rollup_report" ->
+      """SELECT lang, source, CAST(GROUPING(lang) AS INT) AS gl,
+        |  CAST(GROUPING(source) AS INT) AS gs,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split(trim(lower(text)), ' '))) AS BIGINT)
+        |    AS n_tokens
+        |FROM documents GROUP BY ROLLUP(lang, source)
+        |ORDER BY gl, gs, lang, source""".stripMargin
   )
 }
