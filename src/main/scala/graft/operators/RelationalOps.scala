@@ -108,6 +108,53 @@ object RelationalOps {
       .drop("__part", "__rk", "__offset")
   }
 
+  /** Per-group EXCLUSIVE running sum at scale — the [[allocateKeys]]
+    * device generalized. The naive form,
+    * `sum(value).over(Window.partitionBy(group).orderBy(order))`,
+    * routes EVERY row of a group through one reducer: fine for
+    * thousands of small groups, fatal when one group is most of a
+    * 100 TB corpus (e.g. cumulative token counts per language, where
+    * "en" is half the data). Here:
+    *
+    *  1. range-partition by (group, order) — each partition holds a
+    *     contiguous slice of one or more groups;
+    *  2. run the window WITHIN (partition, group) — parallel;
+    *  3. fold ONE ROW PER (partition, group) — bounded metadata — into
+    *     exclusive cross-partition offsets with a window over that
+    *     tiny table (~partitions rows per group, never the data);
+    *  4. broadcast the offsets back.
+    *
+    * Output = input columns + `out` (sum of `valueCol` over all
+    * strictly-earlier rows of the same group in `orderCol` order).
+    * (group, order) pairs must be unique for a well-defined order.
+    * The range sample is localCheckpointed for the same
+    * self-consistency reason as [[allocateKeys]]; output values are
+    * boundary-invariant either way.
+    */
+  def groupedPrefixSum(df: DataFrame, groupCol: String, orderCol: String,
+                       valueCol: String, out: String,
+                       partitions: Int = 32): DataFrame = {
+    val parted = df.repartitionByRange(partitions, col(groupCol), col(orderCol))
+      .withColumn("__part", spark_partition_id())
+      .localCheckpoint(true)
+    val w = Window.partitionBy(col("__part"), col(groupCol))
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = parted.withColumn("__run", sum(col(valueCol)).over(w))
+    // one row per (partition, group): the max inclusive run IS the
+    // partition-group total
+    val partials = local.groupBy(col("__part"), col(groupCol))
+      .agg(max(col("__run")).as("__tot"))
+    val wOff = Window.partitionBy(col(groupCol)).orderBy(col("__part"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = partials
+      .withColumn("__off", coalesce(sum(col("__tot")).over(wOff), lit(0L)))
+      .select(col("__part"), col(groupCol), col("__off"))
+    local.join(broadcast(offsets), Seq("__part", groupCol))
+      .withColumn(out, col("__off") + col("__run") - col(valueCol))
+      .drop("__part", "__run", "__off")
+  }
+
   /** Summary statistics (A7): the reference fetches whole tables into
     * Python `statistics` (eodatadownlandsatgoogsensor.py:2932-3051);
     * here one aggregation pass with exact interpolated percentiles.

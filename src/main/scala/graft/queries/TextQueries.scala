@@ -422,22 +422,23 @@ object TextQueries {
 
     // Greedy sequence packing: assign documents (in stable doc_id
     // order per language) to fixed token-budget shards — the
-    // "pack documents into training shards" step. A running-sum window
-    // per stratum, then one aggregation per shard. The cumulative sum
-    // is a single shuffle on lang; shard boundaries are start-offset
-    // packing (shard = cum_tokens_before / budget), the
-    // order-preserving variant used when document order must survive
-    // packing.
+    // "pack documents into training shards" step. Shard boundaries
+    // are start-offset packing (shard = cum_tokens_before / budget),
+    // the order-preserving variant used when document order must
+    // survive packing. The cumulative sum runs through
+    // groupedPrefixSum — NOT a Window.partitionBy(lang), which would
+    // funnel each language (half a 100 TB corpus can be one language)
+    // through a single reducer; the two-phase form keeps every stage
+    // partition-parallel with only (partitions x languages) rows of
+    // offset metadata crossing stages.
     "q64_shard_pack" -> { (s, dir) =>
       val B = 2000L
-      val w = Window.partitionBy("lang").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      t(s, dir, "documents")
+      val docs = t(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
           size(toks(col("text"))).cast("long").as("n_tokens"))
-        .withColumn("cum", sum("n_tokens").over(w))
-        .withColumn("shard_id",
-          floor((col("cum") - col("n_tokens")) / B).cast("long"))
+      graft.operators.RelationalOps
+        .groupedPrefixSum(docs, "lang", "doc_id", "n_tokens", "cum_before")
+        .withColumn("shard_id", floor(col("cum_before") / B).cast("long"))
         .groupBy("lang", "shard_id")
         .agg(count(lit(1)).as("n_docs"),
           sum("n_tokens").as("sum_tokens"),
