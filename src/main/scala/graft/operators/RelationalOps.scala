@@ -48,6 +48,32 @@ object RelationalOps {
     df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
   }
 
+  /** [[topKPerGroup]] for groups too large for one reducer: the plain
+    * form shuffles EVERY row of a group to the window's single
+    * partition before discarding all but k. Here a pre-prune window
+    * keyed by (group, physical partition id) cuts each partition's
+    * contribution to its local top-k first — its exchange is spread
+    * over partitions BY CONSTRUCTION (the pid key), never
+    * concentrating a group — so at most k x partitions rows per group
+    * reach the final single-partition-per-group ranking. Identical
+    * output (row_number over the same total order); the pre-prune can
+    * only drop rows that cannot be in the global top-k. Costs one
+    * extra (well-spread) shuffle: use when groups are huge, not for
+    * thousands of small groups. `order` must be deterministic
+    * (include a tiebreaker), as with [[topKPerGroup]].
+    */
+  def topKPerGroupScalable(df: DataFrame, keys: Seq[String],
+                           order: Seq[Column], k: Int,
+                           rankCol: String = "rank"): DataFrame = {
+    val localW = Window
+      .partitionBy((keys.map(col) :+ spark_partition_id()): _*)
+      .orderBy(order: _*)
+    val pruned = df.withColumn("__lrk", row_number().over(localW))
+      .filter(col("__lrk") <= k)
+      .drop("__lrk")
+    topKPerGroup(pruned, keys, order, k, rankCol)
+  }
+
   /** Ordered pagination (O3): reference slices in Python after fetch
     * (eodatadownlandsatgoogsensor.py:1994); Spark ≥3.4 plans
     * offset+limit natively (GlobalLimit/Offset), so only `offset+n`

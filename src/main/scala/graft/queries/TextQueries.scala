@@ -401,20 +401,21 @@ object TextQueries {
     // K docs, ranked by an md5-derived uniform key — the "balance the
     // language mix" step of training-data curation. Deterministic
     // (hash of the doc id, not rand()), so the sample is reproducible
-    // across runs/engines and the gate can hash-compare it. One
-    // ranking window per stratum — a single shuffle on lang; at scale
-    // swap row_number for a per-stratum hash-threshold filter
-    // (keep if key < p·2^60: no window, no shuffle) when the cap is a
-    // rate rather than an exact count.
+    // across runs/engines and the gate can hash-compare it. Ranking
+    // runs through topKPerGroupScalable: partitions pre-prune to their
+    // local top-K so no stratum (half a production corpus can be one
+    // language) floods a single reducer; only K x partitions rows per
+    // stratum reach the final rank. For a RATE cap instead of an exact
+    // count, the windowless per-stratum hash-threshold filter
+    // (keep if key < p·2^60) is cheaper still.
     "q63_stratified_sample" -> { (s, dir) =>
       val K = 30
       val skey = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
         16, 10).cast("long")
-      val w = Window.partitionBy("lang").orderBy(col("skey"), col("doc_id"))
-      t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), skey.as("skey"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= K)
+      graft.operators.RelationalOps.topKPerGroupScalable(
+          t(s, dir, "documents")
+            .select(col("doc_id"), col("lang"), skey.as("skey")),
+          Seq("lang"), Seq(col("skey"), col("doc_id")), K, "rn")
         .select(col("doc_id"), col("lang"),
           col("rn").cast("long").as("sample_rank"))
         .orderBy("lang", "sample_rank")

@@ -37,4 +37,16 @@ class PrefixSumSpec extends SparkSpec {
     assert(out.orderBy("ord").select("cum").as[Long].collect().toSeq ===
       Seq(0L, 2L))
   }
+
+  test("topKPerGroupScalable equals the plain window top-k") {
+    // a big group spread over many partitions + a group smaller than k
+    val rows = (1 to 500).map(i => ("big", i.toLong)) ++
+      (1 to 2).map(i => ("tiny", i.toLong))
+    val df = rows.toDF("g", "v").repartition(8)
+    val order = Seq($"v".desc, $"g")
+    def norm(d: org.apache.spark.sql.DataFrame) =
+      d.select("g", "v", "rank").as[(String, Long, Int)].collect().sorted.toSeq
+    assert(norm(RelationalOps.topKPerGroupScalable(df, Seq("g"), order, 7)) ===
+      norm(RelationalOps.topKPerGroup(df, Seq("g"), order, 7)))
+  }
 }
