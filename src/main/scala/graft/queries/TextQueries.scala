@@ -488,6 +488,128 @@ object TextQueries {
         .select(col("lang"), col("source"), col("gl"), col("gs"),
           col("n_docs"), col("n_tokens"))
         .orderBy("gl", "gs", "lang", "source")
+    },
+
+    // CCNet-style LM quality scoring: train a bigram model ON the
+    // corpus (MLE counts), then score every document by its average
+    // per-bigram cross-entropy under that model. High xent =
+    // improbable word sequences = outlier/low-quality text — the
+    // "perplexity filter" of LLM data curation (CCNet trains KenLM
+    // offline; the dataflow is identical with the model as a TABLE).
+    // Scale shape: counts are two partial-aggregated groupBys keyed
+    // on words; the model stays distributed (conditional probability
+    // = a join on the context word, never a driver-side dict); the
+    // scoring join shuffles on (w1, w2) unless AQE broadcasts a
+    // small model. Nothing collects. Scores round to 6dp so the
+    // double summation-order noise between engines stays below the
+    // hash gate.
+    "q70_bigram_lm_score" -> { (s, dir) =>
+      val pairs = t(s, dir, "documents")
+        .select(col("doc_id"), toks(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(0), size(col("tk")) - 2),
+          i => struct(element_at(col("tk"), i + 1).as("w1"),
+            element_at(col("tk"), i + 2).as("w2")))).as("bg"))
+        .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+      val cb = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      val c1 = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val model = cb.join(c1, "w1")
+        .select(col("w1"), col("w2"),
+          log(col("cb").cast("double") / col("c1")).as("lp"))
+      pairs.join(model, Seq("w1", "w2"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(-avg(col("lp")), 6).as("xent"))
+        .orderBy("doc_id")
+    },
+
+    // TF-IDF keyword extraction: top-3 scoring terms per document.
+    // tf and df are partial-aggregated groupBys; the corpus size N is
+    // a one-row broadcast (scalar metadata, like the watermark reads);
+    // the per-doc rank runs through topKPerGroupScalable so no
+    // document's term list funnels a global window. Ranking uses the
+    // ROUNDED score (ties broken by term) — raw doubles could order
+    // differently across engines at the last ulp, the 6dp value
+    // cannot.
+    "q71_tfidf_topk" -> { (s, dir) =>
+      val terms = t(s, dir, "documents")
+        .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(df, "term").crossJoin(broadcast(n))
+        .withColumn("score",
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      graft.operators.RelationalOps.topKPerGroupScalable(
+          scored, Seq("doc_id"), Seq(col("score").desc, col("term")), 3, "rank")
+        .select(col("doc_id"), col("rank").cast("long").as("rank"),
+          col("term"), col("score"))
+        .orderBy("doc_id", "rank")
+    },
+
+    // Vocabulary building: global token counts, top-20 by frequency,
+    // with cumulative corpus coverage — the Zipf head report that
+    // sizes a tokenizer vocab. The count is a partial-aggregated
+    // groupBy over the exploded scan; the global rank window runs
+    // AFTER orderBy(...).limit(20), i.e. over k rows of aggregated
+    // metadata, not over data rows — the single-partition window is
+    // bounded by k regardless of corpus size.
+    "q72_vocab_coverage" -> { (s, dir) =>
+      val counts = t(s, dir, "documents")
+        .select(explode(toks(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+      val total = counts.agg(sum("cnt").as("total"))
+      val w = Window.orderBy(col("cnt").desc, col("token"))
+      counts.orderBy(col("cnt").desc, col("token")).limit(20)
+        .crossJoin(broadcast(total))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .withColumn("cum_cov",
+          round(sum("cnt").over(w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)) / col("total"), 6))
+        .select(col("rank"), col("token"), col("cnt"), col("cum_cov"))
+        .orderBy("rank")
+    },
+
+    // Excerpt/containment detection: documents whose word SET is
+    // strictly contained in a ≥2×-larger document's set — the
+    // "this doc is a fragment of that one" signal Jaccard misses (a
+    // 20-word excerpt of a 200-word doc has Jaccard 0.1, containment
+    // 1.0). Runs at the DISTINCT-set level (q30's dedup-first device)
+    // and fans doc-level results out through the membership map. The
+    // candidate generator is the classic prefix filter: A ⊆ B ⇒ B
+    // contains A's globally RAREST token, an equi-join on that token
+    // — on Zipfian corpora this prunes near-quadratically (rare
+    // tokens appear in few containers); this synthetic 31-word
+    // uniform vocab is the worst case for it, making the measured
+    // cost an upper bound. The ≥2× size band is both the excerpt
+    // definition and a second prune.
+    "q73_subset_containment" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), G.sortedWordSet(col("text")).as("ws"))
+        .filter(size(col("ws")) > 0)
+      val sets = d.groupBy("ws").agg(min("doc_id").as("sid"))
+      val members = d.join(sets, "ws").select(col("doc_id"), col("sid"))
+      // global token document-frequency over DISTINCT sets
+      val df = sets.select(explode(col("ws")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+      // each candidate-excerpt set keyed by its rarest token
+      val aSide = sets.select(col("sid").as("sid_a"), col("ws").as("ws_a"),
+          explode(col("ws")).as("tok"))
+        .join(df, "tok")
+        .groupBy("sid_a")
+        .agg(min_by(col("tok"), struct(col("df"), col("tok"))).as("tok"),
+          first(col("ws_a")).as("ws_a"))
+      val bTok = sets.select(col("sid").as("sid_b"), col("ws").as("ws_b"),
+        explode(col("ws")).as("tok"))
+      aSide.join(bTok, "tok")
+        .filter(size(col("ws_b")) >= size(col("ws_a")) * 2)
+        .filter(size(array_except(col("ws_a"), col("ws_b"))) === 0)
+        .groupBy("sid_a")
+        .agg(count(lit(1)).as("n_containers"), min("sid_b").as("min_container"))
+        .join(members.withColumnRenamed("sid", "sid_a"), "sid_a")
+        .select(col("doc_id"), col("n_containers"), col("min_container"))
+        .orderBy("doc_id")
     }
   )
 
@@ -759,6 +881,80 @@ object TextQueries {
         |  CAST(sum(len(string_split(trim(lower(text)), ' '))) AS BIGINT)
         |    AS n_tokens
         |FROM documents GROUP BY ROLLUP(lang, source)
-        |ORDER BY gl, gs, lang, source""".stripMargin
+        |ORDER BY gl, gs, lang, source""".stripMargin,
+
+    "q70_bigram_lm_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(trim(lower(text)), ' ') AS tk
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+        |  FROM tok, UNNEST(range(1, len(tk))) AS u(i)
+        |  WHERE len(tk) >= 2),
+        |cb AS (SELECT w1, w2, count(*) AS cb FROM pairs GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY 1),
+        |model AS (
+        |  SELECT cb.w1, cb.w2, ln(cb.cb::DOUBLE / c1.c1) AS lp
+        |  FROM cb JOIN c1 USING (w1))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(-avg(lp), 6) AS xent
+        |FROM pairs JOIN model USING (w1, w2)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q71_tfidf_topk" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(trim(lower(text)), ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |idf AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term,
+        |    round(tf * ln(n_docs::DOUBLE / df), 6) AS score
+        |  FROM tf JOIN idf USING (term), n),
+        |r AS (
+        |  SELECT doc_id, term, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY score DESC, term) AS rank
+        |  FROM scored)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, score
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "q72_vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(trim(lower(text)), ' ')) AS token
+        |  FROM documents),
+        |counts AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+        |total AS (SELECT sum(cnt) AS total FROM counts),
+        |top AS (
+        |  SELECT token, cnt,
+        |    row_number() OVER (ORDER BY cnt DESC, token) AS rank,
+        |    sum(cnt) OVER (ORDER BY cnt DESC, token
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM counts)
+        |SELECT CAST(rank AS BIGINT) AS rank, token,
+        |  CAST(cnt AS BIGINT) AS cnt,
+        |  round(cum::DOUBLE / total, 6) AS cum_cov
+        |FROM top, total WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    "q73_subset_containment" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_sort(list_distinct(string_split(trim(lower(text)), ' ')))
+        |      AS ws
+        |  FROM documents WHERE len(string_split(trim(lower(text)), ' ')) > 0),
+        |sets AS (SELECT ws, min(doc_id) AS sid FROM d GROUP BY ws),
+        |members AS (
+        |  SELECT d.doc_id, s.sid FROM d JOIN sets s ON d.ws = s.ws),
+        |sub AS (
+        |  SELECT a.sid AS sid_a, count(*) AS n_containers,
+        |    min(b.sid) AS min_container
+        |  FROM sets a JOIN sets b
+        |    ON len(b.ws) >= 2 * len(a.ws) AND list_has_all(b.ws, a.ws)
+        |  GROUP BY a.sid)
+        |SELECT m.doc_id, CAST(sub.n_containers AS BIGINT) AS n_containers,
+        |  sub.min_container
+        |FROM sub JOIN members m ON m.sid = sub.sid_a
+        |ORDER BY m.doc_id""".stripMargin
   )
 }

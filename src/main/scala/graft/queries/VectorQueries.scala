@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -135,6 +135,117 @@ object VectorQueries {
         .groupBy(col("rep").as("group_id"))
         .agg(count(lit(1)).as("n_vecs"), max(col("id")).as("max_vec"))
         .orderBy("group_id")
+    },
+
+    // SemDeDup (Abbas et al., arXiv:2303.09540): semantic dedup =
+    // cluster the embeddings, then near-dup detection ONLY within each
+    // cluster — the k-means cell IS the block key, shrinking the pair
+    // space ~nlist× while semantically-close pairs stay co-located.
+    // Deterministic stand-in centroids (q35's device) keep the whole
+    // pipeline SQL-expressible for the oracle; VectorOps.kmeansFit
+    // trains real ones. Dup groups close over connectedComponents;
+    // the report: per cluster, how many vectors, how many landed in a
+    // dup group, distinct groups, and members SemDeDup would drop
+    // (group size minus its one kept representative).
+    "q74_semdedup_groups" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val assigned = e.crossJoin(broadcast(cents))
+        .withColumn("cc", G.cosineSim(col("v"), col("cv")))
+        .groupBy("vec_id")
+        .agg(max_by(col("cid"), struct(col("cc"), -col("cid"))).as("cluster"),
+          first(col("v")).as("v"))
+      val a = assigned.select(col("cluster"), col("vec_id").as("id_a"),
+        col("v").as("va"))
+      val b = assigned.select(col("cluster"), col("vec_id").as("id_b"),
+        col("v").as("vb"))
+      val pairs = a.join(b, Seq("cluster"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(G.cosineSim(col("va"), col("vb")) >= 0.35)
+        .select("id_a", "id_b")
+      val comp = graft.operators.ScaleOps.connectedComponents(pairs)
+      val grouped = comp
+        .join(assigned.select(col("vec_id").as("id"), col("cluster")), "id")
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_grouped"),
+          countDistinct("rep").as("n_groups"))
+      assigned.groupBy("cluster").agg(count(lit(1)).as("n_vecs"))
+        .join(grouped, Seq("cluster"), "left")
+        .na.fill(0, Seq("n_grouped", "n_groups"))
+        .withColumn("n_dropped", col("n_grouped") - col("n_groups"))
+        .select(col("cluster"), col("n_vecs"), col("n_grouped"),
+          col("n_groups"), col("n_dropped"))
+        .orderBy("cluster")
+    },
+
+    // Int8 symmetric per-vector quantization — the embedding-storage
+    // compression a 100 TB vector pipeline runs before indexing
+    // (8 bytes/dim → 1). scale = max|x|/127, code = clamp(round(x/s)),
+    // and the report measures what compression costs: per-label mean
+    // L2 reconstruction error, worst absolute error, and mean cosine
+    // between original and dequantized vectors. The HOF lambdas run
+    // interpreted — fine for this cold analysis path; a hot path gets
+    // a codegen'd expression (CosineSimilarity's pattern). All-zero
+    // vectors (scale 0) are excluded on both engines.
+    "q75_quantize_int8" -> { (s, dir) =>
+      val e = emb(s, dir)
+        .withColumn("scale",
+          array_max(transform(col("v"), x => abs(x))) / 127.0)
+        .filter(col("scale") > 0)
+        .withColumn("dq", transform(col("v"), x =>
+          greatest(lit(-127.0), least(lit(127.0),
+            floor(x / col("scale") + 0.5))) * col("scale")))
+      e.withColumn("l2_err", sqrt(aggregate(
+          zip_with(col("v"), col("dq"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x)))
+        .withColumn("max_err",
+          array_max(zip_with(col("v"), col("dq"), (a, b) => abs(a - b))))
+        .withColumn("cos_pres", G.cosineSim(col("v"), col("dq")))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          round(avg("l2_err"), 6).as("avg_l2_err"),
+          round(max("max_err"), 6).as("max_abs_err"),
+          round(avg("cos_pres"), 6).as("avg_cos"))
+        .orderBy("label")
+    },
+
+    // Product quantization + ADC (Jégou et al. 2011, TPAMI): 64-dim
+    // vectors → 8 subspaces × 8 dims, per-subspace codebook
+    // (deterministic stand-in centroids, q35's device; kmeansFit per
+    // subspace trains real ones), each vector stored as 8 small codes
+    // — 8 bytes instead of 512. Query-time asymmetric distance: ONE
+    // m×k distance table between the query's subvectors and the
+    // codebooks (broadcast), then per vector just m lookups + a sum —
+    // the memory layout and query shape of a 100 TB ANN index.
+    // Ranking uses the ROUNDED distance so summation-order ulps can't
+    // flip the cross-engine order.
+    "q76_pq_adc" -> { (s, dir) =>
+      val m = 8
+      val dsub = 8
+      val sqd = (a: Column, b: Column) => aggregate(
+        zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+      val subs = emb(s, dir)
+        .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("sub"),
+          col("v"))
+        .select(col("vec_id"), col("sub"),
+          slice(col("v"), col("sub") * dsub + 1, lit(dsub)).as("sv"))
+      val cb = subs.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("sub"), col("sv").as("cv"))
+      val dists = subs.join(broadcast(cb), Seq("sub"))
+        .withColumn("d", sqd(col("sv"), col("cv")))
+      val codes = dists.groupBy("vec_id", "sub")
+        .agg(min_by(col("cid"), struct(col("d"), col("cid"))).as("cid"))
+      val lut = dists.filter(col("vec_id") === 0)
+        .select(col("sub"), col("cid"), col("d").as("qd"))
+      codes.join(broadcast(lut), Seq("sub", "cid"))
+        .groupBy("vec_id")
+        .agg(round(sum("qd"), 6).as("adc"))
+        .filter(col("vec_id") =!= 0)
+        .orderBy(col("adc"), col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), col("adc"))
     }
   )
 
@@ -222,6 +333,100 @@ object VectorQueries {
         |comp AS (SELECT id, min(lab) AS rep FROM reach GROUP BY id)
         |SELECT rep AS group_id, CAST(count(*) AS BIGINT) AS n_vecs,
         |  max(id) AS max_vec
-        |FROM comp GROUP BY rep ORDER BY group_id""".stripMargin
+        |FROM comp GROUP BY rep ORDER BY group_id""".stripMargin,
+
+    // full-pipeline mirror: q35's assignment (smaller-cid tie-break)
+    // + q59's recursive-CTE union-find, blocked by the k-means cell
+    "q74_semdedup_groups" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cents AS (
+        |  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        |assigned AS (
+        |  SELECT vec_id, cid AS cluster, v FROM (
+        |    SELECT e.vec_id, c.cid, e.v,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid)
+        |        AS rn
+        |    FROM e CROSS JOIN cents c) WHERE rn = 1),
+        |p AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b
+        |  FROM assigned a JOIN assigned b
+        |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.35),
+        |ed AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p),
+        |reach(id, lab) AS (
+        |  SELECT a AS id, a AS lab FROM ed
+        |  UNION
+        |  SELECT ed.a AS id, r.lab AS lab
+        |  FROM ed JOIN reach r ON ed.b = r.id),
+        |comp AS (SELECT id, min(lab) AS rep FROM reach GROUP BY id),
+        |g AS (
+        |  SELECT ass.cluster, count(*) AS n_grouped,
+        |    count(DISTINCT rep) AS n_groups
+        |  FROM comp JOIN assigned ass ON ass.vec_id = comp.id
+        |  GROUP BY ass.cluster),
+        |sizes AS (SELECT cluster, count(*) AS n_vecs FROM assigned
+        |          GROUP BY cluster)
+        |SELECT s.cluster, CAST(s.n_vecs AS BIGINT) AS n_vecs,
+        |  CAST(coalesce(g.n_grouped, 0) AS BIGINT) AS n_grouped,
+        |  CAST(coalesce(g.n_groups, 0) AS BIGINT) AS n_groups,
+        |  CAST(coalesce(g.n_grouped - g.n_groups, 0) AS BIGINT) AS n_dropped
+        |FROM sizes s LEFT JOIN g USING (cluster) ORDER BY s.cluster""".stripMargin,
+
+    "q75_quantize_int8" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings),
+        |s1 AS (
+        |  SELECT vec_id, label, v,
+        |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        |  FROM e),
+        |s2 AS (
+        |  SELECT vec_id, label, v,
+        |    list_transform(v, x ->
+        |      greatest(-127.0, least(127.0, floor(x / scale + 0.5))) * scale)
+        |      AS dq
+        |  FROM s1 WHERE scale > 0),
+        |m AS (
+        |  SELECT label,
+        |    sqrt(list_sum(list_transform(range(1, len(v) + 1),
+        |      i -> (v[i] - dq[i]) * (v[i] - dq[i])))) AS l2_err,
+        |    list_max(list_transform(range(1, len(v) + 1),
+        |      i -> abs(v[i] - dq[i]))) AS max_err,
+        |    list_cosine_similarity(v, dq) AS cosp
+        |  FROM s2)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  round(avg(l2_err), 6) AS avg_l2_err,
+        |  round(max(max_err), 6) AS max_abs_err,
+        |  round(avg(cosp), 6) AS avg_cos
+        |FROM m GROUP BY label ORDER BY label""".stripMargin,
+
+    "q76_pq_adc" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |subs AS (
+        |  SELECT vec_id, i AS sub, v[(i*8+1):(i*8+8)] AS sv
+        |  FROM e, UNNEST(range(0, 8)) AS u(i)),
+        |cb AS (SELECT vec_id AS cid, sub, sv AS cv FROM subs
+        |       WHERE vec_id < 16),
+        |dists AS (
+        |  SELECT s.vec_id, s.sub, c.cid,
+        |    list_sum(list_transform(range(1, 9),
+        |      i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))) AS d
+        |  FROM subs s JOIN cb c USING (sub)),
+        |codes AS (
+        |  SELECT vec_id, sub, cid FROM (
+        |    SELECT vec_id, sub, cid,
+        |      row_number() OVER (PARTITION BY vec_id, sub
+        |                         ORDER BY d, cid) AS rn
+        |    FROM dists) WHERE rn = 1),
+        |lut AS (SELECT sub, cid, d AS qd FROM dists WHERE vec_id = 0)
+        |SELECT c.vec_id, round(sum(l.qd), 6) AS adc
+        |FROM codes c JOIN lut l USING (sub, cid)
+        |WHERE c.vec_id <> 0
+        |GROUP BY c.vec_id
+        |ORDER BY adc, c.vec_id LIMIT 10""".stripMargin
   )
 }
