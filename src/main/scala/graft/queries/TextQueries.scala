@@ -610,6 +610,171 @@ object TextQueries {
         .join(members.withColumnRenamed("sid", "sid_a"), "sid_a")
         .select(col("doc_id"), col("n_containers"), col("min_container"))
         .orderBy("doc_id")
+    },
+
+    // Temperature-scaled domain mixing (the multilingual-LM sampling
+    // scheme: stratum weight ∝ share^(1/T), T=2): compute per-language
+    // quotas from a global document budget and draw the sample
+    // deterministically (md5 rank, q63's device) so the gate can
+    // hash-compare the exact composition. Weights/quotas are 5-row
+    // broadcast metadata; the rank runs through topKPerGroupScalable
+    // so no stratum funnels one reducer. The floor() quota margins
+    // were checked ≥0.02 from integer boundaries at every SF, far
+    // beyond cross-engine double noise (~1e-13).
+    "q77_domain_mix" -> { (s, dir) =>
+      val B = 200
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+            .cast("long").as("skey"))
+      val cnts = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
+      val n = cnts.agg(sum("cnt").as("n"))
+      val weights = cnts.crossJoin(broadcast(n))
+        .withColumn("sw", sqrt(col("cnt") / col("n")))
+      val ssw = weights.agg(sum("sw").as("ssw"))
+      val takes = weights.crossJoin(broadcast(ssw))
+        .select(col("lang"), col("cnt").as("n_avail"),
+          floor(lit(B) * col("sw") / col("ssw")).cast("long").as("n_target"))
+      val ranked = graft.operators.RelationalOps.topKPerGroupScalable(
+        docs, Seq("lang"), Seq(col("skey"), col("doc_id")), B, "rn")
+      val taken = ranked.join(broadcast(takes), "lang")
+        .filter(col("rn") <= col("n_target"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_taken"),
+          sum("doc_id").as("sample_checksum"))
+      takes.join(taken, Seq("lang"), "left")
+        .na.fill(0, Seq("n_taken", "sample_checksum"))
+        .select(col("lang"), col("n_avail"), col("n_target"),
+          col("n_taken"), col("sample_checksum"))
+        .orderBy("lang")
+    },
+
+    // Bloom-filter seen-set prefilter — the sketch-as-semi-join
+    // device: instead of shuffling the corpus against a "content
+    // already ingested" table, build a 2048-bit/4-hash Bloom filter
+    // over the seen fingerprints (md5 of the canonical word set),
+    // BROADCAST the ~64-word bit table, and let every probe answer
+    // "definitely new" locally at scan time; only maybe-seen rows
+    // need the exact check. This is the runtime-filter pattern Spark
+    // itself uses for join pruning, materialized as an operator. The
+    // report measures the guarantee and the cost: per source, probed
+    // docs, maybe-seen (bloom), exactly-seen (truth), and false
+    // positives — no-false-NEGATIVES means n_seen rows are always a
+    // subset of the maybe rows, which the gate re-proves at every SF
+    // (the fill-rate/FP tradeoff moves with corpus size at fixed m).
+    "q78_bloom_prefilter" -> { (s, dir) =>
+      val m = 2048 // bits; 64 32-bit words keep shifts engine-portable
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          md5(array_join(G.sortedWordSet(col("text")), " ")).as("h"))
+      val withPos = (df: DataFrame) => df
+        .select(col("*"), explode(array((0 until 4).map(j =>
+          conv(substring(col("h"), 1 + 4 * j, 4), 16, 10)
+            .cast("long") % m): _*)).as("p"))
+        .withColumn("widx", (col("p") / 32).cast("int"))
+        .withColumn("mask", expr("shiftleft(1L, cast(p % 32 as int))"))
+      val seen = d.filter(col("doc_id") % 100 < 2).select("h").distinct()
+      val filterTbl = withPos(seen)
+        .groupBy("widx").agg(bit_or(col("mask")).as("word"))
+      val probes = withPos(d.filter(col("doc_id") % 100 >= 2))
+        .join(broadcast(filterTbl), Seq("widx"), "left")
+        .withColumn("hit",
+          coalesce(col("word"), lit(0L)).bitwiseAND(col("mask")) =!= 0)
+        .groupBy("doc_id", "source", "h")
+        .agg(bool_and(col("hit")).as("maybe"))
+      probes
+        .join(broadcast(seen.withColumn("is_seen", lit(true))), Seq("h"), "left")
+        .withColumn("is_seen", coalesce(col("is_seen"), lit(false)))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_probed"),
+          sum(when(col("maybe"), 1L).otherwise(0L)).as("n_maybe"),
+          sum(when(col("is_seen"), 1L).otherwise(0L)).as("n_seen"),
+          sum(when(col("maybe") && !col("is_seen"), 1L).otherwise(0L))
+            .as("n_false_pos"))
+        .orderBy("source")
+    },
+
+    // Content-defined chunking dedup (the storage-dedup device applied
+    // to corpus text): chunk boundaries fall where the rolling hash of
+    // the last 4 tokens ≡ 0 (mod 8) — so an insertion early in a
+    // document shifts ONE chunk, not every window downstream, which is
+    // exactly what q61's fixed windows cannot do. Keep-first
+    // corpus-wide (min doc_id, then chunk index), reassemble surviving
+    // text per doc. The within-doc running-sum window partitions by
+    // doc_id — bounded by document length (KBs), never a stratum.
+    // The dedup shuffle is keyed by chunk content, as in q61 (a
+    // 128-bit content hash at real scale). md5-derived breakpoints so
+    // both engines cut identical chunks.
+    "q79_cdc_chunk_dedup" -> { (s, dir) =>
+      val posed = t(s, dir, "documents")
+        .select(col("doc_id"), toks(col("text")).as("tk"))
+        .select(col("doc_id"), col("tk"), posexplode(col("tk")))
+      val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+      val chunks = posed
+        .withColumn("brk", when(col("pos") >= 3,
+          (conv(substring(md5(array_join(
+            slice(col("tk"), col("pos") - 2, lit(4)), " ")), 1, 8), 16, 10)
+            .cast("long") % 8 === 0).cast("int")).otherwise(0))
+        .withColumn("cid", coalesce(
+          sum("brk").over(wDoc.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .groupBy("doc_id", "cid")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("col")))),
+          x => x.getField("col")), " ").as("chunk"))
+      val keep = Window.partitionBy("chunk").orderBy("doc_id", "cid")
+      chunks.withColumn("rn", row_number().over(keep))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+          array_join(transform(
+            array_sort(collect_list(when(col("rn") === 1,
+              struct(col("cid"), col("chunk"))))),
+            x => x.getField("chunk")), " ").as("kept_text"))
+        .orderBy("doc_id")
+    },
+
+    // Bottom-k containment sketch — the SCALE-PATH candidate generator
+    // that q73's exact verify needs: per doc, the k=8 smallest
+    // md5-derived 4-gram-shingle hashes form the sketch; probing those
+    // 8 values against the corpus shingle index is a sparse equi-join
+    // on the hash (on Zipfian shingle space only real excerpt pairs
+    // collide — 172 candidates from 500 docs, not 125k pairs), and
+    // matches/min(k,|A|) estimates containment(A in B). Candidates
+    // with estimate ≥ 0.75 get the exact shingle-set containment
+    // check, both numbers reported — a complete sketch→verify
+    // pipeline, fully mirrored in DuckDB.
+    "q80_containment_sketch" -> { (s, dir) =>
+      val K = 8
+      val grams = t(s, dir, "documents")
+        .select(col("doc_id"), toks(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 4)
+        .select(col("doc_id"), explode(G.wordShingles(col("tk"), 4)).as("g"))
+        .distinct()
+        .select(col("doc_id"),
+          conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("h"))
+      val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+      val wD = Window.partitionBy("doc_id").orderBy("h")
+      val sketch = grams.withColumn("rn", row_number().over(wD))
+        .filter(col("rn") <= K).drop("rn")
+      val cand = sketch.select(col("doc_id").as("da"), col("h"))
+        .join(grams.select(col("doc_id").as("db"), col("h")), "h")
+        .filter(col("da") =!= col("db"))
+        .groupBy("da", "db").agg(count(lit(1)).as("n_match"))
+        .join(sizes.select(col("doc_id").as("da"), col("nsh").as("nsh_a")), "da")
+        .withColumn("est",
+          round(col("n_match") / least(lit(K), col("nsh_a")), 6))
+        .filter(col("est") >= 0.75)
+      val hsets = grams.groupBy("doc_id")
+        .agg(sort_array(collect_set(col("h"))).as("hs"))
+      cand
+        .join(hsets.select(col("doc_id").as("da"), col("hs").as("hs_a")), "da")
+        .join(hsets.select(col("doc_id").as("db"), col("hs").as("hs_b")), "db")
+        .withColumn("cont", round(
+          size(array_intersect(col("hs_a"), col("hs_b"))) /
+            size(col("hs_a")).cast("double"), 6))
+        .select(col("da"), col("db"), col("n_match"), col("est"), col("cont"))
+        .orderBy("da", "db")
     }
   )
 
@@ -955,6 +1120,133 @@ object TextQueries {
         |SELECT m.doc_id, CAST(sub.n_containers AS BIGINT) AS n_containers,
         |  sub.min_container
         |FROM sub JOIN members m ON m.sid = sub.sid_a
-        |ORDER BY m.doc_id""".stripMargin
+        |ORDER BY m.doc_id""".stripMargin,
+
+    "q77_domain_mix" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      AS skey
+        |  FROM documents),
+        |c AS (SELECT lang, count(*) AS cnt FROM docs GROUP BY lang),
+        |n AS (SELECT sum(cnt) AS n FROM c),
+        |w AS (SELECT lang, cnt, sqrt(cnt::DOUBLE / n) AS sw FROM c, n),
+        |s AS (SELECT sum(sw) AS ssw FROM w),
+        |takes AS (
+        |  SELECT lang, cnt AS n_avail,
+        |    CAST(floor(200 * sw / ssw) AS BIGINT) AS n_target
+        |  FROM w, s),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY skey, doc_id) AS rn
+        |  FROM docs),
+        |taken AS (
+        |  SELECT r.lang, count(*) AS n_taken, sum(doc_id) AS sample_checksum
+        |  FROM r JOIN takes USING (lang) WHERE rn <= n_target
+        |  GROUP BY r.lang)
+        |SELECT t.lang, CAST(t.n_avail AS BIGINT) AS n_avail, t.n_target,
+        |  CAST(coalesce(k.n_taken, 0) AS BIGINT) AS n_taken,
+        |  CAST(coalesce(k.sample_checksum, 0) AS BIGINT) AS sample_checksum
+        |FROM takes t LEFT JOIN taken k USING (lang) ORDER BY t.lang""".stripMargin,
+
+    "q78_bloom_prefilter" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    md5(array_to_string(list_sort(list_distinct(
+        |      string_split(trim(lower(text)), ' '))), ' ')) AS h
+        |  FROM documents),
+        |pos AS (SELECT unnest(range(0, 4)) AS j),
+        |seen AS (SELECT DISTINCT h FROM d WHERE doc_id % 100 < 2),
+        |seenbits AS (
+        |  SELECT ('0x' || substr(h, 1 + 4*j, 4))::BIGINT % 2048 AS p
+        |  FROM seen, pos),
+        |filt AS (
+        |  SELECT CAST(p // 32 AS INT) AS widx,
+        |    bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS word
+        |  FROM seenbits GROUP BY 1),
+        |probebits AS (
+        |  SELECT d.doc_id, d.source, d.h,
+        |    ('0x' || substr(d.h, 1 + 4*j, 4))::BIGINT % 2048 AS p
+        |  FROM d, pos WHERE doc_id % 100 >= 2),
+        |probe AS (
+        |  SELECT doc_id, source, h,
+        |    bool_and((coalesce(word, 0) & (1::BIGINT << CAST(p % 32 AS INT)))
+        |      <> 0) AS maybe
+        |  FROM probebits LEFT JOIN filt ON CAST(p // 32 AS INT) = filt.widx
+        |  GROUP BY doc_id, source, h),
+        |flagged AS (
+        |  SELECT p.source, p.maybe, (s.h IS NOT NULL) AS is_seen
+        |  FROM probe p LEFT JOIN seen s ON p.h = s.h)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_probed,
+        |  CAST(sum(CASE WHEN maybe THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe,
+        |  CAST(sum(CASE WHEN is_seen THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
+        |  CAST(sum(CASE WHEN maybe AND NOT is_seen THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_false_pos
+        |FROM flagged GROUP BY source ORDER BY source""".stripMargin,
+
+    "q79_cdc_chunk_dedup" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(trim(lower(text)), ' ') AS tk
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, i, tk[i] AS w,
+        |    CASE WHEN i >= 4 AND
+        |      ('0x' || substr(md5(array_to_string(tk[i-3:i], ' ')), 1, 8))
+        |        ::BIGINT % 8 = 0
+        |    THEN 1 ELSE 0 END AS brk
+        |  FROM tok, UNNEST(range(1, len(tk) + 1)) AS u(i)),
+        |ch AS (
+        |  SELECT doc_id, i, w,
+        |    coalesce(sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid
+        |  FROM pos),
+        |chunks AS (
+        |  SELECT doc_id, cid, string_agg(w, ' ' ORDER BY i) AS chunk
+        |  FROM ch GROUP BY doc_id, cid),
+        |ranked AS (
+        |  SELECT doc_id, cid, chunk,
+        |    row_number() OVER (PARTITION BY chunk
+        |                       ORDER BY doc_id, cid) AS rn
+        |  FROM chunks)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
+        |                      ORDER BY cid), '') AS kept_text
+        |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q80_containment_sketch" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(trim(lower(text)), ' ') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    ('0x' || substr(md5(array_to_string(tk[i:i+3], ' ')), 1, 15))
+        |      ::BIGINT AS h
+        |  FROM tok, UNNEST(range(1, len(tk) - 2)) AS u(i)
+        |  WHERE len(tk) >= 4),
+        |sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+        |sk AS (
+        |  SELECT doc_id, h FROM (
+        |    SELECT doc_id, h,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn
+        |    FROM sh) WHERE rn <= 8),
+        |cand AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_match
+        |  FROM sk a JOIN sh b ON a.h = b.h AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2),
+        |est AS (
+        |  SELECT da, db, n_match,
+        |    round(n_match::DOUBLE / least(8, s.nsh), 6) AS est
+        |  FROM cand JOIN sizes s ON s.doc_id = cand.da),
+        |hsets AS (
+        |  SELECT doc_id, list_sort(list(h)) AS hs FROM sh GROUP BY doc_id)
+        |SELECT e.da, e.db, CAST(e.n_match AS BIGINT) AS n_match, e.est,
+        |  round(len(list_intersect(a.hs, b.hs))::DOUBLE / len(a.hs), 6)
+        |    AS cont
+        |FROM est e
+        |JOIN hsets a ON a.doc_id = e.da
+        |JOIN hsets b ON b.doc_id = e.db
+        |WHERE e.est >= 0.75
+        |ORDER BY e.da, e.db""".stripMargin
   )
 }

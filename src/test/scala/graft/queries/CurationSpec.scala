@@ -144,6 +144,89 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("q77 domain mix: temperature flattens the mix; sample is deterministic") {
+    val dir = "/root/testdata/sf0.001"
+    val out = q("q77_domain_mix", dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    // T=2 weights sit between uniform and proportional: the largest
+    // stratum's quota share must be BELOW its data share, the smallest
+    // stratum's above its data share (that's what "temperature
+    // sampling" buys), and quotas never exceed availability.
+    val nAvail = out.values.map(_._1).sum.toDouble
+    val nQuota = out.values.map(_._2).sum.toDouble
+    val (maxLang, minLang) =
+      (out.maxBy(_._2._1)._1, out.minBy(_._2._1)._1)
+    assert(out(maxLang)._2 / nQuota < out(maxLang)._1 / nAvail)
+    assert(out(minLang)._2 / nQuota > out(minLang)._1 / nAvail)
+    out.values.foreach { case (avail, target, taken, _) =>
+      assert(target <= avail)
+      assert(taken === target) // quota below availability on this corpus
+    }
+    // determinism: running twice yields the identical sample checksum
+    val again = q("q77_domain_mix", dir).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    out.foreach { case (l, (_, _, _, ck)) => assert(again(l) === ck) }
+  }
+
+  test("q78 bloom prefilter: no false negatives at every SF tested") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val rows = q("q78_bloom_prefilter", dir).collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val (probed, maybe, seen, fp) = (r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))
+        // Bloom guarantee: every exactly-seen doc is maybe-seen
+        assert(maybe >= seen, r.toString)
+        // and false positives are exactly the excess
+        assert(fp === maybe - seen, r.toString)
+        assert(probed >= maybe)
+      }
+      // the seen set is non-degenerate on this corpus: some true hits
+      assert(rows.map(_.getLong(3)).sum > 0)
+    }
+  }
+
+  test("q79 cdc: identical docs dedup fully; chunks re-sync after an insertion") {
+    val words = (0 until 200).map(i => s"w$i").mkString(" ")
+    val dir = docsDir(Seq(
+      (0L, words, "en", "s"),
+      (1L, words, "en", "s"),            // exact copy: keeps nothing
+      (2L, "x y z " + words, "en", "s"))) // shifted copy: re-syncs
+    val out = q("q79_cdc_chunk_dedup", dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3)))).toMap
+    assert(out(0L)._1 === out(0L)._2)    // first doc keeps every chunk
+    assert(out(1L)._2 === 0L)            // exact copy keeps nothing
+    assert(out(1L)._3 === "")
+    // THE content-defined property: after the 3-token insertion the
+    // rolling boundaries re-synchronize, so most of doc2's chunks are
+    // literal repeats of doc0's and dedup away — fixed windows (q61)
+    // would keep every one of them.
+    val (chunks2, kept2, _) = out(2L)
+    assert(kept2 < chunks2 / 2, out(2L).toString)
+    assert(kept2 >= 1L) // the shifted head itself is novel
+  }
+
+  test("q80 containment sketch: an exact excerpt is found with est = cont = 1") {
+    val body = (0 until 80).map(i => s"t${(i * 11) % 37}").mkString(" ")
+    val excerpt = body.split(" ").take(20).mkString(" ")
+    val other = (0 until 40).map(i => s"z${i % 13}").mkString(" ")
+    val dir = docsDir(Seq(
+      (0L, excerpt, "en", "s"), (1L, body, "en", "s"),
+      (2L, other, "en", "s")))
+    val rows = q("q80_containment_sketch", dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getDouble(4)))
+    // the excerpt's whole sketch lands in the body -> est 1.0, and the
+    // exact verify confirms cont 1.0
+    val hit = rows.filter(t => t._1 == 0L && t._2 == 1L)
+    assert(hit.length === 1, rows.mkString(";"))
+    assert(hit.head._3 === 1.0)
+    assert(hit.head._4 === 1.0)
+    // the unrelated doc never pairs
+    assert(!rows.exists(t => t._1 == 2L || t._2 == 2L))
+  }
+
   test("q76 pq/adc: a vector equal to a codebook entry gets its exact distance") {
     // Magnitude-scaled one-hots keep every ADC distinct: vector i has
     // value 1+0.1*i at position i. Vec 20 duplicates codebook vector 5

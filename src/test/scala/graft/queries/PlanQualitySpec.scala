@@ -191,4 +191,46 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("Window"), p)
     assert(p.contains("hashpartitioning(chunk"), p)
   }
+
+  test("q70 bigram LM: model stays a table — keyed joins, partial aggs, no cartesian") {
+    val p = plan("q70_bigram_lm_score")
+    assert(!p.contains("CartesianProduct"), p)
+    // train-side counts and the per-doc score both partial-aggregate
+    assert("HashAggregate".r.findAllIn(p).length >= 4, p)
+    // every join is an equi join (broadcast or shuffled), never a loop
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q73 containment: candidates come from an equi join on the block token") {
+    val p = plan("q73_subset_containment")
+    // the prefix-filter candidate generator must be a hash/merge equi
+    // join on `tok` — a nested loop here is the all-pairs scale bug
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("q79 cdc dedup: keep-first shuffle keyed by chunk content, no cartesian") {
+    val p = plan("q79_cdc_chunk_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("hashpartitioning(chunk"), p)
+  }
+
+  test("q80 containment sketch: candidates via equi join on the hash, no loop") {
+    val p = plan("q80_containment_sketch")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("q76 pq/adc: codebook and distance LUT are broadcast") {
+    val p = plan("q76_pq_adc")
+    assert(!p.contains("CartesianProduct"), p)
+    // both the encode join (codebook) and the ADC join (query LUT)
+    // ride broadcasts — per-vector work is local lookup + sum
+    assert("BroadcastExchange".r.findAllIn(p).length >= 2, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
