@@ -82,14 +82,28 @@ object VectorOps {
     * the spec and the IvfProbeMeasure diagnostic so the pinned
     * behavior and the measured sweep can never drift apart.
     */
-  def ivfProbeTopK(e: DataFrame, cents: DataFrame, queryVecId: Long,
-                   nprobe: Int, k: Int): DataFrame = {
-    val q = e.filter(col("vec_id") === queryVecId).select(col("v").as("qv"))
-    val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("cc", G.cosineSim(col("v"), col("cv")))
+  /** Nearest-centroid assignment — the IVF/SemDeDup block key: one
+    * broadcast of the centroid table, argmax cosine per vector,
+    * smaller-cid tie-break. The argmax compares the 6dp-ROUNDED
+    * similarity so the choice is reproducible across engines: a
+    * raw-double argmax can flip on the last ulp between two
+    * independent implementations (the DuckDB oracles of q35/q74
+    * mirror the same rounding). Shared by q35, q74 and
+    * [[ivfProbeTopK]] so the tie-break can never drift between them.
+    *
+    * @return (vec_id, cluster, v)
+    */
+  def assignToCentroids(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
+      .withColumn("cc", round(G.cosineSim(col("v"), col("cv")), 6))
       .groupBy("vec_id")
       .agg(max_by(col("cid"), struct(col("cc"), -col("cid"))).as("cluster"),
         first(col("v")).as("v"))
+
+  def ivfProbeTopK(e: DataFrame, cents: DataFrame, queryVecId: Long,
+                   nprobe: Int, k: Int): DataFrame = {
+    val q = e.filter(col("vec_id") === queryVecId).select(col("v").as("qv"))
+    val assigned = assignToCentroids(e, cents)
     val probed = cents.crossJoin(broadcast(q))
       .withColumn("qc", G.cosineSim(col("cv"), col("qv")))
       .orderBy(col("qc").desc, col("cid"))

@@ -585,11 +585,20 @@ object TextQueries {
     // cost an upper bound. The ≥2× size band is both the excerpt
     // definition and a second prune.
     "q73_subset_containment" -> { (s, dir) =>
+      // set identity = md5 fingerprint of the canonical array, so the
+      // dedup shuffle and the membership join-back carry a 32-char
+      // hash, never the token arrays (q30's shuffle-longs principle;
+      // the arrays travel only into the prefix-filter join that
+      // actually needs them)
       val d = t(s, dir, "documents")
         .select(col("doc_id"), G.sortedWordSet(col("text")).as("ws"))
         .filter(size(col("ws")) > 0)
-      val sets = d.groupBy("ws").agg(min("doc_id").as("sid"))
-      val members = d.join(sets, "ws").select(col("doc_id"), col("sid"))
+        .withColumn("fp", md5(array_join(col("ws"), " ")))
+      val sets = d.groupBy("fp")
+        .agg(min("doc_id").as("sid"), first(col("ws")).as("ws"))
+      val members = d.select("doc_id", "fp")
+        .join(sets.select("fp", "sid"), "fp")
+        .select(col("doc_id"), col("sid"))
       // global token document-frequency over DISTINCT sets
       val df = sets.select(explode(col("ws")).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("df"))

@@ -32,15 +32,21 @@ object VectorQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Brute-force cosine top-k for one query vector (vec_id=0).
+    // Ranking (and every similarity threshold in this file) compares
+    // the 6dp-ROUNDED cosine: the raw double can differ between two
+    // independent implementations at the last ulp, and a near-tie at
+    // a limit/threshold boundary would then select different rows per
+    // engine. Rounded values are identical unless the true cosine
+    // sits within ~1e-15 of a 5e-7 boundary.
     "q33_knn_cosine" -> { (s, dir) =>
       val e = emb(s, dir)
       val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
       e.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= 0)
-        .withColumn("cos", G.cosineSim(col("v"), col("qv")))
+        .withColumn("cos", round(G.cosineSim(col("v"), col("qv")), 6))
         .orderBy(col("cos").desc, col("vec_id"))
         .limit(10)
-        .select(col("vec_id"), round(col("cos"), 6).as("cos"))
+        .select(col("vec_id"), col("cos"))
     },
 
     // Per-vector EXACT nearest neighbor within each label block — via
@@ -63,24 +69,20 @@ object VectorQueries {
       val e = emb(s, dir)
       val cents = e.filter(col("vec_id") < 16)
         .select(col("vec_id").as("cid"), col("v").as("cv"))
-      val assigned = e.crossJoin(broadcast(cents))
-        .withColumn("cc", G.cosineSim(col("v"), col("cv")))
-        .groupBy("vec_id")
-        .agg(max_by(col("cid"), struct(col("cc"), -col("cid"))).as("cluster"),
-          first(col("v")).as("v"))
+      val assigned = V.assignToCentroids(e, cents)
       val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
       val probed = cents.crossJoin(broadcast(q))
-        .withColumn("qc", G.cosineSim(col("cv"), col("qv")))
+        .withColumn("qc", round(G.cosineSim(col("cv"), col("qv")), 6))
         .orderBy(col("qc").desc, col("cid"))
         .limit(4)
         .select(col("cid").as("cluster"))
       assigned.join(broadcast(probed), Seq("cluster"))
         .crossJoin(broadcast(q))
         .filter(col("vec_id") =!= 0)
-        .withColumn("cos", G.cosineSim(col("v"), col("qv")))
+        .withColumn("cos", round(G.cosineSim(col("v"), col("qv")), 6))
         .orderBy(col("cos").desc, col("vec_id"))
         .limit(10)
-        .select(col("vec_id"), col("cluster"), round(col("cos"), 6).as("cos"))
+        .select(col("vec_id"), col("cluster"), col("cos"))
     },
 
     // Random-hyperplane LSH ANN: 64-bit angular signatures, banded
@@ -106,10 +108,10 @@ object VectorQueries {
       banded.join(broadcast(qb), Seq("band", "bucket"))
         .filter(col("vec_id") =!= 0)
         .select(col("vec_id"), col("v"), col("qv")).distinct()
-        .withColumn("cos", G.cosineSim(col("v"), col("qv")))
+        .withColumn("cos", round(G.cosineSim(col("v"), col("qv")), 6))
         .orderBy(col("cos").desc, col("vec_id"))
         .limit(10)
-        .select(col("vec_id"), round(col("cos"), 6).as("cos"))
+        .select(col("vec_id"), col("cos"))
     },
 
     // Embedding-cosine near-dup DEDUP: threshold pairs → connected
@@ -129,7 +131,7 @@ object VectorQueries {
         col("v").as("vb"))
       val pairs = a.join(b, Seq("label"))
         .filter(col("id_a") < col("id_b"))
-        .filter(G.cosineSim(col("va"), col("vb")) >= 0.35)
+        .filter(round(G.cosineSim(col("va"), col("vb")), 6) >= 0.35)
         .select(col("id_a"), col("id_b"))
       graft.operators.ScaleOps.connectedComponents(pairs)
         .groupBy(col("rep").as("group_id"))
@@ -151,18 +153,14 @@ object VectorQueries {
       val e = emb(s, dir)
       val cents = e.filter(col("vec_id") < 16)
         .select(col("vec_id").as("cid"), col("v").as("cv"))
-      val assigned = e.crossJoin(broadcast(cents))
-        .withColumn("cc", G.cosineSim(col("v"), col("cv")))
-        .groupBy("vec_id")
-        .agg(max_by(col("cid"), struct(col("cc"), -col("cid"))).as("cluster"),
-          first(col("v")).as("v"))
+      val assigned = V.assignToCentroids(e, cents)
       val a = assigned.select(col("cluster"), col("vec_id").as("id_a"),
         col("v").as("va"))
       val b = assigned.select(col("cluster"), col("vec_id").as("id_b"),
         col("v").as("vb"))
       val pairs = a.join(b, Seq("cluster"))
         .filter(col("id_a") < col("id_b"))
-        .filter(G.cosineSim(col("va"), col("vb")) >= 0.35)
+        .filter(round(G.cosineSim(col("va"), col("vb")), 6) >= 0.35)
         .select("id_a", "id_b")
       val comp = graft.operators.ScaleOps.connectedComponents(pairs)
       val grouped = comp
@@ -256,7 +254,8 @@ object VectorQueries {
         |FROM embeddings,
         |  (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) q
         |WHERE vec_id <> 0
-        |ORDER BY list_cosine_similarity(embedding::DOUBLE[], q.qv) DESC, vec_id
+        |ORDER BY round(list_cosine_similarity(embedding::DOUBLE[], q.qv), 6)
+        |  DESC, vec_id
         |LIMIT 10""".stripMargin,
 
     "q34_nn_per_vector" ->
@@ -287,18 +286,19 @@ object VectorQueries {
         |  SELECT vec_id, cid AS cluster, v FROM (
         |    SELECT e.vec_id, c.cid, e.v,
         |      row_number() OVER (PARTITION BY e.vec_id
-        |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid)
-        |        AS rn
+        |        ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+        |          c.cid) AS rn
         |    FROM e CROSS JOIN cents c) WHERE rn = 1),
         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
         |probed AS (
         |  SELECT cid AS cluster FROM cents, q
-        |  ORDER BY list_cosine_similarity(cv, qv) DESC, cid LIMIT 4)
+        |  ORDER BY round(list_cosine_similarity(cv, qv), 6) DESC, cid
+        |  LIMIT 4)
         |SELECT a.vec_id, a.cluster,
         |  round(list_cosine_similarity(a.v, q.qv), 6) AS cos
         |FROM assigned a JOIN probed USING (cluster), q
         |WHERE a.vec_id <> 0
-        |ORDER BY list_cosine_similarity(a.v, q.qv) DESC, a.vec_id
+        |ORDER BY round(list_cosine_similarity(a.v, q.qv), 6) DESC, a.vec_id
         |LIMIT 10""".stripMargin,
 
     // Exact top-10 — a stronger-than-mirror oracle: the wide-OR banding
@@ -311,7 +311,8 @@ object VectorQueries {
         |FROM embeddings,
         |  (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) q
         |WHERE vec_id <> 0
-        |ORDER BY list_cosine_similarity(embedding::DOUBLE[], q.qv) DESC, vec_id
+        |ORDER BY round(list_cosine_similarity(embedding::DOUBLE[], q.qv), 6)
+        |  DESC, vec_id
         |LIMIT 10""".stripMargin,
 
     // independent union-find at the vector level (q55's device):
@@ -323,7 +324,7 @@ object VectorQueries {
         |p AS (
         |  SELECT a.vec_id AS a, b.vec_id AS b
         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.35),
+        |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35),
         |ed AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p),
         |reach(id, lab) AS (
         |  SELECT a AS id, a AS lab FROM ed
@@ -346,14 +347,14 @@ object VectorQueries {
         |  SELECT vec_id, cid AS cluster, v FROM (
         |    SELECT e.vec_id, c.cid, e.v,
         |      row_number() OVER (PARTITION BY e.vec_id
-        |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid)
-        |        AS rn
+        |        ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+        |          c.cid) AS rn
         |    FROM e CROSS JOIN cents c) WHERE rn = 1),
         |p AS (
         |  SELECT a.vec_id AS a, b.vec_id AS b
         |  FROM assigned a JOIN assigned b
         |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.35),
+        |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35),
         |ed AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p),
         |reach(id, lab) AS (
         |  SELECT a AS id, a AS lab FROM ed
