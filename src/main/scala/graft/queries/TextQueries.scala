@@ -784,6 +784,48 @@ object TextQueries {
             size(col("hs_a")).cast("double"), 6))
         .select(col("da"), col("db"), col("n_match"), col("est"), col("cont"))
         .orderBy("da", "db")
+    },
+
+    // Interpolated trigram LM scoring — q70's production upgrade:
+    // Jelinek-Mercer interpolation p = 0.7·p(w3|w1,w2) + 0.25·p(w3|w2)
+    // + 0.05·p(w3), the smoothing family KenLM-style perplexity
+    // filters actually ship (fixed λs; the EM-tuned variant changes
+    // constants, not dataflow). Every count is a TABLE — five
+    // partial-aggregated groupBys — and the model assembles through
+    // keyed joins (trigram←bigram-context, bigram←unigram-context,
+    // unigram←total); nothing collects. The λ-weighted sum is the
+    // same left-associated expression in both engines, so p is
+    // bit-identical before ln; scores round to 6dp.
+    "q81_trigram_lm_score" -> { (s, dir) =>
+      val tri = t(s, dir, "documents")
+        .select(col("doc_id"), toks(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 3)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(0), size(col("tk")) - 3),
+          i => struct(element_at(col("tk"), i + 1).as("w1"),
+            element_at(col("tk"), i + 2).as("w2"),
+            element_at(col("tk"), i + 3).as("w3")))).as("g"))
+        .select(col("doc_id"), col("g.w1"), col("g.w2"), col("g.w3"))
+      val c3 = tri.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
+      val c2 = tri.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      val cb = tri.groupBy("w2", "w3").agg(count(lit(1)).as("cb"))
+      val c1 = tri.groupBy("w2").agg(count(lit(1)).as("c1"))
+      val cu = tri.groupBy("w3").agg(count(lit(1)).as("cu"))
+      val n = tri.agg(count(lit(1)).as("n"))
+      val model = c3.join(c2, Seq("w1", "w2"))
+        .join(cb, Seq("w2", "w3"))
+        .join(c1, Seq("w2"))
+        .join(cu, Seq("w3"))
+        .crossJoin(broadcast(n))
+        .select(col("w1"), col("w2"), col("w3"),
+          log(lit(0.7) * col("c3") / col("c2")
+            + lit(0.25) * col("cb") / col("c1")
+            + lit(0.05) * col("cu") / col("n")).as("lp"))
+      tri.join(model, Seq("w1", "w2", "w3"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_trigrams"),
+          round(-avg(col("lp")), 6).as("xent3"))
+        .orderBy("doc_id")
     }
   )
 
@@ -1256,6 +1298,34 @@ object TextQueries {
         |JOIN hsets a ON a.doc_id = e.da
         |JOIN hsets b ON b.doc_id = e.db
         |WHERE e.est >= 0.75
-        |ORDER BY e.da, e.db""".stripMargin
+        |ORDER BY e.da, e.db""".stripMargin,
+
+    "q81_trigram_lm_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(trim(lower(text)), ' ') AS tk
+        |  FROM documents),
+        |tri AS (
+        |  SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2, tk[i+2] AS w3
+        |  FROM tok, UNNEST(range(1, len(tk) - 1)) AS u(i)
+        |  WHERE len(tk) >= 3),
+        |c3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM tri GROUP BY 1, 2, 3),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM tri GROUP BY 1, 2),
+        |cb AS (SELECT w2, w3, count(*) AS cb FROM tri GROUP BY 1, 2),
+        |c1 AS (SELECT w2, count(*) AS c1 FROM tri GROUP BY 1),
+        |cu AS (SELECT w3, count(*) AS cu FROM tri GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM tri),
+        |model AS (
+        |  SELECT c3.w1, c3.w2, c3.w3,
+        |    ln((0.7::DOUBLE * c3.c3) / c2.c2 + (0.25::DOUBLE * cb.cb) / c1.c1
+        |       + (0.05::DOUBLE * cu.cu) / n.n) AS lp
+        |  FROM c3
+        |  JOIN c2 USING (w1, w2)
+        |  JOIN cb USING (w2, w3)
+        |  JOIN c1 USING (w2)
+        |  JOIN cu USING (w3), n)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+        |  round(-avg(lp), 6) AS xent3
+        |FROM tri JOIN model USING (w1, w2, w3)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

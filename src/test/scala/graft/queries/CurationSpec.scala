@@ -58,6 +58,23 @@ class CurationSpec extends SparkSpec {
     assert(ids === Seq(1L))
   }
 
+  test("q81 trigram LM: interpolated probabilities are exact on a hand corpus") {
+    // docs share the (a,b,c) opening, then diverge. Hand counts:
+    //   p(abc) = .7*(2/2) + .25*(2/2) + .05*(2/4) = 0.975
+    //   p(bcd) = .7*(1/2) + .25*(1/2) + .05*(1/4) = 0.4875 (bce identical)
+    val dir = docsDir(Seq(
+      (0L, "a b c d", "en", "s"), (1L, "a b c e", "en", "s")))
+    val out = q("q81_trigram_lm_score", dir).collect()
+    val exp = -(math.log(0.975) + math.log(0.4875)) / 2
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((0L, 2L), (1L, 2L)))
+    out.foreach(r => assert(math.abs(r.getDouble(2) - exp) < 1e-6))
+    // a corpus whose every context is deterministic scores xent = 0
+    val solo = docsDir(Seq((0L, "a b c", "en", "s")))
+    val s0 = q("q81_trigram_lm_score", solo).collect()
+    assert(s0.head.getDouble(2) === 0.0)
+  }
+
   test("q71 tf-idf: a term present in every doc scores 0; rarer beats common") {
     // 'x' in all 4 docs => idf=0 => never a top term when positives exist.
     // doc0's distinguishing term 'rare' (df=1): score 2*ln(4) tops tf=1
