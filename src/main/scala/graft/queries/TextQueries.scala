@@ -826,6 +826,52 @@ object TextQueries {
         .agg(count(lit(1)).as("n_trigrams"),
           round(-avg(col("lp")), 6).as("xent3"))
         .orderBy("doc_id")
+    },
+
+    // BPE tokenizer training as dataflow (Sennrich et al. 2016): the
+    // first 3 merge steps learned from the corpus. Each step is one
+    // round of weighted adjacent-pair counting (partial-aggregated
+    // groupBy over per-WORD symbol sequences — the corpus collapses
+    // to its word-frequency table first, so a 100 TB corpus becomes a
+    // vocab-sized training set after one shuffle), an argmax, and a
+    // merge applied via separator-anchored replace. Greedy-leftmost
+    // replace semantics are identical in Spark and DuckDB, so the
+    // whole 3-step train mirrors. The argmax rows ride the plan as
+    // broadcast 1-row tables — nothing collects; the loop count is
+    // the only driver-side state (kmeansFit's structure).
+    "q82_bpe_merges" -> { (s, dir) =>
+      val words = t(s, dir, "documents")
+        .select(explode(toks(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("n"))
+      val w0 = words.select(col("n"),
+        concat(array_join(
+          expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+          " "), lit(" </w>")).as("sym"))
+      def pairs(df: DataFrame): DataFrame = df
+        .select(col("n"), split(col("sym"), " ").as("ss"))
+        .select(col("n"),
+          explode(transform(sequence(lit(0), size(col("ss")) - 2),
+            i => struct(element_at(col("ss"), i + 1).as("a"),
+              element_at(col("ss"), i + 2).as("b")))).as("p"))
+        .groupBy("p.a", "p.b").agg(sum("n").as("f"))
+      def top1(p: DataFrame): DataFrame =
+        p.orderBy(col("f").desc, col("a"), col("b")).limit(1)
+      def applyMerge(df: DataFrame, m: DataFrame): DataFrame =
+        df.crossJoin(broadcast(m))
+          .select(col("n"), expr(
+            "trim(replace(' ' || sym || ' ', ' ' || a || ' ' || b || ' '," +
+              " ' ' || a || b || ' '))").as("sym"))
+      val m1 = top1(pairs(w0))
+      val w1 = applyMerge(w0, m1)
+      val m2 = top1(pairs(w1))
+      val w2 = applyMerge(w1, m2)
+      val m3 = top1(pairs(w2))
+      m1.withColumn("step", lit(1L))
+        .unionByName(m2.withColumn("step", lit(2L)))
+        .unionByName(m3.withColumn("step", lit(3L)))
+        .select(col("step"), col("a").as("lhs"), col("b").as("rhs"), col("f"))
+        .orderBy("step")
     }
   )
 
@@ -1326,6 +1372,51 @@ object TextQueries {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
         |  round(-avg(lp), 6) AS xent3
         |FROM tri JOIN model USING (w1, w2, w3)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q82_bpe_merges" ->
+      """WITH words AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS n FROM (
+        |    SELECT unnest(string_split(trim(lower(text)), ' ')) AS w
+        |    FROM documents) WHERE length(w) > 0 GROUP BY w),
+        |w0 AS (
+        |  SELECT n, array_to_string(list_transform(range(1, length(w) + 1),
+        |    i -> w[i]), ' ') || ' </w>' AS sym
+        |  FROM words),
+        |p1 AS (
+        |  SELECT ss[i] AS a, ss[i+1] AS b, sum(n) AS f
+        |  FROM (SELECT n, string_split(sym, ' ') AS ss FROM w0),
+        |    UNNEST(range(1, len(ss))) AS u(i)
+        |  GROUP BY 1, 2),
+        |m1 AS (SELECT a, b, f FROM p1 ORDER BY f DESC, a, b LIMIT 1),
+        |w1 AS (
+        |  SELECT n, trim(replace(' ' || sym || ' ',
+        |    ' ' || m1.a || ' ' || m1.b || ' ',
+        |    ' ' || m1.a || m1.b || ' ')) AS sym
+        |  FROM w0, m1),
+        |p2 AS (
+        |  SELECT ss[i] AS a, ss[i+1] AS b, sum(n) AS f
+        |  FROM (SELECT n, string_split(sym, ' ') AS ss FROM w1),
+        |    UNNEST(range(1, len(ss))) AS u(i)
+        |  GROUP BY 1, 2),
+        |m2 AS (SELECT a, b, f FROM p2 ORDER BY f DESC, a, b LIMIT 1),
+        |w2 AS (
+        |  SELECT n, trim(replace(' ' || sym || ' ',
+        |    ' ' || m2.a || ' ' || m2.b || ' ',
+        |    ' ' || m2.a || m2.b || ' ')) AS sym
+        |  FROM w1, m2),
+        |p3 AS (
+        |  SELECT ss[i] AS a, ss[i+1] AS b, sum(n) AS f
+        |  FROM (SELECT n, string_split(sym, ' ') AS ss FROM w2),
+        |    UNNEST(range(1, len(ss))) AS u(i)
+        |  GROUP BY 1, 2),
+        |m3 AS (SELECT a, b, f FROM p3 ORDER BY f DESC, a, b LIMIT 1)
+        |SELECT CAST(1 AS BIGINT) AS step, a AS lhs, b AS rhs,
+        |  CAST(f AS BIGINT) AS f FROM m1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), a, b, CAST(f AS BIGINT) FROM m2
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), a, b, CAST(f AS BIGINT) FROM m3
+        |ORDER BY step""".stripMargin
   )
 }

@@ -75,6 +75,53 @@ class CurationSpec extends SparkSpec {
     assert(s0.head.getDouble(2) === 0.0)
   }
 
+  /** Independent reference BPE (Sennrich-style, greedy-leftmost merge,
+    * count-desc then lexicographic tie-break) — the self-oracle for
+    * q82's dataflow formulation.
+    */
+  private def refBpe(wordCounts: Map[String, Long],
+                     steps: Int): Seq[(String, String, Long)] = {
+    var syms = wordCounts.map { case (w, n) =>
+      (w.map(_.toString).toVector :+ "</w>", n)
+    }.toSeq
+    (1 to steps).map { _ =>
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      syms.foreach { case (ss, n) =>
+        ss.sliding(2).foreach { p =>
+          if (p.length == 2)
+            counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + n
+        }
+      }
+      val ((a, b), f) = counts.toSeq
+        .sortBy { case ((a, b), f) => (-f, a, b) }.head
+      syms = syms.map { case (ss, n) =>
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        var i = 0
+        while (i < ss.length) {
+          if (i + 1 < ss.length && ss(i) == a && ss(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += ss(i); i += 1 }
+        }
+        (out.toVector, n)
+      }
+      (a, b, f)
+    }
+  }
+
+  test("q82 bpe: dataflow merges equal an independent reference implementation") {
+    val docs = Seq(
+      (0L, "low low low low low lower lower", "en", "s"),
+      (1L, "newest newest newest newest newest newest", "en", "s"),
+      (2L, "widest widest widest", "en", "s"))
+    val dir = docsDir(docs)
+    val wordCounts = docs.flatMap(_._2.split(" ")).groupBy(identity)
+      .map { case (w, ws) => w -> ws.length.toLong }
+    val expected = refBpe(wordCounts, 3)
+    val out = q("q82_bpe_merges", dir).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(out === expected)
+  }
+
   test("q71 tf-idf: a term present in every doc scores 0; rarer beats common") {
     // 'x' in all 4 docs => idf=0 => never a top term when positives exist.
     // doc0's distinguishing term 'rare' (df=1): score 2*ln(4) tops tf=1
