@@ -850,6 +850,11 @@ object TextQueries {
           " "), lit(" </w>")).as("sym"))
       def pairs(df: DataFrame): DataFrame = df
         .select(col("n"), split(col("sym"), " ").as("ss"))
+        // a fully-merged word collapses to ONE symbol (e.g. 'a</w>'
+        // after an ('a','</w>') merge) and contributes no pairs;
+        // without this guard sequence(0, -1) runs DESCENDING and
+        // element_at throws (DuckDB's range(1,1) is already empty)
+        .filter(size(col("ss")) >= 2)
         .select(col("n"),
           explode(transform(sequence(lit(0), size(col("ss")) - 2),
             i => struct(element_at(col("ss"), i + 1).as("a"),
@@ -872,6 +877,38 @@ object TextQueries {
         .unionByName(m3.withColumn("step", lit(3L)))
         .select(col("step"), col("a").as("lhs"), col("b").as("rhs"), col("f"))
         .orderBy("step")
+    },
+
+    // Quality-aware dedup resolution: bag-of-words duplicate groups
+    // (same word SET, different realizations) keep the LEAST
+    // REPETITIVE copy rather than the lowest id — the policy real
+    // curation pipelines apply when N scrape variants of a page
+    // survive near-dup detection (keep the cleanest, drop the rest).
+    // Grouping is one fingerprint groupBy (q73's device); quality is
+    // q50's Gopher duplicate-2-gram fraction, compared at 6dp so the
+    // keep choice is reproducible across engines.
+    "q83_dedup_keep_best" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), toks(col("text")).as("tk"),
+          md5(array_join(G.sortedWordSet(col("text")), " ")).as("fp"))
+        .filter(size(col("tk")) >= 2)
+      val per = d
+        .select(col("doc_id"), col("fp"),
+          explode(G.wordShingles(col("tk"), 2)).as("g"))
+        .groupBy("doc_id", "fp", "g").agg(count(lit(1)).as("c"))
+      val quality = per.groupBy("doc_id", "fp")
+        .agg(round(lit(1.0) - count(lit(1)) / sum("c").cast("double"), 6)
+          .as("dup_frac"))
+      quality.groupBy("fp")
+        .agg(count(lit(1)).as("n_members"),
+          min("doc_id").as("group_min_id"),
+          min_by(col("doc_id"), struct(col("dup_frac"), col("doc_id")))
+            .as("keep_id"),
+          min("dup_frac").as("keep_frac"))
+        .filter(col("n_members") > 1)
+        .select(col("group_min_id"), col("n_members"), col("keep_id"),
+          col("keep_frac"))
+        .orderBy("group_min_id")
     }
   )
 
@@ -1417,6 +1454,38 @@ object TextQueries {
         |SELECT CAST(2 AS BIGINT), a, b, CAST(f AS BIGINT) FROM m2
         |UNION ALL
         |SELECT CAST(3 AS BIGINT), a, b, CAST(f AS BIGINT) FROM m3
-        |ORDER BY step""".stripMargin
+        |ORDER BY step""".stripMargin,
+
+    "q83_dedup_keep_best" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(trim(lower(text)), ' ') AS tk,
+        |    md5(array_to_string(list_sort(list_distinct(
+        |      string_split(trim(lower(text)), ' '))), ' ')) AS fp
+        |  FROM documents
+        |  WHERE len(string_split(trim(lower(text)), ' ')) >= 2),
+        |grams AS (
+        |  SELECT doc_id, fp,
+        |    unnest([tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))]) AS g
+        |  FROM d),
+        |per AS (
+        |  SELECT doc_id, fp, g, count(*) AS c FROM grams GROUP BY 1, 2, 3),
+        |q AS (
+        |  SELECT doc_id, fp,
+        |    round(1.0 - count(*) / CAST(sum(c) AS DOUBLE), 6) AS dup_frac
+        |  FROM per GROUP BY doc_id, fp),
+        |r AS (
+        |  SELECT doc_id, fp, dup_frac,
+        |    row_number() OVER (PARTITION BY fp
+        |                       ORDER BY dup_frac, doc_id) AS rn
+        |  FROM q),
+        |g2 AS (
+        |  SELECT fp, count(*) AS n_members, min(doc_id) AS group_min_id,
+        |    min(dup_frac) AS keep_frac
+        |  FROM q GROUP BY fp)
+        |SELECT g2.group_min_id, CAST(g2.n_members AS BIGINT) AS n_members,
+        |  r.doc_id AS keep_id, g2.keep_frac
+        |FROM g2 JOIN r ON r.fp = g2.fp AND r.rn = 1
+        |WHERE g2.n_members > 1
+        |ORDER BY g2.group_min_id""".stripMargin
   )
 }

@@ -122,6 +122,44 @@ class CurationSpec extends SparkSpec {
     assert(out === expected)
   }
 
+  test("q83 keep-best: the least-repetitive copy wins, not the lowest id") {
+    // doc0 and doc1 share the word set {a,b}; doc0 is the repetitive
+    // realization (dup_frac 0.6), doc1 the clean one (0.0) -> doc1 kept
+    val dir = docsDir(Seq(
+      (0L, "a b a b a b", "en", "s"),
+      (1L, "a b", "en", "s"),
+      (2L, "x y z", "en", "s")))   // singleton group: not reported
+    val out = q("q83_dedup_keep_best", dir).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getLong(0) === 0L)         // group identified by min id
+    assert(r.getLong(1) === 2L)
+    assert(r.getLong(2) === 1L)         // but the CLEAN copy is kept
+    assert(r.getDouble(3) === 0.0)
+  }
+
+  test("curation tier tolerates null and whitespace-only documents") {
+    val dir = docsDir(Seq(
+      (0L, "a b c d e f g h i j k l m n", "en", "s"),
+      (1L, "a b c d e f g h i j k l m n", "en", "s"),
+      (2L, null, "en", "s"),
+      (3L, "   ", "en", "s"),
+      (4L, "solo", "en", "s")))
+    // none of these operators may throw on null/blank text, and the
+    // null doc must never appear in any output
+    for (name <- Seq("q70_bigram_lm_score", "q71_tfidf_topk",
+        "q72_vocab_coverage", "q73_subset_containment",
+        "q79_cdc_chunk_dedup", "q80_containment_sketch",
+        "q81_trigram_lm_score", "q82_bpe_merges", "q83_dedup_keep_best")) {
+      val out = q(name, dir).collect()
+      val idCol = Seq("doc_id", "da").find(out.headOption
+        .map(_.schema.fieldNames.toSeq).getOrElse(Nil).contains)
+      idCol.foreach { c =>
+        assert(!out.exists(_.getAs[Long](c) == 2L), s"$name leaked null doc")
+      }
+    }
+  }
+
   test("q71 tf-idf: a term present in every doc scores 0; rarer beats common") {
     // 'x' in all 4 docs => idf=0 => never a top term when positives exist.
     // doc0's distinguishing term 'rare' (df=1): score 2*ln(4) tops tf=1
