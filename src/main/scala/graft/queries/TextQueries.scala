@@ -18,6 +18,14 @@ import graft.operators.{ScaleOps => Sc}
   * candidate set — never the full cross product — is shuffled. The
   * all-pairs joins below on the tiny synthetic corpus are the
   * *verification* paths of those blocked operators.
+  *
+  * Tokenization contract: the Spark side splits on `\s+` after
+  * lower+trim (G.tokens); every DuckDB oracle splits on a single
+  * space. These agree because the driver's corpus is single-space
+  * separated (and an empty trimmed string yields one empty token in
+  * BOTH engines — see the q30 note). A corpus with tabs/newlines/
+  * doubled spaces would need `string_split_regex(.., '\s+')` on the
+  * DuckDB side of every text oracle in this file.
   */
 object TextQueries {
 
@@ -834,11 +842,17 @@ object TextQueries {
     // groupBy over per-WORD symbol sequences — the corpus collapses
     // to its word-frequency table first, so a 100 TB corpus becomes a
     // vocab-sized training set after one shuffle), an argmax, and a
-    // merge applied via separator-anchored replace. Greedy-leftmost
-    // replace semantics are identical in Spark and DuckDB, so the
-    // whole 3-step train mirrors. The argmax rows ride the plan as
-    // broadcast 1-row tables — nothing collects; the loop count is
-    // the only driver-side state (kmeansFit's structure).
+    // greedy-leftmost merge applied as an exact left fold over the
+    // symbol array (a single non-overlapping string replace MISSES
+    // the second of two back-to-back occurrences — 'banana' under
+    // ('a','n') — which is why the fold, not replace, is the merge).
+    // The 1-row argmax is collected per step — bounded metadata,
+    // kmeansFit's device — which also keeps each step at one rescan
+    // instead of re-executing the whole lineage per branch. The
+    // DuckDB mirror applies the separator-anchored replace SIX times
+    // per step: iterated non-overlapping replace converges to the
+    // same greedy-leftmost fixpoint, and ≤6 passes suffice for words
+    // up to 12 symbols (corpus max is 9).
     "q82_bpe_merges" -> { (s, dir) =>
       val words = t(s, dir, "documents")
         .select(explode(toks(col("text"))).as("w"))
@@ -860,23 +874,32 @@ object TextQueries {
             i => struct(element_at(col("ss"), i + 1).as("a"),
               element_at(col("ss"), i + 2).as("b")))).as("p"))
         .groupBy("p.a", "p.b").agg(sum("n").as("f"))
-      def top1(p: DataFrame): DataFrame =
-        p.orderBy(col("f").desc, col("a"), col("b")).limit(1)
-      def applyMerge(df: DataFrame, m: DataFrame): DataFrame =
-        df.crossJoin(broadcast(m))
-          .select(col("n"), expr(
-            "trim(replace(' ' || sym || ' ', ' ' || a || ' ' || b || ' '," +
-              " ' ' || a || b || ' '))").as("sym"))
-      val m1 = top1(pairs(w0))
-      val w1 = applyMerge(w0, m1)
-      val m2 = top1(pairs(w1))
-      val w2 = applyMerge(w1, m2)
-      val m3 = top1(pairs(w2))
-      m1.withColumn("step", lit(1L))
-        .unionByName(m2.withColumn("step", lit(2L)))
-        .unionByName(m3.withColumn("step", lit(3L)))
-        .select(col("step"), col("a").as("lhs"), col("b").as("rhs"), col("f"))
-        .orderBy("step")
+      // exact greedy-leftmost merge: fold the symbols, replacing a
+      // trailing `a` with `ab` whenever `b` follows it (a merged
+      // token is `ab` ≠ `a`, so it can never chain-merge — the same
+      // invariant the reference scan-based formulation relies on)
+      def lit1(x: String): String =
+        "'" + x.replace("\\", "\\\\").replace("'", "\\'") + "'"
+      def applyMerge(df: DataFrame, a: String, b: String): DataFrame =
+        df.select(col("n"), expr(
+          s"""aggregate(split(sym, ' '), cast(array() as array<string>),
+             |  (acc, x) -> CASE
+             |    WHEN size(acc) > 0 AND element_at(acc, -1) = ${lit1(a)}
+             |         AND x = ${lit1(b)}
+             |    THEN concat(slice(acc, 1, size(acc) - 1),
+             |                array(${lit1(a)} || ${lit1(b)}))
+             |    ELSE concat(acc, array(x)) END,
+             |  acc -> array_join(acc, ' '))""".stripMargin).as("sym"))
+      var cur = w0
+      val merges = (1 to 3).map { step =>
+        val top = pairs(cur)
+          .orderBy(col("f").desc, col("a"), col("b")).limit(1).head()
+        val (a, b, f) = (top.getString(0), top.getString(1), top.getLong(2))
+        cur = applyMerge(cur, a, b)
+        (step.toLong, a, b, f)
+      }
+      import s.implicits._
+      merges.toDF("step", "lhs", "rhs", "f").orderBy("step")
     },
 
     // Quality-aware dedup resolution: bag-of-words duplicate groups
@@ -1427,10 +1450,11 @@ object TextQueries {
         |  GROUP BY 1, 2),
         |m1 AS (SELECT a, b, f FROM p1 ORDER BY f DESC, a, b LIMIT 1),
         |w1 AS (
-        |  SELECT n, trim(replace(' ' || sym || ' ',
-        |    ' ' || m1.a || ' ' || m1.b || ' ',
-        |    ' ' || m1.a || m1.b || ' ')) AS sym
-        |  FROM w0, m1),
+        |  SELECT n, trim(replace(replace(replace(replace(replace(replace(
+        |    ' ' || sym || ' ', pat, rep), pat, rep), pat, rep), pat, rep),
+        |    pat, rep), pat, rep)) AS sym
+        |  FROM (SELECT n, sym, ' ' || m1.a || ' ' || m1.b || ' ' AS pat,
+        |          ' ' || m1.a || m1.b || ' ' AS rep FROM w0, m1)),
         |p2 AS (
         |  SELECT ss[i] AS a, ss[i+1] AS b, sum(n) AS f
         |  FROM (SELECT n, string_split(sym, ' ') AS ss FROM w1),
@@ -1438,10 +1462,11 @@ object TextQueries {
         |  GROUP BY 1, 2),
         |m2 AS (SELECT a, b, f FROM p2 ORDER BY f DESC, a, b LIMIT 1),
         |w2 AS (
-        |  SELECT n, trim(replace(' ' || sym || ' ',
-        |    ' ' || m2.a || ' ' || m2.b || ' ',
-        |    ' ' || m2.a || m2.b || ' ')) AS sym
-        |  FROM w1, m2),
+        |  SELECT n, trim(replace(replace(replace(replace(replace(replace(
+        |    ' ' || sym || ' ', pat, rep), pat, rep), pat, rep), pat, rep),
+        |    pat, rep), pat, rep)) AS sym
+        |  FROM (SELECT n, sym, ' ' || m2.a || ' ' || m2.b || ' ' AS pat,
+        |          ' ' || m2.a || m2.b || ' ' AS rep FROM w1, m2)),
         |p3 AS (
         |  SELECT ss[i] AS a, ss[i+1] AS b, sum(n) AS f
         |  FROM (SELECT n, string_split(sym, ' ') AS ss FROM w2),

@@ -109,10 +109,15 @@ class CurationSpec extends SparkSpec {
   }
 
   test("q82 bpe: dataflow merges equal an independent reference implementation") {
+    // 'banana' makes the winning pair occur back-to-back inside one
+    // word ('a n a n'): a single non-overlapping replace merges only
+    // the first occurrence, so this corpus distinguishes the exact
+    // greedy-leftmost fold from the buggy one-pass-replace form.
     val docs = Seq(
       (0L, "low low low low low lower lower", "en", "s"),
       (1L, "newest newest newest newest newest newest", "en", "s"),
-      (2L, "widest widest widest", "en", "s"))
+      (2L, "widest widest widest", "en", "s"),
+      (3L, "banana banana banana banana banana banana banana", "en", "s"))
     val dir = docsDir(docs)
     val wordCounts = docs.flatMap(_._2.split(" ")).groupBy(identity)
       .map { case (w, ws) => w -> ws.length.toLong }
@@ -152,10 +157,12 @@ class CurationSpec extends SparkSpec {
         "q79_cdc_chunk_dedup", "q80_containment_sketch",
         "q81_trigram_lm_score", "q82_bpe_merges", "q83_dedup_keep_best")) {
       val out = q(name, dir).collect()
-      val idCol = Seq("doc_id", "da").find(out.headOption
-        .map(_.schema.fieldNames.toSeq).getOrElse(Nil).contains)
-      idCol.foreach { c =>
-        assert(!out.exists(_.getAs[Long](c) == 2L), s"$name leaked null doc")
+      val idCols = out.headOption.map(_.schema.fieldNames.toSeq)
+        .getOrElse(Nil).filter(Seq("doc_id", "da", "db", "keep_id",
+          "min_container").contains)
+      idCols.foreach { c =>
+        assert(!out.exists(_.getAs[Long](c) == 2L),
+          s"$name leaked null doc via $c")
       }
     }
   }
