@@ -279,6 +279,58 @@ object CoverageQueries {
         .agg(count(lit(1)).as("n"), sum(col("inc_centi")).as("sum_inc"),
           max(to_date(col("acquisition_date"))).as("latest"))
         .orderBy("rel_orbit")
+    },
+
+    // Ordered funnel (view → click → purchase): each stage's entry
+    // time is the user's FIRST qualifying event strictly after the
+    // previous stage — the match_recognize-style pattern workload
+    // expressed as three conditional-min aggregations chained by
+    // user-keyed joins (every stage is a partial-aggregated groupBy
+    // on user_id; no window over the whole event stream, no ordering
+    // shuffle). Output: users reaching each stage + conversion from
+    // stage 1.
+    "q84_funnel" -> { (s, dir) =>
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_type"),
+        col("ts"))
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val s2 = ev.filter(col("event_type") === "click").join(s1, "user_id")
+        .filter(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min("ts").as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase").join(s2, "user_id")
+        .filter(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      val counts = s1.agg(count(lit(1)).as("n")).withColumn("stage", lit(1L))
+        .unionByName(s2.agg(count(lit(1)).as("n")).withColumn("stage", lit(2L)))
+        .unionByName(s3.agg(count(lit(1)).as("n")).withColumn("stage", lit(3L)))
+      val base = s1.agg(count(lit(1)).as("base"))
+      counts.crossJoin(broadcast(base))
+        .select(col("stage"),
+          element_at(array(lit("view"), lit("click_after_view"),
+            lit("purchase_after_click")), col("stage").cast("int"))
+            .as("stage_name"),
+          col("n"),
+          round(col("n") / col("base").cast("double"), 6).as("conv_from_top"))
+        .orderBy("stage")
+    },
+
+    // Weekly retention cohorts: users grouped by first-seen week,
+    // counted in each later week they return — the engagement matrix
+    // behind every "week N retention" report. Week index is integer
+    // day arithmetic from a fixed epoch (no engine-specific
+    // week-start semantics). Shapes: first-seen = one user-keyed
+    // partial agg; activity = distinct (user, week) — both shuffles
+    // keyed by user; the matrix is cohort×offset metadata.
+    "q85_retention_cohorts" -> { (s, dir) =>
+      val ev = t(s, dir, "events").select(col("user_id"),
+        floor(datediff(to_date(col("ts")), lit("2024-01-01")) / 7)
+          .cast("long").as("wk"))
+      val first = ev.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+      ev.distinct().join(first, "user_id")
+        .groupBy(col("cohort_wk"),
+          (col("wk") - col("cohort_wk")).as("wk_offset"))
+        .agg(countDistinct("user_id").as("n_active"))
+        .orderBy("cohort_wk", "wk_offset")
     }
   )
 
@@ -419,6 +471,46 @@ object CoverageQueries {
         |      count(DISTINCT l_partkey))::DOUBLE /
         |    count(DISTINCT l_partkey) <= 0.1 AS within_tol
         |FROM lineitem GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q84_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2
+        |  FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |  GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3
+        |  FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |  GROUP BY e.user_id),
+        |counts AS (
+        |  SELECT CAST(1 AS BIGINT) AS stage, 'view' AS stage_name,
+        |    CAST(count(*) AS BIGINT) AS n FROM s1
+        |  UNION ALL
+        |  SELECT 2, 'click_after_view', count(*) FROM s2
+        |  UNION ALL
+        |  SELECT 3, 'purchase_after_click', count(*) FROM s3),
+        |base AS (SELECT count(*) AS base FROM s1)
+        |SELECT stage, stage_name, n,
+        |  round(n::DOUBLE / base, 6) AS conv_from_top
+        |FROM counts, base ORDER BY stage""".stripMargin,
+
+    "q85_retention_cohorts" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_diff('day', DATE '2024-01-01', ts::DATE) // 7
+        |      AS BIGINT) AS wk
+        |  FROM events),
+        |first AS (SELECT user_id, min(wk) AS cohort_wk FROM ev
+        |          GROUP BY user_id)
+        |SELECT f.cohort_wk, ev.wk - f.cohort_wk AS wk_offset,
+        |  CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_active
+        |FROM ev JOIN first f USING (user_id)
+        |GROUP BY f.cohort_wk, wk_offset
+        |ORDER BY f.cohort_wk, wk_offset""".stripMargin
   )
 }
