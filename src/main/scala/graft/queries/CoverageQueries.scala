@@ -331,6 +331,30 @@ object CoverageQueries {
           (col("wk") - col("cohort_wk")).as("wk_offset"))
         .agg(countDistinct("user_id").as("n_active"))
         .orderBy("cohort_wk", "wk_offset")
+    },
+
+    // Trailing-7-day active users per day (the DAU/WAU family):
+    // sliding-window COUNT DISTINCT cannot partial-aggregate, so the
+    // scalable form reduces the raw stream to distinct (user, day)
+    // FIRST (one keyed shuffle, ≤ users×days rows), then each
+    // user-day contributes itself to the 7 day-windows it falls in
+    // via a bounded scan-side explode — one groupBy on day, no range
+    // join, no window function over raw events. Days past the last
+    // event appear with active_1d = 0 (the window's tail) — the same
+    // rows the mirror generates.
+    "q86_trailing_dau" -> { (s, dir) =>
+      t(s, dir, "events")
+        .select(col("user_id"),
+          datediff(to_date(col("ts")), lit("2024-01-01")).cast("long")
+            .as("d"))
+        .distinct()
+        .select(col("user_id"), col("d"),
+          explode(sequence(col("d"), col("d") + 6)).as("day"))
+        .groupBy("day")
+        .agg(countDistinct("user_id").as("active_7d"),
+          countDistinct(when(col("d") === col("day"), col("user_id")))
+            .as("active_1d"))
+        .orderBy("day")
     }
   )
 
@@ -511,6 +535,19 @@ object CoverageQueries {
         |  CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_active
         |FROM ev JOIN first f USING (user_id)
         |GROUP BY f.cohort_wk, wk_offset
-        |ORDER BY f.cohort_wk, wk_offset""".stripMargin
+        |ORDER BY f.cohort_wk, wk_offset""".stripMargin,
+
+    "q86_trailing_dau" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(date_diff('day', DATE '2024-01-01', ts::DATE) AS BIGINT)
+        |      AS d
+        |  FROM events),
+        |x AS (SELECT user_id, d, d + j AS day
+        |      FROM ud, UNNEST(range(0, 7)) AS u(j))
+        |SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS active_7d,
+        |  CAST(count(DISTINCT CASE WHEN d = day THEN user_id END) AS BIGINT)
+        |    AS active_1d
+        |FROM x GROUP BY day ORDER BY day""".stripMargin
   )
 }

@@ -49,6 +49,24 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out(3L) === 0L)
   }
 
+  test("q86 trailing DAU: window carries users forward 7 days, dedups within day") {
+    val D = 24 * H
+    val dir = eventsDir(Seq(
+      (1L, 1 * H, "view"), (1L, 2 * H, "click"), // same user, same day
+      (2L, 3 * D + H, "view")))
+    val out = SparkEntry.queries("q86_trailing_dau")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // user 1 active on day 0 counts in windows 0..6; user 2 on day 3
+    // counts in 3..9; overlap days 3..6 see both
+    val expect = (0L to 9L).map { day =>
+      val u1 = day <= 6
+      val u2 = day >= 3
+      (day, (if (u1) 1L else 0L) + (if (u2) 1L else 0L),
+        (if (day == 0) 1L else 0L) + (if (day == 3) 1L else 0L))
+    }
+    assert(out === expect)
+  }
+
   test("q85 retention: offsets measured from each user's own cohort week") {
     val wk = 7 * 24 * H
     val dir = eventsDir(Seq(
