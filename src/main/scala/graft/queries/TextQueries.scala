@@ -890,12 +890,16 @@ object TextQueries {
              |                array(${lit1(a)} || ${lit1(b)}))
              |    ELSE concat(acc, array(x)) END,
              |  acc -> array_join(acc, ' '))""".stripMargin).as("sym"))
-      var cur = w0
+      // localCheckpoint after each merge: the per-step argmax is an
+      // ACTION, and without truncation step k's action re-executes
+      // every earlier step's scan+fold (measured 9.2 s vs 1.4 s for 3
+      // steps) — the same device q55 uses between its two actions
+      var cur = w0.localCheckpoint()
       val merges = (1 to 3).map { step =>
         val top = pairs(cur)
           .orderBy(col("f").desc, col("a"), col("b")).limit(1).head()
         val (a, b, f) = (top.getString(0), top.getString(1), top.getLong(2))
-        cur = applyMerge(cur, a, b)
+        cur = applyMerge(cur, a, b).localCheckpoint()
         (step.toLong, a, b, f)
       }
       import s.implicits._
