@@ -497,19 +497,23 @@ object CoverageQueries {
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
 
+    // ts is cast to microsecond TIMESTAMP to mirror Tables.load's
+    // nanos->micros truncation on the Spark side — q84 is the first
+    // query whose output hinges on strict event-vs-event inequality,
+    // where a same-microsecond nano residue would otherwise diverge
     "q84_funnel" ->
       """WITH s1 AS (
-        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  SELECT user_id, min(ts::TIMESTAMP) AS t1 FROM events
         |  WHERE event_type = 'view' GROUP BY user_id),
         |s2 AS (
-        |  SELECT e.user_id, min(e.ts) AS t2
+        |  SELECT e.user_id, min(e.ts::TIMESTAMP) AS t2
         |  FROM events e JOIN s1 USING (user_id)
-        |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |  WHERE e.event_type = 'click' AND e.ts::TIMESTAMP > s1.t1
         |  GROUP BY e.user_id),
         |s3 AS (
-        |  SELECT e.user_id, min(e.ts) AS t3
+        |  SELECT e.user_id, min(e.ts::TIMESTAMP) AS t3
         |  FROM events e JOIN s2 USING (user_id)
-        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |  WHERE e.event_type = 'purchase' AND e.ts::TIMESTAMP > s2.t2
         |  GROUP BY e.user_id),
         |counts AS (
         |  SELECT CAST(1 AS BIGINT) AS stage, 'view' AS stage_name,
@@ -526,7 +530,7 @@ object CoverageQueries {
     "q85_retention_cohorts" ->
       """WITH ev AS (
         |  SELECT DISTINCT user_id,
-        |    CAST(date_diff('day', DATE '2024-01-01', ts::DATE) // 7
+        |    CAST(floor(date_diff('day', DATE '2024-01-01', ts::DATE) / 7.0)
         |      AS BIGINT) AS wk
         |  FROM events),
         |first AS (SELECT user_id, min(wk) AS cohort_wk FROM ev

@@ -899,7 +899,10 @@ object TextQueries {
         val top = pairs(cur)
           .orderBy(col("f").desc, col("a"), col("b")).limit(1).head()
         val (a, b, f) = (top.getString(0), top.getString(1), top.getLong(2))
-        cur = applyMerge(cur, a, b).localCheckpoint()
+        // the final merge result feeds no further pairs() scan — an
+        // eager checkpoint there would be one fully wasted job per run
+        cur = if (step < 3) applyMerge(cur, a, b).localCheckpoint()
+              else cur
         (step.toLong, a, b, f)
       }
       import s.implicits._
