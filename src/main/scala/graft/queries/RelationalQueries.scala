@@ -359,11 +359,15 @@ object RelationalQueries {
         |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
         |ORDER BY s_suppkey""".stripMargin,
 
+    // ts::TIMESTAMP mirrors Tables.load's nanos->micros truncation —
+    // a same-microsecond pair would otherwise rank by nano residue
+    // here but by the event_id tie-break on the Spark side
     "q06_latest_event_per_user" ->
       """SELECT user_id, event_id, event_type FROM (
         |  SELECT user_id, event_id, event_type,
         |    row_number() OVER (PARTITION BY user_id
-        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |                       ORDER BY ts::TIMESTAMP DESC, event_id DESC)
+        |      AS rn
         |  FROM events) WHERE rn = 1
         |ORDER BY user_id""".stripMargin,
 
@@ -454,8 +458,9 @@ object RelationalQueries {
 
     "q20_sessionize" ->
       """WITH g AS (
-        |  SELECT user_id, ts,
-        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  SELECT user_id, ts::TIMESTAMP AS ts,
+        |    lag(ts::TIMESTAMP) OVER (PARTITION BY user_id
+        |      ORDER BY ts::TIMESTAMP, event_id) AS prev
         |  FROM events)
         |SELECT user_id, count(*) AS n_events,
         |  CAST(sum(CASE WHEN prev IS NULL
@@ -495,12 +500,12 @@ object RelationalQueries {
 
     "q65_range_join" ->
       """WITH hot AS (
-        |  SELECT event_id AS anchor_id, ts AS w_start,
-        |         ts + INTERVAL 1 HOUR AS w_end
+        |  SELECT event_id AS anchor_id, ts::TIMESTAMP AS w_start,
+        |         ts::TIMESTAMP + INTERVAL 1 HOUR AS w_end
         |  FROM events WHERE value > 300.0)
         |SELECT h.anchor_id, e.event_id
         |FROM hot h JOIN events e
-        |  ON e.ts >= h.w_start AND e.ts < h.w_end
+        |  ON e.ts::TIMESTAMP >= h.w_start AND e.ts::TIMESTAMP < h.w_end
         | AND e.event_id <> h.anchor_id
         |ORDER BY h.anchor_id, e.event_id""".stripMargin,
 
