@@ -315,6 +315,29 @@ object RelationalQueries {
             .as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("o_orderpriority")
+    },
+
+    // Data-quality constraint report (the Deequ-style pre-publish
+    // validation pass): five named checks — completeness, a
+    // DELIBERATELY failing uniqueness (l_orderkey repeats across line
+    // numbers; the report must surface failures with their observed
+    // metric, not hide them), two row-predicate fractions, and
+    // referential containment against orders. The four aggregate
+    // checks evaluate in ONE partial-aggregated pass over lineitem;
+    // the referential check adds one anti-join keyed on the fk.
+    "q87_validation_report" -> { (s, dir) =>
+      import graft.operators.{ValidateOps => V}
+      val li = t(s, dir, "lineitem")
+      V.run(li, Seq(
+          V.completeness("l_orderkey_complete", col("l_orderkey"), 1.0),
+          V.uniqueness("l_orderkey_unique", col("l_orderkey"), 1.0),
+          V.satisfies("l_discount_in_range",
+            col("l_discount").between(0.0, 0.1), 1.0),
+          V.satisfies("l_quantity_positive", col("l_quantity") > 0, 1.0)))
+        .unionByName(V.referential(li, col("l_orderkey"),
+          t(s, dir, "orders"), col("o_orderkey"),
+          "l_orderkey_in_orders", 1.0))
+        .orderBy("check_name")
     }
   )
 
@@ -515,6 +538,31 @@ object RelationalQueries {
         |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
         |  count(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q87_validation_report" ->
+      """WITH base AS (
+        |  SELECT
+        |    round(count(l_orderkey)::DOUBLE / count(*), 6) AS c1,
+        |    round(count(DISTINCT l_orderkey)::DOUBLE / count(*), 6) AS u1,
+        |    round(sum(CASE WHEN l_discount BETWEEN 0.0 AND 0.1
+        |              THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS s1,
+        |    round(sum(CASE WHEN l_quantity > 0
+        |              THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS s2
+        |  FROM lineitem),
+        |ref AS (
+        |  SELECT round(sum(CASE WHEN o.o_orderkey IS NOT NULL
+        |                   THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS m
+        |  FROM lineitem l
+        |  LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        |    ON l.l_orderkey = o.o_orderkey)
+        |SELECT * FROM (
+        |  SELECT 'l_orderkey_complete' AS check_name, c1 AS metric,
+        |    c1 >= 1.0 AS passed FROM base
+        |  UNION ALL SELECT 'l_orderkey_unique', u1, u1 >= 1.0 FROM base
+        |  UNION ALL SELECT 'l_discount_in_range', s1, s1 >= 1.0 FROM base
+        |  UNION ALL SELECT 'l_quantity_positive', s2, s2 >= 1.0 FROM base
+        |  UNION ALL SELECT 'l_orderkey_in_orders', m, m >= 1.0 FROM ref)
+        |ORDER BY check_name""".stripMargin
   )
 }
