@@ -55,6 +55,25 @@ object ValidateOps {
       .select(col("r.check_name"), col("r.metric"), col("r.passed"))
   }
 
+  /** Equi-width histogram (the ANALYZE-style column statistic): the
+    * [min, max] range from one aggregation pass splits into `nb`
+    * buckets (max lands in the last), then one partial-aggregated
+    * groupBy counts each bucket with its observed value bounds. Two
+    * scans total, bounded metadata between them.
+    */
+  def histogram(df: DataFrame, c: Column, nb: Int): DataFrame = {
+    val bounds = df.agg(min(c).as("__mn"), max(c).as("__mx"))
+    df.select(c.as("__v")).crossJoin(broadcast(bounds))
+      .withColumn("bucket", least(lit(nb - 1),
+        floor((col("__v") - col("__mn")) /
+          ((col("__mx") - col("__mn")) / nb))).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        round(min(col("__v")), 2).as("lo"),
+        round(max(col("__v")), 2).as("hi"))
+      .orderBy("bucket")
+  }
+
   /** Referential containment: fraction of child rows whose `fk` exists
     * in `parent`'s `pk` (anti-join keyed by the fk — broadcast when
     * the parent is a dimension, shuffle otherwise; Catalyst decides).

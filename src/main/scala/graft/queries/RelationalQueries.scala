@@ -338,6 +338,15 @@ object RelationalQueries {
           t(s, dir, "orders"), col("o_orderkey"),
           "l_orderkey_in_orders", 1.0))
         .orderBy("check_name")
+    },
+
+    // ANALYZE-style statistics: a 10-bucket equi-width histogram of
+    // l_extendedprice (bucket arithmetic is the same IEEE expression
+    // in both engines — DuckDB 1.0 has no width_bucket). Two scans:
+    // one for [min,max], one partial-aggregated bucket count.
+    "q88_price_histogram" -> { (s, dir) =>
+      graft.operators.ValidateOps.histogram(
+        t(s, dir, "lineitem"), col("l_extendedprice"), 10)
     }
   )
 
@@ -563,6 +572,18 @@ object RelationalQueries {
         |  UNION ALL SELECT 'l_discount_in_range', s1, s1 >= 1.0 FROM base
         |  UNION ALL SELECT 'l_quantity_positive', s2, s2 >= 1.0 FROM base
         |  UNION ALL SELECT 'l_orderkey_in_orders', m, m >= 1.0 FROM ref)
-        |ORDER BY check_name""".stripMargin
+        |ORDER BY check_name""".stripMargin,
+
+    "q88_price_histogram" ->
+      """WITH b AS (
+        |  SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+        |  FROM lineitem)
+        |SELECT least(9, floor((l_extendedprice - mn) / ((mx - mn) / 10)))
+        |    ::BIGINT AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(min(l_extendedprice), 2) AS lo,
+        |  round(max(l_extendedprice), 2) AS hi
+        |FROM lineitem, b
+        |GROUP BY bucket ORDER BY bucket""".stripMargin
   )
 }

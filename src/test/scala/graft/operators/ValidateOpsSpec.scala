@@ -24,6 +24,17 @@ class ValidateOpsSpec extends SparkSpec {
     assert(out("v_positive") === ((0.75, true)))   // 3 of 4, >= 0.5
   }
 
+  test("histogram: buckets partition the range, max lands in the last") {
+    val df = (0 until 10).map(_.toDouble).toDF("x")
+    val out = V.histogram(df, col("x"), 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    // width 1.8: buckets {0,1}, {2,3}, {4,5}, {6,7}, {8,9}
+    assert(out === Seq((0L, 2L, 0.0, 1.0), (1L, 2L, 2.0, 3.0),
+      (2L, 2L, 4.0, 5.0), (3L, 2L, 6.0, 7.0), (4L, 2L, 8.0, 9.0)))
+    assert(out.map(_._2).sum === 10L)
+  }
+
   test("referential containment counts orphans against the parent keys") {
     val child = Seq(1L, 2L, 5L).toDF("fk")
     val parent = Seq(1L, 2L, 3L).toDF("pk")
