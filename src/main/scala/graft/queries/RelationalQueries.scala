@@ -553,7 +553,8 @@ object RelationalQueries {
       """WITH base AS (
         |  SELECT
         |    round(count(l_orderkey)::DOUBLE / count(*), 6) AS c1,
-        |    round(count(DISTINCT l_orderkey)::DOUBLE / count(*), 6) AS u1,
+        |    round(count(DISTINCT l_orderkey)::DOUBLE / count(l_orderkey), 6)
+        |      AS u1,
         |    round(sum(CASE WHEN l_discount BETWEEN 0.0 AND 0.1
         |              THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS s1,
         |    round(sum(CASE WHEN l_quantity > 0
@@ -578,8 +579,9 @@ object RelationalQueries {
       """WITH b AS (
         |  SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
         |  FROM lineitem)
-        |SELECT least(9, floor((l_extendedprice - mn) / ((mx - mn) / 10)))
-        |    ::BIGINT AS bucket,
+        |SELECT CASE WHEN mx = mn THEN 0 ELSE
+        |    least(9, floor((l_extendedprice - mn) / ((mx - mn) / 10)))::BIGINT
+        |  END AS bucket,
         |  CAST(count(*) AS BIGINT) AS n,
         |  round(min(l_extendedprice), 2) AS lo,
         |  round(max(l_extendedprice), 2) AS hi

@@ -20,8 +20,35 @@ class ValidateOpsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> ((r.getDouble(1),
         r.getBoolean(2)))).toMap
     assert(out("id_complete") === ((0.75, false))) // 1 null of 4
-    assert(out("id_unique") === ((0.5, false)))    // 2 distinct of 4
+    // 2 distinct of 3 NON-NULL: nulls are completeness's defect, not
+    // uniqueness's
+    assert(out("id_unique") === ((0.666667, false)))
     assert(out("v_positive") === ((0.75, true)))   // 3 of 4, >= 0.5
+  }
+
+  test("empty input FAILS every check instead of passing vacuously") {
+    val empty = Seq.empty[(Option[Long], Double)].toDF("id", "v")
+    val out = V.run(empty, Seq(
+        V.completeness("id_complete", col("id"), 0.0),
+        V.satisfies("v_positive", col("v") > 0, 0.0)))
+      .collect()
+    assert(out.length === 2)
+    out.foreach { r =>
+      assert(r.isNullAt(1))            // metric: no data to observe
+      assert(!r.getBoolean(2), r.toString) // but the gate still fails
+    }
+    val ref = V.referential(empty, col("id"), Seq(1L).toDF("pk"),
+      col("pk"), "ref", 0.0).collect().head
+    assert(!ref.getBoolean(2))
+  }
+
+  test("histogram: constant columns land in bucket 0; nulls are excluded") {
+    val const = Seq(5.0, 5.0, 5.0).toDF("x")
+    val c = V.histogram(const, col("x"), 10).collect()
+    assert(c.toSeq.map(r => (r.getLong(0), r.getLong(1))) === Seq((0L, 3L)))
+    val withNulls = Seq(Some(0.0), Some(9.0), None, None).toDF("x")
+    val h = V.histogram(withNulls, col("x"), 10).collect()
+    assert(h.map(_.getLong(1)).sum === 2L) // nulls never counted
   }
 
   test("histogram: buckets partition the range, max lands in the last") {
