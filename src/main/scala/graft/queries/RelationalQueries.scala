@@ -347,6 +347,29 @@ object RelationalQueries {
     "q88_price_histogram" -> { (s, dir) =>
       graft.operators.ValidateOps.histogram(
         t(s, dir, "lineitem"), col("l_extendedprice"), 10)
+    },
+
+    // Join-size pre-flight: the EXACT cardinality and skew profile of
+    // lineitem ⋈ orders computed from per-key counts WITHOUT running
+    // the join — |A ⋈ B| = Σ_k nA(k)·nB(k). Two partial-aggregated
+    // groupBys + a count-sized join; at 100 TB this is the cheap
+    // decision input that picks broadcast vs shuffle vs saltedJoin
+    // (q66) BEFORE committing to the expensive plan. skew_ratio =
+    // the hottest key's share × number of keys (1.0 = perfectly
+    // uniform; ≫1 = salt it).
+    "q89_join_size_estimate" -> { (s, dir) =>
+      val a = t(s, dir, "lineitem").groupBy(col("l_orderkey").as("k"))
+        .agg(count(lit(1)).as("na"))
+      val b = t(s, dir, "orders").groupBy(col("o_orderkey").as("k"))
+        .agg(count(lit(1)).as("nb"))
+      a.join(b, "k")
+        .select(col("k"), (col("na") * col("nb")).as("rows_k"))
+        .agg(sum("rows_k").as("join_rows"),
+          count(lit(1)).as("n_keys"),
+          max("rows_k").as("max_key_rows"))
+        .select(col("join_rows"), col("n_keys"), col("max_key_rows"),
+          round(col("max_key_rows") * col("n_keys") /
+            col("join_rows").cast("double"), 6).as("skew_ratio"))
     }
   )
 
@@ -586,6 +609,19 @@ object RelationalQueries {
         |  round(min(l_extendedprice), 2) AS lo,
         |  round(max(l_extendedprice), 2) AS hi
         |FROM lineitem, b
-        |GROUP BY bucket ORDER BY bucket""".stripMargin
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q89_join_size_estimate" ->
+      """WITH a AS (
+        |  SELECT l_orderkey AS k, count(*) AS na FROM lineitem GROUP BY 1),
+        |b AS (
+        |  SELECT o_orderkey AS k, count(*) AS nb FROM orders GROUP BY 1),
+        |j AS (SELECT a.k, a.na * b.nb AS rows_k FROM a JOIN b USING (k))
+        |SELECT CAST(sum(rows_k) AS BIGINT) AS join_rows,
+        |  CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(max(rows_k) AS BIGINT) AS max_key_rows,
+        |  round(max(rows_k) * count(*) / CAST(sum(rows_k) AS DOUBLE), 6)
+        |    AS skew_ratio
+        |FROM j""".stripMargin
   )
 }
