@@ -355,6 +355,36 @@ object CoverageQueries {
           countDistinct(when(col("d") === col("day"), col("user_id")))
             .as("active_1d"))
         .orderBy("day")
+    },
+
+    // Trailing-baseline anomaly detection (the observability workload
+    // behind the reference's monitoring loop): each hour's event
+    // volume z-scored against its own trailing 24-hour mean/stddev,
+    // per event type. The raw stream collapses to hourly counts FIRST
+    // (one partial-aggregated groupBy; ~720 rows/month/type), so the
+    // trailing windows run over bounded aggregated metadata — never
+    // over raw events. Output: per type, hours with a defined
+    // baseline, anomalous hours (|z| > 3), and the worst z observed.
+    "q90_hourly_anomalies" -> { (s, dir) =>
+      val hourly = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("h")
+        .rowsBetween(-24, -1)
+      hourly
+        .withColumn("mu", avg("n").over(w))
+        .withColumn("sd", stddev_samp(col("n")).over(w))
+        // one-row windows: Spark's stddev_samp yields NaN where DuckDB
+        // yields NULL, and NaN would PASS `> 0` (NaN sorts above
+        // everything in Spark) — the isnan guard is load-bearing
+        .filter(col("sd").isNotNull && !isnan(col("sd")) && col("sd") > 0)
+        .withColumn("az", round(abs((col("n") - col("mu")) / col("sd")), 6))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_hours"),
+          sum(when(col("az") > 3, 1L).otherwise(0L)).as("n_anomalies"),
+          round(max(col("az")), 6).as("max_abs_z"))
+        .orderBy("event_type")
     }
   )
 
@@ -552,6 +582,27 @@ object CoverageQueries {
         |SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS active_7d,
         |  CAST(count(DISTINCT CASE WHEN d = day THEN user_id END) AS BIGINT)
         |    AS active_1d
-        |FROM x GROUP BY day ORDER BY day""".stripMargin
+        |FROM x GROUP BY day ORDER BY day""".stripMargin,
+
+    "q90_hourly_anomalies" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |    count(*)::DOUBLE AS n
+        |  FROM events GROUP BY event_type, h),
+        |base AS (
+        |  SELECT event_type, h, n,
+        |    avg(n) OVER (PARTITION BY event_type ORDER BY h
+        |      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS mu,
+        |    stddev_samp(n) OVER (PARTITION BY event_type ORDER BY h
+        |      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS sd
+        |  FROM hourly),
+        |z AS (
+        |  SELECT event_type, round(abs((n - mu) / sd), 6) AS az
+        |  FROM base WHERE sd IS NOT NULL AND sd > 0)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+        |  CAST(sum(CASE WHEN az > 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_anomalies,
+        |  round(max(az), 6) AS max_abs_z
+        |FROM z GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

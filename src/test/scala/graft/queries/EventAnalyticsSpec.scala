@@ -67,6 +67,25 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out === expect)
   }
 
+  test("q90 anomalies: a planted spike is flagged, a flat series is not") {
+    // 'view': alternating 1/2 events per hour (nonzero variance), then
+    // a 50-event spike; 'click': perfectly flat — its trailing sd is 0
+    // everywhere, so it must contribute NO baseline rows at all
+    val steady = (0 until 30).flatMap(h =>
+      Seq.fill(1 + h % 2)((1L, h * H, "view")))
+    val spike = (0 until 50).map(_ => (1L, 30 * H, "view"))
+    val clicks = (0 until 30).map(h => (2L, h * H, "click"))
+    val dir = eventsDir(steady ++ spike ++ clicks)
+    val out = SparkEntry.queries("q90_hourly_anomalies")(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    val (_, anomalies, maxZ) = out("view")
+    assert(anomalies === 1L)   // exactly the spike hour
+    assert(maxZ > 3.0)
+    // the flat series has zero variance -> every window filtered out
+    assert(!out.contains("click"))
+  }
+
   test("q85 retention: offsets measured from each user's own cohort week") {
     val wk = 7 * 24 * H
     val dir = eventsDir(Seq(
