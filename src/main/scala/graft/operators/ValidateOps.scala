@@ -30,15 +30,20 @@ object ValidateOps {
     */
   final case class Check(name: String, metric: Column, passes: Column => Column)
 
-  /** 6dp ratio with a NULL (not NaN, not error) result on a zero
+  /** EXACT ratio with a NULL (not NaN, not error) result on a zero
     * denominator: Spark 4's ANSI mode throws on integral /0, and a
     * NaN metric would PASS >= gates (NaN sorts above everything in
     * Spark comparisons) — null is the one value `coalesce(passed,
     * false)` handles the way a gate needs.
+    *
+    * No rounding here: the pass predicate must see the exact metric
+    * (one duplicate in >2M rows rounds to 1.000000 at 6dp, and an
+    * atLeast=1.0 gate would wave the violation through). Only the
+    * REPORTED metric column is rounded, in run()/referential().
     */
   private def ratio(num: Column, den: Column): Column =
-    round(num.cast("double") /
-      when(den === 0, lit(null)).otherwise(den).cast("double"), 6)
+    num.cast("double") /
+      when(den === 0, lit(null)).otherwise(den).cast("double")
 
   /** Fraction of non-null values in `c` (completeness). */
   def completeness(name: String, c: Column, atLeast: Double): Check =
@@ -61,7 +66,9 @@ object ValidateOps {
 
   /** Evaluate every check in one aggregation pass; one row per check.
     * Null metrics (no data) fail. Check names must be unique (they
-    * become aggregate aliases); dotted names are handled.
+    * become aggregate aliases); dotted names are handled. `passed` is
+    * evaluated on the EXACT metric; the reported `metric` column is
+    * rounded to 6dp for stable cross-engine display/hashing.
     */
   def run(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "ValidateOps.run: no checks given")
@@ -72,7 +79,8 @@ object ValidateOps {
       checks.head.metric.cast("double").as(checks.head.name),
       checks.tail.map(c => c.metric.cast("double").as(c.name)): _*)
     val rows = checks.map { c =>
-      struct(lit(c.name).as("check_name"), ref(c.name).as("metric"),
+      struct(lit(c.name).as("check_name"),
+        round(ref(c.name), 6).as("metric"),
         coalesce(c.passes(ref(c.name)), lit(false)).as("passed"))
     }
     agg.select(explode(array(rows: _*)).as("r"))
@@ -113,7 +121,7 @@ object ValidateOps {
                   pk: Column, name: String, atLeast: Double): DataFrame =
     child.join(parent.select(pk.as("__pk")).distinct(),
         fk === col("__pk"), "left")
-      .agg(ratio(count(col("__pk")), count(lit(1))).as("metric"))
-      .select(lit(name).as("check_name"), col("metric"),
-        coalesce(col("metric") >= atLeast, lit(false)).as("passed"))
+      .agg(ratio(count(col("__pk")), count(lit(1))).as("__m"))
+      .select(lit(name).as("check_name"), round(col("__m"), 6).as("metric"),
+        coalesce(col("__m") >= atLeast, lit(false)).as("passed"))
 }

@@ -104,15 +104,19 @@ object VectorOps {
                    nprobe: Int, k: Int): DataFrame = {
     val q = e.filter(col("vec_id") === queryVecId).select(col("v").as("qv"))
     val assigned = assignToCentroids(e, cents)
+    // 6dp on BOTH rankings (probe order and final top-k), matching the
+    // gated q35 query and assignToCentroids: one rounding convention
+    // for the whole ANN family, so near-ties rank identically in the
+    // operator, the gated query, and the DuckDB mirror.
     val probed = cents.crossJoin(broadcast(q))
-      .withColumn("qc", G.cosineSim(col("cv"), col("qv")))
+      .withColumn("qc", round(G.cosineSim(col("cv"), col("qv")), 6))
       .orderBy(col("qc").desc, col("cid"))
       .limit(nprobe)
       .select(col("cid").as("cluster"))
     assigned.join(broadcast(probed), Seq("cluster"))
       .crossJoin(broadcast(q))
       .filter(col("vec_id") =!= queryVecId)
-      .withColumn("cos", round(G.cosineSim(col("v"), col("qv")), 9))
+      .withColumn("cos", round(G.cosineSim(col("v"), col("qv")), 6))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
       .select(col("vec_id"), col("cos"))
@@ -125,7 +129,7 @@ object VectorOps {
     val q = e.filter(col("vec_id") === queryVecId).select(col("v").as("qv"))
     e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= queryVecId)
-      .withColumn("cos", round(G.cosineSim(col("v"), col("qv")), 9))
+      .withColumn("cos", round(G.cosineSim(col("v"), col("qv")), 6))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
       .select(col("vec_id"), col("cos"))

@@ -359,20 +359,32 @@ object CoverageQueries {
 
     // Trailing-baseline anomaly detection (the observability workload
     // behind the reference's monitoring loop): each hour's event
-    // volume z-scored against its own trailing 24-hour mean/stddev,
-    // per event type. The raw stream collapses to hourly counts FIRST
-    // (one partial-aggregated groupBy; ~720 rows/month/type), so the
-    // trailing windows run over bounded aggregated metadata — never
-    // over raw events. Output: per type, hours with a defined
-    // baseline, anomalous hours (|z| > 3), and the worst z observed.
+    // volume z-scored against its own trailing 24-WALL-CLOCK-hour
+    // mean/stddev, per event type. The raw stream collapses to hourly
+    // counts FIRST (one partial-aggregated groupBy; ~720 rows/month/
+    // type), then the hour axis is DENSIFIED over each type's
+    // [min, max] span (zero-event hours become n=0 rows) so a
+    // 24-ROW window is exactly 24 wall-clock hours even across gaps —
+    // without the densify, quiet hours never materialize and the
+    // "trailing 24h" baseline silently spans days. The axis is
+    // bounded aggregated metadata (hours-in-span per type), never raw
+    // events. Output: per type, hours with a defined baseline,
+    // anomalous hours (|z| > 3), and the worst z observed.
     "q90_hourly_anomalies" -> { (s, dir) =>
       val hourly = t(s, dir, "events")
         .groupBy(col("event_type"),
           date_trunc("hour", col("ts")).as("h"))
         .agg(count(lit(1)).as("n"))
+      val axis = hourly.groupBy("event_type")
+        .agg(min("h").as("mn"), max("h").as("mx"))
+        .select(col("event_type"),
+          explode(sequence(col("mn"), col("mx"),
+            expr("interval 1 hour"))).as("h"))
+      val dense = axis.join(hourly, Seq("event_type", "h"), "left")
+        .withColumn("n", coalesce(col("n"), lit(0L)))
       val w = Window.partitionBy("event_type").orderBy("h")
         .rowsBetween(-24, -1)
-      hourly
+      dense
         .withColumn("mu", avg("n").over(w))
         .withColumn("sd", stddev_samp(col("n")).over(w))
         // one-row windows: Spark's stddev_samp yields NaN where DuckDB
@@ -589,13 +601,22 @@ object CoverageQueries {
         |  SELECT event_type, date_trunc('hour', ts) AS h,
         |    count(*)::DOUBLE AS n
         |  FROM events GROUP BY event_type, h),
+        |axis AS (
+        |  SELECT event_type,
+        |    unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+        |  FROM (SELECT event_type, min(h) AS mn, max(h) AS mx
+        |        FROM hourly GROUP BY event_type)),
+        |dense AS (
+        |  SELECT a.event_type, a.h, coalesce(hy.n, 0)::DOUBLE AS n
+        |  FROM axis a LEFT JOIN hourly hy
+        |    ON hy.event_type = a.event_type AND hy.h = a.h),
         |base AS (
         |  SELECT event_type, h, n,
         |    avg(n) OVER (PARTITION BY event_type ORDER BY h
         |      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS mu,
         |    stddev_samp(n) OVER (PARTITION BY event_type ORDER BY h
         |      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS sd
-        |  FROM hourly),
+        |  FROM dense),
         |z AS (
         |  SELECT event_type, round(abs((n - mu) / sd), 6) AS az
         |  FROM base WHERE sd IS NOT NULL AND sd > 0)

@@ -572,30 +572,35 @@ object RelationalQueries {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
+    // Pass predicates compare the EXACT ratio; round() appears only on
+    // the reported metric column (mirrors ValidateOps.run).
     "q87_validation_report" ->
       """WITH base AS (
         |  SELECT
-        |    round(count(l_orderkey)::DOUBLE / count(*), 6) AS c1,
-        |    round(count(DISTINCT l_orderkey)::DOUBLE / count(l_orderkey), 6)
-        |      AS u1,
-        |    round(sum(CASE WHEN l_discount BETWEEN 0.0 AND 0.1
-        |              THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS s1,
-        |    round(sum(CASE WHEN l_quantity > 0
-        |              THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS s2
+        |    count(l_orderkey)::DOUBLE / count(*) AS c1,
+        |    count(DISTINCT l_orderkey)::DOUBLE / count(l_orderkey) AS u1,
+        |    sum(CASE WHEN l_discount BETWEEN 0.0 AND 0.1
+        |        THEN 1 ELSE 0 END)::DOUBLE / count(*) AS s1,
+        |    sum(CASE WHEN l_quantity > 0
+        |        THEN 1 ELSE 0 END)::DOUBLE / count(*) AS s2
         |  FROM lineitem),
         |ref AS (
-        |  SELECT round(sum(CASE WHEN o.o_orderkey IS NOT NULL
-        |                   THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS m
+        |  SELECT sum(CASE WHEN o.o_orderkey IS NOT NULL
+        |             THEN 1 ELSE 0 END)::DOUBLE / count(*) AS m
         |  FROM lineitem l
         |  LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
         |    ON l.l_orderkey = o.o_orderkey)
         |SELECT * FROM (
-        |  SELECT 'l_orderkey_complete' AS check_name, c1 AS metric,
+        |  SELECT 'l_orderkey_complete' AS check_name, round(c1, 6) AS metric,
         |    c1 >= 1.0 AS passed FROM base
-        |  UNION ALL SELECT 'l_orderkey_unique', u1, u1 >= 1.0 FROM base
-        |  UNION ALL SELECT 'l_discount_in_range', s1, s1 >= 1.0 FROM base
-        |  UNION ALL SELECT 'l_quantity_positive', s2, s2 >= 1.0 FROM base
-        |  UNION ALL SELECT 'l_orderkey_in_orders', m, m >= 1.0 FROM ref)
+        |  UNION ALL SELECT 'l_orderkey_unique', round(u1, 6), u1 >= 1.0
+        |    FROM base
+        |  UNION ALL SELECT 'l_discount_in_range', round(s1, 6), s1 >= 1.0
+        |    FROM base
+        |  UNION ALL SELECT 'l_quantity_positive', round(s2, 6), s2 >= 1.0
+        |    FROM base
+        |  UNION ALL SELECT 'l_orderkey_in_orders', round(m, 6), m >= 1.0
+        |    FROM ref)
         |ORDER BY check_name""".stripMargin,
 
     "q88_price_histogram" ->

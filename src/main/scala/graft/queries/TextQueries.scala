@@ -895,16 +895,23 @@ object TextQueries {
       // every earlier step's scan+fold (measured 9.2 s vs 1.4 s for 3
       // steps) — the same device q55 uses between its two actions
       var cur = w0.localCheckpoint()
-      val merges = (1 to 3).map { step =>
-        val top = pairs(cur)
-          .orderBy(col("f").desc, col("a"), col("b")).limit(1).head()
-        val (a, b, f) = (top.getString(0), top.getString(1), top.getLong(2))
-        // the final merge result feeds no further pairs() scan — an
-        // eager checkpoint there would be one fully wasted job per run
-        cur = if (step < 3) applyMerge(cur, a, b).localCheckpoint()
-              else cur
-        (step.toLong, a, b, f)
-      }
+      // headOption, not head(): a degenerate corpus can exhaust its
+      // mergeable pairs before the step budget (every word collapsed
+      // to one symbol), and BPE training simply stops there — an
+      // empty merge table, not a NoSuchElementException.
+      val merges = Iterator.from(1).take(3).map { step =>
+        pairs(cur)
+          .orderBy(col("f").desc, col("a"), col("b")).limit(1)
+          .collect().headOption.map { top =>
+            val (a, b, f) =
+              (top.getString(0), top.getString(1), top.getLong(2))
+            // the final merge result feeds no further pairs() scan — an
+            // eager checkpoint there would be one fully wasted job per run
+            cur = if (step < 3) applyMerge(cur, a, b).localCheckpoint()
+                  else cur
+            (step.toLong, a, b, f)
+          }
+      }.takeWhile(_.isDefined).flatten.toSeq
       import s.implicits._
       merges.toDF("step", "lhs", "rhs", "f").orderBy("step")
     },

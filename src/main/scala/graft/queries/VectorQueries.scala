@@ -231,8 +231,11 @@ object VectorQueries {
           slice(col("v"), col("sub") * dsub + 1, lit(dsub)).as("sv"))
       val cb = subs.filter(col("vec_id") < 16)
         .select(col("vec_id").as("cid"), col("sub"), col("sv").as("cv"))
+      // round BEFORE the argmin (assignToCentroids' convention): a
+      // cross-engine ulp on a near-tied subspace distance must not
+      // flip a code assignment and, through it, the gated output.
       val dists = subs.join(broadcast(cb), Seq("sub"))
-        .withColumn("d", sqd(col("sv"), col("cv")))
+        .withColumn("d", round(sqd(col("sv"), col("cv")), 6))
       val codes = dists.groupBy("vec_id", "sub")
         .agg(min_by(col("cid"), struct(col("d"), col("cid"))).as("cid"))
       val lut = dists.filter(col("vec_id") === 0)
@@ -414,8 +417,8 @@ object VectorQueries {
         |       WHERE vec_id < 16),
         |dists AS (
         |  SELECT s.vec_id, s.sub, c.cid,
-        |    list_sum(list_transform(range(1, 9),
-        |      i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))) AS d
+        |    round(list_sum(list_transform(range(1, 9),
+        |      i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))), 6) AS d
         |  FROM subs s JOIN cb c USING (sub)),
         |codes AS (
         |  SELECT vec_id, sub, cid FROM (

@@ -26,6 +26,20 @@ class ValidateOpsSpec extends SparkSpec {
     assert(out("v_positive") === ((0.75, true)))   // 3 of 4, >= 0.5
   }
 
+  test("exact-threshold gates see the unrounded metric (1 dup in 2M+ rows)") {
+    // 1 duplicate among 4M rows: the ratio rounds to 1.000000 at 6dp,
+    // so a gate evaluated on the ROUNDED metric would wave the
+    // violation through — the regression ADVICE r5 flagged. The
+    // reported metric still displays as 1.0 (6dp) while passed=false.
+    val n = 4_000_000L
+    val ids = spark.range(n).select(
+      when(col("id") === n - 1, lit(0L)).otherwise(col("id")).as("id"))
+    val out = V.run(ids, Seq(V.uniqueness("id_unique", col("id"), 1.0)))
+      .collect().head
+    assert(out.getDouble(1) === 1.0)   // rounded display
+    assert(!out.getBoolean(2))         // exact gate still fails
+  }
+
   test("empty input FAILS every check instead of passing vacuously") {
     val empty = Seq.empty[(Option[Long], Double)].toDF("id", "v")
     val out = V.run(empty, Seq(
