@@ -202,4 +202,106 @@ object VectorOps {
       .agg(max_by(col("id_b"), struct(col("cos"), -col("id_b"))).as("nn_id"),
         round(max(col("cos")), 6).as("nn_cos"))
   }
+
+  /** EXACT cosine-threshold pair generation with IVF-cell blocking —
+    * the production pair stage of embedding near-dup dedup (q59), with
+    * a completeness GUARANTEE the gate can rely on (unlike LSH
+    * banding, whose recall at θ ≥ 60° is probabilistic).
+    *
+    * Device: assign every vector to its nearest coarse centroid
+    * (broadcast, one pass), compute each cell's angular radius, and
+    * enumerate only the CELL PAIRS that can possibly hold a qualifying
+    * pair. For members x∈ca, y∈cb with cos(x,y) ≥ τ the triangle
+    * inequality on angular distance gives
+    *   θ(ca,cb) ≤ θ(ca,x) + θ(x,y) + θ(y,cb) ≤ r_a + θ_τ + r_b,
+    * so pruning the cell pairs that violate that bound can never drop
+    * a qualifying pair — candidates flow only for admissible cell
+    * pairs (an equi-join keyed on the cell id, shuffle-partitioned by
+    * cell), then exact cosine verifies each candidate.
+    *
+    * Work shape at 100 TB: assignment N×K broadcast; the admissible
+    * cell-pair table is K² rows of bounded metadata (broadcast); the
+    * candidate join shuffles by cell id. On clustered corpora with a
+    * dedup-grade τ (tight cells, θ_τ small) most cell pairs prune and
+    * the pair space collapses toward Σ admissible |ca|·|cb| ≪ N²/2.
+    * On an adversarially flat corpus (this synthetic table: mutual
+    * angles 60–90°, radii near 90°) nothing CAN prune without losing
+    * exactness — the operator degrades to blocked all-pairs but never
+    * loses a pair, and the plan shape (cell-keyed equi-join, no
+    * label-wide self-join) is unchanged. BlockedPairsSpec proves both
+    * regimes: group-equivalence to all-pairs at 2 SFs, and real cell
+    * pruning on a clustered corpus.
+    *
+    * @param e         (vec_id, v) plus any `extraBlockCols` — extra
+    *                  equality columns (e.g. label) that scope pairs
+    * @param cents     (cid, cv) coarse centroids ([[kmeansFit]] or any
+    *                  deterministic set; quality affects pruning only,
+    *                  never completeness)
+    * @param tau       cosine threshold (pairs with rounded cos ≥ τ)
+    * @return (id_a, id_b) with id_a < id_b — exactly the pairs the
+    *         all-pairs form emits, ready for connectedComponents
+    */
+  def blockedCosinePairs(e: DataFrame, cents: DataFrame, tau: Double,
+                         extraBlockCols: Seq[String] = Nil): DataFrame =
+    blockedCosineCandidates(e, cents, tau, extraBlockCols)
+      .filter(round(G.cosineSim(col("va"), col("vb")), 6) >= tau)
+      .select("id_a", "id_b")
+
+  /** The candidate stage of [[blockedCosinePairs]] before the exact
+    * cosine verify — exposed so BlockedPairsSpec can MEASURE the cell
+    * pruning (candidate count ≪ n²/2 on clustered corpora) that the
+    * public operator's output, being exact, cannot reveal.
+    */
+  private[graft] def blockedCosineCandidates(
+      e: DataFrame, cents: DataFrame, tau: Double,
+      extraBlockCols: Seq[String] = Nil): DataFrame = {
+    val eps = 1e-6 // acos conditioning slack (exactNnPerVector's rationale)
+    val extras = extraBlockCols.map(col)
+    // 1. nearest-centroid assignment carrying the UNROUNDED angle to
+    //    the assigned centroid (the radius input; the argmax itself
+    //    tie-breaks like assignToCentroids, but ANY total assignment
+    //    preserves completeness — the bound only narrows which cell
+    //    pairs get verified)
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("uc", G.cosineSim(col("v"), col("cv")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cid"), col("uc")),
+          struct(col("uc"), -col("cid"))).as("b"),
+        first(col("v")).as("v") +: extraBlockCols.map(c =>
+          first(col(c)).as(c)): _*)
+      .select(col("vec_id") +: col("v") +: extras :+
+        col("b.cid").as("cluster") :+
+        acos(clamp(col("b.uc"))).as("ang"): _*)
+    // 2. per-(extras, cell) angular radius — bounded metadata
+    val radii = assigned.groupBy(extras :+ col("cluster"): _*)
+      .agg(max("ang").as("r"))
+    // 3. admissible ORDERED cell pairs per extras-group: K² centroid
+    //    angles (broadcast-sized) joined to both radii, kept iff the
+    //    triangle bound admits a qualifying pair. Ordered pairs +
+    //    the id_a < id_b filter below emit each pair exactly once.
+    val cang = cents.select(col("cid").as("ca"), col("cv").as("cva"))
+      .crossJoin(cents.select(col("cid").as("cb"), col("cv").as("cvb")))
+      .select(col("ca"), col("cb"),
+        acos(clamp(G.cosineSim(col("cva"), col("cvb")))).as("cang"))
+    val ra = radii.select(extras :+ col("cluster").as("ca") :+
+      col("r").as("ra"): _*)
+    val rb = radii.select(extras :+ col("cluster").as("cb") :+
+      col("r").as("rb"): _*)
+    val admissible =
+      (if (extraBlockCols.isEmpty) ra.crossJoin(rb)
+       else ra.join(rb, extraBlockCols))
+        .join(cang, Seq("ca", "cb"))
+        .filter(col("cang") <=
+          lit(math.acos(tau) + eps) + col("ra") + col("rb"))
+        .select(extras :+ col("ca") :+ col("cb"): _*)
+    // 4. candidates for admissible cell pairs only, exact verify
+    val aSide = assigned.select(extras :+ col("cluster").as("ca") :+
+      col("vec_id").as("id_a") :+ col("v").as("va"): _*)
+    val bSide = assigned.select(extras :+ col("cluster").as("cb") :+
+      col("vec_id").as("id_b") :+ col("v").as("vb"): _*)
+    aSide.join(broadcast(admissible), extraBlockCols :+ "ca")
+      .join(bSide, extraBlockCols :+ "cb")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("va"), col("vb"))
+  }
 }

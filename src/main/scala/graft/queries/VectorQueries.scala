@@ -116,23 +116,22 @@ object VectorQueries {
 
     // Embedding-cosine near-dup DEDUP: threshold pairs → connected
     // components → one group per near-dup cluster (the embedding twin
-    // of q55's text groups). Pair generation here is the label-blocked
-    // all-pairs VERIFICATION form (q29's framing — this corpus has no
-    // dup structure above cos 0.51, so τ=0.35 manufactures organic
-    // small groups); at scale the block key is an LSH band (q46) or
-    // IVF cell (q35) and the downstream grouping is unchanged. The
-    // oracle is the independent recursive-CTE union-find over exact
-    // all-pairs cosine.
+    // of q55's text groups). The pair stage is the PRODUCTION blocked
+    // generator (VectorOps.blockedCosinePairs): kmeansFit-trained IVF
+    // cells + triangle-inequality cell-pair pruning — EXACT (the bound
+    // can never drop a qualifying pair), so the independent
+    // recursive-CTE union-find over all-pairs cosine remains this
+    // query's oracle while the plan carries no label-wide self-join.
+    // Pairs stay label-scoped (the dedup domain); the cell id is the
+    // shuffle key. On this corpus (no dup structure above cos 0.51;
+    // τ=0.35 manufactures organic groups, mutual angles 60–90°) the
+    // radii admit every cell pair — blocking pays off on clustered
+    // corpora with a dedup-grade τ (BlockedPairsSpec demonstrates the
+    // pruning regime); exactness holds on BOTH.
     "q59_embedding_dedup_groups" -> { (s, dir) =>
       val e = emb(s, dir)
-      val a = e.select(col("vec_id").as("id_a"), col("label"),
-        col("v").as("va"))
-      val b = e.select(col("vec_id").as("id_b"), col("label"),
-        col("v").as("vb"))
-      val pairs = a.join(b, Seq("label"))
-        .filter(col("id_a") < col("id_b"))
-        .filter(round(G.cosineSim(col("va"), col("vb")), 6) >= 0.35)
-        .select(col("id_a"), col("id_b"))
+      val cents = V.kmeansFit(e, k = 8, iters = 2)
+      val pairs = V.blockedCosinePairs(e, cents, 0.35, Seq("label"))
       graft.operators.ScaleOps.connectedComponents(pairs)
         .groupBy(col("rep").as("group_id"))
         .agg(count(lit(1)).as("n_vecs"), max(col("id")).as("max_vec"))
@@ -143,23 +142,39 @@ object VectorQueries {
     // cluster the embeddings, then near-dup detection ONLY within each
     // cluster — the k-means cell IS the block key, shrinking the pair
     // space ~nlist× while semantically-close pairs stay co-located.
-    // Deterministic stand-in centroids (q35's device) keep the whole
-    // pipeline SQL-expressible for the oracle; VectorOps.kmeansFit
-    // trains real ones. Dup groups close over connectedComponents;
-    // the report: per cluster, how many vectors, how many landed in a
-    // dup group, distinct groups, and members SemDeDup would drop
-    // (group size minus its one kept representative).
+    // nlist SCALES WITH THE CORPUS: ⌈√n⌉ cells (the FAISS-IVF rule),
+    // derived as dataflow (broadcast scalar, no driver count action),
+    // so expected cell size is √n and the within-cell pair space is
+    // O(n^1.5) — a FIXED nlist would silently go quadratic as n grows.
+    // The pair stage additionally routes through
+    // ScaleOps.bandedCandidatePairs with the cell as the block key, so
+    // a degenerate cell (mass-duplicated embeddings all assigned
+    // together) is star-reduced at `cellCap` instead of handing one
+    // reducer size²/2 work — the cap is sized above organic cell
+    // sizes (≈√n), so on non-pathological data the pair set is
+    // identical to the unguarded form (starReducedBuckets observes
+    // firings; the oracle relies on the cap not firing, as q30's
+    // does). Deterministic stand-in centroids (q35's device) keep the
+    // whole pipeline SQL-expressible for the oracle;
+    // VectorOps.kmeansFit trains real ones (BlockedPairsSpec gates the
+    // trained-centroid path). Dup groups close over
+    // connectedComponents; the report: per cluster, how many vectors,
+    // how many landed in a dup group, distinct groups, and members
+    // SemDeDup would drop (group size minus its one kept
+    // representative).
     "q74_semdedup_groups" -> { (s, dir) =>
       val e = emb(s, dir)
-      val cents = e.filter(col("vec_id") < 16)
+      val nl = e.agg(ceil(sqrt(count(lit(1)))).cast("long").as("nl"))
+      val cents = e.crossJoin(broadcast(nl))
+        .filter(col("vec_id") < col("nl"))
         .select(col("vec_id").as("cid"), col("v").as("cv"))
       val assigned = V.assignToCentroids(e, cents)
-      val a = assigned.select(col("cluster"), col("vec_id").as("id_a"),
-        col("v").as("va"))
-      val b = assigned.select(col("cluster"), col("vec_id").as("id_b"),
-        col("v").as("vb"))
-      val pairs = a.join(b, Seq("cluster"))
-        .filter(col("id_a") < col("id_b"))
+      val cand = graft.operators.ScaleOps.bandedCandidatePairs(
+        assigned.select(col("cluster"), col("vec_id")),
+        Seq("cluster"), "vec_id", bucketCap = 512)
+      val pairs = cand
+        .join(e.select(col("vec_id").as("id_a"), col("v").as("va")), "id_a")
+        .join(e.select(col("vec_id").as("id_b"), col("v").as("vb")), "id_b")
         .filter(round(G.cosineSim(col("va"), col("vb")), 6) >= 0.35)
         .select("id_a", "id_b")
       val comp = graft.operators.ScaleOps.connectedComponents(pairs)
@@ -345,7 +360,9 @@ object VectorQueries {
       """WITH RECURSIVE e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |cents AS (
-        |  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        |  SELECT vec_id AS cid, v AS cv FROM e
+        |  WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT)
+        |                  FROM e)),
         |assigned AS (
         |  SELECT vec_id, cid AS cluster, v FROM (
         |    SELECT e.vec_id, c.cid, e.v,

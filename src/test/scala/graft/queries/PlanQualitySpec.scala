@@ -81,6 +81,18 @@ class PlanQualitySpec extends SparkSpec {
     dedups.foreach(b => assert(tokenCol.findFirstIn(b).isEmpty, b))
   }
 
+  // The blocked embedding-dedup pin (round-5 verdict item 1): the pair
+  // stage must be keyed on the IVF cell, never a label-wide self-join
+  // — a join whose entire key list is the label column is the
+  // quadratic-per-label all-pairs node the rewrite removed.
+  test("q59 embedding dedup: pair join keyed on cells, not label-wide") {
+    val p = plan("q59_embedding_dedup_groups")
+    assert(!p.contains("CartesianProduct"), p)
+    val labelOnlyKeys = "(?m)^(Left|Right) keys \\[1\\]: \\[label#\\d+\\]".r
+    assert(labelOnlyKeys.findFirstIn(p).isEmpty,
+      "found a label-only join key list:\n" + p)
+  }
+
   // The 100 TB read-path claims, asserted at the I/O layer (which
   // FILES the scan lists), not just on results: a date-range scan over
   // a date-partitioned PartitionedCowTable must touch only the
