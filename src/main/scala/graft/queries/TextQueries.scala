@@ -36,6 +36,47 @@ object TextQueries {
 
   private val enStop = Seq("the", "a", "of", "and", "to", "in")
 
+  /** q73's prefix-filter block key: each distinct set keyed by ONE of
+    * its tokens (completeness needs any single token — A ⊆ B forces
+    * every token of A into B, so an equi-join on whichever token A
+    * chooses can never miss a container). The choice minimizes
+    * (df, md5(tok ⊕ sid), tok):
+    *
+    *  - exact df first: on Zipfian corpora the globally rarest token
+    *    prunes near-quadratically (the classic prefix filter), and
+    *    keeping the EXACT minimum keeps the candidate volume minimal
+    *    — a ⌊log₂ df⌋ bucket variant was measured 1.4× more
+    *    candidates on the driver corpus for no wall-clock win once
+    *    the join is salted (below).
+    *  - PER-SET hash tie-break second: exact-df ties (a uniform
+    *    vocab) spread uniformly over the vocab instead of sending
+    *    every set to the lexicographically-first rarest token.
+    *
+    * Key choice alone cannot fix the worst case, though: when ONE
+    * token is simultaneously the strict-rarest for most sets AND
+    * present in most containers (this synthetic 31-word near-uniform
+    * vocab — dfs distinct but within ~2×), every choice rule that
+    * preserves minimal volume concentrates the block, and one reducer
+    * does |sets|·df work while the rest idle. That residual skew is a
+    * JOIN property, so q73 handles it with the join-side toolkit
+    * (ScaleOps.saltedJoin on the block token) rather than by
+    * distorting the key. Exactness is key-choice-independent, so
+    * q73's all-pairs oracle gates any choice; ContainmentSkewSpec
+    * pins tie-spread balance on a pathological uniform-vocab corpus.
+    */
+  private[graft] def prefixFilterKey(sets: DataFrame): DataFrame = {
+    val df = sets.select(explode(col("ws")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    sets.select(col("sid").as("sid_a"), col("ws").as("ws_a"),
+        explode(col("ws")).as("tok"))
+      .join(df, "tok")
+      .groupBy("sid_a")
+      .agg(min_by(col("tok"), struct(col("df"),
+          md5(concat_ws("|", col("tok"), col("sid_a"))), col("tok")))
+        .as("tok"),
+        first(col("ws_a")).as("ws_a"))
+  }
+
   private val langProfiles: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "and", "of"),
     "es" -> Seq("el", "la", "de", "y"),
@@ -585,42 +626,66 @@ object TextQueries {
     // 20-word excerpt of a 200-word doc has Jaccard 0.1, containment
     // 1.0). Runs at the DISTINCT-set level (q30's dedup-first device)
     // and fans doc-level results out through the membership map. The
-    // candidate generator is the classic prefix filter: A ⊆ B ⇒ B
-    // contains A's globally RAREST token, an equi-join on that token
-    // — on Zipfian corpora this prunes near-quadratically (rare
-    // tokens appear in few containers); this synthetic 31-word
-    // uniform vocab is the worst case for it, making the measured
-    // cost an upper bound. The ≥2× size band is both the excerpt
-    // definition and a second prune.
+    // candidate generator is the prefix filter with a per-set hash
+    // tie-break ([[prefixFilterKey]]): A ⊆ B ⇒ B contains A's chosen
+    // token, an equi-join on that token — on Zipfian corpora the
+    // rarest-df choice prunes near-quadratically; on this synthetic
+    // 31-word uniform vocab (the worst case) the hashed tie-break
+    // spreads the tied choices across the vocab so no single block
+    // token funnels one reducer. The ≥2× size band is both the
+    // excerpt definition and a second prune.
     "q73_subset_containment" -> { (s, dir) =>
       // set identity = md5 fingerprint of the canonical array, so the
       // dedup shuffle and the membership join-back carry a 32-char
       // hash, never the token arrays (q30's shuffle-longs principle;
       // the arrays travel only into the prefix-filter join that
       // actually needs them)
+      // d feeds sets AND members; sets feeds the key choice, the
+      // b-side explode, and both verify join-backs. Without
+      // truncation one action recomputes the scan+tokenize+fingerprint
+      // subtree ~5× (profiled: 4.2 s → 2.2 s at sf0.1). Both tables
+      // are bounded (docs / distinct sets), the same device q55/q82
+      // use between their actions.
       val d = t(s, dir, "documents")
         .select(col("doc_id"), G.sortedWordSet(col("text")).as("ws"))
         .filter(size(col("ws")) > 0)
         .withColumn("fp", md5(array_join(col("ws"), " ")))
+        .localCheckpoint()
       val sets = d.groupBy("fp")
         .agg(min("doc_id").as("sid"), first(col("ws")).as("ws"))
+        .localCheckpoint()
       val members = d.select("doc_id", "fp")
         .join(sets.select("fp", "sid"), "fp")
         .select(col("doc_id"), col("sid"))
-      // global token document-frequency over DISTINCT sets
-      val df = sets.select(explode(col("ws")).as("tok"))
-        .groupBy("tok").agg(count(lit(1)).as("df"))
-      // each candidate-excerpt set keyed by its rarest token
-      val aSide = sets.select(col("sid").as("sid_a"), col("ws").as("ws_a"),
-          explode(col("ws")).as("tok"))
-        .join(df, "tok")
-        .groupBy("sid_a")
-        .agg(min_by(col("tok"), struct(col("df"), col("tok"))).as("tok"),
-          first(col("ws_a")).as("ws_a"))
-      val bTok = sets.select(col("sid").as("sid_b"), col("ws").as("ws_b"),
-        explode(col("ws")).as("tok"))
-      aSide.join(bTok, "tok")
-        .filter(size(col("ws_b")) >= size(col("ws_a")) * 2)
+      // pairs-first through the skewed join (q30's principle, and the
+      // round-5 degenerate-key fix): the block-token join carries ONLY
+      // (sid, size) longs, so a hot token (this corpus: one token is
+      // the rarest for 67% of sets AND in 71% of containers — 7.3M of
+      // 10.4M candidates in one block) costs cheap row construction,
+      // not the array verify — and the slim aKey side stays under the
+      // broadcast threshold, so the hot key spreads map-side over the
+      // b-side partitions in the first place (salting was measured
+      // and REJECTED here: ×8 build replication pushes the join out
+      // of broadcast range and costs more than the skew it splits).
+      // The candidate pairs then REPARTITION BY sid_a — a shuffle of
+      // longs — so the expensive array_except verify runs balanced
+      // across reducers instead of riding the token partitioning.
+      // Measured at sf0.1: 4.7-5.5 s steady (arrays through the hot
+      // join) → 3.6-3.8 s steady.
+      val aKey = prefixFilterKey(sets)
+        .select(col("sid_a"), col("tok"), size(col("ws_a")).as("sz_a"))
+      val bTok = sets.select(col("sid").as("sid_b"),
+        size(col("ws")).as("sz_b"), explode(col("ws")).as("tok"))
+      val cand = aKey.join(bTok, "tok")
+        .filter(col("sz_b") >= col("sz_a") * 2)
+        .select("sid_a", "sid_b")
+        .repartition(col("sid_a"))
+      val wsBySid = sets.select(col("sid"), col("ws"))
+      cand
+        .join(wsBySid.select(col("sid").as("sid_a"), col("ws").as("ws_a")),
+          "sid_a")
+        .join(wsBySid.select(col("sid").as("sid_b"), col("ws").as("ws_b")),
+          "sid_b")
         .filter(size(array_except(col("ws_a"), col("ws_b"))) === 0)
         .groupBy("sid_a")
         .agg(count(lit(1)).as("n_containers"), min("sid_b").as("min_container"))
