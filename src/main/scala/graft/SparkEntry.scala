@@ -22,7 +22,8 @@ object SparkEntry {
       graft.queries.TextQueries.queries ++
       graft.queries.VectorQueries.queries ++
       graft.queries.CoverageQueries.queries ++
-      graft.queries.MultimodalQueries.queries
+      graft.queries.MultimodalQueries.queries ++
+      graft.queries.StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +33,6 @@ object SparkEntry {
       graft.queries.TextQueries.oracleSql ++
       graft.queries.VectorQueries.oracleSql ++
       graft.queries.CoverageQueries.oracleSql ++
-      graft.queries.MultimodalQueries.oracleSql
+      graft.queries.MultimodalQueries.oracleSql ++
+      graft.queries.StreamingQueries.oracleSql
 }

@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.Tables
+import graft.streaming.StreamOps
+
+/** SURVEY.md §2.9 under the DRIVER GATE (round-5 verdict item 3):
+  * streaming was the one yes-component verified only by ScalaTest, so
+  * these queries run the REAL Structured Streaming operators —
+  * `flatMapGroupsWithState` custom keyed state, watermarks, the state
+  * machine — over a finite file stream and hash-compare the result
+  * against an independent DuckDB oracle, exactly like every batch
+  * query.
+  *
+  * Determinism contract (what makes a streaming operator gateable):
+  *  - the input is staged to scratch parquet and read with
+  *    `Trigger.Once` — ONE micro-batch, so per-batch emission
+  *    (flatMapGroupsWithState emits one consolidated row per key per
+  *    batch) yields exactly one final row per key, and intra-batch
+  *    event-time sorting corrects all input disorder;
+  *  - lateness is set far beyond the data's time span, so the
+  *    watermark never finalizes state mid-stream and event-time
+  *    timeouts never fire — nothing depends on arrival timing;
+  *  - every fold in the operators is order-independent (bool OR, max,
+  *    count) or explicitly event-time-sorted.
+  * Under that contract the streaming result equals the batch
+  * semantics, which is precisely what the oracle states in SQL.
+  */
+object StreamingQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Stage a finite DataFrame as a file stream and drain it through
+    * `build` into a memory sink in one `Trigger.Once` micro-batch.
+    */
+  private def runOnce(s: SparkSession, tag: String, input: DataFrame,
+                      build: DataFrame => DataFrame): DataFrame = {
+    // fresh root + sink name per CALL (q58's pattern): a reused
+    // checkpoint would make a re-run see "no new data" and emit
+    // nothing — bench reps must each drain the full stream
+    val uid = java.util.UUID.randomUUID().toString.take(8)
+    val base = s"${Tables.scratchBase}/graft_${tag}_" +
+      s"${s.sparkContext.applicationId}/$uid"
+    val sink = s"${tag}_$uid"
+    input.write.mode("overwrite").parquet(s"$base/in")
+    val stream = s.readStream.schema(input.schema).parquet(s"$base/in")
+    val q = build(stream).writeStream
+      .format("memory").queryName(sink)
+      .outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.Once())
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Streaming as-of enrichment (the continuous twin of q62, same
+    // DuckDB native-ASOF oracle shape): dimension updates (per-user
+    // latest order per day) and fact events union into ONE stream;
+    // per-key custom state retains the version history and enriches
+    // each fact with the version in force at its event time.
+    "q91_streaming_asof" -> { (s, dir) =>
+      import s.implicits._
+      val facts = t(s, dir, "events")
+        .select(col("user_id").as("key"), col("ts"),
+          lit(1).as("side"), lit(null).cast("string").as("payload"),
+          col("event_id"))
+      val dims = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("key"),
+          col("o_orderdate").cast("timestamp").as("ts"))
+        .agg(max("o_orderkey").as("k"))
+        .select(col("key"), col("ts"), lit(0).as("side"),
+          col("k").cast("string").as("payload"),
+          lit(-1L).as("event_id"))
+      val input = facts.unionByName(dims)
+      runOnce(s, "q91", input, in =>
+        StreamOps.streamingAsofEnrich(in.as[StreamOps.AsofInput],
+            lateness = "36500 days", retainVersions = 8,
+            idleGapMs = Long.MaxValue / 4).toDF())
+        .select(col("event_id"), col("key").as("user_id"),
+          col("asof_payload").cast("long").as("as_of_orderkey"),
+          to_date(col("asof_ts")).as("as_of_date"))
+        .orderBy("event_id")
+    },
+
+    // The reference's per-scene state machine (Downloaded → ARDProduct
+    // → DCLoaded) as keyed custom state over a step-event stream —
+    // the q43/q58 family's streaming form, gated. Step events derive
+    // deterministically from orders (q49's device): every scene
+    // downloads; half build ARD a day later; a quarter load the
+    // datacube a day after that.
+    "q92_streaming_state_machine" -> { (s, dir) =>
+      import s.implicits._
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          col("o_orderdate").cast("timestamp").as("t0"))
+        .filter(col("o_orderkey") % 10 === 0) // bounded key space
+      val dl = base.select(concat(lit("S"), col("o_orderkey")).as("scene_id"),
+        lit("download").as("step"), col("t0").as("ts"))
+      val ard = base.filter(col("o_orderkey") % 2 === 0)
+        .select(concat(lit("S"), col("o_orderkey")).as("scene_id"),
+          lit("ard").as("step"),
+          (col("t0") + expr("INTERVAL 1 DAY")).as("ts"))
+      val dc = base.filter(col("o_orderkey") % 4 === 0)
+        .select(concat(lit("S"), col("o_orderkey")).as("scene_id"),
+          lit("dcload").as("step"),
+          (col("t0") + expr("INTERVAL 2 DAY")).as("ts"))
+      val input = dl.unionByName(ard).unionByName(dc)
+      runOnce(s, "q92", input, in =>
+        StreamOps.sceneStateMachine(in.as[StreamOps.StepEvent],
+            lateness = "36500 days", idleGapMs = Long.MaxValue / 4).toDF())
+        .select(col("scene_id"), col("downloaded"), col("ard"),
+          col("dcloaded"), col("last_ts"), col("n_events"))
+        .orderBy("scene_id")
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    // identical shape to q62's oracle (DuckDB's native ASOF JOIN — an
+    // independent implementation of the as-of contract)
+    "q91_streaming_asof" ->
+      """WITH o AS (
+        |  SELECT o_custkey AS user_id, o_orderdate AS t,
+        |         max(o_orderkey) AS as_of_orderkey
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, o.as_of_orderkey,
+        |       CAST(o.t AS DATE) AS as_of_date
+        |FROM events e ASOF LEFT JOIN o
+        |  ON e.user_id = o.user_id AND e.ts >= o.t
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q92_streaming_state_machine" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderdate::TIMESTAMP AS t0
+        |  FROM orders WHERE o_orderkey % 10 = 0),
+        |ev AS (
+        |  SELECT 'S' || k AS scene_id, 'download' AS step, t0 AS ts
+        |  FROM base
+        |  UNION ALL
+        |  SELECT 'S' || k, 'ard', t0 + INTERVAL 1 DAY FROM base
+        |  WHERE k % 2 = 0
+        |  UNION ALL
+        |  SELECT 'S' || k, 'dcload', t0 + INTERVAL 2 DAY FROM base
+        |  WHERE k % 4 = 0)
+        |SELECT scene_id,
+        |  bool_or(step = 'download') AS downloaded,
+        |  bool_or(step = 'ard') AS ard,
+        |  bool_or(step = 'dcload') AS dcloaded,
+        |  max(ts) AS last_ts,
+        |  CAST(count(*) AS INT) AS n_events
+        |FROM ev GROUP BY scene_id ORDER BY scene_id""".stripMargin
+  )
+}
