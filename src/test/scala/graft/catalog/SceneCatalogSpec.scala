@@ -153,6 +153,50 @@ class SceneCatalogSpec extends SparkSpec {
     }
   }
 
+  test("normalizeLayerTo4326: 3857-authored layer gives identical semi-join") {
+    import graft.functions.expressions.ProjImpl
+    val cat = mkCatalog()
+    // the 4326-authored triangle the existing exact-geometry tests use
+    val wkt4326 = "POLYGON ((0 50, 3 50, 3 53, 0 50))"
+    // author the SAME triangle in web mercator (forward transform of
+    // each vertex), as a user with a 3857 national layer would ship it
+    val R = 6378137.0
+    def fwd(lon: Double, lat: Double): String = {
+      val x = R * math.toRadians(lon)
+      val y = R * math.log(math.tan(math.Pi / 4 + math.toRadians(lat) / 2))
+      f"$x%.6f $y%.6f"
+    }
+    val wkt3857 = s"POLYGON ((${fwd(0, 50)}, ${fwd(3, 50)}, " +
+      s"${fwd(3, 53)}, ${fwd(0, 50)}))"
+    val Seq((_, norm)) =
+      SceneCatalog.normalizeLayerTo4326(Seq(("roi", wkt3857)), 3857)
+    val direct = cat.scenesIntersectGeom(wkt4326)
+      .select("PID").as[Long].collect().sorted.toSeq
+    val viaNorm = cat.scenesIntersectGeom(norm)
+      .select("PID").as[Long].collect().sorted.toSeq
+    assert(viaNorm === direct)
+    assert(direct.nonEmpty)
+    // UTM round trip: normalize(forward(v)) recovers the vertices to
+    // within the series' sub-cm error (~1e-7 deg)
+    val utm = {
+      val pts = Seq((0.0, 50.0), (3.0, 50.0), (3.0, 53.0), (0.0, 50.0))
+        .map { case (lon, lat) =>
+          val r = ProjImpl.utmForward(lon, lat, 31, south = false)
+          f"${r.getDouble(0)}%.6f ${r.getDouble(1)}%.6f"
+        }
+      s"POLYGON ((${pts.mkString(", ")}))"
+    }
+    val Seq((_, normUtm)) =
+      SceneCatalog.normalizeLayerTo4326(Seq(("roi", utm)), 32631)
+    val viaUtm = cat.scenesIntersectGeom(normUtm)
+      .select("PID").as[Long].collect().sorted.toSeq
+    assert(viaUtm === direct)
+    // unsupported EPSG fails loudly, never silently misplaces geometry
+    intercept[IllegalArgumentException] {
+      SceneCatalog.normalizeLayerTo4326(Seq(("roi", wkt4326)), 27700)
+    }
+  }
+
   test("single-file dump bootstraps a FRESH catalog (import_sensor_db path)") {
     val cat = mkCatalog()
     val dump = Files.createTempDirectory("dump").toString + "/db.json"
