@@ -19,13 +19,17 @@ import org.apache.spark.sql.functions._
   * (plain INT64 parquet), which Tables.load's `ts div 1000` decode
   * handles identically to the driver's TIMESTAMP(NANOS) files.
   *
-  * `sbt "runMain graft.examples.MakeScaledData [srcDir] [outDir] [replicas]"`
+  * `sbt "runMain graft.examples.MakeScaledData [srcDir] [outDir] [replicas] [tables]"`
+  * (`tables` = optional comma list — an sf10 run for the text/vector
+  * heavies needs only documents,embeddings, not 6 GB of lineitem)
   */
 object MakeScaledData {
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val out = if (args.length > 1) args(1) else "/tmp/graft_sf1"
     val n = if (args.length > 2) args(2).toInt else 10
+    val only: Option[Set[String]] =
+      if (args.length > 3) Some(args(3).split(",").toSet) else None
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -47,10 +51,11 @@ object MakeScaledData {
         mutate(shifted, r)
       }.reduce(_ unionByName _)
 
-    def write(df: DataFrame, name: String): Unit = {
-      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
-      println(s"[mksf] $name: ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
-    }
+    def write(df: => DataFrame, name: String): Unit =
+      if (only.forall(_.contains(name))) {
+        df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+        println(s"[mksf] $name: ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
+      }
 
     // dimensions keep organic cardinality (broadcast side stays small
     // at any SF, like real TPC-H nation/region)
