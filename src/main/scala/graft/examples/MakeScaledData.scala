@@ -19,9 +19,20 @@ import org.apache.spark.sql.functions._
   * (plain INT64 parquet), which Tables.load's `ts div 1000` decode
   * handles identically to the driver's TIMESTAMP(NANOS) files.
   *
-  * `sbt "runMain graft.examples.MakeScaledData [srcDir] [outDir] [replicas] [tables]"`
+  * `sbt "runMain graft.examples.MakeScaledData [srcDir] [outDir] [replicas] [tables] [markerTokens]"`
   * (`tables` = optional comma list — an sf10 run for the text/vector
   * heavies needs only documents,embeddings, not 6 GB of lineitem)
+  *
+  * `markerTokens` (default 1) sets how many replica-unique tokens are
+  * appended to each replicated document. At 1 every replica stays a
+  * near-dup of its original (31-word docs: Jaccard 31/33 ≈ 0.94 ≥ the
+  * q30 τ=0.9), so the TRUE near-dup pair set grows ∝ replicas² — at
+  * 100 replicas that is ~1.4B pairs, a property of the replica
+  * generator, not of any plan (organic corpora keep dup-group sizes
+  * bounded as they grow). At 4, cross-replica Jaccard drops to
+  * 31/35 ≈ 0.886 < 0.9 while within-replica structure is preserved —
+  * the CONSTANT-DENSITY variant that measures how the plan scales
+  * when the answer grows linearly.
   */
 object MakeScaledData {
   def main(args: Array[String]): Unit = {
@@ -30,6 +41,7 @@ object MakeScaledData {
     val n = if (args.length > 2) args(2).toInt else 10
     val only: Option[Set[String]] =
       if (args.length > 3) Some(args(3).split(",").toSet) else None
+    val markerTokens = if (args.length > 4) args(4).toInt else 1
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -69,8 +81,12 @@ object MakeScaledData {
       Seq("l_orderkey", "l_partkey", "l_suppkey"))(), "lineitem")
     write(replicate(load("events"), Seq("event_id", "user_id"))(), "events")
     write(replicate(load("documents"), Seq("doc_id")) { (d, r) =>
-      if (r == 0) d
-      else d.withColumn("text", concat(col("text"), lit(s" rep$r")))
+      if (r == 0 || markerTokens <= 0) d
+      else {
+        val marker = (1 to markerTokens).map(k => s"rep${r}tk$k")
+          .mkString(" ", " ", "")
+        d.withColumn("text", concat(col("text"), lit(marker)))
+      }
     }, "documents")
     write(replicate(load("embeddings"), Seq("vec_id"))(), "embeddings")
     spark.stop()
