@@ -220,10 +220,14 @@ class CurationSpec extends SparkSpec {
   }
 
   test("q74 semdedup: near-dups group within a cluster, never across") {
+    // 19 vectors -> nlist = ceil(sqrt(19)) = 5 cells (centroids = the
+    // one-hot vectors 0..4). The orthogonal tail 5..15 ties at cos 0 to
+    // every centroid and lands in cell 0 (smaller-cid tie-break) —
+    // mutually orthogonal, so nothing groups there. 16,17 sit near
+    // centroid 3 (cos≈1 -> grouped with vec 3); 18 leans to centroid 4
+    // but has cos 0.74 to vec 16 — cross-cluster, so SemDeDup must NOT
+    // pair them (that's the blocking semantics).
     val base = (0 until 16).map(i => (i.toLong, oneHot(i), i))
-    // 16,17 near centroid 3 (same cluster, cos≈1 -> grouped with vec 3);
-    // 18 leans to centroid 4 but has cos 0.74 to vec 16 — cross-cluster,
-    // so SemDeDup must NOT pair them (that's the blocking semantics).
     val tail = Seq(
       (16L, oneHot(3, Seq(4 -> 0.1f)), 0),
       (17L, oneHot(3, Seq(4 -> 0.12f)), 0),
@@ -232,12 +236,11 @@ class CurationSpec extends SparkSpec {
     val out = q("q74_semdedup_groups", dir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4)))).toMap
+    assert(out.keySet === Set(0L, 1L, 2L, 3L, 4L)) // 5 = ceil(sqrt(19)) cells
+    assert(out(0L) === ((12L, 0L, 0L, 0L))) // {0,5..15}: orthogonal, no pairs
     assert(out(3L) === ((3L, 3L, 1L, 2L)))  // {3,16,17}: one group, 2 dropped
     assert(out(4L) === ((2L, 2L, 1L, 1L)))  // {4,18}: one group, 1 dropped
-    // every other cluster is a lone centroid: nothing grouped
-    ((0 until 16).map(_.toLong).toSet -- Set(3L, 4L)).foreach { c =>
-      assert(out(c) === ((1L, 0L, 0L, 0L)))
-    }
+    Seq(1L, 2L).foreach { c => assert(out(c) === ((1L, 0L, 0L, 0L))) }
   }
 
   test("q75 int8 quantization: error bounded by scale/2, cosine preserved") {
