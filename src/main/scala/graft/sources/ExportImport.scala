@@ -258,4 +258,108 @@ object ExportImport {
       }
     }
   }
+
+  /** RFC 4122 version-5 (SHA-1, URL namespace) UUID of `name` as a
+    * Column — the scene id the reference derives with
+    * `uuid.uuid5(uuid.NAMESPACE_URL, ARDProduct_Path)`
+    * (eodatadownlandsatgoogsensor.py:1209). Built from `sha1` over the
+    * namespace bytes ++ name bytes, then the version nibble is forced
+    * to 5 and the variant nibble to RFC 4122 (10xx) — pure string/bit
+    * functions, codegen-friendly, no UDF.
+    */
+  def uuid5Url(name: Column): Column = {
+    // NAMESPACE_URL = 6ba7b811-9dad-11d1-80b4-00c04fd430c8 as raw bytes
+    val ns = lit(Array[Byte](0x6b, 0xa7.toByte, 0xb8.toByte, 0x11,
+      0x9d.toByte, 0xad.toByte, 0x11, 0xd1.toByte, 0x80.toByte,
+      0xb4.toByte, 0x00, 0xc0.toByte, 0x4f, 0xd4.toByte, 0x30, 0xc8.toByte))
+    val h = sha1(concat(ns, encode(name, "UTF-8"))) // 40 hex chars
+    val variantNibble = lower(hex(
+      conv(substring(h, 17, 1), 16, 10).cast("int").bitwiseAND(lit(3))
+        .bitwiseOR(lit(8))))
+    concat_ws("-",
+      substring(h, 1, 8),
+      substring(h, 9, 4),
+      concat(lit("5"), substring(h, 14, 3)),
+      concat(variantNibble, substring(h, 18, 3)),
+      substring(h, 21, 12))
+  }
+
+  /** S10 — the datacube YAML sink's DOCUMENT GENERATION, engine-side
+    * (reference: scns2datacube_all_avail builds one scn_info dict per
+    * ARD scene and yaml.dump's it, eodatadownlandsatgoogsensor.py:
+    * 1184-1274; the file write + `datacube dataset add` subprocess
+    * stay app-layer per SURVEY §2.1). One YAML document string per
+    * input row, built entirely from codegen'd string functions — at
+    * scale this is a scan-shaped select, no shuffle, and the app layer
+    * sinks the strings wherever its datacube lives.
+    *
+    * Inputs are the catalog columns plus the app-probed file facts the
+    * reference reads with rsgislib (image path, EPSG code, projected
+    * bbox): `img_path, cmsk_path, vmsk_path, epsg, proj_minx/maxx/
+    * miny/maxy`. Band layout follows the reference: LANDSAT_8 maps 7
+    * SR bands + masks; everything else 6 + masks. Key order matches
+    * pyyaml's sorted dump so a diff against reference output is
+    * clean.
+    *
+    * @return (PID, yaml) — `yaml` is the full document
+    */
+  def datacubeYamlDocs(scenes: DataFrame): DataFrame = {
+    def q(c: Column): Column = concat(lit("'"), c, lit("'"))
+    def ts(c: Column): Column = q(date_format(c, "yyyy-MM-dd HH:mm:ss"))
+    val bandsFor: Seq[(String, Int, String)] => Column = layers =>
+      concat(layers.sortBy(_._1).map { case (bname, layer, pathCol) =>
+        format_string(s"    $bname:\n      layer: $layer\n      path: %s\n",
+          col(pathCol))
+      }: _*)
+    val l8 = bandsFor(Seq(
+      "coastal" -> 1 -> "img_path", "blue" -> 2 -> "img_path",
+      "green" -> 3 -> "img_path", "red" -> 4 -> "img_path",
+      "nir" -> 5 -> "img_path", "swir1" -> 6 -> "img_path",
+      "swir2" -> 7 -> "img_path", "fmask" -> 1 -> "cmsk_path",
+      "vmask" -> 1 -> "vmsk_path").map { case ((n, l), p) => (n, l, p) })
+    val other = bandsFor(Seq(
+      "blue" -> 1 -> "img_path", "green" -> 2 -> "img_path",
+      "red" -> 3 -> "img_path", "nir" -> 4 -> "img_path",
+      "swir1" -> 5 -> "img_path", "swir2" -> 6 -> "img_path",
+      "fmask" -> 1 -> "cmsk_path", "vmask" -> 1 -> "vmsk_path")
+      .map { case ((n, l), p) => (n, l, p) })
+    val sensing = ts(col("Sensing_Time"))
+    val yamlCol = concat(
+      lit("creation_dt: "), ts(col("ARDProduct_End_Date")), lit("\n"),
+      lit("extent:\n  center_dt: "), sensing, lit("\n"),
+      lit("  coord:\n"),
+      format_string("    ll:\n      lat: %s\n      lon: %s\n",
+        col("South_Lat"), col("West_Lon")),
+      format_string("    lr:\n      lat: %s\n      lon: %s\n",
+        col("South_Lat"), col("East_Lon")),
+      format_string("    ul:\n      lat: %s\n      lon: %s\n",
+        col("North_Lat"), col("West_Lon")),
+      format_string("    ur:\n      lat: %s\n      lon: %s\n",
+        col("North_Lat"), col("East_Lon")),
+      lit("  from_dt: "), sensing, lit("\n"),
+      lit("  to_dt: "), sensing, lit("\n"),
+      lit("format:\n  name: GTIFF\n"),
+      lit("grid_spatial:\n  projection:\n    geo_ref_points:\n"),
+      format_string("      ll:\n        x: %s\n        y: %s\n",
+        col("proj_minx"), col("proj_miny")),
+      format_string("      lr:\n        x: %s\n        y: %s\n",
+        col("proj_maxx"), col("proj_miny")),
+      format_string("      ul:\n        x: %s\n        y: %s\n",
+        col("proj_minx"), col("proj_maxy")),
+      format_string("      ur:\n        x: %s\n        y: %s\n",
+        col("proj_maxx"), col("proj_maxy")),
+      format_string("    spatial_reference: EPSG:%s\n", col("epsg")),
+      lit("id: "), uuid5Url(col("ARDProduct_Path")), lit("\n"),
+      lit("image:\n  bands:\n"),
+      when(upper(col("Spacecraft_ID")) === "LANDSAT_8", l8).otherwise(other),
+      format_string("instrument:\n  name: %s\n", upper(col("Sensor_ID"))),
+      format_string("label: %s\n", col("Scene_ID")),
+      lit("lineage:\n  source_datasets: {}\n"),
+      format_string("platform:\n  code: %s\n", upper(col("Spacecraft_ID"))),
+      lit("processing_level: LEVEL_2\n"),
+      lit("product_type: ARCSI_SREF\n"))
+    scenes
+      .filter(col("ARDProduct") && !col("DCLoaded"))
+      .select(col("PID"), yamlCol.as("yaml"))
+  }
 }

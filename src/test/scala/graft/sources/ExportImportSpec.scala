@@ -145,4 +145,69 @@ class ExportImportSpec extends SparkSpec {
     assert(back.as[(Long, Double, java.sql.Date, Boolean)].head() ==
       ((1L, 2.5, java.sql.Date.valueOf("2020-05-05"), true)))
   }
+  test("uuid5Url matches RFC 4122 / python uuid.uuid5(NAMESPACE_URL, .)") {
+    import org.apache.spark.sql.functions._
+    val out = Seq("/data/ard/LC08_scene_001", "x").toDF("p")
+      .select(ExportImport.uuid5Url(col("p")).as("u"))
+      .collect().map(_.getString(0)).toSeq
+    assert(out === Seq("90c677f1-7148-5dc6-b04d-204f42e45559",
+      "4cd605e7-afa2-5360-b5b9-c5e9fb5c76f4"))
+  }
+
+  test("datacubeYamlDocs: one YAML doc per ARD-not-loaded scene (S10)") {
+    import org.apache.spark.sql.functions._
+    import java.sql.Timestamp
+    val rows = Seq(
+      (1L, "LC08_SC1", "LANDSAT_8", "OLI_TIRS",
+        Timestamp.valueOf("2020-03-01 10:30:00"),
+        Option(Timestamp.valueOf("2020-03-02 01:02:03")),
+        true, false, 52.0, 50.0, 3.0, 0.5,
+        "/data/ard/LC08_scene_001", "/d/img.tif", "/d/cld.tif", "/d/val.tif",
+        32631, 100000.0, 300000.0, 5500000.0, 5700000.0),
+      // Sentinel-2 path: 6-band map, no coastal
+      (2L, "S2A_SC2", "SENTINEL2A", "MSI",
+        Timestamp.valueOf("2020-04-01 10:30:00"),
+        Option(Timestamp.valueOf("2020-04-02 01:02:03")),
+        true, false, 52.0, 50.0, 3.0, 0.5,
+        "/data/ard/S2A_scene_002", "/d/s2.tif", "/d/s2c.tif", "/d/s2v.tif",
+        32631, 100000.0, 300000.0, 5500000.0, 5700000.0),
+      // already loaded: excluded
+      (3L, "LC08_SC3", "LANDSAT_8", "OLI_TIRS",
+        Timestamp.valueOf("2020-03-01 10:30:00"),
+        Option(Timestamp.valueOf("2020-03-02 01:02:03")),
+        true, true, 52.0, 50.0, 3.0, 0.5,
+        "/data/ard/LC08_scene_003", "/d/i3.tif", "/d/c3.tif", "/d/v3.tif",
+        32631, 100000.0, 300000.0, 5500000.0, 5700000.0))
+      .toDF("PID", "Scene_ID", "Spacecraft_ID", "Sensor_ID",
+        "Sensing_Time", "ARDProduct_End_Date", "ARDProduct", "DCLoaded",
+        "North_Lat", "South_Lat", "East_Lon", "West_Lon",
+        "ARDProduct_Path", "img_path", "cmsk_path", "vmsk_path",
+        "epsg", "proj_minx", "proj_maxx", "proj_miny", "proj_maxy")
+    val docs = ExportImport.datacubeYamlDocs(rows)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(docs.keySet === Set(1L, 2L)) // DCLoaded excluded
+    val y = docs(1L)
+    // pyyaml-sorted top-level keys, reference field content
+    assert(y.startsWith("creation_dt: '2020-03-02 01:02:03'\n"))
+    assert(y.contains("id: 90c677f1-7148-5dc6-b04d-204f42e45559\n"))
+    assert(y.contains("label: LC08_SC1\n"))
+    assert(y.contains("platform:\n  code: LANDSAT_8\n"))
+    assert(y.contains("instrument:\n  name: OLI_TIRS\n"))
+    assert(y.contains("spatial_reference: EPSG:32631\n"))
+    assert(y.contains("center_dt: '2020-03-01 10:30:00'"))
+    assert(y.contains(
+      "    ll:\n      lat: 50.0\n      lon: 0.5\n"))
+    assert(y.contains(
+      "      ur:\n        x: 300000.0\n        y: 5700000.0\n"))
+    // LANDSAT_8 gets the 7-band + mask map, bands pyyaml-sorted
+    assert(y.contains("    coastal:\n      layer: 1\n      path: /d/img.tif\n"))
+    assert(y.contains("    swir2:\n      layer: 7\n"))
+    assert(y.contains("    fmask:\n      layer: 1\n      path: /d/cld.tif\n"))
+    val topKeys = y.split("\n").filter(l => l.nonEmpty && !l.startsWith(" "))
+      .map(_.takeWhile(_ != ':')).toSeq
+    assert(topKeys === topKeys.sorted) // pyyaml sort_keys layout
+    // non-Landsat band map: blue is layer 1, no coastal band
+    assert(docs(2L).contains("    blue:\n      layer: 1\n"))
+    assert(!docs(2L).contains("coastal"))
+  }
 }
