@@ -1011,6 +1011,34 @@ object TextQueries {
         .select(col("group_min_id"), col("n_members"), col("keep_id"),
           col("keep_frac"))
         .orderBy("group_min_id")
+    },
+
+    // EXACT heavy hitters via sketch-then-verify (the §2 custom-
+    // AGGREGATE surface: SketchOps.MisraGries is a typed Aggregator,
+    // so Catalyst partial-aggregates it map-side — per partition a
+    // ≤K-entry map folds locally and only the k-entry states cross
+    // the shuffle; at 100 TB the candidate pass shuffles kilobytes).
+    // Pass 1 computes the candidate set AND the stream length in one
+    // aggregation; pass 2 exact-counts ONLY the ≤K broadcast
+    // candidates. MG guarantees every token with count > n/(K+1)
+    // survives pass 1, so the strict > n/K output below is exact —
+    // which is what lets an approximate sketch sit under the hash
+    // gate (q78/q80's contract). Integer cnt*K > total: no float
+    // boundary on either engine.
+    "q93_heavy_hitters" -> { (s, dir) =>
+      val K = 40
+      val mg = udaf(new graft.operators.SketchOps.MisraGries(K))
+      val words = t(s, dir, "documents")
+        .select(explode(toks(col("text"))).as("w"))
+      val sketch = words.agg(mg(col("w")).as("cand"),
+        count(lit(1)).as("total"))
+      val cands = sketch.select(explode(map_keys(col("cand"))).as("w"),
+        col("total"))
+      words.join(broadcast(cands), "w")
+        .groupBy("w", "total").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") * K > col("total"))
+        .select(col("w"), col("cnt"))
+        .orderBy("w")
     }
   )
 
@@ -1590,6 +1618,18 @@ object TextQueries {
         |  r.doc_id AS keep_id, g2.keep_frac
         |FROM g2 JOIN r ON r.fp = g2.fp AND r.rn = 1
         |WHERE g2.n_members > 1
-        |ORDER BY g2.group_min_id""".stripMargin
+        |ORDER BY g2.group_min_id""".stripMargin,
+
+    // exact heavy hitters: the oracle needs no sketch — it IS the
+    // brute-force definition the sketch-then-verify path must equal
+    "q93_heavy_hitters" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split(trim(lower(text)), ' ')) AS w
+        |  FROM documents),
+        |t AS (SELECT count(*) AS total FROM w)
+        |SELECT w, CAST(count(*) AS BIGINT) AS cnt
+        |FROM w, t GROUP BY w, total
+        |HAVING count(*) * 40 > total
+        |ORDER BY w""".stripMargin
   )
 }
