@@ -100,6 +100,25 @@ class BlockedPairsSpec extends SparkSpec {
     assert(nCand < nBrute / 2, s"candidates $nCand vs brute $nBrute")
   }
 
+  test("q74's star-reduction cap never fires at the gate SFs") {
+    // the q74 oracle mirrors the UNguarded within-cell all-pairs; that
+    // is only valid while no cell exceeds bandedCandidatePairs'
+    // bucketCap=512 — observe it with the diagnostic twin at both SFs
+    // (cells average sqrt(n), so the margin is ~10x; this pins it).
+    for (sf <- Seq("0.001", "0.01", "0.1")) {
+      val e = emb(s"/root/testdata/sf$sf")
+      val nl = e.agg(ceil(sqrt(count(lit(1)))).cast("long").as("nl"))
+      val cents = e.crossJoin(broadcast(nl))
+        .filter(col("vec_id") < col("nl"))
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val assigned = V.assignToCentroids(e, cents)
+      val fired = ScaleOps.starReducedBuckets(
+        assigned.select(col("cluster"), col("vec_id")),
+        Seq("cluster"), "vec_id", bucketCap = 512).count()
+      assert(fired === 0L, s"cap fired at sf$sf — q74 oracle invalid")
+    }
+  }
+
   test("kmeansFit centroids + full-probe IVF == brute-force top-k") {
     val e = emb("/root/testdata/sf0.001")
     val cents = V.kmeansFit(e, k = 16, iters = 3)

@@ -93,6 +93,17 @@ class PlanQualitySpec extends SparkSpec {
       "found a label-only join key list:\n" + p)
   }
 
+  // The typed-Aggregator sketch must partial-aggregate: a k-entry
+  // state per partition crossing the shuffle is the whole point — a
+  // single-stage plan would shuffle every token.
+  test("q93 heavy hitters: sketch aggregates partially before the exchange") {
+    val p = plan("q93_heavy_hitters")
+    val aggs = "(?m)^\\s*\\(\\d+\\) (ObjectHashAggregate|SortAggregate|HashAggregate)".r
+      .findAllIn(p).length
+    assert(aggs >= 2, s"expected partial+final aggregate pair:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   // The 100 TB read-path claims, asserted at the I/O layer (which
   // FILES the scan lists), not just on results: a date-range scan over
   // a date-partitioned PartitionedCowTable must touch only the
