@@ -45,15 +45,20 @@ object Bench {
     // keeping the min gives the number a solo `RunQuery` session
     // reports — previously this lived only in BASELINE.md prose; now
     // it rides the bench JSON as `solo`.
+    // failed reps are EXCLUDED, not timed: min-of-3 would otherwise
+    // publish a fast time-to-failure as the query's steady state. A
+    // query with no successful solo rep reports -1 (a visible marker,
+    // never a plausible time).
     val solo = results.filter(_._2._1 > 1.5).sortBy(-_._2._1).take(8)
       .map { case (name, _) =>
         val fn = SparkEntry.queries(name)
-        val times = (1 to 3).map { _ =>
+        val times = (1 to 3).flatMap { _ =>
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-          (System.nanoTime() - t0) / 1e9
+          try { fn(spark, sfDir).count()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch { case _: Throwable => None }
         }
-        name -> times.min
+        name -> (if (times.isEmpty) -1.0 else times.min)
       }
     val soloJs = solo.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -440,7 +440,11 @@ object SceneCatalog {
       requireValidGeom(wkt)
       val out = pairRe.replaceAllIn(wkt, m => {
         val (lon, lat) = toLonLat(m.group(1).toDouble, m.group(2).toDouble)
-        f"$lon%.9f $lat%.9f"
+        // Locale.ROOT: a comma-decimal default locale would render
+        // "3,000000000" — and the comma is WKT's pair separator, so
+        // the output would parse into garbage vertices
+        String.format(java.util.Locale.ROOT, "%.9f %.9f",
+          Double.box(lon), Double.box(lat))
       })
       (name, out)
     }

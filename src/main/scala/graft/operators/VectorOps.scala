@@ -255,7 +255,16 @@ object VectorOps {
   private[graft] def blockedCosineCandidates(
       e: DataFrame, cents: DataFrame, tau: Double,
       extraBlockCols: Seq[String] = Nil): DataFrame = {
-    val eps = 1e-6 // acos conditioning slack (exactNnPerVector's rationale)
+    // The verify qualifies pairs by round(cos,6) >= tau, i.e. true
+    // cos >= tau - 5e-7 — so the admissibility bound must be computed
+    // from acos(tau - 5e-7), NOT acos(tau): near tau→1 the angular
+    // window of that rounding margin grows like 5e-7/sqrt(1-tau²) and
+    // a fixed 1e-6 slack would under-cover it (at τ=0.9 the margin is
+    // already 1.15e-6 rad), silently dropping a boundary pair at
+    // exactly the dedup-grade τ regime. The remaining eps covers
+    // float/acos conditioning only (exactNnPerVector's rationale).
+    val thetaTau = math.acos(math.max(-1.0, tau - 5e-7))
+    val eps = 1e-6
     val extras = extraBlockCols.map(col)
     // 1. nearest-centroid assignment carrying the UNROUNDED angle to
     //    the assigned centroid (the radius input; the argmax itself
@@ -292,7 +301,7 @@ object VectorOps {
        else ra.join(rb, extraBlockCols))
         .join(cang, Seq("ca", "cb"))
         .filter(col("cang") <=
-          lit(math.acos(tau) + eps) + col("ra") + col("rb"))
+          lit(thetaTau + eps) + col("ra") + col("rb"))
         .select(extras :+ col("ca") :+ col("cb"): _*)
     // 4. candidates for admissible cell pairs only, exact verify
     val aSide = assigned.select(extras :+ col("cluster").as("ca") :+

@@ -36,6 +36,11 @@ object StreamingQueries {
 
   /** Stage a finite DataFrame as a file stream and drain it through
     * `build` into a memory sink in one `Trigger.Once` micro-batch.
+    * The sink's rows are spilled to scratch parquet and the in-memory
+    * sink + staging/checkpoint dirs are RELEASED before returning —
+    * without that, every bench rep would pin a full copy of the
+    * result in driver memory for the rest of the session (8 reps ×
+    * the enriched event stream at sf1+ is a driver OOM).
     */
   private def runOnce(s: SparkSession, tag: String, input: DataFrame,
                       build: DataFrame => DataFrame): DataFrame = {
@@ -55,7 +60,23 @@ object StreamingQueries {
       .trigger(Trigger.Once())
       .start()
     q.awaitTermination()
-    s.table(sink)
+    s.table(sink).write.mode("overwrite").parquet(s"$base/out")
+    s.catalog.dropTempView(sink)
+    deleteRec(java.nio.file.Paths.get(s"$base/in"))
+    deleteRec(java.nio.file.Paths.get(s"$base/ckpt"))
+    s.read.parquet(s"$base/out")
+  }
+
+  /** Recursive delete that CLOSES its walk stream (CowTable's lesson —
+    * a leaked directory stream is an fd leak under bench reps).
+    */
+  private def deleteRec(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -101,13 +122,17 @@ object StreamingQueries {
         .select(col("o_orderkey"),
           col("o_orderdate").cast("timestamp").as("t0"))
         .filter(col("o_orderkey") % 10 === 0) // bounded key space
+      // selectors divide by 10 FIRST: every key in `base` is already
+      // ≡0 (mod 10), so a plain %2/%4 would be vacuous and the
+      // partial-progress state (downloaded without ard) — the state
+      // the machine exists to consolidate — would occur for no scene
       val dl = base.select(concat(lit("S"), col("o_orderkey")).as("scene_id"),
         lit("download").as("step"), col("t0").as("ts"))
-      val ard = base.filter(col("o_orderkey") % 2 === 0)
+      val ard = base.filter((col("o_orderkey") / 10).cast("long") % 2 === 0)
         .select(concat(lit("S"), col("o_orderkey")).as("scene_id"),
           lit("ard").as("step"),
           (col("t0") + expr("INTERVAL 1 DAY")).as("ts"))
-      val dc = base.filter(col("o_orderkey") % 4 === 0)
+      val dc = base.filter((col("o_orderkey") / 10).cast("long") % 4 === 0)
         .select(concat(lit("S"), col("o_orderkey")).as("scene_id"),
           lit("dcload").as("step"),
           (col("t0") + expr("INTERVAL 2 DAY")).as("ts"))
@@ -145,10 +170,10 @@ object StreamingQueries {
         |  FROM base
         |  UNION ALL
         |  SELECT 'S' || k, 'ard', t0 + INTERVAL 1 DAY FROM base
-        |  WHERE k % 2 = 0
+        |  WHERE (k / 10)::BIGINT % 2 = 0
         |  UNION ALL
         |  SELECT 'S' || k, 'dcload', t0 + INTERVAL 2 DAY FROM base
-        |  WHERE k % 4 = 0)
+        |  WHERE (k / 10)::BIGINT % 4 = 0)
         |SELECT scene_id,
         |  bool_or(step = 'download') AS downloaded,
         |  bool_or(step = 'ard') AS ard,

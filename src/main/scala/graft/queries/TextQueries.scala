@@ -64,17 +64,23 @@ object TextQueries {
     * q73's all-pairs oracle gates any choice; ContainmentSkewSpec
     * pins tie-spread balance on a pathological uniform-vocab corpus.
     */
+  /** @return (sid_a, tok, sz_a) — the set's size rides along instead
+    *         of its token array, so the key-choice aggregation
+    *         shuffles longs only (the same pairs-first rule the
+    *         candidate join follows; callers join arrays back by sid
+    *         where they actually need them).
+    */
   private[graft] def prefixFilterKey(sets: DataFrame): DataFrame = {
     val df = sets.select(explode(col("ws")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("df"))
-    sets.select(col("sid").as("sid_a"), col("ws").as("ws_a"),
+    sets.select(col("sid").as("sid_a"), size(col("ws")).as("sz_a"),
         explode(col("ws")).as("tok"))
       .join(df, "tok")
       .groupBy("sid_a")
       .agg(min_by(col("tok"), struct(col("df"),
           md5(concat_ws("|", col("tok"), col("sid_a"))), col("tok")))
         .as("tok"),
-        first(col("ws_a")).as("ws_a"))
+        first(col("sz_a")).as("sz_a"))
   }
 
   private val langProfiles: Map[String, Seq[String]] = Map(
@@ -673,7 +679,6 @@ object TextQueries {
       // Measured at sf0.1: 4.7-5.5 s steady (arrays through the hot
       // join) → 3.6-3.8 s steady.
       val aKey = prefixFilterKey(sets)
-        .select(col("sid_a"), col("tok"), size(col("ws_a")).as("sz_a"))
       val bTok = sets.select(col("sid").as("sid_b"),
         size(col("ws")).as("sz_b"), explode(col("ws")).as("tok"))
       val cand = aKey.join(bTok, "tok")

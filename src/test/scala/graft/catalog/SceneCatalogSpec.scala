@@ -161,10 +161,13 @@ class SceneCatalogSpec extends SparkSpec {
     // author the SAME triangle in web mercator (forward transform of
     // each vertex), as a user with a 3857 national layer would ship it
     val R = 6378137.0
+    def fmt(x: Double, y: Double): String =
+      String.format(java.util.Locale.ROOT, "%.6f %.6f",
+        Double.box(x), Double.box(y)) // locale-proof, like the helper
     def fwd(lon: Double, lat: Double): String = {
       val x = R * math.toRadians(lon)
       val y = R * math.log(math.tan(math.Pi / 4 + math.toRadians(lat) / 2))
-      f"$x%.6f $y%.6f"
+      fmt(x, y)
     }
     val wkt3857 = s"POLYGON ((${fwd(0, 50)}, ${fwd(3, 50)}, " +
       s"${fwd(3, 53)}, ${fwd(0, 50)}))"
@@ -182,7 +185,7 @@ class SceneCatalogSpec extends SparkSpec {
       val pts = Seq((0.0, 50.0), (3.0, 50.0), (3.0, 53.0), (0.0, 50.0))
         .map { case (lon, lat) =>
           val r = ProjImpl.utmForward(lon, lat, 31, south = false)
-          f"${r.getDouble(0)}%.6f ${r.getDouble(1)}%.6f"
+          fmt(r.getDouble(0), r.getDouble(1))
         }
       s"POLYGON ((${pts.mkString(", ")}))"
     }
