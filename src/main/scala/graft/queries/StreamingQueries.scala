@@ -42,8 +42,15 @@ object StreamingQueries {
     * result in driver memory for the rest of the session (8 reps ×
     * the enriched event stream at sf1+ is a driver OOM).
     */
+  /** `mode`: "append" for row-emitting operators (dedup, flatMap
+    * state); "complete" for windowed AGGREGATIONS — under the
+    * never-advancing watermark no window ever finalizes, so append
+    * mode would emit NOTHING for them (the one Structured Streaming
+    * trap this harness has to dodge).
+    */
   private def runOnce(s: SparkSession, tag: String, input: DataFrame,
-                      build: DataFrame => DataFrame): DataFrame = {
+                      build: DataFrame => DataFrame,
+                      mode: String = "append"): DataFrame = {
     // fresh root + sink name per CALL (q58's pattern): a reused
     // checkpoint would make a re-run see "no new data" and emit
     // nothing — bench reps must each drain the full stream
@@ -55,7 +62,7 @@ object StreamingQueries {
     val stream = s.readStream.schema(input.schema).parquet(s"$base/in")
     val q = build(stream).writeStream
       .format("memory").queryName(sink)
-      .outputMode("append")
+      .outputMode(mode)
       .option("checkpointLocation", s"$base/ckpt")
       .trigger(Trigger.Once())
       .start()
@@ -143,6 +150,40 @@ object StreamingQueries {
         .select(col("scene_id"), col("downloaded"), col("ard"),
           col("dcloaded"), col("last_ts"), col("n_events"))
         .orderBy("scene_id")
+    },
+
+    // Streaming exact dedup (dropDuplicatesWithinWatermark) gated:
+    // WHICH physical row survives a dedup group is partition-order
+    // dependent (documented in StreamOps), so the gated output is the
+    // deterministic part of the contract — the surviving CONTENT set:
+    // exactly one row per distinct text, reported as its hash. The
+    // corpus texts are all distinct, so the stream is the corpus PLUS
+    // a full replayed copy (the at-least-once re-delivery dedup
+    // exists for): 2n rows in, n hashes out — the drop path carries
+    // half the stream, and a dedup regression doubles the row count
+    // before it can touch the hash.
+    "q94_streaming_dedup" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val input = docs.unionByName(
+          docs.withColumn("doc_id", col("doc_id") + 1000000L))
+        .withColumn("ts", expr(
+          "timestampadd(SECOND, doc_id, TIMESTAMP'2024-01-01 00:00:00')"))
+      runOnce(s, "q94", input, in =>
+        StreamOps.streamingDedup(in, "text", "ts", "36500 days"))
+        .select(md5(col("text")).as("content_hash"))
+        .orderBy("content_hash")
+    },
+
+    // The obs-date rollup (A6/J4) maintained BY THE STREAMING operator
+    // (1-day event-time windows + key), gated in complete mode — the
+    // continuously-maintained form of q43's batch rollup.
+    "q95_streaming_rollup" -> { (s, dir) =>
+      val ev = t(s, dir, "events").select(col("ts"), col("event_type"))
+      runOnce(s, "q95", ev, in =>
+        StreamOps.obsDateRollup(in, "ts", "36500 days",
+          Seq(col("event_type"))), mode = "complete")
+        .select(col("obs_date"), col("event_type"), col("n_events"))
+        .orderBy("obs_date", "event_type")
     }
   )
 
@@ -180,6 +221,16 @@ object StreamingQueries {
         |  bool_or(step = 'dcload') AS dcloaded,
         |  max(ts) AS last_ts,
         |  CAST(count(*) AS INT) AS n_events
-        |FROM ev GROUP BY scene_id ORDER BY scene_id""".stripMargin
+        |FROM ev GROUP BY scene_id ORDER BY scene_id""".stripMargin,
+
+    "q94_streaming_dedup" ->
+      """SELECT DISTINCT md5(text) AS content_hash FROM documents
+        |ORDER BY content_hash""".stripMargin,
+
+    "q95_streaming_rollup" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS obs_date,
+        |  event_type, CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY obs_date, event_type
+        |ORDER BY obs_date, event_type""".stripMargin
   )
 }
