@@ -93,6 +93,24 @@ class PlanQualitySpec extends SparkSpec {
       "found a label-only join key list:\n" + p)
   }
 
+  // q73's round-6 rework: the block-token (prefix-filter) join must
+  // carry (sid, size) longs only — a token ARRAY in any tok-keyed
+  // stage reintroduces the skew-riding array traffic the rework
+  // removed (same invariant as the q30 pin, for the containment path).
+  test("q73 containment: no token arrays through the tok-keyed stages") {
+    val p = plan("q73_subset_containment")
+    assert(!p.contains("CartesianProduct"), p)
+    val wsCol = "\\bws(_a|_b)?#".r
+    val blocks = p.split("(?m)^\\s*\\(\\d+\\) ").toSeq
+    val tokStages = blocks.filter(b =>
+      (b.startsWith("Exchange") || b.startsWith("HashAggregate") ||
+        b.startsWith("SortAggregate") || b.startsWith("ObjectHashAggregate")) &&
+        b.contains("tok#"))
+    assert(tokStages.nonEmpty, p)
+    tokStages.foreach(b => assert(wsCol.findFirstIn(b).isEmpty,
+      "token array rides a tok-keyed stage:\n" + b))
+  }
+
   // The typed-Aggregator sketch must partial-aggregate: a k-entry
   // state per partition crossing the shuffle is the whole point — a
   // single-stage plan would shuffle every token.
