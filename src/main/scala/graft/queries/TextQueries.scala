@@ -1044,6 +1044,29 @@ object TextQueries {
         .filter(col("cnt") * K > col("total"))
         .select(col("w"), col("cnt"))
         .orderBy("w")
+    },
+
+    // Deterministic train/val/test split — the assignment every
+    // training pipeline must make REPRODUCIBLY and WITHOUT
+    // coordination: bucket = md5(doc_id) mod 100 (content-stable,
+    // engine-independent, no RNG, no shuffle for the assignment
+    // itself — q63's device), 80/10/10. Report: per-split doc count,
+    // token volume, and an id-sum checksum so the gate pins the EXACT
+    // membership, not just the sizes. Adding documents never moves an
+    // existing one between splits — the property random.split() lacks.
+    "q96_train_split" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), size(toks(col("text"))).as("n_tok"),
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+            .cast("long") % 100).as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val").otherwise("test"))
+      d.groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").as("n_tokens"),
+          sum("doc_id").as("id_checksum"))
+        .orderBy("split")
     }
   )
 
@@ -1635,6 +1658,23 @@ object TextQueries {
         |SELECT w, CAST(count(*) AS BIGINT) AS cnt
         |FROM w, t GROUP BY w, total
         |HAVING count(*) * 40 > total
-        |ORDER BY w""".stripMargin
+        |ORDER BY w""".stripMargin,
+
+    "q96_train_split" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    len(string_split(trim(lower(text)), ' ')) AS n_tok,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      % 100 AS bucket
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, n_tok,
+        |    CASE WHEN bucket < 80 THEN 'train'
+        |         WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |  FROM d)
+        |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        |FROM s GROUP BY split ORDER BY split""".stripMargin
   )
 }
