@@ -433,12 +433,18 @@ object SceneCatalog {
         s"normalizeLayerTo4326: unsupported layer EPSG:$e " +
           "(supported: 4326, 3857, UTM 326zz/327zz, polar 3413/3031)")
     }
-    val pairRe =
-      ("(-?\\d+(?:\\.\\d+)?(?:[eE][+-]?\\d+)?)\\s+" +
-        "(-?\\d+(?:\\.\\d+)?(?:[eE][+-]?\\d+)?)").r
+    // One WKT numeric token: optional sign, "3", "3.5", ".5", "3." —
+    // the earlier form required a LEADING DIGIT, so ".5 50" matched
+    // only "5 50" and left the "." in place (silently corrupt geometry
+    // despite the fail-loudly contract; round-6 advice).
+    val num = "[-+]?(?:\\d+\\.?\\d*|\\.\\d+)(?:[eE][+-]?\\d+)?"
+    val pairRe = s"($num)\\s+($num)".r
+    val tokenRe = num.r
     layer.map { case (name, wkt) =>
       requireValidGeom(wkt)
+      var replaced = 0
       val out = pairRe.replaceAllIn(wkt, m => {
+        replaced += 1
         val (lon, lat) = toLonLat(m.group(1).toDouble, m.group(2).toDouble)
         // Locale.ROOT: a comma-decimal default locale would render
         // "3,000000000" — and the comma is WKT's pair separator, so
@@ -446,6 +452,18 @@ object SceneCatalog {
         String.format(java.util.Locale.ROOT, "%.9f %.9f",
           Double.box(lon), Double.box(lat))
       })
+      // Belt-and-braces for the fail-loudly contract: every numeric
+      // token in the input must have been consumed by exactly one
+      // coordinate pair. A partial match (odd token count, exotic
+      // number syntax the pair regex skipped) means some vertex was
+      // NOT reprojected — refuse rather than hand back mixed-CRS WKT.
+      val tokens = tokenRe.findAllIn(wkt).size
+      if (tokens != replaced * 2)
+        throw new IllegalArgumentException(
+          s"normalizeLayerTo4326: layer '$name' has $tokens numeric " +
+            s"tokens but only ${replaced * 2} were rewritten as " +
+            "coordinate pairs — refusing to emit partially-transformed " +
+            "geometry")
       (name, out)
     }
   }

@@ -35,8 +35,12 @@ object PolygonImpl {
   final class Rings(val rings: Array[Array[Double]])
 
   private val ringRe = "\\(([^()]+)\\)".r
-  private val coordRe =
-    "(-?\\d+(?:\\.\\d+)?(?:[eE][+-]?\\d+)?)\\s+(-?\\d+(?:\\.\\d+)?(?:[eE][+-]?\\d+)?)".r
+  // One numeric token allows fraction-first ('.5') and explicit '+'
+  // forms — a leading-digit-only pattern would match '.5 50' as
+  // '5 50' and silently misplace the vertex (round-6 advice; same fix
+  // as SceneCatalog.normalizeLayerTo4326's pair rewrite).
+  private val numPat = "[-+]?(?:\\d+\\.?\\d*|\\.\\d+)(?:[eE][+-]?\\d+)?"
+  private val coordRe = s"($numPat)\\s+($numPat)".r
 
   def parse(wkt: String): Rings = {
     val rings = ringRe.findAllMatchIn(wkt).flatMap { rm =>

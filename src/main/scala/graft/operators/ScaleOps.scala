@@ -66,19 +66,40 @@ object ScaleOps {
     */
   def bandedCandidatePairs(banded: DataFrame, bandCols: Seq[String],
                            idCol: String, bucketCap: Int,
-                           outA: String = "id_a", outB: String = "id_b"): DataFrame = {
+                           outA: String = "id_a", outB: String = "id_b"): DataFrame =
+    bandedCandidatePairsWithCap(banded, bandCols, idCol,
+      banded.sparkSession.range(1)
+        .select(lit(bucketCap.toLong).as("__cap")),
+      outA, outB)
+
+  /** [[bandedCandidatePairs]] with the cap DERIVED AS DATAFLOW: `capDf`
+    * is a one-row frame whose `__cap` (long) column is the bucket cap —
+    * typically a corpus-size-scaled rule like 8·⌈√n⌉ computed from the
+    * data itself (broadcast scalar, no driver count action). A FIXED
+    * cap silently drifts as the corpus grows: expected bucket size
+    * under √n-cells blocking is √n, so a constant cap that clears
+    * organic buckets at sf0.1 fires on them at sf10 and the pairs
+    * output quietly diverges from the unguarded form (round-6 advice on
+    * q74). Deriving cap ∝ √n keeps the headroom RATIO constant at any
+    * scale.
+    */
+  def bandedCandidatePairsWithCap(banded: DataFrame, bandCols: Seq[String],
+                                  idCol: String, capDf: DataFrame,
+                                  outA: String = "id_a",
+                                  outB: String = "id_b"): DataFrame = {
     val bc = bandCols.map(col)
     val sizes = banded.groupBy(bc: _*)
       .agg(count(lit(1)).as("__bsz"), min(col(idCol)).as("__rep"))
+      .crossJoin(broadcast(capDf.select(col("__cap"))))
     val sized = banded.join(sizes, bandCols)
-    val small = sized.filter(col("__bsz") <= bucketCap)
+    val small = sized.filter(col("__bsz") <= col("__cap"))
     val x = small.select(bc :+ col(idCol).as(outA): _*)
     val y = small.select(bc :+ col(idCol).as(outB): _*)
     val smallPairs = x.join(y, bandCols)
       .filter(col(outA) < col(outB))
       .select(outA, outB)
     val starPairs = sized
-      .filter(col("__bsz") > bucketCap && col(idCol) =!= col("__rep"))
+      .filter(col("__bsz") > col("__cap") && col(idCol) =!= col("__rep"))
       .select(col("__rep").as(outA), col(idCol).as(outB))
     smallPairs.union(starPairs).distinct()
   }

@@ -71,7 +71,26 @@ object StreamingQueries {
     s.catalog.dropTempView(sink)
     deleteRec(java.nio.file.Paths.get(s"$base/in"))
     deleteRec(java.nio.file.Paths.get(s"$base/ckpt"))
+    // $base/out must OUTLIVE this call (the returned DataFrame reads
+    // it lazily), so it can't be deleted here — but a fresh uid per
+    // rep means bench/verify sessions would otherwise accumulate one
+    // orphan dir per rep forever (round-6 advice). deleteOnExit walks
+    // parent-before-child and the JVM deletes in REVERSE registration
+    // order, so files go before their dirs.
+    registerDeleteOnExit(java.nio.file.Paths.get(base))
     s.read.parquet(s"$base/out")
+  }
+
+  /** Register `p` and everything under it for deletion at JVM exit
+    * (scratch reclamation for outputs that must stay readable for the
+    * rest of the session). Walk stream closed, as in [[deleteRec]].
+    */
+  private def registerDeleteOnExit(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.forEach(f => f.toFile.deleteOnExit())
+      finally walk.close()
+    }
   }
 
   /** Recursive delete that CLOSES its walk stream (CowTable's lesson —

@@ -169,9 +169,19 @@ object VectorQueries {
         .filter(col("vec_id") < col("nl"))
         .select(col("vec_id").as("cid"), col("v").as("cv"))
       val assigned = V.assignToCentroids(e, cents)
-      val cand = graft.operators.ScaleOps.bandedCandidatePairs(
+      // cap = max(512, 8·⌈√n⌉) as DATAFLOW (same broadcast-scalar
+      // device as nl): expected cell size under √n cells is √n, so a
+      // FIXED cap (the old 512) is outgrown around n≈260k and the
+      // oracle — which mirrors the UNGUARDED within-cell all-pairs —
+      // would start failing on organic cells; scaling cap with √n
+      // keeps the 8× skew headroom constant at every sf (round-6
+      // advice). The 512 floor preserves toy-sf behavior where 8√n
+      // would dip below the old constant (BlockedPairsSpec asserts the
+      // guard stays silent at the gated sfs).
+      val cand = graft.operators.ScaleOps.bandedCandidatePairsWithCap(
         assigned.select(col("cluster"), col("vec_id")),
-        Seq("cluster"), "vec_id", bucketCap = 512)
+        Seq("cluster"), "vec_id",
+        nl.select(greatest(lit(512L), col("nl") * 8).as("__cap")))
       val pairs = cand
         .join(e.select(col("vec_id").as("id_a"), col("v").as("va")), "id_a")
         .join(e.select(col("vec_id").as("id_b"), col("v").as("vb")), "id_b")

@@ -306,6 +306,18 @@ object ExportImport {
   def datacubeYamlDocs(scenes: DataFrame): DataFrame = {
     def q(c: Column): Column = concat(lit("'"), c, lit("'"))
     def ts(c: Column): Column = q(date_format(c, "yyyy-MM-dd HH:mm:ss"))
+    // Plain-decimal render for numeric YAML values. Java's
+    // Double.toString (what %s gives) switches to scientific notation
+    // at >= 1e7 / < 1e-3 — and '1.0E7' has no SIGNED exponent, so
+    // pyyaml's float resolver ([eE][-+][0-9]+) reads it as a STRING.
+    // Southern-hemisphere UTM northings (proj_maxy ~ 1e7 m) hit this
+    // for real. %f never goes scientific; trim trailing zeros but keep
+    // one decimal digit so the value still resolves as a float.
+    // 9 dp covers coordinate precision (nm-scale in degrees).
+    def dec(c: Column): Column =
+      regexp_replace(
+        regexp_replace(format_string("%.9f", c.cast("double")), "0+$", ""),
+        "\\.$", ".0")
     val bandsFor: Seq[(String, Int, String)] => Column = layers =>
       concat(layers.sortBy(_._1).map { case (bname, layer, pathCol) =>
         format_string(s"    $bname:\n      layer: $layer\n      path: %s\n",
@@ -329,25 +341,25 @@ object ExportImport {
       lit("extent:\n  center_dt: "), sensing, lit("\n"),
       lit("  coord:\n"),
       format_string("    ll:\n      lat: %s\n      lon: %s\n",
-        col("South_Lat"), col("West_Lon")),
+        dec(col("South_Lat")), dec(col("West_Lon"))),
       format_string("    lr:\n      lat: %s\n      lon: %s\n",
-        col("South_Lat"), col("East_Lon")),
+        dec(col("South_Lat")), dec(col("East_Lon"))),
       format_string("    ul:\n      lat: %s\n      lon: %s\n",
-        col("North_Lat"), col("West_Lon")),
+        dec(col("North_Lat")), dec(col("West_Lon"))),
       format_string("    ur:\n      lat: %s\n      lon: %s\n",
-        col("North_Lat"), col("East_Lon")),
+        dec(col("North_Lat")), dec(col("East_Lon"))),
       lit("  from_dt: "), sensing, lit("\n"),
       lit("  to_dt: "), sensing, lit("\n"),
       lit("format:\n  name: GTIFF\n"),
       lit("grid_spatial:\n  projection:\n    geo_ref_points:\n"),
       format_string("      ll:\n        x: %s\n        y: %s\n",
-        col("proj_minx"), col("proj_miny")),
+        dec(col("proj_minx")), dec(col("proj_miny"))),
       format_string("      lr:\n        x: %s\n        y: %s\n",
-        col("proj_maxx"), col("proj_miny")),
+        dec(col("proj_maxx")), dec(col("proj_miny"))),
       format_string("      ul:\n        x: %s\n        y: %s\n",
-        col("proj_minx"), col("proj_maxy")),
+        dec(col("proj_minx")), dec(col("proj_maxy"))),
       format_string("      ur:\n        x: %s\n        y: %s\n",
-        col("proj_maxx"), col("proj_maxy")),
+        dec(col("proj_maxx")), dec(col("proj_maxy"))),
       format_string("    spatial_reference: EPSG:%s\n", col("epsg")),
       lit("id: "), uuid5Url(col("ARDProduct_Path")), lit("\n"),
       lit("image:\n  bands:\n"),

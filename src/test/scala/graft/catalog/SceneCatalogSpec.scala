@@ -200,6 +200,21 @@ class SceneCatalogSpec extends SparkSpec {
     }
   }
 
+  test("normalizeLayerTo4326: fractional/signed coordinate syntax is rewritten whole") {
+    // '.5' and '+3.5' vertices: the round-6 advice case — the old pair
+    // regex required a leading digit, so '.5 50' matched only '5 50'
+    // and left the '.' in place (silently corrupt geometry). Identity
+    // EPSG makes the expected output checkable exactly.
+    val wkt = "POLYGON ((.5 50, +3.5 50.25, 3.5 53, .5 50))"
+    val Seq((_, out)) =
+      SceneCatalog.normalizeLayerTo4326(Seq(("roi", wkt)), 4326)
+    // every vertex fully consumed: values survive (identity) and no
+    // stray '.'/'+' residue precedes the rewritten numbers
+    assert(out === "POLYGON ((0.500000000 50.000000000, " +
+      "3.500000000 50.250000000, 3.500000000 53.000000000, " +
+      "0.500000000 50.000000000))", out)
+  }
+
   test("single-file dump bootstraps a FRESH catalog (import_sensor_db path)") {
     val cat = mkCatalog()
     val dump = Files.createTempDirectory("dump").toString + "/db.json"

@@ -102,9 +102,11 @@ class BlockedPairsSpec extends SparkSpec {
 
   test("q74's star-reduction cap never fires at the gate SFs") {
     // the q74 oracle mirrors the UNguarded within-cell all-pairs; that
-    // is only valid while no cell exceeds bandedCandidatePairs'
-    // bucketCap=512 — observe it with the diagnostic twin at both SFs
-    // (cells average sqrt(n), so the margin is ~10x; this pins it).
+    // is only valid while no cell exceeds the guard's cap. The cap is
+    // now DERIVED — max(512, 8·⌈√n⌉), round-6 advice — so this
+    // observes the diagnostic twin with the same rule at each SF
+    // (expected cell size is √n, so the margin is the 8× skew factor
+    // at any scale; this pins it).
     for (sf <- Seq("0.001", "0.01", "0.1")) {
       val e = emb(s"/root/testdata/sf$sf")
       val nl = e.agg(ceil(sqrt(count(lit(1)))).cast("long").as("nl"))
@@ -112,10 +114,11 @@ class BlockedPairsSpec extends SparkSpec {
         .filter(col("vec_id") < col("nl"))
         .select(col("vec_id").as("cid"), col("v").as("cv"))
       val assigned = V.assignToCentroids(e, cents)
+      val cap = math.max(512L, 8L * nl.head().getLong(0)).toInt
       val fired = ScaleOps.starReducedBuckets(
         assigned.select(col("cluster"), col("vec_id")),
-        Seq("cluster"), "vec_id", bucketCap = 512).count()
-      assert(fired === 0L, s"cap fired at sf$sf — q74 oracle invalid")
+        Seq("cluster"), "vec_id", bucketCap = cap).count()
+      assert(fired === 0L, s"cap $cap fired at sf$sf — q74 oracle invalid")
     }
   }
 

@@ -210,4 +210,39 @@ class ExportImportSpec extends SparkSpec {
     assert(docs(2L).contains("    blue:\n      layer: 1\n"))
     assert(!docs(2L).contains("coastal"))
   }
+
+  test("datacubeYamlDocs: numerics stay plain-decimal (no scientific notation)") {
+    import org.apache.spark.sql.functions._
+    import java.sql.Timestamp
+    // Southern-hemisphere UTM northing (1e7 m) is the real-world value
+    // that Java's Double.toString renders as '1.0E7' — pyyaml's float
+    // resolver requires a SIGNED exponent, so that parses as a STRING
+    // and the document diverges from the reference dump (round-6
+    // advice). Sub-milli lat exercises the small end of %s's switch.
+    val rows = Seq(
+      (9L, "S2A_S", "SENTINEL2A", "MSI",
+        Timestamp.valueOf("2020-04-01 10:30:00"),
+        Option(Timestamp.valueOf("2020-04-02 01:02:03")),
+        true, false, -33.25, -34.0, 19.125, 0.0001,
+        "/data/ard/S2A_scene_s", "/d/a.tif", "/d/b.tif", "/d/c.tif",
+        32734, 250000.0, 410000.0, 6230000.0, 10000000.0))
+      .toDF("PID", "Scene_ID", "Spacecraft_ID", "Sensor_ID",
+        "Sensing_Time", "ARDProduct_End_Date", "ARDProduct", "DCLoaded",
+        "North_Lat", "South_Lat", "East_Lon", "West_Lon",
+        "ARDProduct_Path", "img_path", "cmsk_path", "vmsk_path",
+        "epsg", "proj_minx", "proj_maxx", "proj_miny", "proj_maxy")
+    val y = ExportImport.datacubeYamlDocs(rows)
+      .collect().map(r => r.getString(1)).head
+    assert(y.contains("y: 10000000.0\n"), y.linesIterator
+      .filter(_.contains("y:")).mkString("|"))
+    assert(y.contains("lon: 0.0001\n"))
+    assert(y.contains("lat: -34.0\n"))
+    // every coordinate line is plain-decimal (the uuid's hex can
+    // legitimately contain 'e7', so scan only the numeric lines)
+    val numLines = y.linesIterator.filter(l =>
+      Seq("x:", "y:", "lat:", "lon:").exists(k => l.trim.startsWith(k))).toSeq
+    assert(numLines.nonEmpty &&
+      numLines.forall(l => !l.toUpperCase.contains("E")),
+      s"scientific notation leaked into YAML numerics: $numLines")
+  }
 }
