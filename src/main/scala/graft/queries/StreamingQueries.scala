@@ -81,6 +81,112 @@ object StreamingQueries {
     s.read.parquet(s"$base/out")
   }
 
+  /** Multi-batch drain — the CROSS-BATCH twin of [[runOnce]] (round-6
+    * verdict item 1: the Trigger.Once harness never exercises state
+    * carried ACROSS micro-batches, the thing `flatMapGroupsWithState`
+    * exists for). The input is split into `batches` CONTIGUOUS
+    * event-time slices (sorted by `orderCols`), each staged as ONE
+    * parquet file with strictly increasing modification times, and the
+    * stream drains under `Trigger.AvailableNow` with
+    * `maxFilesPerTrigger=1` — so the file source admits exactly one
+    * slice per micro-batch, oldest first, and keyed state / the dedup
+    * store / watermarks must SURVIVE from batch to batch for the
+    * result to come out right.
+    *
+    * Determinism contract, extended from [[runOnce]]:
+    *  - slices are contiguous in `orderCols` order, so anything a
+    *    later event depends on (a dimension version, a first
+    *    occurrence) is drained in the same or an earlier batch — the
+    *    cross-batch disorder the operators explicitly do NOT
+    *    retro-correct never occurs;
+    *  - per-batch emitters (flatMapGroupsWithState emits one
+    *    consolidated row per touched key per batch) emit one row per
+    *    key PER TOUCHED BATCH here; callers that want only the final
+    *    state consolidate with max_by over a monotonic field
+    *    (n_events) — order-independent, so the result is
+    *    batch-count-invariant;
+    *  - the run FAILS LOUDLY if fewer than `batches` non-empty
+    *    micro-batches were observed in the progress log: a silent
+    *    fall-back to one batch would gate nothing.
+    *
+    * The global-window ntile sort is staging machinery (drives the
+    * slicing of a finite replay corpus), not operator cost — a real
+    * deployment's batches arrive pre-sliced by time.
+    */
+  private[graft] def runMultiBatch(s: SparkSession, tag: String,
+                                   input: DataFrame,
+                                   build: DataFrame => DataFrame,
+                                   orderCols: Seq[org.apache.spark.sql.Column],
+                                   batches: Int = 3,
+                                   mode: String = "append"): DataFrame =
+    runMultiBatchCounted(s, tag, input, build, orderCols, batches, mode)._1
+
+  /** [[runMultiBatch]] exposing the observed micro-batch count (spec
+    * hook — MultiBatchStreamingSpec pins that the drain really ran
+    * `batches` separate batches, not one big one).
+    */
+  private[graft] def runMultiBatchCounted(s: SparkSession, tag: String,
+                                          input: DataFrame,
+                                          build: DataFrame => DataFrame,
+                                          orderCols: Seq[org.apache.spark.sql.Column],
+                                          batches: Int = 3,
+                                          mode: String = "append"): (DataFrame, Int) = {
+    import org.apache.spark.sql.expressions.Window
+    require(batches >= 2,
+      s"runMultiBatch($tag): need >= 2 batches to exercise cross-batch " +
+        s"state, got $batches — use runOnce for the single-batch form")
+    val uid = java.util.UUID.randomUUID().toString.take(8)
+    val base = s"${Tables.scratchBase}/graft_${tag}_" +
+      s"${s.sparkContext.applicationId}/$uid"
+    val sink = s"${tag}_$uid"
+    val inDir = java.nio.file.Paths.get(s"$base/in")
+    java.nio.file.Files.createDirectories(inDir)
+    val chunked = input.withColumn("__b",
+      ntile(batches).over(Window.orderBy(orderCols: _*)) - 1)
+    for (b <- 0 until batches) {
+      val tmp = s"$base/stage_$b"
+      chunked.filter(col("__b") === b).drop("__b")
+        .coalesce(1).write.parquet(tmp)
+      val part = {
+        val walk = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+        try walk.filter(p => p.getFileName.toString.startsWith("part-") &&
+            p.getFileName.toString.endsWith(".parquet"))
+          .findFirst().orElseThrow(() => new IllegalStateException(
+            s"runMultiBatch($tag): no part file staged for batch $b"))
+        finally walk.close()
+      }
+      val target = inDir.resolve(f"batch$b%03d.parquet")
+      java.nio.file.Files.move(part, target)
+      deleteRec(java.nio.file.Paths.get(tmp))
+      // strictly increasing mtimes: the file source admits oldest
+      // first (latestFirst=false default), so slice order == batch
+      // order deterministically, independent of staging wall-clock
+      java.nio.file.Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(1600000000000L + b * 60000L))
+    }
+    val stream = s.readStream.schema(input.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$base/in")
+    val q = build(stream).writeStream
+      .format("memory").queryName(sink)
+      .outputMode(mode)
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val observed = q.recentProgress.count(_.numInputRows > 0)
+    require(observed >= batches,
+      s"runMultiBatch($tag): expected >= $batches non-empty " +
+        s"micro-batches, progress log shows $observed — the cross-batch " +
+        "contract was not exercised")
+    s.table(sink).write.mode("overwrite").parquet(s"$base/out")
+    s.catalog.dropTempView(sink)
+    deleteRec(java.nio.file.Paths.get(s"$base/in"))
+    deleteRec(java.nio.file.Paths.get(s"$base/ckpt"))
+    registerDeleteOnExit(java.nio.file.Paths.get(base))
+    (s.read.parquet(s"$base/out"), observed)
+  }
+
   /** Register `p` and everything under it for deletion at JVM exit
     * (scratch reclamation for outputs that must stay readable for the
     * rest of the session). Walk stream closed, as in [[deleteRec]].
@@ -105,6 +211,50 @@ object StreamingQueries {
     }
   }
 
+  /** q91/q98 shared input: dimension updates (per-user latest order
+    * per day) and fact events unioned into ONE merged as-of stream.
+    */
+  private def asofInput(s: SparkSession, dir: String): DataFrame = {
+    val facts = t(s, dir, "events")
+      .select(col("user_id").as("key"), col("ts"),
+        lit(1).as("side"), lit(null).cast("string").as("payload"),
+        col("event_id"))
+    val dims = t(s, dir, "orders")
+      .groupBy(col("o_custkey").as("key"),
+        col("o_orderdate").cast("timestamp").as("ts"))
+      .agg(max("o_orderkey").as("k"))
+      .select(col("key"), col("ts"), lit(0).as("side"),
+        col("k").cast("string").as("payload"),
+        lit(-1L).as("event_id"))
+    facts.unionByName(dims)
+  }
+
+  /** q92/q97 shared input: step events derived deterministically from
+    * orders (q49's device) — every scene downloads; half build ARD a
+    * day later; a quarter load the datacube a day after that.
+    * Selectors divide by 10 FIRST: every key in `base` is already
+    * ≡0 (mod 10), so a plain %2/%4 would be vacuous and the
+    * partial-progress state (downloaded without ard) — the state the
+    * machine exists to consolidate — would occur for no scene.
+    */
+  private def stepEvents(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        col("o_orderdate").cast("timestamp").as("t0"))
+      .filter(col("o_orderkey") % 10 === 0) // bounded key space
+    val dl = base.select(concat(lit("S"), col("o_orderkey")).as("scene_id"),
+      lit("download").as("step"), col("t0").as("ts"))
+    val ard = base.filter((col("o_orderkey") / 10).cast("long") % 2 === 0)
+      .select(concat(lit("S"), col("o_orderkey")).as("scene_id"),
+        lit("ard").as("step"),
+        (col("t0") + expr("INTERVAL 1 DAY")).as("ts"))
+    val dc = base.filter((col("o_orderkey") / 10).cast("long") % 4 === 0)
+      .select(concat(lit("S"), col("o_orderkey")).as("scene_id"),
+        lit("dcload").as("step"),
+        (col("t0") + expr("INTERVAL 2 DAY")).as("ts"))
+    dl.unionByName(ard).unionByName(dc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Streaming as-of enrichment (the continuous twin of q62, same
@@ -114,19 +264,7 @@ object StreamingQueries {
     // each fact with the version in force at its event time.
     "q91_streaming_asof" -> { (s, dir) =>
       import s.implicits._
-      val facts = t(s, dir, "events")
-        .select(col("user_id").as("key"), col("ts"),
-          lit(1).as("side"), lit(null).cast("string").as("payload"),
-          col("event_id"))
-      val dims = t(s, dir, "orders")
-        .groupBy(col("o_custkey").as("key"),
-          col("o_orderdate").cast("timestamp").as("ts"))
-        .agg(max("o_orderkey").as("k"))
-        .select(col("key"), col("ts"), lit(0).as("side"),
-          col("k").cast("string").as("payload"),
-          lit(-1L).as("event_id"))
-      val input = facts.unionByName(dims)
-      runOnce(s, "q91", input, in =>
+      runOnce(s, "q91", asofInput(s, dir), in =>
         StreamOps.streamingAsofEnrich(in.as[StreamOps.AsofInput],
             lateness = "36500 days", retainVersions = 8,
             idleGapMs = Long.MaxValue / 4).toDF())
@@ -144,26 +282,7 @@ object StreamingQueries {
     // datacube a day after that.
     "q92_streaming_state_machine" -> { (s, dir) =>
       import s.implicits._
-      val base = t(s, dir, "orders")
-        .select(col("o_orderkey"),
-          col("o_orderdate").cast("timestamp").as("t0"))
-        .filter(col("o_orderkey") % 10 === 0) // bounded key space
-      // selectors divide by 10 FIRST: every key in `base` is already
-      // ≡0 (mod 10), so a plain %2/%4 would be vacuous and the
-      // partial-progress state (downloaded without ard) — the state
-      // the machine exists to consolidate — would occur for no scene
-      val dl = base.select(concat(lit("S"), col("o_orderkey")).as("scene_id"),
-        lit("download").as("step"), col("t0").as("ts"))
-      val ard = base.filter((col("o_orderkey") / 10).cast("long") % 2 === 0)
-        .select(concat(lit("S"), col("o_orderkey")).as("scene_id"),
-          lit("ard").as("step"),
-          (col("t0") + expr("INTERVAL 1 DAY")).as("ts"))
-      val dc = base.filter((col("o_orderkey") / 10).cast("long") % 4 === 0)
-        .select(concat(lit("S"), col("o_orderkey")).as("scene_id"),
-          lit("dcload").as("step"),
-          (col("t0") + expr("INTERVAL 2 DAY")).as("ts"))
-      val input = dl.unionByName(ard).unionByName(dc)
-      runOnce(s, "q92", input, in =>
+      runOnce(s, "q92", stepEvents(s, dir), in =>
         StreamOps.sceneStateMachine(in.as[StreamOps.StepEvent],
             lateness = "36500 days", idleGapMs = Long.MaxValue / 4).toDF())
         .select(col("scene_id"), col("downloaded"), col("ard"),
@@ -203,6 +322,73 @@ object StreamingQueries {
           Seq(col("event_type"))), mode = "complete")
         .select(col("obs_date"), col("event_type"), col("n_events"))
         .orderBy("obs_date", "event_type")
+    },
+
+    // ---- CROSS-BATCH gates (round-6 verdict item 1): the same
+    // operators as q91/q92/q94, drained over >= 3 micro-batches with
+    // maxFilesPerTrigger=1 — keyed custom state, the as-of version
+    // history, and the dedup store must all SURVIVE batch boundaries
+    // (checkpointed state store reload) for these rows to hash-match
+    // their batch-semantics oracles. ----
+
+    // State machine across batches: a scene's download/ard/dcload
+    // steps land in DIFFERENT time-slices (they are 1 day apart, and
+    // slices are event-time-contiguous), so its consolidated row can
+    // only be right if the state from earlier batches is still there.
+    // flatMapGroupsWithState emits one row per touched key PER BATCH;
+    // n_events is strictly monotone per key, so max_by(·, n_events)
+    // picks the FINAL state — batch-count-invariant by construction.
+    "q97_multibatch_state_machine" -> { (s, dir) =>
+      import s.implicits._
+      val out = runMultiBatch(s, "q97", stepEvents(s, dir), in =>
+        StreamOps.sceneStateMachine(in.as[StreamOps.StepEvent],
+            lateness = "36500 days", idleGapMs = Long.MaxValue / 4).toDF(),
+        orderCols = Seq(col("ts"), col("scene_id"), col("step")))
+      out.groupBy("scene_id")
+        .agg(max_by(struct(col("downloaded"), col("ard"), col("dcloaded"),
+          col("last_ts"), col("n_events")), col("n_events")).as("fin"))
+        .select(col("scene_id"), col("fin.downloaded").as("downloaded"),
+          col("fin.ard").as("ard"), col("fin.dcloaded").as("dcloaded"),
+          col("fin.last_ts").as("last_ts"), col("fin.n_events").as("n_events"))
+        .orderBy("scene_id")
+    },
+
+    // As-of enrichment across batches: dimension versions installed in
+    // batch b must still be in the per-key version state when facts
+    // arrive in batch b+2. Slices sort by (ts, side) — dims before
+    // facts at equal ts — so the determinism contract's "no
+    // cross-batch disorder" precondition holds by construction; every
+    // fact emits exactly once (in its arrival batch), so the union of
+    // batch outputs IS the batch-semantics answer, no consolidation.
+    "q98_multibatch_asof" -> { (s, dir) =>
+      import s.implicits._
+      runMultiBatch(s, "q98", asofInput(s, dir), in =>
+        StreamOps.streamingAsofEnrich(in.as[StreamOps.AsofInput],
+            lateness = "36500 days", retainVersions = 8,
+            idleGapMs = Long.MaxValue / 4).toDF(),
+        orderCols = Seq(col("ts"), col("side"), col("event_id")))
+        .select(col("event_id"), col("key").as("user_id"),
+          col("asof_payload").cast("long").as("as_of_orderkey"),
+          to_date(col("asof_ts")).as("as_of_date"))
+        .orderBy("event_id")
+    },
+
+    // Dedup across batches: the corpus plus a full replayed copy
+    // (replica ts = original + ~11.6 days), sliced by ts — so most
+    // replicas arrive BATCHES after their originals and are only
+    // dropped if the content-hash state store survived the boundary.
+    // 2n rows in, n hashes out, like q94.
+    "q99_multibatch_dedup" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val input = docs.unionByName(
+          docs.withColumn("doc_id", col("doc_id") + 1000000L))
+        .withColumn("ts", expr(
+          "timestampadd(SECOND, doc_id, TIMESTAMP'2024-01-01 00:00:00')"))
+      runMultiBatch(s, "q99", input, in =>
+        StreamOps.streamingDedup(in, "text", "ts", "36500 days"),
+        orderCols = Seq(col("ts"), col("doc_id")))
+        .select(md5(col("text")).as("content_hash"))
+        .orderBy("content_hash")
     }
   )
 
@@ -250,6 +436,45 @@ object StreamingQueries {
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS obs_date,
         |  event_type, CAST(count(*) AS BIGINT) AS n_events
         |FROM events GROUP BY obs_date, event_type
-        |ORDER BY obs_date, event_type""".stripMargin
+        |ORDER BY obs_date, event_type""".stripMargin,
+
+    // the cross-batch rows state BATCH semantics — the same oracles as
+    // their single-batch twins; the multi-batch drain must reproduce
+    // them exactly for the state-survival contract to hold
+    "q97_multibatch_state_machine" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderdate::TIMESTAMP AS t0
+        |  FROM orders WHERE o_orderkey % 10 = 0),
+        |ev AS (
+        |  SELECT 'S' || k AS scene_id, 'download' AS step, t0 AS ts
+        |  FROM base
+        |  UNION ALL
+        |  SELECT 'S' || k, 'ard', t0 + INTERVAL 1 DAY FROM base
+        |  WHERE (k / 10)::BIGINT % 2 = 0
+        |  UNION ALL
+        |  SELECT 'S' || k, 'dcload', t0 + INTERVAL 2 DAY FROM base
+        |  WHERE (k / 10)::BIGINT % 4 = 0)
+        |SELECT scene_id,
+        |  bool_or(step = 'download') AS downloaded,
+        |  bool_or(step = 'ard') AS ard,
+        |  bool_or(step = 'dcload') AS dcloaded,
+        |  max(ts) AS last_ts,
+        |  CAST(count(*) AS INT) AS n_events
+        |FROM ev GROUP BY scene_id ORDER BY scene_id""".stripMargin,
+
+    "q98_multibatch_asof" ->
+      """WITH o AS (
+        |  SELECT o_custkey AS user_id, o_orderdate AS t,
+        |         max(o_orderkey) AS as_of_orderkey
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, o.as_of_orderkey,
+        |       CAST(o.t AS DATE) AS as_of_date
+        |FROM events e ASOF LEFT JOIN o
+        |  ON e.user_id = o.user_id AND e.ts >= o.t
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q99_multibatch_dedup" ->
+      """SELECT DISTINCT md5(text) AS content_hash FROM documents
+        |ORDER BY content_hash""".stripMargin
   )
 }

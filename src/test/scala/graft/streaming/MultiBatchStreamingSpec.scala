@@ -1,0 +1,92 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.queries.StreamingQueries
+
+/** The cross-batch streaming harness (round-6 verdict item 1):
+  * [[StreamingQueries.runMultiBatchCounted]] must (a) really drain the
+  * input in the requested number of SEPARATE micro-batches — one
+  * staged file per trigger — and (b) produce the batch-semantics
+  * result anyway, which is only possible if keyed state / the dedup
+  * store survive each batch boundary through the checkpointed state
+  * store. The q97/q98/q99 CORRECTNESS rows gate the same property at
+  * sf scale against DuckDB; this pins the harness mechanics (batch
+  * count, slice ordering, final-state consolidation) on inputs small
+  * enough to reason about by hand.
+  */
+class MultiBatchStreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(day: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-$day%02d 00:00:00")
+
+  test("state machine folds across 3 micro-batches (state survives boundaries)") {
+    // scene A steps on days 1/2/3 — each lands in a DIFFERENT
+    // event-time slice, so A's final row is only right if batch 2 and
+    // 3 fold onto state retained from batch 1. B/C pad the slices.
+    val events = Seq(
+      ("A", "download", ts(1)), ("B", "download", ts(1)),
+      ("A", "ard", ts(2)), ("C", "download", ts(2)),
+      ("A", "dcload", ts(3)), ("B", "ard", ts(3)))
+      .toDF("scene_id", "step", "ts")
+    val (out, nBatches) = StreamingQueries.runMultiBatchCounted(
+      spark, "mbspec_sm", events,
+      in => StreamOps.sceneStateMachine(in.as[StreamOps.StepEvent],
+        lateness = "36500 days", idleGapMs = Long.MaxValue / 4).toDF(),
+      orderCols = Seq(col("ts"), col("scene_id"), col("step")),
+      batches = 3)
+    assert(nBatches >= 3, s"drained in $nBatches batches, wanted >= 3")
+    // one row per touched key PER BATCH: A appears 3x, B 2x, C 1x
+    assert(out.count() === 6)
+    val fin = out.groupBy("scene_id")
+      .agg(max_by(struct(col("downloaded"), col("ard"), col("dcloaded"),
+        col("n_events")), col("n_events")).as("f"))
+      .select(col("scene_id"), col("f.downloaded"), col("f.ard"),
+        col("f.dcloaded"), col("f.n_events"))
+      .as[(String, Boolean, Boolean, Boolean, Int)]
+      .collect().sortBy(_._1).toSeq
+    assert(fin === Seq(
+      ("A", true, true, true, 3),
+      ("B", true, true, false, 2),
+      ("C", true, false, false, 1)))
+  }
+
+  test("dedup store survives batch boundaries (replica dropped 2 slices later)") {
+    // content X at day 1 and its replay at day 3: the original drains
+    // in batch 1, the replica in batch 3 — it is only dropped if the
+    // content-hash state survived two boundaries. Y/Z fill the middle
+    // slice so the replay genuinely sits 2 batches later.
+    val rows = Seq(
+      (1L, "X", ts(1)), (2L, "Y", ts(1)),
+      (3L, "Z", ts(2)), (4L, "Y", ts(2)),
+      (5L, "X", ts(3)), (6L, "W", ts(3)))
+      .toDF("id", "text", "ts")
+    val (out, nBatches) = StreamingQueries.runMultiBatchCounted(
+      spark, "mbspec_dd", rows,
+      in => StreamOps.streamingDedup(in, "text", "ts", "36500 days"),
+      orderCols = Seq(col("ts"), col("id")),
+      batches = 3)
+    assert(nBatches >= 3)
+    val survivors = out.select("text").as[String].collect().sorted.toSeq
+    assert(survivors === Seq("W", "X", "Y", "Z"))
+    // the surviving X/Y are the FIRST arrivals (streaming keeps the
+    // row already admitted; later replicas hit existing state)
+    val ids = out.select("id").as[Long].collect().toSet
+    assert(ids.contains(1L) && ids.contains(2L) &&
+      !ids.contains(5L) && !ids.contains(4L))
+  }
+
+  test("runMultiBatch fails loudly when asked for fewer than 2 batches") {
+    val rows = Seq((1L, "X", ts(1))).toDF("id", "text", "ts")
+    intercept[IllegalArgumentException] {
+      StreamingQueries.runMultiBatchCounted(
+        spark, "mbspec_bad", rows,
+        in => StreamOps.streamingDedup(in, "text", "ts", "36500 days"),
+        orderCols = Seq(col("ts")), batches = 1)
+    }
+  }
+}
