@@ -114,6 +114,23 @@ object VectorQueries {
         .select(col("vec_id"), col("cos"))
     },
 
+    // kmeansFit-trained centroids END-TO-END under the driver gate
+    // (round-6 verdict item 2: the trained path was spec-only — q35/
+    // q76 run deterministic stand-in centroids so their full-pipeline
+    // DuckDB mirrors stay SQL-expressible). The oracle device is
+    // q46's: k-means itself is not SQL-expressible, but a FULL-probe
+    // IVF (nprobe = nlist) is EXACT by construction — every cluster is
+    // probed, so the top-k equals brute force NO MATTER where training
+    // put the centroids — and the exact top-10 IS expressible. Any
+    // regression in kmeansFit that breaks the assignment contract
+    // (k-row centroid table, total assignment, rounding convention)
+    // now fails this hash gate, not just BlockedPairsSpec.
+    "q100_ann_ivf_trained" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val cents = V.kmeansFit(e, k = 16, iters = 3)
+      V.ivfProbeTopK(e, cents, queryVecId = 0, nprobe = 16, k = 10)
+    },
+
     // Embedding-cosine near-dup DEDUP: threshold pairs → connected
     // components → one group per near-dup cluster (the embedding twin
     // of q55's text groups). The pair stage is the PRODUCTION blocked
@@ -327,6 +344,19 @@ object VectorQueries {
         |FROM assigned a JOIN probed USING (cluster), q
         |WHERE a.vec_id <> 0
         |ORDER BY round(list_cosine_similarity(a.v, q.qv), 6) DESC, a.vec_id
+        |LIMIT 10""".stripMargin,
+
+    // Exact top-10: full-probe IVF visits every cluster, so whatever
+    // kmeansFit trained, the answer must equal brute force — the
+    // trained path's end-to-end gate (see q100's header).
+    "q100_ann_ivf_trained" ->
+      """SELECT vec_id,
+        |  round(list_cosine_similarity(embedding::DOUBLE[], q.qv), 6) AS cos
+        |FROM embeddings,
+        |  (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) q
+        |WHERE vec_id <> 0
+        |ORDER BY round(list_cosine_similarity(embedding::DOUBLE[], q.qv), 6)
+        |  DESC, vec_id
         |LIMIT 10""".stripMargin,
 
     // Exact top-10 — a stronger-than-mirror oracle: the wide-OR banding
