@@ -206,6 +206,29 @@ object GeoQueries {
         .orderBy("c_custkey")
     },
 
+    // The DISTRIBUTED footprint export under the driver gate (round-6
+    // verdict item 5; q56's single-file twin): the same footprints go
+    // out through exportGeoJsonSharded — part-file GeoJSONSeq shards,
+    // manifest published last — and come back through
+    // importGeoJsonSharded (manifest-checked, ring → bbox). The oracle
+    // recomputes the footprints directly, so a transposed ring, a
+    // dropped shard, or a manifest/shard count drift all fail the
+    // hash. No driver funnel anywhere: this is the path a 100 TB
+    // catalog's layer export takes.
+    "q101_geojson_sharded" -> { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val fp = footprints(s, dir)
+      val out = s"${Tables.scratchBase}/graft_q101_" +
+        s"${s.sparkContext.applicationId}/export"
+      graft.sources.ExportImport.exportGeoJsonSharded(fp, out,
+        props = Seq("c_custkey"),
+        north = "north", south = "south", east = "east", west = "west")
+      graft.sources.ExportImport.importGeoJsonSharded(s, out,
+          StructType(Seq(StructField("c_custkey", LongType))),
+          north = "north", south = "south", east = "east", west = "west")
+        .orderBy("c_custkey")
+    },
+
     // J3: ROI→tile-list LUT (SceneCatalog.tilesForRoi; findSensorROI,
     // eodatadownutils.py:1735-1794). Footprints carry a WRS-like
     // (path, row) grid id; per ROI polygon, the sorted distinct tile
@@ -394,6 +417,16 @@ object GeoQueries {
         |SELECT c_custkey, north, south, east, west,
         |  CAST(5 AS INT) AS n_points, true AS ring_closed
         |FROM fp ORDER BY c_custkey""".stripMargin,
+
+    // Same recomputation as q56's oracle — the sharded writer must
+    // reproduce the footprints THROUGH the part-file format + manifest.
+    "q101_geojson_sharded" ->
+      """SELECT c_custkey,
+        |  CAST(c_custkey % 160 - 80 + 1 + c_custkey % 7 AS DOUBLE) AS north,
+        |  CAST(c_custkey % 160 - 80 AS DOUBLE) AS south,
+        |  CAST((c_custkey * 7) % 340 - 170 + 1 + c_custkey % 11 AS DOUBLE) AS east,
+        |  CAST((c_custkey * 7) % 340 - 170 AS DOUBLE) AS west
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     // Same closed-form exact intersections as q47 (SAT / rect-union),
     // aggregated to per-ROI distinct sorted tile lists; the rois LEFT

@@ -39,14 +39,16 @@ object ExportImport {
     * scanning the full table it is trying to protect against.
     */
   private def requireSingleFileScale(df: DataFrame, maxRows: Long,
-                                     api: String): Unit = {
+                                     api: String,
+                                     alt: String =
+                                       "ExportImport.exportJson (distributed part-files)"): Unit = {
     require(maxRows > 0, s"$api: maxRows must be positive, got $maxRows")
     val probe = df.limit((maxRows + 1).min(Int.MaxValue.toLong).toInt).count()
     if (probe > maxRows)
       throw new IllegalArgumentException(
         s"$api is a single-file, driver-streamed interchange path " +
           s"(metadata-table scale): input exceeds $maxRows rows. " +
-          s"Use ExportImport.exportJson (distributed part-files) for " +
+          s"Use $alt for " +
           s"large tables, or raise maxRows explicitly if the driver " +
           s"can really hold/stream this output.")
   }
@@ -134,6 +136,23 @@ object ExportImport {
     * limitation); wrap-crossing scenes must be cut first with
     * `bboxCutWrap`/`bboxSplitWrap` (C9) so each part is a plain ring.
     */
+  /** One GeoJSON Feature per row as a codegen'd JSON string column —
+    * shared by the single-file collection writer and the sharded
+    * exporter so the feature shape can never drift between them.
+    */
+  private def featureCol(props: Seq[String], north: String, south: String,
+                         east: String, west: String): Column = {
+    val ring = array(
+      array(col(west), col(south)), array(col(east), col(south)),
+      array(col(east), col(north)), array(col(west), col(north)),
+      array(col(west), col(south)))
+    to_json(struct(
+      lit("Feature").as("type"),
+      struct(lit("Polygon").as("type"),
+        array(ring).as("coordinates")).as("geometry"),
+      struct(props.map(col): _*).as("properties")), keepNulls.asJava)
+  }
+
   def exportGeoJson(df: DataFrame, path: String, props: Seq[String],
                     north: String = "North_Lat", south: String = "South_Lat",
                     east: String = "East_Lon", west: String = "West_Lon",
@@ -142,16 +161,10 @@ object ExportImport {
       "exportGeoJson: props must name at least one attribute column " +
         "(GeoJSON features with empty properties are almost always a " +
         "caller bug — pass the id/PID column at minimum)")
-    requireSingleFileScale(df, maxRows, "exportGeoJson")
-    val ring = array(
-      array(col(west), col(south)), array(col(east), col(south)),
-      array(col(east), col(north)), array(col(west), col(north)),
-      array(col(west), col(south)))
-    val feature = to_json(struct(
-      lit("Feature").as("type"),
-      struct(lit("Polygon").as("type"),
-        array(ring).as("coordinates")).as("geometry"),
-      struct(props.map(col): _*).as("properties")), keepNulls.asJava)
+    requireSingleFileScale(df, maxRows, "exportGeoJson",
+      alt = "ExportImport.exportGeoJsonSharded (distributed " +
+        "GeoJSONSeq part-files + manifest)")
+    val feature = featureCol(props, north, south, east, west)
     val p = Paths.get(path)
     Option(p.getParent).foreach(Files.createDirectories(_))
     val w = Files.newBufferedWriter(p, UTF_8)
@@ -166,6 +179,129 @@ object ExportImport {
       }
       w.write("\n]}\n")
     } finally w.close()
+  }
+
+  /** Distributed footprint export — the beyond-guard path for
+    * [[exportGeoJson]] (round-6 verdict item 5: the single-file
+    * FeatureCollection streams through one driver thread and is capped
+    * at [[DefaultSingleFileMaxRows]]; a catalog past that must not
+    * funnel through the driver at all).
+    *
+    * Layout under `dir`:
+    * {{{
+    *   shards/part-*.txt   one GeoJSON Feature per line — each shard is
+    *                       a valid RFC 8142 GeoJSON Text Sequence, so
+    *                       GDAL/ogr2ogr read every part directly
+    *                       (driver GeoJSONSeq) and `ogr2ogr out.gpkg
+    *                       shards/part-xxx.txt` completes the
+    *                       reference's GPKG container app-layer step
+    *                       per shard
+    *   manifest.json       written LAST (CowTable's publish-after-write
+    *                       discipline): shard list (sorted), feature
+    *                       count, props, CRS. A dir without a manifest
+    *                       is an unpublished/aborted export and
+    *                       [[importGeoJsonSharded]] refuses it.
+    * }}}
+    *
+    * Feature rows serialize DISTRIBUTED (the same codegen'd
+    * [[featureCol]] as the single-file path — no driver funnel, no row
+    * cap); only the manifest write and a shard listing touch the
+    * driver. Same antimeridian contract as [[exportGeoJson]]: bboxes
+    * must not cross the wrap (cut with bboxCutWrap/bboxSplitWrap
+    * first).
+    *
+    * @return number of features written (read back from the shards —
+    *         the count doubles as a write verification)
+    */
+  def exportGeoJsonSharded(df: DataFrame, dir: String, props: Seq[String],
+                           north: String = "North_Lat",
+                           south: String = "South_Lat",
+                           east: String = "East_Lon",
+                           west: String = "West_Lon"): Long = {
+    require(props.nonEmpty,
+      "exportGeoJsonSharded: props must name at least one attribute " +
+        "column (pass the id/PID column at minimum)")
+    val spark = df.sparkSession
+    isoStringified(df)
+      .select(featureCol(props, north, south, east, west).as("value"))
+      .write.mode("overwrite").text(s"$dir/shards")
+    val shardDir = Paths.get(dir, "shards")
+    val shards = {
+      val ls = Files.list(shardDir)
+      try ls.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.startsWith("part-") && !n.endsWith(".crc"))
+        .toSeq.sorted
+      finally ls.close()
+    }
+    require(shards.nonEmpty,
+      s"exportGeoJsonSharded: no shard files written under $dir/shards")
+    // read-back count: verifies the written shards parse as lines AND
+    // gives the manifest an independently-checked feature count
+    val n = spark.read.text(s"$dir/shards").count()
+    val mapper = new ObjectMapper()
+    val manifest = mapper.createObjectNode()
+    manifest.put("format", "GeoJSONSeq shards (RFC 8142 per part-file)")
+    manifest.put("crs", "EPSG:4326")
+    manifest.put("n_features", n)
+    val arr = manifest.putArray("shards")
+    shards.foreach(s => arr.add(s"shards/$s"))
+    val parr = manifest.putArray("properties")
+    props.foreach(parr.add)
+    // manifest LAST — publishing the export atomically after all data
+    // is on disk, so a crashed writer can never leave a readable-
+    // looking half-export
+    Files.writeString(Paths.get(dir, "manifest.json"),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(manifest))
+    n
+  }
+
+  /** Read a sharded footprint export back as a DataFrame: one row per
+    * feature with the property columns (typed by `propsSchema`) plus
+    * the bbox columns reconstructed from the polygon ring. Refuses a
+    * directory without `manifest.json` (an aborted export must fail
+    * loudly, not half-load) and fails if the shard row count diverges
+    * from the manifest's `n_features`.
+    */
+  def importGeoJsonSharded(spark: SparkSession, dir: String,
+                           propsSchema: StructType,
+                           north: String = "North_Lat",
+                           south: String = "South_Lat",
+                           east: String = "East_Lon",
+                           west: String = "West_Lon"): DataFrame = {
+    val mPath = Paths.get(dir, "manifest.json")
+    require(Files.exists(mPath),
+      s"importGeoJsonSharded: $dir has no manifest.json — the export " +
+        "was never published (crashed or still writing); refusing to " +
+        "read bare shards")
+    val mapper = new ObjectMapper()
+    val manifest = mapper.readTree(Files.readString(mPath))
+    val expected = manifest.get("n_features").asLong()
+    val featSchema = StructType(Seq(
+      org.apache.spark.sql.types.StructField("type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("geometry", StructType(Seq(
+        org.apache.spark.sql.types.StructField("type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("coordinates",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.DoubleType))))))),
+      org.apache.spark.sql.types.StructField("properties", propsSchema)))
+    val parsed = spark.read.text(s"$dir/shards")
+      .select(from_json(col("value"), featSchema).as("f"))
+    val actual = parsed.count()
+    require(actual == expected,
+      s"importGeoJsonSharded: manifest says $expected features, shards " +
+        s"hold $actual — export is corrupt or was overwritten")
+    // ring order is fixed by the exporter: (w,s),(e,s),(e,n),(w,n),(w,s)
+    val ring = col("f.geometry.coordinates").getItem(0)
+    parsed.select(
+      (propsSchema.fieldNames.toSeq.map(n => col(s"f.properties.$n").as(n)) ++
+        Seq(ring.getItem(2).getItem(1).as(north),
+          ring.getItem(0).getItem(1).as(south),
+          ring.getItem(1).getItem(0).as(east),
+          ring.getItem(0).getItem(0).as(west))): _*)
   }
 
   def exportJsonSingleFile(scenes: DataFrame, path: String,

@@ -62,6 +62,46 @@ class ExportImportSpec extends SparkSpec {
     assert(feats.get(1).get("properties").get("Cloud_Cover").isNull)
   }
 
+  test("sharded GeoJSON export round-trips; manifest published LAST; bare shards refused") {
+    import org.apache.spark.sql.types._
+    // spread enough rows across partitions that more than one shard is
+    // plausible; values exercise negatives and fractional coords
+    val scenes = (1 to 40).map(i =>
+      (i.toLong, s"S$i", 50.0 + i * 0.1, 48.0 + i * 0.1,
+        2.0 + i * 0.05, -1.0 + i * 0.05))
+      .toDF("PID", "Scene_ID", "North_Lat", "South_Lat",
+        "East_Lon", "West_Lon")
+      .repartition(4)
+    val dir = Files.createTempDirectory("gjs").toString + "/export"
+    val n = ExportImport.exportGeoJsonSharded(scenes, dir,
+      props = Seq("PID", "Scene_ID"))
+    assert(n === 40L)
+    // manifest: published, counts match, shards listed
+    val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, "manifest.json")))
+    assert(m.get("n_features").asLong() === 40L)
+    assert(m.get("shards").size() >= 1)
+    assert(m.get("crs").asText() === "EPSG:4326")
+    // round trip: properties AND the bbox reconstructed from the ring
+    val propsSchema = StructType(Seq(
+      StructField("PID", LongType), StructField("Scene_ID", StringType)))
+    val back = ExportImport.importGeoJsonSharded(spark, dir, propsSchema)
+      .orderBy("PID")
+      .as[(Long, String, Double, Double, Double, Double)]
+      .collect().toSeq
+    val expected = (1 to 40).map(i =>
+      (i.toLong, s"S$i", 50.0 + i * 0.1, 48.0 + i * 0.1,
+        2.0 + i * 0.05, -1.0 + i * 0.05))
+    assert(back === expected)
+    // CoW discipline: a dir with shards but NO manifest (writer died
+    // before publish) must refuse to load, not half-load
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "manifest.json"))
+    intercept[IllegalArgumentException] {
+      ExportImport.importGeoJsonSharded(spark, dir, propsSchema)
+    }
+  }
+
   test("single-file dump: reference shape, null dates, plugin section") {
     import java.sql.{Date, Timestamp}
     import org.apache.spark.sql.functions.col
@@ -116,7 +156,7 @@ class ExportImportSpec extends SparkSpec {
       ExportImport.exportGeoJson(scenes, s"$dir/a.geojson",
         props = Seq("PID"), maxRows = 10)
     }
-    assert(e1.getMessage.contains("exportJson"))
+    assert(e1.getMessage.contains("exportGeoJsonSharded"))
     assert(!Files.exists(java.nio.file.Paths.get(s"$dir/a.geojson")))
     val e2 = intercept[IllegalArgumentException] {
       ExportImport.exportJsonSingleFile(scenes, s"$dir/b.json", maxRows = 10)
