@@ -70,9 +70,11 @@ object TextQueries {
     *         candidate join follows; callers join arrays back by sid
     *         where they actually need them).
     */
-  private[graft] def prefixFilterKey(sets: DataFrame): DataFrame = {
-    val df = sets.select(explode(col("ws")).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("df"))
+  private[graft] def prefixFilterKey(sets: DataFrame): DataFrame =
+    prefixFilterKey(sets, sets.select(explode(col("ws")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df")))
+
+  private def prefixFilterKey(sets: DataFrame, df: DataFrame): DataFrame =
     sets.select(col("sid").as("sid_a"), size(col("ws")).as("sz_a"),
         explode(col("ws")).as("tok"))
       .join(df, "tok")
@@ -81,6 +83,145 @@ object TextQueries {
           md5(concat_ws("|", col("tok"), col("sid_a"))), col("tok")))
         .as("tok"),
         first(col("sz_a")).as("sz_a"))
+
+  /** The DF-FREE block key: each set keyed by the token minimizing a
+    * per-set salted hash — bottom-1 of q80's bottom-k hash device,
+    * salted per set so the choice is effectively a uniform draw from
+    * the set's own tokens. Completeness is the same one-token argument
+    * as [[prefixFilterKey]] (A ⊆ B ⇒ A's chosen token ∈ B, whichever
+    * token that is); what changes is the failure mode. The df-min key
+    * concentrates when one token is the strict-rarest for most sets
+    * AND present in most containers (Ω(hot-block) residual skew, q73's
+    * header); the salted hash key cannot concentrate BY CONSTRUCTION —
+    * a token t is chosen by a set with probability 1/|set|, so block
+    * load is ∝ df(t)/E[|set|] spread across the whole vocab — but it
+    * is df-BLIND, so on Zipfian corpora it generates ~avg-df
+    * candidates where the rarest-df key generates ~min-df. That
+    * crossover (Zipf → prefix-df wins, adversarial/uniform vocab →
+    * hash-min wins) is measured in ContainmentSkewSpec and is what
+    * [[containmentCandidates]]' auto mode probes for.
+    */
+  private[graft] def hashMinKey(sets: DataFrame): DataFrame =
+    sets.select(col("sid").as("sid_a"), size(col("ws")).as("sz_a"),
+        explode(col("ws")).as("tok"))
+      .groupBy("sid_a")
+      .agg(min_by(col("tok"), struct(
+          md5(concat_ws("|", col("tok"), col("sid_a"))), col("tok")))
+        .as("tok"),
+        first(col("sz_a")).as("sz_a"))
+
+  /** Candidate (sid_a, sid_b) pairs for subset containment with a
+    * strategy switch (round-6 verdict item 6). Both strategies are
+    * COMPLETE (the downstream exact verify makes the result identical;
+    * q73 and q102 gate each against the same all-pairs oracle), so the
+    * switch is purely a performance choice:
+    *
+    *  - `prefix-df`: rarest-exact-df token key — near-quadratic
+    *    pruning on Zipfian (organic) corpora; Ω(hot-block) worst case
+    *    on adversarial near-uniform vocabs.
+    *  - `hash-min`: df-free salted hash-min token key — cannot
+    *    concentrate, prunes only ~avg-df.
+    *  - `auto` (default): probes df concentration and picks. The
+    *    probe: if even the globally RAREST token appears in more than
+    *    5% of the distinct sets, df-pruning has nothing to work with
+    *    (every block is fat) and concentration is the dominant risk →
+    *    hash-min; otherwise prefix-df, reusing the probe's df table so
+    *    the probe costs the aggregation prefix-df needed anyway. The
+    *    two probe scalars (min df, set count) are bounded metadata —
+    *    the same threshold-probed-driver-scalar device as the
+    *    union-find short-circuit.
+    *
+    * Join shape is shared: the key side carries (sid, size) longs
+    * only, candidates filter on the ≥2× size band (pairs-first, q73's
+    * header documents why).
+    */
+  private[graft] def containmentCandidates(sets: DataFrame,
+                                           strategy: String = "auto"): DataFrame = {
+    val aKey = strategy match {
+      case "prefix-df" => prefixFilterKey(sets)
+      case "hash-min" => hashMinKey(sets)
+      case "auto" =>
+        // the df table is BOUNDED (one row per vocab token) and feeds
+        // both the probe and — when prefix-df wins — the key-choice
+        // join; localCheckpoint materializes it once so the probe's
+        // extra action costs a scan of the vocab table, not a second
+        // explode+groupBy over the corpus (measured: without this the
+        // probe added ~1 s to q73's 3.7 s steady state at sf0.1)
+        val df = sets.select(explode(col("ws")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("df"))
+          .localCheckpoint()
+        val probe = df.agg(min(col("df")).as("min_df")).head()
+        val nSets = sets.count()
+        if (probe.getLong(0) * 20 > nSets) hashMinKey(sets)
+        else prefixFilterKey(sets, df)
+      case other => throw new IllegalArgumentException(
+        s"containmentCandidates: unknown strategy '$other' " +
+          "(prefix-df | hash-min | auto)")
+    }
+    val bTok = sets.select(col("sid").as("sid_b"),
+      size(col("ws")).as("sz_b"), explode(col("ws")).as("tok"))
+    aKey.join(bTok, "tok")
+      .filter(col("sz_b") >= col("sz_a") * 2)
+      .select("sid_a", "sid_b")
+  }
+
+  /** q73/q102's shared pipeline: distinct-set dedup → candidate
+    * generation (strategy-switched, [[containmentCandidates]]) →
+    * exact array verify → doc-level fan-out.
+    *
+    * Set identity = md5 fingerprint of the canonical array, so the
+    * dedup shuffle and the membership join-back carry a 32-char hash,
+    * never the token arrays (q30's shuffle-longs principle; the
+    * arrays travel only into the verify join that actually needs
+    * them). `d` feeds sets AND members; sets feeds the key choice,
+    * the b-side explode, and both verify join-backs — without
+    * truncation one action recomputes the scan+tokenize+fingerprint
+    * subtree ~5× (profiled: 4.2 s → 2.2 s at sf0.1); both tables are
+    * bounded (docs / distinct sets), the same localCheckpoint device
+    * q55/q82 use between their actions.
+    *
+    * Pairs-first through the skewed join (q30's principle, and the
+    * round-5 degenerate-key fix): the block-token join carries ONLY
+    * (sid, size) longs, so a hot token (this corpus: one token is the
+    * rarest for 67% of sets AND in 71% of containers — 7.3M of 10.4M
+    * candidates in one block) costs cheap row construction, not the
+    * array verify — and the slim key side stays under the broadcast
+    * threshold, so the hot key spreads map-side over the b-side
+    * partitions in the first place (salting was measured and REJECTED
+    * here: ×8 build replication pushes the join out of broadcast
+    * range and costs more than the skew it splits). The candidate
+    * pairs then REPARTITION BY sid_a — a shuffle of longs — so the
+    * expensive array_except verify runs balanced across reducers
+    * instead of riding the token partitioning. Measured at sf0.1:
+    * 4.7-5.5 s steady (arrays through the hot join) → 3.6-3.8 s.
+    */
+  private def subsetContainment(s: SparkSession, dir: String,
+                                strategy: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), G.sortedWordSet(col("text")).as("ws"))
+      .filter(size(col("ws")) > 0)
+      .withColumn("fp", md5(array_join(col("ws"), " ")))
+      .localCheckpoint()
+    val sets = d.groupBy("fp")
+      .agg(min("doc_id").as("sid"), first(col("ws")).as("ws"))
+      .localCheckpoint()
+    val members = d.select("doc_id", "fp")
+      .join(sets.select("fp", "sid"), "fp")
+      .select(col("doc_id"), col("sid"))
+    val cand = containmentCandidates(sets, strategy)
+      .repartition(col("sid_a"))
+    val wsBySid = sets.select(col("sid"), col("ws"))
+    cand
+      .join(wsBySid.select(col("sid").as("sid_a"), col("ws").as("ws_a")),
+        "sid_a")
+      .join(wsBySid.select(col("sid").as("sid_b"), col("ws").as("ws_b")),
+        "sid_b")
+      .filter(size(array_except(col("ws_a"), col("ws_b"))) === 0)
+      .groupBy("sid_a")
+      .agg(count(lit(1)).as("n_containers"), min("sid_b").as("min_container"))
+      .join(members.withColumnRenamed("sid", "sid_a"), "sid_a")
+      .select(col("doc_id"), col("n_containers"), col("min_container"))
+      .orderBy("doc_id")
   }
 
   private val langProfiles: Map[String, Seq[String]] = Map(
@@ -632,71 +773,33 @@ object TextQueries {
     // 20-word excerpt of a 200-word doc has Jaccard 0.1, containment
     // 1.0). Runs at the DISTINCT-set level (q30's dedup-first device)
     // and fans doc-level results out through the membership map. The
-    // candidate generator is the prefix filter with a per-set hash
-    // tie-break ([[prefixFilterKey]]): A ⊆ B ⇒ B contains A's chosen
-    // token, an equi-join on that token — on Zipfian corpora the
-    // rarest-df choice prunes near-quadratically; on this synthetic
-    // 31-word uniform vocab (the worst case) the hashed tie-break
-    // spreads the tied choices across the vocab so no single block
-    // token funnels one reducer. The ≥2× size band is both the
-    // excerpt definition and a second prune.
+    // candidate generator is STRATEGY-SWITCHED
+    // ([[containmentCandidates]], auto mode): the rarest-df prefix
+    // filter on Zipfian corpora where rare tokens prune
+    // near-quadratically; the df-free hash-min key when even the
+    // rarest token is fat (this synthetic 31-word near-uniform vocab
+    // is ABOVE the threshold, so auto takes hash-min here — measured
+    // ~1 s over forced prefix-df at sf0.1, the same toy-scale-cost-
+    // for-scale-shape trade as q59/q74: prefix-df's Ω(hot-block)
+    // residual rides one reducer at 100 TB, hash-min's blocks cannot
+    // concentrate by construction). A ⊆ B ⇒ B contains A's chosen
+    // token, whichever strategy chose it, so exactness is
+    // switch-independent; q102 gates the prefix-df arm on the same
+    // oracle. The ≥2× size band is both the excerpt definition and a
+    // second prune.
     "q73_subset_containment" -> { (s, dir) =>
-      // set identity = md5 fingerprint of the canonical array, so the
-      // dedup shuffle and the membership join-back carry a 32-char
-      // hash, never the token arrays (q30's shuffle-longs principle;
-      // the arrays travel only into the prefix-filter join that
-      // actually needs them)
-      // d feeds sets AND members; sets feeds the key choice, the
-      // b-side explode, and both verify join-backs. Without
-      // truncation one action recomputes the scan+tokenize+fingerprint
-      // subtree ~5× (profiled: 4.2 s → 2.2 s at sf0.1). Both tables
-      // are bounded (docs / distinct sets), the same device q55/q82
-      // use between their actions.
-      val d = t(s, dir, "documents")
-        .select(col("doc_id"), G.sortedWordSet(col("text")).as("ws"))
-        .filter(size(col("ws")) > 0)
-        .withColumn("fp", md5(array_join(col("ws"), " ")))
-        .localCheckpoint()
-      val sets = d.groupBy("fp")
-        .agg(min("doc_id").as("sid"), first(col("ws")).as("ws"))
-        .localCheckpoint()
-      val members = d.select("doc_id", "fp")
-        .join(sets.select("fp", "sid"), "fp")
-        .select(col("doc_id"), col("sid"))
-      // pairs-first through the skewed join (q30's principle, and the
-      // round-5 degenerate-key fix): the block-token join carries ONLY
-      // (sid, size) longs, so a hot token (this corpus: one token is
-      // the rarest for 67% of sets AND in 71% of containers — 7.3M of
-      // 10.4M candidates in one block) costs cheap row construction,
-      // not the array verify — and the slim aKey side stays under the
-      // broadcast threshold, so the hot key spreads map-side over the
-      // b-side partitions in the first place (salting was measured
-      // and REJECTED here: ×8 build replication pushes the join out
-      // of broadcast range and costs more than the skew it splits).
-      // The candidate pairs then REPARTITION BY sid_a — a shuffle of
-      // longs — so the expensive array_except verify runs balanced
-      // across reducers instead of riding the token partitioning.
-      // Measured at sf0.1: 4.7-5.5 s steady (arrays through the hot
-      // join) → 3.6-3.8 s steady.
-      val aKey = prefixFilterKey(sets)
-      val bTok = sets.select(col("sid").as("sid_b"),
-        size(col("ws")).as("sz_b"), explode(col("ws")).as("tok"))
-      val cand = aKey.join(bTok, "tok")
-        .filter(col("sz_b") >= col("sz_a") * 2)
-        .select("sid_a", "sid_b")
-        .repartition(col("sid_a"))
-      val wsBySid = sets.select(col("sid"), col("ws"))
-      cand
-        .join(wsBySid.select(col("sid").as("sid_a"), col("ws").as("ws_a")),
-          "sid_a")
-        .join(wsBySid.select(col("sid").as("sid_b"), col("ws").as("ws_b")),
-          "sid_b")
-        .filter(size(array_except(col("ws_a"), col("ws_b"))) === 0)
-        .groupBy("sid_a")
-        .agg(count(lit(1)).as("n_containers"), min("sid_b").as("min_container"))
-        .join(members.withColumnRenamed("sid", "sid_a"), "sid_a")
-        .select(col("doc_id"), col("n_containers"), col("min_container"))
-        .orderBy("doc_id")
+      subsetContainment(s, dir, strategy = "auto")
+    },
+
+    // The same containment pipeline FORCED through the rarest-df
+    // prefix filter ([[prefixFilterKey]]) — the arm organic Zipfian
+    // corpora take, which auto does NOT select on this fat-df corpus —
+    // against the same all-pairs oracle: both arms of
+    // [[containmentCandidates]]' switch carry their own green row and
+    // a regression in either (or in the switch) fails a hash gate,
+    // not just ContainmentSkewSpec.
+    "q102_containment_prefix" -> { (s, dir) =>
+      subsetContainment(s, dir, strategy = "prefix-df")
     },
 
     // Temperature-scaled domain mixing (the multilingual-LM sampling
@@ -1393,6 +1496,28 @@ object TextQueries {
         |  CAST(cnt AS BIGINT) AS cnt,
         |  round(cum::DOUBLE / total, 6) AS cum_cov
         |FROM top, total WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    // q102 forces the prefix-df generator; exactness is strategy-
+    // independent, so the oracle is identical to q73's.
+    "q102_containment_prefix" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_sort(list_distinct(string_split(trim(lower(text)), ' ')))
+        |      AS ws
+        |  FROM documents WHERE len(string_split(trim(lower(text)), ' ')) > 0),
+        |sets AS (SELECT ws, min(doc_id) AS sid FROM d GROUP BY ws),
+        |members AS (
+        |  SELECT d.doc_id, s.sid FROM d JOIN sets s ON d.ws = s.ws),
+        |sub AS (
+        |  SELECT a.sid AS sid_a, count(*) AS n_containers,
+        |    min(b.sid) AS min_container
+        |  FROM sets a JOIN sets b
+        |    ON len(b.ws) >= 2 * len(a.ws) AND list_has_all(b.ws, a.ws)
+        |  GROUP BY a.sid)
+        |SELECT m.doc_id, CAST(sub.n_containers AS BIGINT) AS n_containers,
+        |  sub.min_container
+        |FROM sub JOIN members m ON m.sid = sub.sid_a
+        |ORDER BY m.doc_id""".stripMargin,
 
     "q73_subset_containment" ->
       """WITH d AS (

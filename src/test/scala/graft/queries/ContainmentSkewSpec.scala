@@ -86,4 +86,80 @@ class ContainmentSkewSpec extends SparkSpec {
       s"hottest block $hottest of $total across ${loads.length} tokens")
     assert(loads.length >= 5, s"only ${loads.length} distinct block tokens")
   }
+
+  private def wordSets(d: String) =
+    spark.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id"), G.sortedWordSet(col("text")).as("ws"))
+      .filter(size(col("ws")) > 0)
+      .withColumn("fp", md5(array_join(col("ws"), " ")))
+      .groupBy("fp").agg(min("doc_id").as("sid"), first("ws").as("ws"))
+
+  test("strategy switch: both generators exact; crossover measured") {
+    val sets = wordSets(dir)
+    // identical candidate→verify RESULTS under both strategies (the
+    // completeness argument is per-strategy; this pins it), and q102's
+    // gated row repeats the same equality against DuckDB at sf scale
+    def verified(strategy: String) =
+      TextQueries.containmentCandidates(sets, strategy)
+        .join(sets.select(col("sid").as("sid_a"), col("ws").as("ws_a")), "sid_a")
+        .join(sets.select(col("sid").as("sid_b"), col("ws").as("ws_b")), "sid_b")
+        .filter(size(array_except(col("ws_a"), col("ws_b"))) === 0)
+        .select("sid_a", "sid_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaPrefix = verified("prefix-df")
+    val viaHash = verified("hash-min")
+    assert(viaPrefix === viaHash)
+    assert(viaPrefix.nonEmpty)
+    // the CROSSOVER, measured as candidate volume on two corpus
+    // regimes. (a) This near-uniform 8-token vocab: dfs are fat, the
+    // rarest token prunes nothing, so hash-min must be within ~2x of
+    // prefix-df (neither can prune; concentration, pinned above, is
+    // what distinguishes them). (b) A Zipfian corpus with planted
+    // rare tokens: prefix-df must generate STRICTLY fewer candidates
+    // — the df-min choice is why the prefix filter exists.
+    val uniPrefix = TextQueries.containmentCandidates(sets, "prefix-df").count()
+    val uniHash = TextQueries.containmentCandidates(sets, "hash-min").count()
+    assert(uniHash <= uniPrefix * 2 + 8,
+      s"uniform vocab: hash-min $uniHash vs prefix-df $uniPrefix")
+    // Zipf regime: each doc gets one RARE token (df=2: itself and one
+    // container) plus common filler — the rarest-df key blocks on the
+    // rare token (tiny blocks), the hash key picks filler ~3/4 of the
+    // time (fat blocks)
+    val zipfDocs = (0 until 120).map { i =>
+      val rare = s"rare$i"
+      val filler = Seq("common1", "common2", "common3")
+      (i.toLong, (rare +: filler).mkString(" "))
+    } ++ (0 until 120).map { i =>
+      // container: the rare token + all fillers + padding, >= 2x size
+      ((2000 + i).toLong,
+        (Seq(s"rare$i", "common1", "common2", "common3", "common4",
+          "common5", "common6", "common7") ++ Seq(s"pad$i")).mkString(" "))
+    }
+    val zd = java.nio.file.Files.createTempDirectory("containment-zipf")
+    zipfDocs.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$zd/documents.parquet")
+    val zsets = wordSets(zd.toString)
+    val zPrefix = TextQueries.containmentCandidates(zsets, "prefix-df").count()
+    val zHash = TextQueries.containmentCandidates(zsets, "hash-min").count()
+    assert(zPrefix < zHash,
+      s"Zipf corpus: prefix-df $zPrefix should beat hash-min $zHash")
+  }
+
+  test("auto mode picks by df concentration and rejects unknown strategies") {
+    // uniform tied-df corpus: every token is in >5% of sets → auto
+    // must route to hash-min; assert by block-load spread (hash-min's
+    // salted choice cannot concentrate, and on this corpus the
+    // prefix-df key COULD — the pinned balance above is 3x fair share,
+    // while auto==prefix-df would be distinguishable only by df table
+    // reuse, so spread is the observable)
+    val sets = wordSets(dir)
+    val autoCand = TextQueries.containmentCandidates(sets, "auto").count()
+    val hashCand = TextQueries.containmentCandidates(sets, "hash-min").count()
+    assert(autoCand === hashCand,
+      s"auto ($autoCand) should match hash-min ($hashCand) on a " +
+        "concentrated-df corpus")
+    intercept[IllegalArgumentException] {
+      TextQueries.containmentCandidates(sets, "bogus")
+    }
+  }
 }
