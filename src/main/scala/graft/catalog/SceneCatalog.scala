@@ -174,6 +174,16 @@ class SceneCatalog(val table: VersionedTable, spark: SparkSession,
     scenes.filter(geomIntersectsCond(lit(wkt)))
   }
 
+  /** [[scenesIntersectGeom]] for a geometry authored in any SUPPORTED
+    * CRS — normalized to 4326 AT THE JOIN API (round-6 verdict item 7;
+    * the reference reprojects inside find_scenes, osr at
+    * eodatadownutils.py:1839-1868, so its callers never pre-transform
+    * either). An unsupported EPSG fails loudly HERE, before any scan.
+    */
+  def scenesIntersectGeom(wkt: String, epsg: Int): DataFrame =
+    scenesIntersectGeom(
+      SceneCatalog.normalizeLayerTo4326(Seq(("geom", wkt)), epsg).head._2)
+
   /** Delete scenes NOT intersecting the exact geometry — the
     * `rm_scns_intersect` semantics (eodatadownlandsatgoogsensor.py:
     * 685-732) with a real polygon test, not just its envelope.
@@ -182,6 +192,16 @@ class SceneCatalog(val table: VersionedTable, spark: SparkSession,
     requireValidGeom(wkt)
     table.deleteWhere(!geomIntersectsCond(lit(wkt)))
   }
+
+  /** [[rmScenesNotIntersectGeom]] with CRS normalization at the API
+    * (same contract as the two-arg [[scenesIntersectGeom]]) — a DELETE
+    * driven by a mis-projected polygon is the most destructive form of
+    * the silently-wrong-geometry failure, so this path in particular
+    * must normalize-or-refuse before touching the table.
+    */
+  def rmScenesNotIntersectGeom(wkt: String, epsg: Int): Unit =
+    rmScenesNotIntersectGeom(
+      SceneCatalog.normalizeLayerTo4326(Seq(("geom", wkt)), epsg).head._2)
 
   /** Keep only the newest Product_ID per Scene_ID (J6, .py:473-518). */
   def rmDuplicateScenes(): Unit =
@@ -380,6 +400,19 @@ class SceneCatalog(val table: VersionedTable, spark: SparkSession,
   def tilesForRoi(layer: Seq[(String, String)],
                   tileCols: Seq[String] = Seq(sensor.dupKey)): DataFrame =
     SceneCatalog.tilesForRoi(spark, scenes, layer, tileCols)
+
+  /** [[tilesForRoi]] for a layer authored in any SUPPORTED CRS —
+    * normalized at the join API (no defaults here: Scala forbids
+    * default args on a second overload, so the tile columns are
+    * explicit).
+    */
+  def tilesForRoi(layer: Seq[(String, String)], epsg: Int,
+                  tileCols: Seq[String]): DataFrame =
+    SceneCatalog.tilesForRoi(spark, scenes,
+      SceneCatalog.normalizeLayerTo4326(layer, epsg), tileCols)
+
+  def tilesForRoi(layer: Seq[(String, String)], epsg: Int): DataFrame =
+    tilesForRoi(layer, epsg, Seq(sensor.dupKey))
 }
 
 object SceneCatalog {
@@ -517,4 +550,13 @@ object SceneCatalog {
       .select(col("roi"), col("tiles"), size(col("tiles")).as("n_tiles"))
       .orderBy("roi")
   }
+
+  /** [[tilesForRoi]] for a layer authored in any SUPPORTED CRS —
+    * normalization at the join API (unsupported codes fail loudly
+    * here, before any scan; default bbox column names).
+    */
+  def tilesForRoi(spark: SparkSession, lut: DataFrame,
+                  layer: Seq[(String, String)], epsg: Int,
+                  tileCols: Seq[String]): DataFrame =
+    tilesForRoi(spark, lut, normalizeLayerTo4326(layer, epsg), tileCols)
 }
