@@ -252,6 +252,25 @@ class PlanQualitySpec extends SparkSpec {
       p.contains("ShuffledHashJoin"), p)
   }
 
+  test("q102 containment (prefix-df arm): equi join on the block token, no loop") {
+    val p = plan("q102_containment_prefix")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+  }
+
+  // Trained-centroid IVF (q100): the centroid table is bounded (k×dim)
+  // and must BROADCAST into both the assignment and the probe; the
+  // final top-k must plan as TakeOrdered (heap per partition + k-row
+  // merge), never a global sort of the scored corpus.
+  test("q100 trained IVF: centroids broadcast, top-k is TakeOrdered") {
+    val p = plan("q100_ann_ivf_trained")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastExchange".r.findAllIn(p).length >= 2, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q79 cdc dedup: keep-first shuffle keyed by chunk content, no cartesian") {
     val p = plan("q79_cdc_chunk_dedup")
     assert(!p.contains("CartesianProduct"), p)
