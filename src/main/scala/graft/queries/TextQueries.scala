@@ -1170,6 +1170,71 @@ object TextQueries {
           sum("n_tok").as("n_tokens"),
           sum("doc_id").as("id_checksum"))
         .orderBy("split")
+    },
+
+    // Exact repeated-SPAN dedup — the "remove duplicated substrings"
+    // curation pass (span-level, unlike q61's fixed chunks or q79's
+    // CDC chunks, which both quantize to chunk boundaries): every
+    // L-token window occurring more than once ANYWHERE in the corpus
+    // (another doc or the same doc) marks its span; overlapping marks
+    // merge per doc (gaps-and-islands), and the report carries exact
+    // duplicated-token coverage plus the text with every duplicated
+    // span masked. A suffix-array formulation finds maximal repeats
+    // in one pass but needs a global suffix sort; the L-gram form
+    // marks the identical ≥L coverage and every stage stays
+    // partition-parallel. Plan: one linear explode (n-L+1 windows per
+    // doc) → ONE shuffle keyed by the 128-bit window hash — md5(gram),
+    // never the gram text, so shuffle bytes stay flat as L grows (the
+    // 100 TB shape; both engines key the count identically) → the
+    // island merge and the mask run in per-doc windows/HOFs bounded
+    // by document length. The occurrence count is a whole-partition
+    // window (no orderBy) rather than groupBy+join-back: the span
+    // rows must reach their gram-hash partition to be marked either
+    // way, and the window form does it in that ONE shuffle instead
+    // of a count shuffle plus a second join shuffle of the same rows.
+    "q103_substring_spans" -> { (s, dir) =>
+      val L = 8
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), toks(col("text")).as("tk"))
+        .withColumn("n_tokens", size(col("tk")).cast("long"))
+      val spans = docs
+        .select(col("doc_id"),
+          posexplode(G.wordShingles(col("tk"), L)).as(Seq("p", "g")))
+        .select(col("doc_id"), col("p").cast("long").as("pos"),
+          (col("p") + (L - 1)).cast("long").as("end_pos"),
+          md5(col("g")).as("gh"))
+      val dup = spans
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("gh")))
+        .filter(col("cnt") > 1)
+        .select("doc_id", "pos", "end_pos")
+      val wPrev = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wRun = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val islands = dup
+        .withColumn("fresh",
+          when(col("pos") > coalesce(max(col("end_pos")).over(wPrev),
+            lit(-1L)), 1L).otherwise(0L))
+        .withColumn("isl", sum(col("fresh")).over(wRun))
+        .groupBy("doc_id", "isl")
+        .agg(min("pos").as("s"), max("end_pos").as("e"))
+      val perDoc = islands.groupBy("doc_id")
+        .agg(sum(col("e") - col("s") + 1).as("dup_tokens"),
+          count(lit(1)).as("n_spans"),
+          collect_list(struct(col("s"), col("e"))).as("ranges"))
+      docs.join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          round(coalesce(col("dup_tokens"), lit(0L)) /
+            col("n_tokens").cast("double"), 6).as("dup_frac"),
+          when(col("ranges").isNull, array_join(col("tk"), " "))
+            .otherwise(array_join(
+              filter(col("tk"), (_, i) =>
+                !exists(col("ranges"), r =>
+                  i >= r.getField("s") && i <= r.getField("e"))),
+              " ")).as("kept_text"))
+        .orderBy("doc_id")
     }
   )
 
@@ -1800,6 +1865,64 @@ object TextQueries {
         |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
         |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
-        |FROM s GROUP BY split ORDER BY split""".stripMargin
+        |FROM s GROUP BY split ORDER BY split""".stripMargin,
+
+    "q103_substring_spans" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(trim(lower(text)), ' ') AS tk,
+        |         CAST(len(string_split(trim(lower(text)), ' ')) AS BIGINT)
+        |           AS n_tokens
+        |  FROM documents),
+        |spans AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |         CAST(i + 7 AS BIGINT) AS end_pos,
+        |         md5(array_to_string(tk[i+1:i+8], ' ')) AS gh
+        |  FROM docs, UNNEST(range(0, len(tk) - 8 + 1)) AS u(i)),
+        |dup AS (
+        |  SELECT doc_id, pos, end_pos FROM (
+        |    SELECT doc_id, pos, end_pos,
+        |           count(*) OVER (PARTITION BY gh) AS cnt
+        |    FROM spans)
+        |  WHERE cnt > 1),
+        |marked AS (
+        |  SELECT doc_id, pos, end_pos,
+        |    CASE WHEN pos > coalesce(max(end_pos) OVER (
+        |           PARTITION BY doc_id ORDER BY pos
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |         THEN 1 ELSE 0 END AS fresh
+        |  FROM dup),
+        |numbered AS (
+        |  SELECT doc_id, pos, end_pos,
+        |    sum(fresh) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS UNBOUNDED PRECEDING) AS isl
+        |  FROM marked),
+        |islands AS (
+        |  SELECT doc_id, isl, min(pos) AS s, max(end_pos) AS e
+        |  FROM numbered GROUP BY doc_id, isl),
+        |per_doc AS (
+        |  SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens,
+        |         CAST(count(*) AS BIGINT) AS n_spans
+        |  FROM islands GROUP BY doc_id),
+        |toks2 AS (
+        |  SELECT d.doc_id, CAST(i AS BIGINT) AS idx, d.tk[i+1] AS tok
+        |  FROM docs d, UNNEST(range(0, len(d.tk))) AS u(i)),
+        |kept AS (
+        |  SELECT t2.doc_id,
+        |    coalesce(string_agg(t2.tok, ' ' ORDER BY t2.idx), '')
+        |      AS kept_text
+        |  FROM toks2 t2
+        |  WHERE NOT EXISTS (SELECT 1 FROM islands s
+        |    WHERE s.doc_id = t2.doc_id AND t2.idx BETWEEN s.s AND s.e)
+        |  GROUP BY t2.doc_id)
+        |SELECT d.doc_id, d.n_tokens,
+        |  coalesce(p.dup_tokens, 0) AS dup_tokens,
+        |  coalesce(p.n_spans, 0) AS n_spans,
+        |  round(coalesce(p.dup_tokens, 0)::DOUBLE / d.n_tokens, 6)
+        |    AS dup_frac,
+        |  coalesce(k.kept_text, '') AS kept_text
+        |FROM docs d
+        |LEFT JOIN per_doc p USING (doc_id)
+        |LEFT JOIN kept k ON k.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin
   )
 }
