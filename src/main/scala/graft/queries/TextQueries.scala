@@ -1235,6 +1235,46 @@ object TextQueries {
                   i >= r.getField("s") && i <= r.getField("e"))),
               " ")).as("kept_text"))
         .orderBy("doc_id")
+    },
+
+    // Priority sampling (Duffield–Lund–Thorup): a weight-proportional
+    // sample WITHOUT replacement of K docs, each carrying the
+    // estimator weight max(w, τ) whose sample-sum is an UNBIASED
+    // estimate of any subset's total weight — the "subsample the
+    // corpus by quality score but keep token-count accounting honest"
+    // op (q63 is uniform-stratified, q77 is temperature-mixed by
+    // group; this is the global weighted form WITH the estimator).
+    // priority = w / u for a per-doc uniform u; top-K priorities are
+    // the sample, τ = the (K+1)-th. Deterministic and engine-exact
+    // WITHOUT round-before-rank: u = (40-bit md5 slice + 1) / 2^40 is
+    // a dyadic rational (the divide is exact), so priority needs ONE
+    // IEEE-rounded division — both engines produce bit-identical
+    // doubles and the rank can use the raw value (doc_id tie-break is
+    // belt-and-braces). Plan: per-row scan math, top-(K+1) via
+    // orderBy+limit (TakeOrdered — per-partition heaps, K+1 rows to
+    // the driver stage, never a global sort), τ as a 1-row broadcast
+    // crossJoin (the q82 argmax device). Weights here: n_chars, the
+    // stand-in for any per-doc quality/token score.
+    "q104_priority_sample" -> { (s, dir) =>
+      val K = 50
+      val u01 = (conv(substring(md5(concat(lit("ps:"),
+        col("doc_id").cast("string"))), 1, 10), 16, 10).cast("long") + 1L)
+        .cast("double") / lit(1099511627776.0) // 2^40, exact
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          (col("n_chars").cast("double") / u01).as("pr"))
+      val top = d.orderBy(col("pr").desc, col("doc_id")).limit(K + 1)
+      // τ = the (K+1)-th priority; 0 when the corpus fits inside K
+      // (sample = everything, est_w = w exactly — no sampling error)
+      val tau = top.agg(when(count(lit(1)) === K + 1, min("pr"))
+        .otherwise(lit(0.0)).as("tau"))
+      d.orderBy(col("pr").desc, col("doc_id")).limit(K)
+        .crossJoin(broadcast(tau))
+        .select(col("doc_id"), col("n_chars"),
+          round(col("pr"), 6).as("priority"),
+          round(greatest(col("n_chars").cast("double"), col("tau")), 6)
+            .as("est_w"))
+        .orderBy("doc_id")
     }
   )
 
@@ -1923,6 +1963,21 @@ object TextQueries {
         |FROM docs d
         |LEFT JOIN per_doc p USING (doc_id)
         |LEFT JOIN kept k ON k.doc_id = d.doc_id
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q104_priority_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(n_chars AS DOUBLE) /
+        |      ((('0x' || substr(md5('ps:' || CAST(doc_id AS VARCHAR)),
+        |          1, 10))::BIGINT + 1) / 1099511627776.0) AS pr
+        |  FROM documents),
+        |top AS (SELECT * FROM d ORDER BY pr DESC, doc_id LIMIT 51),
+        |tau AS (SELECT CASE WHEN count(*) = 51 THEN min(pr)
+        |               ELSE 0.0 END AS tau FROM top),
+        |sample AS (SELECT * FROM d ORDER BY pr DESC, doc_id LIMIT 50)
+        |SELECT s.doc_id, s.n_chars, round(s.pr, 6) AS priority,
+        |  round(greatest(CAST(s.n_chars AS DOUBLE), t.tau), 6) AS est_w
+        |FROM sample s, tau t ORDER BY s.doc_id""".stripMargin
   )
 }
