@@ -1275,6 +1275,64 @@ object TextQueries {
           round(greatest(col("n_chars").cast("double"), col("tau")), 6)
             .as("est_w"))
         .orderBy("doc_id")
+    },
+
+    // INCREMENTAL near-dup: dedup a NEW batch against the EXISTING
+    // corpus — the shape every production ingest actually runs (q30
+    // dedups within one corpus; here the corpus side is a persisted
+    // band INDEX that each day's batch probes, and only new×existing
+    // connectivity matters). Stand-in split: doc_id % 10 == 0 is the
+    // batch. Pipeline: dedup-first on BOTH sides (distinct word sets,
+    // q30's discipline), the corpus's banded minhash signatures are
+    // the reusable index (built once per corpus in a real deployment,
+    // (sid, band, bucket) longs only), the batch's bands equi-join
+    // that index — the join is batch-sized, never corpus-sized — and
+    // candidates verify by exact Jaccard. Per new doc: the best
+    // existing match (max jac, min osid tie-break; jac is ONE
+    // IEEE division of identical ints, so raw-value ranking is
+    // engine-exact). Recall contract = q30's: every J >= 0.9 pair on
+    // this corpus collides in >= 1 of the 16 bands (the q30 oracle
+    // equality proves it corpus-wide; batch×corpus pairs are a
+    // subset), so the exact all-pairs oracle gates this too. At
+    // 100 TB an md5(text) exact-hash probe would short-circuit ahead
+    // of the minhash probe — same semantics, cheaper for the
+    // exact-copy majority.
+    "q105_incremental_neardup" -> { (s, dir) =>
+      val k = 128
+      val bands = 16
+      val rows = k / bands
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), G.sortedWordSet(col("text")).as("ws"))
+        .filter(size(col("ws")) > 0)
+      val batch = d.filter(col("doc_id") % 10 === 0)
+      val corpus = d.filter(col("doc_id") % 10 =!= 0)
+      val corpusSets = corpus.groupBy("ws").agg(min("doc_id").as("osid"))
+      val batchSets = batch.groupBy("ws").agg(min("doc_id").as("nsid"))
+      def banded(sets: DataFrame, idCol: String): DataFrame = sets
+        .select(col(idCol), G.minhashSig(col("ws"), k).as("sig"))
+        .select(col(idCol),
+          posexplode(transform(sequence(lit(0), lit(bands - 1)),
+            i => xxhash64(i, slice(col("sig"), i * lit(rows) + lit(1),
+              lit(rows))))))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+        .select(col(idCol), col("band"), col("bucket"))
+      val cand = banded(batchSets, "nsid")
+        .join(banded(corpusSets, "osid"), Seq("band", "bucket"))
+        .select("nsid", "osid").distinct()
+      val verified = cand
+        .join(batchSets.select(col("nsid"), col("ws").as("ws_n")), Seq("nsid"))
+        .join(corpusSets.select(col("osid"), col("ws").as("ws_o")), Seq("osid"))
+        .withColumn("jac", G.sortedJaccard(col("ws_n"), col("ws_o")))
+        .filter(col("jac") >= 0.9)
+      val w = Window.partitionBy("nsid").orderBy(col("jac").desc, col("osid"))
+      val best = verified.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("nsid"), col("osid").as("match_id"), col("jac"))
+      batch.join(batchSets, Seq("ws"))
+        .join(best, Seq("nsid"))
+        .select(col("doc_id"), col("match_id"),
+          round(col("jac"), 6).as("jac"))
+        .orderBy("doc_id")
     }
   )
 
@@ -1978,6 +2036,31 @@ object TextQueries {
         |sample AS (SELECT * FROM d ORDER BY pr DESC, doc_id LIMIT 50)
         |SELECT s.doc_id, s.n_chars, round(s.pr, 6) AS priority,
         |  round(greatest(CAST(s.n_chars AS DOUBLE), t.tau), 6) AS est_w
-        |FROM sample s, tau t ORDER BY s.doc_id""".stripMargin
+        |FROM sample s, tau t ORDER BY s.doc_id""".stripMargin,
+
+    // Exact all-pairs batch×corpus Jaccard — the stronger-than-mirror
+    // oracle (q30's device): the LSH band probe must find every
+    // >= 0.9 pair, so the oracle enumerates them all exactly.
+    "q105_incremental_neardup" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_distinct(string_split(trim(lower(text)), ' ')) AS ws
+        |  FROM documents),
+        |corpus_sets AS (
+        |  SELECT ws, min(doc_id) AS osid FROM d
+        |  WHERE doc_id % 10 <> 0 GROUP BY ws),
+        |pairs AS (
+        |  SELECT n.doc_id, o.osid,
+        |    len(list_intersect(n.ws, o.ws))::DOUBLE /
+        |      len(list_distinct(list_concat(n.ws, o.ws))) AS jac
+        |  FROM d n, corpus_sets o
+        |  WHERE n.doc_id % 10 = 0),
+        |best AS (
+        |  SELECT doc_id, osid, jac,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY jac DESC, osid) AS rn
+        |  FROM pairs WHERE jac >= 0.9)
+        |SELECT doc_id, osid AS match_id, round(jac, 6) AS jac
+        |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin
   )
 }
