@@ -1333,6 +1333,51 @@ object TextQueries {
         .select(col("doc_id"), col("match_id"),
           round(col("jac"), 6).as("jac"))
         .orderBy("doc_id")
+    },
+
+    // Vocabulary-drift monitor: KL(batch ‖ corpus) over token
+    // distributions with add-one smoothing on the UNION vocab, plus
+    // the top drift-contributing tokens — the "did today's crawl
+    // change the language mix" check that runs beside q105's dedup
+    // probe on every ingest (q87 validates schema/nulls; this
+    // validates CONTENT distribution). Same batch stand-in
+    // (doc_id % 10 == 0). Plan: one token explode → one groupBy(w)
+    // computing both sides' counts in the same partial-aggregated
+    // pass (sum of a when(), not two scans) → per-token contribution
+    // p·ln(p/q) as scan math over |V| rows → top-k by TakeOrdered +
+    // a 1-row total crossJoined broadcast. Contributions are ROUNDED
+    // to 6dp BEFORE the rank (token tie-break): ln differs in the
+    // last ulp across libm implementations, and an unrounded
+    // float rank would let that flip near-ties between engines
+    // (the q76 round-before-argmin rule). Output: one TOTAL row
+    // (token='', the kl sum) + the top 10 contributor rows.
+    "q106_vocab_drift" -> { (s, dir) =>
+      val topK = 10
+      val toksDf = t(s, dir, "documents")
+        .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+      val counts = toksDf.groupBy("w").agg(
+        sum(when(col("doc_id") % 10 === 0, 1L).otherwise(0L)).as("cn"),
+        sum(when(col("doc_id") % 10 =!= 0, 1L).otherwise(0L)).as("co"))
+      val totals = counts.agg(sum("cn").as("t_new"), sum("co").as("t_old"),
+        count(lit(1)).as("v"))
+      val contrib = counts.crossJoin(broadcast(totals))
+        .select(col("w"),
+          (((col("cn") + 1).cast("double") / (col("t_new") + col("v"))) *
+            log(((col("cn") + 1).cast("double") / (col("t_new") + col("v"))) /
+              ((col("co") + 1).cast("double") / (col("t_old") + col("v")))))
+            .as("c"))
+      val total = contrib.agg(round(sum("c"), 6).as("contribution"))
+        .select(lit("").as("token"), lit(0L).as("drift_rank"),
+          col("contribution"))
+      val top = contrib
+        .select(col("w").as("token"), round(col("c"), 6).as("contribution"))
+        .orderBy(col("contribution").desc, col("token"))
+        .limit(topK)
+        .withColumn("drift_rank",
+          row_number().over(Window.orderBy(col("contribution").desc,
+            col("token"))).cast("long"))
+        .select(col("token"), col("drift_rank"), col("contribution"))
+      total.unionByName(top).orderBy("drift_rank", "token")
     }
   )
 
@@ -2061,6 +2106,40 @@ object TextQueries {
         |      ORDER BY jac DESC, osid) AS rn
         |  FROM pairs WHERE jac >= 0.9)
         |SELECT doc_id, osid AS match_id, round(jac, 6) AS jac
-        |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin
+        |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q106_vocab_drift" ->
+      """WITH wtab AS (
+        |  SELECT doc_id, unnest(string_split(trim(lower(text)), ' ')) AS w
+        |  FROM documents),
+        |counts AS (
+        |  SELECT w,
+        |    sum(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS cn,
+        |    sum(CASE WHEN doc_id % 10 <> 0 THEN 1 ELSE 0 END) AS co
+        |  FROM wtab GROUP BY w),
+        |totals AS (
+        |  SELECT sum(cn) AS t_new, sum(co) AS t_old, count(*) AS v
+        |  FROM counts),
+        |contrib AS (
+        |  SELECT w,
+        |    ((cn + 1)::DOUBLE / (t_new + v)) *
+        |      ln(((cn + 1)::DOUBLE / (t_new + v)) /
+        |         ((co + 1)::DOUBLE / (t_old + v))) AS c
+        |  FROM counts, totals),
+        |total AS (
+        |  SELECT '' AS token, CAST(0 AS BIGINT) AS drift_rank,
+        |         round(sum(c), 6) AS contribution
+        |  FROM contrib),
+        |topc AS (
+        |  SELECT token,
+        |    CAST(row_number() OVER (ORDER BY contribution DESC, token)
+        |      AS BIGINT) AS drift_rank,
+        |    contribution
+        |  FROM (SELECT w AS token, round(c, 6) AS contribution
+        |        FROM contrib
+        |        ORDER BY contribution DESC, token LIMIT 10))
+        |SELECT * FROM total
+        |UNION ALL SELECT * FROM topc
+        |ORDER BY drift_rank, token""".stripMargin
   )
 }
