@@ -1296,7 +1296,16 @@ object TextQueries {
     // subset), so the exact all-pairs oracle gates this too. At
     // 100 TB an md5(text) exact-hash probe would short-circuit ahead
     // of the minhash probe — same semantics, cheaper for the
-    // exact-copy majority.
+    // exact-copy majority. Regime boundary (measured, BASELINE.md
+    // round 7): organic 10× growth scales 3.5×, but a mass-duplicated
+    // corpus of near-identical DISTINCT sets (replica families) makes
+    // best-match-per-doc inherently family-quadratic in the verify —
+    // every family member is a candidate and their jaccards differ.
+    // That corpus shape is q55's territory: exact-dedup first, then
+    // GROUP near-dups; q105's per-doc best match is the organic-batch
+    // contract — and q89's join-size pre-flight over the (band,
+    // bucket) keys prices the candidate join BEFORE committing to it,
+    // which is how a production run detects it is in the wrong regime.
     "q105_incremental_neardup" -> { (s, dir) =>
       val k = 128
       val bands = 16
@@ -1322,6 +1331,11 @@ object TextQueries {
       val verified = cand
         .join(batchSets.select(col("nsid"), col("ws").as("ws_n")), Seq("nsid"))
         .join(corpusSets.select(col("osid"), col("ws").as("ws_o")), Seq("osid"))
+        // size-ratio prefilter (q29's device): jac ≤ min/max of the
+        // set sizes, so the integer compare prunes verify work in the
+        // same codegen stage without touching the answer
+        .filter(least(size(col("ws_n")), size(col("ws_o"))) >=
+          greatest(size(col("ws_n")), size(col("ws_o"))) * 0.9)
         .withColumn("jac", G.sortedJaccard(col("ws_n"), col("ws_o")))
         .filter(col("jac") >= 0.9)
       val w = Window.partitionBy("nsid").orderBy(col("jac").desc, col("osid"))
