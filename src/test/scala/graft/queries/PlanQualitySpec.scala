@@ -293,4 +293,40 @@ class PlanQualitySpec extends SparkSpec {
     assert("BroadcastExchange".r.findAllIn(p).length >= 2, p)
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  // q103: the occurrence count must shuffle by the 128-bit window
+  // HASH (gh), never the window text, and the island merge + mask
+  // must run in doc_id-keyed windows — per-doc bounded work.
+  test("q103 substring spans: count keyed by window hash, islands by doc") {
+    val p = plan("q103_substring_spans")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("hashpartitioning(gh"), p)
+    assert(p.contains("hashpartitioning(doc_id"), p)
+  }
+
+  // q104: sample + τ both plan as TakeOrdered (per-partition heaps,
+  // K+1 rows upward), τ rides a 1-row broadcast — never a global
+  // sort of the scored corpus.
+  test("q104 priority sample: TakeOrdered sample, broadcast tau") {
+    val p = plan("q104_priority_sample")
+    assert("TakeOrderedAndProject".r.findAllIn(p).length >= 2, p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  // q105: the batch-vs-corpus candidate generator must be an equi
+  // join on (band, bucket) — a nested loop or cartesian here is the
+  // all-pairs scale bug the band index exists to avoid.
+  test("q105 incremental near-dup: band-index probe is an equi join") {
+    val p = plan("q105_incremental_neardup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  // q106: both sides' counts come out of ONE partial-aggregated pass
+  // (sum-of-when, not two scans), and the totals ride a broadcast.
+  test("q106 vocab drift: partial aggs, totals broadcast") {
+    val p = plan("q106_vocab_drift")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
 }
