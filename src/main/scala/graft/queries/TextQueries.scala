@@ -36,6 +36,22 @@ object TextQueries {
 
   private val enStop = Seq("the", "a", "of", "and", "to", "in")
 
+  /** Min 3-gram fingerprint (winnowing-lite content key): the
+    * smallest 60-bit md5-derived hash over a document's word
+    * 3-grams. Near-identical docs (same content modulo a local edit)
+    * almost always share their minimum gram, so the fingerprint keys
+    * duplicate FAMILIES where md5(text) keys only byte-exact copies.
+    * Shared by q32 (fingerprint groups) and q108 (source-overlap
+    * matrix); callers must pre-filter size(tk) >= 3 or the sequence
+    * bound goes negative.
+    */
+  private def minGramFp(tk: Column): Column =
+    array_min(transform(
+      sequence(lit(0), size(tk) - 3),
+      i => conv(substring(md5(concat_ws(" ",
+        get(tk, i), get(tk, i + 1), get(tk, i + 2))),
+        1, 15), 16, 10).cast("long")))
+
   /** q73's prefix-filter block key: each distinct set keyed by ONE of
     * its tokens (completeness needs any single token — A ⊆ B forces
     * every token of A into B, so an equi-join on whichever token A
@@ -526,12 +542,7 @@ object TextQueries {
       val d = t(s, dir, "documents")
         .select(col("doc_id"), toks(col("text")).as("tk"))
         .filter(size(col("tk")) >= 3)
-      val fp = array_min(transform(
-        sequence(lit(0), size(col("tk")) - 3),
-        i => conv(substring(md5(concat_ws(" ",
-          get(col("tk"), i), get(col("tk"), i + 1), get(col("tk"), i + 2))),
-          1, 15), 16, 10).cast("long")))
-      d.select(col("doc_id"), fp.as("fp"))
+      d.select(col("doc_id"), minGramFp(col("tk")).as("fp"))
         .groupBy("fp")
         .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
         .filter(col("n_docs") >= 2)
@@ -1392,6 +1403,89 @@ object TextQueries {
             col("token"))).cast("long"))
         .select(col("token"), col("drift_rank"), col("contribution"))
       total.unionByName(top).orderBy("drift_rank", "token")
+    },
+
+    // Calibrated quality-floor filter: drop (approximately) the
+    // bottom quartile of each language by quality score — the
+    // "calibrate the filter threshold FROM the corpus, then filter"
+    // pass every curation pipeline runs after scoring (q27 scores;
+    // this turns the scores into a filter). The threshold is a VALUE
+    // (smallest score whose cumulative count clears n/4), not a
+    // per-doc rank: all docs AT the boundary score are kept, so the
+    // entire selection is computable from the (lang, score) HISTOGRAM
+    // and the corpus is never sorted or ranked per-language — the
+    // shape that survives a language holding half of 100 TB. Plan:
+    // scan math for the score (one int division — bit-identical
+    // across engines, the q104 rule, so grouping and comparing on the
+    // raw double is engine-exact) → histogram groupBy → grouped
+    // prefix sum (two-phase, partition-parallel — the q64 device) →
+    // the boundary cell is the one row per lang with
+    // cum_before <= n/4 < cum_before + cnt → thresholds broadcast →
+    // the keep filter is scan-side. The kept-side id checksum pins
+    // exact membership, not just counts.
+    "q107_quality_floor" -> { (s, dir) =>
+      val scored = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          G.stopwordRatio(toks(col("text")), enStop).as("score"))
+      val hist = scored.groupBy("lang", "score").agg(count(lit(1)).as("cnt"))
+      val cum = graft.operators.RelationalOps
+        .groupedPrefixSum(hist, "lang", "score", "cnt", "cum_before")
+      val nl = hist.groupBy("lang").agg(sum("cnt").as("n_total"))
+        .withColumn("cut", floor(col("n_total") / lit(4)).cast("long"))
+      val thr = cum.join(broadcast(nl), "lang")
+        .filter(col("cum_before") <= col("cut") &&
+          col("cut") < col("cum_before") + col("cnt"))
+        .select(col("lang"), col("score").as("thr_score"),
+          col("cum_before").as("n_dropped"), col("n_total"))
+      val kept = scored
+        .join(broadcast(thr.select("lang", "thr_score")), Seq("lang"))
+        .filter(col("score") >= col("thr_score"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("id_checksum"))
+      thr.join(kept, Seq("lang"))
+        .select(col("lang"), col("n_total"), col("n_dropped"),
+          col("n_kept"), round(col("thr_score"), 6).as("thr_score"),
+          col("id_checksum"))
+        .orderBy("lang")
+    },
+
+    // Cross-source duplication matrix: how many duplicate-FAMILY doc
+    // PAIRS exist within and between sources — the "which crawls copy
+    // from each other" provenance analytic that decides source
+    // priority before dedup keeps one copy (q83 resolves the keep;
+    // this reports the overlap structure). Content key = q32's
+    // min-3-gram fingerprint (an exact md5(text) key is the trivial
+    // substitution; this corpus has zero exact copies, so the
+    // fingerprint families are the ones with structure to report).
+    // The pair counts come from the per-(fingerprint, source)
+    // HISTOGRAM in closed form (within: c·(c−1)/2, across: cᵢ·cⱼ) —
+    // never a doc-level self-join, so a million-copy dup family costs
+    // one histogram row per source where the pair-enumeration form
+    // pays 10¹² rows (the q55 groups-not-pairs argument, applied to
+    // provenance). Plan: one groupBy keyed by (fp, source), then the
+    // histogram — rows per fingerprint bounded by |sources|, not by
+    // copies — self-joins on the fingerprint. Integer math
+    // throughout; the /2 is exact (even product).
+    "q108_source_overlap" -> { (s, dir) =>
+      val hs = t(s, dir, "documents")
+        .select(col("source"), toks(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 3)
+        .select(minGramFp(col("tk")).as("h"), col("source"))
+        .groupBy("h", "source").agg(count(lit(1)).as("c"))
+      val a = hs.select(col("h"), col("source").as("source_a"),
+        col("c").as("ca"))
+      val b = hs.select(col("h"), col("source").as("source_b"),
+        col("c").as("cb"))
+      a.join(b, Seq("h"))
+        .filter(col("source_a") <= col("source_b"))
+        .withColumn("p",
+          when(col("source_a") === col("source_b"),
+            (col("ca") * (col("ca") - 1) / lit(2)).cast("long"))
+            .otherwise(col("ca") * col("cb")))
+        .filter(col("p") > 0)
+        .groupBy("source_a", "source_b")
+        .agg(sum("p").as("n_dup_pairs"), count(lit(1)).as("n_hashes"))
+        .orderBy("source_a", "source_b")
     }
   )
 
@@ -2154,6 +2248,67 @@ object TextQueries {
         |        ORDER BY contribution DESC, token LIMIT 10))
         |SELECT * FROM total
         |UNION ALL SELECT * FROM topc
-        |ORDER BY drift_rank, token""".stripMargin
+        |ORDER BY drift_rank, token""".stripMargin,
+
+    "q107_quality_floor" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN len(string_split(trim(lower(text)), ' ')) = 0 THEN 0.0
+        |         ELSE len(list_filter(string_split(trim(lower(text)), ' '),
+        |             t -> t IN ('the','a','of','and','to','in')))::DOUBLE /
+        |           len(string_split(trim(lower(text)), ' ')) END AS score
+        |  FROM documents),
+        |hist AS (
+        |  SELECT lang, score, count(*) AS cnt
+        |  FROM scored GROUP BY lang, score),
+        |cum AS (
+        |  SELECT lang, score, cnt,
+        |    CAST(coalesce(sum(cnt) OVER (PARTITION BY lang ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum_before,
+        |    CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n_total
+        |  FROM hist),
+        |thr AS (
+        |  SELECT lang, score AS thr_score, cum_before AS n_dropped, n_total
+        |  FROM cum
+        |  WHERE cum_before <= n_total // 4 AND n_total // 4 < cum_before + cnt),
+        |kept AS (
+        |  SELECT s.lang, count(*) AS n_kept,
+        |    CAST(sum(s.doc_id) AS BIGINT) AS id_checksum
+        |  FROM scored s JOIN thr ON s.lang = thr.lang
+        |    AND s.score >= thr.thr_score
+        |  GROUP BY s.lang)
+        |SELECT thr.lang, n_total, n_dropped, n_kept,
+        |  round(thr_score, 6) AS thr_score, id_checksum
+        |FROM thr JOIN kept ON thr.lang = kept.lang
+        |ORDER BY thr.lang""".stripMargin,
+
+    "q108_source_overlap" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source, string_split(trim(lower(text)), ' ') AS t
+        |  FROM documents
+        |  WHERE len(string_split(trim(lower(text)), ' ')) >= 3),
+        |grams AS (
+        |  SELECT doc_id, source,
+        |    unnest([('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]),
+        |      1, 15))::BIGINT for i in range(1, len(t) - 1)]) AS h
+        |  FROM tk),
+        |fps AS (
+        |  SELECT doc_id, source, min(h) AS h
+        |  FROM grams GROUP BY doc_id, source),
+        |hs AS (
+        |  SELECT h, source, count(*) AS c
+        |  FROM fps GROUP BY h, source),
+        |pairs AS (
+        |  SELECT a.h, a.source AS source_a, b.source AS source_b,
+        |    CASE WHEN a.source = b.source
+        |         THEN CAST(a.c * (a.c - 1) / 2 AS BIGINT)
+        |         ELSE a.c * b.c END AS p
+        |  FROM hs a JOIN hs b ON a.h = b.h AND a.source <= b.source)
+        |SELECT source_a, source_b, CAST(sum(p) AS BIGINT) AS n_dup_pairs,
+        |  count(*) AS n_hashes
+        |FROM pairs WHERE p > 0
+        |GROUP BY source_a, source_b
+        |ORDER BY source_a, source_b""".stripMargin
   )
 }

@@ -329,4 +329,25 @@ class PlanQualitySpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 2, p)
     assert(p.contains("BroadcastExchange"), p)
   }
+
+  // q107: the quartile floor comes from the (lang, score) histogram —
+  // the corpus itself is never ranked (no row_number anywhere) and
+  // the per-lang thresholds reach the keep filter via broadcast.
+  test("q107 quality floor: histogram-derived threshold, no corpus rank") {
+    val p = plan("q107_quality_floor")
+    assert(!p.contains("row_number"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  // q108: pair counts come from the per-(hash, source) histogram
+  // self-joined ON THE HASH — an equi join, never a nested loop, and
+  // the histogram aggregation is partial-aggregated before its
+  // exchange.
+  test("q108 source overlap: histogram equi join, partial aggs") {
+    val p = plan("q108_source_overlap")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
 }
