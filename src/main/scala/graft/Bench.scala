@@ -1,6 +1,27 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** name → solo seconds from the newest BENCH_r*.json in cwd (the
+    * previous round's artifact). Emitted back out as `solo_prev` so a
+    * phantom regression (box contention vs plan change) is visible in
+    * the artifact itself without cross-round archaeology.
+    */
+  private def prevSolo(cwd: String = "."): Map[String, Double] = {
+    val files = Option(new java.io.File(cwd).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
+    if (files.isEmpty) return Map.empty
+    val latest = files.maxBy(f => "\\d+".r.findFirstIn(f.getName).get.toInt)
+    try {
+      val txt = java.nio.file.Files.readString(latest.toPath)
+      val sStart = txt.indexOf("\"solo\":")
+      if (sStart < 0) return Map.empty
+      val body = txt.substring(txt.indexOf('{', sStart) + 1,
+        txt.indexOf('}', sStart))
+      "\"([^\"]+)\":(-?[0-9.eE+]+)".r.findAllMatchIn(body)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -12,6 +33,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -28,13 +50,24 @@ object Bench {
       if (s.length % 2 == 1) s(s.length / 2)
       else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
     }
+    // A failed rep is EXCLUDED from timing, never timed: round 7's
+    // artifact published 0.065 s for a query whose analysis threw — a
+    // fast-looking number for a broken query is worse than no number.
+    // A query with zero successful reps reports -1 AND lands in the
+    // top-level "failed" list with its exception.
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+      val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          failures.getOrElseUpdate(name,
+            s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+          None
+        }
       }
-      name -> (median(times), times.min)
+      name -> (if (times.isEmpty) (-1.0, -1.0) else (median(times), times.min))
     }
     val qs = results.map { case (k, (med, _)) => s"\"" + k + "\":" + med }
       .mkString("{", ",", "}")
@@ -45,10 +78,6 @@ object Bench {
     // keeping the min gives the number a solo `RunQuery` session
     // reports — previously this lived only in BASELINE.md prose; now
     // it rides the bench JSON as `solo`.
-    // failed reps are EXCLUDED, not timed: min-of-3 would otherwise
-    // publish a fast time-to-failure as the query's steady state. A
-    // query with no successful solo rep reports -1 (a visible marker,
-    // never a plausible time).
     // COMPLETE ledger: everything whose in-suite median crossed 1 s,
     // no top-N cap — round 6's q75 "regression" (0.16 -> 1.10 s with
     // untouched code) was sitting contention that a solo number would
@@ -67,17 +96,31 @@ object Bench {
       }
     val soloJs = solo.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2._1).sum
+    // Last round's solo ledger for the same queries, so the artifact
+    // carries its own round-over-round comparison (verdict r7 item 8).
+    val prev = prevSolo()
+    val soloPrevJs = solo.flatMap { case (k, _) =>
+      prev.get(k).map(p => s"\"" + k + "\":" + p) }
+      .mkString("{", ",", "}")
+    val failedJs = failures.map { case (k, v) =>
+      s"\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\\n\\r\\t]", " ") + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2._1).filter(_ >= 0).sum
     // Sum of per-query minima: robust to transient box contention (a
     // shared-tenant rep can shift even a 5-rep median — seen on the
     // round-4 driver run where q40's median read 3.7 s vs a 0.37 s
     // steady state). The min is the cost of the plan; the median is the
     // cost of the box that day. Both are reported.
-    val totalMin = results.map(_._2._2).sum
+    val totalMin = results.map(_._2._2).filter(_ >= 0).sum
     // One JSON line, headline metric LAST: log captures keep the tail
     // of long output, and with 60+ queries the per-query map alone
     // exceeds 2000 chars — a leading "value" would be truncated away.
-    println(s"""{"queries":$qs,"solo":$soloJs,"sf":"$sfDir","reps":$reps,"value_min_sum":$totalMin,"metric":"total","value":$total,"unit":"sec"}""")
+    println(s"""{"queries":$qs,"solo":$soloJs,"solo_prev":$soloPrevJs,"failed":$failedJs,"sf":"$sfDir","reps":$reps,"value_min_sum":$totalMin,"metric":"total","value":$total,"unit":"sec"}""")
     spark.stop()
+    if (failures.nonEmpty) {
+      System.err.println(s"[bench] ${failures.size} queries FAILED: " +
+        failures.keys.mkString(", "))
+    }
   }
 }

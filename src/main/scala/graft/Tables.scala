@@ -24,15 +24,33 @@ object Tables {
     else System.getProperty("java.io.tmpdir")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") {
-      // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects
-      // outright. Read nanos as long and truncate to micros —
-      // integer `div`, not `/`, because epoch-nanos (~1.7e18)
-      // overflows a double's 53-bit mantissa.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    } else {
-      spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") loadEvents(spark, s"$dir/$name.parquet")
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table has shipped under two physical encodings of `ts`:
+    * TIMESTAMP(NANOS) (which Spark 4 rejects unless read as a raw long)
+    * and plain timestamp[us]. Branch on the schema actually present in
+    * the file rather than hard-coding either generation — contract
+    * tables outlive any one materialization.
+    */
+  private[graft] def loadEvents(spark: SparkSession, path: String): DataFrame = {
+    // `nanosAsLong` only affects how a NANOS column is surfaced; with it
+    // set, a nanos file reads `ts` as LongType while a micros file still
+    // reads a proper TimestampType. One schema probe decides the branch.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(path)
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // Legacy nanos file: truncate to micros. Integer `div`, not `/`,
+        // because epoch-nanos (~1.7e18) overflows a double's 53-bit
+        // mantissa.
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _: org.apache.spark.sql.types.TimestampType => raw
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", expr("cast(ts as timestamp)"))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported physical type $other at $path")
     }
+  }
 }

@@ -1314,13 +1314,16 @@ object TextQueries {
     // every family member is a candidate and their jaccards differ.
     // That corpus shape is q55's territory: exact-dedup first, then
     // GROUP near-dups; q105's per-doc best match is the organic-batch
-    // contract — and q89's join-size pre-flight over the (band,
-    // bucket) keys prices the candidate join BEFORE committing to it,
-    // which is how a production run detects it is in the wrong regime.
+    // contract. The q89 join-size pre-flight over the (band, bucket)
+    // keys is WIRED IN as the regime switch (round-7 verdict item 7):
+    // `IncrementalDedup.auto` prices the candidate join from per-key
+    // counts before committing, and flips to the q55 group arm when
+    // candidates-per-batch-set cross the replica-family threshold. On
+    // the driver's organic corpus the probe arm always wins (spec-
+    // asserted), so the exact all-pairs oracle still gates this query;
+    // IncrementalDedupSpec stages the mass-dup regime and asserts the
+    // switch fires there.
     "q105_incremental_neardup" -> { (s, dir) =>
-      val k = 128
-      val bands = 16
-      val rows = k / bands
       val d = t(s, dir, "documents")
         .select(col("doc_id"), G.sortedWordSet(col("text")).as("ws"))
         .filter(size(col("ws")) > 0)
@@ -1328,31 +1331,9 @@ object TextQueries {
       val corpus = d.filter(col("doc_id") % 10 =!= 0)
       val corpusSets = corpus.groupBy("ws").agg(min("doc_id").as("osid"))
       val batchSets = batch.groupBy("ws").agg(min("doc_id").as("nsid"))
-      def banded(sets: DataFrame, idCol: String): DataFrame = sets
-        .select(col(idCol), G.minhashSig(col("ws"), k).as("sig"))
-        .select(col(idCol),
-          posexplode(transform(sequence(lit(0), lit(bands - 1)),
-            i => xxhash64(i, slice(col("sig"), i * lit(rows) + lit(1),
-              lit(rows))))))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-        .select(col(idCol), col("band"), col("bucket"))
-      val cand = banded(batchSets, "nsid")
-        .join(banded(corpusSets, "osid"), Seq("band", "bucket"))
-        .select("nsid", "osid").distinct()
-      val verified = cand
-        .join(batchSets.select(col("nsid"), col("ws").as("ws_n")), Seq("nsid"))
-        .join(corpusSets.select(col("osid"), col("ws").as("ws_o")), Seq("osid"))
-        // size-ratio prefilter (q29's device): jac ≤ min/max of the
-        // set sizes, so the integer compare prunes verify work in the
-        // same codegen stage without touching the answer
-        .filter(least(size(col("ws_n")), size(col("ws_o"))) >=
-          greatest(size(col("ws_n")), size(col("ws_o"))) * 0.9)
-        .withColumn("jac", G.sortedJaccard(col("ws_n"), col("ws_o")))
-        .filter(col("jac") >= 0.9)
-      val w = Window.partitionBy("nsid").orderBy(col("jac").desc, col("osid"))
-      val best = verified.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("nsid"), col("osid").as("match_id"), col("jac"))
+      val best = graft.operators.IncrementalDedup
+        .auto(batchSets, corpusSets, k = 128, bands = 16, jacThreshold = 0.9)
+        .result
       batch.join(batchSets, Seq("ws"))
         .join(best, Seq("nsid"))
         .select(col("doc_id"), col("match_id"),
