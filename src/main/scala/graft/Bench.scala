@@ -12,7 +12,11 @@ object Bench {
     if (files.isEmpty) return Map.empty
     val latest = files.maxBy(f => "\\d+".r.findFirstIn(f.getName).get.toInt)
     try {
+      // The driver wraps our JSON line inside a "tail" string field with
+      // escaped quotes — unescape before searching so both the raw line
+      // and the wrapped artifact parse.
       val txt = java.nio.file.Files.readString(latest.toPath)
+        .replace("\\\"", "\"")
       val sStart = txt.indexOf("\"solo\":")
       if (sStart < 0) return Map.empty
       val body = txt.substring(txt.indexOf('{', sStart) + 1,

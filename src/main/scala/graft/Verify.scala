@@ -29,13 +29,22 @@ object Verify {
     if (files.isEmpty) return Map.empty
     val latest = files.maxBy(f => "\\d+".r.findFirstIn(f.getName).get.toInt)
     try {
-      val txt = Files.readString(latest.toPath)
-      val qStart = txt.indexOf("\"queries\":")
-      if (qStart < 0) return Map.empty
-      val body = txt.substring(txt.indexOf('{', qStart) + 1,
-        txt.indexOf('}', qStart))
-      "\"([^\"]+)\":(-?[0-9.eE+]+)".r.findAllMatchIn(body)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      // Unescape first: the driver's BENCH_r*.json wraps our line in a
+      // "tail" string field with escaped quotes — and keeps only the
+      // LAST ~2k chars, which can truncate the "queries" map. The
+      // "solo" map (the expensive queries — exactly the ones ordering
+      // cares about) sits at the line's end and survives truncation, so
+      // parse both and let solo values win.
+      val txt = Files.readString(latest.toPath).replace("\\\"", "\"")
+      def objAt(key: String): Map[String, Double] = {
+        val start = txt.indexOf(s""""$key":""")
+        if (start < 0) return Map.empty
+        val body = txt.substring(txt.indexOf('{', start) + 1,
+          txt.indexOf('}', start))
+        "\"([^\"]+)\":(-?[0-9.eE+]+)".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+      objAt("queries") ++ objAt("solo")
     } catch { case _: Throwable => Map.empty }
   }
 

@@ -15,9 +15,9 @@ import org.apache.spark.sql.functions._
   * marker token appended (replica 0 untouched) so the DISTINCT
   * word-set count grows ~10× like an organic corpus would — without
   * it, exact-dedup-first pipelines (q30) would measure an artificially
-  * easy workload. Events keep their nanosecond `ts` as raw longs
-  * (plain INT64 parquet), which Tables.load's `ts div 1000` decode
-  * handles identically to the driver's TIMESTAMP(NANOS) files.
+  * easy workload. Events normalize through `Tables.loadEvents`
+  * (schema-adaptive) and are written back as timestamp[us] parquet —
+  * the driver's current encoding — whatever the source generation.
   *
   * `sbt "runMain graft.examples.MakeScaledData [srcDir] [outDir] [replicas] [tables] [markerTokens] [modes]"`
   * (`tables` = optional comma list — an sf10 run for the text/vector
@@ -109,16 +109,23 @@ object MakeScaledData {
       Seq("l_orderkey", "l_partkey", "l_suppkey"))(), "lineitem")
 
     // dilate-time: replica r shifts ts by r·(span + 1 h) — bounded
-    // driver metadata (two scalars), computed once from the source
+    // driver metadata (two scalars), computed once from the source.
+    // Events go through Tables.loadEvents (schema-adaptive: legacy
+    // long-nanos files and the current timestamp[us] encoding both
+    // normalize to TimestampType), so the shift arithmetic runs in
+    // microseconds and the output is always timestamp[us] parquet.
+    val eventsSrc = graft.Tables.loadEvents(spark, s"$src/events.parquet")
+      .withColumn("ts", unix_micros(col("ts")))
     val tsShift: Int => Long =
       if (modes("dilate-time")) {
-        val mm = load("events").agg(min("ts"), max("ts")).head()
-        val span = mm.getLong(1) - mm.getLong(0) + 3600L * 1000000000L
+        val mm = eventsSrc.agg(min("ts"), max("ts")).head()
+        val span = mm.getLong(1) - mm.getLong(0) + 3600L * 1000000L
         r => r * span
       } else _ => 0L
-    write(replicate(load("events"), Seq("event_id", "user_id")) { (d, r) =>
-      if (tsShift(r) == 0L) d
-      else d.withColumn("ts", col("ts") + lit(tsShift(r)))
+    write(replicate(eventsSrc, Seq("event_id", "user_id")) { (d, r) =>
+      (if (tsShift(r) == 0L) d
+       else d.withColumn("ts", col("ts") + lit(tsShift(r))))
+        .withColumn("ts", timestamp_micros(col("ts")))
     }, "events")
 
     // organic-vocab: rewrite tokens whose (token, doc, replica) hash

@@ -131,6 +131,24 @@ object VectorQueries {
       V.ivfProbeTopK(e, cents, queryVecId = 0, nprobe = 16, k = 10)
     },
 
+    // INCREMENTAL embedding near-dup: dedup a NEW batch of vectors
+    // against the EXISTING corpus — q105's ingest shape for the
+    // embedding modality (vec_id % 10 == 0 is the batch stand-in).
+    // The corpus side is a reusable IVF index (trained cells + per-
+    // cell angular radius); the batch probes only admissible cells
+    // (triangle-inequality bound — EXACT, so the brute-force top-1
+    // SQL gates the whole pipeline including kmeansFit, the q100
+    // device). τ=0.35 is this corpus's manufactured near-dup grade
+    // (q59's rationale: no organic structure above cos 0.51).
+    "q110_incremental_embedding_neardup" -> { (s, dir) =>
+      val e = emb(s, dir).select(col("vec_id"), col("v"))
+      val batch = e.filter(col("vec_id") % 10 === 0)
+      val corpus = e.filter(col("vec_id") % 10 =!= 0)
+      val cents = V.kmeansFit(corpus, k = 16, iters = 2)
+      V.incrementalBestMatch(batch, corpus, cents, tau = 0.35)
+        .orderBy("vec_id")
+    },
+
     // Embedding-cosine near-dup DEDUP: threshold pairs → connected
     // components → one group per near-dup cluster (the embedding twin
     // of q55's text groups). The pair stage is the PRODUCTION blocked
@@ -358,6 +376,25 @@ object VectorQueries {
         |ORDER BY round(list_cosine_similarity(embedding::DOUBLE[], q.qv), 6)
         |  DESC, vec_id
         |LIMIT 10""".stripMargin,
+
+    // Brute-force batch×corpus best match — gates the IVF-pruned
+    // operator because the triangle bound is exact (can't drop a
+    // qualifying match), the q100 full-probe argument in probe form.
+    "q110_incremental_embedding_neardup" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (
+        |  SELECT b.vec_id, c.vec_id AS match_id,
+        |    round(list_cosine_similarity(b.v, c.v), 6) AS cos
+        |  FROM e b, e c
+        |  WHERE b.vec_id % 10 = 0 AND c.vec_id % 10 <> 0),
+        |q AS (
+        |  SELECT vec_id, match_id, cos,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cos DESC, match_id) AS rn
+        |  FROM p WHERE cos >= 0.35)
+        |SELECT vec_id, match_id, cos FROM q WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin,
 
     // Exact top-10 — a stronger-than-mirror oracle: the wide-OR banding
     // provably (measured, see q46 comment) retains the true top-10 on

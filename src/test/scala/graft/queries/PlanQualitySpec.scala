@@ -350,4 +350,36 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert("HashAggregate".r.findAllIn(p).length >= 2, p)
   }
+
+  // q109: redaction is pure scan-side string math — ONE parquet scan,
+  // no join, no aggregate; the only exchange is the output sort. The
+  // embarrassingly-parallel map stage a 100 TB scrub must be.
+  test("q109 PII redaction: single scan, no join, no aggregation") {
+    val p = plan("q109_pii_redaction")
+    val blocks = p.split("(?m)^\\s*\\(\\d+\\) ").toSeq
+    assert(blocks.count(_.startsWith("Scan parquet")) == 1, p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Aggregate"), p)
+  }
+
+  // q110: the corpus-index probe joins candidates on the CELL id (an
+  // equi join — SortMergeJoin/BroadcastHashJoin, never a batch×corpus
+  // nested loop); centroids and radii ride broadcasts (the k-row
+  // crossJoins against LocalTableScan are the sanctioned broadcast-
+  // scalar pattern); best-match is a partial+final aggregate, not a
+  // window rank over the candidate set.
+  test("q110 incremental embedding: cell equi join, broadcast index") {
+    val p = plan("q110_incremental_embedding_neardup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("row_number"), p)
+    // every nested-loop in the plan TREE must be the broadcast-scalar
+    // pattern (Cross BuildRight of a k-row local table), never a
+    // batch×corpus loop
+    val treeBnlj = p.linesIterator
+      .filter(l => l.contains("BroadcastNestedLoopJoin") && l.contains("- "))
+      .toSeq
+    assert(treeBnlj.nonEmpty && treeBnlj.forall(_.contains("Cross BuildRight")), p)
+  }
 }
