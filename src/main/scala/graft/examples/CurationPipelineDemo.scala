@@ -11,11 +11,15 @@ import graft.SparkEntry
   * pipeline here" story in executable form:
   *
   *   1. ingest gate    — q105 incremental near-dup (drop batch docs
-  *                       already in the corpus) + q106 vocab drift
+  *                       already in the corpus; q89-pre-flight regime
+  *                       switch inside), q110 the same probe for the
+  *                       embedding modality, + q106 vocab drift
   *                       (alert if the batch shifts the distribution)
   *   2. corpus dedup   — q25 exact, q55 near-dup groups (keep one per
   *                       cluster), q103 repeated-span masking
-  *   3. quality        — q27 scores, q83 keep-cleanest resolution
+  *   3. quality/scrub  — q27 scores, q83 keep-cleanest resolution,
+  *                       q109 PII redaction (emails/phones → typed
+  *                       placeholders, with the scrub audit counts)
   *   4. mix & pack     — q77 temperature domain mix, q104 priority
   *                       sample (weighted, unbiased token estimates),
   *                       q64 shard packing, q96 train/val/test split
@@ -46,11 +50,13 @@ object CurationPipelineDemo {
     // ---- 1. ingest gate -------------------------------------------
     val dupProbe = q("q105_incremental_neardup")
     val nDupNew = dupProbe.count()
+    val embDup = q("q110_incremental_embedding_neardup").count()
     val drift = q("q106_vocab_drift")
     val kl = one(drift.filter(col("drift_rank") === 0)).getDouble(2)
     val topTok = one(drift.filter(col("drift_rank") === 1)).getString(0)
-    println(f"[1 ingest] batch docs already in corpus: $nDupNew%d; " +
-      f"KL(batch||corpus)=$kl%.4f, top drift token '$topTok'")
+    println(f"[1 ingest] batch docs already in corpus: $nDupNew%d (text), " +
+      f"$embDup%d (embedding); KL(batch||corpus)=$kl%.4f, " +
+      f"top drift token '$topTok'")
 
     // ---- 2. corpus dedup ------------------------------------------
     val exact = q("q25_dedup_exact")
@@ -64,12 +70,15 @@ object CurationPipelineDemo {
       f"$nGroups%d near-dup clusters; repeated spans cover " +
       f"${spanStats.getLong(0)}%d of ${spanStats.getLong(1)}%d tokens")
 
-    // ---- 3. quality -----------------------------------------------
+    // ---- 3. quality / scrub ---------------------------------------
     val qual = q("q27_quality_scores")
     val meanStop = one(qual.agg(avg("stop_ratio"))).getDouble(0)
     val kept = q("q83_dedup_keep_best").count()
+    val scrub = one(q("q109_pii_redaction")
+      .agg(sum("n_emails"), sum("n_phones")))
     println(f"[3 quality] mean stopword ratio $meanStop%.3f; " +
-      f"keep-cleanest resolution retains $kept%d docs")
+      f"keep-cleanest resolution retains $kept%d docs; PII scrub " +
+      f"redacted ${scrub.getLong(0)}%d emails, ${scrub.getLong(1)}%d phones")
 
     // ---- 4. mix & pack --------------------------------------------
     val mix = q("q77_domain_mix")

@@ -359,7 +359,12 @@ object TextQueries {
     val sums = tokens.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
     val fp = (0 until nbits).map(i =>
       when(col(s"b$i") >= 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
-    val d = sums.select(col("doc_id"), fp.as("sh"))
+    // materialize the fingerprint table before the banded self-join:
+    // (doc_id, sh) is corpus-sized but 16 bytes/row — the persisted
+    // artifact a production simhash index IS — and without the cut
+    // both join sides recompute scan+explode+60-bit-agg (the q108
+    // lesson; measured 1.9 → 1.2 s on q60 at sf0.1)
+    val d = sums.select(col("doc_id"), fp.as("sh")).localCheckpoint()
     val banded = d.select(col("doc_id"), col("sh"),
       posexplode(array((0 until 4).map(i =>
         col("sh").bitwiseAND(lit(0x7fffL << (bandBits * i)))): _*)))
