@@ -1472,6 +1472,43 @@ object TextQueries {
         .orderBy("lang")
     },
 
+    // Token-budget corpus selection: keep the highest-quality docs
+    // until a token budget is spent — the data-constrained "we can
+    // only train on N tokens, take the best" cut that follows scoring
+    // in every budgeted pretraining run (q107 calibrates a per-lang
+    // floor; this allocates a GLOBAL budget). Greedy fill in
+    // (score desc, doc_id) order; a doc is kept iff the tokens BEFORE
+    // it leave budget headroom (cum_before < budget), so the boundary
+    // doc is included — a deterministic rule both engines state
+    // identically. The global prefix sum runs in the scalable q64
+    // two-phase form (range partition → per-partition running sums →
+    // broadcast partition offsets) under a constant group key — the
+    // corpus is never pulled through one window partition, which is
+    // the difference between this and `sum() over (order by ...)` at
+    // 100 TB. Budget = ¼ of total tokens, derived as dataflow (1-row
+    // broadcast). Score ranking is engine-exact (one IEEE division,
+    // the q104/q107 rule); output reports the selected set per source
+    // with an id checksum pinning exact membership.
+    "q111_token_budget_select" -> { (s, dir) =>
+      val scored = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), toks(col("text")).as("tk"))
+        .select(col("doc_id"), col("source"),
+          size(col("tk")).cast("long").as("n_toks"),
+          G.stopwordRatio(col("tk"), enStop).as("score"))
+        .withColumn("__g", lit(0))
+        .withColumn("__ord", struct((-col("score")).as("ns"), col("doc_id")))
+      val cum = graft.operators.RelationalOps
+        .groupedPrefixSum(scored, "__g", "__ord", "n_toks", "cum_before")
+      val budget = scored
+        .agg(floor(sum("n_toks") / 4).cast("long").as("budget"))
+      cum.crossJoin(broadcast(budget))
+        .filter(col("cum_before") < col("budget"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"),
+          sum("doc_id").as("id_checksum"))
+        .orderBy("source")
+    },
+
     // Cross-source duplication matrix: how many duplicate-FAMILY doc
     // PAIRS exist within and between sources — the "which crawls copy
     // from each other" provenance analytic that decides source
@@ -2365,6 +2402,30 @@ object TextQueries {
         |  md5(regexp_replace(regexp_replace(b,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]',
         |    'g'), '\+1-\d{3}-\d{4}', '[PHONE]', 'g')) AS clean_hash
-        |FROM blob ORDER BY doc_id""".stripMargin
+        |FROM blob ORDER BY doc_id""".stripMargin,
+
+    "q111_token_budget_select" ->
+      """WITH scored AS (
+        |  SELECT doc_id, source,
+        |    len(string_split(trim(lower(text)), ' ')) AS n_toks,
+        |    CASE WHEN len(string_split(trim(lower(text)), ' ')) = 0 THEN 0.0
+        |         ELSE len(list_filter(string_split(trim(lower(text)), ' '),
+        |             t -> t IN ('the','a','of','and','to','in')))::DOUBLE /
+        |           len(string_split(trim(lower(text)), ' ')) END AS score
+        |  FROM documents),
+        |tot AS (
+        |  SELECT CAST(floor(sum(n_toks) / 4) AS BIGINT) AS budget
+        |  FROM scored),
+        |c AS (
+        |  SELECT doc_id, source, n_toks,
+        |    coalesce(sum(n_toks) OVER (ORDER BY score DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_before
+        |  FROM scored)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        |FROM c, tot WHERE cum_before < budget
+        |GROUP BY source ORDER BY source""".stripMargin
   )
 }

@@ -382,4 +382,25 @@ class PlanQualitySpec extends SparkSpec {
       .toSeq
     assert(treeBnlj.nonEmpty && treeBnlj.forall(_.contains("Cross BuildRight")), p)
   }
+
+  // q111: the CORPUS-side running sum must ride the two-phase form —
+  // every Window over the doc rows is partitioned by the range-
+  // partition id (__part), never a corpus-wide single partition; the
+  // only single-partition window is the 32-row partition-offset
+  // metadata (q64's device). Budget and offsets reach the filter via
+  // broadcast.
+  test("q111 token budget: two-phase prefix sum, no corpus-wide window") {
+    val p = plan("q111_token_budget_select")
+    val blocks = p.split("(?m)^\\s*\\(\\d+\\) ").toSeq
+    val windows = blocks.filter(_.startsWith("Window"))
+    assert(windows.nonEmpty, p)
+    // corpus-side windows name __part in their spec; the offsets
+    // window (partitioned on the constant __g) is the bounded one
+    assert(windows.forall(w =>
+      w.contains("__part") || w.contains("__g")), p)
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct") ||
+      p.linesIterator.filter(l => l.contains("BroadcastNestedLoopJoin") &&
+        l.contains("- ")).forall(_.contains("Cross BuildRight")), p)
+  }
 }
