@@ -158,34 +158,54 @@ object VectorOps {
                            cents: DataFrame, tau: Double): DataFrame = {
     val thetaTau = math.acos(math.max(-1.0, tau - 5e-7))
     val eps = 1e-6
+    // EXACT-DEDUP FIRST (the q105/q30 text discipline, applied to
+    // vectors): collapse byte-identical vectors to their min-id
+    // representative on BOTH sides, probe over distinct vectors only,
+    // fan batch matches back at the end. Output-identical BY
+    // CONSTRUCTION: identical vectors have identical cosines, and the
+    // (cos desc, id asc) argmax picks the exact family's min id — the
+    // representative — whether or not the copies are present. A
+    // mass-replicated corpus (the #1 wrong regime of any incremental
+    // probe; crawl embeddings repeat exactly when the text does) now
+    // costs one groupBy instead of a family-quadratic candidate join.
+    val corpusSets = corpus.groupBy("v").agg(min("vec_id").as("match_cand"))
+      .localCheckpoint()
+    val batchSets = batch.groupBy("v").agg(min("vec_id").as("bsid"))
+      .localCheckpoint()
     // Corpus index: nearest-centroid assignment + per-cell radius.
     // UNROUNDED angles feed the bound (blockedCosineCandidates'
     // rationale: rounding belongs to the verify, not the metric).
-    val assigned = corpus.crossJoin(broadcast(cents))
+    val assigned = corpusSets.crossJoin(broadcast(cents))
       .withColumn("uc", G.cosineSim(col("v"), col("cv")))
-      .groupBy(col("vec_id"))
+      .groupBy(col("match_cand"))
       .agg(max_by(struct(col("cid"), col("uc")),
           struct(col("uc"), -col("cid"))).as("b"),
         first(col("v")).as("v"))
-      .select(col("vec_id").as("match_cand"), col("v").as("v_c"),
+      .select(col("match_cand"), col("v").as("v_c"),
         col("b.cid").as("cell"), acos(clamp(col("b.uc"))).as("ang"))
     val radii = assigned.groupBy("cell").agg(max("ang").as("r"))
     // Batch probe plan: keep (batch vector, cell) pairs the bound
     // admits — K rows of metadata per batch vector, broadcast side.
-    val probe = batch.crossJoin(broadcast(cents))
+    val probe = batchSets.crossJoin(broadcast(cents))
       .withColumn("thq", acos(clamp(G.cosineSim(col("v"), col("cv")))))
       .join(broadcast(radii.withColumnRenamed("cell", "cid")), Seq("cid"))
       .filter(col("thq") <= lit(thetaTau + eps) + col("r"))
-      .select(col("vec_id"), col("v").as("v_q"), col("cid").as("cell"))
+      .select(col("bsid"), col("v").as("v_q"), col("cid").as("cell"))
     // Candidates via the cell-keyed equi-join; exact verify; best per
-    // batch vector (max rounded cos, smaller match_id on ties).
-    probe.join(assigned, Seq("cell"))
+    // distinct batch vector (max rounded cos, smaller id on ties).
+    val bestPerSet = probe.join(assigned, Seq("cell"))
       .withColumn("cos", round(G.cosineSim(col("v_q"), col("v_c")), 6))
       .filter(col("cos") >= tau)
-      .groupBy("vec_id")
+      .groupBy("bsid")
       .agg(max_by(col("match_cand"), struct(col("cos"), -col("match_cand")))
           .as("match_id"),
         max("cos").as("cos"))
+    // Fan back to every batch vector of each distinct set. At 100 TB
+    // this equi-join keys on a 16-byte hash of the vector bytes rather
+    // than the array itself; array equality is exact either way.
+    batch.join(batchSets, Seq("v"))
+      .join(bestPerSet, Seq("bsid"))
+      .select(col("vec_id"), col("match_id"), col("cos"))
   }
 
   /** Exact brute-force top-k with [[ivfProbeTopK]]'s output contract —

@@ -144,7 +144,12 @@ object VectorQueries {
       val e = emb(s, dir).select(col("vec_id"), col("v"))
       val batch = e.filter(col("vec_id") % 10 === 0)
       val corpus = e.filter(col("vec_id") % 10 =!= 0)
-      val cents = V.kmeansFit(corpus, k = 16, iters = 2)
+      // train on DISTINCT vectors: centroid quality only ever affects
+      // pruning (never the exact output), and a mass-replicated corpus
+      // would otherwise pay k-means' full-corpus passes on copies
+      val distinctCorpus = corpus.groupBy("v")
+        .agg(min("vec_id").as("vec_id"))
+      val cents = V.kmeansFit(distinctCorpus, k = 16, iters = 2)
       V.incrementalBestMatch(batch, corpus, cents, tau = 0.35)
         .orderBy("vec_id")
     },
