@@ -1509,6 +1509,29 @@ object TextQueries {
         .orderBy("source")
     },
 
+    // Deterministic corpus shuffle: assign every document a stable
+    // pseudo-random GLOBAL training position — the "shuffle 100 TB
+    // once, reproducibly" step between packing and writing the final
+    // training order (seeded hash key, so re-runs and resumed jobs
+    // agree byte-for-byte; q63/q77 sample, q64 packs, this ORDERS).
+    // Position = the count of keys before mine = the q111 two-phase
+    // prefix machinery with value 1 (range partition by key →
+    // per-partition running counts → broadcast partition offsets) —
+    // a global row_number that never sorts the corpus through one
+    // window partition. md5 keys are hex strings whose ASCII order is
+    // engine-identical, and doc_id-seeded keys are collision-free, so
+    // the oracle's window row_number gates every position exactly.
+    "q112_corpus_shuffle" -> { (s, dir) =>
+      val keyed = t(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(concat(lit("sh1:"), col("doc_id").cast("string"))).as("k"))
+        .withColumn("__g", lit(0)).withColumn("__one", lit(1L))
+      graft.operators.RelationalOps
+        .groupedPrefixSum(keyed, "__g", "k", "__one", "pos")
+        .select(col("doc_id"), col("pos"))
+        .orderBy("pos")
+    },
+
     // Cross-source duplication matrix: how many duplicate-FAMILY doc
     // PAIRS exist within and between sources — the "which crawls copy
     // from each other" provenance analytic that decides source
@@ -2426,6 +2449,11 @@ object TextQueries {
         |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
         |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
         |FROM c, tot WHERE cum_before < budget
-        |GROUP BY source ORDER BY source""".stripMargin
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q112_corpus_shuffle" ->
+      """SELECT doc_id,
+        |  row_number() OVER (ORDER BY md5('sh1:' || doc_id)) - 1 AS pos
+        |FROM documents ORDER BY pos""".stripMargin
   )
 }

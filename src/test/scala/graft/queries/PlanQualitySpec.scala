@@ -403,4 +403,16 @@ class PlanQualitySpec extends SparkSpec {
       p.linesIterator.filter(l => l.contains("BroadcastNestedLoopJoin") &&
         l.contains("- ")).forall(_.contains("Cross BuildRight")), p)
   }
+
+  // q112: the global shuffle position must come from the same
+  // two-phase form — a corpus-wide row_number window (SinglePartition
+  // over the doc rows) is the anti-pattern this query exists to avoid.
+  test("q112 corpus shuffle: positions via two-phase counts, not a global window") {
+    val p = plan("q112_corpus_shuffle")
+    val blocks = p.split("(?m)^\\s*\\(\\d+\\) ").toSeq
+    val windows = blocks.filter(_.startsWith("Window"))
+    assert(windows.nonEmpty, p)
+    assert(windows.forall(w => w.contains("__part") || w.contains("__g")), p)
+    assert(!p.contains("row_number"), p)
+  }
 }
