@@ -50,6 +50,40 @@ object MultimodalQueries {
         .orderBy("media_id")
     },
 
+    // Multimodal near-dup END-TO-END: decode-stub → feature vector →
+    // incremental ANN probe — the full "dedup new media against the
+    // corpus by PERCEPTUAL similarity" pipeline (exact-byte dedup is
+    // q25's md5; features catch re-encodes, where a real codec's
+    // embedding replaces the stub and NOTHING else changes). Batch =
+    // media_id % 10 == 0; corpus side indexed by trained cells; the
+    // probe is VectorOps.incrementalBestMatch, so the triangle-bound
+    // exactness argument carries over and the brute-force top-1 SQL
+    // over the same md5-derived features gates the whole chain —
+    // codec stub, typed mapPartitions, k-means, probe.
+    "q113_media_neardup" -> { (s, dir) =>
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").as("media_id"),
+          when(col("doc_id") % 3 === 0, "image")
+            .when(col("doc_id") % 3 === 1, "audio")
+            .otherwise("video").as("kind"),
+          col("text").cast("binary").as("payload"),
+          (col("n_chars") % 640 + 32).cast("int").as("width"),
+          (col("n_chars") % 480 + 32).cast("int").as("height"))
+        .as[M.MediaRow]
+      val feats = M.extractFeaturesMd5(media).toDF()
+        .select(col("media_id").as("vec_id"), col("feature").as("v"))
+      val batch = feats.filter(col("vec_id") % 10 === 0)
+      val corpus = feats.filter(col("vec_id") % 10 =!= 0)
+      val distinctCorpus = corpus.groupBy("v")
+        .agg(min("vec_id").as("vec_id"))
+      val cents = graft.operators.VectorOps
+        .kmeansFit(distinctCorpus, k = 8, iters = 2)
+      graft.operators.VectorOps
+        .incrementalBestMatch(batch, corpus, cents, tau = 0.95)
+        .orderBy("vec_id")
+    },
+
     // Frame sampling over the video-shaped rows: k evenly-spaced
     // deterministic frame offsets per media row (the decode of each
     // frame is the codec stub's job; the offsets, explode shape, and
@@ -101,6 +135,32 @@ object MultimodalQueries {
         |SELECT m.media_id, CAST(i.idx AS INT) AS sample_idx,
         |  CAST(i.idx * (m.n_frames // 4) AS INT) AS frame_offset
         |FROM m CROSS JOIN i
-        |ORDER BY media_id, sample_idx""".stripMargin
+        |ORDER BY media_id, sample_idx""".stripMargin,
+
+    // the feature doubles are exact dyadic rationals (24-bit hex
+    // windows / 2^24 − 0.5), so both engines build bit-identical
+    // vectors and the rounded-cosine rank is engine-exact
+    "q113_media_neardup" ->
+      """WITH m AS (
+        |  SELECT doc_id AS vec_id, md5(text) AS hex FROM documents),
+        |f AS (
+        |  SELECT vec_id,
+        |    [('0x' || substr(hex, 1, 6))::BIGINT / 16777216.0 - 0.5,
+        |     ('0x' || substr(hex, 7, 6))::BIGINT / 16777216.0 - 0.5,
+        |     ('0x' || substr(hex, 13, 6))::BIGINT / 16777216.0 - 0.5,
+        |     ('0x' || substr(hex, 19, 6))::BIGINT / 16777216.0 - 0.5] AS v
+        |  FROM m),
+        |p AS (
+        |  SELECT b.vec_id, c.vec_id AS match_id,
+        |    round(list_cosine_similarity(b.v, c.v), 6) AS cos
+        |  FROM f b, f c
+        |  WHERE b.vec_id % 10 = 0 AND c.vec_id % 10 <> 0),
+        |q AS (
+        |  SELECT vec_id, match_id, cos,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cos DESC, match_id) AS rn
+        |  FROM p WHERE cos >= 0.95)
+        |SELECT vec_id, match_id, cos FROM q WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin
   )
 }
