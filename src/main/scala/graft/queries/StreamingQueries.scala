@@ -400,6 +400,66 @@ object StreamingQueries {
         orderCols = Seq(col("ts"), col("doc_id")))
         .select(md5(col("text")).as("content_hash"))
         .orderBy("content_hash")
+    },
+
+    // The q105 ingest probe AS A STREAM: new docs arrive in
+    // micro-batches and near-dup-probe the PERSISTED corpus band
+    // index via a STREAM-STATIC equi-join on (band, bucket) — the
+    // production deployment shape of incremental dedup, where the
+    // index is a table (IndexPersistSpec) and each day's batch is a
+    // trigger. Per-doc banded signatures are stateless scan math on
+    // the stream side; the verify joins the static set table; the
+    // single streaming aggregation (complete mode) takes each doc's
+    // best match. Band-collision duplicates are NOT pre-deduped —
+    // that would be a second aggregation, which Structured Streaming
+    // forbids in one query; the max_by is idempotent under them, so
+    // correctness is untouched and the verify pays ≤ bands× on
+    // colliding pairs (the q105 batch form stays the thrifty shape;
+    // this gate proves the STREAMING semantics). Oracle: the q105
+    // all-pairs SQL verbatim — the stream must equal the batch answer.
+    "q114_streaming_neardup_probe" -> { (s, dir) =>
+      import graft.functions.{GraftFunctions => G}
+      import graft.operators.IncrementalDedup
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), G.sortedWordSet(col("text")).as("ws"))
+        .filter(size(col("ws")) > 0)
+      val corpusSets = d.filter(col("doc_id") % 10 =!= 0)
+        .groupBy("ws").agg(min("doc_id").as("osid"))
+        .localCheckpoint()
+      val corpusIdx = IncrementalDedup.bandIndex(corpusSets, "osid", 128, 16)
+        .localCheckpoint()
+      val input = t(s, dir, "documents")
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("text"))
+      runMultiBatch(s, "q114", input, in => {
+        val k = 128; val bands = 16; val rows = k / bands
+        val sets = in
+          .select(col("doc_id"), G.sortedWordSet(col("text")).as("ws"))
+          .filter(size(col("ws")) > 0)
+        val banded = sets
+          .select(col("doc_id"), col("ws"),
+            G.minhashSig(col("ws"), k).as("sig"))
+          .select(col("doc_id"), col("ws"),
+            posexplode(transform(sequence(lit(0), lit(bands - 1)),
+              i => xxhash64(i, slice(col("sig"), i * lit(rows) + lit(1),
+                lit(rows))))))
+          .withColumnRenamed("pos", "band")
+          .withColumnRenamed("col", "bucket")
+        banded.join(corpusIdx, Seq("band", "bucket"))
+          .join(corpusSets.select(col("osid"), col("ws").as("ws_o")),
+            Seq("osid"))
+          .filter(least(size(col("ws")), size(col("ws_o"))) >=
+            greatest(size(col("ws")), size(col("ws_o"))) * 0.9)
+          .withColumn("jac", G.sortedJaccard(col("ws"), col("ws_o")))
+          .filter(col("jac") >= 0.9)
+          .groupBy("doc_id")
+          .agg(max_by(col("osid"), struct(col("jac"), -col("osid")))
+              .as("match_id"),
+            max("jac").as("jac"))
+      }, orderCols = Seq(col("doc_id")), mode = "complete")
+        .select(col("doc_id"), col("match_id"),
+          round(col("jac"), 6).as("jac"))
+        .orderBy("doc_id")
     }
   )
 
@@ -486,6 +546,30 @@ object StreamingQueries {
 
     "q99_multibatch_dedup" ->
       """SELECT DISTINCT md5(text) AS content_hash FROM documents
-        |ORDER BY content_hash""".stripMargin
+        |ORDER BY content_hash""".stripMargin,
+
+    // q105's oracle verbatim: the streamed probe must equal the batch
+    // incremental near-dup answer
+    "q114_streaming_neardup_probe" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_distinct(string_split(trim(lower(text)), ' ')) AS ws
+        |  FROM documents),
+        |corpus_sets AS (
+        |  SELECT ws, min(doc_id) AS osid FROM d
+        |  WHERE doc_id % 10 <> 0 GROUP BY ws),
+        |pairs AS (
+        |  SELECT n.doc_id, o.osid,
+        |    len(list_intersect(n.ws, o.ws))::DOUBLE /
+        |      len(list_distinct(list_concat(n.ws, o.ws))) AS jac
+        |  FROM d n, corpus_sets o
+        |  WHERE n.doc_id % 10 = 0),
+        |best AS (
+        |  SELECT doc_id, osid, jac,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY jac DESC, osid) AS rn
+        |  FROM pairs WHERE jac >= 0.9)
+        |SELECT doc_id, osid AS match_id, round(jac, 6) AS jac
+        |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin
   )
 }
