@@ -1509,6 +1509,50 @@ object TextQueries {
         .orderBy("source")
     },
 
+    // Split-leakage audit: how much 13-gram content the q96
+    // train/val/test splits SHARE — the "did near-dups leak across
+    // the eval boundary" check that must run after any split, because
+    // a hash-random split scatters every duplicate family across
+    // splits by construction (q68 firewalls against an external
+    // benchmark; this audits the split's own internal leakage, the
+    // reason dedup must precede splitting). Counts are closed-form
+    // from the (gram-hash, split) histogram — ca·cb per shared hash,
+    // the q108 device, never a doc-level cross join — with shingles
+    // deduped per doc first so a doc's internal repetition doesn't
+    // inflate the leak count. The histogram is localCheckpointed
+    // before its self-join (the q108 pushdown lesson: the gram-hash
+    // key is an expensive derived column).
+    "q115_split_leakage" -> { (s, dir) =>
+      val n = 13
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), toks(col("text")).as("tk"),
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+            .cast("long") % 100).as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val").otherwise("test"))
+        .filter(size(col("tk")) >= n)
+      val hs = d
+        .select(col("split"), col("doc_id"),
+          explode(G.wordShingles(col("tk"), n)).as("g"))
+        .select(col("split"), col("doc_id"),
+          conv(substring(md5(col("g")), 1, 15), 16, 10)
+            .cast("long").as("h"))
+        .distinct()
+        .groupBy("h", "split").agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val a = hs.select(col("h"), col("split").as("split_a"),
+        col("c").as("ca"))
+      val b = hs.select(col("h"), col("split").as("split_b"),
+        col("c").as("cb"))
+      a.join(b, Seq("h"))
+        .filter(col("split_a") < col("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(sum(col("ca") * col("cb")).as("n_leak_pairs"),
+          count(lit(1)).as("n_shared_shingles"))
+        .orderBy("split_a", "split_b")
+    },
+
     // Deterministic corpus shuffle: assign every document a stable
     // pseudo-random GLOBAL training position — the "shuffle 100 TB
     // once, reproducibly" step between packing and writing the final
@@ -2454,6 +2498,33 @@ object TextQueries {
     "q112_corpus_shuffle" ->
       """SELECT doc_id,
         |  row_number() OVER (ORDER BY md5('sh1:' || doc_id)) - 1 AS pos
-        |FROM documents ORDER BY pos""".stripMargin
+        |FROM documents ORDER BY pos""".stripMargin,
+
+    "q115_split_leakage" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(trim(lower(text)), ' ') AS t,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      % 100 AS bucket
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, t,
+        |    CASE WHEN bucket < 80 THEN 'train'
+        |         WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |  FROM d WHERE len(t) >= 13),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, split,
+        |    ('0x' || substr(md5(array_to_string(t[i:i+12], ' ')), 1, 15))
+        |      ::BIGINT AS h
+        |  FROM s, UNNEST(range(1, len(t) - 13 + 2)) AS u(i)),
+        |hs AS (
+        |  SELECT h, split, count(*) AS c FROM grams GROUP BY h, split),
+        |pairs AS (
+        |  SELECT a.h, a.split AS split_a, b.split AS split_b,
+        |    a.c * b.c AS p
+        |  FROM hs a JOIN hs b ON a.h = b.h AND a.split < b.split)
+        |SELECT split_a, split_b, CAST(sum(p) AS BIGINT) AS n_leak_pairs,
+        |  count(*) AS n_shared_shingles
+        |FROM pairs GROUP BY split_a, split_b
+        |ORDER BY split_a, split_b""".stripMargin
   )
 }
