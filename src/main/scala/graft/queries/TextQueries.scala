@@ -1576,6 +1576,38 @@ object TextQueries {
         .orderBy("pos")
     },
 
+    // Per-language score percentile normalization: map every doc's
+    // raw quality score to its within-language cumulative percentile
+    // (cume_dist semantics) — the calibration that makes one global
+    // threshold meaningful across languages whose raw score
+    // distributions differ (q107 cuts at a fixed quantile; this
+    // exports the whole normalized scale, the input to any
+    // cross-lingual mixing policy). The percentile is a VALUE
+    // computable from the (lang, score) histogram — cum-through-my-
+    // score / n_total, one integer division, engine-exact — so the
+    // corpus is never per-language ranked: histogram → grouped prefix
+    // sum → broadcast join back to the scan (histogram cardinality =
+    // distinct scores, bounded; the oracle states the same number as
+    // a window cume_dist, the form that would die on a language
+    // holding half of 100 TB).
+    "q116_score_percentiles" -> { (s, dir) =>
+      val scored = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          G.stopwordRatio(toks(col("text")), enStop).as("score"))
+      val hist = scored.groupBy("lang", "score").agg(count(lit(1)).as("cnt"))
+      val cum = graft.operators.RelationalOps
+        .groupedPrefixSum(hist, "lang", "score", "cnt", "cum_before")
+      val nl = hist.groupBy("lang").agg(sum("cnt").as("n_total"))
+      val scale = cum.join(broadcast(nl), "lang")
+        .select(col("lang"), col("score"),
+          round((col("cum_before") + col("cnt")) /
+            col("n_total").cast("double"), 6).as("pct"))
+      scored.join(broadcast(scale), Seq("lang", "score"))
+        .select(col("doc_id"), col("lang"),
+          round(col("score"), 6).as("score"), col("pct"))
+        .orderBy("doc_id")
+    },
+
     // Cross-source duplication matrix: how many duplicate-FAMILY doc
     // PAIRS exist within and between sources — the "which crawls copy
     // from each other" provenance analytic that decides source
@@ -2525,6 +2557,20 @@ object TextQueries {
         |SELECT split_a, split_b, CAST(sum(p) AS BIGINT) AS n_leak_pairs,
         |  count(*) AS n_shared_shingles
         |FROM pairs GROUP BY split_a, split_b
-        |ORDER BY split_a, split_b""".stripMargin
+        |ORDER BY split_a, split_b""".stripMargin,
+
+    // cume_dist states the same integer ratio the histogram computes
+    "q116_score_percentiles" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN len(string_split(trim(lower(text)), ' ')) = 0 THEN 0.0
+        |         ELSE len(list_filter(string_split(trim(lower(text)), ' '),
+        |             t -> t IN ('the','a','of','and','to','in')))::DOUBLE /
+        |           len(string_split(trim(lower(text)), ' ')) END AS score
+        |  FROM documents)
+        |SELECT doc_id, lang, round(score, 6) AS score,
+        |  round(cume_dist() OVER (PARTITION BY lang ORDER BY score), 6)
+        |    AS pct
+        |FROM scored ORDER BY doc_id""".stripMargin
   )
 }

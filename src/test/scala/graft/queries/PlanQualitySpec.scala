@@ -415,4 +415,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(windows.forall(w => w.contains("__part") || w.contains("__g")), p)
     assert(!p.contains("row_number"), p)
   }
+
+  // q116: percentiles come from the histogram (two-phase prefix sums
+  // over (lang, score) cells) joined back by broadcast — the corpus
+  // is never per-language ranked (no cume_dist/rank over doc rows).
+  test("q116 score percentiles: histogram percentiles, no corpus rank") {
+    val p = plan("q116_score_percentiles")
+    assert(!p.contains("cume_dist") && !p.contains("row_number"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    val blocks = p.split("(?m)^\\s*\\(\\d+\\) ").toSeq
+    val windows = blocks.filter(_.startsWith("Window"))
+    assert(windows.forall(w => w.contains("__part") || w.contains("lang")), p)
+  }
 }
