@@ -397,10 +397,49 @@ object CoverageQueries {
           sum(when(col("az") > 3, 1L).otherwise(0L)).as("n_anomalies"),
           round(max(col("az")), 6).as("max_abs_z"))
         .orderBy("event_type")
+    },
+
+    // Key-skew histogram: the pre-flight that decides the join
+    // strategy BEFORE a 100 TB shuffle — per-key event counts rolled
+    // into log2 buckets (bucket = bit-width − 1, computed from the
+    // binary string so no libm log2 near-power-of-two ulp can move a
+    // key across a bucket boundary cross-engine). The output answers
+    // "is this key space uniform or does one user own 10% of the
+    // table": n_keys and event share per magnitude bucket plus the
+    // largest single key. Feeds q66's salted join and q89's join-size
+    // estimate with the distribution they assume. Scale shape: the
+    // per-key count is map-side combinable, the histogram is ≤64
+    // rows, the corpus total is the same aggregation reused — one
+    // shuffle keyed by user_id, everything after it is broadcast.
+    "q122_key_skew_histogram" -> { (s, dir) =>
+      val counts = t(s, dir, "events")
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+      val total = counts.agg(sum("n").as("tot"))
+      counts
+        .withColumn("bucket", (length(conv(col("n"), 10, 2)) - 1)
+          .cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_keys"), sum("n").as("n_events"),
+          max("n").as("max_key_events"))
+        .crossJoin(broadcast(total))
+        .withColumn("pct_events",
+          round(col("n_events") / col("tot").cast("double"), 6))
+        .drop("tot")
+        .orderBy("bucket")
     }
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    "q122_key_skew_histogram" ->
+      """WITH counts AS (
+        |  SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM counts)
+        |SELECT length(bin(n)) - 1 AS bucket,
+        |  count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS n_events,
+        |  CAST(max(n) AS BIGINT) AS max_key_events,
+        |  round(sum(n)::DOUBLE / any_value(tot.tot), 6) AS pct_events
+        |FROM counts, tot GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q49_s1_incidence" ->
       """WITH s1 AS (
         |  SELECT o_orderkey AS pid,

@@ -1608,6 +1608,141 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Snapshot delta (CDC between corpus crawls): classify every doc
+    // across two snapshot versions as added / removed / changed /
+    // unchanged — the audit that sizes how much of a 100 TB corpus a
+    // new crawl actually touches (and therefore how much incremental
+    // work q105's probe tier owes). v2 is DERIVED deterministically
+    // from v1 in-query (drop doc_id%101=7, revise %97=3, add a
+    // shifted-id doc for %103=5) so the DuckDB oracle can state both
+    // snapshots in pure SQL. Scale shape: text is hashed AT THE SCAN
+    // and the full-outer join carries (doc_id, h, source) only — a
+    // document body never crosses the shuffle; with both snapshots in
+    // pk-bucketed CoW tables (sources/PartitionedCowTable) the join
+    // is co-located and shuffle-free. Output is the per-(status,
+    // source) work-list summary, bounded by 4·|sources|.
+    "q117_corpus_delta" -> { (s, dir) =>
+      val base = t(s, dir, "documents")
+      val v1 = base.select(col("doc_id"), md5(col("text")).as("h1"),
+        col("source").as("src1"))
+      val kept = base.filter(col("doc_id") % 101 =!= 7)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 97 === 3,
+            concat(col("text"), lit(" [rev2]")))
+            .otherwise(col("text"))).as("h2"),
+          col("source").as("src2"))
+      val added = base.filter(col("doc_id") % 103 === 5)
+        .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+          md5(concat(lit("new "), col("text"))).as("h2"),
+          col("source").as("src2"))
+      v1.join(kept.unionByName(added), Seq("doc_id"), "full_outer")
+        .withColumn("status",
+          when(col("h1").isNull, "added")
+            .when(col("h2").isNull, "removed")
+            .when(col("h1") =!= col("h2"), "changed")
+            .otherwise("unchanged"))
+        .withColumn("source", coalesce(col("src1"), col("src2")))
+        .groupBy("status", "source")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("status", "source")
+    },
+
+    // Capped inverted PHRASE index: per 3-gram phrase its document
+    // frequency, collection frequency and the top-5 postings by tf
+    // (desc, doc_id tie-break) — the excerpt-lookup index a curation
+    // team builds to audit shared passages (q73 asks "which docs
+    // contain this SET"; this answers "where does this PHRASE live").
+    // Unigrams are useless on a Zipfian corpus (every word is either
+    // a stopword or a hapax — measured: this corpus has exactly ONE
+    // unigram with df in [5,100]); 3-gram phrases put the mass in the
+    // indexable mid-band. Scale shape: tf's shuffle is keyed
+    // (phrase, doc_id), so a common phrase spreads across doc
+    // partitions rather than one hot reducer; the df band [2, 100] is
+    // applied BEFORE postings are collected, so collect_list is
+    // bounded by the df cap by construction (boilerplate phrases
+    // never reach it, hapax phrases are dropped), and the posting
+    // sort is per-phrase over ≤100 structs — no corpus-wide window
+    // anywhere.
+    "q118_inverted_index" -> { (s, dir) =>
+      val tf = t(s, dir, "documents")
+        .select(col("doc_id"), toks(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 3)
+        .select(col("doc_id"),
+          explode(G.wordShingles(col("tk"), 3)).as("term"))
+        .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      val terms = tf.groupBy("term")
+        .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
+        .filter(col("df").between(2, 100))
+      tf.join(terms, "term")
+        .groupBy("term")
+        .agg(first("df").as("df"), first("cf").as("cf"),
+          array_join(transform(
+            slice(array_sort(collect_list(
+              struct((-col("tf")).as("ntf"), col("doc_id")))), 1, 5),
+            x => x.getField("doc_id").cast("string")), ",").as("top_docs"))
+        .orderBy("term")
+    },
+
+    // Dedup impact audit: what global keep-min-id dedup over q32's
+    // fingerprint families would cost each SOURCE — docs dropped,
+    // characters reclaimed, drop rate. The report a curation team
+    // reads before committing a dedup pass (q83 picks which copy
+    // survives; this prices the decision per provenance). One shuffle
+    // keyed by the 60-bit family fingerprint; the survivor id is a
+    // whole-partition window min over that same shuffle — no join
+    // back, so the fingerprint lambda is computed once per doc (the
+    // q108 constraint-inference lesson, solved structurally this time
+    // instead of with a materialization barrier).
+    "q120_dedup_impact" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          toks(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 3)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          minGramFp(col("tk")).as("h"))
+      d.withColumn("keep_id", min("doc_id").over(Window.partitionBy("h")))
+        .withColumn("kept", col("doc_id") === col("keep_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(!col("kept"), col("n_chars")).otherwise(0L))
+            .as("chars_dropped"))
+        .withColumn("drop_rate",
+          round((col("n_docs") - col("n_kept")) /
+            col("n_docs").cast("double"), 6))
+        .orderBy("source")
+    },
+
+    // Per-document novelty rate: the fraction of a doc's distinct
+    // 8-gram shingles that appear in NO other document — the
+    // information-density / memorization-risk signal that separates
+    // boilerplate (novelty→0) from unique content (novelty→1),
+    // complementing q103 (which masks the repeated spans) and q115
+    // (which counts cross-split leakage) with a per-doc score.
+    // Scale shape: shingles travel as 60-bit md5-derived longs, the
+    // df is a whole-partition window count over the single gram-keyed
+    // shuffle (same no-join-back structure as q120), and the per-doc
+    // rollup shuffles (doc_id, two longs). Linear in corpus size.
+    "q121_novelty_rate" -> { (s, dir) =>
+      val n = 8
+      val grams = t(s, dir, "documents")
+        .select(col("doc_id"), toks(col("text")).as("tk"))
+        .filter(size(col("tk")) >= n)
+        .select(col("doc_id"), explode(G.wordShingles(col("tk"), n)).as("g"))
+        .select(col("doc_id"),
+          conv(substring(md5(col("g")), 1, 15), 16, 10)
+            .cast("long").as("h"))
+        .distinct()
+      grams
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+        .withColumn("novelty",
+          round(col("n_unique") / col("n_grams").cast("double"), 6))
+        .orderBy("doc_id")
+    },
+
     // Cross-source duplication matrix: how many duplicate-FAMILY doc
     // PAIRS exist within and between sources — the "which crawls copy
     // from each other" provenance analytic that decides source
@@ -2558,6 +2693,98 @@ object TextQueries {
         |  count(*) AS n_shared_shingles
         |FROM pairs GROUP BY split_a, split_b
         |ORDER BY split_a, split_b""".stripMargin,
+
+    "q117_corpus_delta" ->
+      """WITH v1 AS (
+        |  SELECT doc_id, md5(text) AS h, source FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 97 = 3 THEN text || ' [rev2]'
+        |             ELSE text END) AS h,
+        |    source
+        |  FROM documents WHERE doc_id % 101 <> 7
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, md5('new ' || text), source
+        |  FROM documents WHERE doc_id % 103 = 5)
+        |SELECT CASE WHEN v1.doc_id IS NULL THEN 'added'
+        |            WHEN v2.doc_id IS NULL THEN 'removed'
+        |            WHEN v1.h <> v2.h THEN 'changed'
+        |            ELSE 'unchanged' END AS status,
+        |  coalesce(v1.source, v2.source) AS source,
+        |  count(*) AS n_docs
+        |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q118_inverted_index" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(trim(lower(text)), ' ') AS t
+        |  FROM documents
+        |  WHERE len(string_split(trim(lower(text)), ' ')) >= 3),
+        |g AS (
+        |  SELECT doc_id, array_to_string(t[i:i+2], ' ') AS term
+        |  FROM d, UNNEST(range(1, len(t) - 3 + 2)) AS u(i)),
+        |tf AS (
+        |  SELECT term, doc_id, count(*) AS tf FROM g
+        |  GROUP BY term, doc_id),
+        |terms AS (
+        |  SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+        |  FROM tf GROUP BY term HAVING count(*) BETWEEN 2 AND 100),
+        |ranked AS (
+        |  SELECT tf.term, tf.doc_id,
+        |    row_number() OVER (PARTITION BY tf.term
+        |                       ORDER BY tf.tf DESC, tf.doc_id) AS rn
+        |  FROM tf JOIN terms USING (term)),
+        |top AS (
+        |  SELECT term,
+        |    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rn)
+        |      AS top_docs
+        |  FROM ranked WHERE rn <= 5 GROUP BY term)
+        |SELECT terms.term, df, cf, top_docs
+        |FROM terms JOIN top USING (term) ORDER BY terms.term""".stripMargin,
+
+    "q120_dedup_impact" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source, n_chars,
+        |    string_split(trim(lower(text)), ' ') AS t
+        |  FROM documents
+        |  WHERE len(string_split(trim(lower(text)), ' ')) >= 3),
+        |grams AS (
+        |  SELECT doc_id,
+        |    unnest([('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' ||
+        |      t[i+2]), 1, 15))::BIGINT for i in range(1, len(t) - 1)]) AS h
+        |  FROM tk),
+        |fps AS (
+        |  SELECT doc_id, min(h) AS fp FROM grams GROUP BY doc_id),
+        |keyed AS (
+        |  SELECT tk.doc_id, tk.source, tk.n_chars, fps.fp,
+        |    min(fps.doc_id) OVER (PARTITION BY fp) AS keep_id
+        |  FROM tk JOIN fps ON tk.doc_id = fps.doc_id)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN doc_id = keep_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN doc_id = keep_id THEN 0 ELSE n_chars END)
+        |    AS BIGINT) AS chars_dropped,
+        |  round((count(*) - sum(CASE WHEN doc_id = keep_id THEN 1
+        |    ELSE 0 END))::DOUBLE / count(*), 6) AS drop_rate
+        |FROM keyed GROUP BY source ORDER BY source""".stripMargin,
+
+    "q121_novelty_rate" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(trim(lower(text)), ' ') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id,
+        |    ('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), 1, 15))
+        |      ::BIGINT AS h
+        |  FROM d, UNNEST(range(1, len(t) - 8 + 2)) AS u(i)
+        |  WHERE len(t) >= 8),
+        |df AS (SELECT h, count(*) AS df FROM g GROUP BY h)
+        |SELECT doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unique,
+        |  round(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::DOUBLE
+        |    / count(*), 6) AS novelty
+        |FROM g JOIN df USING (h) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // cume_dist states the same integer ratio the histogram computes
     "q116_score_percentiles" ->

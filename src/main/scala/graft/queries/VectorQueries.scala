@@ -312,10 +312,58 @@ object VectorQueries {
         .orderBy(col("adc"), col("vec_id"))
         .limit(10)
         .select(col("vec_id"), col("adc"))
+    },
+
+    // Cluster-profile audit: assign every vector to its nearest seed
+    // centroid (the q35 IVF assignment — deterministic stand-in for a
+    // trained codebook; q100 gates the trained path) and report each
+    // cluster's LABEL composition — the "cluster then inspect what
+    // lives there" step of embedding-space curation (balance checks,
+    // topic discovery, contamination triage). Aggregates are count /
+    // min / max only: min and max are order-independent, so the gate
+    // is engine-exact where an avg over doubles would ride summation
+    // order. Scale shape: k centroids broadcast to the scan, argmax
+    // is a map-side max_by — the only shuffle is the final
+    // (cluster, label) rollup, bounded by k·|labels|.
+    "q119_cluster_profile" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      e.crossJoin(broadcast(cents))
+        .withColumn("cc", round(G.cosineSim(col("v"), col("cv")), 6))
+        .groupBy("vec_id")
+        .agg(first(col("label")).as("label"),
+          max(struct(col("cc"), (-col("cid")).as("ncid"))).as("m"))
+        .select(col("label"), (-col("m.ncid")).as("cluster"),
+          col("m.cc").as("cos"))
+        .groupBy("cluster", "label")
+        .agg(count(lit(1)).as("n"),
+          round(min("cos"), 6).as("min_cos"),
+          round(max("cos"), 6).as("max_cos"))
+        .orderBy("cluster", "label")
     }
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    "q119_cluster_profile" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |cents AS (
+        |  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |assigned AS (
+        |  SELECT vec_id, label, cid, cos FROM (
+        |    SELECT e.vec_id, e.label, c.cid,
+        |      round(list_cosine_similarity(e.v, c.cv), 6) AS cos,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(list_cosine_similarity(e.v, c.cv), 6)
+        |          DESC, c.cid) AS rn
+        |    FROM e CROSS JOIN cents c) WHERE rn = 1)
+        |SELECT cid AS cluster, label, count(*) AS n,
+        |  round(min(cos), 6) AS min_cos, round(max(cos), 6) AS max_cos
+        |FROM assigned GROUP BY cid, label
+        |ORDER BY cluster, label""".stripMargin,
     "q33_knn_cosine" ->
       """SELECT vec_id,
         |  round(list_cosine_similarity(embedding::DOUBLE[], q.qv), 6) AS cos

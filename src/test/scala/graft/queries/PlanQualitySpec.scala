@@ -427,4 +427,68 @@ class PlanQualitySpec extends SparkSpec {
     val windows = blocks.filter(_.startsWith("Window"))
     assert(windows.forall(w => w.contains("__part") || w.contains("lang")), p)
   }
+
+  // q117: the snapshot diff joins (doc_id, h, source) projections —
+  // a document body must never cross the full-outer shuffle.
+  test("q117 delta: full-outer on doc_id, text hashed below the exchange") {
+    val p = plan("q117_corpus_delta")
+    assert(p.contains("FullOuter"), p)
+    val blocks = p.split("(?m)^\\s*\\(\\d+\\) ").toSeq
+    val exchanges = blocks.filter(_.startsWith("Exchange"))
+    assert(exchanges.exists(_.contains("doc_id")), p)
+    assert(!exchanges.exists(_.contains("text")), p)
+  }
+
+  // q118: postings are collected AFTER the df band filter, per-phrase
+  // sorted arrays only — never a corpus-wide rank.
+  test("q118 index: no row_number, no cartesian, term-keyed exchanges") {
+    val p = plan("q118_inverted_index")
+    assert(!p.contains("row_number"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val blocks = p.split("(?m)^\\s*\\(\\d+\\) ").toSeq
+    val exchanges = blocks.filter(_.startsWith("Exchange"))
+    assert(exchanges.forall(e => e.contains("term")), p)
+  }
+
+  // q119: k seed centroids broadcast to the scan; the only real
+  // shuffle is the (cluster, label) rollup.
+  test("q119 profile: centroids broadcast, single rollup shuffle") {
+    val p = plan("q119_cluster_profile")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val blocks = p.split("(?m)^\\s*\\(\\d+\\) ").toSeq
+    val shuffles = blocks.filter(_.startsWith("Exchange hashpartitioning"))
+    assert(shuffles.forall(e =>
+      e.contains("vec_id") || e.contains("cluster")), p)
+  }
+
+  // q120/q121: the survivor/df comes from a whole-partition window
+  // over the SAME shuffle that grouped the key — no join back, so the
+  // fingerprint/shingle lambda runs once per doc (the q108
+  // constraint-inference lesson, structural form).
+  test("q120 impact: window-min over the fp shuffle, no join back") {
+    val p = plan("q120_dedup_impact")
+    assert(!p.contains("Join"), p)
+    val blocks = p.split("(?m)^\\s*\\(\\d+\\) ").toSeq
+    val windows = blocks.filter(_.startsWith("Window"))
+    assert(windows.nonEmpty && windows.forall(_.contains("h#")), p)
+  }
+
+  test("q121 novelty: window-count over the gram shuffle, no join back") {
+    val p = plan("q121_novelty_rate")
+    assert(!p.contains("Join"), p)
+    val blocks = p.split("(?m)^\\s*\\(\\d+\\) ").toSeq
+    val windows = blocks.filter(_.startsWith("Window"))
+    assert(windows.nonEmpty && windows.forall(_.contains("h#")), p)
+  }
+
+  // q122: per-key count partial-aggregates map-side; the corpus total
+  // rides a broadcast, not a second scan of events.
+  test("q122 skew: map-side combine on user_id, scalar total broadcast") {
+    val p = plan("q122_key_skew_histogram")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
