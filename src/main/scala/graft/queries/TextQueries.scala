@@ -1617,9 +1617,10 @@ object TextQueries {
     // shifted-id doc for %103=5) so the DuckDB oracle can state both
     // snapshots in pure SQL. Scale shape: text is hashed AT THE SCAN
     // and the full-outer join carries (doc_id, h, source) only — a
-    // document body never crosses the shuffle; with both snapshots in
-    // pk-bucketed CoW tables (sources/PartitionedCowTable) the join
-    // is co-located and shuffle-free. Output is the per-(status,
+    // document body never crosses the shuffle; with both snapshots
+    // registered as pk-bucketed tables the join plans with ZERO
+    // exchanges (sources/BucketedTable; the full-outer co-location is
+    // pinned in BucketedTableSpec). Output is the per-(status,
     // source) work-list summary, bounded by 4·|sources|.
     "q117_corpus_delta" -> { (s, dir) =>
       val base = t(s, dir, "documents")
