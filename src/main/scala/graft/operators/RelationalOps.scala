@@ -226,6 +226,28 @@ object RelationalOps {
       .agg(count(lit(1)).as("n_events"), sum(col("__new_session")).as("n_sessions"))
   }
 
+  /** Per-session rows for [[sessionCounts]]'s boundaries: one row per
+    * (entity, session) with its event count and wall duration. The
+    * session id is a running sum of the boundary flags over the SAME
+    * window spec as the lag — one entity-keyed shuffle+sort carries
+    * both window functions, then sessions aggregate on (entity, id).
+    */
+  def sessionStats(df: DataFrame, entityCol: String, tsCol: String,
+                   tieBreak: String, gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(col(entityCol)).orderBy(col(tsCol), col(tieBreak))
+    df.withColumn("__prev", lag(col(tsCol), 1).over(w))
+      .withColumn("__new_session",
+        when(col("__prev").isNull ||
+          col(tsCol).cast("long") - col("__prev").cast("long") > gapSeconds, 1L)
+          .otherwise(0L))
+      .withColumn("__sid", sum(col("__new_session")).over(w))
+      .groupBy(col(entityCol), col("__sid"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col(tsCol).cast("long")) - min(col(tsCol).cast("long")))
+          .as("duration_s"))
+      .withColumnRenamed("__sid", "session_id")
+  }
+
   /** As-of join (prior match): for each left row, attach the payload of
     * the one right row with the greatest `rightTs <= leftTs` for the
     * same key, as a struct column `asofCol` (null when no prior right

@@ -426,6 +426,27 @@ object CoverageQueries {
           round(col("n_events") / col("tot").cast("double"), 6))
         .drop("tot")
         .orderBy("bucket")
+    },
+
+    // Session-shape histogram: q20 counts sessions per user; this
+    // reports what the sessions LOOK like — events-per-session rolled
+    // into exact log2 buckets (q122's bin-length device) with total
+    // and max wall duration per bucket. The engagement-distribution
+    // report behind retention work (q85) and the state-machine
+    // timeout choices (q92). Scale shape: sessionization is ONE
+    // user-keyed shuffle+sort carrying both window functions (lag and
+    // the running session-id sum share one window spec); per-session
+    // rows aggregate map-side into ≤64 histogram rows.
+    "q124_session_stats" -> { (s, dir) =>
+      R.sessionStats(t(s, dir, "events"), "user_id", "ts", "event_id", 1800L)
+        .withColumn("bucket",
+          (length(conv(col("n_events"), 10, 2)) - 1).cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum("n_events").as("n_events"),
+          max("duration_s").as("max_dur_s"),
+          sum("duration_s").as("sum_dur_s"))
+        .orderBy("bucket")
     }
   )
 
@@ -440,6 +461,34 @@ object CoverageQueries {
         |  CAST(max(n) AS BIGINT) AS max_key_events,
         |  round(sum(n)::DOUBLE / any_value(tot.tot), 6) AS pct_events
         |FROM counts, tot GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q124_session_stats" ->
+      """WITH g AS (
+        |  SELECT user_id, ts::TIMESTAMP AS ts, event_id,
+        |    lag(ts::TIMESTAMP) OVER (PARTITION BY user_id
+        |      ORDER BY ts::TIMESTAMP, event_id) AS prev
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN prev IS NULL
+        |         OR date_diff('second', prev, ts) > 1800
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM g),
+        |sids AS (
+        |  SELECT user_id, ts,
+        |    sum(ns) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS sid
+        |  FROM f),
+        |sess AS (
+        |  SELECT user_id, sid, count(*) AS n_events,
+        |    date_diff('second', min(ts), max(ts)) AS dur
+        |  FROM sids GROUP BY user_id, sid)
+        |SELECT length(bin(n_events)) - 1 AS bucket,
+        |  count(*) AS n_sessions,
+        |  CAST(sum(n_events) AS BIGINT) AS n_events,
+        |  CAST(max(dur) AS BIGINT) AS max_dur_s,
+        |  CAST(sum(dur) AS BIGINT) AS sum_dur_s
+        |FROM sess GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q49_s1_incidence" ->
       """WITH s1 AS (
         |  SELECT o_orderkey AS pid,

@@ -1744,6 +1744,70 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Top-PMI bigram collocations: pointwise mutual information
+    // ln(P(w1,w2)/(P(w1)·P(w2))) over adjacent word pairs with count
+    // ≥ 5 — the phrase-mining signal (multi-word expressions, named
+    // entities) that seeds tokenizer vocab decisions and boilerplate
+    // lists. Scale shape: unigram and bigram counts are one
+    // map-combined groupBy each; the two probability joins are keyed
+    // by WORD (vocabulary-sized sides, Heaps-bounded — never
+    // broadcast blindly at 100 TB, never a cross join); the two
+    // corpus totals are 1-row broadcasts. Ranking follows the q106
+    // convention: round the transcendental to 6dp BEFORE the rank and
+    // break ties on the bigram text, so a cross-engine ln ulp cannot
+    // reorder the gate. Top-20 is a TakeOrdered heap, not a sort.
+    "q123_pmi_bigrams" -> { (s, dir) =>
+      val tk = t(s, dir, "documents")
+        .select(toks(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 2)
+      val uni = tk.select(explode(col("tk")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cu"))
+      val bi = tk.select(explode(G.wordShingles(col("tk"), 2)).as("b"))
+        .groupBy("b").agg(count(lit(1)).as("cb"))
+        .filter(col("cb") >= 5)
+      val totU = uni.agg(sum("cu").as("tu"))
+      val totB = tk.agg(sum(size(col("tk")) - 1).as("tb"))
+      bi
+        .withColumn("w1", split(col("b"), " ").getItem(0))
+        .withColumn("w2", split(col("b"), " ").getItem(1))
+        .join(uni.select(col("w").as("w1"), col("cu").as("cu1")), "w1")
+        .join(uni.select(col("w").as("w2"), col("cu").as("cu2")), "w2")
+        .crossJoin(broadcast(totU)).crossJoin(broadcast(totB))
+        .withColumn("pmi", round(log(
+          (col("cb") / col("tb")) /
+            ((col("cu1") / col("tu")) * (col("cu2") / col("tu")))), 6))
+        .orderBy(col("pmi").desc, col("b"))
+        .limit(20)
+        .select(col("b"), col("cb"), col("pmi"))
+    },
+
+    // Sequence-packing efficiency: what fitting each document into
+    // fixed-length L=512 training sequences costs per source —
+    // boundary-respecting packing (each doc padded up to its own
+    // ⌈n/L⌉ sequences) vs concat-and-split (documents run together;
+    // the denominator a packing strategy competes against). The
+    // pre-training capacity-planning report that q64's shard packer
+    // assumes. All integer math (ceil as (n+L−1) div L — no double
+    // ceil to disagree over); one map-combined groupBy keyed by
+    // source. Linear, one shuffle of |sources| rows.
+    "q125_packing_efficiency" -> { (s, dir) =>
+      val L = 512
+      t(s, dir, "documents")
+        .select(col("source"), size(toks(col("text"))).as("n_toks"))
+        .withColumn("n_seqs", expr(s"(n_toks + ${L - 1}) div $L"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_toks").as("n_tokens"),
+          sum("n_seqs").as("n_seqs_packed"),
+          (sum(col("n_seqs") * L) - sum("n_toks")).as("pad_tokens"),
+          sum(when(col("n_toks") > L, 1L).otherwise(0L)).as("n_overflow"))
+        .withColumn("n_seqs_concat", expr(s"(n_tokens + ${L - 1}) div $L"))
+        .withColumn("pad_rate",
+          round(col("pad_tokens") /
+            (col("n_seqs_packed") * L).cast("double"), 6))
+        .orderBy("source")
+    },
+
     // Cross-source duplication matrix: how many duplicate-FAMILY doc
     // PAIRS exist within and between sources — the "which crawls copy
     // from each other" provenance analytic that decides source
@@ -2786,6 +2850,50 @@ object TextQueries {
         |  round(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::DOUBLE
         |    / count(*), 6) AS novelty
         |FROM g JOIN df USING (h) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q123_pmi_bigrams" ->
+      """WITH tk AS (
+        |  SELECT string_split(trim(lower(text)), ' ') AS t
+        |  FROM documents
+        |  WHERE len(string_split(trim(lower(text)), ' ')) >= 2),
+        |uni AS (
+        |  SELECT unnest(t) AS w FROM tk),
+        |ucnt AS (
+        |  SELECT w, count(*) AS cu FROM uni GROUP BY w),
+        |bi AS (
+        |  SELECT array_to_string(t[i:i+1], ' ') AS b
+        |  FROM tk, UNNEST(range(1, len(t))) AS u(i)),
+        |bcnt AS (
+        |  SELECT b, count(*) AS cb FROM bi GROUP BY b
+        |  HAVING count(*) >= 5),
+        |tot AS (
+        |  SELECT (SELECT CAST(sum(cu) AS BIGINT) FROM ucnt) AS tu,
+        |    (SELECT CAST(sum(len(t) - 1) AS BIGINT) FROM tk) AS tb)
+        |SELECT b, cb,
+        |  round(ln((cb / tb) /
+        |    ((u1.cu / tu) * (u2.cu / tu))), 6) AS pmi
+        |FROM bcnt, tot
+        |JOIN ucnt u1 ON string_split(b, ' ')[1] = u1.w
+        |JOIN ucnt u2 ON string_split(b, ' ')[2] = u2.w
+        |ORDER BY pmi DESC, b LIMIT 20""".stripMargin,
+
+    "q125_packing_efficiency" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    len(string_split(trim(lower(text)), ' ')) AS n_toks,
+        |    (len(string_split(trim(lower(text)), ' ')) + 511) // 512
+        |      AS n_seqs
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_seqs) AS BIGINT) AS n_seqs_packed,
+        |  CAST(sum(n_seqs) * 512 - sum(n_toks) AS BIGINT) AS pad_tokens,
+        |  CAST(sum(CASE WHEN n_toks > 512 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_overflow,
+        |  (CAST(sum(n_toks) AS BIGINT) + 511) // 512 AS n_seqs_concat,
+        |  round((sum(n_seqs) * 512 - sum(n_toks))::DOUBLE
+        |    / (sum(n_seqs) * 512), 6) AS pad_rate
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
 
     // cume_dist states the same integer ratio the histogram computes
     "q116_score_percentiles" ->

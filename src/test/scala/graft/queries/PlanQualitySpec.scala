@@ -491,4 +491,39 @@ class PlanQualitySpec extends SparkSpec {
       p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  // q123: probability joins are word-keyed equi joins; the only
+  // nested-loop joins are the two 1-row scalar broadcasts; top-20 is
+  // a TakeOrdered heap.
+  test("q123 pmi: word-keyed equi joins, scalar broadcasts, TakeOrdered") {
+    val p = plan("q123_pmi_bigrams")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    val blocks = p.split("(?m)^\\s*\\(\\d+\\) ").toSeq
+    val bnl = blocks.filter(_.startsWith("BroadcastNestedLoopJoin"))
+    assert(bnl.forall(_.contains("Cross")), p)
+    assert(blocks.exists(b => b.startsWith("SortMergeJoin") ||
+      b.startsWith("ShuffledHashJoin") || b.startsWith("BroadcastHashJoin")), p)
+  }
+
+  // q124: ONE user-keyed shuffle carries both window functions (lag
+  // and the running session-id sum share a window spec); the session
+  // rollup reuses that partitioning, so only the ≤64-row histogram
+  // re-shuffles.
+  test("q124 sessions: both windows on the user shuffle, no extra exchange") {
+    val p = plan("q124_session_stats")
+    val blocks = p.split("(?m)^\\s*\\(\\d+\\) ").toSeq
+    val windows = blocks.filter(_.startsWith("Window"))
+    assert(windows.nonEmpty && windows.forall(_.contains("user_id")), p)
+    val shuffles = blocks.count(b =>
+      b.startsWith("Exchange") && b.contains("hashpartitioning"))
+    assert(shuffles <= 2, p)
+  }
+
+  // q125: a single map-combined aggregation pass — no join, no window.
+  test("q125 packing: one partial+final agg, nothing else") {
+    val p = plan("q125_packing_efficiency")
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
 }

@@ -109,6 +109,49 @@ class Round8OpsSpec extends SparkSpec {
     assert(out((0L, 2)) === ((1L, 0.995037, 0.995037)))
   }
 
+  test("q123 pmi: hand corpus matches the closed-form ln ratio") {
+    // 5x "x y" + 1x "f g": totU=12, totB=6; only "x y" reaches cb>=5
+    // pmi = ln((5/6) / ((5/12)^2)) = ln(4.8)
+    val dir = docsDir((0L to 4L).map(i => (i, "x y", "en", "s")) :+
+      (5L, "f g", "en", "s"))
+    val out = q("q123_pmi_bigrams", dir).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getString(0), r.getLong(1)) === (("x y", 5L)))
+    assert(math.abs(r.getDouble(2) - math.log(4.8)) < 1e-6)
+  }
+
+  test("q124 sessions: gap splits, buckets and durations are exact") {
+    val T0 = 1704067200L * 1000 * 1000 * 1000
+    val S = 1000L * 1000 * 1000 // one second in nanos
+    // user 1: [0s, 100s] then 5000s (gap 4900 > 1800 -> new session);
+    // user 2: one event
+    val rows = Seq((1L, 0L), (1L, 100L), (1L, 5000L), (2L, 0L))
+      .zipWithIndex.map { case ((uid, t), i) =>
+        (i.toLong, T0 + t * S, uid, "view", 1.0, "{}")
+      }
+    val dir = java.nio.file.Files.createTempDirectory("r8ops").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = q("q124_session_stats", dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // bucket 0: the two 1-event sessions; bucket 1: the 2-event one
+    assert(out === Map(
+      0L -> ((2L, 2L, 0L, 0L)), 1L -> ((1L, 2L, 100L, 100L))))
+  }
+
+  test("q125 packing: pad and overflow are exact integer math") {
+    def toks(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val dir = docsDir(Seq(
+      (0L, toks(600), "en", "s"), (1L, toks(100), "en", "s")))
+    val r = q("q125_packing_efficiency", dir).collect().head
+    // 600 toks -> 2 seqs (424 pad, overflow); 100 -> 1 seq (412 pad)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getLong(6)) === ((2L, 700L, 3L, 836L, 1L, 2L)))
+    assert(math.abs(r.getDouble(7) - 836.0 / 1536) < 1e-6)
+  }
+
   test("q122 skew: log2 buckets are exact at powers of two") {
     val T0 = 1704067200L * 1000 * 1000 * 1000
     val rows = (Seq.fill(1)(1L) ++ Seq.fill(2)(2L) ++ Seq.fill(3)(3L) ++
