@@ -139,13 +139,46 @@ object StreamingQueries {
     val base = s"${Tables.scratchBase}/graft_${tag}_" +
       s"${s.sparkContext.applicationId}/$uid"
     val sink = s"${tag}_$uid"
+    stageSliceFiles(s, tag, base, input, orderCols, batches)
+    val stream = s.readStream.schema(input.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$base/in")
+    val q = build(stream).writeStream
+      .format("memory").queryName(sink)
+      .outputMode(mode)
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val observed = q.recentProgress.count(_.numInputRows > 0)
+    require(observed >= batches,
+      s"runMultiBatch($tag): expected >= $batches non-empty " +
+        s"micro-batches, progress log shows $observed — the cross-batch " +
+        "contract was not exercised")
+    s.table(sink).write.mode("overwrite").parquet(s"$base/out")
+    s.catalog.dropTempView(sink)
+    deleteRec(java.nio.file.Paths.get(s"$base/in"))
+    deleteRec(java.nio.file.Paths.get(s"$base/ckpt"))
+    registerDeleteOnExit(java.nio.file.Paths.get(base))
+    (s.read.parquet(s"$base/out"), observed)
+  }
+
+  /** Stage `input` into `base/in` as `batches` contiguous
+    * `orderCols`-sorted slice files with strictly increasing mtimes —
+    * the shared slicing step of [[runMultiBatchCounted]] and
+    * [[runMultiBatchForeachCounted]]. ONE staging job: the
+    * global-window ntile leaves the data in a single partition, so
+    * partitionBy writes exactly one part file per slice in one pass
+    * (a per-slice filter+write loop would re-run the window sort
+    * `batches` times — measured ~2× on the staging-dominated q97/q98).
+    */
+  private def stageSliceFiles(s: SparkSession, tag: String, base: String,
+                              input: DataFrame,
+                              orderCols: Seq[org.apache.spark.sql.Column],
+                              batches: Int): Unit = {
+    import org.apache.spark.sql.expressions.Window
     val inDir = java.nio.file.Paths.get(s"$base/in")
     java.nio.file.Files.createDirectories(inDir)
-    // ONE staging job: the global-window ntile leaves the data in a
-    // single partition, so partitionBy writes exactly one part file
-    // per slice in one pass (a per-slice filter+write loop would
-    // re-run the window sort `batches` times — measured ~2× on the
-    // staging-dominated q97/q98)
     val stage = s"$base/stage"
     input.withColumn("__b",
         ntile(batches).over(Window.orderBy(orderCols: _*)) - 1)
@@ -175,27 +208,41 @@ object StreamingQueries {
         java.nio.file.attribute.FileTime.fromMillis(1600000000000L + b * 60000L))
     }
     deleteRec(java.nio.file.Paths.get(stage))
+  }
+
+  /** The foreachBatch twin of [[runMultiBatchCounted]]: drains the
+    * same sliced file stream, but each micro-batch is handed to
+    * `perBatch` to COMMIT somewhere external (a CoW table version, an
+    * export) instead of accumulating in a memory sink — the
+    * streaming-ingest-into-storage shape (continuous q57). Returns
+    * the observed non-empty micro-batch count, failing loudly below
+    * `batches` (same contract as the memory-sink form).
+    */
+  private[graft] def runMultiBatchForeach(s: SparkSession, tag: String,
+                                          input: DataFrame,
+                                          orderCols: Seq[org.apache.spark.sql.Column],
+                                          batches: Int = 3)(
+                                          perBatch: DataFrame => Unit): Int = {
+    val uid = java.util.UUID.randomUUID().toString.take(8)
+    val base = s"${Tables.scratchBase}/graft_${tag}_" +
+      s"${s.sparkContext.applicationId}/$uid"
+    stageSliceFiles(s, tag, base, input, orderCols, batches)
     val stream = s.readStream.schema(input.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$base/in")
-    val q = build(stream).writeStream
-      .format("memory").queryName(sink)
-      .outputMode(mode)
+    val q = stream.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) => perBatch(df) }
       .option("checkpointLocation", s"$base/ckpt")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     val observed = q.recentProgress.count(_.numInputRows > 0)
     require(observed >= batches,
-      s"runMultiBatch($tag): expected >= $batches non-empty " +
-        s"micro-batches, progress log shows $observed — the cross-batch " +
-        "contract was not exercised")
-    s.table(sink).write.mode("overwrite").parquet(s"$base/out")
-    s.catalog.dropTempView(sink)
-    deleteRec(java.nio.file.Paths.get(s"$base/in"))
-    deleteRec(java.nio.file.Paths.get(s"$base/ckpt"))
-    registerDeleteOnExit(java.nio.file.Paths.get(base))
-    (s.read.parquet(s"$base/out"), observed)
+      s"runMultiBatchForeach($tag): expected >= $batches non-empty " +
+        s"micro-batches, progress log shows $observed")
+    deleteRec(java.nio.file.Paths.get(base))
+    observed
   }
 
   /** Register `p` and everything under it for deletion at JVM exit
@@ -460,6 +507,47 @@ object StreamingQueries {
         .select(col("doc_id"), col("match_id"),
           round(col("jac"), 6).as("jac"))
         .orderBy("doc_id")
+    },
+
+    // Streaming ingest INTO versioned storage: the event stream
+    // drains in 3 event-time micro-batches, and each batch UPSERTS
+    // its per-user latest row into a copy-on-write table
+    // (foreachBatch → CowTable.upsert — the continuous form of q57's
+    // batch upsert, and the reference's downloader loop as a stream).
+    // The gate reads the FINAL table version: it equals q06's global
+    // latest-event-per-user exactly iff (a) every batch committed,
+    // (b) upsert replace semantics held across versions, (c) the
+    // checkpointed source admitted each slice once — so the oracle
+    // gates streaming, storage and exactly-once bookkeeping together.
+    // Batch slices are event-time-contiguous, so a later batch's
+    // per-user argmax always supersedes an earlier one; the per-batch
+    // struct-max reduces each slice BEFORE the upsert join (batch
+    // shuffles its own users only, the table shuffles on the pk).
+    "q126_streaming_cow_upsert" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"))
+      val uid = java.util.UUID.randomUUID().toString.take(8)
+      val root = s"${Tables.scratchBase}/graft_q126_" +
+        s"${s.sparkContext.applicationId}/$uid"
+      val table = new graft.sources.CowTable(root, s)
+      runMultiBatchForeach(s, "q126", ev,
+        orderCols = Seq(col("ts"), col("event_id"))) { batch =>
+        val latest = batch
+          .groupBy("user_id")
+          .agg(max(struct(col("ts"), col("event_id"), col("event_type")))
+            .as("m"))
+          .select(col("user_id"), col("m.ts").as("ts"),
+            col("m.event_id").as("event_id"),
+            col("m.event_type").as("event_type"))
+        table.upsert(latest, Seq("user_id"))
+      }
+      val out = table.read()
+        .select("user_id", "event_id", "event_type")
+        .orderBy("user_id")
+        .localCheckpoint()
+      registerDeleteOnExit(java.nio.file.Paths.get(root))
+      out
     }
   )
 
@@ -570,6 +658,17 @@ object StreamingQueries {
         |      ORDER BY jac DESC, osid) AS rn
         |  FROM pairs WHERE jac >= 0.9)
         |SELECT doc_id, osid AS match_id, round(jac, 6) AS jac
-        |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin
+        |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // the batch statement of "latest event per user" (q06's oracle):
+    // 3 micro-batch upserts into the CoW table must land exactly here
+    "q126_streaming_cow_upsert" ->
+      """SELECT user_id, event_id, event_type FROM (
+        |  SELECT user_id, event_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts::TIMESTAMP DESC, event_id DESC)
+        |      AS rn
+        |  FROM events) WHERE rn = 1
+        |ORDER BY user_id""".stripMargin
   )
 }

@@ -89,4 +89,38 @@ class MultiBatchStreamingSpec extends SparkSpec {
         orderCols = Seq(col("ts")), batches = 1)
     }
   }
+
+  test("foreachBatch drain commits one CoW version per micro-batch") {
+    // q126's shape on a hand stream: per-batch latest-per-user upsert
+    // into a CowTable; later batches (later event times) supersede
+    val rows = Seq(
+      (1L, ts(1), 10L, "a"), (2L, ts(2), 10L, "b"),
+      (3L, ts(3), 20L, "c"), (4L, ts(4), 10L, "d"),
+      (5L, ts(5), 20L, "e"), (6L, ts(6), 30L, "f"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val root = java.nio.file.Files
+      .createTempDirectory("mbspec_cow").toString + "/t"
+    val table = new graft.sources.CowTable(root, spark)
+    val n = StreamingQueries.runMultiBatchForeach(
+      spark, "mbspec_fe", rows,
+      orderCols = Seq(col("ts"), col("event_id")), batches = 3) { b =>
+      val latest = b.groupBy("user_id")
+        .agg(max(struct(col("ts"), col("event_id"), col("event_type")))
+          .as("m"))
+        .select(col("user_id"), col("m.ts").as("ts"),
+          col("m.event_id").as("event_id"),
+          col("m.event_type").as("event_type"))
+      table.upsert(latest, Seq("user_id"))
+    }
+    assert(n >= 3)
+    val out = table.read().select("user_id", "event_id", "event_type")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2)))).toMap
+    assert(out === Map(10L -> ((4L, "d")), 20L -> ((5L, "e")),
+      30L -> ((6L, "f"))))
+    // one committed version per micro-batch: the upsert ran 3 times
+    val versions = new java.io.File(root).listFiles()
+      .map(_.getName).count(_.startsWith("v_"))
+    assert(versions === 3)
+  }
 }
