@@ -447,10 +447,81 @@ object CoverageQueries {
           max("duration_s").as("max_dur_s"),
           sum("duration_s").as("sum_dur_s"))
         .orderBy("bucket")
+    },
+
+    // Incremental materialized-view maintenance over the
+    // partition-level CoW table — the 100 TB aggregate story: a
+    // day-partitioned event table holds a day-level partial aggregate
+    // (the materialized view), a mutation rewrites SOME partitions,
+    // and the view is maintained by recomputing ONLY the changed
+    // partitions (changedSince — the manifest diff IS the change
+    // set) and unioning the retained partials of untouched days.
+    // At 100 TB the full recompute reads the table; the incremental
+    // path reads the delta — here 10 of 30 days. The gate compares
+    // the MAINTAINED view's rollup against the oracle's full
+    // recompute with the mutation applied closed-form, so a stale
+    // partial, a double-counted changed day, or a manifest diff that
+    // misses a rewritten partition all fail the hash. n_changed_days
+    // rides along so the oracle also pins HOW MUCH the incremental
+    // path had to touch. Money stays integer (cents) end to end —
+    // a double sum would ride summation order across engines.
+    "q130_incremental_agg" -> { (s, dir) =>
+      val root =
+        s"${Tables.scratchBase}/graft_q130_${s.sparkContext.applicationId}/tbl"
+      val ev = t(s, dir, "events").select(
+        col("event_id"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val tbl = new graft.sources.PartitionedCowTable(root, "day", s)
+      tbl.overwrite(ev)
+      val v1 = tbl.version
+      def partials(df: DataFrame): DataFrame =
+        df.groupBy("day", "event_type")
+          .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+      // the materialized view at v1 (checkpointed: a view is a TABLE,
+      // not a recomputable plan over data that has since changed)
+      val mv1 = partials(tbl.read()).localCheckpoint(true)
+      // the mutation: clicks in the first 10 days double in value —
+      // rewrites exactly the partitions containing matched rows
+      tbl.updateWhere(
+        col("day") < "2024-01-11" && col("event_type") === "click",
+        Map("cents" -> (col("cents") * 2)))
+      // incremental maintenance: only rewritten partitions re-aggregate
+      val changed = tbl.changedSince(v1)
+      val changedDays = changed.select("day").distinct().localCheckpoint(true)
+      val nChanged = changedDays.count() // bounded: partitions, not rows
+      val mv2 = mv1.join(changedDays, Seq("day"), "left_anti")
+        .unionByName(partials(changed))
+      mv2.groupBy("event_type")
+        .agg(sum("n").as("n_events"), sum("sum_cents").as("sum_cents"),
+          count(lit(1)).as("n_days"))
+        .withColumn("n_changed_days", lit(nChanged))
+        .orderBy("event_type")
     }
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    // full recompute with the mutation applied closed-form — the
+    // maintained view must be indistinguishable from it
+    "q130_incremental_agg" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |upd AS (
+        |  SELECT event_type, day,
+        |    CASE WHEN day < '2024-01-11' AND event_type = 'click'
+        |         THEN cents * 2 ELSE cents END AS cents
+        |  FROM ev),
+        |chg AS (
+        |  SELECT count(DISTINCT day) AS n_changed
+        |  FROM ev WHERE day < '2024-01-11' AND event_type = 'click')
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  count(DISTINCT day) AS n_days,
+        |  (SELECT n_changed FROM chg) AS n_changed_days
+        |FROM upd GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q122_key_skew_histogram" ->
       """WITH counts AS (

@@ -1808,6 +1808,168 @@ object TextQueries {
         .orderBy("source")
     },
 
+    // Sorted-neighborhood near-dup pairs (Hernández–Stolfo
+    // merge/purge): sort the corpus on a cheap blocking key and
+    // compare each record only to its w−1 successors — the classic
+    // SORT-based alternative to hash blocking (q30 LSH, q31 simhash
+    // bands, q32 fingerprints). Two passes with complementary keys
+    // (head-3 and tail-3 tokens) so an edit at either end of a
+    // document still lands its near-dups adjacent in the other pass.
+    // Scale shape: the global sort position comes from the two-phase
+    // range-partitioned rank (q112's device — no corpus through one
+    // reducer); the neighbor step is an EQUI-join on rank (each row
+    // explodes into w−1 integer probes, so candidate volume is
+    // exactly (w−1)·n per pass, linear by construction where LSH's
+    // bucket joins are data-dependent); candidates travel as
+    // (long, long) pairs, word sets join back only for the verify.
+    // Recall is the documented trade (window-bounded: members of a
+    // large dup family farther than w apart in BOTH sort orders are
+    // missed — SortedNeighborhoodSpec measures it against the exact
+    // pair set), which is why the gate mirrors the pipeline rather
+    // than the all-pairs answer; q30 remains the recall-1.0 path on
+    // this corpus.
+    "q127_sorted_neighborhood" -> { (s, dir) =>
+      val w = 4
+      val d = t(s, dir, "documents").select(
+        col("doc_id"), toks(col("text")).as("tk"),
+        G.sortedWordSet(col("text")).as("ws"))
+      // head-3 / tail-3 blocking keys; short docs use the whole token
+      // list on both (the DuckDB t[-3:] semantics, matched explicitly)
+      val keyed = d.select(col("doc_id"), col("ws"),
+        concat_ws(" ", slice(col("tk"), 1, 3)).as("k1"),
+        concat_ws(" ",
+          when(size(col("tk")) <= 3, col("tk"))
+            .otherwise(slice(col("tk"), -3, 3))).as("k2"))
+      // 0-based global sort position for one pass. The order key is a
+      // single string: key, a separator below any printable byte, and
+      // the zero-padded doc id (unique tie-break; ids are < 1e12 at
+      // any driver SF) — both engines compare it bytewise, so the
+      // permutation is engine-exact.
+      def rankBy(kc: String): DataFrame = {
+        val o = keyed.select(col("doc_id"),
+          concat(col(kc), lit(""),
+            lpad(col("doc_id").cast("string"), 12, "0")).as("__ord"))
+          .withColumn("__g", lit(0)).withColumn("__one", lit(1L))
+        graft.operators.RelationalOps
+          .groupedPrefixSum(o, "__g", "__ord", "__one", "rn")
+          .select(col("doc_id"), col("rn"))
+      }
+      // neighbor candidates: rank r meets ranks r+1 .. r+w−1
+      def neighbors(r: DataFrame): DataFrame = {
+        val byRank = r.select(col("doc_id").as("db"), col("rn"))
+        r.select(col("doc_id").as("da"), col("rn"),
+            explode(sequence(lit(1L), lit((w - 1).toLong))).as("__j"))
+          .select(col("da"), (col("rn") + col("__j")).as("rn"))
+          .join(byRank, "rn")
+          .select(col("da"), col("db"))
+      }
+      val cands = neighbors(rankBy("k1"))
+        .unionByName(neighbors(rankBy("k2")))
+        .select(least(col("da"), col("db")).as("doc_a"),
+          greatest(col("da"), col("db")).as("doc_b"))
+        .distinct() // dedup-first: never verify a pair twice
+      val ws = d.select(col("doc_id"), col("ws"))
+      cands
+        .join(ws.select(col("doc_id").as("doc_a"), col("ws").as("ws_a")),
+          "doc_a")
+        .join(ws.select(col("doc_id").as("doc_b"), col("ws").as("ws_b")),
+          "doc_b")
+        // size-ratio prefilter (q29's device): prune-only, the jac
+        // threshold subsumes it, so the oracle needn't repeat it
+        .filter(least(size(col("ws_a")), size(col("ws_b"))) >=
+          greatest(size(col("ws_a")), size(col("ws_b"))) * 0.9)
+        .withColumn("jac", G.sortedJaccard(col("ws_a"), col("ws_b")))
+        .filter(col("jac") >= 0.9)
+        .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jac"))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // Quality-classifier evaluation: per-language ROC AUC of the
+    // stopword-ratio score as a one-vs-rest language detector —
+    // the "is this quality signal worth filtering on" measurement
+    // that closes the loop on q27/q50/q70's scores (they SCORE, this
+    // GRADES the scorer). AUC = P(random positive outranks random
+    // negative, ties ½) — computed in CLOSED FORM from the
+    // (score, lang) histogram, the same never-rank-the-corpus
+    // discipline as q107/q116: cells aggregate once, prefix sums over
+    // cells (two-phase, q64's machinery) give each cell its
+    // below-count, and the Mann–Whitney numerator is Σ c·(2·neg_below
+    // + neg_tie) — ALL INTEGER until one final IEEE division per
+    // language (q104's engine-exactness rule; no round-before-rank
+    // needed because nothing transcendental is ever ranked). The
+    // oracle computes the same AUC via the RANK formulation
+    // (avg-rank Mann–Whitney U over doc rows) — an independent
+    // derivation, so an off-by-one in either prefix sum or a tie
+    // mishandling fails the gate.
+    "q128_classifier_auc" -> { (s, dir) =>
+      val tk = toks(col("text"))
+      // exact rational score: ratio of two small ints — bit-identical
+      // across engines, safe as a grouping key (q116's contract)
+      val scored = t(s, dir, "documents").select(col("lang"),
+        when(size(tk) === 0, lit(0.0))
+          .otherwise(size(filter(tk, w => w.isin(enStop: _*)))
+            .cast("double") / size(tk)).as("score"))
+      val cells = scored.groupBy("score", "lang")
+        .agg(count(lit(1)).as("c"))
+      val tots = cells.groupBy("score").agg(sum("c").as("tc"))
+        .withColumn("__g", lit(0))
+      val cum = graft.operators.RelationalOps
+        .groupedPrefixSum(tots, "__g", "score", "tc", "below")
+        .select(col("score"), col("tc"), col("below"))
+      val lcum = graft.operators.RelationalOps
+        .groupedPrefixSum(cells, "lang", "score", "c", "lbelow")
+      val agg = lcum.join(cum, "score")
+        .groupBy("lang")
+        .agg(sum("c").as("p"),
+          sum(col("c") * (lit(2) * (col("below") - col("lbelow")) +
+            (col("tc") - col("c")))).as("num2"))
+      val tot = agg.agg(sum("p").as("t"))
+      agg.crossJoin(broadcast(tot))
+        .select(col("lang"), col("p").as("n_pos"),
+          (col("t") - col("p")).as("n_neg"),
+          round(col("num2").cast("double") /
+            (lit(2.0) * col("p") * (col("t") - col("p"))), 6).as("auc"))
+        .orderBy("lang")
+    },
+
+    // Edit-distance-verified near-dup: every near-dup tier so far is
+    // token-SET based (Jaccard, minhash, simhash) — blind to word
+    // order and to sub-token edits. This is the character-level tier:
+    // candidates block on q32's min-3-gram fingerprint (near-identical
+    // docs share their minimum gram), then Levenshtein distance
+    // verifies at ≤ 20% of the longer text. Scale shape: the pair
+    // space is fingerprint-FAMILY-bounded, never corpus-quadratic;
+    // the |len(a)−len(b)| band is an EXACT pre-prune (edit distance
+    // is bounded below by the length difference) that runs before the
+    // O(n·m) verify in the same codegen stage; at production scale
+    // the verify would use the threshold form levenshtein(a, b, k)
+    // which abandons a row at cost O(n·k). Candidates repartition by
+    // doc_a before the verify (q73's discipline) so one hot family
+    // spreads across the cluster.
+    "q129_editdist_neardup" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), toks(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 3)
+        .select(col("doc_id"), col("text"), minGramFp(col("tk")).as("fp"))
+      val a = d.select(col("fp"), col("doc_id").as("doc_a"),
+        col("text").as("text_a"))
+      val b = d.select(col("fp"), col("doc_id").as("doc_b"),
+        col("text").as("text_b"))
+      a.join(b, Seq("fp"))
+        .filter(col("doc_a") < col("doc_b"))
+        .filter(abs(length(col("text_a")) - length(col("text_b"))) <=
+          greatest(length(col("text_a")), length(col("text_b"))) * 0.2)
+        .repartition(col("doc_a"))
+        .withColumn("mx",
+          greatest(length(col("text_a")), length(col("text_b"))))
+        .withColumn("dist", levenshtein(col("text_a"), col("text_b")))
+        .filter(col("dist") <= col("mx") * 0.2)
+        .select(col("doc_a"), col("doc_b"),
+          col("dist").cast("long").as("dist"),
+          round(col("dist") / col("mx").cast("double"), 6).as("rel_dist"))
+        .orderBy("doc_a", "doc_b")
+    },
+
     // Cross-source duplication matrix: how many duplicate-FAMILY doc
     // PAIRS exist within and between sources — the "which crawls copy
     // from each other" provenance analytic that decides source
@@ -2907,6 +3069,94 @@ object TextQueries {
         |SELECT doc_id, lang, round(score, 6) AS score,
         |  round(cume_dist() OVER (PARTITION BY lang ORDER BY score), 6)
         |    AS pct
-        |FROM scored ORDER BY doc_id""".stripMargin
+        |FROM scored ORDER BY doc_id""".stripMargin,
+
+    // mirror of the two-pass pipeline (row_number over the identical
+    // byte-ordered key string); the size-ratio prefilter is prune-only
+    // so the jac threshold alone reproduces the engine's answer
+    "q127_sorted_neighborhood" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(trim(lower(text)), ' ') AS t,
+        |    list_distinct(string_split(trim(lower(text)), ' ')) AS ws
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, ws,
+        |    array_to_string(t[1:3], ' ') AS k1,
+        |    array_to_string(CASE WHEN len(t) <= 3 THEN t
+        |                         ELSE t[-3:] END, ' ') AS k2
+        |  FROM d),
+        |r1 AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY k1 || chr(1) ||
+        |    lpad(CAST(doc_id AS VARCHAR), 12, '0')) AS rn FROM k),
+        |r2 AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY k2 || chr(1) ||
+        |    lpad(CAST(doc_id AS VARCHAR), 12, '0')) AS rn FROM k),
+        |cand AS (
+        |  SELECT least(a.doc_id, b.doc_id) AS doc_a,
+        |    greatest(a.doc_id, b.doc_id) AS doc_b
+        |  FROM r1 a JOIN r1 b ON b.rn - a.rn BETWEEN 1 AND 3
+        |  UNION
+        |  SELECT least(a.doc_id, b.doc_id), greatest(a.doc_id, b.doc_id)
+        |  FROM r2 a JOIN r2 b ON b.rn - a.rn BETWEEN 1 AND 3),
+        |j AS (
+        |  SELECT doc_a, doc_b,
+        |    len(list_intersect(wa.ws, wb.ws))::DOUBLE /
+        |      len(list_distinct(list_concat(wa.ws, wb.ws))) AS jac
+        |  FROM cand
+        |  JOIN k wa ON cand.doc_a = wa.doc_id
+        |  JOIN k wb ON cand.doc_b = wb.doc_id)
+        |SELECT doc_a, doc_b, round(jac, 6) AS jac
+        |FROM j WHERE jac >= 0.9 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // independent formulation: avg-rank Mann–Whitney U over doc rows
+    // (the engine computes the histogram closed form); both reduce to
+    // one integer-ratio division so the 6dp rounds agree exactly
+    "q128_classifier_auc" ->
+      """WITH scored AS (
+        |  SELECT lang,
+        |    CASE WHEN len(string_split(trim(lower(text)), ' ')) = 0 THEN 0.0
+        |         ELSE len(list_filter(string_split(trim(lower(text)), ' '),
+        |             t -> t IN ('the','a','of','and','to','in')))::DOUBLE /
+        |           len(string_split(trim(lower(text)), ' ')) END AS score
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT lang, rank() OVER (ORDER BY score) AS mn,
+        |    count(*) OVER (PARTITION BY score) AS ties
+        |  FROM scored),
+        |tot AS (SELECT count(*) AS t FROM scored)
+        |SELECT lang, count(*) AS n_pos,
+        |  (SELECT t FROM tot) - count(*) AS n_neg,
+        |  round((CAST(sum(2*mn + ties - 1) AS BIGINT)
+        |      - count(*) * (count(*) + 1))
+        |    / (2.0 * count(*) * ((SELECT t FROM tot) - count(*))), 6)
+        |    AS auc
+        |FROM ranked GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // mirror of block + verify; the length-band prefilter is an exact
+    // prune (dist >= |len diff|) so the dist threshold subsumes it
+    "q129_editdist_neardup" ->
+      """WITH tk AS (
+        |  SELECT doc_id, text, string_split(trim(lower(text)), ' ') AS t
+        |  FROM documents
+        |  WHERE len(string_split(trim(lower(text)), ' ')) >= 3),
+        |grams AS (
+        |  SELECT doc_id,
+        |    unnest([('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' ||
+        |      t[i+2]), 1, 15))::BIGINT for i in range(1, len(t) - 1)])
+        |      AS h
+        |  FROM tk),
+        |fps AS (SELECT doc_id, min(h) AS fp FROM grams GROUP BY doc_id),
+        |docs AS (
+        |  SELECT tk.doc_id, tk.text, fps.fp
+        |  FROM tk JOIN fps USING (doc_id)),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    levenshtein(a.text, b.text) AS dist,
+        |    greatest(len(a.text), len(b.text)) AS mx
+        |  FROM docs a JOIN docs b ON a.fp = b.fp AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, dist,
+        |  round(dist / mx::DOUBLE, 6) AS rel_dist
+        |FROM pairs WHERE dist <= mx * 0.2
+        |ORDER BY doc_a, doc_b""".stripMargin
   )
 }

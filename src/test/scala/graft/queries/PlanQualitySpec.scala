@@ -526,4 +526,49 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Join") && !p.contains("Window"), p)
     assert("HashAggregate".r.findAllIn(p).length >= 2, p)
   }
+
+  // q127: the global sort position comes from the two-phase device
+  // (windows only over (__part, __g)); the neighbor step and the two
+  // verify join-backs are equi joins — never a rank over the corpus
+  // in one partition, never a cartesian.
+  test("q127 sorted neighborhood: two-phase ranks, equi joins only") {
+    val p = plan("q127_sorted_neighborhood")
+    assert(!p.contains("row_number") && !p.contains("CartesianProduct"), p)
+    val blocks = p.split("(?m)^\\s*\\(\\d+\\) ").toSeq
+    val windows = blocks.filter(_.startsWith("Window"))
+    assert(windows.nonEmpty, p)
+    assert(windows.forall(w => w.contains("__part") || w.contains("__g")), p)
+    assert(blocks.exists(b => b.startsWith("SortMergeJoin") ||
+      b.startsWith("ShuffledHashJoin") || b.startsWith("BroadcastHashJoin")), p)
+  }
+
+  // q128: AUC comes from the (score, lang) histogram — doc rows are
+  // never ranked (no rank/row_number anywhere); windows run only
+  // inside the two-phase prefix sums; the per-language totals cross
+  // as a 1-row broadcast.
+  test("q128 classifier AUC: histogram closed form, no corpus rank") {
+    val p = plan("q128_classifier_auc")
+    assert(!p.contains("row_number") && !p.contains("rank"), p)
+    val blocks = p.split("(?m)^\\s*\\(\\d+\\) ").toSeq
+    val windows = blocks.filter(_.startsWith("Window"))
+    assert(windows.nonEmpty, p)
+    assert(windows.forall(w => w.contains("__part") || w.contains("__g")), p)
+    val bnl = blocks.filter(_.startsWith("BroadcastNestedLoopJoin"))
+    assert(bnl.forall(_.contains("Cross")), p)
+  }
+
+  // q129: candidates come from a fingerprint-keyed equi self-join
+  // (family-bounded, never corpus-quadratic); the O(n·m) levenshtein
+  // verify sits above the length-band prune; no cartesian.
+  test("q129 edit-distance: fp-keyed equi join, no cartesian") {
+    val p = plan("q129_editdist_neardup")
+    assert(!p.contains("CartesianProduct"), p)
+    val blocks = p.split("(?m)^\\s*\\(\\d+\\) ").toSeq
+    assert(blocks.exists(b => (b.startsWith("SortMergeJoin") ||
+      b.startsWith("ShuffledHashJoin") || b.startsWith("BroadcastHashJoin"))
+      && b.contains("fp")), p)
+    // the band prune must run in the join's post-condition or below —
+    // before the levenshtein filter in the same stage, never after
+    assert(p.contains("levenshtein"), p)
+  }
 }
