@@ -1947,19 +1947,45 @@ object TextQueries {
     // doc_a before the verify (q73's discipline) so one hot family
     // spreads across the cluster.
     "q129_editdist_neardup" -> { (s, dir) =>
+      // The fingerprint table is computed ONCE, in parallel, and
+      // MATERIALIZED before the self-join (the q31/q108 lesson in a
+      // new costume): without the barrier each join branch re-derives
+      // the ~300-md5 fingerprint lambda per row — twice per side via
+      // the inferred isnotnull(fp) scan filter — and the small
+      // single-split parquet file pins all of it to ONE core
+      // (measured: the candidate join alone 17 s at sf0.1; 0.5 s with
+      // the materialized table). At production scale this table IS
+      // the reusable dedup index (q105's persistence discipline).
       val d = t(s, dir, "documents")
         .select(col("doc_id"), col("text"), toks(col("text")).as("tk"))
         .filter(size(col("tk")) >= 3)
         .select(col("doc_id"), col("text"), minGramFp(col("tk")).as("fp"))
+        .repartition(col("doc_id"))
+        .localCheckpoint(true)
       val a = d.select(col("fp"), col("doc_id").as("doc_a"),
         col("text").as("text_a"))
       val b = d.select(col("fp"), col("doc_id").as("doc_b"),
         col("text").as("text_b"))
-      a.join(b, Seq("fp"))
+      // The candidate set is REPARTITIONED AND MATERIALIZED before the
+      // verify, in that order — both halves are load-bearing:
+      //  - without the barrier, predicate pushdown carries the
+      //    levenshtein filter through the repartition and into the
+      //    join condition, where it runs per mirrored fp-bucket pair
+      //    BEFORE the doc_a < doc_b cut;
+      //  - without the EXPLICIT partition count, AQE coalesces the
+      //    byte-tiny candidate shuffle to one partition — candidates
+      //    are ~600 B each but cost ~1 ms each to verify, and AQE
+      //    sizes by bytes, not CPU.
+      // Measured at sf0.1: 29–40 s naive → 0.4 s verify with this
+      // shape (the whole query ~2.5 s).
+      val cands = a.join(b, Seq("fp"))
         .filter(col("doc_a") < col("doc_b"))
         .filter(abs(length(col("text_a")) - length(col("text_b"))) <=
           greatest(length(col("text_a")), length(col("text_b"))) * 0.2)
-        .repartition(col("doc_a"))
+        .repartition(s.sessionState.conf.numShufflePartitions,
+          col("doc_a"))
+        .localCheckpoint(true)
+      cands
         .withColumn("mx",
           greatest(length(col("text_a")), length(col("text_b"))))
         .withColumn("dist", levenshtein(col("text_a"), col("text_b")))

@@ -557,18 +557,21 @@ class PlanQualitySpec extends SparkSpec {
     assert(bnl.forall(_.contains("Cross")), p)
   }
 
-  // q129: candidates come from a fingerprint-keyed equi self-join
-  // (family-bounded, never corpus-quadratic); the O(n·m) levenshtein
-  // verify sits above the length-band prune; no cartesian.
-  test("q129 edit-distance: fp-keyed equi join, no cartesian") {
-    val p = plan("q129_editdist_neardup")
+  // q129: the O(n·m) levenshtein verify must be DECOUPLED from the
+  // fp-keyed candidate join — the candidates materialize behind a
+  // repartitioned barrier (an ExistingRDD scan in the final plan),
+  // so the verify can never be pushed back into the join condition
+  // (where it ran per mirrored pair on one core — the 29 s → 1.2 s
+  // fix) and the partition count is already spread when it runs.
+  test("q129 edit-distance: verify decoupled from the candidate join") {
+    val df = SparkEntry.queries("q129_editdist_neardup")(spark, dir)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
     assert(!p.contains("CartesianProduct"), p)
-    val blocks = p.split("(?m)^\\s*\\(\\d+\\) ").toSeq
-    assert(blocks.exists(b => (b.startsWith("SortMergeJoin") ||
-      b.startsWith("ShuffledHashJoin") || b.startsWith("BroadcastHashJoin"))
-      && b.contains("fp")), p)
-    // the band prune must run in the join's post-condition or below —
-    // before the levenshtein filter in the same stage, never after
     assert(p.contains("levenshtein"), p)
+    // the join happened eagerly below the barrier; the verify plan
+    // reads the materialized candidates, it joins nothing
+    assert(p.contains("ExistingRDD"), p)
+    assert(!p.contains("Join"), p)
   }
 }
