@@ -497,10 +497,105 @@ object CoverageQueries {
           count(lit(1)).as("n_days"))
         .withColumn("n_changed_days", lit(nChanged))
         .orderBy("event_type")
+    },
+
+    // Time travel over the partition-level CoW table: every commit is
+    // a manifest, so any superseded version stays readable by
+    // following ITS partition→dir map (until vacuum reclaims it — the
+    // Delta-style retention contract). The query runs a 3-version
+    // mutation history (load → targeted update → predicate delete)
+    // and reads EVERY version back via readVersion; the oracle
+    // recomputes each superseded state closed-form, so a version
+    // whose manifest leaked a rewritten partition (or whose "update"
+    // mutated shared files in place — the CoW property itself) fails
+    // the hash. This is the audit/debug/reproducibility read path:
+    // "what did the table say when yesterday's job ran".
+    "q131_time_travel" -> { (s, dir) =>
+      val root =
+        s"${Tables.scratchBase}/graft_q131_${s.sparkContext.applicationId}/tbl"
+      val ev = t(s, dir, "events").select(
+        col("event_id"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val tbl = new graft.sources.PartitionedCowTable(root, "day", s)
+      tbl.overwrite(ev)
+      val v1 = tbl.version
+      tbl.updateWhere(
+        col("day") < "2024-01-11" && col("event_type") === "click",
+        Map("cents" -> (col("cents") * 2)))
+      val v2 = tbl.version
+      tbl.deleteWhere(col("event_type") === "error")
+      val v3 = tbl.version
+      Seq(v1 -> "v1_loaded", v2 -> "v2_updated", v3 -> "v3_deleted")
+        .map { case (v, label) =>
+          tbl.readVersion(v)
+            .agg(count(lit(1)).as("n_events"),
+              sum("cents").as("sum_cents"),
+              countDistinct(col("day")).as("n_days"))
+            .withColumn("version", lit(label))
+        }
+        .reduce(_ unionByName _)
+        .select(col("version"), col("n_events"), col("sum_cents"),
+          col("n_days"))
+        .orderBy("version")
+    },
+
+    // Order-independent table checksum: per-partition content hash =
+    // bit_xor of a canonical 60-bit row hash — the integrity audit
+    // that answers "are these two replicas / versions / engines
+    // byte-equivalent" without sorting or moving rows (XOR commutes,
+    // so the combine is map-side, shuffle is |partitions| rows, and a
+    // single flipped row flips the partition hash). The canonical row
+    // string is integer-only (epoch micros, cents) — no float or
+    // timestamp FORMATTING to disagree over. The day-level rows feed
+    // a manifest: comparing two tables is then a |days|-row join, the
+    // same shape changedSince uses for versions.
+    "q132_table_checksum" -> { (s, dir) =>
+      t(s, dir, "events")
+        .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          conv(substring(md5(concat_ws("|",
+            col("event_id"), col("user_id"), col("event_type"),
+            unix_micros(col("ts")),
+            round(col("value") * 100).cast("long"))), 1, 15), 16, 10)
+            .cast("long").as("h"))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("xor_hash"))
+        .orderBy("day")
     }
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    // each superseded state recomputed closed-form
+    "q131_time_travel" ->
+      """WITH ev AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |v2 AS (
+        |  SELECT event_type, day,
+        |    CASE WHEN day < '2024-01-11' AND event_type = 'click'
+        |         THEN cents * 2 ELSE cents END AS cents
+        |  FROM ev)
+        |SELECT 'v1_loaded' AS version, count(*) AS n_events,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  count(DISTINCT day) AS n_days FROM ev
+        |UNION ALL
+        |SELECT 'v2_updated', count(*), CAST(sum(cents) AS BIGINT),
+        |  count(DISTINCT day) FROM v2
+        |UNION ALL
+        |SELECT 'v3_deleted', count(*), CAST(sum(cents) AS BIGINT),
+        |  count(DISTINCT day) FROM v2 WHERE event_type <> 'error'
+        |ORDER BY version""".stripMargin,
+
+    // the same canonical integer-only row string, the same XOR fold
+    "q132_table_checksum" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_rows,
+        |  bit_xor(('0x' || substr(md5(
+        |    event_id || '|' || user_id || '|' || event_type || '|' ||
+        |    epoch_us(ts) || '|' || CAST(round(value * 100) AS BIGINT)),
+        |    1, 15))::BIGINT) AS xor_hash
+        |FROM events GROUP BY day ORDER BY day""".stripMargin,
 
     // full recompute with the mutation applied closed-form — the
     // maintained view must be indistinguishable from it

@@ -1996,6 +1996,36 @@ object TextQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    // Classifier calibration curve (reliability diagram): q128 grades
+    // RANKING (AUC); this grades the score's PROBABILITY reading —
+    // per decile bucket of the stopword-ratio score, how often is the
+    // doc actually English. The report behind threshold choices on
+    // any quality/language classifier (a miscalibrated score makes
+    // q107's quantile floors lie about what they keep). Scale shape:
+    // one scan, one ≤10-row groupBy — bucket membership is scan math.
+    // The bucket CENTER is reported instead of the mean score inside
+    // the bucket: the center is integer-derived ((2b+1)/20, exact and
+    // identical across engines) where a mean of doubles would ride
+    // summation order.
+    "q133_calibration" -> { (s, dir) =>
+      val tk = toks(col("text"))
+      t(s, dir, "documents")
+        .select(col("lang"),
+          when(size(tk) === 0, lit(0.0))
+            .otherwise(size(filter(tk, w => w.isin(enStop: _*)))
+              .cast("double") / size(tk)).as("score"))
+        .select(col("lang"),
+          least(floor(col("score") * 10).cast("long"), lit(9L))
+            .as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_pos"))
+        .withColumn("center", (col("bucket") * 2 + 1) / lit(20.0))
+        .withColumn("pos_rate",
+          round(col("n_pos") / col("n").cast("double"), 6))
+        .orderBy("bucket")
+    },
+
     // Cross-source duplication matrix: how many duplicate-FAMILY doc
     // PAIRS exist within and between sources — the "which crawls copy
     // from each other" provenance analytic that decides source
@@ -3183,6 +3213,28 @@ object TextQueries {
         |SELECT doc_a, doc_b, dist,
         |  round(dist / mx::DOUBLE, 6) AS rel_dist
         |FROM pairs WHERE dist <= mx * 0.2
-        |ORDER BY doc_a, doc_b""".stripMargin
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // same decile bucketing; the center is integer-derived so no
+    // float mean crosses the gate
+    "q133_calibration" ->
+      """WITH scored AS (
+        |  SELECT lang,
+        |    CASE WHEN len(string_split(trim(lower(text)), ' ')) = 0 THEN 0.0
+        |         ELSE len(list_filter(string_split(trim(lower(text)), ' '),
+        |             t -> t IN ('the','a','of','and','to','in')))::DOUBLE /
+        |           len(string_split(trim(lower(text)), ' ')) END AS score
+        |  FROM documents),
+        |b AS (
+        |  SELECT lang,
+        |    least(CAST(floor(score * 10) AS BIGINT), 9) AS bucket
+        |  FROM scored)
+        |SELECT bucket, count(*) AS n,
+        |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_pos,
+        |  (bucket * 2 + 1) / 20.0 AS center,
+        |  round(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::DOUBLE
+        |    / count(*), 6) AS pos_rate
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
   )
 }

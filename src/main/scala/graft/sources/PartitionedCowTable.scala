@@ -72,8 +72,23 @@ class PartitionedCowTable(val root: String, val partCol: String,
     * are listed, opened, or scheduled — the reader never touches the
     * rest (the watermark/date-range scan path at scale).
     */
-  def readWhere(partFilter: String => Boolean): DataFrame = {
-    val v = requireVersion
+  def readWhere(partFilter: String => Boolean): DataFrame =
+    readVersionWhere(requireVersion, partFilter)
+
+  /** Time travel: the table exactly as version `v` committed it.
+    * A version is a manifest, so reading one is just following ITS
+    * partition→dir map — superseded versions stay readable until
+    * [[vacuum]] reclaims their unshared directories (the Delta-style
+    * retention contract; a vacuumed version raises on read because
+    * its manifest file is gone).
+    */
+  def readVersion(v: Int): DataFrame = readVersionWhere(v, _ => true)
+
+  /** [[readVersion]] with manifest-level partition pruning. */
+  def readVersionWhere(v: Int,
+                       partFilter: String => Boolean): DataFrame = {
+    require(Files.exists(Paths.get(root, f"v_$v%06d.json")),
+      s"no version $v at $root (never committed, or vacuumed away)")
     val dirs = manifestAt(v).filter { case (value, _) => partFilter(value) }
       .values.map(d => s"$root/$d").toSeq
     if (dirs.isEmpty)

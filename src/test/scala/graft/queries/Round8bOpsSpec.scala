@@ -215,6 +215,54 @@ class Round8bOpsSpec extends SparkSpec {
     assert(out("view") === ((2L, 200L + 400L, 2L, 1L)))
   }
 
+  test("q131: every version of the mutation history reads back exactly") {
+    val dir = eventsDir(Seq(
+      (1L, ts("2024-01-05 10:00:00"), 1L, "click", 1.00),
+      (2L, ts("2024-01-05 11:00:00"), 1L, "error", 2.00),
+      (3L, ts("2024-01-20 10:00:00"), 2L, "click", 4.00)))
+    val out = q("q131_time_travel", dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("v1_loaded") === ((3L, 100L + 200L + 400L, 2L)))
+    // v2: the 01-05 click doubled, error/late click untouched
+    assert(out("v2_updated") === ((3L, 200L + 200L + 400L, 2L)))
+    // v3: the error row deleted; its day survives via the click
+    assert(out("v3_deleted") === ((2L, 200L + 400L, 2L)))
+  }
+
+  test("q132: checksum is row-order independent and flips on one edit") {
+    val base = Seq(
+      (1L, ts("2024-01-05 10:00:00"), 1L, "click", 1.00),
+      (2L, ts("2024-01-05 11:00:00"), 2L, "view", 2.00),
+      (3L, ts("2024-01-06 10:00:00"), 3L, "click", 4.00))
+    val a = q("q132_table_checksum", eventsDir(base)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val b = q("q132_table_checksum", eventsDir(base.reverse)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(a.toSeq === b.toSeq, "XOR fold must not see row order")
+    // one changed value flips exactly that day's hash
+    val edited = base.updated(0,
+      (1L, ts("2024-01-05 10:00:00"), 1L, "click", 1.01))
+    val c = q("q132_table_checksum", eventsDir(edited)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(c(0)._3 !== a(0)._3)
+    assert(c(1) === a(1))
+  }
+
+  test("q133: clamp at the top bucket, hand-counted positive rates") {
+    // "the the" -> score 1.0 -> bucket floor(10)=10 clamped to 9;
+    // "x y the" -> 1/3 -> bucket 3; "x y" -> 0 -> bucket 0
+    val dir = docsDir(Seq(
+      (1L, "the the", "en", "s"), (2L, "the the", "de", "s"),
+      (3L, "x y the", "en", "s"), (4L, "x y", "fr", "s")))
+    val out = q("q133_calibration", dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out(9L) === ((2L, 1L, 0.95, 0.5)))
+    assert(out(3L) === ((1L, 1L, 0.35, 1.0)))
+    assert(out(0L) === ((1L, 0L, 0.05, 0.0)))
+  }
+
   test("q130: deterministic under re-runs (bench reps rebuild the table)") {
     val dir = eventsDir(Seq(
       (1L, ts("2024-01-03 10:00:00"), 1L, "click", 3.50),

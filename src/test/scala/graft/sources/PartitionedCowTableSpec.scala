@@ -214,4 +214,38 @@ class PartitionedCowTableSpec extends SparkSpec {
     assert(t.read().count() == 4)
     assert(t.read().filter($"v" === "B").count() == 1)
   }
+
+  test("readVersion: superseded states stay readable exactly as committed") {
+    val t = mk()
+    val v1 = t.version
+    t.upsert(Seq((2L, "2020-03", "B2", true)).toDF("pid", "month", "v", "flag"),
+      Seq("pid"))
+    val v2 = t.version
+    t.deleteWhere($"month" === "2020-04")
+    // current: row 3 gone, row 2 rewritten
+    assert(t.read().count() == 3)
+    // v1: the original state, including the pre-upsert row 2
+    val atV1 = t.readVersion(v1)
+    assert(atV1.count() == 4)
+    assert(atV1.filter($"pid" === 2L).select("v").as[String].head() == "b")
+    // v2: post-upsert, pre-delete
+    val atV2 = t.readVersion(v2)
+    assert(atV2.count() == 4)
+    assert(atV2.filter($"pid" === 2L).select("v").as[String].head() == "B2")
+    // pruned time travel only lists the matching partition's old dir
+    assert(t.readVersionWhere(v1, _ == "2020-04").count() == 1)
+    // a version that never existed fails loudly, not with an empty df
+    intercept[IllegalArgumentException] { t.readVersion(99) }
+  }
+
+  test("readVersion after vacuum: reclaimed versions refuse, current survives") {
+    val t = mk()
+    val v1 = t.version
+    t.upsert(Seq((1L, "2020-03", "A", true)).toDF("pid", "month", "v", "flag"),
+      Seq("pid"))
+    t.vacuum()
+    // v1's manifest is gone — the retention contract is a loud error
+    intercept[IllegalArgumentException] { t.readVersion(v1) }
+    assert(t.read().count() == 4)
+  }
 }
