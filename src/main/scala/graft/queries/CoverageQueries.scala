@@ -561,6 +561,103 @@ object CoverageQueries {
         .groupBy("day")
         .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("xor_hash"))
         .orderBy("day")
+    },
+
+    // PageRank over the part co-purchase graph — the ITERATIVE graph
+    // analytic beyond connectedComponents' reachability: influence /
+    // centrality over "parts bought in the same order", the
+    // recommendation-seed signal. Rank is a TABLE at every step (the
+    // q70 LM discipline — per-node state never visits the driver;
+    // kmeansFit may collect because its state is k×dim metadata, a
+    // rank vector is not). Each of the 3 power iterations is one
+    // edge×rank equi-join + one destination-keyed partial-aggregated
+    // groupBy, localCheckpointed so lineage stays flat; N and the
+    // teleport term ride a 1-row broadcast. Symmetric edges mean no
+    // dangling mass. Transcendentals never rank: scores round to 6dp
+    // BEFORE the TakeOrdered top-20 with a part-id tie-break (the
+    // q106 rule; cross-engine float-sum ulps sit at 1e-15 relative,
+    // far below the 6dp gate).
+    "q134_pagerank" -> { (s, dir) =>
+      val d = lit(0.85)
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = li.join(li.select(col("ok"), col("p").as("q")), "ok")
+        .filter(col("p") =!= col("q"))
+        .select("p", "q").distinct()
+        .localCheckpoint(true)
+      val deg = edges.groupBy("p").agg(count(lit(1)).as("outdeg"))
+        .localCheckpoint(true)
+      val nDf = broadcast(deg.agg(count(lit(1)).cast("double").as("nn")))
+      // outdeg rides INSIDE the rank table so each iteration is one
+      // edge⋈rank join + one destination rollup — not a second
+      // rank⋈deg join per step
+      var rank = deg.crossJoin(nDf)
+        .select(col("p"), col("outdeg"), (lit(1.0) / col("nn")).as("r"))
+        .localCheckpoint(true)
+      for (_ <- 1 to 3) {
+        val contrib = edges
+          .join(rank.select(col("p"),
+            (col("r") / col("outdeg")).as("share")), "p")
+          .groupBy(col("q").as("p2"))
+          .agg(sum("share").as("in_mass"))
+        rank = rank.select("p", "outdeg")
+          .join(contrib.withColumnRenamed("p2", "p"), Seq("p"), "left")
+          .crossJoin(nDf)
+          .select(col("p"), col("outdeg"),
+            ((lit(1.0) - d) / col("nn") +
+              d * coalesce(col("in_mass"), lit(0.0))).as("r"))
+          .localCheckpoint(true)
+      }
+      rank.select(col("p").as("part"), round(col("r") * 1000, 6).as("score"))
+        .orderBy(col("score").desc, col("part"))
+        .limit(20)
+    },
+
+    // Z-order (Morton) data layout: interleave the bits of a scene
+    // grid cell's (x, y) so one SORT key clusters BOTH dimensions —
+    // the multi-column-pruning layout (Delta/Iceberg OPTIMIZE ZORDER)
+    // that makes bbox queries over a 100 TB catalog skip files on
+    // parquet min/max stats alone. The interleave is the classic
+    // shift-mask spread (pure integer ops, identical in both
+    // engines); the file assignment is a global z-position from the
+    // two-phase rank (q112's device — the table is never sorted
+    // through one partition; at scale this is exactly
+    // repartitionByRange on z + sortWithinPartitions). The report —
+    // per target file: row count and x/y extents — IS the layout's
+    // value: each file covers a small square-ish tile instead of a
+    // full-width stripe, so min/max pruning works on BOTH axes
+    // (ZOrderLayoutSpec quantifies the extent win vs key order).
+    "q135_zorder_layout" -> { (s, dir) =>
+      val nFiles = 16
+      val cells = t(s, dir, "customer").select(
+        col("c_custkey"),
+        ((col("c_custkey") * 7) % 340).as("x"),
+        (col("c_custkey") % 160).as("y"))
+      def spread(c: org.apache.spark.sql.Column) = {
+        // 16-bit → 32-bit bit spread: abcd… → 0a0b0c0d…
+        val s1 = c.bitwiseOR(shiftleft(c, 8)).bitwiseAND(lit(0x00FF00FFL))
+        val s2 = s1.bitwiseOR(shiftleft(s1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+        val s3 = s2.bitwiseOR(shiftleft(s2, 2)).bitwiseAND(lit(0x33333333L))
+        s3.bitwiseOR(shiftleft(s3, 1)).bitwiseAND(lit(0x55555555L))
+      }
+      val z = cells.withColumn("z",
+        spread(col("x").cast("long"))
+          .bitwiseOR(shiftleft(spread(col("y").cast("long")), 1)))
+      // unique, (z, key)-monotonic order key for the two-phase rank
+      val keyed = z.withColumn("__ord",
+          col("z") * lit(10000000000L) + col("c_custkey"))
+        .withColumn("__g", lit(0)).withColumn("__one", lit(1L))
+      val pos = R.groupedPrefixSum(keyed, "__g", "__ord", "__one", "pos")
+      val total = broadcast(pos.agg(count(lit(1)).as("nt")))
+      pos.crossJoin(total)
+        .withColumn("file_id", expr(s"(pos * $nFiles) div nt"))
+        .groupBy("file_id")
+        .agg(count(lit(1)).as("n_scenes"),
+          min("x").as("min_x"), max("x").as("max_x"),
+          min("y").as("min_y"), max("y").as("max_y"),
+          min("z").as("z_lo"), max("z").as("z_hi"))
+        .orderBy("file_id")
     }
   )
 
@@ -587,6 +684,85 @@ object CoverageQueries {
         |SELECT 'v3_deleted', count(*), CAST(sum(cents) AS BIGINT),
         |  count(DISTINCT day) FROM v2 WHERE event_type <> 'error'
         |ORDER BY version""".stripMargin,
+
+    // the same three power iterations as chained CTEs; the teleport
+    // term stays written as (1 - 0.85) so both engines compute the
+    // identical IEEE value (a 0.15 literal differs in the last ulp)
+    "q134_pagerank" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT a.p AS p, b.p AS q
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.p <> b.p),
+        |deg AS (SELECT p, count(*) AS outdeg FROM e GROUP BY p),
+        |n AS (SELECT count(*)::DOUBLE AS nn FROM deg),
+        |r0 AS (SELECT p, 1.0 / nn AS r FROM deg, n),
+        |m1 AS (
+        |  SELECT e.q AS p, sum(r0.r / deg.outdeg) AS in_mass
+        |  FROM e JOIN r0 ON e.p = r0.p JOIN deg ON e.p = deg.p
+        |  GROUP BY e.q),
+        |r1 AS (
+        |  SELECT d.p, (1 - 0.85) / n.nn + 0.85 * coalesce(m1.in_mass, 0.0)
+        |    AS r
+        |  FROM deg d CROSS JOIN n LEFT JOIN m1 ON d.p = m1.p),
+        |m2 AS (
+        |  SELECT e.q AS p, sum(r1.r / deg.outdeg) AS in_mass
+        |  FROM e JOIN r1 ON e.p = r1.p JOIN deg ON e.p = deg.p
+        |  GROUP BY e.q),
+        |r2 AS (
+        |  SELECT d.p, (1 - 0.85) / n.nn + 0.85 * coalesce(m2.in_mass, 0.0)
+        |    AS r
+        |  FROM deg d CROSS JOIN n LEFT JOIN m2 ON d.p = m2.p),
+        |m3 AS (
+        |  SELECT e.q AS p, sum(r2.r / deg.outdeg) AS in_mass
+        |  FROM e JOIN r2 ON e.p = r2.p JOIN deg ON e.p = deg.p
+        |  GROUP BY e.q),
+        |r3 AS (
+        |  SELECT d.p, (1 - 0.85) / n.nn + 0.85 * coalesce(m3.in_mass, 0.0)
+        |    AS r
+        |  FROM deg d CROSS JOIN n LEFT JOIN m3 ON d.p = m3.p)
+        |SELECT p AS part, round(r * 1000, 6) AS score FROM r3
+        |ORDER BY score DESC, part LIMIT 20""".stripMargin,
+
+    // the same shift-mask spread, decimal masks, row_number mirror of
+    // the two-phase z-position
+    "q135_zorder_layout" ->
+      """WITH cells AS (
+        |  SELECT c_custkey, (c_custkey * 7) % 340 AS x,
+        |    c_custkey % 160 AS y
+        |  FROM customer),
+        |s1 AS (
+        |  SELECT c_custkey, x, y,
+        |    ((x | (x << 8)) & 16711935) AS xa,
+        |    ((y | (y << 8)) & 16711935) AS ya
+        |  FROM cells),
+        |s2 AS (
+        |  SELECT c_custkey, x, y,
+        |    ((xa | (xa << 4)) & 252645135) AS xb,
+        |    ((ya | (ya << 4)) & 252645135) AS yb
+        |  FROM s1),
+        |s3 AS (
+        |  SELECT c_custkey, x, y,
+        |    ((xb | (xb << 2)) & 858993459) AS xc,
+        |    ((yb | (yb << 2)) & 858993459) AS yc
+        |  FROM s2),
+        |s4 AS (
+        |  SELECT c_custkey, x, y,
+        |    ((xc | (xc << 1)) & 1431655765) AS xd,
+        |    ((yc | (yc << 1)) & 1431655765) AS yd
+        |  FROM s3),
+        |z AS (SELECT c_custkey, x, y, (xd | (yd << 1)) AS z FROM s4),
+        |pos AS (
+        |  SELECT x, y, z,
+        |    row_number() OVER (ORDER BY z * 10000000000 + c_custkey) - 1
+        |      AS pos,
+        |    count(*) OVER () AS nt
+        |  FROM z)
+        |SELECT (pos * 16) // nt AS file_id, count(*) AS n_scenes,
+        |  min(x) AS min_x, max(x) AS max_x,
+        |  min(y) AS min_y, max(y) AS max_y,
+        |  CAST(min(z) AS BIGINT) AS z_lo, CAST(max(z) AS BIGINT) AS z_hi
+        |FROM pos GROUP BY file_id ORDER BY file_id""".stripMargin,
 
     // the same canonical integer-only row string, the same XOR fold
     "q132_table_checksum" ->

@@ -263,6 +263,79 @@ class Round8bOpsSpec extends SparkSpec {
     assert(out(0L) === ((1L, 0L, 0.05, 0.0)))
   }
 
+  private def lineitemDir(rows: Seq[(Long, Long)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("r8bli").toString
+    rows.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    dir
+  }
+
+  test("q134: uniform rank is a fixed point on a regular graph") {
+    // triangle: every node has in-degree = out-degree = 2, so 1/3
+    // stays 1/3 through every power iteration
+    val dir = lineitemDir(Seq(
+      (1L, 10L), (1L, 20L), (1L, 30L)))
+    val out = q("q134_pagerank", dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val third = BigDecimal(1000.0 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out === Map(10L -> third, 20L -> third, 30L -> third))
+  }
+
+  test("q134: star graph concentrates rank at the hub (independent " +
+    "recomputation of all three iterations)") {
+    // two orders: (hub, leaf1) and (hub, leaf2) -> edges hub<->each
+    // leaf; hub outdeg 2, leaves 1
+    val dir = lineitemDir(Seq(
+      (1L, 100L), (1L, 200L), (2L, 100L), (2L, 300L)))
+    // independent reimplementation of the exact arithmetic
+    var (c, l) = (1.0 / 3, 1.0 / 3)
+    for (_ <- 1 to 3) {
+      val (nc, nl) = ((1 - 0.85) / 3 + 0.85 * (l + l),
+        (1 - 0.85) / 3 + 0.85 * (c / 2))
+      c = nc; l = nl
+    }
+    def r6(v: Double) = BigDecimal(v * 1000)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = q("q134_pagerank", dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out === Map(100L -> r6(c), 200L -> r6(l), 300L -> r6(l)))
+    assert(out(100L) > out(200L))
+  }
+
+  private def customerDir(keys: Seq[Long]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("r8bcu").toString
+    keys.toDF("c_custkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    dir
+  }
+
+  test("q135: the Morton interleave puts x bits even, y bits odd") {
+    // c_custkey=1 -> x=(7)%340=7 (0b111), y=1%160=1 (0b1)
+    // z = spread(7) | spread(1)<<1 = 0b010101 | 0b000010 = 23
+    val out = q("q135_zorder_layout", customerDir(Seq(1L))).collect()
+    assert(out.length === 1)
+    assert((out.head.getLong(6), out.head.getLong(7)) === ((23L, 23L)))
+  }
+
+  test("q135: z-ordered files cover tighter x AND y extents than key " +
+    "order (the pruning win)") {
+    val keys = (1L to 500L)
+    val out = q("q135_zorder_layout", customerDir(keys)).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // the comparison baseline: the same 16-way split in custkey order
+    val cells = keys.map(k => (k, (k * 7) % 340, k % 160)).sortBy(_._1)
+    val naive = cells.grouped(
+      (cells.length + 15) / 16).toSeq.map { g =>
+      val (xs, ys) = (g.map(_._2), g.map(_._3))
+      (xs.max - xs.min + 1) * (ys.max - ys.min + 1)
+    }
+    val zArea = out.map(f => (f._3 - f._2 + 1) * (f._5 - f._4 + 1)).sum
+    assert(zArea < naive.sum,
+      s"z total cell area $zArea should beat key-order ${naive.sum}")
+  }
+
   test("q130: deterministic under re-runs (bench reps rebuild the table)") {
     val dir = eventsDir(Seq(
       (1L, ts("2024-01-03 10:00:00"), 1L, "click", 3.50),
