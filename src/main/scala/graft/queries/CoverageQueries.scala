@@ -658,6 +658,59 @@ object CoverageQueries {
           min("y").as("min_y"), max("y").as("max_y"),
           min("z").as("z_lo"), max("z").as("z_hi"))
         .orderBy("file_id")
+    },
+
+    // HyperLogLog as a REGISTER TABLE — the mergeable-sketch
+    // discipline behind approx_count_distinct (q45 gates Spark's
+    // built-in within its error bound; this one is engine-exact):
+    // the sketch is 64 (bucket, register) rows per group, registers
+    // combine via max, so the merge is map-side and the shuffle
+    // carries ≤64 rows per group per partition no matter how many
+    // billions of users stream through — THE shape for distinct-user
+    // dashboards over 100 TB of events (one sketch table per
+    // day/source, any rollup = max-merge, never a re-scan). The
+    // cross-engine gate works without tolerance because every
+    // denominator term 2^-r (r ≤ 27) and the zero-bucket count are
+    // dyadic rationals: all 64 partial sums are exact multiples of
+    // 2^-27 below 2^27, so IEEE addition is EXACT in any order (the
+    // q104 argument) — both engines derive bit-identical estimates,
+    // then round 6dp for the ln()-path last-ulp. Standard HLL
+    // (Flajolet et al. 2007): h32 = first 8 md5 hex digits; bucket =
+    // h32 mod 64; rho = leading-zero count of the remaining 26 bits
+    // + 1; alpha_64 = 0.709; linear counting below 2.5m when empty
+    // buckets remain. The exact arm is the oracle-bearing companion
+    // (the q29 rule), never the production path.
+    "q136_hll_sketch" -> { (s, dir) =>
+      val m = 64
+      val h = t(s, dir, "events").select(col("event_type"),
+        conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+          .cast("long").as("h32"))
+      val regs = h
+        .select(col("event_type"), (col("h32") % m).as("bucket"),
+          expr(s"h32 div $m").as("w"))
+        .withColumn("rho", when(col("w") === 0, lit(27))
+          .otherwise(lit(26) - floor(log2(col("w"))).cast("long")))
+        .groupBy("event_type", "bucket")
+        .agg(max("rho").as("register"))
+      val sketch = regs.groupBy("event_type").agg(
+        count(lit(1)).as("n_buckets"),
+        expr("bit_xor(bucket * 100 + register)").as("reg_xor"),
+        // dyadic terms: this sum is order-independent-exact
+        sum(pow(lit(2.0), -col("register"))).as("ssum"))
+      val est = sketch
+        .withColumn("v", lit(m.toDouble) - col("n_buckets"))
+        .withColumn("raw", lit(0.709 * m * m) / (col("ssum") + col("v")))
+        .withColumn("est_distinct", round(
+          when(col("v") > 0 && col("raw") <= lit(2.5 * m),
+            lit(m.toDouble) * log(lit(m.toDouble) / col("v")))
+            .otherwise(col("raw")), 6))
+      val exact = t(s, dir, "events")
+        .select("event_type", "user_id").distinct()
+        .groupBy("event_type").agg(count(lit(1)).as("exact_distinct"))
+      est.join(exact, "event_type")
+        .select("event_type", "n_buckets", "reg_xor", "est_distinct",
+          "exact_distinct")
+        .orderBy("event_type")
     }
   )
 
@@ -763,6 +816,42 @@ object CoverageQueries {
         |  min(y) AS min_y, max(y) AS max_y,
         |  CAST(min(z) AS BIGINT) AS z_lo, CAST(max(z) AS BIGINT) AS z_hi
         |FROM pos GROUP BY file_id ORDER BY file_id""".stripMargin,
+
+    // the same 32-bit md5 slice, bucket split, leading-zero count,
+    // max-merge, and estimator arithmetic — the dyadic denominator
+    // makes the double sums bit-identical in any order
+    "q136_hll_sketch" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+        |      AS h32
+        |  FROM events),
+        |b AS (
+        |  SELECT event_type, h32 % 64 AS bucket, h32 // 64 AS w FROM h),
+        |r AS (
+        |  SELECT event_type, bucket,
+        |    max(CASE WHEN w = 0 THEN 27
+        |        ELSE 26 - CAST(floor(log2(w)) AS BIGINT) END) AS register
+        |  FROM b GROUP BY event_type, bucket),
+        |sk AS (
+        |  SELECT event_type, count(*) AS n_buckets,
+        |    bit_xor(bucket * 100 + register) AS reg_xor,
+        |    sum(power(2.0, -register)) AS ssum
+        |  FROM r GROUP BY event_type),
+        |est AS (
+        |  SELECT event_type, n_buckets, reg_xor,
+        |    64.0 - n_buckets AS v,
+        |    (0.709 * 64 * 64) / (ssum + (64.0 - n_buckets)) AS raw
+        |  FROM sk),
+        |ex AS (
+        |  SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+        |  FROM events GROUP BY event_type)
+        |SELECT est.event_type, n_buckets, reg_xor,
+        |  round(CASE WHEN v > 0 AND raw <= 160.0
+        |        THEN 64.0 * ln(64.0 / v) ELSE raw END, 6) AS est_distinct,
+        |  exact_distinct
+        |FROM est JOIN ex ON est.event_type = ex.event_type
+        |ORDER BY est.event_type""".stripMargin,
 
     // the same canonical integer-only row string, the same XOR fold
     "q132_table_checksum" ->

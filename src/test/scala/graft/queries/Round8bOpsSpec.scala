@@ -336,6 +336,63 @@ class Round8bOpsSpec extends SparkSpec {
       s"z total cell area $zArea should beat key-order ${naive.sum}")
   }
 
+  test("q136: single user lands in one bucket; linear-counting estimate") {
+    val dir = eventsDir(Seq(
+      (1L, ts("2024-01-03 10:00:00"), 42L, "click", 1.0)))
+    val out = q("q136_hll_sketch", dir).collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(1) === 1L) // n_buckets
+    val lc = BigDecimal(64.0 * math.log(64.0 / 63.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.head.getDouble(3) === lc)
+    assert(out.head.getLong(4) === 1L)
+  }
+
+  test("q136: independent JVM HLL reimplementation matches every column") {
+    // 300 users in 'click', 40 (a subset) in 'view' — enough mass that
+    // click takes the raw-estimate branch and view the linear-counting
+    // branch, covering both estimator arms
+    val rows = (1L to 300L).map(u =>
+      (u, ts("2024-01-03 10:00:00"), u * 17 + 3, "click", 1.0)) ++
+      (1L to 40L).map(u =>
+        (300 + u, ts("2024-01-04 10:00:00"), u * 17 + 3, "view", 1.0))
+    val dir = eventsDir(rows)
+    // reimplementation from the Flajolet definition, not the query code
+    def sketch(users: Seq[Long]): (Long, Long, Double, Long) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val regs = scala.collection.mutable.Map[Long, Long]()
+      users.distinct.foreach { u =>
+        val hex = md.digest(u.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(8)
+        val h32 = java.lang.Long.parseLong(hex, 16)
+        val (bucket, w) = (h32 % 64, h32 / 64)
+        val rho = if (w == 0) 27L
+          else 26L - (63 - java.lang.Long.numberOfLeadingZeros(w))
+        regs(bucket) = math.max(regs.getOrElse(bucket, 0L), rho)
+      }
+      val nb = regs.size.toLong
+      val xor = regs.map { case (b, r) => b * 100 + r }
+        .foldLeft(0L)(_ ^ _)
+      val ssum = regs.values.map(r => math.pow(2.0, -r.toDouble)).sum
+      val v = 64.0 - nb
+      val raw = 0.709 * 64 * 64 / (ssum + v)
+      val est = if (v > 0 && raw <= 160.0) 64.0 * math.log(64.0 / v)
+        else raw
+      (nb, xor, BigDecimal(est)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        users.distinct.size.toLong)
+    }
+    val expected = Map(
+      "click" -> sketch((1L to 300L).map(_ * 17 + 3)),
+      "view" -> sketch((1L to 40L).map(_ * 17 + 3)))
+    val out = q("q136_hll_sketch", dir).collect().map(r =>
+      r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(out === expected)
+    // estimate lands within the ~13% (1.04/sqrt(64)) standard error
+    assert(math.abs(out("click")._3 - 300.0) / 300.0 < 0.3)
+  }
+
   test("q130: deterministic under re-runs (bench reps rebuild the table)") {
     val dir = eventsDir(Seq(
       (1L, ts("2024-01-03 10:00:00"), 1L, "click", 3.50),
