@@ -711,10 +711,234 @@ object CoverageQueries {
         .select("event_type", "n_buckets", "reg_xor", "est_distinct",
           "exact_distinct")
         .orderBy("event_type")
+    },
+
+    // Count-min sketch (Cormode–Muthukrishnan 2005) as a CELL TABLE —
+    // the mergeable FREQUENCY sketch beside q136's distinct sketch
+    // (HLL answers "how many distinct", CMS answers "how often is
+    // THIS key") and q93's Misra-Gries (which keeps only the top-k;
+    // CMS answers point queries for ANY key, at bounded overestimate).
+    // The sketch is d×w = 4×64 (row, col, count) rows; counts are
+    // additive, so the merge is map-side partial aggregation and the
+    // shuffle carries ≤256 rows per partition no matter how many
+    // billions of events stream through — one sketch table per
+    // day/source at 100 TB, any rollup = cell-wise sum. Estimates are
+    // min over the d cells a key hashes to: ≥ exact always (pinned in
+    // Round8cOpsSpec), and the gate carries overest explicitly so a
+    // hash drift in either engine shows up as a sign flip. Hashes are
+    // the md5-slice device (q136): row-salted, so the d rows are
+    // independent.
+    "q137_countmin_sketch" -> { (s, dir) =>
+      val d = 4
+      val w = 64
+      val ev = t(s, dir, "events").select(col("user_id"))
+      def cellOf(r: org.apache.spark.sql.Column,
+                 key: org.apache.spark.sql.Column) =
+        conv(substring(md5(concat(r.cast("string"), lit(":"),
+          key.cast("string"))), 1, 8), 16, 10).cast("long") % w
+      val cells = ev
+        .select(col("user_id"),
+          explode(sequence(lit(0), lit(d - 1))).as("r"))
+        .withColumn("c", cellOf(col("r"), col("user_id")))
+        .groupBy("r", "c").agg(count(lit(1)).as("cnt"))
+      val exact = ev.groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+      // probe the 10 heaviest keys (TakeOrdered — never a global sort)
+      val probes = exact.orderBy(col("exact_n").desc, col("user_id"))
+        .limit(10)
+      probes
+        .select(col("user_id"), col("exact_n"),
+          explode(sequence(lit(0), lit(d - 1))).as("r"))
+        .withColumn("c", cellOf(col("r"), col("user_id")))
+        .join(broadcast(cells), Seq("r", "c"))
+        .groupBy("user_id", "exact_n")
+        .agg(min("cnt").as("cms_est"))
+        .withColumn("overest", col("cms_est") - col("exact_n"))
+        .select("user_id", "exact_n", "cms_est", "overest")
+        .orderBy(col("exact_n").desc, col("user_id"))
+    },
+
+    // Triangle counting over the part co-purchase graph — the graph
+    // statistic beside q134's centrality (clustering structure vs
+    // importance). Degree-ordered edge-iterator form (the
+    // Suri–Vassilvitskii / Cohen MapReduce lineage, with the
+    // adjacency-intersection refinement): every edge is ORIENTED from
+    // its lower-(degree, id) endpoint to the higher — this caps
+    // out-degree near O(√m) (measured 222 → 97 at sf0.1) — then each
+    // edge (s,t) counts |N⁺(s) ∩ N⁺(t)| via hash-set array_intersect
+    // against the broadcast out-adjacency table. The naive wedge
+    // enumeration MATERIALIZES Σ outdeg² rows through a shuffle (83M
+    // at sf0.1 — measured 12 s); the intersection form does the same
+    // comparisons INSIDE one codegen'd map stage over the 1.2M edges
+    // and shuffles only the ≈3T credit rows (1.9 s). The oriented
+    // adjacency table is O(E) longs grouped by node (≈20 MB here);
+    // when a 100 TB graph outgrows the broadcast, the same two joins
+    // run as s-/t-keyed equi-joins — shape, not semantics, changes.
+    // Per-node credits come from the SAME intersections ((s,|W|),
+    // (t,|W|), (w,1) each) so no second pass; total = Σcredits/3. The
+    // oracle is the INDEPENDENT id-ordered a<b<c triple join — two
+    // different enumeration orders must land on identical counts.
+    "q138_triangle_count" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .distinct()
+      val e = li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("u"), col("y.p").as("v"))
+        .distinct()
+        .localCheckpoint(true)
+      val deg = e.select(col("u").as("p"))
+        .unionAll(e.select(col("v").as("p")))
+        .groupBy("p").agg(count(lit(1)).as("dg"))
+      val ed = e
+        .join(deg.select(col("p").as("u"), col("dg").as("du")), "u")
+        .join(deg.select(col("p").as("v"), col("dg").as("dv")), "v")
+        .select(
+          when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")),
+            struct(col("u").as("s"), col("v").as("t")))
+            .otherwise(struct(col("v").as("s"), col("u").as("t")))
+            .as("e"))
+        .select(col("e.s").as("s"), col("e.t").as("t"))
+        .localCheckpoint(true)
+      val adj = ed.groupBy("s").agg(collect_list("t").as("nbrs"))
+      val emptyArr = array().cast("array<long>")
+      val common = ed
+        .join(broadcast(adj.select(col("s"), col("nbrs").as("ns"))),
+          Seq("s"), "left")
+        .join(broadcast(adj.select(col("s").as("t"), col("nbrs").as("nt"))),
+          Seq("t"), "left")
+        .select(col("s"), col("t"), array_intersect(
+          coalesce(col("ns"), emptyArr),
+          coalesce(col("nt"), emptyArr)).as("cw"))
+      val perNode = common
+        .select(explode(concat(
+          array(
+            struct(col("s").as("part"), size(col("cw")).cast("long").as("c")),
+            struct(col("t").as("part"), size(col("cw")).cast("long").as("c"))),
+          transform(col("cw"),
+            x => struct(x.as("part"), lit(1L).as("c"))))).as("cr"))
+        .groupBy(col("cr.part").as("part"))
+        .agg(sum("cr.c").as("n_triangles"))
+        .filter(col("n_triangles") > 0)
+      // the 1-row total re-aggregates the credit subtree (both sides
+      // read the CHECKPOINTED edge table, so the expensive edge build
+      // runs once; a perNode checkpoint measured no faster and hides
+      // the intersect stage from the plan pin)
+      val total = broadcast(perNode
+        .agg((sum("n_triangles") / 3).cast("long").as("total_triangles")))
+      perNode.crossJoin(total)
+        .orderBy(col("n_triangles").desc, col("part"))
+        .limit(10)
+    },
+
+    // Skyline / Pareto frontier (Börzsönyi et al. 2001): parts no
+    // other part dominates on (price minimize, size maximize) — the
+    // multi-objective shortlist behind "cheapest part at every size
+    // tier". The naive operator is the O(n²) dominance self-join the
+    // ORACLE runs (NOT EXISTS over all pairs — an independent
+    // formulation); the engine's 2-D form is LINEAR: collapse to one
+    // row per price (max size), a strict-prefix running max over
+    // ascending price via the two-phase device (range partition +
+    // local window + ≤32-row broadcast offsets — the corpus is never
+    // sorted through one partition, q64/q112's machinery for MAX),
+    // then one price-keyed join back. A point survives iff it holds
+    // its price group's max size AND beats every strictly-cheaper
+    // price's max — duplicate frontier points all survive (neither
+    // dominates the other; pinned in Round8cOpsSpec).
+    "q139_skyline" -> { (s, dir) =>
+      val pts = t(s, dir, "part").select(col("p_partkey"),
+        col("p_retailprice").as("price"), col("p_size").as("size"))
+      val m = pts.groupBy("price").agg(max("size").as("msize"))
+      val parted = m.repartitionByRange(32, col("price"))
+        .withColumn("__part", spark_partition_id())
+        .localCheckpoint(true)
+      val wLoc = Window.partitionBy("__part").orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val local = parted.withColumn("__lm", max("msize").over(wLoc))
+      // one row per range partition; the offset window runs over ≤32
+      // aggregated rows, never data rows
+      val partials = parted.groupBy("__part").agg(max("msize").as("__pm"))
+      val wOff = Window.orderBy("__part")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = partials
+        .withColumn("__off", max("__pm").over(wOff))
+        .select("__part", "__off")
+      val cm = local.join(broadcast(offsets), "__part")
+        // greatest() skips nulls; both null only at the global head,
+        // where MinValue keeps the frontier test true
+        .withColumn("cmax", coalesce(
+          greatest(col("__lm"), col("__off")), lit(Int.MinValue)))
+        .select(col("price"), col("msize"), col("cmax"))
+      pts.join(cm, "price")
+        .filter(col("size") === col("msize") && col("msize") > col("cmax"))
+        .select("p_partkey", "price", "size")
+        .orderBy("price", "p_partkey")
     }
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    // the same row-salted md5 cells, the same min-over-d estimate
+    "q137_countmin_sketch" ->
+      """WITH ev AS (SELECT user_id FROM events),
+        |cells AS (
+        |  SELECT r, ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' ||
+        |      CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 64 AS c,
+        |    count(*) AS cnt
+        |  FROM ev, UNNEST(range(0, 4)) AS t(r)
+        |  GROUP BY r, c),
+        |exact AS (
+        |  SELECT user_id, count(*) AS exact_n FROM ev GROUP BY user_id),
+        |probes AS (
+        |  SELECT * FROM exact ORDER BY exact_n DESC, user_id LIMIT 10),
+        |pc AS (
+        |  SELECT p.user_id, p.exact_n, t.r,
+        |    ('0x' || substr(md5(CAST(t.r AS VARCHAR) || ':' ||
+        |      CAST(p.user_id AS VARCHAR)), 1, 8))::BIGINT % 64 AS c
+        |  FROM probes p, UNNEST(range(0, 4)) AS t(r))
+        |SELECT pc.user_id, pc.exact_n, min(cells.cnt) AS cms_est,
+        |  min(cells.cnt) - pc.exact_n AS overest
+        |FROM pc JOIN cells ON cells.r = pc.r AND cells.c = pc.c
+        |GROUP BY pc.user_id, pc.exact_n
+        |ORDER BY exact_n DESC, user_id""".stripMargin,
+
+    // INDEPENDENT enumeration order: id-ordered a<b<c triple join
+    // (the engine orients by degree) — both must count every triangle
+    // exactly once
+    "q138_triangle_count" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+        |tri AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1
+        |  JOIN e e2 ON e2.u = e1.v
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |nodes AS (
+        |  SELECT part, count(*) AS n_triangles FROM (
+        |    SELECT a AS part FROM tri
+        |    UNION ALL SELECT b FROM tri
+        |    UNION ALL SELECT c FROM tri)
+        |  GROUP BY part),
+        |tot AS (SELECT count(*) AS total FROM tri)
+        |SELECT part, n_triangles,
+        |  (SELECT total FROM tot) AS total_triangles
+        |FROM nodes ORDER BY n_triangles DESC, part LIMIT 10""".stripMargin,
+
+    // INDEPENDENT formulation: the O(n²) dominance NOT EXISTS — the
+    // definition itself, vs the engine's linear prefix-max form
+    "q139_skyline" ->
+      """SELECT p_partkey, p_retailprice AS price, p_size AS size
+        |FROM part a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part b
+        |  WHERE b.p_retailprice <= a.p_retailprice
+        |    AND b.p_size >= a.p_size
+        |    AND (b.p_retailprice < a.p_retailprice
+        |         OR b.p_size > a.p_size))
+        |ORDER BY price, p_partkey""".stripMargin,
 
     // each superseded state recomputed closed-form
     "q131_time_travel" ->

@@ -2074,13 +2074,109 @@ object TextQueries {
         .groupBy("source_a", "source_b")
         .agg(sum("p").as("n_dup_pairs"), count(lit(1)).as("n_hashes"))
         .orderBy("source_a", "source_b")
+    },
+
+    // BPE ENCODING with a trained merge table — the application
+    // companion to q82 (which TRAINS merges; a tokenizer you can't
+    // APPLY at corpus scale is half an operator). Merges here are a
+    // fixed literal table (the q35/q76 stand-in-centroid device — the
+    // trained path is q82's gate; literals keep this oracle
+    // SQL-expressible), applied in rank order with q82's exact
+    // greedy-leftmost fold. The corpus-scale shape: the corpus
+    // collapses to its DISTINCT VOCABULARY after one (doc, word)
+    // groupBy — each word is encoded ONCE (Zipf: vocab ≪ corpus, the
+    // q82 argument), then token counts fan back through a word-keyed
+    // join; the merge table itself is driver-side metadata the same
+    // way centroids are (k rows, not data). Per-doc report: words,
+    // BPE tokens, tokens/word — the fertility statistic that decides
+    // token budgets (q111) and packing (q64/q125) for a 100 TB corpus.
+    "q140_bpe_encode" -> { (s, dir) =>
+      val merges = bpeMerges
+      val pdw = t(s, dir, "documents")
+        .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("n"))
+      def lit1(x: String): String =
+        "'" + x.replace("\\", "\\\\").replace("'", "\\'") + "'"
+      // q82's greedy-leftmost fold: replace a trailing `a` with `ab`
+      // whenever `b` follows (a merged token can never chain-merge
+      // within one step)
+      def applyMerge(df: DataFrame, a: String, b: String): DataFrame =
+        df.select(col("w"), expr(
+          s"""aggregate(split(sym, ' '), cast(array() as array<string>),
+             |  (acc, x) -> CASE
+             |    WHEN size(acc) > 0 AND element_at(acc, -1) = ${lit1(a)}
+             |         AND x = ${lit1(b)}
+             |    THEN concat(slice(acc, 1, size(acc) - 1),
+             |                array(${lit1(a)} || ${lit1(b)}))
+             |    ELSE concat(acc, array(x)) END,
+             |  acc -> array_join(acc, ' '))""".stripMargin).as("sym"))
+      var sym = pdw.select("w").distinct()
+        .select(col("w"), concat(array_join(
+          expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+          " "), lit(" </w>")).as("sym"))
+      merges.foreach { case (a, b) => sym = applyMerge(sym, a, b) }
+      val wtok = sym.select(col("w"),
+        size(split(col("sym"), " ")).cast("long").as("n_tok"))
+      pdw.join(wtok, "w")
+        .groupBy("doc_id")
+        .agg(sum("n").as("n_words"),
+          sum(col("n") * col("n_tok")).as("n_bpe_tokens"))
+        .withColumn("tokens_per_word", round(
+          col("n_bpe_tokens").cast("double") / col("n_words"), 6))
+        .orderBy("doc_id")
     }
   )
+
+  /** q140's DuckDB mirror, generated: per merge step, the
+    * separator-anchored replace iterated 6× (q82's oracle device —
+    * iterated non-overlapping replace converges to the greedy-leftmost
+    * fixpoint; ≤6 passes suffice for words up to 12 symbols, corpus
+    * max 9). Generated rather than hand-written because the 5-merge
+    * chain is 30 mechanical replace() wrappings.
+    */
+  /** q140's stand-in merge table. Ranks CHAIN the way a trained table
+    * does: ('th','e</w>') can only fire because ('t','h') and
+    * ('e','</w>') rank earlier — a merge whose operands are never
+    * single symbols is dead (the property q82's sequential argmax
+    * guarantees by construction).
+    */
+  private[queries] val bpeMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("e", "</w>"), ("th", "e</w>"), ("a", "n"),
+    ("i", "n"), ("d", "</w>"), ("an", "d</w>"))
+
+  private def bpeEncodeOracle: String = {
+    val merges = bpeMerges
+    val steps = merges.zipWithIndex.map { case ((a, b), i) =>
+      val body = (1 to 6).foldLeft("' ' || sym || ' '") {
+        (acc, _) => s"replace($acc, ' $a $b ', ' $a$b ')"
+      }
+      s"s${i + 1} AS (SELECT w, trim($body) AS sym FROM s$i)"
+    }.mkString(",\n")
+    s"""WITH dw AS (
+       |  SELECT doc_id, w FROM (
+       |    SELECT doc_id, unnest(string_split(trim(lower(text)), ' ')) AS w
+       |    FROM documents) WHERE length(w) > 0),
+       |pdw AS (SELECT doc_id, w, count(*) AS n FROM dw GROUP BY doc_id, w),
+       |s0 AS (
+       |  SELECT w, array_to_string(list_transform(range(1, length(w) + 1),
+       |    i -> w[i]), ' ') || ' </w>' AS sym
+       |  FROM (SELECT DISTINCT w FROM pdw)),
+       |$steps,
+       |wt AS (SELECT w, len(string_split(sym, ' ')) AS n_tok
+       |       FROM s${merges.size})
+       |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_words,
+       |  CAST(sum(n * n_tok) AS BIGINT) AS n_bpe_tokens,
+       |  round(sum(n * n_tok)::DOUBLE / sum(n), 6) AS tokens_per_word
+       |FROM pdw JOIN wt USING (w)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
 
   // Tie-break order for the lang-ID argmax: scores equal ⇒ larger lang
   // code wins (array_max on struct(score, lang)). The oracle mirrors
   // this with a descending-alphabetical CASE chain using >=.
   val oracleSql: Map[String, String] = Map(
+    "q140_bpe_encode" -> bpeEncodeOracle,
     "q25_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
         |  count(*) AS n_copies

@@ -574,4 +574,54 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("ExistingRDD"), p)
     assert(!p.contains("Join"), p)
   }
+
+  // q137: the sketch is built by map-side partial aggregation (the
+  // mergeable-sketch contract — ≤256 cells cross the shuffle per
+  // partition), probes rank via TakeOrdered, and the 256-row cell
+  // table is broadcast to the probe join.
+  test("q137 CMS: partial-aggregated cells, broadcast probe join") {
+    val p = plan("q137_countmin_sketch")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  // q138: NO wedge materialization — the Σ outdeg² comparisons happen
+  // inside array_intersect against broadcast adjacency (the 83M-row
+  // wedge shuffle this form replaces measured 12 s vs 3 s at sf0.1);
+  // the only cross join is the 1-row total broadcast.
+  test("q138 triangles: adjacency broadcast + intersect, no wedge shuffle") {
+    val p = plan("q138_triangle_count")
+    assert(p.contains("array_intersect"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    val blocks = p.split("(?m)^\\s*\\(\\d+\\) ").toSeq
+    val bnl = blocks.filter(_.startsWith("BroadcastNestedLoopJoin"))
+    assert(bnl.forall(_.contains("Cross")), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  // q139: the frontier comes from the price-grouped running max — the
+  // corpus is never globally sorted or ranked; windows run only over
+  // __part-local rows / the ≤32-row offset table.
+  test("q139 skyline: two-phase prefix max, no global rank") {
+    val p = plan("q139_skyline")
+    assert(!p.contains("row_number"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val blocks = p.split("(?m)^\\s*\\(\\d+\\) ").toSeq
+    val windows = blocks.filter(_.startsWith("Window"))
+    assert(windows.nonEmpty, p)
+    assert(windows.forall(w => w.contains("__part")), p)
+  }
+
+  // q140: the corpus collapses to (doc, word) counts and the encode
+  // runs once per DISTINCT word; the fan back to docs is a word-keyed
+  // equi join, never a per-occurrence re-encode.
+  test("q140 BPE encode: vocab-sized encode, word-keyed join back") {
+    val p = plan("q140_bpe_encode")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("aggregate("), p) // the greedy-leftmost fold
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
 }

@@ -1,0 +1,163 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Hand-computed expectations for q137–q140 on adversarial
+  * micro-fixtures, driven through the exact SparkEntry query functions
+  * the driver gate runs: the CMS no-underestimate guarantee, triangle
+  * counts on constructed graphs (within-order K4 and a triangle whose
+  * three edges come from three different orders), skyline dominance
+  * edge cases (duplicate frontier points, equal-price domination), and
+  * the BPE encode merge chain traced by hand.
+  */
+class Round8cOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def q(name: String, dir: String) =
+    SparkEntry.queries(name)(spark, dir)
+
+  private def eventsDir(
+      rows: Seq[(Long, java.sql.Timestamp, Long, String, Double)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("r8cev").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private def lineitemDir(rows: Seq[(Long, Long)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("r8cli").toString
+    rows.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    dir
+  }
+
+  private def partDir(rows: Seq[(Long, Double, Int)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("r8cpt").toString
+    rows.toDF("p_partkey", "p_retailprice", "p_size")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    dir
+  }
+
+  private def docsDir(rows: Seq[(Long, String, String, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("r8cdoc").toString
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+
+  // ---- q137 count-min sketch ----
+
+  test("q137: single-key stream estimates exactly (no collisions possible)") {
+    val dir = eventsDir((1L to 7L).map(i => (i, t0, 42L, "view", 1.0)))
+    val out = q("q137_countmin_sketch", dir).collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(0) === 42L)
+    assert(out.head.getLong(1) === 7L) // exact
+    assert(out.head.getLong(2) === 7L) // cms estimate
+    assert(out.head.getLong(3) === 0L) // overestimate
+  }
+
+  test("q137: estimates NEVER underestimate, heaviest key probes first") {
+    // 200 distinct users over 64 columns forces collisions in every
+    // hash row; the CMS guarantee is one-sided: est >= exact, always
+    val rows = (1L to 200L).flatMap { u =>
+      val n = if (u == 7L) 50L else 1L + (u % 3)
+      (1L to n).map(i => (u * 1000 + i, t0, u, "view", 1.0))
+    }
+    val out = q("q137_countmin_sketch", eventsDir(rows)).collect()
+    assert(out.length === 10)
+    assert(out.head.getLong(0) === 7L) // unique heaviest user leads
+    assert(out.head.getLong(1) === 50L)
+    out.foreach { r =>
+      assert(r.getLong(3) >= 0L,
+        s"user ${r.getLong(0)} underestimated: ${r.getLong(2)} < ${r.getLong(1)}")
+      assert(r.getLong(2) === r.getLong(1) + r.getLong(3))
+    }
+  }
+
+  // ---- q138 triangle counting ----
+
+  test("q138: K4 within one order yields 4 triangles, 3 per node") {
+    val dir = lineitemDir(
+      Seq((1L, 1L), (1L, 2L), (1L, 3L), (1L, 4L), // K4
+        (2L, 5L), (2L, 6L))) // lone edge, no triangle
+    val out = q("q138_triangle_count", dir).collect()
+    assert(out.length === 4) // nodes 5,6 participate in none
+    assert(out.map(_.getLong(0)).sorted === Array(1L, 2L, 3L, 4L))
+    out.foreach { r =>
+      assert(r.getLong(1) === 3L) // each K4 node is in 3 triangles
+      assert(r.getLong(2) === 4L) // C(4,3) total
+    }
+  }
+
+  test("q138: a triangle assembled from three DIFFERENT orders counts") {
+    val dir = lineitemDir(Seq(
+      (10L, 7L), (10L, 8L), // edge 7-8
+      (11L, 8L), (11L, 9L), // edge 8-9
+      (12L, 7L), (12L, 9L), // edge 7-9 -> closes {7,8,9}
+      (13L, 7L), (13L, 8L))) // duplicate edge must not double-count
+    val out = q("q138_triangle_count", dir).collect()
+    assert(out.length === 3)
+    out.foreach { r =>
+      assert(r.getLong(1) === 1L)
+      assert(r.getLong(2) === 1L)
+    }
+  }
+
+  // ---- q139 skyline ----
+
+  test("q139: dominance edge cases — duplicates survive, ties resolve") {
+    val dir = partDir(Seq(
+      (1L, 1.0, 5), // frontier: nothing cheaper
+      (2L, 2.0, 7), // frontier (duplicate point)
+      (3L, 2.0, 7), // frontier (duplicate point — neither dominates)
+      (4L, 2.0, 6), // dominated by 2/3 at the same price
+      (5L, 3.0, 9), // frontier: global max size
+      (6L, 3.0, 1), // dominated by 1 (cheaper AND taller)
+      (7L, 4.0, 9))) // dominated by 5 (same size, strictly pricier)
+    val out = q("q139_skyline", dir).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 5L))
+  }
+
+  test("q139: a single point is its own skyline") {
+    val out = q("q139_skyline", partDir(Seq((9L, 5.0, 3)))).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(9L))
+  }
+
+  // ---- q140 BPE encode ----
+
+  test("q140: merge chain traced by hand — the/and collapse, thin = 3") {
+    // the: t h e </w> -> th e </w> -> th e</w> -> the</w>  (1 token)
+    // and: a n d </w> -> an d </w> -> an d</w> -> and</w>  (1 token)
+    // thin: t h i n </w> -> th i n </w> -> th in </w>      (3 tokens)
+    val dir = docsDir(Seq((1L, "the and thin", "en", "s")))
+    val out = q("q140_bpe_encode", dir).collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(1) === 3L) // n_words
+    assert(out.head.getLong(2) === 5L) // n_bpe_tokens
+    assert(out.head.getDouble(3) === 1.666667)
+  }
+
+  test("q140: greedy-leftmost — anan pairs as (an)(an), aan as a(an)") {
+    val dir = docsDir(Seq((1L, "anan aan", "en", "s")))
+    val out = q("q140_bpe_encode", dir).collect()
+    // anan: a n a n </w> -> an an </w> (3); aan: a a n </w> -> a an </w> (3)
+    assert(out.head.getLong(1) === 2L)
+    assert(out.head.getLong(2) === 6L)
+    assert(out.head.getDouble(3) === 3.0)
+  }
+
+  test("q140: a word repeated across docs is encoded once, counted per doc") {
+    val dir = docsDir(Seq(
+      (1L, "the the the", "en", "s"), (2L, "the", "en", "s")))
+    val out = q("q140_bpe_encode", dir).collect().sortBy(_.getLong(0))
+    assert(out(0).getLong(2) === 3L) // 3 occurrences x 1 token
+    assert(out(1).getLong(2) === 1L)
+  }
+}
