@@ -873,6 +873,43 @@ object CoverageQueries {
         .filter(col("size") === col("msize") && col("msize") > col("cmax"))
         .select("p_partkey", "price", "size")
         .orderBy("price", "p_partkey")
+    },
+
+    // Association rules (Agrawal–Srikant Apriori, the 2-itemset tier)
+    // over order baskets: support / confidence(both directions) /
+    // lift per co-purchased part pair — the market-basket statistic
+    // behind "frequently bought together". All counting is
+    // partial-aggregated: pair counts from the per-order self-join
+    // (fan-out bounded by basket size, the q134/q138 edge build),
+    // item counts one groupBy, the basket total a 1-row broadcast;
+    // the support floor prunes the pair table BEFORE the two
+    // item-count joins. Every derived metric is one IEEE division of
+    // exact integer products (< 2^53), rounded 6dp BEFORE the lift
+    // rank (the q106 rule) — both engines order identically.
+    "q142_assoc_rules" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .distinct()
+      val nOrders = broadcast(
+        li.select("ok").distinct().agg(count(lit(1)).as("n_orders")))
+      val itemN = li.groupBy("p").agg(count(lit(1)).as("np"))
+      val pairN = li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+        .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+        .agg(count(lit(1)).as("nab"))
+        .filter(col("nab") >= 2)
+      pairN
+        .join(itemN.select(col("p").as("a"), col("np").as("na")), "a")
+        .join(itemN.select(col("p").as("b"), col("np").as("nb")), "b")
+        .crossJoin(nOrders)
+        .withColumn("support", round(col("nab") / col("n_orders"), 6))
+        .withColumn("conf_a_b", round(col("nab") / col("na"), 6))
+        .withColumn("conf_b_a", round(col("nab") / col("nb"), 6))
+        .withColumn("lift", round(
+          (col("nab") * col("n_orders")) / (col("na") * col("nb")), 6))
+        .orderBy(col("lift").desc, col("a"), col("b"))
+        .limit(20)
+        .select("a", "b", "nab", "support", "conf_a_b", "conf_b_a", "lift")
     }
   )
 
@@ -926,6 +963,28 @@ object CoverageQueries {
         |SELECT part, n_triangles,
         |  (SELECT total FROM tot) AS total_triangles
         |FROM nodes ORDER BY n_triangles DESC, part LIMIT 10""".stripMargin,
+
+    // the same basket counts and one-division metrics, rounded before
+    // the rank
+    "q142_assoc_rules" ->
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+        |n AS (SELECT count(DISTINCT ok) AS n_orders FROM li),
+        |item AS (SELECT p, count(*) AS np FROM li GROUP BY p),
+        |pairs AS (
+        |  SELECT a.p AS a, b.p AS b, count(*) AS nab
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT a, b, nab,
+        |  round(nab::DOUBLE / n.n_orders, 6) AS support,
+        |  round(nab::DOUBLE / ia.np, 6) AS conf_a_b,
+        |  round(nab::DOUBLE / ib.np, 6) AS conf_b_a,
+        |  round((nab * n.n_orders)::DOUBLE / (ia.np * ib.np), 6) AS lift
+        |FROM pairs
+        |JOIN item ia ON ia.p = pairs.a
+        |JOIN item ib ON ib.p = pairs.b
+        |CROSS JOIN n
+        |ORDER BY lift DESC, a, b LIMIT 20""".stripMargin,
 
     // INDEPENDENT formulation: the O(n²) dominance NOT EXISTS — the
     // definition itself, vs the engine's linear prefix-max form

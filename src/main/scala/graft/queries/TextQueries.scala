@@ -2125,16 +2125,36 @@ object TextQueries {
         .withColumn("tokens_per_word", round(
           col("n_bpe_tokens").cast("double") / col("n_words"), 6))
         .orderBy("doc_id")
+    },
+
+    // Per-doc token-distribution quality signals: Shannon entropy +
+    // type-token ratio — the information-density tier of the quality
+    // stack (q27/q50 count surface repetition; a doc that cycles a
+    // 5-word vocabulary scores LOW entropy even when no single 2-gram
+    // repeats enough to trip the Gopher fractions — template spam's
+    // signature). H = ln(n) − Σc·ln(c)/n from the (doc, token)
+    // counts: one content-keyed shuffle, then a doc rollup — the
+    // count table IS the sufficient statistic, no second corpus
+    // pass. The ln-sum crosses engines at 6dp (the q70/q90
+    // precedent: summation-order ulps live at ~1e-13, five orders
+    // below the round).
+    "q143_token_entropy" -> { (s, dir) =>
+      val counts = t(s, dir, "documents")
+        .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      counts.groupBy("doc_id")
+        .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"),
+          sum(col("c") * log(col("c"))).as("clc"))
+        .withColumn("entropy_nats", round(
+          log(col("n_tokens")) - col("clc") / col("n_tokens"), 6))
+        .withColumn("ttr", round(
+          col("n_types").cast("double") / col("n_tokens"), 6))
+        .select("doc_id", "n_tokens", "n_types", "ttr", "entropy_nats")
+        .orderBy("doc_id")
     }
   )
 
-  /** q140's DuckDB mirror, generated: per merge step, the
-    * separator-anchored replace iterated 6× (q82's oracle device —
-    * iterated non-overlapping replace converges to the greedy-leftmost
-    * fixpoint; ≤6 passes suffice for words up to 12 symbols, corpus
-    * max 9). Generated rather than hand-written because the 5-merge
-    * chain is 30 mechanical replace() wrappings.
-    */
   /** q140's stand-in merge table. Ranks CHAIN the way a trained table
     * does: ('th','e</w>') can only fire because ('t','h') and
     * ('e','</w>') rank earlier — a merge whose operands are never
@@ -2145,6 +2165,13 @@ object TextQueries {
     ("t", "h"), ("e", "</w>"), ("th", "e</w>"), ("a", "n"),
     ("i", "n"), ("d", "</w>"), ("an", "d</w>"))
 
+  /** q140's DuckDB mirror, generated: per merge step, the
+    * separator-anchored replace iterated 6× (q82's oracle device —
+    * iterated non-overlapping replace converges to the greedy-leftmost
+    * fixpoint; ≤6 passes suffice for words up to 12 symbols, corpus
+    * max 9). Generated rather than hand-written because the 7-merge
+    * chain is 42 mechanical replace() wrappings.
+    */
   private def bpeEncodeOracle: String = {
     val merges = bpeMerges
     val steps = merges.zipWithIndex.map { case ((a, b), i) =>
@@ -2177,6 +2204,18 @@ object TextQueries {
   // this with a descending-alphabetical CASE chain using >=.
   val oracleSql: Map[String, String] = Map(
     "q140_bpe_encode" -> bpeEncodeOracle,
+
+    "q143_token_entropy" ->
+      """WITH dw AS (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(trim(lower(text)), ' ')) AS w
+        |    FROM documents) WHERE length(w) > 0),
+        |c AS (SELECT doc_id, w, count(*) AS c FROM dw GROUP BY doc_id, w)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  count(*) AS n_types,
+        |  round(count(*)::DOUBLE / sum(c), 6) AS ttr,
+        |  round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy_nats
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q25_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
         |  count(*) AS n_copies

@@ -341,10 +341,58 @@ object VectorQueries {
           round(min("cos"), 6).as("min_cos"),
           round(max("cos"), 6).as("max_cos"))
         .orderBy("cluster", "label")
+    },
+
+    // SEMANTIC decontamination — the embedding-space twin of q68's
+    // n-gram form (paraphrased eval leakage survives shingle overlap
+    // checks; cosine against the eval set catches it). Shape is
+    // q68's, not q110's: the EVAL SET is the tiny side (thousands of
+    // vectors vs a 100 TB corpus), so it broadcasts whole and the
+    // corpus side NEVER shuffles raw vectors — the BNL cross join is
+    // map-side, the per-vector max partial-aggregates, only (vec_id,
+    // label, max_cos) rows reach the exchange. The report is per
+    // label: how much of the corpus sits above the contamination
+    // threshold and how close the worst offender is — the go/no-go
+    // table a training run reads before touching the data. An IVF-
+    // pruned variant is q110's machinery verbatim; brute force IS the
+    // right plan here because the small side is eval, not a batch.
+    // vec_id % 50 == 0 is the eval-set stand-in (q110's device);
+    // τ=0.35 per q59's corpus rationale.
+    "q141_semantic_decontam" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val eval_ = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("eid"), col("v").as("ev"))
+      val corpus = e.filter(col("vec_id") % 50 =!= 0)
+      corpus.crossJoin(broadcast(eval_))
+        .withColumn("cos", round(G.cosineSim(col("v"), col("ev")), 6))
+        .groupBy("vec_id")
+        .agg(first("label").as("label"), max("cos").as("max_cos"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vectors"),
+          sum(when(col("max_cos") >= 0.35, 1L).otherwise(0L))
+            .as("n_contaminated"),
+          round(max("max_cos"), 6).as("worst_cos"))
+        .orderBy("label")
     }
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    "q141_semantic_decontam" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |ev AS (SELECT vec_id AS eid, v AS evec FROM e WHERE vec_id % 50 = 0),
+        |mx AS (
+        |  SELECT c.vec_id, any_value(c.label) AS label,
+        |    max(round(list_cosine_similarity(c.v, ev.evec), 6)) AS max_cos
+        |  FROM e c, ev
+        |  WHERE c.vec_id % 50 <> 0
+        |  GROUP BY c.vec_id)
+        |SELECT label, count(*) AS n_vectors,
+        |  CAST(sum(CASE WHEN max_cos >= 0.35 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_contaminated,
+        |  round(max(max_cos), 6) AS worst_cos
+        |FROM mx GROUP BY label ORDER BY label""".stripMargin,
 
     "q119_cluster_profile" ->
       """WITH e AS (

@@ -624,4 +624,38 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("aggregate("), p) // the greedy-leftmost fold
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
+
+  // q141: the eval set broadcasts; the corpus side's raw vectors stay
+  // map-side — every Exchange carries only the partial-aggregated
+  // (vec_id/label, max_cos) rows, never an embedding column.
+  test("q141 decontam: eval broadcast, no vectors through exchanges") {
+    val p = plan("q141_semantic_decontam")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    val blocks = p.split("(?m)^\\s*\\(\\d+\\) ").toSeq
+    val exchanges = blocks.filter(_.startsWith("Exchange"))
+    assert(exchanges.nonEmpty, p)
+    assert(exchanges.forall(e => !e.contains("v#") && !e.contains("ev#")), p)
+  }
+
+  // q142: pair counts partial-aggregate off the basket self-join; the
+  // basket total is a 1-row broadcast; the support floor prunes before
+  // the item-count joins (Filter sits under them in the plan).
+  test("q142 assoc rules: partial-aggregated counts, scalar broadcast") {
+    val p = plan("q142_assoc_rules")
+    assert(!p.contains("CartesianProduct"), p)
+    val blocks = p.split("(?m)^\\s*\\(\\d+\\) ").toSeq
+    val bnl = blocks.filter(_.startsWith("BroadcastNestedLoopJoin"))
+    assert(bnl.forall(_.contains("Cross")), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  // q143: the (doc, token) count table is the sufficient statistic —
+  // exactly two aggregations, no join, no window, no second scan.
+  test("q143 entropy: count table then rollup, nothing else") {
+    val p = plan("q143_token_entropy")
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    // one scan node in the detail section (the tree repeats it)
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size === 1, p)
+  }
 }

@@ -160,4 +160,81 @@ class Round8cOpsSpec extends SparkSpec {
     assert(out(0).getLong(2) === 3L) // 3 occurrences x 1 token
     assert(out(1).getLong(2) === 1L)
   }
+
+  // ---- q141 semantic decontamination ----
+
+  private def embDir(rows: Seq[(Long, Seq[Float], Int)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("r8cemb").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("q141: scaled copy of an eval vector flags, orthogonal stays clean") {
+    val dir = embDir(Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 9), // eval (vec_id % 50 == 0)
+      (1L, Seq(2f, 0f, 0f, 0f), 1), // cos 1.0 with eval -> contaminated
+      (2L, Seq(0f, 1f, 0f, 0f), 2), // cos 0.0 -> clean
+      (3L, Seq(1f, 1f, 0f, 0f), 2))) // cos 0.707107 -> contaminated
+    val out = q("q141_semantic_decontam", dir).collect()
+    assert(out.length === 2)
+    val byLabel = out.map(r => r.getInt(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(byLabel(1) === ((1L, 1L, 1.0)))
+    assert(byLabel(2) === ((2L, 1L, 0.707107)))
+  }
+
+  // ---- q142 association rules ----
+
+  test("q142: hand-counted baskets — support, confidence, lift exact") {
+    // baskets: {1,2}, {1,2}, {1,2,3} -> pair (1,2) x3 survives the
+    // floor; (1,3)/(2,3) x1 pruned. N=3, n1=n2=3 => everything 1.0
+    val dir = lineitemDir(Seq(
+      (1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 2L), (3L, 3L)))
+    val out = q("q142_assoc_rules", dir).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((1L, 2L, 3L)))
+    assert(r.getDouble(3) === 1.0) // support
+    assert(r.getDouble(4) === 1.0) // conf a->b
+    assert(r.getDouble(5) === 1.0) // conf b->a
+    assert(r.getDouble(6) === 1.0) // lift
+  }
+
+  test("q142: negatively-associated pair lifts below 1") {
+    // 1 and 2 co-occur once but each appears in 3 of 4 baskets:
+    // lift = 1*4 / (3*3) = 0.444444
+    val dir = lineitemDir(Seq(
+      (1L, 1L), (1L, 2L), (1L, 9L), (2L, 1L), (2L, 9L),
+      (3L, 1L), (3L, 9L), (4L, 2L), (4L, 9L), (5L, 2L), (5L, 9L)))
+    val out = q("q142_assoc_rules", dir).collect()
+    val r12 = out.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(r12.isEmpty) // co-count 1 is under the floor
+    val r19 = out.find(r => r.getLong(0) == 1L && r.getLong(1) == 9L).get
+    assert(r19.getLong(2) === 3L)
+    assert(r19.getDouble(6) === (3.0 * 5) / (3 * 5)) // lift 1.0
+  }
+
+  // ---- q143 token entropy ----
+
+  test("q143: hand-computed entropy and TTR") {
+    val dir = docsDir(Seq((1L, "a a b", "en", "s"), (2L, "x", "en", "s")))
+    val out = q("q143_token_entropy", dir).collect().sortBy(_.getLong(0))
+    // doc 1: n=3, types=2, H = ln3 - (2 ln2)/3 = 0.636514
+    assert(out(0).getLong(1) === 3L)
+    assert(out(0).getLong(2) === 2L)
+    assert(out(0).getDouble(3) === 0.666667)
+    assert(out(0).getDouble(4) === 0.636514)
+    // doc 2: single token -> zero entropy, TTR 1
+    assert(out(1).getDouble(3) === 1.0)
+    assert(out(1).getDouble(4) === 0.0)
+  }
+
+  test("q143: uniform vocabulary maximizes entropy at ln(n)") {
+    val dir = docsDir(Seq((1L, "p q r s", "en", "s")))
+    val out = q("q143_token_entropy", dir).collect()
+    assert(out.head.getDouble(4) === 1.386294) // ln 4
+    assert(out.head.getDouble(3) === 1.0)
+  }
 }
