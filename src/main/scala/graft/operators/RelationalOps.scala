@@ -167,10 +167,12 @@ object RelationalOps {
       .orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = parted.withColumn("__run", sum(col(valueCol)).over(w))
-    // one row per (partition, group): the max inclusive run IS the
-    // partition-group total
+    // one row per (partition, group): the partition-group total is the
+    // SUM of values, not max(running) — max coincides only for
+    // non-negative values; signed deltas (sweep-line +1/−1, CDC
+    // +new/−old) make the running sum non-monotone
     val partials = local.groupBy(col("__part"), col(groupCol))
-      .agg(max(col("__run")).as("__tot"))
+      .agg(sum(col(valueCol)).as("__tot"))
     val wOff = Window.partitionBy(col(groupCol)).orderBy(col("__part"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = partials

@@ -910,6 +910,109 @@ object CoverageQueries {
         .orderBy(col("lift").desc, col("a"), col("b"))
         .limit(20)
         .select("a", "b", "nab", "support", "conf_a_b", "conf_b_a", "lift")
+    },
+
+    // A/B assignment + sample-ratio-mismatch (SRM) check — the
+    // experiment-analytics hygiene gate: users deterministically
+    // bucketed 50/50 by content hash (q96's device — no RNG, stable
+    // under re-runs and late-arriving users), then the observed split
+    // is chi-square-tested against the design. An SRM fires when the
+    // assignment or logging pipeline is broken — the FIRST thing to
+    // check before reading any experiment metric. Per-arm conversion
+    // (purchase) rides along. Everything is integer counts until one
+    // IEEE division per metric: chi² contribution = (2·o − n)²/(2n)
+    // — exact numerator in long arithmetic, no pow(), no float mean.
+    "q144_srm_check" -> { (s, dir) =>
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_type"))
+      val perUser = ev
+        .withColumn("arm",
+          (conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 2).cast("int"))
+        .groupBy("user_id", "arm")
+        .agg(count(lit(1)).as("ne"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("converted"))
+      val arms = perUser.groupBy("arm").agg(
+        count(lit(1)).as("n_users"), sum("ne").as("n_events"),
+        sum("converted").as("n_converted"))
+      val tot = broadcast(arms.agg(sum("n_users").as("n_total")))
+      arms.crossJoin(tot)
+        .withColumn("conv_rate",
+          round(col("n_converted") / col("n_users"), 6))
+        .withColumn("d", lit(2) * col("n_users") - col("n_total"))
+        .withColumn("chi2_contrib", round(
+          (col("d") * col("d")) / (lit(2) * col("n_total")), 6))
+        .select("arm", "n_users", "n_events", "n_converted",
+          "conv_rate", "chi2_contrib")
+        .orderBy("arm")
+    },
+
+    // Peak concurrency per event type — the sweep-line operator
+    // (how many 5-minute activity windows overlap at the worst
+    // moment): each event opens an interval [ts, ts+300s); starts map
+    // to odd keys 2t+1, ends to even keys 2t, so an expiry at instant
+    // t processes BEFORE a start at t ([start, end) semantics) with
+    // no tie-break column. Net deltas collapse per key FIRST (one
+    // partial-aggregated groupBy — simultaneous starts become one
+    // row, and the running sum is deterministic because every key is
+    // unique), then the global running sum rides the two-phase
+    // prefix-sum device — the timeline is never sorted through one
+    // partition, which is what makes a sweep-line feasible over a
+    // 100 TB event stream. Peak is always attained at a start key
+    // (only odd keys have positive net delta), so peak_at_us = (k−1)/2
+    // is exact integer arithmetic.
+    "q145_peak_concurrency" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), unix_micros(col("ts")).as("tu"))
+      val deltas = ev
+        .select(col("event_type"), (col("tu") * 2 + 1).as("k"),
+          lit(1L).as("d"))
+        .unionAll(ev.select(col("event_type"),
+          ((col("tu") + lit(300000000L)) * 2).as("k"), lit(-1L).as("d")))
+        .groupBy("event_type", "k").agg(sum("d").as("d"))
+      val run = R.groupedPrefixSum(deltas, "event_type", "k", "d", "pre")
+        .withColumn("run", col("pre") + col("d"))
+      val peak = run.groupBy("event_type").agg(max("run").as("peak"))
+      run.join(broadcast(peak), "event_type")
+        .filter(col("run") === col("peak"))
+        .groupBy("event_type", "peak").agg(min("k").as("mk"))
+        .withColumn("peak_at_us", expr("(mk - 1) div 2"))
+        .select("event_type", "peak", "peak_at_us")
+        .orderBy("event_type")
+    },
+
+    // Last-touch attribution with a lookback window — the as-of
+    // family (J8) extended by TOLERANCE (pandas merge_asof's
+    // `tolerance`, unsupported by q62's plain form): each purchase
+    // credits the latest click by the same user within 7 days, else
+    // explicitly unattributed. Runs on asofJoinPrior's union-then-
+    // window plan (ONE user-keyed shuffle, no inequality join); the
+    // window bound applies AFTER the match — prior-but-stale clicks
+    // null out, exactly merge_asof semantics. Clicks pre-dedup to one
+    // per (user, ts) by max event_id: the as-of window orders by
+    // (ts, side) only, so same-instant duplicates would otherwise be
+    // nondeterministic in BOTH engines (the determinism contract, not
+    // a cosmetic choice). Oracle = DuckDB's native ASOF LEFT JOIN
+    // with the tolerance case — an independent implementation.
+    "q146_last_touch_attribution" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts").as("click_ts"))
+        .agg(max("event_id").as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val ok = col("asof").isNotNull &&
+        expr("unix_micros(ts) - unix_micros(asof.click_ts)") <=
+          lit(604800000000L)
+      // unattributed = -1 sentinels, not NULL: the gate sorts rows
+      // cell-wise across engines and NULL has no cross-engine order
+      R.asofJoinPrior(purchases, clicks, "user_id", "ts", "click_ts")
+        .select(col("event_id"), col("user_id"),
+          when(ok, col("asof.click_id")).otherwise(lit(-1L)).as("click_id"),
+          when(ok, expr(
+            "(unix_micros(ts) - unix_micros(asof.click_ts)) div 1000000"))
+            .otherwise(lit(-1L)).as("age_s"))
+        .orderBy("event_id")
     }
   )
 
@@ -963,6 +1066,70 @@ object CoverageQueries {
         |SELECT part, n_triangles,
         |  (SELECT total FROM tot) AS total_triangles
         |FROM nodes ORDER BY n_triangles DESC, part LIMIT 10""".stripMargin,
+
+    // the same hash assignment and integer chi-square arithmetic
+    "q144_srm_check" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+        |      % 2 AS INTEGER) AS arm,
+        |    count(*) AS ne,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS converted
+        |  FROM events GROUP BY user_id),
+        |arms AS (
+        |  SELECT arm, count(*) AS n_users,
+        |    CAST(sum(ne) AS BIGINT) AS n_events,
+        |    CAST(sum(converted) AS BIGINT) AS n_converted
+        |  FROM u GROUP BY arm),
+        |tot AS (SELECT CAST(sum(n_users) AS BIGINT) AS n_total FROM arms)
+        |SELECT arm, n_users, n_events, n_converted,
+        |  round(n_converted::DOUBLE / n_users, 6) AS conv_rate,
+        |  round(((2 * n_users - n_total) * (2 * n_users - n_total))::DOUBLE
+        |    / (2 * n_total), 6) AS chi2_contrib
+        |FROM arms, tot ORDER BY arm""".stripMargin,
+
+    // the same odd/even key encoding; running sum as a plain window —
+    // the engine's two-phase form must agree
+    "q145_peak_concurrency" ->
+      """WITH ev AS (SELECT event_type, epoch_us(ts) AS tu FROM events),
+        |d AS (
+        |  SELECT event_type, k, CAST(sum(d) AS BIGINT) AS d FROM (
+        |    SELECT event_type, tu * 2 + 1 AS k, 1 AS d FROM ev
+        |    UNION ALL
+        |    SELECT event_type, (tu + 300000000) * 2 AS k, -1 AS d FROM ev)
+        |  GROUP BY event_type, k),
+        |r AS (
+        |  SELECT event_type, k,
+        |    sum(d) OVER (PARTITION BY event_type ORDER BY k) AS run
+        |  FROM d),
+        |p AS (SELECT event_type, max(run) AS peak FROM r GROUP BY event_type)
+        |SELECT r.event_type, p.peak,
+        |  CAST((min(r.k) - 1) // 2 AS BIGINT) AS peak_at_us
+        |FROM r JOIN p ON r.event_type = p.event_type AND r.run = p.peak
+        |GROUP BY r.event_type, p.peak ORDER BY r.event_type""".stripMargin,
+
+    // INDEPENDENT implementation: DuckDB's native ASOF LEFT JOIN with
+    // the 7-day tolerance applied as a CASE after the match
+    "q146_last_touch_attribution" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts AS click_ts, max(event_id) AS cid
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+        |p AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id,
+        |  CASE WHEN clicks.click_ts IS NOT NULL
+        |        AND epoch_us(p.ts) - epoch_us(clicks.click_ts)
+        |            <= 604800000000 THEN clicks.cid ELSE -1 END AS click_id,
+        |  CASE WHEN clicks.click_ts IS NOT NULL
+        |        AND epoch_us(p.ts) - epoch_us(clicks.click_ts)
+        |            <= 604800000000
+        |       THEN (epoch_us(p.ts) - epoch_us(clicks.click_ts)) // 1000000
+        |  ELSE -1 END AS age_s
+        |FROM p ASOF LEFT JOIN clicks
+        |  ON p.user_id = clicks.user_id AND clicks.click_ts <= p.ts
+        |ORDER BY p.event_id""".stripMargin,
 
     // the same basket counts and one-division metrics, rounded before
     // the rank

@@ -2152,6 +2152,33 @@ object TextQueries {
           col("n_types").cast("double") / col("n_tokens"), 6))
         .select("doc_id", "n_tokens", "n_types", "ttr", "entropy_nats")
         .orderBy("doc_id")
+    },
+
+    // GROUP-AWARE train/val/test split: fold assignment keyed by the
+    // duplicate FAMILY (bag-of-words fingerprint, q83's grouping),
+    // not the document — q96's per-doc split leaks whenever two
+    // near-identical docs land in different folds (q115 AUDITS that
+    // leakage; this op PREVENTS it by construction: fold is a
+    // function of the family fingerprint, so a family cannot
+    // straddle). The scikit-learn GroupKFold contract as dataflow:
+    // one fingerprint groupBy to family sizes, the fold hash on the
+    // fingerprint, a ≤|families| rollup. The report carries per fold:
+    // docs, families, and how many docs sit in multi-doc families —
+    // the population the per-doc split would have scattered.
+    "q147_grouped_split" -> { (s, dir) =>
+      val folds = 5
+      val fams = t(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(array_join(G.sortedWordSet(col("text")), " ")).as("fam"))
+        .groupBy("fam").agg(count(lit(1)).as("n"))
+        .withColumn("fold",
+          (conv(substring(md5(col("fam")), 1, 8), 16, 10)
+            .cast("long") % folds).cast("int"))
+      fams.groupBy("fold").agg(
+        sum("n").as("n_docs"),
+        count(lit(1)).as("n_families"),
+        sum(when(col("n") > 1, col("n")).otherwise(0L)).as("n_dup_docs"))
+        .orderBy("fold")
     }
   )
 
@@ -2204,6 +2231,23 @@ object TextQueries {
   // this with a descending-alphabetical CASE chain using >=.
   val oracleSql: Map[String, String] = Map(
     "q140_bpe_encode" -> bpeEncodeOracle,
+
+    "q147_grouped_split" ->
+      """WITH fam AS (
+        |  SELECT md5(array_to_string(list_sort(list_distinct(
+        |    string_split(trim(lower(text)), ' '))), ' ')) AS fam
+        |  FROM documents),
+        |fs AS (SELECT fam, count(*) AS n FROM fam GROUP BY fam),
+        |ff AS (
+        |  SELECT fam, n,
+        |    CAST(('0x' || substr(md5(fam), 1, 8))::BIGINT % 5 AS INTEGER)
+        |      AS fold
+        |  FROM fs)
+        |SELECT fold, CAST(sum(n) AS BIGINT) AS n_docs,
+        |  count(*) AS n_families,
+        |  CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
+        |    AS n_dup_docs
+        |FROM ff GROUP BY fold ORDER BY fold""".stripMargin,
 
     "q143_token_entropy" ->
       """WITH dw AS (

@@ -30,6 +30,24 @@ class PrefixSumSpec extends SparkSpec {
     assert(joined.filter($"exp" =!= $"got").count() === 0)
   }
 
+  test("groupedPrefixSum is exact for SIGNED values (sweep-line deltas)") {
+    // +1/-1 deltas make the running sum non-monotone: the old
+    // max(running) per-partition total silently over-counted here
+    // (caught by q145's oracle); the sum(value) total must not
+    val rows = (1 to 300).map { i =>
+      ("t", i.toLong, if (i % 3 == 0) -2L else 1L)
+    }
+    val df = rows.toDF("g", "ord", "v").repartition(8)
+    val naive = df.withColumn("exp",
+      coalesce(sum($"v").over(Window.partitionBy($"g").orderBy($"ord")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val fast = RelationalOps.groupedPrefixSum(df, "g", "ord", "v", "got",
+      partitions = 6)
+    val joined = naive.join(fast, Seq("g", "ord", "v"))
+    assert(joined.count() === rows.size)
+    assert(joined.filter($"exp" =!= $"got").count() === 0)
+  }
+
   test("groupedPrefixSum keeps every input row and column") {
     val df = Seq(("a", 1L, 2L), ("a", 2L, 3L)).toDF("g", "ord", "v")
     val out = RelationalOps.groupedPrefixSum(df, "g", "ord", "v", "cum")

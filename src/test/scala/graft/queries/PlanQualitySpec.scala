@@ -658,4 +658,25 @@ class PlanQualitySpec extends SparkSpec {
     // one scan node in the detail section (the tree repeats it)
     assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size === 1, p)
   }
+
+  // q145: the sweep-line runs as the two-phase prefix sum — windows
+  // only over __part-local rows; the timeline never sorts through one
+  // partition.
+  test("q145 sweep-line: two-phase running sum, no global window") {
+    val p = plan("q145_peak_concurrency")
+    assert(!p.contains("row_number") && !p.contains("CartesianProduct"), p)
+    val blocks = p.split("(?m)^\\s*\\(\\d+\\) ").toSeq
+    val windows = blocks.filter(_.startsWith("Window"))
+    assert(windows.nonEmpty, p)
+    assert(windows.forall(w => w.contains("__part")), p)
+  }
+
+  // q146: the as-of-with-tolerance rides the union-then-window plan —
+  // ONE user-keyed shuffle, no join node anywhere (the J8 contract).
+  test("q146 attribution: union-then-window, no join") {
+    val p = plan("q146_last_touch_attribution")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+    assert(p.contains("Union"), p)
+  }
 }

@@ -237,4 +237,110 @@ class Round8cOpsSpec extends SparkSpec {
     assert(out.head.getDouble(4) === 1.386294) // ln 4
     assert(out.head.getDouble(3) === 1.0)
   }
+
+  // ---- q144 SRM check ----
+
+  test("q144: single converting user — counts and chi-square by hand") {
+    val dir = eventsDir(Seq(
+      (1L, t0, 42L, "view", 1.0), (2L, t0, 42L, "purchase", 5.0)))
+    val out = q("q144_srm_check", dir).collect()
+    assert(out.length === 1) // only one arm materializes
+    val r = out.head
+    assert(r.getLong(1) === 1L) // n_users
+    assert(r.getLong(2) === 2L) // n_events
+    assert(r.getLong(3) === 1L) // n_converted
+    assert(r.getDouble(4) === 1.0) // conv_rate
+    assert(r.getDouble(5) === 0.5) // (2*1-1)^2 / (2*1)
+  }
+
+  test("q144: balanced hash split — contributions non-negative, users add up") {
+    val rows = (1L to 200L).map(u => (u, t0, u, "view", 1.0))
+    val out = q("q144_srm_check", eventsDir(rows)).collect()
+    assert(out.length === 2)
+    assert(out.map(_.getLong(1)).sum === 200L)
+    out.foreach(r => assert(r.getDouble(5) >= 0.0))
+    // both contributions are equal by symmetry: (2*o0-n)² == (2*o1-n)²
+    assert(out(0).getDouble(5) === out(1).getDouble(5))
+  }
+
+  // ---- q145 peak concurrency ----
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("q145: overlapping windows stack, the [start, end) boundary does not") {
+    val dir = eventsDir(Seq(
+      // a and b overlap (100s apart, 300s windows) -> peak 2
+      (1L, ts("2024-01-01 00:00:00"), 1L, "view", 1.0),
+      (2L, ts("2024-01-01 00:01:40"), 2L, "view", 1.0),
+      // c starts exactly when a's window expires -> never 3 deep
+      (3L, ts("2024-01-01 00:05:00"), 3L, "view", 1.0),
+      // a lone click far away -> its own peak of 1
+      (4L, ts("2024-01-02 00:00:00"), 4L, "click", 1.0)))
+    val out = q("q145_peak_concurrency", dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val base = ts("2024-01-01 00:00:00").getTime * 1000L
+    assert(out("view") === ((2L, base + 100000000L))) // peak 2 at b's start
+    assert(out("click")._1 === 1L)
+  }
+
+  test("q145: simultaneous starts count together") {
+    val dir = eventsDir(Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "view", 1.0),
+      (2L, ts("2024-01-01 00:00:00"), 2L, "view", 1.0),
+      (3L, ts("2024-01-01 00:00:00"), 3L, "view", 1.0)))
+    val out = q("q145_peak_concurrency", dir).collect()
+    assert(out.head.getLong(1) === 3L)
+    assert(out.head.getLong(2) === ts("2024-01-01 00:00:00").getTime * 1000L)
+  }
+
+  // ---- q146 last-touch attribution ----
+
+  test("q146: in-window click attributes, stale click nulls to sentinel") {
+    val dir = eventsDir(Seq(
+      // user 1: click 1 day before purchase -> attributed, age 86400
+      (10L, ts("2024-01-01 00:00:00"), 1L, "click", 1.0),
+      (11L, ts("2024-01-02 00:00:00"), 1L, "purchase", 9.0),
+      // user 2: click 8 days before -> matched but OUT of tolerance
+      (20L, ts("2024-01-01 00:00:00"), 2L, "click", 1.0),
+      (21L, ts("2024-01-09 00:00:01"), 2L, "purchase", 9.0),
+      // user 3: click only AFTER the purchase -> no prior match
+      (31L, ts("2024-01-05 00:00:00"), 3L, "purchase", 9.0),
+      (30L, ts("2024-01-06 00:00:00"), 3L, "click", 1.0)))
+    val out = q("q146_last_touch_attribution", dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out(11L) === ((10L, 86400L)))
+    assert(out(21L) === ((-1L, -1L)))
+    assert(out(31L) === ((-1L, -1L)))
+  }
+
+  test("q146: latest of several clicks wins; same-instant click matches") {
+    val dir = eventsDir(Seq(
+      (10L, ts("2024-01-01 00:00:00"), 1L, "click", 1.0),
+      (12L, ts("2024-01-03 00:00:00"), 1L, "click", 1.0),
+      (13L, ts("2024-01-04 00:00:00"), 1L, "purchase", 9.0),
+      // user 2: click at the exact purchase instant -> age 0
+      (20L, ts("2024-01-01 00:00:00"), 2L, "click", 1.0),
+      (21L, ts("2024-01-01 00:00:00"), 2L, "purchase", 9.0)))
+    val out = q("q146_last_touch_attribution", dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out(13L) === ((12L, 86400L)))
+    assert(out(21L) === ((20L, 0L)))
+  }
+
+  // ---- q147 grouped split ----
+
+  test("q147: a duplicate family lands whole in one fold") {
+    // docs 1 and 2 share the word SET {a, b} -> one family of 2;
+    // doc 3 is its own family
+    val dir = docsDir(Seq(
+      (1L, "a b", "en", "s"), (2L, "b a b", "en", "s"),
+      (3L, "c d e", "en", "s")))
+    val out = q("q147_grouped_split", dir).collect()
+    assert(out.map(_.getLong(1)).sum === 3L) // all docs assigned
+    assert(out.map(_.getLong(2)).sum === 2L) // two families
+    assert(out.map(_.getLong(3)).sum === 2L) // the dup pair, together
+    // the fold holding the dup family holds BOTH its docs
+    val dupFold = out.find(_.getLong(3) === 2L).get
+    assert(dupFold.getLong(1) >= 2L)
+  }
 }
