@@ -548,10 +548,77 @@ object StreamingQueries {
         .localCheckpoint()
       registerDeleteOnExit(java.nio.file.Paths.get(root))
       out
+    },
+
+    // q137's count-min sketch BUILT AS A STREAM — the proof that
+    // "mergeable" means "streamable": the ≤256-cell table is the
+    // streaming aggregation state, counts accumulate across ≥3
+    // checkpointed micro-batches (complete mode — the sketch is the
+    // state, each trigger republishes it), and the final sketch must
+    // answer point queries IDENTICALLY to the batch build — the
+    // oracle is q137's SQL verbatim. Per-batch work is stateless scan
+    // math (the d-row explode + cell hash) feeding one bounded-state
+    // aggregation; this is the per-day dashboard-sketch deployment
+    // shape, where yesterday's state plus today's batch IS the
+    // rollup. Probes/exact counts are batch-side companions (the
+    // oracle-bearing arm, q136's discipline).
+    "q150_multibatch_cms" -> { (s, dir) =>
+      val d = 4
+      val w = 64
+      def cellOf(r: org.apache.spark.sql.Column,
+                 key: org.apache.spark.sql.Column) =
+        conv(substring(md5(concat(r.cast("string"), lit(":"),
+          key.cast("string"))), 1, 8), 16, 10).cast("long") % w
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val cells = runMultiBatch(s, "q150", ev, in =>
+        in.select(col("user_id"),
+            explode(sequence(lit(0), lit(d - 1))).as("r"))
+          .withColumn("c", cellOf(col("r"), col("user_id")))
+          .groupBy("r", "c").agg(count(lit(1)).as("cnt")),
+        orderCols = Seq(col("ts"), col("event_id")), mode = "complete")
+        .localCheckpoint()
+      val exact = t(s, dir, "events")
+        .groupBy("user_id").agg(count(lit(1)).as("exact_n"))
+      exact.orderBy(col("exact_n").desc, col("user_id")).limit(10)
+        .select(col("user_id"), col("exact_n"),
+          explode(sequence(lit(0), lit(d - 1))).as("r"))
+        .withColumn("c", cellOf(col("r"), col("user_id")))
+        .join(broadcast(cells), Seq("r", "c"))
+        .groupBy("user_id", "exact_n")
+        .agg(min("cnt").as("cms_est"))
+        .withColumn("overest", col("cms_est") - col("exact_n"))
+        .select("user_id", "exact_n", "cms_est", "overest")
+        .orderBy(col("exact_n").desc, col("user_id"))
     }
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    // q137's oracle verbatim: the streamed sketch must answer point
+    // queries identically to the batch build
+    "q150_multibatch_cms" ->
+      """WITH ev AS (SELECT user_id FROM events),
+        |cells AS (
+        |  SELECT r, ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' ||
+        |      CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 64 AS c,
+        |    count(*) AS cnt
+        |  FROM ev, UNNEST(range(0, 4)) AS t(r)
+        |  GROUP BY r, c),
+        |exact AS (
+        |  SELECT user_id, count(*) AS exact_n FROM ev GROUP BY user_id),
+        |probes AS (
+        |  SELECT * FROM exact ORDER BY exact_n DESC, user_id LIMIT 10),
+        |pc AS (
+        |  SELECT p.user_id, p.exact_n, t.r,
+        |    ('0x' || substr(md5(CAST(t.r AS VARCHAR) || ':' ||
+        |      CAST(p.user_id AS VARCHAR)), 1, 8))::BIGINT % 64 AS c
+        |  FROM probes p, UNNEST(range(0, 4)) AS t(r))
+        |SELECT pc.user_id, pc.exact_n, min(cells.cnt) AS cms_est,
+        |  min(cells.cnt) - pc.exact_n AS overest
+        |FROM pc JOIN cells ON cells.r = pc.r AND cells.c = pc.c
+        |GROUP BY pc.user_id, pc.exact_n
+        |ORDER BY exact_n DESC, user_id""".stripMargin,
 
     // identical shape to q62's oracle (DuckDB's native ASOF JOIN — an
     // independent implementation of the as-of contract)

@@ -2179,6 +2179,81 @@ object TextQueries {
         count(lit(1)).as("n_families"),
         sum(when(col("n") > 1, col("n")).otherwise(0L)).as("n_dup_docs"))
         .orderBy("fold")
+    },
+
+    // Inter-rater agreement (Cohen's kappa) between a cheap English
+    // detector (stopword ratio ≥ 0.05) and the reference label, per
+    // source — the labeling-pipeline QA statistic (percent agreement
+    // alone rewards the majority class; kappa corrects for chance,
+    // which is what you read before trusting a weak labeler at
+    // 100 TB). One scan builds the 2×2 confusion counts per source
+    // (map-side partial agg); kappa = (n·(n11+n00) − pe_num) /
+    // (n² − pe_num) stays ALL-INTEGER until one IEEE division
+    // (pe_num = marginal-product sum — the q144 discipline).
+    "q148_classifier_kappa" -> { (s, dir) =>
+      val scored = t(s, dir, "documents")
+        .select(col("source"), col("lang"), toks(col("text")).as("tk"))
+        .withColumn("pred",
+          (G.stopwordRatio(col("tk"), enStop) >= 0.05).cast("long"))
+        .withColumn("ref", (col("lang") === "en").cast("long"))
+      scored.groupBy("source").agg(
+        count(lit(1)).as("n"),
+        sum(col("pred") * col("ref")).as("n11"),
+        sum(col("pred") * (lit(1L) - col("ref"))).as("n10"),
+        sum((lit(1L) - col("pred")) * col("ref")).as("n01"),
+        sum((lit(1L) - col("pred")) * (lit(1L) - col("ref"))).as("n00"))
+        .withColumn("po", round((col("n11") + col("n00")) / col("n"), 6))
+        .withColumn("pe_num",
+          (col("n11") + col("n10")) * (col("n11") + col("n01")) +
+            (col("n01") + col("n00")) * (col("n10") + col("n00")))
+        .withColumn("pe", round(col("pe_num") / (col("n") * col("n")), 6))
+        .withColumn("kappa", round(
+          (col("n") * (col("n11") + col("n00")) - col("pe_num")) /
+            (col("n") * col("n") - col("pe_num")), 6))
+        .select("source", "n", "n11", "n10", "n01", "n00",
+          "po", "pe", "kappa")
+        .orderBy("source")
+    },
+
+    // BM25 ranked retrieval (Robertson–Spärck Jones k1=1.2, b=0.75)
+    // for a fixed query over the corpus — the search-scoring operator
+    // the TF-IDF extraction tier (q71) feeds. Scale shape: the tf
+    // table keeps only QUERY TERMS right after the token explode
+    // (the corpus-wide (doc, term) aggregation runs for ≤|q| terms,
+    // never the whole vocabulary; the doc-length pass needs every
+    // token by definition and shares the same explode), df and corpus
+    // stats are ≤|q|-row / 1-row broadcasts, the per-doc sum is a
+    // partial-aggregated groupBy, the top-10 a TakeOrdered. At
+    // deployment scale the tf table is the PERSISTED inverted index
+    // (q118) and this query probes it. Score arithmetic is written in
+    // the SAME operation order in both engines — the ln() lives
+    // inside a 6dp round (q123's rule).
+    "q149_bm25_topk" -> { (s, dir) =>
+      val qterms = Seq("join", "hash", "vector")
+      val dt = t(s, dir, "documents")
+        .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+      val lens = dt.groupBy("doc_id").agg(count(lit(1)).as("len"))
+      // avg of integer lengths: exact integer sum, ONE division —
+      // cross-engine identical
+      val stats = broadcast(
+        lens.agg(count(lit(1)).as("nd"), avg("len").as("avglen")))
+      val tf = dt.filter(col("w").isin(qterms: _*))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val dfs = broadcast(tf.groupBy("w").agg(count(lit(1)).as("df")))
+      tf.join(dfs, "w").join(lens, "doc_id").crossJoin(stats)
+        .withColumn("idf",
+          log((col("nd") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+            + lit(1.0)))
+        .withColumn("score_t",
+          col("idf") * (col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) *
+              (lit(0.25) + lit(0.75) * col("len") / col("avglen"))))
+        .groupBy("doc_id")
+        .agg(round(sum("score_t"), 6).as("bm25"),
+          count(lit(1)).as("n_terms"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(10)
     }
   )
 
@@ -2231,6 +2306,54 @@ object TextQueries {
   // this with a descending-alphabetical CASE chain using >=.
   val oracleSql: Map[String, String] = Map(
     "q140_bpe_encode" -> bpeEncodeOracle,
+
+    "q148_classifier_kappa" ->
+      """WITH scored AS (
+        |  SELECT source,
+        |    CASE WHEN len(list_filter(string_split(trim(lower(text)), ' '),
+        |        t -> t IN ('the','a','of','and','to','in')))::DOUBLE /
+        |        len(string_split(trim(lower(text)), ' ')) >= 0.05
+        |      THEN 1 ELSE 0 END AS pred,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS ref
+        |  FROM documents),
+        |cm AS (
+        |  SELECT source, count(*) AS n,
+        |    CAST(sum(pred * ref) AS BIGINT) AS n11,
+        |    CAST(sum(pred * (1 - ref)) AS BIGINT) AS n10,
+        |    CAST(sum((1 - pred) * ref) AS BIGINT) AS n01,
+        |    CAST(sum((1 - pred) * (1 - ref)) AS BIGINT) AS n00
+        |  FROM scored GROUP BY source)
+        |SELECT source, n, n11, n10, n01, n00,
+        |  round((n11 + n00)::DOUBLE / n, 6) AS po,
+        |  round(((n11 + n10) * (n11 + n01) +
+        |         (n01 + n00) * (n10 + n00))::DOUBLE / (n * n), 6) AS pe,
+        |  round((n * (n11 + n00) - ((n11 + n10) * (n11 + n01) +
+        |         (n01 + n00) * (n10 + n00)))::DOUBLE /
+        |        (n * n - ((n11 + n10) * (n11 + n01) +
+        |         (n01 + n00) * (n10 + n00))), 6) AS kappa
+        |FROM cm ORDER BY source""".stripMargin,
+
+    // the same operation order per term; ln inside the 6dp round
+    "q149_bm25_topk" ->
+      """WITH dt AS (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(trim(lower(text)), ' ')) AS w
+        |    FROM documents) WHERE length(w) > 0),
+        |lens AS (SELECT doc_id, count(*) AS len FROM dt GROUP BY doc_id),
+        |stats AS (
+        |  SELECT count(*) AS nd, avg(len) AS avglen FROM lens),
+        |tf AS (
+        |  SELECT doc_id, w, count(*) AS tf FROM dt
+        |  WHERE w IN ('join', 'hash', 'vector') GROUP BY doc_id, w),
+        |dfs AS (SELECT w, count(*) AS df FROM tf GROUP BY w)
+        |SELECT doc_id,
+        |  round(sum(ln((nd - df + 0.5) / (df + 0.5) + 1.0) *
+        |    (tf * 2.2) /
+        |    (tf + 1.2 * (0.25 + 0.75 * len / avglen))), 6) AS bm25,
+        |  count(*) AS n_terms
+        |FROM tf JOIN dfs USING (w) JOIN lens USING (doc_id), stats
+        |GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
 
     "q147_grouped_split" ->
       """WITH fam AS (

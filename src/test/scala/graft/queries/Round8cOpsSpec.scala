@@ -327,6 +327,64 @@ class Round8cOpsSpec extends SparkSpec {
     assert(out(21L) === ((20L, 0L)))
   }
 
+  // ---- q148 Cohen's kappa ----
+
+  test("q148: chance-level agreement scores kappa 0, perfect scores 1") {
+    // source sA: po = pe = 0.5 -> kappa 0 by hand
+    //   "the cat"/en      -> pred 1, ref 1 (n11)
+    //   "of x y z"/de     -> pred 1 (ratio 0.25), ref 0 (n10)
+    //   "x y"/en          -> pred 0, ref 1 (n01)
+    //   "perro grande"/es -> pred 0, ref 0 (n00)
+    // source sB: both docs classified correctly -> kappa 1
+    val dir = docsDir(Seq(
+      (1L, "the cat", "en", "sA"), (2L, "of x y z", "de", "sA"),
+      (3L, "x y", "en", "sA"), (4L, "perro grande", "es", "sA"),
+      (5L, "the dog", "en", "sB"), (6L, "hund katze", "de", "sB")))
+    val out = q("q148_classifier_kappa", dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = out("sA")
+    assert((a.getLong(2), a.getLong(3), a.getLong(4), a.getLong(5)) ===
+      ((1L, 1L, 1L, 1L)))
+    assert(a.getDouble(6) === 0.5) // po
+    assert(a.getDouble(7) === 0.5) // pe
+    assert(a.getDouble(8) === 0.0) // kappa
+    assert(out("sB").getDouble(8) === 1.0)
+  }
+
+  // ---- q149 BM25 ----
+
+  test("q149: scores match an independent JVM BM25 computation") {
+    val dir = docsDir(Seq(
+      (1L, "join join x", "en", "s"), (2L, "join y", "en", "s"),
+      (3L, "z z z", "en", "s")))
+    // independent reimplementation: N=3 docs, avglen = 8/3,
+    // df(join)=2, both scoring docs share idf
+    val n = 3.0; val avglen = 8.0 / 3.0; val df = 2.0
+    val idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    def bm25(tf: Double, len: Double) =
+      BigDecimal(idf * (tf * 2.2) /
+        (tf + 1.2 * (0.25 + 0.75 * len / avglen)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = q("q149_bm25_topk", dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.keySet === Set(1L, 2L)) // doc 3 matches no query term
+    assert(out(1L) === bm25(2, 3))
+    assert(out(2L) === bm25(1, 2))
+    assert(out(1L) > out(2L)) // higher tf wins at comparable length
+  }
+
+  // ---- q150 multi-batch streaming CMS ----
+
+  test("q150: the streamed sketch answers exactly like the batch build") {
+    val rows = (1L to 60L).map { i =>
+      (i, new java.sql.Timestamp(t0.getTime + i * 60000L), i % 7, "view", 1.0)
+    }
+    val dir = eventsDir(rows)
+    val streamed = q("q150_multibatch_cms", dir).collect().toSeq
+    val batch = q("q137_countmin_sketch", dir).collect().toSeq
+    assert(streamed === batch)
+  }
+
   // ---- q147 grouped split ----
 
   test("q147: a duplicate family lands whole in one fold") {
