@@ -1013,6 +1013,58 @@ object CoverageQueries {
             "(unix_micros(ts) - unix_micros(asof.click_ts)) div 1000000"))
             .otherwise(lit(-1L)).as("age_s"))
         .orderBy("event_id")
+    },
+
+    // First-order Markov transition matrix over per-user event
+    // sequences — P(next event type | current) from lag pairs, the
+    // behavioral model behind path analysis and next-action
+    // prediction. ONE user-keyed shuffle+sort carries the lead();
+    // transition counts partial-aggregate over the ≤|types|² key
+    // space, row totals ride a ≤|types|-row broadcast join-back, and
+    // each probability is one division of exact counts. (ts,
+    // event_id) is the deterministic sequence order — both engines
+    // must walk identical paths.
+    "q151_markov_transitions" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("cur"))
+        .withColumn("nxt", lead(col("cur"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy("cur", "nxt").agg(count(lit(1)).as("n"))
+      val totals = pairs.groupBy("cur").agg(sum("n").as("tot"))
+      pairs.join(broadcast(totals), "cur")
+        .withColumn("p", round(col("n") / col("tot"), 6))
+        .select("cur", "nxt", "n", "p")
+        .orderBy("cur", "nxt")
+    },
+
+    // Time-weighted average value per user (TWAP) — each event's
+    // value holds until the user's next event; the mean weights by
+    // HOLDING TIME, not by event count (a sensor that reports once an
+    // hour and once a second must agree). The step-function integral
+    // is Σ cents·Δt / Σ Δt with Δt from ONE lead() on the same
+    // user-keyed shuffle; cents and Δt_µs are exact longs (≈2^51
+    // worst-case products — no float accumulates), so the single
+    // closing division is engine-exact. The last event has no holding
+    // interval and drops out, by definition of a step integral.
+    "q152_twap" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          expr("cast(round(value * 100) as bigint)").as("cents"))
+        .withColumn("dt_us",
+          unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")))
+        .filter(col("dt_us").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("cents") * col("dt_us")).as("num"),
+          sum(col("dt_us")).as("den"))
+        .withColumn("twap_cents", round(col("num") / col("den"), 6))
+        .select("user_id", "n_intervals", "twap_cents")
+        .orderBy("user_id")
     }
   )
 
@@ -1066,6 +1118,35 @@ object CoverageQueries {
         |SELECT part, n_triangles,
         |  (SELECT total FROM tot) AS total_triangles
         |FROM nodes ORDER BY n_triangles DESC, part LIMIT 10""".stripMargin,
+
+    // the same (ts, event_id) walk via window lead
+    "q151_markov_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type AS cur,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |pairs AS (
+        |  SELECT cur, nxt, count(*) AS n FROM seq
+        |  WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+        |tot AS (SELECT cur, CAST(sum(n) AS BIGINT) AS tot
+        |        FROM pairs GROUP BY cur)
+        |SELECT pairs.cur, nxt, n, round(n::DOUBLE / tot, 6) AS p
+        |FROM pairs JOIN tot ON pairs.cur = tot.cur
+        |ORDER BY pairs.cur, nxt""".stripMargin,
+
+    // the same step integral in exact integer arithmetic
+    "q152_twap" ->
+      """WITH iv AS (
+        |  SELECT user_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    epoch_us(lead(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id)) - epoch_us(ts) AS dt_us
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_intervals,
+        |  round(sum(cents * dt_us)::DOUBLE / sum(dt_us), 6) AS twap_cents
+        |FROM iv WHERE dt_us IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // the same hash assignment and integer chi-square arithmetic
     "q144_srm_check" ->

@@ -385,6 +385,61 @@ class Round8cOpsSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  // ---- q151 Markov transitions ----
+
+  test("q151: per-user sequences, hand-counted transition probabilities") {
+    val dir = eventsDir(Seq(
+      // user 1: view -> click -> view
+      (1L, ts("2024-01-01 00:00:00"), 1L, "view", 1.0),
+      (2L, ts("2024-01-01 00:01:00"), 1L, "click", 1.0),
+      (3L, ts("2024-01-01 00:02:00"), 1L, "view", 1.0),
+      // user 2: view -> purchase (no cross-user transition to user 1)
+      (4L, ts("2024-01-01 00:00:30"), 2L, "view", 1.0),
+      (5L, ts("2024-01-01 00:03:00"), 2L, "purchase", 1.0)))
+    val out = q("q151_markov_transitions", dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out.size === 3)
+    assert(out(("view", "click")) === ((1L, 0.5)))
+    assert(out(("view", "purchase")) === ((1L, 0.5)))
+    assert(out(("click", "view")) === ((1L, 1.0)))
+  }
+
+  test("q151: same-instant events order by event_id") {
+    val dir = eventsDir(Seq(
+      (1L, t0, 1L, "view", 1.0), (2L, t0, 1L, "click", 1.0)))
+    val out = q("q151_markov_transitions", dir).collect()
+    assert(out.length === 1)
+    assert((out.head.getString(0), out.head.getString(1)) ===
+      (("view", "click")))
+  }
+
+  // ---- q152 TWAP ----
+
+  test("q152: holding-time weighting beats event-count weighting") {
+    val dir = eventsDir(Seq(
+      // 1.00 held 10s, 3.00 held 20s, last event drops out
+      (1L, ts("2024-01-01 00:00:00"), 1L, "view", 1.0),
+      (2L, ts("2024-01-01 00:00:10"), 1L, "view", 3.0),
+      (3L, ts("2024-01-01 00:00:30"), 1L, "view", 99.0)))
+    val out = q("q152_twap", dir).collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(1) === 2L)
+    // (100*10 + 300*20) / 30 = 233.333333 cents — NOT the naive
+    // mean of (100, 300, 9900)
+    assert(out.head.getDouble(2) === 233.333333)
+  }
+
+  test("q152: a single-event user has no holding interval and no row") {
+    val dir = eventsDir(Seq(
+      (1L, t0, 1L, "view", 5.0),
+      (2L, t0, 2L, "view", 1.0),
+      (3L, ts("2024-01-01 01:00:00"), 2L, "view", 2.0)))
+    val out = q("q152_twap", dir).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(2L))
+    assert(out.head.getDouble(2) === 100.0) // 1.00 held the whole hour
+  }
+
   // ---- q147 grouped split ----
 
   test("q147: a duplicate family lands whole in one fold") {
