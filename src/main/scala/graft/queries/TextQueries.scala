@@ -2254,8 +2254,68 @@ object TextQueries {
           count(lit(1)).as("n_terms"))
         .orderBy(col("bm25").desc, col("doc_id"))
         .limit(10)
+    },
+
+    // Probabilistic record linkage (Fellegi–Sunter 1969, the Splink/
+    // dedupe.io model): candidate pairs from cheap blocking score a
+    // field-agreement log-odds sum — agree on a field earns
+    // ln(m/u), disagree costs ln((1−m)/(1−u)) — and land in
+    // match / possible / non-match classes. The m/u weights are a
+    // fixed literal table (the q35/q140 stand-in device — EM training
+    // is the app-layer loop; each EM step *is* this scoring pass plus
+    // one class rollup, so the gated dataflow is the trained path's
+    // inner loop). Blocking = first-token equality: the O(block²)
+    // pair space is the operator's real shape, with q89/q122 as the
+    // block-balance pre-flights. Weights are computed ONCE on the JVM
+    // and embedded as shortest-repr literals in both engines —
+    // bit-identical doubles, sums in the same order, class cut on the
+    // 6dp-rounded score.
+    "q153_record_linkage" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          expr("n_chars div 100").as("lenb"), toks(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 3)
+        .withColumn("fp", minGramFp(col("tk")))
+        .withColumn("blk", element_at(col("tk"), 1))
+        .drop("tk")
+      val a = d.select(col("blk"), col("doc_id").as("id_a"),
+        col("lang").as("la"), col("source").as("sa"),
+        col("lenb").as("ba"), col("fp").as("fa"))
+      val b = d.select(col("blk"), col("doc_id").as("id_b"),
+        col("lang").as("lb"), col("source").as("sb"),
+        col("lenb").as("bb"), col("fp").as("fb"))
+      val scoreExpr = linkageWeights.map { case (fld, wa, wd) =>
+        val eq = fld match {
+          case "lang"   => col("la") === col("lb")
+          case "source" => col("sa") === col("sb")
+          case "lenb"   => col("ba") === col("bb")
+          case "fp"     => col("fa") === col("fb")
+        }
+        when(eq, lit(wa)).otherwise(lit(wd))
+      }.reduce(_ + _)
+      a.join(b, a("blk") === b("blk") && col("id_a") < col("id_b"))
+        .withColumn("score", round(scoreExpr, 6))
+        .withColumn("cls",
+          when(col("score") >= 3.0, "match")
+            .when(col("score") >= 0.0, "possible")
+            .otherwise("non_match"))
+        .groupBy("cls").agg(count(lit(1)).as("n_pairs"),
+          round(min("score"), 6).as("min_score"),
+          round(max("score"), 6).as("max_score"))
+        .orderBy("cls")
     }
   )
+
+  /** q153's stand-in m/u table → (field, agree-weight, disagree-weight)
+    * with the log-odds computed once on the JVM; both engines consume
+    * the identical shortest-repr double literals.
+    */
+  private[queries] val linkageWeights: Seq[(String, Double, Double)] =
+    Seq(("lang", 0.95, 0.30), ("source", 0.90, 0.25),
+      ("lenb", 0.85, 0.10), ("fp", 0.80, 0.01))
+      .map { case (f, m, u) =>
+        (f, math.log(m / u), math.log((1 - m) / (1 - u)))
+      }
 
   /** q140's stand-in merge table. Ranks CHAIN the way a trained table
     * does: ('th','e</w>') can only fire because ('t','h') and
@@ -2301,11 +2361,55 @@ object TextQueries {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** q153's DuckDB mirror, generated so the weight literals are the
+    * SAME shortest-repr doubles the Spark plan folds (a hand-written
+    * 0.05 would differ from the JVM's 1 − 0.95 in the last ulp).
+    */
+  private def recordLinkageOracle: String = {
+    val terms = linkageWeights.map { case (fld, wa, wd) =>
+      val eq = fld match {
+        case "lang"   => "a.lang = b.lang"
+        case "source" => "a.source = b.source"
+        case "lenb"   => "a.lenb = b.lenb"
+        case "fp"     => "a.fp = b.fp"
+      }
+      // ::DOUBLE on each literal: DuckDB types a bare decimal literal
+      // as DECIMAL, which would carry fixed-point arithmetic through
+      // the sum instead of the IEEE doubles the Spark plan folds
+      s"CASE WHEN $eq THEN ${wa}::DOUBLE ELSE ${wd}::DOUBLE END"
+    }.mkString(" +\n        ")
+    s"""WITH tk AS (
+       |  SELECT doc_id, lang, source, n_chars // 100 AS lenb,
+       |    string_split(trim(lower(text)), ' ') AS t
+       |  FROM documents
+       |  WHERE len(string_split(trim(lower(text)), ' ')) >= 3),
+       |grams AS (
+       |  SELECT doc_id,
+       |    unnest([('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]),
+       |      1, 15))::BIGINT for i in range(1, len(t) - 1)]) AS h
+       |  FROM tk),
+       |fps AS (SELECT doc_id, min(h) AS fp FROM grams GROUP BY doc_id),
+       |d AS (
+       |  SELECT tk.doc_id, lang, source, lenb, t[1] AS blk, fps.fp
+       |  FROM tk JOIN fps USING (doc_id)),
+       |scored AS (
+       |  SELECT round($terms, 6) AS score
+       |  FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+       |SELECT CASE WHEN score >= 3.0 THEN 'match'
+       |            WHEN score >= 0.0 THEN 'possible'
+       |            ELSE 'non_match' END AS cls,
+       |  count(*) AS n_pairs,
+       |  round(min(score), 6) AS min_score,
+       |  round(max(score), 6) AS max_score
+       |FROM scored GROUP BY cls ORDER BY cls""".stripMargin
+  }
+
   // Tie-break order for the lang-ID argmax: scores equal ⇒ larger lang
   // code wins (array_max on struct(score, lang)). The oracle mirrors
   // this with a descending-alphabetical CASE chain using >=.
   val oracleSql: Map[String, String] = Map(
     "q140_bpe_encode" -> bpeEncodeOracle,
+    "q153_record_linkage" -> recordLinkageOracle,
 
     "q148_classifier_kappa" ->
       """WITH scored AS (

@@ -440,6 +440,40 @@ class Round8cOpsSpec extends SparkSpec {
     assert(out.head.getDouble(2) === 100.0) // 1.00 held the whole hour
   }
 
+  // ---- q153 record linkage ----
+
+  test("q153: all-agree pair classifies match, all-disagree non-match") {
+    // docs share the first token "x" -> one block, three pairs
+    // 1-2: identical on every field -> score = sum of agree weights
+    //      = ln(.95/.30)+ln(.90/.25)+ln(.85/.10)+ln(.80/.01) ≈ 9.0 -> match
+    // 1-3/2-3: same first token but different lang/source/length/fp
+    //      -> all four disagree weights ≈ -9.0 -> non_match
+    val dir = docsDir(Seq(
+      (1L, "x y z", "en", "web"),
+      (2L, "x y z", "en", "web"),
+      (3L, "x a b c d e f g h i j k l m n o p q r s t u v w " * 5, "de",
+        "book")))
+    val out = q("q153_record_linkage", dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("match" -> 1L, "non_match" -> 2L))
+  }
+
+  test("q153: scores equal an independent JVM log-odds computation") {
+    // one pair agreeing on lang+source+length band, differing on fp
+    val dir = docsDir(Seq(
+      (1L, "x y z", "en", "web"), (2L, "x y q", "en", "web")))
+    val out = q("q153_record_linkage", dir).collect()
+    assert(out.length === 1)
+    val expected = BigDecimal(
+      math.log(0.95 / 0.30) + math.log(0.90 / 0.25) +
+        math.log(0.85 / 0.10) + math.log((1 - 0.80) / (1 - 0.01)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.head.getDouble(2) === expected)
+    // ≈ 2.974: three agreements minus the fp penalty sits just UNDER
+    // the 3.0 match cut — the "possible" band doing its job
+    assert(out.head.getString(0) === "possible")
+  }
+
   // ---- q147 grouped split ----
 
   test("q147: a duplicate family lands whole in one fold") {
