@@ -1065,6 +1065,53 @@ object CoverageQueries {
         .withColumn("twap_cents", round(col("num") / col("den"), 6))
         .select("user_id", "n_intervals", "twap_cents")
         .orderBy("user_id")
+    },
+
+    // Per-type volume trend via closed-form OLS — slope, intercept
+    // and R² of daily event counts against the day index, the
+    // monitoring statistic behind "is this source decaying". The
+    // whole regression is FIVE integer sums (n, Σx, Σy, Σxy, Σx²,
+    // plus Σy² for R²) that partial-aggregate map-side — a 100 TB
+    // stream reduces to one 6-long row per group, then each
+    // coefficient is ONE IEEE division of exact longs (the q144/q148
+    // discipline — no float accumulates across rows). The day index
+    // is rebased to the global min day (1-row broadcast) so the
+    // squared cross-terms stay far from 2^63 (absolute epoch-days
+    // squared inside (nΣxy−ΣxΣy)² would overflow).
+    "q154_ols_trend" -> { (s, dir) =>
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y"))
+      val base = broadcast(daily.agg(min("day").as("day0")))
+      val sums = daily.crossJoin(base)
+        .withColumn("x", datediff(col("day"), col("day0")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+          sum("y").as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+      sums
+        .withColumn("dxx", col("n") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("dxy", col("n") * col("sxy") - col("sx") * col("sy"))
+        .withColumn("dyy", col("n") * col("syy") - col("sy") * col("sy"))
+        .withColumn("slope", round(
+          when(col("dxx") === 0, 0.0)
+            .otherwise(col("dxy") / col("dxx")), 6))
+        .withColumn("intercept", round(
+          (col("sy") - (col("dxy") / col("dxx")) * col("sx")) / col("n"), 6))
+        // squares move to double BEFORE multiplying: dxy²/dxx·dyy in
+        // long arithmetic overflows around 10-decade dilated spans
+        // (and DuckDB would silently widen to HUGEINT — a different
+        // rounding than IEEE); the longs themselves are ≪ 2^53 so the
+        // casts are exact and both engines run identical double ops
+        .withColumn("r2", round(
+          when(col("dxx") === 0 || col("dyy") === 0, 0.0)
+            .otherwise(
+              (col("dxy").cast("double") * col("dxy").cast("double")) /
+                (col("dxx").cast("double") * col("dyy").cast("double"))),
+          6))
+        .select("event_type", "n", "slope", "intercept", "r2")
+        .orderBy("event_type")
     }
   )
 
@@ -1118,6 +1165,38 @@ object CoverageQueries {
         |SELECT part, n_triangles,
         |  (SELECT total FROM tot) AS total_triangles
         |FROM nodes ORDER BY n_triangles DESC, part LIMIT 10""".stripMargin,
+
+    // the same six integer sums; every division and double cast in the
+    // same order
+    "q154_ols_trend" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y
+        |  FROM events GROUP BY event_type, day),
+        |base AS (SELECT min(day) AS day0 FROM daily),
+        |sums AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(datediff('day', day0, day)) AS BIGINT) AS sx,
+        |    CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(datediff('day', day0, day) * y) AS BIGINT) AS sxy,
+        |    CAST(sum(datediff('day', day0, day) *
+        |             datediff('day', day0, day)) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM daily, base GROUP BY event_type),
+        |d AS (
+        |  SELECT event_type, n,
+        |    n * sxx - sx * sx AS dxx,
+        |    n * sxy - sx * sy AS dxy,
+        |    n * syy - sy * sy AS dyy,
+        |    sx, sy
+        |  FROM sums)
+        |SELECT event_type, n,
+        |  round(CASE WHEN dxx = 0 THEN 0.0
+        |        ELSE dxy::DOUBLE / dxx END, 6) AS slope,
+        |  round((sy - (dxy::DOUBLE / dxx) * sx) / n, 6) AS intercept,
+        |  round(CASE WHEN dxx = 0 OR dyy = 0 THEN 0.0
+        |        ELSE (dxy::DOUBLE * dxy::DOUBLE) /
+        |             (dxx::DOUBLE * dyy::DOUBLE) END, 6) AS r2
+        |FROM d ORDER BY event_type""".stripMargin,
 
     // the same (ts, event_id) walk via window lead
     "q151_markov_transitions" ->

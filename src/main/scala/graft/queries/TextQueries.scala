@@ -2303,6 +2303,40 @@ object TextQueries {
           round(min("score"), 6).as("min_score"),
           round(max("score"), 6).as("max_score"))
         .orderBy("cls")
+    },
+
+    // Winnowing fingerprint selection (Schleimer–Wilkerson–Aiken,
+    // MOSS): per doc, the DISTINCT minima of every w=4 window over
+    // the 3-gram hash sequence — the position-dense sampling whose
+    // guarantee q32's single min-hash lacks: any shared run of
+    // ≥ w+k−1 = 6 tokens between two docs shares a fingerprint, so
+    // the selected set is a plagiarism-grade index, at ~2/(w+1)
+    // density instead of all grams. Selection is one codegen'd
+    // O(n·w) scan pass per doc (window minima via transform over the
+    // gram array — no explode until the count); the report is the
+    // per-doc selection profile, and the (fp → docs) index these
+    // sets feed is q108/q80's histogram machinery.
+    "q155_winnowing" -> { (s, dir) =>
+      val w = 4
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), toks(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 3)
+        .withColumn("gh", transform(
+          sequence(lit(0), size(col("tk")) - 3),
+          i => conv(substring(md5(concat_ws(" ",
+            get(col("tk"), i), get(col("tk"), i + 1), get(col("tk"), i + 2))),
+            1, 15), 16, 10).cast("long")))
+      d.select(col("doc_id"),
+          size(col("gh")).cast("long").as("n_grams"),
+          when(size(col("gh")) <= w, array(array_min(col("gh"))))
+            .otherwise(array_distinct(transform(
+              sequence(lit(0), size(col("gh")) - w),
+              i => array_min(slice(col("gh"), i + 1, lit(w)))))).as("fps"))
+        .select(col("doc_id"), col("n_grams"),
+          size(col("fps")).cast("long").as("n_fps"),
+          round(size(col("fps")).cast("double") / col("n_grams"), 6)
+            .as("density"))
+        .orderBy("doc_id")
     }
   )
 
@@ -2410,6 +2444,28 @@ object TextQueries {
   val oracleSql: Map[String, String] = Map(
     "q140_bpe_encode" -> bpeEncodeOracle,
     "q153_record_linkage" -> recordLinkageOracle,
+
+    // the same window-min selection over the same gram hashes
+    "q155_winnowing" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(trim(lower(text)), ' ') AS t
+        |  FROM documents
+        |  WHERE len(string_split(trim(lower(text)), ' ')) >= 3),
+        |g AS (
+        |  SELECT doc_id,
+        |    [('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]),
+        |      1, 15))::BIGINT for i in range(1, len(t) - 1)] AS gh
+        |  FROM tk),
+        |sel AS (
+        |  SELECT doc_id, len(gh) AS n_grams,
+        |    CASE WHEN len(gh) <= 4 THEN [list_min(gh)]
+        |         ELSE list_distinct([list_min(gh[i:i+3])
+        |                             for i in range(1, len(gh) - 2)])
+        |    END AS fps
+        |  FROM g)
+        |SELECT doc_id, n_grams, len(fps) AS n_fps,
+        |  round(len(fps)::DOUBLE / n_grams, 6) AS density
+        |FROM sel ORDER BY doc_id""".stripMargin,
 
     "q148_classifier_kappa" ->
       """WITH scored AS (

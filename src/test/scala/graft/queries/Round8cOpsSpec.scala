@@ -51,6 +51,17 @@ class Round8cOpsSpec extends SparkSpec {
 
   private val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
 
+  /** The queries' 60-bit gram hash (first 15 hex chars of md5 as a
+    * long) — independent JVM reimplementation (the SelfOracleSpec
+    * device), used to hand-compute q155's winnowing selection.
+    */
+  private def gramHash(gram: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(gram.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
   // ---- q137 count-min sketch ----
 
   test("q137: single-key stream estimates exactly (no collisions possible)") {
@@ -472,6 +483,75 @@ class Round8cOpsSpec extends SparkSpec {
     // ≈ 2.974: three agreements minus the fp penalty sits just UNDER
     // the 3.0 match cut — the "possible" band doing its job
     assert(out.head.getString(0) === "possible")
+  }
+
+  // ---- q154 OLS trend ----
+
+  test("q154: perfect linear growth recovers slope/intercept/r2 exactly") {
+    // day x = 0..3 with counts 5,7,9,11 -> y = 2x + 5, r2 = 1
+    val rows = (0 to 3).flatMap { d =>
+      (1 to (5 + 2 * d)).map { i =>
+        ((d * 100 + i).toLong,
+          ts(f"2024-01-${d + 1}%02d 00:00:00"), i.toLong, "view", 1.0)
+      }
+    }
+    val out = q("q154_ols_trend", eventsDir(rows)).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getLong(1) === 4L)
+    assert(r.getDouble(2) === 2.0)
+    assert(r.getDouble(3) === 5.0)
+    assert(r.getDouble(4) === 1.0)
+  }
+
+  test("q154: constant volume scores slope 0 with r2 0 (zero variance guard)") {
+    val rows = (0 to 3).flatMap { d =>
+      (1 to 6).map { i =>
+        ((d * 100 + i).toLong,
+          ts(f"2024-01-${d + 1}%02d 00:00:00"), i.toLong, "view", 1.0)
+      }
+    }
+    val out = q("q154_ols_trend", eventsDir(rows)).collect()
+    assert(out.head.getDouble(2) === 0.0)
+    assert(out.head.getDouble(4) === 0.0)
+  }
+
+  // ---- q155 winnowing ----
+
+  test("q155: selection matches an independent JVM winnowing pass") {
+    val text = "a b c d e f g h"
+    val dir = docsDir(Seq((1L, text, "en", "s"), (2L, "x y z", "en", "s"),
+      (3L, "m m m m m m", "en", "s")))
+    val toksOf = text.split(" ")
+    val gh = toksOf.sliding(3).map(g => gramHash(g.mkString(" "))).toSeq
+    val expected = (0 to gh.length - 4).map(i => gh.slice(i, i + 4).min)
+      .distinct.length
+    val out = q("q155_winnowing", dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) === ((6L, expected.toLong)))
+    assert(out(2L) === ((1L, 1L))) // 3 tokens -> 1 gram -> 1 fp
+    assert(out(3L) === ((4L, 1L))) // identical grams collapse to 1 fp
+  }
+
+  test("q155: a shared 6-token run forces a shared fingerprint") {
+    // winnowing guarantee at w=4, k=3: matches of length >= w+k-1 = 6
+    // tokens always share a selected fingerprint
+    val shared = "p q r s t u"
+    val dir = docsDir(Seq(
+      (1L, s"a b c $shared", "en", "s"),
+      (2L, s"$shared x y z", "en", "s")))
+    def fps(text: String): Set[Long] = {
+      val gh = text.split(" ").sliding(3)
+        .map(g => gramHash(g.mkString(" "))).toSeq
+      if (gh.length <= 4) Set(gh.min)
+      else (0 to gh.length - 4).map(i => gh.slice(i, i + 4).min).toSet
+    }
+    assert(fps(s"a b c $shared").intersect(fps(s"$shared x y z")).nonEmpty)
+    // and the query's counts agree with the same selection
+    val out = q("q155_winnowing", dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(1L) === fps(s"a b c $shared").size.toLong)
+    assert(out(2L) === fps(s"$shared x y z").size.toLong)
   }
 
   // ---- q147 grouped split ----
