@@ -2337,6 +2337,52 @@ object TextQueries {
           round(size(col("fps")).cast("double") / col("n_grams"), 6)
             .as("density"))
         .orderBy("doc_id")
+    },
+
+    // 1-D Wasserstein (earth mover's) distance between per-source
+    // document-length distributions — the distribution-shift metric
+    // that answers "how differently shaped is source A's data" where
+    // q106's KL answers "how differently worded" (KL explodes on
+    // disjoint support; W1 degrades gracefully and carries units —
+    // here, 50-char buckets). Closed form for 1-D: W1 = Σ_buckets
+    // |CDF_a − CDF_b| × width. The corpus collapses to the (source,
+    // bucket) histogram in one partial-aggregated pass; CDFs ride a
+    // window over the ≤|sources|×|buckets| GRID (aggregated metadata,
+    // never doc rows — zero-count cells filled so both CDFs step on
+    // the same grid); and the sum stays EXACT: |cumA·n_b − cumB·n_a|
+    // is integer, summed as longs, ONE closing division by n_a·n_b —
+    // no float accumulates across buckets (the q152/q154 discipline).
+    "q156_wasserstein" -> { (s, dir) =>
+      val h = t(s, dir, "documents")
+        .select(col("source"), expr("n_chars div 50").as("b"))
+        .groupBy("source", "b").agg(count(lit(1)).as("cnt"))
+      // the DENSE bucket range, not just observed buckets: an empty
+      // bucket between two occupied ones still has width, and W1
+      // integrates |CDF diff| over it (caught by Round8cOpsSpec's
+      // two-bucket-gap fixture: observed-only grids compress gaps)
+      val buckets = h.agg(min("b").as("lo"), max("b").as("hi"))
+        .select(explode(expr("sequence(lo, hi)")).as("b"))
+      val totals = h.groupBy("source").agg(sum("cnt").as("n"))
+      val grid = totals.crossJoin(buckets)
+        .join(h, Seq("source", "b"), "left")
+        .na.fill(0L, Seq("cnt"))
+      val w = Window.partitionBy("source").orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cdf = grid.withColumn("cum", sum("cnt").over(w))
+        .select(col("source"), col("b"), col("n"), col("cum"))
+      val a = cdf.select(col("b"), col("source").as("source_a"),
+        col("n").as("na"), col("cum").as("ca"))
+      val bb = cdf.select(col("b"), col("source").as("source_b"),
+        col("n").as("nb"), col("cum").as("cb"))
+      a.join(bb, Seq("b")).filter(col("source_a") < col("source_b"))
+        .withColumn("num",
+          abs(col("ca") * col("nb") - col("cb") * col("na")))
+        .groupBy("source_a", "source_b", "na", "nb")
+        .agg(sum("num").as("s"), count(lit(1)).as("n_buckets"))
+        .withColumn("w1_buckets",
+          round(col("s") / (col("na") * col("nb")), 6))
+        .select("source_a", "source_b", "n_buckets", "w1_buckets")
+        .orderBy("source_a", "source_b")
     }
   )
 
@@ -2444,6 +2490,32 @@ object TextQueries {
   val oracleSql: Map[String, String] = Map(
     "q140_bpe_encode" -> bpeEncodeOracle,
     "q153_record_linkage" -> recordLinkageOracle,
+
+    // the same grid CDFs and exact integer cross-multiplied sum
+    "q156_wasserstein" ->
+      """WITH h AS (
+        |  SELECT source, n_chars // 50 AS b, count(*) AS cnt
+        |  FROM documents GROUP BY source, b),
+        |buckets AS (
+        |  SELECT unnest(range(min(b), max(b) + 1)) AS b FROM h),
+        |totals AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n
+        |           FROM h GROUP BY source),
+        |grid AS (
+        |  SELECT t.source, t.n, bk.b, coalesce(h.cnt, 0) AS cnt
+        |  FROM totals t CROSS JOIN buckets bk
+        |  LEFT JOIN h ON h.source = t.source AND h.b = bk.b),
+        |cdf AS (
+        |  SELECT source, b, n,
+        |    CAST(sum(cnt) OVER (PARTITION BY source ORDER BY b) AS BIGINT)
+        |      AS cum
+        |  FROM grid)
+        |SELECT a.source AS source_a, c.source AS source_b,
+        |  count(*) AS n_buckets,
+        |  round(CAST(sum(abs(a.cum * c.n - c.cum * a.n)) AS BIGINT)::DOUBLE
+        |    / (a.n * c.n), 6) AS w1_buckets
+        |FROM cdf a JOIN cdf c ON a.b = c.b AND a.source < c.source
+        |GROUP BY a.source, c.source, a.n, c.n
+        |ORDER BY source_a, source_b""".stripMargin,
 
     // the same window-min selection over the same gram hashes
     "q155_winnowing" ->

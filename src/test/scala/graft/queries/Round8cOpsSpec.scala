@@ -554,6 +554,33 @@ class Round8cOpsSpec extends SparkSpec {
     assert(out(2L) === fps(s"$shared x y z").size.toLong)
   }
 
+  // ---- q156 Wasserstein ----
+
+  test("q156: two-bucket shift costs exactly 2, identical costs 0") {
+    // srcA docs ~10 chars (bucket 0), srcB docs ~120 chars (bucket 2):
+    // CDFs [1,1,1] vs [0,0,1] -> W1 = 2 bucket widths exactly;
+    // srcC mirrors srcA -> W1(A, C) = 0
+    val long120 = ("x" * 119) + "y"
+    val dir = docsDir(Seq(
+      (1L, "a" * 10, "en", "srcA"), (2L, "b" * 10, "en", "srcA"),
+      (3L, long120, "en", "srcB"), (4L, long120, "en", "srcB"),
+      (5L, "c" * 10, "en", "srcC")))
+    val out = q("q156_wasserstein", dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(out(("srcA", "srcB")) === 2.0)
+    assert(out(("srcA", "srcC")) === 0.0)
+    assert(out(("srcB", "srcC")) === 2.0)
+  }
+
+  test("q156: half the mass moving one bucket costs 0.5") {
+    val dir = docsDir(Seq(
+      (1L, "a" * 10, "en", "sA"), (2L, "b" * 10, "en", "sA"),
+      (3L, "c" * 10, "en", "sB"), (4L, "d" * 60, "en", "sB")))
+    val out = q("q156_wasserstein", dir).collect()
+    assert(out.length === 1)
+    assert(out.head.getDouble(3) === 0.5)
+  }
+
   // ---- q147 grouped split ----
 
   test("q147: a duplicate family lands whole in one fold") {
