@@ -1112,6 +1112,47 @@ object CoverageQueries {
           6))
         .select("event_type", "n", "slope", "intercept", "r2")
         .orderBy("event_type")
+    },
+
+    // Lagged cross-correlation between event-type daily series —
+    // "does click volume LEAD purchase volume, and by how many
+    // days" (lag 0 = plain correlation, a = b = autocorrelation).
+    // q154's closed-form discipline at every (type_a, type_b, lag):
+    // the stream collapses to daily counts once, the lag explode is
+    // ≤4 rows per daily cell, all six sums are exact longs, and the
+    // closing corr = dxy / √(dxx·dyy) is safe cross-engine because
+    // IEEE sqrt is CORRECTLY ROUNDED everywhere (unlike ln — no
+    // round-before-compare needed on the operands, only the output
+    // 6dp round); the variance products move to double before
+    // multiplying (the q154 overflow rule).
+    "q157_lagged_corr" -> { (s, dir) =>
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y"))
+        .localCheckpoint(true)
+      val a = daily
+        .select(col("event_type").as("type_a"), col("day"),
+          col("y").as("ya"),
+          explode(sequence(lit(0), lit(3))).as("lag"))
+        .withColumn("match_day", date_add(col("day"), col("lag")))
+      val b = daily.select(col("event_type").as("type_b"),
+        col("day").as("match_day"), col("y").as("yb"))
+      a.join(b, "match_day")
+        .groupBy("type_a", "type_b", "lag")
+        .agg(count(lit(1)).as("n_days"),
+          sum("ya").as("sa"), sum("yb").as("sb"),
+          sum(col("ya") * col("yb")).as("sab"),
+          sum(col("ya") * col("ya")).as("saa"),
+          sum(col("yb") * col("yb")).as("sbb"))
+        .withColumn("dxx", col("n_days") * col("saa") - col("sa") * col("sa"))
+        .withColumn("dyy", col("n_days") * col("sbb") - col("sb") * col("sb"))
+        .withColumn("dxy", col("n_days") * col("sab") - col("sa") * col("sb"))
+        .withColumn("corr", round(
+          when(col("dxx") === 0 || col("dyy") === 0, 0.0)
+            .otherwise(col("dxy") / sqrt(
+              col("dxx").cast("double") * col("dyy").cast("double"))), 6))
+        .select("type_a", "type_b", "lag", "n_days", "corr")
+        .orderBy("type_a", "type_b", "lag")
     }
   )
 
@@ -1165,6 +1206,37 @@ object CoverageQueries {
         |SELECT part, n_triangles,
         |  (SELECT total FROM tot) AS total_triangles
         |FROM nodes ORDER BY n_triangles DESC, part LIMIT 10""".stripMargin,
+
+    // the same lag join and exact sums; sqrt is correctly rounded in
+    // both engines
+    "q157_lagged_corr" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y
+        |  FROM events GROUP BY event_type, day),
+        |a AS (
+        |  SELECT event_type AS type_a, day, y AS ya, lag,
+        |    day + lag::INTEGER AS match_day
+        |  FROM daily, UNNEST(range(0, 4)) AS t(lag)),
+        |j AS (
+        |  SELECT type_a, b.event_type AS type_b, lag, ya, b.y AS yb
+        |  FROM a JOIN daily b ON b.day = a.match_day),
+        |sums AS (
+        |  SELECT type_a, type_b, lag, count(*) AS n_days,
+        |    CAST(sum(ya) AS BIGINT) AS sa, CAST(sum(yb) AS BIGINT) AS sb,
+        |    CAST(sum(ya * yb) AS BIGINT) AS sab,
+        |    CAST(sum(ya * ya) AS BIGINT) AS saa,
+        |    CAST(sum(yb * yb) AS BIGINT) AS sbb
+        |  FROM j GROUP BY type_a, type_b, lag),
+        |d AS (
+        |  SELECT type_a, type_b, lag, n_days,
+        |    n_days * saa - sa * sa AS dxx,
+        |    n_days * sbb - sb * sb AS dyy,
+        |    n_days * sab - sa * sb AS dxy
+        |  FROM sums)
+        |SELECT type_a, type_b, lag, n_days,
+        |  round(CASE WHEN dxx = 0 OR dyy = 0 THEN 0.0
+        |        ELSE dxy / sqrt(dxx::DOUBLE * dyy::DOUBLE) END, 6) AS corr
+        |FROM d ORDER BY type_a, type_b, lag""".stripMargin,
 
     // the same six integer sums; every division and double cast in the
     // same order

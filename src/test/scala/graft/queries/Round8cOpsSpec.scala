@@ -581,6 +581,42 @@ class Round8cOpsSpec extends SparkSpec {
     assert(out.head.getDouble(3) === 0.5)
   }
 
+  // ---- q157 lagged correlation ----
+
+  test("q157: a one-day-shifted copy correlates perfectly at lag 1") {
+    // type A: counts 2,4,6 on days 1-3; type B: 2,4,6 on days 2-4
+    // -> corr(A, B, lag=1) = 1.0 over the full 3-day overlap;
+    //    corr(A, A, lag=0) = 1.0 (autocorrelation sanity)
+    def burst(tpe: String, day: Int, n: Int, idBase: Long) =
+      (1 to n).map(i => (idBase + i,
+        ts(f"2024-01-$day%02d 00:00:00"), i.toLong, tpe, 1.0))
+    val rows =
+      burst("aa", 1, 2, 100) ++ burst("aa", 2, 4, 200) ++
+        burst("aa", 3, 6, 300) ++
+        burst("bb", 2, 2, 1100) ++ burst("bb", 3, 4, 1200) ++
+        burst("bb", 4, 6, 1300)
+    val out = q("q157_lagged_corr", eventsDir(rows)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)) ->
+        (r.getLong(3), r.getDouble(4))).toMap
+    assert(out(("aa", "bb", 1)) === ((3L, 1.0)))
+    assert(out(("aa", "aa", 0)) === ((3L, 1.0)))
+    // at lag 0 the overlap is days 2-3 with A=(4,6) vs B=(2,4):
+    // both strictly increasing -> corr 1.0 there too, but over 2 days
+    assert(out(("aa", "bb", 0))._1 === 2L)
+  }
+
+  test("q157: a constant series has zero variance and corr 0 by guard") {
+    def burst(tpe: String, day: Int, n: Int, idBase: Long) =
+      (1 to n).map(i => (idBase + i,
+        ts(f"2024-01-$day%02d 00:00:00"), i.toLong, tpe, 1.0))
+    val rows = burst("cc", 1, 3, 100) ++ burst("cc", 2, 3, 200) ++
+      burst("dd", 1, 1, 1100) ++ burst("dd", 2, 5, 1200)
+    val out = q("q157_lagged_corr", eventsDir(rows)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)) ->
+        r.getDouble(4)).toMap
+    assert(out(("cc", "dd", 0)) === 0.0) // cc flat -> dxx = 0
+  }
+
   // ---- q147 grouped split ----
 
   test("q147: a duplicate family lands whole in one fold") {
