@@ -1153,6 +1153,37 @@ object CoverageQueries {
               col("dxx").cast("double") * col("dyy").cast("double"))), 6))
         .select("type_a", "type_b", "lag", "n_days", "corr")
         .orderBy("type_a", "type_b", "lag")
+    },
+
+    // Gini coefficient of per-user event concentration — the
+    // inequality audit behind "is one account dominating this
+    // stream" (q122's skew histogram shows the shape; Gini is the
+    // single comparable number per type). Closed form over ranked
+    // shares: G = Σ(2i−n−1)·yᵢ / (n·Σy) with i the ascending rank —
+    // the rank comes from the TWO-PHASE device (range partition +
+    // local window + broadcast offsets via groupedPrefixSum), so no
+    // event type's user list ever sorts through one partition; the
+    // numerator stays exact longs to one closing division. Rank
+    // order (y, user_id) is total, so both engines walk the same
+    // Lorenz curve.
+    "q158_gini" -> { (s, dir) =>
+      val peruser = t(s, dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(count(lit(1)).as("y"))
+        // unique (group, order) key for the two-phase rank
+        .withColumn("__ord", col("y") * lit(10000000L) + col("user_id"))
+        .withColumn("__one", lit(1L))
+      val ranked = R.groupedPrefixSum(peruser, "event_type", "__ord",
+          "__one", "pre")
+        .withColumn("i", col("pre") + 1)
+      val totals = broadcast(ranked.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("y").as("sy")))
+      ranked.join(totals, "event_type")
+        .withColumn("term", (lit(2) * col("i") - col("n") - 1) * col("y"))
+        .groupBy("event_type", "n", "sy").agg(sum("term").as("num"))
+        .withColumn("gini", round(col("num") / (col("n") * col("sy")), 6))
+        .select(col("event_type"), col("n").as("n_users"), col("gini"))
+        .orderBy("event_type")
     }
   )
 
@@ -1206,6 +1237,27 @@ object CoverageQueries {
         |SELECT part, n_triangles,
         |  (SELECT total FROM tot) AS total_triangles
         |FROM nodes ORDER BY n_triangles DESC, part LIMIT 10""".stripMargin,
+
+    // the same ranked-shares closed form; row_number mirrors the
+    // two-phase rank
+    "q158_gini" ->
+      """WITH pu AS (
+        |  SELECT event_type, user_id, count(*) AS y
+        |  FROM events GROUP BY event_type, user_id),
+        |r AS (
+        |  SELECT event_type, y,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY y * 10000000 + user_id) AS i
+        |  FROM pu),
+        |t AS (
+        |  SELECT event_type, count(*) AS n, CAST(sum(y) AS BIGINT) AS sy
+        |  FROM r GROUP BY event_type)
+        |SELECT r.event_type, t.n AS n_users,
+        |  round(CAST(sum((2 * i - n - 1) * y) AS BIGINT)::DOUBLE
+        |    / (n * sy), 6) AS gini
+        |FROM r JOIN t ON r.event_type = t.event_type
+        |GROUP BY r.event_type, t.n, t.sy
+        |ORDER BY r.event_type""".stripMargin,
 
     // the same lag join and exact sums; sqrt is correctly rounded in
     // both engines

@@ -679,4 +679,37 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("Window"), p)
     assert(p.contains("Union"), p)
   }
+
+  // q154: the regression is six map-side sums — no window, no rank;
+  // the only cross join is the 1-row day-base broadcast.
+  test("q154 OLS: map-side sums only, no window, scalar broadcast") {
+    val p = plan("q154_ols_trend")
+    assert(!p.contains("Window") && !p.contains("row_number"), p)
+    val blocks = p.split("(?m)^\\s*\\(\\d+\\) ").toSeq
+    val bnl = blocks.filter(_.startsWith("BroadcastNestedLoopJoin"))
+    assert(bnl.forall(_.contains("Cross")), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  // q156: CDF windows run over the (source, bucket) GRID — every
+  // Window node keys by source, never a doc-row window; no rank.
+  test("q156 Wasserstein: windows only over the source grid") {
+    val p = plan("q156_wasserstein")
+    assert(!p.contains("row_number"), p)
+    val blocks = p.split("(?m)^\\s*\\(\\d+\\) ").toSeq
+    val windows = blocks.filter(_.startsWith("Window"))
+    assert(windows.nonEmpty, p)
+    assert(windows.forall(_.contains("source")), p)
+  }
+
+  // q158: the Lorenz rank is the two-phase prefix count — windows
+  // only over __part-local rows, no row_number anywhere.
+  test("q158 Gini: two-phase rank, no global sort") {
+    val p = plan("q158_gini")
+    assert(!p.contains("row_number"), p)
+    val blocks = p.split("(?m)^\\s*\\(\\d+\\) ").toSeq
+    val windows = blocks.filter(_.startsWith("Window"))
+    assert(windows.nonEmpty, p)
+    assert(windows.forall(w => w.contains("__part")), p)
+  }
 }

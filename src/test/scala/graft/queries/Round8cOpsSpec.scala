@@ -617,6 +617,26 @@ class Round8cOpsSpec extends SparkSpec {
     assert(out(("cc", "dd", 0)) === 0.0) // cc flat -> dxx = 0
   }
 
+  // ---- q158 Gini ----
+
+  test("q158: perfect equality scores 0, total concentration (n-1)/n") {
+    val rows =
+      // type "eq": 4 users x 3 events each -> G = 0
+      (1L to 4L).flatMap(u => (1 to 3).map(i =>
+        (u * 10 + i, t0, u, "eq", 1.0))) ++
+        // type "mono": user 9 has 8 events, users 1-3 have 0... they
+        // must EXIST with >=1 event to be part of the distribution
+        (1L to 3L).map(u => (800 + u, t0, u, "mono", 1.0)) ++
+        (1 to 9).map(i => (900L + i, t0, 9L, "mono", 1.0))
+    val out = q("q158_gini", eventsDir(rows)).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(("eq")) === ((4L, 0.0)))
+    // mono: shares (1,1,1,9)/12, ranks 1..4:
+    // num = (2-5)*1 + (4-5)*1 + (6-5)*1 + (8-5)*9 = -3-1+1+27 = 24
+    // G = 24 / (4*12) = 0.5
+    assert(out(("mono")) === ((4L, 0.5)))
+  }
+
   // ---- q147 grouped split ----
 
   test("q147: a duplicate family lands whole in one fold") {
