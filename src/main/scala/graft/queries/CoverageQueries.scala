@@ -1184,6 +1184,37 @@ object CoverageQueries {
         .withColumn("gini", round(col("num") / (col("n") * col("sy")), 6))
         .select(col("event_type"), col("n").as("n_users"), col("gini"))
         .orderBy("event_type")
+    },
+
+    // Benford first-digit audit of order totals — the data-forensics
+    // screen (fabricated or unit-mangled numeric columns drift from
+    // the log-uniform first-digit law; an ingest that silently
+    // switched currency scale flips this before any mean does). The
+    // digit comes from the INTEGER cents via string head — never
+    // floor(log10(x)), whose last-ulp at exact powers of ten flips
+    // the digit differently per libm; integer→string is deterministic
+    // in both engines. One scan, a ≤9-row aggregate, expected shares
+    // log10(1+1/d) and the chi² contribution rounded 6dp (the
+    // transcendental lives inside the round, q123's rule).
+    "q159_benford" -> { (s, dir) =>
+      val digits = t(s, dir, "orders")
+        .select(expr("cast(round(o_totalprice * 100) as bigint)")
+          .as("cents"))
+        .filter(col("cents") > 0)
+        .withColumn("digit",
+          substring(col("cents").cast("string"), 1, 1).cast("int"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      val total = broadcast(digits.agg(sum("n").as("nt")))
+      digits.crossJoin(total)
+        .withColumn("share", round(col("n") / col("nt"), 6))
+        .withColumn("expected",
+          round(log10(lit(1.0) + lit(1.0) / col("digit")), 6))
+        .withColumn("chi2_contrib", round(
+          ((col("n") - col("expected") * col("nt")) *
+            (col("n") - col("expected") * col("nt"))) /
+            (col("expected") * col("nt")), 6))
+        .select("digit", "n", "share", "expected", "chi2_contrib")
+        .orderBy("digit")
     }
   )
 
@@ -1237,6 +1268,26 @@ object CoverageQueries {
         |SELECT part, n_triangles,
         |  (SELECT total FROM tot) AS total_triangles
         |FROM nodes ORDER BY n_triangles DESC, part LIMIT 10""".stripMargin,
+
+    // the same integer-string digit and the ROUNDED expected share
+    // feeding chi² (so the transcendental crosses engines only
+    // through the 6dp round)
+    "q159_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+        |      AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        |  FROM orders
+        |  WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0),
+        |g AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM g),
+        |e AS (
+        |  SELECT digit, n, nt,
+        |    round(log10(1.0 + 1.0 / digit), 6) AS expected
+        |  FROM g, t)
+        |SELECT digit, n, round(n::DOUBLE / nt, 6) AS share, expected,
+        |  round((n - expected * nt) * (n - expected * nt)
+        |    / (expected * nt), 6) AS chi2_contrib
+        |FROM e ORDER BY digit""".stripMargin,
 
     // the same ranked-shares closed form; row_number mirrors the
     // two-phase rank

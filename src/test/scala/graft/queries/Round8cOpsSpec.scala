@@ -637,6 +637,42 @@ class Round8cOpsSpec extends SparkSpec {
     assert(out(("mono")) === ((4L, 0.5)))
   }
 
+  // ---- q159 Benford ----
+
+  private def ordersDir(rows: Seq[(Long, Double)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("r8cord").toString
+    rows.toDF("o_orderkey", "o_totalprice")
+      .withColumn("o_custkey", lit(1L))
+      .withColumn("o_orderstatus", lit("O"))
+      .withColumn("o_orderdate", lit(t0))
+      .withColumn("o_orderpriority", lit("1-URGENT"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    dir
+  }
+
+  test("q159: digits come from integer cents, not float log10") {
+    // 100.00 -> cents 10000 -> digit 1 (a float log10 at an exact
+    // power of ten is the classic flip case); 0.09 -> cents 9 -> 9
+    val dir = ordersDir(Seq(
+      (1L, 100.0), (2L, 0.09), (3L, 250.0), (4L, 2.5), (5L, 999.99)))
+    val out = q("q159_benford", dir).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out === Map(1 -> 1L, 2 -> 2L, 9 -> 2L))
+  }
+
+  test("q159: a perfectly Benford sample scores near-zero chi2") {
+    // counts proportional to log10(1+1/d) out of 1000
+    val counts = (1 to 9).map(d =>
+      d -> math.round(1000 * math.log10(1.0 + 1.0 / d)))
+    val rows = counts.flatMap { case (d, n) =>
+      (1L to n).map(i => (d * 10000L + i, d * 100.0 + 1.0))
+    }
+    val out = q("q159_benford", ordersDir(rows)).collect()
+    assert(out.length === 9)
+    out.foreach(r => assert(r.getDouble(4) < 0.05,
+      s"digit ${r.getInt(0)} chi2 ${r.getDouble(4)}"))
+  }
+
   // ---- q147 grouped split ----
 
   test("q147: a duplicate family lands whole in one fold") {
