@@ -163,6 +163,59 @@ object StreamingQueries {
     (s.read.parquet(s"$base/out"), observed)
   }
 
+  /** The TWO-SOURCE twin of [[runMultiBatchCounted]] — the
+    * stream-STREAM shape (both join sides are unbounded; the engine
+    * must buffer each side's state and match across micro-batch
+    * boundaries, where stream-static forms like q114 probe a fixed
+    * table). Each input stages into its own sliced dir; both file
+    * sources admit one file per trigger, so every micro-batch carries
+    * a slice of EACH side and cross-batch matches (side A's batch-0
+    * rows joining side B's batch-2 rows) exercise the buffered state.
+    * Same loud-failure contract: fewer than `batches` non-empty
+    * micro-batches in the progress log is a staging bug, not a pass.
+    */
+  private[graft] def runMultiBatchTwoCounted(s: SparkSession, tag: String,
+      inputA: DataFrame, inputB: DataFrame,
+      build: (DataFrame, DataFrame) => DataFrame,
+      orderColsA: Seq[org.apache.spark.sql.Column],
+      orderColsB: Seq[org.apache.spark.sql.Column],
+      batches: Int = 3,
+      mode: String = "append"): (DataFrame, Int) = {
+    require(batches >= 2,
+      s"runMultiBatchTwo($tag): need >= 2 batches to exercise " +
+        s"cross-batch state, got $batches")
+    val uid = java.util.UUID.randomUUID().toString.take(8)
+    val base = s"${Tables.scratchBase}/graft_${tag}_" +
+      s"${s.sparkContext.applicationId}/$uid"
+    val sink = s"${tag}_$uid"
+    stageSliceFiles(s, tag, base, inputA, orderColsA, batches, "inA")
+    stageSliceFiles(s, tag, base, inputB, orderColsB, batches, "inB")
+    def src(sub: String, schema: org.apache.spark.sql.types.StructType) =
+      s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$base/$sub")
+    val q = build(src("inA", inputA.schema), src("inB", inputB.schema))
+      .writeStream
+      .format("memory").queryName(sink)
+      .outputMode(mode)
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val observed = q.recentProgress.count(_.numInputRows > 0)
+    require(observed >= batches,
+      s"runMultiBatchTwo($tag): expected >= $batches non-empty " +
+        s"micro-batches, progress log shows $observed — the cross-batch " +
+        "contract was not exercised")
+    s.table(sink).write.mode("overwrite").parquet(s"$base/out")
+    s.catalog.dropTempView(sink)
+    deleteRec(java.nio.file.Paths.get(s"$base/inA"))
+    deleteRec(java.nio.file.Paths.get(s"$base/inB"))
+    deleteRec(java.nio.file.Paths.get(s"$base/ckpt"))
+    registerDeleteOnExit(java.nio.file.Paths.get(base))
+    (s.read.parquet(s"$base/out"), observed)
+  }
+
   /** Stage `input` into `base/in` as `batches` contiguous
     * `orderCols`-sorted slice files with strictly increasing mtimes —
     * the shared slicing step of [[runMultiBatchCounted]] and
@@ -175,9 +228,9 @@ object StreamingQueries {
   private def stageSliceFiles(s: SparkSession, tag: String, base: String,
                               input: DataFrame,
                               orderCols: Seq[org.apache.spark.sql.Column],
-                              batches: Int): Unit = {
+                              batches: Int, inSub: String = "in"): Unit = {
     import org.apache.spark.sql.expressions.Window
-    val inDir = java.nio.file.Paths.get(s"$base/in")
+    val inDir = java.nio.file.Paths.get(s"$base/$inSub")
     java.nio.file.Files.createDirectories(inDir)
     val stage = s"$base/stage"
     input.withColumn("__b",
@@ -590,6 +643,41 @@ object StreamingQueries {
         .withColumn("overest", col("cms_est") - col("exact_n"))
         .select("user_id", "exact_n", "cms_est", "overest")
         .orderBy(col("exact_n").desc, col("user_id"))
+    },
+
+    // Stream-STREAM interval join — the join family the streaming tier
+    // had not gated: BOTH sides unbounded (q91 enriches a stream
+    // against dimension rows in the same stream; q114 probes a static
+    // index). The engine must buffer each side's keyed state across
+    // micro-batches — a click in batch 0 matching a purchase in batch
+    // 2 only pairs if the click survived two checkpointed boundaries —
+    // and the interval condition (purchase within 1h after the click)
+    // is what bounds that buffer in production: state retention is
+    // join-range + watermark, not the whole stream. The gate's
+    // watermark spans the replay corpus (720h) so NOTHING is evicted
+    // and the drained result must equal the batch interval join
+    // row-for-row (the oracle); a production deployment would tighten
+    // it to ~1h and accept late-click eviction. Both sources admit one
+    // sliced file per trigger, so every micro-batch carries a slice of
+    // EACH side; ≥3 non-empty batches enforced by the harness.
+    "q165_stream_stream_join" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("event_id").as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("purchase_id"))
+      runMultiBatchTwoCounted(s, "q165", clicks, purchases,
+        (cs, ps) => cs.withWatermark("c_ts", "720 hours")
+          .join(ps.withWatermark("p_ts", "720 hours"),
+            expr("c_user = p_user AND p_ts >= c_ts AND " +
+              "p_ts <= c_ts + interval 1 hour")),
+        orderColsA = Seq(col("c_ts"), col("click_id")),
+        orderColsB = Seq(col("p_ts"), col("purchase_id")))._1
+        .select(col("c_user").as("user_id"), col("click_id"),
+          col("purchase_id"))
+        .orderBy("user_id", "click_id", "purchase_id")
     }
   )
 
@@ -619,6 +707,18 @@ object StreamingQueries {
         |FROM pc JOIN cells ON cells.r = pc.r AND cells.c = pc.c
         |GROUP BY pc.user_id, pc.exact_n
         |ORDER BY exact_n DESC, user_id""".stripMargin,
+
+    // the batch interval join the drained stream must reproduce
+    // row-for-row (nothing evicted under the corpus-spanning
+    // watermark)
+    "q165_stream_stream_join" ->
+      """SELECT c.user_id, c.event_id AS click_id,
+        |  p.event_id AS purchase_id
+        |FROM events c JOIN events p
+        |  ON p.user_id = c.user_id
+        |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        |ORDER BY 1, 2, 3""".stripMargin,
 
     // identical shape to q62's oracle (DuckDB's native ASOF JOIN — an
     // independent implementation of the as-of contract)

@@ -80,6 +80,35 @@ class MultiBatchStreamingSpec extends SparkSpec {
       !ids.contains(5L) && !ids.contains(4L))
   }
 
+  test("stream-stream join matches a purchase 2 batches after its click " +
+    "(both sides' state survives boundaries)") {
+    // clicks slice by ts (c1 drains in batch 1); the matching purchase
+    // pC (same user, ts 30min after c1) is FORCED into purchase slice
+    // 3 by id-ordered staging — so the pair only appears if c1's
+    // buffered join state survived two checkpointed boundaries.
+    val clicks = Seq(
+      (1L, ts(1), 101L), (2L, ts(2), 102L), (3L, ts(3), 103L))
+      .toDF("c_user", "c_ts", "click_id")
+    val purchases = Seq(
+      (2L, Timestamp.valueOf("2024-01-02 00:10:00"), 11L),
+      (3L, Timestamp.valueOf("2024-01-03 00:20:00"), 12L),
+      (1L, Timestamp.valueOf("2024-01-01 00:30:00"), 13L))
+      .toDF("p_user", "p_ts", "purchase_id")
+    val (out, nBatches) = StreamingQueries.runMultiBatchTwoCounted(
+      spark, "mbspec_ssj", clicks, purchases,
+      (cs, ps) => cs.withWatermark("c_ts", "36500 days")
+        .join(ps.withWatermark("p_ts", "36500 days"),
+          expr("c_user = p_user AND p_ts >= c_ts AND " +
+            "p_ts <= c_ts + interval 1 hour")),
+      orderColsA = Seq(col("c_ts")),
+      orderColsB = Seq(col("purchase_id")), // pC (id 13) lands in slice 3
+      batches = 3)
+    assert(nBatches >= 3)
+    val pairs = out.select("click_id", "purchase_id")
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(pairs === Seq((101L, 13L), (102L, 11L), (103L, 12L)))
+  }
+
   test("runMultiBatch fails loudly when asked for fewer than 2 batches") {
     val rows = Seq((1L, "X", ts(1))).toDF("id", "text", "ts")
     intercept[IllegalArgumentException] {
