@@ -2271,30 +2271,7 @@ object TextQueries {
     // bit-identical doubles, sums in the same order, class cut on the
     // 6dp-rounded score.
     "q153_record_linkage" -> { (s, dir) =>
-      val d = t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), col("source"),
-          expr("n_chars div 100").as("lenb"), toks(col("text")).as("tk"))
-        .filter(size(col("tk")) >= 3)
-        .withColumn("fp", minGramFp(col("tk")))
-        .withColumn("blk", element_at(col("tk"), 1))
-        .drop("tk")
-      val a = d.select(col("blk"), col("doc_id").as("id_a"),
-        col("lang").as("la"), col("source").as("sa"),
-        col("lenb").as("ba"), col("fp").as("fa"))
-      val b = d.select(col("blk"), col("doc_id").as("id_b"),
-        col("lang").as("lb"), col("source").as("sb"),
-        col("lenb").as("bb"), col("fp").as("fb"))
-      val scoreExpr = linkageWeights.map { case (fld, wa, wd) =>
-        val eq = fld match {
-          case "lang"   => col("la") === col("lb")
-          case "source" => col("sa") === col("sb")
-          case "lenb"   => col("ba") === col("bb")
-          case "fp"     => col("fa") === col("fb")
-        }
-        when(eq, lit(wa)).otherwise(lit(wd))
-      }.reduce(_ + _)
-      a.join(b, a("blk") === b("blk") && col("id_a") < col("id_b"))
-        .withColumn("score", round(scoreExpr, 6))
+      linkageScoredPairs(s, dir)
         .withColumn("cls",
           when(col("score") >= 3.0, "match")
             .when(col("score") >= 0.0, "possible")
@@ -2383,8 +2360,73 @@ object TextQueries {
           round(col("s") / (col("na") * col("nb")), 6))
         .select("source_a", "source_b", "n_buckets", "w1_buckets")
         .orderBy("source_a", "source_b")
+    },
+
+    // Golden-record consolidation — the step AFTER q153's pairwise
+    // linkage that entity resolution actually ships: matched pairs
+    // close into entities (connected components over the match graph,
+    // q55's O(diameter) machinery — transitivity is the point, A≈B≈C
+    // is one entity even when A and C never scored), then each
+    // multi-member entity consolidates to one survivor row under
+    // DETERMINISTIC rules (min id as the golden key, min lang, source
+    // count, char total) — a "latest/first non-null wins" rule that
+    // depended on row arrival order would be nondeterministic under
+    // shuffle and ungateable. Only the match tier (score ≥ 3.0)
+    // merges; `possible` pairs are left for review, exactly the
+    // Fellegi–Sunter deployment contract. Oracle closes the same
+    // match graph with the recursive-CTE union-find.
+    "q166_golden_record" -> { (s, dir) =>
+      val pairs = linkageScoredPairs(s, dir)
+        .filter(col("score") >= 3.0)
+        .select(col("id_a"), col("id_b"))
+      val cc = Sc.connectedComponents(pairs, "id_a", "id_b")
+      val docs = t(s, dir, "documents")
+        .filter(size(toks(col("text"))) >= 3) // the linkage universe
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      docs.join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"))
+        .groupBy(col("rep"))
+        .agg(min("doc_id").as("golden_id"),
+          count(lit(1)).as("n_members"),
+          countDistinct("source").as("n_sources"),
+          min("lang").as("lang"), sum("n_chars").as("sum_chars"))
+        .filter(col("n_members") >= 2)
+        .select("golden_id", "n_members", "n_sources", "lang", "sum_chars")
+        .orderBy("golden_id")
     }
   )
+
+  /** q153/q166 shared Fellegi–Sunter scoring pass: every same-block
+    * (first-token) doc pair with its 6dp-rounded log-odds score and
+    * both sides' ids. Blocking bounds the candidate set; the score is
+    * a fold of the [[linkageWeights]] literals, identical in the
+    * generated oracles.
+    */
+  private def linkageScoredPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"),
+        expr("n_chars div 100").as("lenb"), toks(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .withColumn("fp", minGramFp(col("tk")))
+      .withColumn("blk", element_at(col("tk"), 1))
+      .drop("tk")
+    val a = d.select(col("blk"), col("doc_id").as("id_a"),
+      col("lang").as("la"), col("source").as("sa"),
+      col("lenb").as("ba"), col("fp").as("fa"))
+    val b = d.select(col("blk"), col("doc_id").as("id_b"),
+      col("lang").as("lb"), col("source").as("sb"),
+      col("lenb").as("bb"), col("fp").as("fb"))
+    val scoreExpr = linkageWeights.map { case (fld, wa, wd) =>
+      val eq = fld match {
+        case "lang"   => col("la") === col("lb")
+        case "source" => col("sa") === col("sb")
+        case "lenb"   => col("ba") === col("bb")
+        case "fp"     => col("fa") === col("fb")
+      }
+      when(eq, lit(wa)).otherwise(lit(wd))
+    }.reduce(_ + _)
+    a.join(b, a("blk") === b("blk") && col("id_a") < col("id_b"))
+      .withColumn("score", round(scoreExpr, 6))
+  }
 
   /** q153's stand-in m/u table → (field, agree-weight, disagree-weight)
     * with the log-odds computed once on the JVM; both engines consume
@@ -2484,12 +2526,62 @@ object TextQueries {
        |FROM scored GROUP BY cls ORDER BY cls""".stripMargin
   }
 
+  /** q166's DuckDB mirror, generated with the SAME weight literals:
+    * the q153 match tier closed by the q55 recursive-CTE union-find,
+    * consolidated under the same deterministic rules.
+    */
+  private def goldenRecordOracle: String = {
+    val terms = linkageWeights.map { case (fld, wa, wd) =>
+      val eq = fld match {
+        case "lang"   => "a.lang = b.lang"
+        case "source" => "a.source = b.source"
+        case "lenb"   => "a.lenb = b.lenb"
+        case "fp"     => "a.fp = b.fp"
+      }
+      s"CASE WHEN $eq THEN ${wa}::DOUBLE ELSE ${wd}::DOUBLE END"
+    }.mkString(" +\n        ")
+    s"""WITH RECURSIVE tk AS (
+       |  SELECT doc_id, lang, source, n_chars, n_chars // 100 AS lenb,
+       |    string_split(trim(lower(text)), ' ') AS t
+       |  FROM documents
+       |  WHERE len(string_split(trim(lower(text)), ' ')) >= 3),
+       |grams AS (
+       |  SELECT doc_id,
+       |    unnest([('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]),
+       |      1, 15))::BIGINT for i in range(1, len(t) - 1)]) AS h
+       |  FROM tk),
+       |fps AS (SELECT doc_id, min(h) AS fp FROM grams GROUP BY doc_id),
+       |d AS (
+       |  SELECT tk.doc_id, lang, source, n_chars, lenb, t[1] AS blk, fps.fp
+       |  FROM tk JOIN fps USING (doc_id)),
+       |p AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b
+       |  FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+       |  WHERE round($terms, 6) >= 3.0),
+       |e AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p),
+       |reach(id, lab) AS (
+       |  SELECT a AS id, a AS lab FROM e
+       |  UNION
+       |  SELECT e.a AS id, r.lab AS lab
+       |  FROM e JOIN reach r ON e.b = r.id),
+       |comp AS (SELECT id, min(lab) AS rep FROM reach GROUP BY id)
+       |SELECT min(d.doc_id) AS golden_id,
+       |  count(*) AS n_members,
+       |  CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources,
+       |  min(d.lang) AS lang,
+       |  CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+       |FROM comp JOIN d ON d.doc_id = comp.id
+       |GROUP BY comp.rep HAVING count(*) >= 2
+       |ORDER BY golden_id""".stripMargin
+  }
+
   // Tie-break order for the lang-ID argmax: scores equal ⇒ larger lang
   // code wins (array_max on struct(score, lang)). The oracle mirrors
   // this with a descending-alphabetical CASE chain using >=.
   val oracleSql: Map[String, String] = Map(
     "q140_bpe_encode" -> bpeEncodeOracle,
     "q153_record_linkage" -> recordLinkageOracle,
+    "q166_golden_record" -> goldenRecordOracle,
 
     // the same grid CDFs and exact integer cross-multiplied sum
     "q156_wasserstein" ->
