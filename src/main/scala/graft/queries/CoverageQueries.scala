@@ -1215,10 +1215,868 @@ object CoverageQueries {
             (col("expected") * col("nt")), 6))
         .select("digit", "n", "share", "expected", "chi2_contrib")
         .orderBy("digit")
+    },
+
+    // CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM'13)
+    // — the readout companion to q144's SRM gate: the post-period
+    // metric is adjusted by the PRE-period covariate (Y' = Y −
+    // θ(X − x̄)), which removes the between-user variance the
+    // experiment didn't cause and typically halves the sample size a
+    // test needs. Spend is kept as exact integer cents per user (the
+    // q159 rule — never a float sum across engines); the pooled
+    // θ = cov(X,Y)/var(X) comes from the q154 closed form: five
+    // integer sums that partial-aggregate map-side, so a 100 TB event
+    // stream reduces to one 6-long row before any IEEE op. The
+    // n·Σxy−Σx·Σy combinations cast to double BEFORE multiplying
+    // (long² overflows at dilated scale; DuckDB would silently widen
+    // to HUGEINT — a different rounding), and θ is rounded 6dp BEFORE
+    // the adjustment is applied (the q106 round-before-use rule), so
+    // every cross-engine float crosses only through a round.
+    "q160_cuped" -> { (s, dir) =>
+      val cut = lit("2024-01-16").cast("timestamp")
+      val perUser = t(s, dir, "events")
+        .select(col("user_id"), col("ts"),
+          expr("cast(round(value * 100) as bigint)").as("cents"))
+        .withColumn("arm",
+          (conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 2).cast("int"))
+        .groupBy("user_id", "arm")
+        .agg(
+          sum(when(col("ts") < cut, col("cents")).otherwise(0L)).as("x"),
+          sum(when(col("ts") >= cut, col("cents")).otherwise(0L)).as("y"))
+      val pool = broadcast(perUser.agg(
+        count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy")))
+      val arms = perUser.groupBy("arm").agg(
+        count(lit(1)).as("n_users"), sum("x").as("ax"), sum("y").as("ay"))
+      arms.crossJoin(pool)
+        .withColumn("cov_num",
+          col("n").cast("double") * col("sxy") -
+            col("sx").cast("double") * col("sy"))
+        .withColumn("varx_num",
+          col("n").cast("double") * col("sxx") -
+            col("sx").cast("double") * col("sx"))
+        .withColumn("vary_num",
+          col("n").cast("double") * col("syy") -
+            col("sy").cast("double") * col("sy"))
+        // degenerate-covariate guard: a constant X (or Y) has nothing
+        // to regress out — θ and ρ² are 0 by definition, never a /0
+        .withColumn("theta", when(col("varx_num") === 0.0, 0.0)
+          .otherwise(round(col("cov_num") / col("varx_num"), 6)))
+        .withColumn("rho2",
+          when(col("varx_num") === 0.0 || col("vary_num") === 0.0, 0.0)
+            .otherwise(round((col("cov_num") * col("cov_num")) /
+              (col("varx_num") * col("vary_num")), 6)))
+        .withColumn("mean_pre", round(col("ax") / col("n_users"), 6))
+        .withColumn("mean_post", round(col("ay") / col("n_users"), 6))
+        .withColumn("mean_post_adj", round(
+          col("ay") / col("n_users") - col("theta") *
+            (col("ax") / col("n_users") - col("sx") / col("n")), 6))
+        .select("arm", "n_users", "mean_pre", "mean_post", "theta",
+          "rho2", "mean_post_adj")
+        .orderBy("arm")
+    },
+
+    // Poisson bootstrap CI (Chamandy et al., "Estimating Uncertainty
+    // for Massive Data Streams", Google 2012) — THE bootstrap that
+    // survives 100 TB: the classic resample needs n draws per
+    // replicate through one machine; the Poisson form gives every row
+    // an independent Poisson(1) weight per replicate, so all 32
+    // replicates ride ONE scan and the shuffle carries 32 partial
+    // rows per partition (map-side combine on the rep key). Weights
+    // are deterministic — q104's dyadic-rational uniform (md5 40-bit
+    // prefix + 1, ONE exact /2^40) through the literal Poisson CDF
+    // chain, so both engines draw byte-identical replicates; sums are
+    // exact integer cents to one rounded division per replicate. The
+    // CI is the 2nd/31st order statistic of the 32 replicate means
+    // (≈ the 95% percentile interval) — a 32-row window, metadata,
+    // never the data.
+    "q161_poisson_bootstrap" -> { (s, dir) =>
+      val reps = 32
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("okey"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+      val u01 = (conv(substring(md5(concat(lit("bs:"),
+        col("rep").cast("string"), lit(":"), col("okey").cast("string"))),
+        1, 10), 16, 10).cast("long") + 1L)
+        .cast("double") / lit(1099511627776.0) // 2^40, exact
+      val weighted = o
+        .select(col("okey"), col("cents"),
+          explode(sequence(lit(0), lit(reps - 1))).as("rep"))
+        .withColumn("u", u01)
+        .withColumn("w",
+          when(col("u") < 0.36787944117144233, 0L)
+            .when(col("u") < 0.7357588823428847, 1L)
+            .when(col("u") < 0.9196986029286058, 2L)
+            .when(col("u") < 0.9810118431238462, 3L)
+            .when(col("u") < 0.9963401531726563, 4L)
+            .when(col("u") < 0.9994058151824183, 5L)
+            .when(col("u") < 0.9999167588507119, 6L)
+            .when(col("u") < 0.9999902393243134, 7L)
+            .otherwise(8L))
+      val repMeans = weighted.groupBy("rep").agg(
+        sum(col("w") * col("cents")).as("swc"), sum("w").as("sw"))
+        .withColumn("m", round(col("swc") / col("sw"), 6))
+      val ranked = repMeans.select(col("m"))
+        .withColumn("i", row_number().over(Window.orderBy("m")))
+      val lo = ranked.filter(col("i") === 2).select(col("m").as("ci_lo"))
+      val hi = ranked.filter(col("i") === reps - 1)
+        .select(col("m").as("ci_hi"))
+      t(s, dir, "orders")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(expr("cast(round(o_totalprice * 100) as bigint)")) /
+            count(lit(1)), 6).as("point_mean"))
+        .withColumn("n_reps", lit(reps))
+        .crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+        .select("n_reps", "n_orders", "point_mean", "ci_lo", "ci_hi")
+    },
+
+    // Changepoint detection (binary-segmentation step, CUSUM form) —
+    // the monitoring question q90's rolling z-score can't answer:
+    // WHERE did the level shift, not just that an hour spiked. Per
+    // event type the daily-count series collapses from the raw stream
+    // in one map-combined groupBy (a 100 TB stream becomes ≤|types|×
+    // |days| rows — everything after is grid metadata); the CUSUM
+    // objective G_k = |n·S_k − k·S_n| stays EXACT LONGS (the
+    // |S_k − (k/n)S_n| form scaled by n — same argmax, no division),
+    // prefix sums ride a type-partitioned grid window, and the argmax
+    // tie-breaks deterministically on the earlier day. Means before/
+    // after are one rounded division each. Observed days only: a
+    // zero-event day is absent from both engines identically (this
+    // corpus has no empty days; a sparse deployment would densify
+    // against a calendar spine first, q90's documented caveat).
+    "q162_changepoint" -> { (s, dir) =>
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val pre = daily
+        .withColumn("k", row_number().over(w))
+        .withColumn("sk", sum("c").over(w))
+      val tot = daily.groupBy("event_type").agg(
+        count(lit(1)).as("n"), sum("c").as("sn"))
+      val scored = pre.join(broadcast(tot), "event_type")
+        .filter(col("k") < col("n")) // a split needs both sides non-empty
+        .withColumn("g", abs(col("n") * col("sk") - col("k") * col("sn")))
+      val pick = Window.partitionBy("event_type")
+        .orderBy(col("g").desc, col("k"))
+      scored.withColumn("r", row_number().over(pick)).filter(col("r") === 1)
+        .withColumn("mean_before", round(col("sk") / col("k"), 6))
+        .withColumn("mean_after",
+          round((col("sn") - col("sk")) / (col("n") - col("k")), 6))
+        .select(col("event_type"), col("n").as("n_days"),
+          col("day").as("split_day"), col("g").as("g_stat"),
+          col("mean_before"), col("mean_after"))
+        .orderBy("event_type")
+    },
+
+    // Schema evolution under the reader — the contract every
+    // long-lived 100 TB table eventually needs: a column added in a
+    // later writer generation must read back as NULL for every legacy
+    // file WITHOUT rewriting history. Two physical generations land in
+    // scratch parquet (gen1 without `lang`, gen2 with it), one
+    // mergeSchema read unions them, and the per-source null accounting
+    // must reproduce the closed-form split of the source table — a
+    // dropped legacy file, a mis-merged schema, or a default other
+    // than NULL all flip the hash. (Partition- and bucket-preserving
+    // evolution is PartitionedCowTable/BucketedTable territory; this
+    // gates the reader semantics those build on.)
+    "q163_schema_evolution" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val base =
+        s"${Tables.scratchBase}/graft_q163_${s.sparkContext.applicationId}"
+      docs.filter(col("doc_id") % 2 === 0)
+        .select("doc_id", "text", "source")
+        .write.mode("overwrite").parquet(s"$base/gen1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select("doc_id", "text", "source", "lang")
+        .write.mode("overwrite").parquet(s"$base/gen2")
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$base/gen1", s"$base/gen2")
+        .groupBy("source").agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("lang").isNotNull, 1L).otherwise(0L))
+            .as("n_with_lang"),
+          sum(when(col("lang").isNull, 1L).otherwise(0L)).as("n_legacy"))
+        .orderBy("source")
+    },
+
+    // Mann–Whitney U — the significance readout for q144/q160's
+    // experiment stack on a SKEWED metric (per-user purchase spend:
+    // heavy-tailed, zero-inflated — a t-test's normality assumption is
+    // exactly wrong here, the rank test doesn't care). Histogram
+    // closed form (q128's device): the corpus collapses to (value,
+    // n_arm0, n_arm1) cells, strictly-below counts ride the two-phase
+    // prefix sum, and the tie-corrected statistic stays EXACT LONGS —
+    // 2U = Σ n1·(2·below0 + n0) avoids the half-credit fraction, the
+    // tie term Σ(t³−t) is integer — until one z-score division whose
+    // sqrt is IEEE-correctly-rounded (the q157 rule). Doc rows are
+    // never globally ranked.
+    "q164_mann_whitney" -> { (s, dir) =>
+      val perUser = t(s, dir, "events")
+        .select(col("user_id"),
+          when(col("event_type") === "purchase",
+            expr("cast(round(value * 100) as bigint)")).otherwise(0L)
+            .as("cents"))
+        .groupBy("user_id").agg(sum("cents").as("v"))
+        .withColumn("arm",
+          (conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 2).cast("int"))
+      val cells = perUser.groupBy("v").agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"))
+        .withColumn("grp", lit(0))
+      val agg = R.groupedPrefixSum(cells, "grp", "v", "n0", "below0")
+        .agg(sum("n0").as("n0t"), sum("n1").as("n1t"),
+          sum(col("n1") * (lit(2) * col("below0") + col("n0"))).as("u2x"),
+          sum((col("n0") + col("n1")) * (col("n0") + col("n1")) *
+            (col("n0") + col("n1")) - (col("n0") + col("n1"))).as("stie"))
+        .withColumn("n", col("n0t") + col("n1t"))
+        .withColumn("sig2",
+          (col("n0t").cast("double") * col("n1t") / 12.0) *
+            ((col("n") + 1).cast("double") -
+              col("stie").cast("double") /
+                (col("n").cast("double") * (col("n") - 1))))
+      agg
+        .withColumn("z", when(col("sig2") === 0.0, 0.0)
+          .otherwise(round(
+            (col("u2x").cast("double") / 2.0 -
+              col("n0t").cast("double") * col("n1t") / 2.0) /
+              sqrt(col("sig2")), 6)))
+        .select(col("n0t").as("n0"), col("n1t").as("n1"), col("u2x"),
+          col("z"))
+    },
+
+    // Linear (equal-split) multi-touch attribution — q146's last-touch
+    // sibling: every same-user click in the 7-day lookback shares the
+    // purchase's credit equally, the other canonical attribution rule
+    // (last-touch overweights the final retargeting click; linear is
+    // what media-mix reads). Credit is INTEGER MICRO-UNITS
+    // (1000000 div n_touch) — summing 1/n doubles across a shuffle is
+    // order-dependent and ungateable, and ppm quantization is exactly
+    // what production ledger systems do. Two keyed shuffles: the
+    // user-keyed touch join (per-user candidate volume, bounded by
+    // activity), then the purchase-keyed window for the split count;
+    // purchases with no in-window click are unattributed by design
+    // (q146 carries the explicit sentinel for those).
+    "q167_linear_attribution" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("c_ts"),
+          col("event_id").as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"),
+          col("event_id").as("purchase_id"))
+      val touches = clicks.join(purchases, Seq("user_id"))
+        .filter(col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr("interval 7 days"))
+      touches
+        .withColumn("n_touch",
+          count(lit(1)).over(Window.partitionBy("purchase_id")))
+        .withColumn("credit_ppm", expr("1000000 div n_touch"))
+        .groupBy(to_date(col("c_ts")).as("day"))
+        .agg(sum("credit_ppm").as("credit_ppm"),
+          count(lit(1)).as("n_touches"),
+          countDistinct("purchase_id").as("n_purchases"))
+        .orderBy("day")
+    },
+
+    // k-core decomposition (k=3) — the graph-family tier between
+    // q138's local triangle counts and q134's global PageRank: the
+    // maximal subgraph where EVERY node keeps ≥k neighbors, the
+    // standard dense-community / spam-cluster extractor. Iterative
+    // peel: drop sub-k nodes, recompute degrees, repeat to fixpoint —
+    // each round is one degree groupBy + two semi-join prunes on a
+    // SHRINKING edge table (lineage cut per round, the
+    // connectedComponents discipline), O(peel-depth) rounds with a
+    // loud non-convergence failure. The per-round count() actions are
+    // bounded scalars (the watermark precedent), never row data. The
+    // oracle replays the same peel as 30 generated CTE rounds —
+    // idempotent past the fixpoint, so depth differences can't
+    // desynchronize the engines.
+    "q168_kcore" -> { (s, dir) =>
+      val k = 3
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .distinct()
+      var edges = li.alias("a").join(li.alias("b"),
+          col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+        .localCheckpoint()
+      var nEdges = edges.count()
+      var converged = false
+      var iters = 0
+      while (!converged && iters < 30) {
+        val deg = edges.select(col("u").as("x"))
+          .unionAll(edges.select(col("v").as("x")))
+          .groupBy("x").agg(count(lit(1)).as("d"))
+        val keep = deg.filter(col("d") >= k).select("x")
+        val pruned = edges
+          .join(keep.withColumnRenamed("x", "u"), Seq("u"))
+          .join(keep.withColumnRenamed("x", "v"), Seq("v"))
+          .select("u", "v").localCheckpoint()
+        val nAfter = pruned.count()
+        if (nAfter == nEdges) converged = true
+        else { edges = pruned; nEdges = nAfter }
+        iters += 1
+      }
+      require(converged,
+        s"q168: 3-core peel did not converge within 30 rounds " +
+          s"($nEdges edges at round $iters)")
+      val coreDeg = edges.select(col("u").as("part"))
+        .unionAll(edges.select(col("v").as("part")))
+        .groupBy("part").agg(count(lit(1)).as("core_degree"))
+      val tot = broadcast(coreDeg.agg(
+        count(lit(1)).as("n_core_nodes"), sum("core_degree").as("deg_sum")))
+      coreDeg.crossJoin(tot)
+        .orderBy(col("core_degree").desc, col("part"))
+        .limit(20)
+        .select("part", "core_degree", "n_core_nodes", "deg_sum")
+    },
+
+    // Funnel latency — q84 counts WHO converts, this measures HOW
+    // LONG conversion takes (the metric behind every "median time to
+    // purchase" dashboard): per user, first click → first purchase at
+    // or after it, cohorted by first-click day. Durations stay exact
+    // integer MICROSECONDS (timestamp subtraction in float seconds
+    // would round differently per engine); the interpolated p50/p90
+    // are `percentile`'s exact form (the q10 convention —
+    // quantile_cont mirrors it), never an approx sketch, and NULL
+    // non-converters fall out of count(col)/percentile identically in
+    // both engines. Two user-keyed shuffles (first-click groupBy, the
+    // conversion min); cohort rollup is day-grid metadata.
+    "q169_time_to_convert" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val firstClick = ev.filter(col("event_type") === "click")
+        .groupBy("user_id").agg(min("ts").as("c_ts"))
+      val firstConv = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"))
+        .join(firstClick, Seq("user_id"))
+        .filter(col("p_ts") >= col("c_ts"))
+        .groupBy("user_id").agg(min("p_ts").as("conv_ts"))
+      firstClick.join(firstConv, Seq("user_id"), "left")
+        .withColumn("cohort_day", to_date(col("c_ts")))
+        .withColumn("dur_us",
+          unix_micros(col("conv_ts")) - unix_micros(col("c_ts")))
+        .groupBy("cohort_day").agg(
+          count(lit(1)).as("n_clicked"),
+          count(col("dur_us")).as("n_converted"),
+          round(count(col("dur_us")) / count(lit(1)), 6).as("conv_rate"),
+          round(percentile(col("dur_us"), lit(0.5)), 5).as("p50_us"),
+          round(percentile(col("dur_us"), lit(0.9)), 5).as("p90_us"))
+        .orderBy("cohort_day")
+    },
+
+    // Population Stability Index — the ML-ops drift statistic risk
+    // teams actually threshold (0.1 = moderate, 0.25 = shifted),
+    // completing the drift triad: q106 KL answers "did the VOCAB
+    // change", q156 W1 "did the SHAPE change", PSI "did the SCORE
+    // DISTRIBUTION my model consumes change", symmetric in its two
+    // windows. Value cents bucket into a capped $25 grid map-side
+    // (one scan computes both windows' histograms via sum(when) —
+    // q106's device), add-one smoothing over each type's OBSERVED
+    // bucket set keeps ln finite, contributions sum as doubles and
+    // cross engines only through the 6dp round (the q106 KL
+    // precedent), and the verdict label derives from the ROUNDED psi
+    // so a last-ulp can't flip it.
+    "q170_psi" -> { (s, dir) =>
+      val cut = lit("2024-01-16").cast("timestamp")
+      val h = t(s, dir, "events")
+        .select(col("event_type"),
+          least(expr("cast(round(value * 100) as bigint) div 2500"),
+            lit(19L)).as("b"),
+          when(col("ts") < cut, 1L).otherwise(0L).as("is_ref"))
+        .groupBy("event_type", "b")
+        .agg(sum(col("is_ref")).as("cr"),
+          sum(lit(1L) - col("is_ref")).as("cc"))
+      val totals = h.groupBy("event_type").agg(
+        sum("cr").as("tr"), sum("cc").as("tc"), count(lit(1)).as("v"))
+      val pr = (col("cr") + 1).cast("double") / (col("tr") + col("v"))
+      val pc = (col("cc") + 1).cast("double") / (col("tc") + col("v"))
+      h.join(broadcast(totals), "event_type")
+        .select(col("event_type"), col("tr"), col("tc"), col("v"),
+          ((pr - pc) * log(pr / pc)).as("c"))
+        .groupBy(col("event_type"), col("tr").as("n_ref"),
+          col("tc").as("n_cur"), col("v").as("n_buckets"))
+        .agg(round(sum("c"), 6).as("psi"))
+        .withColumn("verdict",
+          when(col("psi") < 0.1, "stable")
+            .when(col("psi") < 0.25, "moderate")
+            .otherwise("shifted"))
+        .select("event_type", "n_ref", "n_cur", "n_buckets", "psi",
+          "verdict")
+        .orderBy("event_type")
+    },
+
+    // Seasonal-naive forecast evaluation (MASE, Hyndman & Koehler
+    // 2006) — the honest yardstick for "can we forecast next week's
+    // volume": the same-weekday-last-week forecast's MAE scaled by the
+    // naive yesterday-forecast's MAE, unitless and comparable across
+    // types (plain MAPE explodes on quiet days). The stream collapses
+    // to the daily grid once; both shifted series come from DATE-
+    // ARITHMETIC equi-joins on the grid (day = day−7 / day−1 — no
+    // window sort, join keys are calendar math), absolute errors stay
+    // EXACT LONGS, and MASE is one division of long products cast to
+    // double (the q154 rule). MASE < 1 ⇒ weekly seasonality carries
+    // real signal beyond persistence.
+    "q171_mase" -> { (s, dir) =>
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      def shifted(days: Int, as: String) = daily.select(
+        col("event_type"), date_add(col("day"), days).as("day"),
+        col("c").as(as))
+      val e7 = daily.join(shifted(7, "f7"), Seq("event_type", "day"))
+        .groupBy("event_type")
+        .agg(sum(abs(col("c") - col("f7"))).as("s7"),
+          count(lit(1)).as("n7"))
+      val e1 = daily.join(shifted(1, "f1"), Seq("event_type", "day"))
+        .groupBy("event_type")
+        .agg(sum(abs(col("c") - col("f1"))).as("s1"),
+          count(lit(1)).as("n1"))
+      e7.join(e1, "event_type")
+        .withColumn("mae7", round(col("s7") / col("n7"), 6))
+        .withColumn("mae1", round(col("s1") / col("n1"), 6))
+        // a perfectly flat series has zero naive error — MASE is
+        // undefined there, never a NaN that hashes differently
+        .withColumn("mase", when(col("s1") === 0, lit(null).cast("double"))
+          .otherwise(round(
+            (col("s7").cast("double") * col("n1")) /
+              (col("n7").cast("double") * col("s1")), 6)))
+        .select("event_type", "n7", "mae7", "mae1", "mase")
+        .orderBy("event_type")
+    },
+
+    // Cohort LTV triangle — q85's retention companion that carries
+    // MONEY: users cohorted by first-seen week, purchase revenue
+    // accumulated per week-since-signup, reported as cumulative cents
+    // per cohort user (the curve growth teams project forward).
+    // Revenue stays integer cents through the cumulative prefix (a
+    // cohort-partitioned window over the ≤|weeks|² triangle grid —
+    // metadata, not events); ONE division per cell at the end. The
+    // first-seen groupBy and the (cohort, week) rollup are the only
+    // event-scale shuffles.
+    "q172_cohort_ltv" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val firstSeen = ev.groupBy("user_id")
+        .agg(floor(datediff(to_date(min("ts")), lit("2024-01-01")) / 7)
+          .as("cohort_week"))
+      val cohortSize = firstSeen.groupBy("cohort_week")
+        .agg(count(lit(1)).as("n_users"))
+      val rev = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          expr("cast(round(value * 100) as bigint)").as("cents"),
+          floor(datediff(to_date(col("ts")), lit("2024-01-01")) / 7)
+            .as("ev_week"))
+        .join(firstSeen, "user_id")
+        .withColumn("k", col("ev_week") - col("cohort_week"))
+        .groupBy("cohort_week", "k").agg(sum("cents").as("wk_cents"))
+      val wc = Window.partitionBy("cohort_week").orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rev.withColumn("cum_cents", sum("wk_cents").over(wc))
+        .join(broadcast(cohortSize), "cohort_week")
+        .withColumn("ltv_cents_per_user",
+          round(col("cum_cents") / col("n_users"), 6))
+        .select("cohort_week", "k", "n_users", "wk_cents", "cum_cents",
+          "ltv_cents_per_user")
+        .orderBy("cohort_week", "k")
+    },
+
+    // Robust outlier screen (modified z-score, Iglewicz–Hoaglin) —
+    // q90's rolling mean/σ monitor is poisoned by the very outliers
+    // it hunts (one 10× day inflates σ and hides its neighbors);
+    // median/MAD is breakdown-point-0.5 robust. The stream collapses
+    // to the daily grid once; med and MAD are the EXACT interpolated
+    // percentile (q10's convention) over grid rows — two grid passes,
+    // never a corpus sort — deviations are exact in doubles (integer
+    // count minus a .0/.5 median), and the 3.5 flag plus the worst-day
+    // argmax both read the 6dp-ROUNDED z (the q76 rule, so a last-ulp
+    // can't flip either engine). MAD = 0 (a majority-constant series)
+    // leaves z undefined, never a /0.
+    "q173_mad_outliers" -> { (s, dir) =>
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val med = daily.groupBy("event_type")
+        .agg(percentile(col("c"), lit(0.5)).as("med"))
+      val dev = daily.join(broadcast(med), "event_type")
+        .withColumn("dev", abs(col("c") - col("med")))
+      val mad = dev.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"), first("med").as("med"),
+          percentile(col("dev"), lit(0.5)).as("mad"))
+      val z = dev.join(broadcast(mad.select("event_type", "mad")),
+          "event_type")
+        .withColumn("z", when(col("mad") === 0.0,
+            lit(null).cast("double"))
+          .otherwise(round(
+            lit(0.6745) * (col("c") - col("med")) / col("mad"), 6)))
+      val pick = Window.partitionBy("event_type")
+        .orderBy(abs(col("z")).desc_nulls_last, col("day"))
+      z.withColumn("r", row_number().over(pick)).filter(col("r") === 1)
+        .select(col("event_type"), col("day").as("worst_day"),
+          col("z").as("worst_z"))
+        .join(broadcast(mad), "event_type")
+        .join(z.filter(abs(col("z")) > 3.5).groupBy("event_type")
+          .agg(count(lit(1)).as("n_outliers")), Seq("event_type"), "left")
+        .na.fill(0L, Seq("n_outliers"))
+        .withColumn("med_c", round(col("med"), 5))
+        .withColumn("mad_c", round(col("mad"), 5))
+        .select("event_type", "n_days", "med_c", "mad_c", "n_outliers",
+          "worst_day", "worst_z")
+        .orderBy("event_type")
+    },
+
+    // Two-sample Kolmogorov–Smirnov — the distribution-equality test
+    // for q144's experiment stack (q164 asks "did the location move";
+    // KS asks "did the SHAPE change anywhere": variance inflation or
+    // a new zero mass moves D with the means untouched). q156's exact
+    // integer device pointed at a supremum instead of a sum: both
+    // arms' CDFs step on the shared value grid, D's numerator is
+    // max|cum0·n1 − cum1·n0| in EXACT LONGS (grid prefix sums ride
+    // the two-phase device twice), and D plus the α=0.05 critical
+    // value each spend ONE IEEE division/sqrt at the end. Doc rows
+    // are never globally ranked.
+    "q174_ks_test" -> { (s, dir) =>
+      val perUser = t(s, dir, "events")
+        .select(col("user_id"),
+          when(col("event_type") === "purchase",
+            expr("cast(round(value * 100) as bigint)")).otherwise(0L)
+            .as("cents"))
+        .groupBy("user_id").agg(sum("cents").as("v"))
+        .withColumn("arm",
+          (conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 2).cast("int"))
+      val cells = perUser.groupBy("v").agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"))
+        .withColumn("grp", lit(0))
+      val cum = R.groupedPrefixSum(
+        R.groupedPrefixSum(cells, "grp", "v", "n0", "b0"),
+        "grp", "v", "n1", "b1")
+        .withColumn("cum0", col("b0") + col("n0"))
+        .withColumn("cum1", col("b1") + col("n1"))
+      val tot = broadcast(cells.agg(
+        sum("n0").as("n0t"), sum("n1").as("n1t")))
+      cum.crossJoin(tot)
+        .select(col("n0t"), col("n1t"),
+          abs(col("cum0") * col("n1t") - col("cum1") * col("n0t"))
+            .as("dn"))
+        .groupBy("n0t", "n1t").agg(max("dn").as("d_num"))
+        .withColumn("d", round(
+          col("d_num").cast("double") / (col("n0t") * col("n1t")), 6))
+        .withColumn("crit_005", round(lit(1.358) * sqrt(
+          (col("n0t") + col("n1t")).cast("double") /
+            (col("n0t").cast("double") * col("n1t"))), 6))
+        .withColumn("reject", col("d") > col("crit_005"))
+        .select(col("n0t").as("n0"), col("n1t").as("n1"), col("d_num"),
+          col("d"), col("crit_005"), col("reject"))
+    },
+
+    // Discrete-time survival / churn hazard — the lifecycle readout
+    // q85's retention triangle feeds: for each cohort, h(k) = users
+    // last seen in week k ÷ users still at risk entering week k, the
+    // actuarial life-table form. One user-keyed pass yields (cohort,
+    // last-offset); the hazard table is a ≤|weeks|² grid with the
+    // at-risk denominator as a REVERSE grid prefix sum (suffix sum —
+    // the two-phase device ordered descending). All integer until one
+    // division per cell. Right-censoring caveat carried explicitly:
+    // the final observed week's "churn" is censoring, flagged in the
+    // output rather than silently blended.
+    "q175_survival_hazard" -> { (s, dir) =>
+      val weeks = t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(floor(datediff(to_date(min("ts")), lit("2024-01-01")) / 7)
+          .as("cohort_week"),
+          floor(datediff(to_date(max("ts")), lit("2024-01-01")) / 7)
+            .as("last_week"))
+        .withColumn("k", col("last_week") - col("cohort_week"))
+      val maxWeek = broadcast(weeks.agg(max("last_week").as("max_week")))
+      val hist = weeks.groupBy("cohort_week", "k")
+        .agg(count(lit(1)).as("n_last_seen"))
+      val ws = Window.partitionBy("cohort_week")
+        .orderBy(col("k").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist.withColumn("n_at_risk", sum("n_last_seen").over(ws))
+        .crossJoin(maxWeek)
+        .withColumn("hazard",
+          round(col("n_last_seen") / col("n_at_risk"), 6))
+        .withColumn("censored",
+          col("cohort_week") + col("k") === col("max_week"))
+        .select("cohort_week", "k", "n_at_risk", "n_last_seen",
+          "hazard", "censored")
+        .orderBy("cohort_week", "k")
     }
   )
 
+  /** q168's DuckDB mirror, generated: the same 3-core peel as 30
+    * chained CTE rounds. Peeling is idempotent at the fixpoint, so a
+    * round count ≥ the true peel depth (the engine enforces ≤30)
+    * reproduces the engine's converged subgraph exactly.
+    */
+  private def kcoreOracle: String = {
+    val rounds = (1 to 30).map { i =>
+      val prev = s"e${i - 1}"
+      s"""d$i AS MATERIALIZED (
+         |  SELECT x, count(*) AS d FROM (
+         |    SELECT u AS x FROM $prev UNION ALL SELECT v FROM $prev)
+         |  GROUP BY x),
+         |k$i AS MATERIALIZED (SELECT x FROM d$i WHERE d >= 3),
+         |e$i AS MATERIALIZED (
+         |  SELECT u, v FROM $prev
+         |  JOIN k$i a ON $prev.u = a.x
+         |  JOIN k$i b ON $prev.v = b.x)""".stripMargin
+    }.mkString(",\n")
+    // MATERIALIZED: DuckDB inlines plain CTEs, so 30 peel rounds
+    // would re-open the parquet scan past the fd limit
+    s"""WITH li AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+       |e0 AS MATERIALIZED (
+       |  SELECT DISTINCT a.p AS u, b.p AS v
+       |  FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+       |$rounds,
+       |cd AS (
+       |  SELECT part, count(*) AS core_degree FROM (
+       |    SELECT u AS part FROM e30 UNION ALL SELECT v FROM e30)
+       |  GROUP BY part),
+       |tot AS (
+       |  SELECT count(*) AS n_core_nodes,
+       |    CAST(sum(core_degree) AS BIGINT) AS deg_sum FROM cd)
+       |SELECT part, core_degree, n_core_nodes, deg_sum
+       |FROM cd, tot ORDER BY core_degree DESC, part LIMIT 20""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+
+    // the same integer micro-credit split, window count per purchase
+    "q167_linear_attribution" ->
+      """WITH c AS (
+        |  SELECT user_id, ts AS c_ts, event_id AS click_id
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, ts AS p_ts, event_id AS purchase_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |t AS (
+        |  SELECT c.user_id, c.c_ts, c.click_id, p.p_ts, p.purchase_id
+        |  FROM c JOIN p ON c.user_id = p.user_id
+        |  AND c.c_ts <= p.p_ts AND c.c_ts >= p.p_ts - INTERVAL 7 DAY),
+        |n AS (
+        |  SELECT *, count(*) OVER (PARTITION BY purchase_id) AS n_touch
+        |  FROM t)
+        |SELECT CAST(c_ts AS DATE) AS day,
+        |  CAST(sum(1000000 // n_touch) AS BIGINT) AS credit_ppm,
+        |  count(*) AS n_touches,
+        |  CAST(count(DISTINCT purchase_id) AS BIGINT) AS n_purchases
+        |FROM n GROUP BY day ORDER BY day""".stripMargin,
+
+    "q168_kcore" -> kcoreOracle,
+
+    // exact integer microsecond durations; quantile_cont mirrors the
+    // engine's exact interpolated percentile (q10 convention)
+    "q169_time_to_convert" ->
+      """WITH fc AS (
+        |  SELECT user_id, min(ts) AS c_ts FROM events
+        |  WHERE event_type = 'click' GROUP BY user_id),
+        |cv AS (
+        |  SELECT p.user_id, min(p.ts) AS conv_ts
+        |  FROM events p JOIN fc ON p.user_id = fc.user_id
+        |  WHERE p.event_type = 'purchase' AND p.ts >= fc.c_ts
+        |  GROUP BY p.user_id),
+        |j AS (
+        |  SELECT fc.user_id, CAST(fc.c_ts AS DATE) AS cohort_day,
+        |    epoch_us(cv.conv_ts) - epoch_us(fc.c_ts) AS dur_us
+        |  FROM fc LEFT JOIN cv ON fc.user_id = cv.user_id)
+        |SELECT cohort_day, count(*) AS n_clicked,
+        |  count(dur_us) AS n_converted,
+        |  round(count(dur_us)::DOUBLE / count(*), 6) AS conv_rate,
+        |  round(quantile_cont(dur_us, 0.5), 5) AS p50_us,
+        |  round(quantile_cont(dur_us, 0.9), 5) AS p90_us
+        |FROM j GROUP BY cohort_day ORDER BY cohort_day""".stripMargin,
+
+    // same smoothing over the observed bucket set, same operation
+    // order; the ln sum crosses engines through the 6dp round (q106)
+    "q170_psi" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    least(CAST(round(value * 100) AS BIGINT) // 2500, 19) AS b,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END
+        |      AS is_ref
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type, b, CAST(sum(is_ref) AS BIGINT) AS cr,
+        |    CAST(sum(1 - is_ref) AS BIGINT) AS cc
+        |  FROM h GROUP BY event_type, b),
+        |t AS (
+        |  SELECT event_type, CAST(sum(cr) AS BIGINT) AS tr,
+        |    CAST(sum(cc) AS BIGINT) AS tc, count(*) AS v
+        |  FROM g GROUP BY event_type),
+        |c AS (
+        |  SELECT g.event_type, tr, tc, v,
+        |    ((cr + 1)::DOUBLE / (tr + v) - (cc + 1)::DOUBLE / (tc + v)) *
+        |      ln(((cr + 1)::DOUBLE / (tr + v)) /
+        |         ((cc + 1)::DOUBLE / (tc + v))) AS c
+        |  FROM g JOIN t USING (event_type)),
+        |p AS (
+        |  SELECT event_type, tr AS n_ref, tc AS n_cur, v AS n_buckets,
+        |    round(sum(c), 6) AS psi
+        |  FROM c GROUP BY 1, 2, 3, 4)
+        |SELECT event_type, n_ref, n_cur, n_buckets, psi,
+        |  CASE WHEN psi < 0.1 THEN 'stable'
+        |       WHEN psi < 0.25 THEN 'moderate'
+        |       ELSE 'shifted' END AS verdict
+        |FROM p ORDER BY event_type""".stripMargin,
+
+    // the same date-arithmetic shifts and exact integer error sums
+    "q171_mase" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |e7 AS (
+        |  SELECT a.event_type, CAST(sum(abs(a.c - b.c)) AS BIGINT) AS s7,
+        |    count(*) AS n7
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.day = b.day + 7
+        |  GROUP BY a.event_type),
+        |e1 AS (
+        |  SELECT a.event_type, CAST(sum(abs(a.c - b.c)) AS BIGINT) AS s1,
+        |    count(*) AS n1
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.day = b.day + 1
+        |  GROUP BY a.event_type)
+        |SELECT e7.event_type, n7,
+        |  round(s7::DOUBLE / n7, 6) AS mae7,
+        |  round(s1::DOUBLE / n1, 6) AS mae1,
+        |  CASE WHEN s1 = 0 THEN NULL
+        |    ELSE round((s7::DOUBLE * n1) / (n7::DOUBLE * s1), 6) END
+        |    AS mase
+        |FROM e7 JOIN e1 ON e7.event_type = e1.event_type
+        |ORDER BY e7.event_type""".stripMargin,
+
+    // q85's week arithmetic, integer cents through the cumulative
+    "q172_cohort_ltv" ->
+      """WITH fs AS (
+        |  SELECT user_id,
+        |    CAST(floor(date_diff('day', DATE '2024-01-01',
+        |      CAST(min(ts) AS DATE)) / 7.0) AS BIGINT) AS cohort_week
+        |  FROM events GROUP BY user_id),
+        |cs AS (SELECT cohort_week, count(*) AS n_users FROM fs
+        |       GROUP BY cohort_week),
+        |rev AS (
+        |  SELECT fs.cohort_week,
+        |    CAST(floor(date_diff('day', DATE '2024-01-01',
+        |      CAST(e.ts AS DATE)) / 7.0) AS BIGINT) - fs.cohort_week AS k,
+        |    CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+        |      AS wk_cents
+        |  FROM events e JOIN fs ON e.user_id = fs.user_id
+        |  WHERE e.event_type = 'purchase'
+        |  GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT *, CAST(sum(wk_cents) OVER (PARTITION BY cohort_week
+        |    ORDER BY k) AS BIGINT) AS cum_cents
+        |  FROM rev)
+        |SELECT cohort_week, k, n_users, wk_cents, cum_cents,
+        |  round(cum_cents::DOUBLE / n_users, 6) AS ltv_cents_per_user
+        |FROM cum JOIN cs USING (cohort_week)
+        |ORDER BY cohort_week, k""".stripMargin,
+
+    // same exact interpolated med/MAD (quantile_cont), same rounded-z
+    // flag and argmax tie-break
+    "q173_mad_outliers" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, quantile_cont(c, 0.5) AS med
+        |  FROM daily GROUP BY event_type),
+        |dv AS (
+        |  SELECT d.event_type, d.day, d.c, m.med, abs(d.c - m.med) AS dev
+        |  FROM daily d JOIN m USING (event_type)),
+        |md AS (
+        |  SELECT event_type, count(*) AS n_days, min(med) AS med,
+        |    quantile_cont(dev, 0.5) AS mad
+        |  FROM dv GROUP BY event_type),
+        |z AS (
+        |  SELECT dv.event_type, dv.day,
+        |    CASE WHEN md.mad = 0 THEN NULL
+        |      ELSE round(0.6745 * (dv.c - dv.med) / md.mad, 6) END AS z
+        |  FROM dv JOIN md USING (event_type)),
+        |pick AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY abs(z) DESC NULLS LAST, day) AS r
+        |  FROM z),
+        |outl AS (
+        |  SELECT event_type, count(*) AS n_outliers
+        |  FROM z WHERE abs(z) > 3.5 GROUP BY event_type)
+        |SELECT p.event_type, md.n_days, round(md.med, 5) AS med_c,
+        |  round(md.mad, 5) AS mad_c,
+        |  coalesce(o.n_outliers, 0) AS n_outliers,
+        |  p.day AS worst_day, p.z AS worst_z
+        |FROM pick p
+        |JOIN md ON md.event_type = p.event_type
+        |LEFT JOIN outl o ON o.event_type = p.event_type
+        |WHERE p.r = 1 ORDER BY p.event_type""".stripMargin,
+
+    // the same shared-grid integer CDF supremum; a plain window
+    // mirrors the two-phase prefix sums
+    "q174_ks_test" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS v,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+        |      % 2 AS INTEGER) AS arm
+        |  FROM events GROUP BY user_id),
+        |cells AS (
+        |  SELECT v,
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+        |  FROM pu GROUP BY v),
+        |cum AS (
+        |  SELECT v,
+        |    CAST(sum(n0) OVER (ORDER BY v) AS BIGINT) AS cum0,
+        |    CAST(sum(n1) OVER (ORDER BY v) AS BIGINT) AS cum1
+        |  FROM cells),
+        |t AS (
+        |  SELECT CAST(sum(n0) AS BIGINT) AS n0t,
+        |    CAST(sum(n1) AS BIGINT) AS n1t FROM cells),
+        |d AS (
+        |  SELECT n0t, n1t,
+        |    max(abs(cum0 * n1t - cum1 * n0t)) AS d_num
+        |  FROM cum, t GROUP BY n0t, n1t),
+        |f AS (
+        |  SELECT n0t AS n0, n1t AS n1, d_num,
+        |    round(d_num::DOUBLE / (n0t * n1t), 6) AS d,
+        |    round(1.358 * sqrt((n0t + n1t)::DOUBLE
+        |      / (n0t::DOUBLE * n1t)), 6) AS crit_005
+        |  FROM d)
+        |SELECT n0, n1, d_num, d, crit_005, d > crit_005 AS reject
+        |FROM f""".stripMargin,
+
+    // the same life-table arithmetic; the suffix sum as a descending
+    // window
+    "q175_survival_hazard" ->
+      """WITH w AS (
+        |  SELECT user_id,
+        |    CAST(floor(date_diff('day', DATE '2024-01-01',
+        |      CAST(min(ts) AS DATE)) / 7.0) AS BIGINT) AS cohort_week,
+        |    CAST(floor(date_diff('day', DATE '2024-01-01',
+        |      CAST(max(ts) AS DATE)) / 7.0) AS BIGINT) AS last_week
+        |  FROM events GROUP BY user_id),
+        |h AS (
+        |  SELECT cohort_week, last_week - cohort_week AS k,
+        |    count(*) AS n_last_seen
+        |  FROM w GROUP BY 1, 2),
+        |mw AS (SELECT max(last_week) AS max_week FROM w),
+        |ar AS (
+        |  SELECT *, CAST(sum(n_last_seen) OVER (PARTITION BY cohort_week
+        |    ORDER BY k DESC) AS BIGINT) AS n_at_risk
+        |  FROM h)
+        |SELECT cohort_week, k, n_at_risk, n_last_seen,
+        |  round(n_last_seen::DOUBLE / n_at_risk, 6) AS hazard,
+        |  cohort_week + k = max_week AS censored
+        |FROM ar, mw ORDER BY cohort_week, k""".stripMargin,
 
     // the same row-salted md5 cells, the same min-over-d estimate
     "q137_countmin_sketch" ->
@@ -1928,6 +2786,176 @@ object CoverageQueries {
         |  CAST(sum(CASE WHEN az > 3 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_anomalies,
         |  round(max(az), 6) AS max_abs_z
-        |FROM z GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM z GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the same integer cents, closed-form pooled θ (cast to DOUBLE
+    // before the n·Σxy−Σx·Σy products — bare BIGINT would widen to
+    // HUGEINT here, a different rounding), θ rounded 6dp BEFORE the
+    // adjustment
+    "q160_cuped" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+        |      % 2 AS INTEGER) AS arm,
+        |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |      AS x,
+        |    CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |      AS y
+        |  FROM events GROUP BY user_id),
+        |pool AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM pu),
+        |arms AS (
+        |  SELECT arm, count(*) AS n_users,
+        |    CAST(sum(x) AS BIGINT) AS ax, CAST(sum(y) AS BIGINT) AS ay
+        |  FROM pu GROUP BY arm),
+        |c AS (
+        |  SELECT arm, n_users, ax, ay, n, sx,
+        |    n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE AS cov_num,
+        |    n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE AS varx_num,
+        |    n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE AS vary_num
+        |  FROM arms, pool),
+        |d AS (
+        |  SELECT *, CASE WHEN varx_num = 0 THEN 0
+        |    ELSE round(cov_num / varx_num, 6) END AS theta FROM c)
+        |SELECT arm, n_users,
+        |  round(ax::DOUBLE / n_users, 6) AS mean_pre,
+        |  round(ay::DOUBLE / n_users, 6) AS mean_post, theta,
+        |  CASE WHEN varx_num = 0 OR vary_num = 0 THEN 0
+        |    ELSE round((cov_num * cov_num) / (varx_num * vary_num), 6)
+        |    END AS rho2,
+        |  round(ay::DOUBLE / n_users - theta *
+        |    (ax::DOUBLE / n_users - sx::DOUBLE / n), 6) AS mean_post_adj
+        |FROM d ORDER BY arm""".stripMargin,
+
+    // byte-identical replicates: the same md5 40-bit dyadic uniform
+    // through the same literal CDF chain (::DOUBLE — DuckDB types
+    // bare decimals as DECIMAL)
+    "q161_poisson_bootstrap" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS okey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |r AS (
+        |  SELECT okey, cents, t.r AS rep
+        |  FROM o, UNNEST(range(0, 32)) AS t(r)),
+        |u AS (
+        |  SELECT rep, cents,
+        |    (('0x' || substr(md5('bs:' || CAST(rep AS VARCHAR) || ':' ||
+        |      CAST(okey AS VARCHAR)), 1, 10))::BIGINT + 1)::DOUBLE
+        |      / 1099511627776.0 AS u
+        |  FROM r),
+        |w AS (
+        |  SELECT rep, cents, CASE
+        |    WHEN u < 0.36787944117144233::DOUBLE THEN 0
+        |    WHEN u < 0.7357588823428847::DOUBLE THEN 1
+        |    WHEN u < 0.9196986029286058::DOUBLE THEN 2
+        |    WHEN u < 0.9810118431238462::DOUBLE THEN 3
+        |    WHEN u < 0.9963401531726563::DOUBLE THEN 4
+        |    WHEN u < 0.9994058151824183::DOUBLE THEN 5
+        |    WHEN u < 0.9999167588507119::DOUBLE THEN 6
+        |    WHEN u < 0.9999902393243134::DOUBLE THEN 7
+        |    ELSE 8 END AS w
+        |  FROM u),
+        |m AS (
+        |  SELECT rep,
+        |    round(CAST(sum(w * cents) AS BIGINT)::DOUBLE
+        |      / CAST(sum(w) AS BIGINT), 6) AS m
+        |  FROM w GROUP BY rep),
+        |rk AS (SELECT m, row_number() OVER (ORDER BY m) AS i FROM m),
+        |pt AS (
+        |  SELECT count(*) AS n_orders,
+        |    round(CAST(sum(cents) AS BIGINT)::DOUBLE / count(*), 6)
+        |      AS point_mean
+        |  FROM o)
+        |SELECT 32 AS n_reps, n_orders, point_mean,
+        |  (SELECT m FROM rk WHERE i = 2) AS ci_lo,
+        |  (SELECT m FROM rk WHERE i = 31) AS ci_hi
+        |FROM pt""".stripMargin,
+
+    // the same integer CUSUM objective; plain windows mirror the
+    // engine's grid prefix sums, same (g DESC, k) tie-break
+    "q162_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |pre AS (
+        |  SELECT event_type, day, c,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS k,
+        |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY day)
+        |      AS BIGINT) AS sk
+        |  FROM daily),
+        |tot AS (
+        |  SELECT event_type, count(*) AS n, CAST(sum(c) AS BIGINT) AS sn
+        |  FROM daily GROUP BY 1),
+        |scored AS (
+        |  SELECT p.event_type, p.day, p.k, p.sk, t.n, t.sn,
+        |    abs(t.n * p.sk - p.k * t.sn) AS g
+        |  FROM pre p JOIN tot t USING (event_type)
+        |  WHERE p.k < t.n),
+        |pick AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY g DESC, k) AS r
+        |  FROM scored)
+        |SELECT event_type, n AS n_days, day AS split_day, g AS g_stat,
+        |  round(sk::DOUBLE / k, 6) AS mean_before,
+        |  round((sn - sk)::DOUBLE / (n - k), 6) AS mean_after
+        |FROM pick WHERE r = 1 ORDER BY event_type""".stripMargin,
+
+    // closed-form split of the source table: the merged read must
+    // reproduce exactly this null accounting
+    "q163_schema_evolution" ->
+      """SELECT source, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_with_lang,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_legacy
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // the same histogram closed form; a plain window mirrors the
+    // two-phase strictly-below prefix sum
+    "q164_mann_whitney" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS v,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+        |      % 2 AS INTEGER) AS arm
+        |  FROM events GROUP BY user_id),
+        |cells AS (
+        |  SELECT v,
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+        |  FROM pu GROUP BY v),
+        |pre AS (
+        |  SELECT *, CAST(coalesce(sum(n0) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS below0
+        |  FROM cells),
+        |agg AS (
+        |  SELECT CAST(sum(n0) AS BIGINT) AS n0t,
+        |    CAST(sum(n1) AS BIGINT) AS n1t,
+        |    CAST(sum(n1 * (2 * below0 + n0)) AS BIGINT) AS u2x,
+        |    CAST(sum((n0 + n1) * (n0 + n1) * (n0 + n1) - (n0 + n1))
+        |      AS BIGINT) AS stie
+        |  FROM pre),
+        |c AS (
+        |  SELECT *, n0t + n1t AS n,
+        |    (n0t::DOUBLE * n1t / 12.0) *
+        |      ((n0t + n1t + 1)::DOUBLE - stie::DOUBLE /
+        |        ((n0t + n1t)::DOUBLE * (n0t + n1t - 1))) AS sig2
+        |  FROM agg)
+        |SELECT n0t AS n0, n1t AS n1, u2x,
+        |  CASE WHEN sig2 = 0 THEN 0
+        |    ELSE round((u2x::DOUBLE / 2.0 - n0t::DOUBLE * n1t / 2.0)
+        |      / sqrt(sig2), 6) END AS z
+        |FROM c""".stripMargin
   )
 }

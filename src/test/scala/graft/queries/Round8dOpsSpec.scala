@@ -1,0 +1,410 @@
+package graft.queries
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Hand-computed expectations for the round-8d experimentation
+  * operators on constructed micro-fixtures, driven through the exact
+  * SparkEntry query functions the driver gate runs: CUPED's closed
+  * form on perfectly-correlated and uncorrelated covariates, and the
+  * Poisson bootstrap's degenerate (constant-metric) and ordering
+  * invariants.
+  */
+class Round8dOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def q(name: String, dir: String) =
+    SparkEntry.queries(name)(spark, dir)
+
+  private val t0 = java.sql.Timestamp.valueOf("2024-01-05 00:00:00") // pre
+  private val t1 = java.sql.Timestamp.valueOf("2024-01-20 00:00:00") // post
+
+  private def eventsDir(
+      rows: Seq[(Long, java.sql.Timestamp, Long, String, Double)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("r8dev").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private def ordersDir(rows: Seq[(Long, Double)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("r8dor").toString
+    rows.toDF("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    dir
+  }
+
+  // ---- q160 CUPED ----
+
+  test("q160: perfectly-correlated covariate gives theta=2, rho2=1, " +
+    "and both arms' adjusted means collapse to the pooled 2*mean(x)") {
+    // y = 2x exactly (in cents): cov = 2 var, so theta = 2 and the
+    // adjustment removes ALL between-arm pre-period difference.
+    val rows = (1L to 8L).flatMap { u =>
+      val pre = u.toDouble // dollars; cents = 100u
+      Seq((u * 10 + 1, t0, u, "view", pre),
+        (u * 10 + 2, t1, u, "view", pre * 2))
+    }
+    val out = q("q160_cuped", eventsDir(rows)).collect()
+    assert(out.length === 2)
+    val theta = out.map(_.getAs[Double]("theta")).distinct
+    assert(theta === Array(2.0))
+    assert(out.map(_.getAs[Double]("rho2")).distinct === Array(1.0))
+    // pooled mean(x) in cents = 100 * mean(1..8) = 450
+    val adj = out.map(_.getAs[Double]("mean_post_adj")).distinct
+    assert(adj === Array(900.0))
+  }
+
+  test("q160: uncorrelated (constant) post metric gives theta=0 and " +
+    "adjusted == raw post mean") {
+    val rows = (1L to 8L).flatMap { u =>
+      Seq((u * 10 + 1, t0, u, "view", u.toDouble),
+        (u * 10 + 2, t1, u, "view", 7.0))
+    }
+    val out = q("q160_cuped", eventsDir(rows)).collect()
+    out.foreach { r =>
+      assert(r.getAs[Double]("theta") === 0.0)
+      assert(r.getAs[Double]("rho2") === 0.0)
+      assert(r.getAs[Double]("mean_post_adj") ===
+        r.getAs[Double]("mean_post"))
+    }
+  }
+
+  // ---- q161 Poisson bootstrap ----
+
+  test("q161: constant metric collapses the CI to the point estimate") {
+    // every replicate mean over a constant column IS the constant,
+    // whatever weights were drawn (sum w*c / sum w = c)
+    val out = q("q161_poisson_bootstrap",
+      ordersDir((1L to 300L).map(k => (k, 123.45)))).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Double]("point_mean") === 12345.0)
+    assert(r.getAs[Double]("ci_lo") === 12345.0)
+    assert(r.getAs[Double]("ci_hi") === 12345.0)
+    assert(r.getAs[Long]("n_orders") === 300L)
+    assert(r.getAs[Int]("n_reps") === 32)
+  }
+
+  test("q161: CI brackets the point estimate and is deterministic") {
+    val dir = ordersDir((1L to 500L).map(k => (k, (k % 97).toDouble + 1)))
+    val a = q("q161_poisson_bootstrap", dir).collect().head
+    val (lo, pt, hi) = (a.getAs[Double]("ci_lo"),
+      a.getAs[Double]("point_mean"), a.getAs[Double]("ci_hi"))
+    assert(lo < hi)
+    assert(lo <= pt && pt <= hi)
+    // md5-seeded weights: a re-run draws byte-identical replicates
+    val b = q("q161_poisson_bootstrap", dir).collect().head
+    assert(a === b)
+  }
+
+  /** The queries' arm assignment (md5 first-8-hex % 2) — independent
+    * JVM reimplementation for constructing arm-aware fixtures.
+    */
+  private def arm(userId: Long): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(userId.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex.take(8), 16) % 2).toInt
+  }
+
+  // ---- q162 changepoint ----
+
+  test("q162: a constructed level shift is located exactly") {
+    // 2/day for Jan 1-10, then 10/day for Jan 11-20: the CUSUM argmax
+    // must land on Jan 10 with the exact segment means
+    val rows = (1 to 20).flatMap { d =>
+      val n = if (d <= 10) 2 else 10
+      val ts = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+      (1 to n).map(i => ((d * 100 + i).toLong, ts, 1L, "view", 1.0))
+    }
+    val out = q("q162_changepoint", eventsDir(rows)).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[java.sql.Date]("split_day").toString === "2024-01-10")
+    assert(r.getAs[Double]("mean_before") === 2.0)
+    assert(r.getAs[Double]("mean_after") === 10.0)
+    assert(r.getAs[Long]("n_days") === 20L)
+  }
+
+  test("q162: a flat series ties at g=0 and tie-breaks to the first day") {
+    val rows = (1 to 10).flatMap { d =>
+      val ts = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+      (1 to 3).map(i => ((d * 100 + i).toLong, ts, 1L, "view", 1.0))
+    }
+    val r = q("q162_changepoint", eventsDir(rows)).collect().head
+    assert(r.getAs[Long]("g_stat") === 0L)
+    assert(r.getAs[java.sql.Date]("split_day").toString === "2024-01-01")
+    assert(r.getAs[Double]("mean_before") ===
+      r.getAs[Double]("mean_after"))
+  }
+
+  // ---- q163 schema evolution ----
+
+  test("q163: legacy-generation rows read back with NULL for the " +
+    "added column, new-generation rows keep it") {
+    val dir = java.nio.file.Files.createTempDirectory("r8ddoc").toString
+    (1L to 10L).map(i => (i, s"doc $i", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = q("q163_schema_evolution", dir).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_rows") === 10L)
+    assert(r.getAs[Long]("n_with_lang") === 5L) // odd doc_ids
+    assert(r.getAs[Long]("n_legacy") === 5L)    // even doc_ids, lang NULL
+  }
+
+  // ---- q164 Mann-Whitney ----
+
+  test("q164: perfect separation gives 2U = 2*n0*n1 and a positive z") {
+    // arm 1 users spend strictly more than every arm 0 user: every
+    // (arm1, arm0) pair counts fully toward U
+    val users = (1L to 40L)
+    val rows = users.map { u =>
+      val spend = if (arm(u) == 1) 100.0 + u else 1.0 + u % 3
+      (u, t1, u, "purchase", spend)
+    }
+    val r = q("q164_mann_whitney", eventsDir(rows.toSeq)).collect().head
+    val (n0, n1) = (r.getAs[Long]("n0"), r.getAs[Long]("n1"))
+    assert(n0 + n1 === 40L)
+    assert(r.getAs[Long]("u2x") === 2 * n0 * n1)
+    assert(r.getAs[Double]("z") > 3.0)
+  }
+
+  test("q164: identical single-valued arms give z = 0 exactly") {
+    // every user ties at one value: U = n0*n1/2 = its mean, z = 0
+    val rows = (1L to 30L).map(u => (u, t1, u, "purchase", 50.0))
+    val r = q("q164_mann_whitney", eventsDir(rows)).collect().head
+    assert(r.getAs[Long]("u2x") ===
+      r.getAs[Long]("n0") * r.getAs[Long]("n1"))
+    assert(r.getAs[Double]("z") === 0.0)
+  }
+
+  private def docsDir(rows: Seq[(Long, String, String, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("r8ddoc2").toString
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  // ---- q166 golden record ----
+
+  test("q166: transitivity merges A~B~C into ONE entity even though " +
+    "A-C alone scores below the match cut") {
+    // same text everywhere (fp/lenb/block agree); A-B disagree only
+    // lang (score 5.16), B-C only source (5.66), A-C disagree both
+    // (1.87 < 3) — the entity exists only through B
+    val txt = "alpha beta gamma delta"
+    val dir = docsDir(Seq(
+      (1L, txt, "en", "web"),
+      (2L, txt, "de", "web"),
+      (3L, txt, "de", "crawl"),
+      (50L, "totally different words here", "fr", "web")))
+    val out = q("q166_golden_record", dir).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("golden_id") === 1L)
+    assert(r.getAs[Long]("n_members") === 3L)
+    assert(r.getAs[Long]("n_sources") === 2L)
+    assert(r.getAs[String]("lang") === "de") // deterministic min rule
+    assert(r.getAs[Long]("sum_chars") === 3L * txt.length)
+  }
+
+  // ---- q167 linear attribution ----
+
+  test("q167: equal split across in-window clicks, 7-day boundary " +
+    "inclusive") {
+    val c1 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val c2 = Timestamp.valueOf("2024-01-02 00:00:00")
+    val rows = Seq(
+      (1L, c1, 7L, "click", 1.0),
+      (2L, c2, 7L, "click", 1.0),
+      // both clicks in window: each purchase splits 500000/500000
+      (3L, Timestamp.valueOf("2024-01-02 12:00:00"), 7L, "purchase", 9.0),
+      // exactly 7 days after c1: boundary click still credits
+      (4L, Timestamp.valueOf("2024-01-08 00:00:00"), 7L, "purchase", 9.0))
+    val out = q("q167_linear_attribution", eventsDir(rows))
+      .collect().sortBy(_.getAs[java.sql.Date]("day").toString)
+    assert(out.length === 2)
+    out.foreach { r =>
+      assert(r.getAs[Long]("credit_ppm") === 1000000L) // 2 × 500000
+      assert(r.getAs[Long]("n_touches") === 2L)
+      assert(r.getAs[Long]("n_purchases") === 2L)
+    }
+  }
+
+  // ---- q168 k-core ----
+
+  test("q168: peel strips pendant and triangle, keeps the K4") {
+    // order 10 = K4 over parts 1-4; order 20 hangs part 5 off part 4
+    // (degree 1, peeled); order 30 = triangle 6-7-8 (degree 2, peeled
+    // — BELOW k even though connected)
+    val dir = java.nio.file.Files.createTempDirectory("r8dli").toString
+    val rows = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L), (10L, 4L),
+      (20L, 4L), (20L, 5L),
+      (30L, 6L), (30L, 7L), (30L, 8L))
+    rows.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = q("q168_kcore", dir).collect()
+    assert(out.length === 4)
+    assert(out.map(_.getAs[Long]("part")).sorted.toSeq ===
+      Seq(1L, 2L, 3L, 4L))
+    out.foreach { r =>
+      assert(r.getAs[Long]("core_degree") === 3L)
+      assert(r.getAs[Long]("n_core_nodes") === 4L)
+      assert(r.getAs[Long]("deg_sum") === 12L)
+    }
+  }
+
+  // ---- q169 time to convert ----
+
+  test("q169: only at-or-after-first-click purchases convert; exact " +
+    "median microseconds") {
+    val rows = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "click", 1.0),
+      (2L, Timestamp.valueOf("2024-01-01 01:00:00"), 1L, "purchase", 9.0),
+      (3L, Timestamp.valueOf("2024-01-01 00:00:00"), 2L, "click", 1.0),
+      // user 3's only purchase PRECEDES their first click: unconverted
+      (4L, Timestamp.valueOf("2024-01-01 01:00:00"), 3L, "purchase", 9.0),
+      (5L, Timestamp.valueOf("2024-01-01 02:00:00"), 3L, "click", 1.0))
+    val r = q("q169_time_to_convert", eventsDir(rows)).collect().head
+    assert(r.getAs[Long]("n_clicked") === 3L)
+    assert(r.getAs[Long]("n_converted") === 1L)
+    assert(r.getAs[Double]("conv_rate") === 0.333333)
+    assert(r.getAs[Double]("p50_us") === 3600000000.0)
+  }
+
+  // ---- q170 PSI ----
+
+  test("q170: identical windows give psi = 0/stable; a moved " +
+    "distribution trips the 0.25 'shifted' threshold") {
+    val ref = Timestamp.valueOf("2024-01-05 00:00:00")
+    val cur = Timestamp.valueOf("2024-01-20 00:00:00")
+    val rows =
+      // type a: same $10 spike in both windows -> pr == pc -> psi 0
+      (1L to 50L).flatMap(i => Seq(
+        (i, ref, i, "a", 10.0), (1000 + i, cur, i, "a", 10.0))) ++
+      // type b: $1 reference mass moves to $100 -> psi >> 0.25
+      (1L to 50L).flatMap(i => Seq(
+        (2000 + i, ref, i, "b", 1.0), (3000 + i, cur, i, "b", 100.0)))
+    val out = q("q170_psi", eventsDir(rows))
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Double]("psi"), r.getAs[String]("verdict"))).toMap
+    assert(out("a")._1 === 0.0)
+    assert(out("a")._2 === "stable")
+    assert(out("b")._1 > 0.25)
+    assert(out("b")._2 === "shifted")
+  }
+
+  // ---- q171 MASE ----
+
+  test("q171: an exact weekly cycle forecasts itself (mase = 0); a " +
+    "flat series leaves MASE undefined, not NaN") {
+    // 21 days, count = dow index + 1: y_t == y_{t-7} exactly
+    val rows = (0 until 21).flatMap { d =>
+      val ts = Timestamp.valueOf(f"2024-01-${d + 1}%02d 12:00:00")
+      val n = d % 7 + 1
+      (1 to n).map(i => ((d * 100 + i).toLong, ts, 1L, "cyc", 1.0)) ++
+        Seq(((d * 100 + 50).toLong, ts, 2L, "flat", 1.0))
+    }
+    val out = q("q171_mase", eventsDir(rows))
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(out("cyc").getAs[Double]("mase") === 0.0)
+    assert(out("cyc").getAs[Double]("mae7") === 0.0)
+    assert(out("cyc").getAs[Double]("mae1") > 0.0)
+    assert(out("flat").isNullAt(out("flat").fieldIndex("mase")))
+  }
+
+  // ---- q172 cohort LTV ----
+
+  test("q172: cumulative cents per cohort user, non-purchasers " +
+    "dilute the denominator") {
+    val rows = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "purchase", 1.0),
+      (2L, Timestamp.valueOf("2024-01-16 00:00:00"), 1L, "purchase", 2.0),
+      // user 2: same cohort week, views only
+      (3L, Timestamp.valueOf("2024-01-02 00:00:00"), 2L, "view", 5.0))
+    val out = q("q172_cohort_ltv", eventsDir(rows)).collect()
+    assert(out.length === 2)
+    val byK = out.map(r => r.getAs[Long]("k") -> r).toMap
+    assert(byK(0L).getAs[Long]("n_users") === 2L)
+    assert(byK(0L).getAs[Long]("cum_cents") === 100L)
+    assert(byK(0L).getAs[Double]("ltv_cents_per_user") === 50.0)
+    assert(byK(2L).getAs[Long]("wk_cents") === 200L)
+    assert(byK(2L).getAs[Long]("cum_cents") === 300L)
+    assert(byK(2L).getAs[Double]("ltv_cents_per_user") === 150.0)
+  }
+
+  // ---- q173 MAD outliers ----
+
+  test("q173: a 10x spike flags against median/MAD; a constant series " +
+    "leaves z undefined with zero outliers") {
+    val rows = (1 to 16).flatMap { d =>
+      val ts = Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+      val n = if (d == 16) 100 else d // ramp 1..15 then the spike
+      (1 to n).map(i => ((d * 1000 + i).toLong, ts, 1L, "x", 1.0)) ++
+        (1 to 5).map(i => ((d * 1000 + 500 + i).toLong, ts, 2L, "flat", 1.0))
+    }
+    val out = q("q173_mad_outliers", eventsDir(rows))
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    val x = out("x")
+    // med = 8.5, mad = 4.0, z_spike = 0.6745*91.5/4 = 15.429188
+    assert(x.getAs[Double]("med_c") === 8.5)
+    assert(x.getAs[Double]("mad_c") === 4.0)
+    assert(x.getAs[Long]("n_outliers") === 1L)
+    assert(x.getAs[java.sql.Date]("worst_day").toString === "2024-01-16")
+    assert(x.getAs[Double]("worst_z") === 15.429188)
+    val f = out("flat")
+    assert(f.getAs[Long]("n_outliers") === 0L)
+    assert(f.isNullAt(f.fieldIndex("worst_z"))) // mad = 0
+  }
+
+  // ---- q174 KS test ----
+
+  test("q174: disjoint supports give D = 1 (reject); identical " +
+    "single-point arms give D = 0") {
+    val users = (1L to 40L)
+    val sep = users.map { u =>
+      if (arm(u) == 1) (u, t1, u, "purchase", 100.0 + u)
+      else (u, t1, u, "view", 1.0) // v = 0 for every arm-0 user
+    }
+    val r1 = q("q174_ks_test", eventsDir(sep.toSeq)).collect().head
+    assert(r1.getAs[Long]("d_num") ===
+      r1.getAs[Long]("n0") * r1.getAs[Long]("n1"))
+    assert(r1.getAs[Double]("d") === 1.0)
+    assert(r1.getAs[Boolean]("reject"))
+    val same = users.map(u => (u, t1, u, "purchase", 50.0))
+    val r2 = q("q174_ks_test", eventsDir(same.toSeq)).collect().head
+    assert(r2.getAs[Long]("d_num") === 0L)
+    assert(!r2.getAs[Boolean]("reject"))
+  }
+
+  // ---- q175 survival hazard ----
+
+  test("q175: life-table hazards with the final week flagged censored") {
+    val rows = Seq(
+      (1L, Timestamp.valueOf("2024-01-02 00:00:00"), 1L, "view", 1.0),
+      (2L, Timestamp.valueOf("2024-01-02 00:00:00"), 2L, "view", 1.0),
+      (3L, Timestamp.valueOf("2024-01-16 00:00:00"), 2L, "view", 1.0),
+      (4L, Timestamp.valueOf("2024-01-03 00:00:00"), 3L, "view", 1.0),
+      (5L, Timestamp.valueOf("2024-01-17 00:00:00"), 3L, "view", 1.0))
+    val out = q("q175_survival_hazard", eventsDir(rows)).collect()
+    assert(out.length === 2)
+    val byK = out.map(r => r.getAs[Long]("k") -> r).toMap
+    assert(byK(0L).getAs[Long]("n_at_risk") === 3L)
+    assert(byK(0L).getAs[Long]("n_last_seen") === 1L)
+    assert(byK(0L).getAs[Double]("hazard") === 0.333333)
+    assert(!byK(0L).getAs[Boolean]("censored"))
+    assert(byK(2L).getAs[Long]("n_at_risk") === 2L)
+    assert(byK(2L).getAs[Double]("hazard") === 1.0)
+    assert(byK(2L).getAs[Boolean]("censored"))
+  }
+}
