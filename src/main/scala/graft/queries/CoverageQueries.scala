@@ -1295,8 +1295,19 @@ object CoverageQueries {
     // never the data.
     "q161_poisson_bootstrap" -> { (s, dir) =>
       val reps = 32
+      // spread the SKINNY (okey, cents) projection across the session
+      // shuffle parallelism before the 32x hash explode: a small-SF
+      // scan is one parquet file = one partition, which would
+      // serialize 32n md5 draws onto one core (measured: the sf0.1
+      // solo equaled the sf1 solo because per-partition, not total,
+      // work set the wall clock). Hash-repartition by key, NOT an AQE
+      // rebalance hint — rebalance targets the 64MB advisory size and
+      // would COALESCE a 2.4MB projection back to one partition
+      // (measured: the hint changed nothing). The shuffle moves
+      // 16-byte rows — negligible against the CPU it unlocks.
       val o = t(s, dir, "orders").select(col("o_orderkey").as("okey"),
         expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+        .repartition(col("okey"))
       val u01 = (conv(substring(md5(concat(lit("bs:"),
         col("rep").cast("string"), lit(":"), col("okey").cast("string"))),
         1, 10), 16, 10).cast("long") + 1L)
@@ -1318,17 +1329,21 @@ object CoverageQueries {
       val repMeans = weighted.groupBy("rep").agg(
         sum(col("w") * col("cents")).as("swc"), sum("w").as("sw"))
         .withColumn("m", round(col("swc") / col("sw"), 6))
-      val ranked = repMeans.select(col("m"))
+      // ONE aggregate carries both CI bounds: separate lo/hi
+      // broadcasts would each re-execute the full 32x hash pipeline
+      // (measured 2x wall clock — a broadcast materializes its own
+      // subtree, there is no common-subexpression reuse across
+      // exchanges)
+      val ci = broadcast(repMeans.select(col("m"))
         .withColumn("i", row_number().over(Window.orderBy("m")))
-      val lo = ranked.filter(col("i") === 2).select(col("m").as("ci_lo"))
-      val hi = ranked.filter(col("i") === reps - 1)
-        .select(col("m").as("ci_hi"))
+        .agg(min(when(col("i") === 2, col("m"))).as("ci_lo"),
+          min(when(col("i") === reps - 1, col("m"))).as("ci_hi")))
       t(s, dir, "orders")
         .agg(count(lit(1)).as("n_orders"),
           round(sum(expr("cast(round(o_totalprice * 100) as bigint)")) /
             count(lit(1)), 6).as("point_mean"))
         .withColumn("n_reps", lit(reps))
-        .crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+        .crossJoin(ci)
         .select("n_reps", "n_orders", "point_mean", "ci_lo", "ci_hi")
     },
 
@@ -1807,6 +1822,75 @@ object CoverageQueries {
         .select("cohort_week", "k", "n_at_risk", "n_last_seen",
           "hazard", "censored")
         .orderBy("cohort_week", "k")
+    },
+
+    // Single-source shortest paths (BFS hop distance) — the reach
+    // question the component family can't answer (q55 says WHETHER
+    // connected, this says HOW FAR): layered frontier expansion from
+    // the min-id part over the co-purchase graph, distances as a
+    // TABLE at every round (per-node state never visits the driver —
+    // the q134 rule), merged by min(dist), checkpointed per round
+    // with an exceptAll fixpoint probe (count stability alone can't
+    // see a distance improving) and a loud non-convergence failure.
+    // Unreachable nodes are reported explicitly (dist = -1), not
+    // dropped. The oracle replays BFS as a recursive CTE over (node,
+    // dist) pairs — UNION dedup keeps it polynomial, the same ≤15
+    // cap, min(dist) outside.
+    "q178_sssp" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = li.alias("a").join(li.alias("b"),
+          col("a.ok") === col("b.ok") && col("a.p") =!= col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+        .localCheckpoint()
+      val nodes = edges.select(col("u").as("node")).distinct()
+        .localCheckpoint()
+      val src = nodes.agg(min("node")).head().getLong(0) // 1-row scalar
+      var dist = nodes.filter(col("node") === src)
+        .select(col("node"), lit(0).as("dist")).localCheckpoint()
+      var converged = false
+      var round = 0
+      while (!converged && round < 15) {
+        val next = dist.join(edges, col("node") === col("u"))
+          .select(col("v").as("node"), (col("dist") + 1).as("dist"))
+        val merged = dist.unionByName(next)
+          .groupBy("node").agg(min("dist").as("dist"))
+          .localCheckpoint()
+        converged = merged.exceptAll(dist).isEmpty
+        dist = merged
+        round += 1
+      }
+      require(converged,
+        s"q178: BFS did not reach a fixpoint within 15 rounds")
+      val unreached = nodes.join(dist, Seq("node"), "left_anti")
+        .agg(count(lit(1)).as("n_nodes"))
+        .select(lit(-1).as("dist"), col("n_nodes"))
+      dist.groupBy("dist").agg(count(lit(1)).as("n_nodes"))
+        .unionByName(unreached)
+        .orderBy("dist")
+    },
+
+    // Equal-frequency binning — the feature-prep discretizer (decile
+    // bins for score cards, monotonic-feature buckets for gradient
+    // models): 9 interpolated decile edges from ONE exact-percentile
+    // aggregate (array form — a single pass, the q10 convention), the
+    // corpus bins itself against the broadcast 1-row edge array with
+    // a codegen'd filter-count (strictly-below count ⇒ boundary
+    // values fall LEFT, deterministic in both engines), and the
+    // near-equal bin populations are themselves the gated output.
+    "q180_equal_freq_binning" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+        .select(expr("cast(round(o_totalprice * 100) as bigint)")
+          .as("cents"))
+      val edges = broadcast(o.agg(percentile(col("cents"),
+        array((1 to 9).map(i => lit(i / 10.0)): _*)).as("edges")))
+      o.crossJoin(edges)
+        .withColumn("bin",
+          size(filter(col("edges"), e => e < col("cents"))))
+        .groupBy("bin").agg(count(lit(1)).as("n"),
+          min("cents").as("min_cents"), max("cents").as("max_cents"))
+        .orderBy("bin")
     }
   )
 
@@ -2077,6 +2161,47 @@ object CoverageQueries {
         |  round(n_last_seen::DOUBLE / n_at_risk, 6) AS hazard,
         |  cohort_week + k = max_week AS censored
         |FROM ar, mw ORDER BY cohort_week, k""".stripMargin,
+
+    // BFS as a recursive CTE over (node, dist) pairs — UNION dedup
+    // keeps it polynomial; min(dist) outside; same 15-hop cap
+    "q178_sssp" ->
+      """WITH RECURSIVE li AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+        |e AS MATERIALIZED (
+        |  SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.p <> b.p),
+        |s AS (SELECT min(u) AS src FROM e),
+        |walk(node, dist) AS (
+        |  SELECT src, 0 FROM s
+        |  UNION
+        |  SELECT e.v, w.dist + 1 FROM walk w JOIN e ON e.u = w.node
+        |  WHERE w.dist < 15),
+        |d AS (SELECT node, min(dist) AS dist FROM walk GROUP BY node),
+        |nodes AS (SELECT DISTINCT u AS node FROM e),
+        |hist AS (
+        |  SELECT CAST(dist AS INTEGER) AS dist, count(*) AS n_nodes
+        |  FROM d GROUP BY dist),
+        |unr AS (
+        |  SELECT -1 AS dist, count(*) AS n_nodes FROM nodes
+        |  WHERE node NOT IN (SELECT node FROM d))
+        |SELECT dist, n_nodes FROM (
+        |  SELECT * FROM hist UNION ALL SELECT * FROM unr)
+        |ORDER BY dist""".stripMargin,
+
+    // the same strictly-below bin rule against the interpolated
+    // decile edges
+    "q180_equal_freq_binning" ->
+      """WITH o AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |e AS (
+        |  SELECT quantile_cont(cents,
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS edges
+        |  FROM o)
+        |SELECT CAST(len(list_filter(edges, x -> x < cents)) AS INTEGER)
+        |    AS bin,
+        |  count(*) AS n, min(cents) AS min_cents, max(cents) AS max_cents
+        |FROM o, e GROUP BY bin ORDER BY bin""".stripMargin,
 
     // the same row-salted md5 cells, the same min-over-d estimate
     "q137_countmin_sketch" ->

@@ -2229,29 +2229,7 @@ object TextQueries {
     // the SAME operation order in both engines — the ln() lives
     // inside a 6dp round (q123's rule).
     "q149_bm25_topk" -> { (s, dir) =>
-      val qterms = Seq("join", "hash", "vector")
-      val dt = t(s, dir, "documents")
-        .select(col("doc_id"), explode(toks(col("text"))).as("w"))
-        .filter(length(col("w")) > 0)
-      val lens = dt.groupBy("doc_id").agg(count(lit(1)).as("len"))
-      // avg of integer lengths: exact integer sum, ONE division —
-      // cross-engine identical
-      val stats = broadcast(
-        lens.agg(count(lit(1)).as("nd"), avg("len").as("avglen")))
-      val tf = dt.filter(col("w").isin(qterms: _*))
-        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-      val dfs = broadcast(tf.groupBy("w").agg(count(lit(1)).as("df")))
-      tf.join(dfs, "w").join(lens, "doc_id").crossJoin(stats)
-        .withColumn("idf",
-          log((col("nd") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
-            + lit(1.0)))
-        .withColumn("score_t",
-          col("idf") * (col("tf") * lit(2.2)) /
-            (col("tf") + lit(1.2) *
-              (lit(0.25) + lit(0.75) * col("len") / col("avglen"))))
-        .groupBy("doc_id")
-        .agg(round(sum("score_t"), 6).as("bm25"),
-          count(lit(1)).as("n_terms"))
+      bm25Scores(s, dir)
         .orderBy(col("bm25").desc, col("doc_id"))
         .limit(10)
     },
@@ -2392,8 +2370,72 @@ object TextQueries {
         .filter(col("n_members") >= 2)
         .select("golden_id", "n_members", "n_sources", "lang", "sum_chars")
         .orderBy("golden_id")
+    },
+
+    // Reciprocal-rank fusion (Cormack–Clarke–Büttcher 2009) — the
+    // standard hybrid-retrieval combiner: two rankers that don't share
+    // a score scale (BM25 lexical vs a length prior standing in for
+    // the dense-retrieval arm q33 provides at deployment) fuse by
+    // RANK alone, rrf = Σ 1/(60 + rank). Each list is its own top-20
+    // TakeOrdered; ranks are row_numbers over those 20-ROW results
+    // (list-sized metadata, never the corpus — and ranked on the
+    // 6dp-ROUNDED bm25, the q106 rule); the fusion is a full outer
+    // join of two 20-row tables, each term ONE IEEE division, summed
+    // in fixed column order. Missing-from-one-list contributes 0,
+    // exactly the RRF convention.
+    "q179_rrf_fusion" -> { (s, dir) =>
+      val k = 60
+      val topA = bm25Scores(s, dir)
+        .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+        .withColumn("ra", row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id"))))
+        .select(col("doc_id"), col("ra"))
+      val topB = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("n_chars").desc, col("doc_id")).limit(20)
+        .withColumn("rb", row_number().over(
+          Window.orderBy(col("n_chars").desc, col("doc_id"))))
+        .select(col("doc_id"), col("rb"))
+      topA.join(topB, Seq("doc_id"), "full_outer")
+        .withColumn("rrf", round(
+          coalesce(lit(1.0) / (col("ra") + k), lit(0.0)) +
+            coalesce(lit(1.0) / (col("rb") + k), lit(0.0)), 6))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(10)
+        .select(col("doc_id"), col("ra"), col("rb"), col("rrf"))
     }
   )
+
+  /** q149/q179 shared BM25 scoring pass for the fixed query
+    * (join, hash, vector): per matching doc, the 6dp-rounded score
+    * and its term count. tf is kept only for query terms after the
+    * shared token explode; df/corpus stats are ≤|q|-row broadcasts.
+    */
+  private def bm25Scores(s: SparkSession, dir: String): DataFrame = {
+    val qterms = Seq("join", "hash", "vector")
+    val dt = t(s, dir, "documents")
+      .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+    val lens = dt.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    // avg of integer lengths: exact integer sum, ONE division —
+    // cross-engine identical
+    val stats = broadcast(
+      lens.agg(count(lit(1)).as("nd"), avg("len").as("avglen")))
+    val tf = dt.filter(col("w").isin(qterms: _*))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfs = broadcast(tf.groupBy("w").agg(count(lit(1)).as("df")))
+    tf.join(dfs, "w").join(lens, "doc_id").crossJoin(stats)
+      .withColumn("idf",
+        log((col("nd") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+          + lit(1.0)))
+      .withColumn("score_t",
+        col("idf") * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("len") / col("avglen"))))
+      .groupBy("doc_id")
+      .agg(round(sum("score_t"), 6).as("bm25"),
+        count(lit(1)).as("n_terms"))
+  }
 
   /** q153/q166 shared Fellegi–Sunter scoring pass: every same-block
     * (first-token) doc pair with its 6dp-rounded log-odds score and
@@ -2678,6 +2720,44 @@ object TextQueries {
         |FROM tf JOIN dfs USING (w) JOIN lens USING (doc_id), stats
         |GROUP BY doc_id
         |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+
+    // q149's scoring verbatim feeding rank-only fusion; ranks CAST to
+    // INTEGER (row_number types differ across engines), divisions
+    // ::DOUBLE (DuckDB types 1.0 as DECIMAL)
+    "q179_rrf_fusion" ->
+      """WITH dt AS (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(trim(lower(text)), ' ')) AS w
+        |    FROM documents) WHERE length(w) > 0),
+        |lens AS (SELECT doc_id, count(*) AS len FROM dt GROUP BY doc_id),
+        |stats AS (
+        |  SELECT count(*) AS nd, avg(len) AS avglen FROM lens),
+        |tf AS (
+        |  SELECT doc_id, w, count(*) AS tf FROM dt
+        |  WHERE w IN ('join', 'hash', 'vector') GROUP BY doc_id, w),
+        |dfs AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+        |bm AS (
+        |  SELECT doc_id,
+        |    round(sum(ln((nd - df + 0.5) / (df + 0.5) + 1.0) *
+        |      (tf * 2.2) /
+        |      (tf + 1.2 * (0.25 + 0.75 * len / avglen))), 6) AS bm25
+        |  FROM tf JOIN dfs USING (w) JOIN lens USING (doc_id), stats
+        |  GROUP BY doc_id),
+        |ta AS (
+        |  SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC,
+        |    doc_id) AS INTEGER) AS ra
+        |  FROM bm ORDER BY bm25 DESC, doc_id LIMIT 20),
+        |tb AS (
+        |  SELECT doc_id, CAST(row_number() OVER (ORDER BY n_chars DESC,
+        |    doc_id) AS INTEGER) AS rb
+        |  FROM documents ORDER BY n_chars DESC, doc_id LIMIT 20),
+        |f AS (
+        |  SELECT coalesce(ta.doc_id, tb.doc_id) AS doc_id, ra, rb,
+        |    round(coalesce(1.0::DOUBLE / (ra + 60), 0) +
+        |      coalesce(1.0::DOUBLE / (rb + 60), 0), 6) AS rrf
+        |  FROM ta FULL OUTER JOIN tb ON ta.doc_id = tb.doc_id)
+        |SELECT doc_id, ra, rb, rrf FROM f
+        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
 
     "q147_grouped_split" ->
       """WITH fam AS (

@@ -712,4 +712,69 @@ class PlanQualitySpec extends SparkSpec {
     assert(windows.nonEmpty, p)
     assert(windows.forall(w => w.contains("__part")), p)
   }
+
+  // q161: the 32x replicate explode must collapse map-side — a
+  // partial/final HashAggregate pair keyed by rep — and the only
+  // cross joins are the 1-row CI-bound broadcasts. The sole Sort may
+  // be the 32-row replicate-mean window, never the expanded table.
+  test("q161 bootstrap: map-side combine on rep, scalar broadcasts only") {
+    val p = plan("q161_poisson_bootstrap")
+    assert(!p.contains("CartesianProduct"), p)
+    val blocks = p.split("(?m)^\\s*\\(\\d+\\) ").toSeq
+    val repAggs = blocks.filter(b => b.startsWith("HashAggregate") &&
+      b.contains("rep"))
+    assert(repAggs.size >= 2, p) // partial + final
+    val bnl = blocks.filter(_.startsWith("BroadcastNestedLoopJoin"))
+    assert(bnl.forall(_.contains("Cross")), p)
+  }
+
+  // q162/q173: grid windows key by event_type — no unpartitioned
+  // window over the daily series, totals ride broadcasts.
+  test("q162 changepoint: windows keyed by event_type, broadcast totals") {
+    val p = plan("q162_changepoint")
+    val blocks = p.split("(?m)^\\s*\\(\\d+\\) ").toSeq
+    val windows = blocks.filter(_.startsWith("Window"))
+    assert(windows.nonEmpty, p)
+    assert(windows.forall(_.contains("event_type")), p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  // q164/q174: the cell prefix sums are the two-phase device — no
+  // row_number/rank anywhere, no corpus-wide single-partition window.
+  test("q174 KS: two-phase CDFs, no rank") {
+    val p = plan("q174_ks_test")
+    assert(!p.contains("row_number") && !p.contains("rank"), p)
+    val blocks = p.split("(?m)^\\s*\\(\\d+\\) ").toSeq
+    val windows = blocks.filter(_.startsWith("Window"))
+    assert(windows.forall(w => w.contains("__part")), p)
+  }
+
+  // q166: entity consolidation is equi joins end to end — the match
+  // graph and the doc fan-in must never plan a nested-loop/cartesian.
+  test("q166 golden record: equi joins only") {
+    val p = plan("q166_golden_record")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  // q167: the split count is a window keyed by purchase_id (its own
+  // shuffle), never a global window; the touch join is an equi join.
+  test("q167 attribution: purchase-keyed split window, equi touch join") {
+    val p = plan("q167_linear_attribution")
+    assert(!p.contains("CartesianProduct"), p)
+    val blocks = p.split("(?m)^\\s*\\(\\d+\\) ").toSeq
+    val windows = blocks.filter(_.startsWith("Window"))
+    assert(windows.nonEmpty, p)
+    assert(windows.forall(_.contains("purchase_id")), p)
+  }
+
+  // q168: the converged core is checkpointed — the reported plan is
+  // one degree aggregate + a 1-row totals broadcast + TakeOrdered,
+  // with the map-side combine pair intact.
+  test("q168 kcore: degree rollup with broadcast totals, TakeOrdered") {
+    val p = plan("q168_kcore")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
 }

@@ -407,4 +407,57 @@ class Round8dOpsSpec extends SparkSpec {
     assert(byK(2L).getAs[Double]("hazard") === 1.0)
     assert(byK(2L).getAs[Boolean]("censored"))
   }
+
+  // ---- q178 BFS ----
+
+  test("q178: hop distances along a path graph; disconnected component " +
+    "reported as unreachable") {
+    val dir = java.nio.file.Files.createTempDirectory("r8dli2").toString
+    // path 1-2-3-4 via pairwise orders; 8-9 disconnected
+    Seq((10L, 1L), (10L, 2L), (20L, 2L), (20L, 3L), (30L, 3L), (30L, 4L),
+      (40L, 8L), (40L, 9L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = q("q178_sssp", dir).collect()
+      .map(r => r.getAs[Int]("dist") -> r.getAs[Long]("n_nodes")).toMap
+    assert(out === Map(0 -> 1L, 1 -> 1L, 2 -> 1L, 3 -> 1L, -1 -> 2L))
+  }
+
+  // ---- q179 RRF ----
+
+  test("q179: a doc leading BOTH rankings fuses to 2/(60+1); " +
+    "single-list docs carry one term") {
+    val filler = (1 to 5).map(i => s"w$i").mkString(" ")
+    val dir = docsDir(Seq(
+      // top bm25 (dense query terms) AND longest (17*25 > 6*60)
+      (1L, ("join hash vector " * 25) + filler, "en", "web"),
+      // bm25 only, short
+      (2L, s"join hash vector $filler", "en", "web"),
+      // long, no query terms
+      (3L, "lorem " * 60, "en", "web"),
+      (4L, filler, "en", "web")))
+    val out = q("q179_rrf_fusion", dir).collect()
+    val top = out.head
+    assert(top.getAs[Long]("doc_id") === 1L)
+    assert(top.getAs[Int]("ra") === 1 && top.getAs[Int]("rb") === 1)
+    assert(top.getAs[Double]("rrf") === 0.032787) // round(2/61, 6)
+    val d3 = out.find(_.getAs[Long]("doc_id") === 3L).get
+    assert(d3.isNullAt(d3.fieldIndex("ra"))) // absent from the bm25 list
+    assert(d3.getAs[Int]("rb") <= 2)
+  }
+
+  // ---- q180 equal-frequency binning ----
+
+  test("q180: 100 uniform distinct values land 10 per decile bin") {
+    val dir = java.nio.file.Files.createTempDirectory("r8dor2").toString
+    (1L to 100L).map(k => (k, k / 100.0)) // cents = 1..100
+      .toDF("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = q("q180_equal_freq_binning", dir).collect()
+    assert(out.length === 10)
+    out.foreach(r => assert(r.getAs[Long]("n") === 10L))
+    val b0 = out.find(_.getAs[Int]("bin") === 0).get
+    assert(b0.getAs[Long]("min_cents") === 1L)
+    assert(b0.getAs[Long]("max_cents") === 10L)
+  }
 }
