@@ -678,6 +678,69 @@ object StreamingQueries {
         .select(col("c_user").as("user_id"), col("click_id"),
           col("purchase_id"))
         .orderBy("user_id", "click_id", "purchase_id")
+    },
+
+    // Streaming SESSIONIZATION — `session_window` as a streaming
+    // aggregation: gap-based sessions built incrementally across
+    // micro-batches (an open session in state MERGES with next
+    // batch's events — q124's batch form recomputed per day can't
+    // serve a live dashboard). Append mode emits a session only once
+    // the event-time watermark passes its end (last event + gap), so
+    // the drained output is the WATERMARK-CLOSED prefix — exactly
+    // what the oracle reproduces closed-form: batch sessionization
+    // filtered to end < max(ts) − delay. Sessions still open at
+    // stream end stay in state, NOT flushed — pinned by
+    // SessionWindowProbeSpec so a Spark-upgrade semantics change
+    // fails the probe before the driver gate.
+    "q176_streaming_sessions" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      runMultiBatch(s, "q176", ev, in =>
+        in.withWatermark("ts", "1 hour")
+          .groupBy(col("user_id"),
+            session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            col("session_window.start").as("session_start"),
+            col("session_window.end").as("session_end"),
+            col("n_events")),
+        orderCols = Seq(col("ts"), col("event_id")))
+        .orderBy("user_id", "session_start")
+    },
+
+    // LEFT-OUTER stream-stream join — q165's semantically harder
+    // sibling: the null side can only emit once the watermark PROVES
+    // no match can still arrive (an unmatched click null-emits when
+    // the watermark passes its 1h join window; a still-open window is
+    // withheld in state, not emitted as null — the correctness
+    // property batch left joins get for free and streaming must earn
+    // via state + time). Watermark delay = join-window length, which
+    // guarantees no match is ever missed to early eviction on a
+    // time-ordered replay: when a purchase arrives, the watermark
+    // trails it by the full window, so its candidate clicks are still
+    // buffered. The oracle reproduces the cutoff closed-form: matches
+    // always; null rows only for clicks with c_ts + 1h <
+    // min(max click ts, max purchase ts) − 1h (the final global
+    // watermark — min across sources). Pinned by
+    // SessionWindowProbeSpec's left-outer probe.
+    "q177_stream_stream_left_outer" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("event_id").as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("purchase_id"))
+      runMultiBatchTwoCounted(s, "q177", clicks, purchases,
+        (cs, ps) => cs.withWatermark("c_ts", "1 hour")
+          .join(ps.withWatermark("p_ts", "1 hour"),
+            expr("c_user = p_user AND p_ts >= c_ts AND " +
+              "p_ts <= c_ts + interval 1 hour"), "left_outer"),
+        orderColsA = Seq(col("c_ts"), col("click_id")),
+        orderColsB = Seq(col("p_ts"), col("purchase_id")))._1
+        .select(col("c_user").as("user_id"), col("click_id"),
+          col("purchase_id"))
+        .orderBy("user_id", "click_id", "purchase_id")
     }
   )
 
@@ -707,6 +770,64 @@ object StreamingQueries {
         |FROM pc JOIN cells ON cells.r = pc.r AND cells.c = pc.c
         |GROUP BY pc.user_id, pc.exact_n
         |ORDER BY exact_n DESC, user_id""".stripMargin,
+
+    // batch sessionization filtered to the watermark-closed prefix
+    // (end < max ts − delay); new session at gap ≥ 30min because the
+    // session window is [start, last + gap) — an event AT the bound
+    // starts a new one
+    "q176_streaming_sessions" ->
+      """WITH e AS (SELECT user_id, ts FROM events),
+        |mx AS (SELECT max(ts) AS mts FROM e),
+        |l AS (
+        |  SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM e),
+        |f AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM l),
+        |g AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+        |  FROM f),
+        |sess AS (
+        |  SELECT user_id, min(ts) AS session_start,
+        |    max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |    count(*) AS n_events
+        |  FROM g GROUP BY user_id, sid)
+        |SELECT user_id, session_start, session_end, n_events
+        |FROM sess, mx WHERE session_end < mts - INTERVAL 1 HOUR
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    // matches always; null rows exactly for unmatched clicks whose
+    // window closed under the final global watermark (min across
+    // sources − delay)
+    "q177_stream_stream_left_outer" ->
+      """WITH c AS (
+        |  SELECT user_id, ts AS c_ts, event_id AS click_id
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, ts AS p_ts, event_id AS purchase_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |wm AS (
+        |  SELECT least((SELECT max(c_ts) FROM c),
+        |               (SELECT max(p_ts) FROM p))
+        |    - INTERVAL 1 HOUR AS w),
+        |m AS (
+        |  SELECT c.user_id, c.click_id, p.purchase_id
+        |  FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p.p_ts >= c.c_ts AND p.p_ts <= c.c_ts + INTERVAL 1 HOUR),
+        |unm AS (
+        |  SELECT c.user_id, c.click_id, NULL::BIGINT AS purchase_id
+        |  FROM c, wm
+        |  WHERE c.c_ts + INTERVAL 1 HOUR < wm.w
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM p WHERE p.user_id = c.user_id
+        |    AND p.p_ts >= c.c_ts AND p.p_ts <= c.c_ts + INTERVAL 1 HOUR))
+        |SELECT user_id, click_id, purchase_id FROM m
+        |UNION ALL SELECT user_id, click_id, purchase_id FROM unm
+        |ORDER BY user_id, click_id, purchase_id""".stripMargin,
 
     // the batch interval join the drained stream must reproduce
     // row-for-row (nothing evicted under the corpus-spanning
