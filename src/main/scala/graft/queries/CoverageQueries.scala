@@ -1891,6 +1891,72 @@ object CoverageQueries {
         .groupBy("bin").agg(count(lit(1)).as("n"),
           min("cents").as("min_cents"), max("cents").as("max_cents"))
         .orderBy("bin")
+    },
+
+    // Revenue waterfall (the MRR-movement decomposition, weekly) —
+    // the growth-accounting readout: each week's revenue change
+    // splits into new / expansion / contraction / churned / retained
+    // by comparing every user's week against their PRIOR week. The
+    // prior week is a key-shifted SELF-join on (user, week) — one
+    // scan builds the (user, week, cents) rollup (checkpointed, so
+    // cur and prev share it), the full-outer join materializes
+    // zero-revenue sides explicitly, and every class delta stays
+    // EXACT INTEGER CENTS. Ghost rows past the last observed week
+    // (every user "churns" after the corpus ends) are cut against a
+    // broadcast max-week scalar.
+    "q181_revenue_waterfall" -> { (s, dir) =>
+      val rev = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"),
+          floor(datediff(to_date(col("ts")), lit("2024-01-01")) / 7)
+            .as("wk"))
+        .agg(sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
+        .localCheckpoint()
+      val maxWk = broadcast(rev.agg(max("wk").as("max_wk")))
+      val prev = rev.select(col("user_id"), (col("wk") + 1).as("wk"),
+        col("cents").as("prev_cents"))
+      rev.join(prev, Seq("user_id", "wk"), "full_outer")
+        .na.fill(0L, Seq("cents", "prev_cents"))
+        .crossJoin(maxWk)
+        .filter(col("wk") <= col("max_wk"))
+        .withColumn("cls",
+          when(col("prev_cents") === 0 && col("cents") > 0, "new")
+            .when(col("cents") === 0 && col("prev_cents") > 0, "churned")
+            .when(col("cents") > col("prev_cents"), "expansion")
+            .when(col("cents") < col("prev_cents"), "contraction")
+            .otherwise("retained"))
+        .groupBy("wk", "cls")
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("cents") - col("prev_cents")).as("delta_cents"),
+          sum("cents").as("cents"))
+        .orderBy("wk", "cls")
+    },
+
+    // Top user journeys — the "most common 3-step path" product-
+    // analytics readout q151's Markov matrix summarizes away (a
+    // transition matrix is memoryless; paths carry the order):
+    // per-user event-type trigrams from two lead()s on ONE user-keyed
+    // shuffle+sort (the q151 window, reused — lead(1) and lead(2)
+    // share the spec so one sort carries both), counted globally with
+    // map-side combine, top-10 by count with a path tie-break; the
+    // total is a 1-row broadcast.
+    "q183_top_paths" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val tri = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("e2", lead("event_type", 1).over(w))
+        .withColumn("e3", lead("event_type", 2).over(w))
+        .filter(col("e3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("e2"), col("e3"))
+          .as("path"))
+      val tot = broadcast(tri.agg(count(lit(1)).as("nt")))
+      tri.groupBy("path").agg(count(lit(1)).as("n"))
+        .crossJoin(tot)
+        .withColumn("share", round(col("n") / col("nt"), 6))
+        .orderBy(col("n").desc, col("path")).limit(10)
+        .select("path", "n", "share")
     }
   )
 
@@ -2202,6 +2268,54 @@ object CoverageQueries {
         |    AS bin,
         |  count(*) AS n, min(cents) AS min_cents, max(cents) AS max_cents
         |FROM o, e GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // the same key-shifted self-join and integer-cents class deltas
+    "q181_revenue_waterfall" ->
+      """WITH rev AS (
+        |  SELECT user_id,
+        |    CAST(floor(date_diff('day', DATE '2024-01-01',
+        |      CAST(ts AS DATE)) / 7.0) AS BIGINT) AS wk,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY 1, 2),
+        |mw AS (SELECT max(wk) AS max_wk FROM rev),
+        |j AS (
+        |  SELECT coalesce(a.user_id, b.user_id) AS user_id,
+        |    coalesce(a.wk, b.wk + 1) AS wk,
+        |    coalesce(a.cents, 0) AS cents,
+        |    coalesce(b.cents, 0) AS prev_cents
+        |  FROM rev a FULL OUTER JOIN rev b
+        |    ON a.user_id = b.user_id AND a.wk = b.wk + 1),
+        |c AS (
+        |  SELECT wk,
+        |    CASE WHEN prev_cents = 0 AND cents > 0 THEN 'new'
+        |         WHEN cents = 0 AND prev_cents > 0 THEN 'churned'
+        |         WHEN cents > prev_cents THEN 'expansion'
+        |         WHEN cents < prev_cents THEN 'contraction'
+        |         ELSE 'retained' END AS cls,
+        |    cents, prev_cents
+        |  FROM j, mw WHERE wk <= max_wk)
+        |SELECT wk, cls, count(*) AS n_users,
+        |  CAST(sum(cents - prev_cents) AS BIGINT) AS delta_cents,
+        |  CAST(sum(cents) AS BIGINT) AS cents
+        |FROM c GROUP BY wk, cls ORDER BY wk, cls""".stripMargin,
+
+    // the same two leads over the same (ts, event_id) order
+    "q183_top_paths" ->
+      """WITH tri AS (
+        |  SELECT event_type || '>' ||
+        |    lead(event_type, 1) OVER w || '>' ||
+        |    lead(event_type, 2) OVER w AS path,
+        |    lead(event_type, 2) OVER w AS e3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |p AS (SELECT path FROM tri WHERE e3 IS NOT NULL),
+        |t AS (SELECT count(*) AS nt FROM p)
+        |SELECT path, count(*) AS n,
+        |  round(count(*)::DOUBLE / nt, 6) AS share
+        |FROM p, t GROUP BY path, nt
+        |ORDER BY n DESC, path LIMIT 10""".stripMargin,
 
     // the same row-salted md5 cells, the same min-over-d estimate
     "q137_countmin_sketch" ->

@@ -373,10 +373,82 @@ object VectorQueries {
             .as("n_contaminated"),
           round(max("max_cos"), 6).as("worst_cos"))
         .orderBy("label")
+    },
+
+    // Grid-density clustering — the SCALABLE DBSCAN shape (GriT/
+    // grid-DBSCAN family): instead of the O(n²) ε-neighbor graph,
+    // points collapse to grid cells in ONE map-side pass, density is
+    // a cell count, and clusters are connected components over
+    // ADJACENT DENSE CELLS — a graph whose size is bounded by the
+    // grid, not the corpus, so a 100 TB embedding table clusters
+    // through a cell-histogram shuffle plus CC on metadata. Cell ids
+    // derive from floor(coord × 8): ×2³ is exact in float, so both
+    // engines compute identical cells from identical parquet floats
+    // (no ε-distance float comparison ever crosses engines).
+    // Adjacency is an EQUI-join: each dense cell probes its 9 offsets
+    // (explode) against the dense set — no inequality join. Isolated
+    // dense cells are their own cluster (q55's coalesce).
+    "q182_density_clusters" -> { (s, dir) =>
+      val minPts = 10
+      val dense = t(s, dir, "embeddings")
+        .select(
+          floor(element_at(col("embedding"), 1) * 8).cast("long").as("cx"),
+          floor(element_at(col("embedding"), 2) * 8).cast("long").as("cy"))
+        .groupBy("cx", "cy").agg(count(lit(1)).as("npts"))
+        .filter(col("npts") >= minPts)
+        .withColumn("cell", (col("cx") + 100) * 1000 + (col("cy") + 100))
+        .localCheckpoint()
+      val probes = dense
+        .select(col("cell").as("cell_a"), col("cx"), col("cy"))
+        .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .select(col("cell_a"), (col("cx") + col("dx")).as("cx"),
+          (col("cy") + col("dy")).as("cy"))
+      val edges = probes
+        .join(dense.select(col("cx"), col("cy"),
+          col("cell").as("cell_b")), Seq("cx", "cy"))
+        .filter(col("cell_a") =!= col("cell_b"))
+        .select("cell_a", "cell_b")
+      val cc = graft.operators.ScaleOps
+        .connectedComponents(edges, "cell_a", "cell_b")
+      dense.join(cc.withColumnRenamed("id", "cell"), Seq("cell"), "left")
+        .select(coalesce(col("rep"), col("cell")).as("cluster_id"),
+          col("npts"))
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_cells"), sum("npts").as("n_points"))
+        .orderBy("cluster_id")
     }
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    // the same exact float cell arithmetic; adjacency closed by the
+    // recursive-CTE union-find
+    "q182_density_clusters" ->
+      """WITH RECURSIVE pts AS (
+        |  SELECT CAST(floor(embedding[1] * 8) AS BIGINT) AS cx,
+        |    CAST(floor(embedding[2] * 8) AS BIGINT) AS cy
+        |  FROM embeddings),
+        |dense AS (
+        |  SELECT cx, cy, count(*) AS npts,
+        |    (cx + 100) * 1000 + (cy + 100) AS cell
+        |  FROM pts GROUP BY cx, cy HAVING count(*) >= 10),
+        |e AS (
+        |  SELECT a.cell AS ca, b.cell AS cb
+        |  FROM dense a JOIN dense b
+        |  ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+        |  AND a.cell <> b.cell),
+        |reach(id, lab) AS (
+        |  SELECT ca, ca FROM e
+        |  UNION
+        |  SELECT e.ca, r.lab FROM e JOIN reach r ON e.cb = r.id),
+        |comp AS (SELECT id, min(lab) AS rep FROM reach GROUP BY id),
+        |labeled AS (
+        |  SELECT coalesce(c.rep, d.cell) AS cluster_id, d.npts
+        |  FROM dense d LEFT JOIN comp c ON c.id = d.cell)
+        |SELECT cluster_id, count(*) AS n_cells,
+        |  CAST(sum(npts) AS BIGINT) AS n_points
+        |FROM labeled GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
 
     "q141_semantic_decontam" ->
       """WITH e AS (

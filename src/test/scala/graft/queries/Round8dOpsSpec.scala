@@ -446,6 +446,65 @@ class Round8dOpsSpec extends SparkSpec {
     assert(d3.getAs[Int]("rb") <= 2)
   }
 
+  // ---- q181 revenue waterfall ----
+
+  test("q181: new/expansion/churned classes with exact cent deltas") {
+    val rows = Seq(
+      (1L, Timestamp.valueOf("2024-01-02 00:00:00"), 1L, "purchase", 1.0),
+      (2L, Timestamp.valueOf("2024-01-09 00:00:00"), 1L, "purchase", 2.0),
+      (3L, Timestamp.valueOf("2024-01-02 00:00:00"), 2L, "purchase", 5.0),
+      (4L, Timestamp.valueOf("2024-01-09 00:00:00"), 3L, "purchase", 3.0))
+    val out = q("q181_revenue_waterfall", eventsDir(rows)).collect()
+      .map(r => (r.getAs[Long]("wk"), r.getAs[String]("cls")) -> r).toMap
+    val w0new = out((0L, "new"))
+    assert(w0new.getAs[Long]("n_users") === 2L)
+    assert(w0new.getAs[Long]("delta_cents") === 600L)
+    assert(out((1L, "expansion")).getAs[Long]("delta_cents") === 100L)
+    assert(out((1L, "churned")).getAs[Long]("delta_cents") === -500L)
+    assert(out((1L, "new")).getAs[Long]("cents") === 300L)
+    // no ghost week past the last observed one
+    assert(out.keys.map(_._1).max === 1L)
+  }
+
+  // ---- q182 density clusters ----
+
+  test("q182: adjacent dense cells merge, separated blob stays its " +
+    "own cluster, sparse points drop") {
+    val dir = java.nio.file.Files.createTempDirectory("r8demb").toString
+    def pt(id: Long, x: Float, y: Float) = (id, Seq(x, y, 0.0f), 0)
+    val rows =
+      (1L to 12L).map(i => pt(i, 0.01f + i.toFloat / 10000, 0.01f)) ++ // cell (0,0)
+        (21L to 30L).map(i => pt(i, 0.15f, 0.01f)) ++ // cell (1,0), adjacent
+        (41L to 51L).map(i => pt(i, -0.3f, -0.3f)) ++ // cell (-3,-3), separate
+        Seq(pt(99L, 0.3f, -0.3f)) // sparse: below minPts, dropped
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = q("q182_density_clusters", dir).collect()
+      .map(r => r.getAs[Long]("cluster_id") ->
+        (r.getAs[Long]("n_cells"), r.getAs[Long]("n_points"))).toMap
+    assert(out.size === 2)
+    // merged blob: cells (0,0) and (1,0) -> rep = (0+100)*1000+100
+    assert(out(100100L) === ((2L, 22L)))
+    // isolated blob: cell (-3,-3) -> (97)*1000+97
+    assert(out(97097L) === ((1L, 11L)))
+  }
+
+  // ---- q183 top paths ----
+
+  test("q183: trigram paths counted over the per-user event order") {
+    val rows = (0 until 4).map { i =>
+      val ts = Timestamp.valueOf(f"2024-01-01 0$i:00:00")
+      ((i + 1).toLong, ts, 1L, Seq("view", "click", "purchase", "view")(i),
+        1.0)
+    }
+    val out = q("q183_top_paths", eventsDir(rows)).collect()
+    assert(out.length === 2) // 4 events -> 2 trigrams
+    val paths = out.map(r => r.getAs[String]("path") ->
+      r.getAs[Double]("share")).toMap
+    assert(paths === Map(
+      "view>click>purchase" -> 0.5, "click>purchase>view" -> 0.5))
+  }
+
   // ---- q180 equal-frequency binning ----
 
   test("q180: 100 uniform distinct values land 10 per decile bin") {
