@@ -1957,6 +1957,55 @@ object CoverageQueries {
         .withColumn("share", round(col("n") / col("nt"), 6))
         .orderBy(col("n").desc, col("path")).limit(10)
         .select("path", "n", "share")
+    },
+
+    // Deterministic negative sampling — the training-pair generator
+    // every recsys/word2vec-style run needs at 100 TB: for each
+    // positive (customer, part) interaction, draw candidate negatives
+    // from the md5 stream (seeded by the positive and the draw index,
+    // so re-runs and both engines draw byte-identical candidates —
+    // RNG-free, the q96/q161 device), REJECT candidates that are
+    // actually positives for that customer (one equi anti-join, never
+    // a per-row lookup loop), and keep the first 2 survivors by draw
+    // index (a window over ≤4-row groups). The gate is ONE summary
+    // row whose `set_hash` is the order-independent bit_xor of a
+    // 60-bit row hash over the ENTIRE kept sample (q132's checksum
+    // device) — a single flipped negative anywhere in the millions of
+    // pairs flips the gate, without shipping the pairs.
+    "q184_negative_sampling" -> { (s, dir) =>
+      val draws = 4
+      val keep = 2
+      val pos = t(s, dir, "orders")
+        .select(col("o_custkey").as("u"), col("o_orderkey"))
+        .join(t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o_orderkey"),
+            col("l_partkey").as("p")), Seq("o_orderkey"))
+        .select("u", "p").distinct()
+        .localCheckpoint()
+      val nParts = broadcast(t(s, dir, "part")
+        .agg(max("p_partkey").as("np")))
+      val cands = pos.crossJoin(nParts)
+        .withColumn("i", explode(sequence(lit(0), lit(draws - 1))))
+        .withColumn("cand",
+          conv(substring(md5(concat(lit("ns:"), col("u").cast("string"),
+            lit(":"), col("p").cast("string"), lit(":"),
+            col("i").cast("string"))), 1, 15), 16, 10).cast("long")
+            % col("np") + 1)
+      val misses = cands.join(
+        pos.select(col("u"), col("p").as("cand")),
+        Seq("u", "cand"), "left_anti")
+      val kept = misses
+        .withColumn("r", row_number().over(
+          Window.partitionBy("u", "p").orderBy("i")))
+        .filter(col("r") <= keep)
+      // ONE aggregate carries count + checksum (the q161 lesson:
+      // separate broadcasts would re-run the sampling pipeline twice)
+      val keptAgg = kept.agg(count(lit(1)).as("n_kept"),
+        expr("bit_xor(cast(conv(substring(md5(concat_ws(':', u, p, " +
+          "cand)), 1, 15), 16, 10) as bigint))").as("set_hash"))
+      broadcast(pos.agg(count(lit(1)).as("n_positives")))
+        .crossJoin(keptAgg)
+        .select("n_positives", "n_kept", "set_hash")
     }
   )
 
@@ -2300,6 +2349,36 @@ object CoverageQueries {
         |  CAST(sum(cents - prev_cents) AS BIGINT) AS delta_cents,
         |  CAST(sum(cents) AS BIGINT) AS cents
         |FROM c GROUP BY wk, cls ORDER BY wk, cls""".stripMargin,
+
+    // byte-identical candidate draws (same md5 seeds), same rejection
+    // and keep-first-2 rule, same order-independent set checksum
+    "q184_negative_sampling" ->
+      """WITH pos AS (
+        |  SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS p
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |np AS (SELECT max(p_partkey) AS np FROM part),
+        |cands AS (
+        |  SELECT u, p, t.i,
+        |    ('0x' || substr(md5('ns:' || CAST(u AS VARCHAR) || ':' ||
+        |      CAST(p AS VARCHAR) || ':' || CAST(t.i AS VARCHAR)), 1, 15))
+        |      ::BIGINT % np + 1 AS cand
+        |  FROM pos, np, UNNEST(range(0, 4)) AS t(i)),
+        |misses AS (
+        |  SELECT c.u, c.p, c.i, c.cand FROM cands c
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM pos WHERE pos.u = c.u AND pos.p = c.cand)),
+        |kept AS (
+        |  SELECT u, p, cand FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY u, p ORDER BY i)
+        |      AS r FROM misses) WHERE r <= 2),
+        |ka AS (
+        |  SELECT count(*) AS n_kept,
+        |    bit_xor(('0x' || substr(md5(CAST(u AS VARCHAR) || ':' ||
+        |      CAST(p AS VARCHAR) || ':' || CAST(cand AS VARCHAR)), 1, 15))
+        |      ::BIGINT) AS set_hash
+        |  FROM kept),
+        |pa AS (SELECT count(*) AS n_positives FROM pos)
+        |SELECT n_positives, n_kept, set_hash FROM pa, ka""".stripMargin,
 
     // the same two leads over the same (ts, event_id) order
     "q183_top_paths" ->

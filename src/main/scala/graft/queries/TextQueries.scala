@@ -2026,6 +2026,53 @@ object TextQueries {
         .orderBy("bucket")
     },
 
+    // Isotonic calibration (the PAV fit, computed via the minimax
+    // closed form) — q133 DIAGNOSES miscalibration, this REPAIRS it:
+    // the monotone-non-decreasing rate curve closest to the raw
+    // bucket rates in L², which is what production scorers actually
+    // apply before thresholding (sklearn's IsotonicRegression).
+    // Instead of the sequential pool-adjacent-violators loop (order-
+    // dependent, unmirrorable), the fit uses the exact minimax
+    // identity iso(i) = max_{j≤i} min_{k≥i} mean(y over buckets
+    // j..k): interval means come from exact integer prefix sums over
+    // the ≤10-row bucket GRID (one division each, 6dp-rounded BEFORE
+    // the min/max so the order statistics are engine-exact), and the
+    // j≤i≤k triple join is grid³ ≤ 1000 rows — pure metadata, the
+    // corpus is touched exactly once.
+    "q185_isotonic_calibration" -> { (s, dir) =>
+      val tk = toks(col("text"))
+      val grid = t(s, dir, "documents")
+        .select(col("lang"),
+          when(size(tk) === 0, lit(0.0))
+            .otherwise(size(filter(tk, w => w.isin(enStop: _*)))
+              .cast("double") / size(tk)).as("score"))
+        .select(col("lang"),
+          least(floor(col("score") * 10).cast("long"), lit(9L)).as("b"))
+        .groupBy("b").agg(count(lit(1)).as("n"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("pos"))
+        .localCheckpoint() // ≤10 rows, reused by the interval algebra
+      val wb = Window.orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val pre = grid.withColumn("cp", sum("n").over(wb))
+        .withColumn("pp", sum("pos").over(wb))
+      val js = pre.select(col("b").as("j"),
+        (col("pp") - col("pos")).as("ppx"), (col("cp") - col("n")).as("cpx"))
+      val ks = pre.select(col("b").as("k"), col("pp"), col("cp"))
+      val intervals = js.crossJoin(ks).filter(col("j") <= col("k"))
+        .withColumn("m", round(
+          (col("pp") - col("ppx")) / (col("cp") - col("cpx")), 6))
+      val iso = grid.select(col("b").as("i"))
+        .join(intervals, col("j") <= col("i") && col("i") <= col("k"))
+        .groupBy("i", "j").agg(min("m").as("minm"))
+        .groupBy("i").agg(max("minm").as("iso_rate"))
+      grid.join(iso, grid("b") === iso("i"))
+        .withColumn("raw_rate",
+          round(col("pos") / col("n").cast("double"), 6))
+        .select(col("b").as("bucket"), col("n"), col("pos"),
+          col("raw_rate"), col("iso_rate"))
+        .orderBy("bucket")
+    },
+
     // Cross-source duplication matrix: how many duplicate-FAMILY doc
     // PAIRS exist within and between sources — the "which crawls copy
     // from each other" provenance analytic that decides source
@@ -3941,6 +3988,41 @@ object TextQueries {
         |  (bucket * 2 + 1) / 20.0 AS center,
         |  round(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::DOUBLE
         |    / count(*), 6) AS pos_rate
-        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // the same minimax identity over the same exact prefix sums;
+    // interval means rounded 6dp BEFORE the min/max
+    "q185_isotonic_calibration" ->
+      """WITH scored AS (
+        |  SELECT lang,
+        |    CASE WHEN len(string_split(trim(lower(text)), ' ')) = 0 THEN 0.0
+        |         ELSE len(list_filter(string_split(trim(lower(text)), ' '),
+        |             t -> t IN ('the','a','of','and','to','in')))::DOUBLE /
+        |           len(string_split(trim(lower(text)), ' ')) END AS score
+        |  FROM documents),
+        |grid AS (
+        |  SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS b,
+        |    count(*) AS n,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS pos
+        |  FROM scored GROUP BY 1),
+        |pre AS (
+        |  SELECT b, n, pos,
+        |    CAST(sum(n) OVER (ORDER BY b) AS BIGINT) AS cp,
+        |    CAST(sum(pos) OVER (ORDER BY b) AS BIGINT) AS pp
+        |  FROM grid),
+        |iv AS (
+        |  SELECT j.b AS j, k.b AS k,
+        |    round((k.pp - (j.pp - j.pos))::DOUBLE /
+        |      (k.cp - (j.cp - j.n)), 6) AS m
+        |  FROM pre j JOIN pre k ON j.b <= k.b),
+        |mn AS (
+        |  SELECT i.b AS i, iv.j, min(iv.m) AS minm
+        |  FROM grid i JOIN iv ON iv.j <= i.b AND i.b <= iv.k
+        |  GROUP BY i.b, iv.j),
+        |iso AS (SELECT i, max(minm) AS iso_rate FROM mn GROUP BY i)
+        |SELECT grid.b AS bucket, grid.n, grid.pos,
+        |  round(grid.pos::DOUBLE / grid.n, 6) AS raw_rate, iso.iso_rate
+        |FROM grid JOIN iso ON iso.i = grid.b ORDER BY bucket""".stripMargin
   )
 }

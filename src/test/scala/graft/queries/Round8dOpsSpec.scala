@@ -505,6 +505,65 @@ class Round8dOpsSpec extends SparkSpec {
       "view>click>purchase" -> 0.5, "click>purchase>view" -> 0.5))
   }
 
+  // ---- q184 negative sampling ----
+
+  test("q184: kept set matches an independent JVM replay of the draws " +
+    "(rejection, keep-2, order-independent checksum)") {
+    val dir = java.nio.file.Files.createTempDirectory("r8dns").toString
+    // user 1 buys parts 1,2 (order 10); user 2 buys part 3 (order 20)
+    Seq((10L, 1L), (20L, 2L)).toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((10L, 1L), (10L, 2L), (20L, 3L)).toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    (1L to 5L).toDF("p_partkey")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val out = q("q184_negative_sampling", dir).collect().head
+    // independent JVM replay
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(sd: String): Long = {
+      val hex = md.digest(sd.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val positives = Seq((1L, 1L), (1L, 2L), (2L, 3L))
+    val posByU = positives.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    var nKept = 0L
+    var setHash = 0L
+    positives.foreach { case (u, p) =>
+      val kept = (0 to 3).map(i => h60(s"ns:$u:$p:$i") % 5 + 1)
+        .filterNot(posByU(u).contains).take(2)
+      kept.foreach { c => nKept += 1; setHash ^= h60(s"$u:$p:$c") }
+    }
+    assert(out.getAs[Long]("n_positives") === 3L)
+    assert(out.getAs[Long]("n_kept") === nKept)
+    assert(out.getAs[Long]("set_hash") === setHash)
+  }
+
+  // ---- q185 isotonic calibration ----
+
+  test("q185: the minimax fit pools adjacent violators exactly") {
+    // raw bucket rates [b0: 0/4, b5: 3/3, b9: 2/4] -> PAVA pools the
+    // decreasing tail: iso = [0, 5/7, 5/7]
+    val stop2 = "the x"   // ratio 0.5 -> bucket 5
+    val stop1 = "the"     // ratio 1.0 -> bucket 9 (capped)
+    val plain = "x y"     // ratio 0   -> bucket 0
+    val docs =
+      (1L to 4L).map(i => (i, plain, "de", "web")) ++
+        (11L to 13L).map(i => (i, stop2, "en", "web")) ++
+        Seq((21L, stop1, "en", "web"), (22L, stop1, "en", "web"),
+          (23L, stop1, "fr", "web"), (24L, stop1, "fr", "web"))
+    val out = q("q185_isotonic_calibration", docsDir(docs.toSeq))
+      .collect().map(r => r.getAs[Long]("bucket") -> r).toMap
+    assert(out(0L).getAs[Double]("raw_rate") === 0.0)
+    assert(out(0L).getAs[Double]("iso_rate") === 0.0)
+    assert(out(5L).getAs[Double]("raw_rate") === 1.0)
+    assert(out(5L).getAs[Double]("iso_rate") === 0.714286) // 5/7
+    assert(out(9L).getAs[Double]("raw_rate") === 0.5)
+    assert(out(9L).getAs[Double]("iso_rate") === 0.714286)
+    // monotone non-decreasing across buckets
+    val iso = out.toSeq.sortBy(_._1).map(_._2.getAs[Double]("iso_rate"))
+    assert(iso === iso.sorted)
+  }
+
   // ---- q180 equal-frequency binning ----
 
   test("q180: 100 uniform distinct values land 10 per decile bin") {
