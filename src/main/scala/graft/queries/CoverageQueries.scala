@@ -2006,6 +2006,94 @@ object CoverageQueries {
       broadcast(pos.agg(count(lit(1)).as("n_positives")))
         .crossJoin(keptAgg)
         .select("n_positives", "n_kept", "set_hash")
+    },
+
+    // Time-series resample + gap fill — the missing operator between
+    // the rollups (q43) and the forecast metrics (q171): project the
+    // event stream onto the COMPLETE (event_type × day) calendar.
+    // Days with no observations resample to n=0 (count-style metrics)
+    // while the level-style metric (the daily mean, 6dp-rounded BEFORE
+    // the fill so both engines carry identical values forward)
+    // forward-fills from the last observed day (LOCF); days before a
+    // type's first observation stay null. The 100 TB shape: the corpus
+    // is touched by exactly ONE groupBy; the calendar is sequence()
+    // metadata (types × days) and the fill window runs over grid rows
+    // only — at 10× events with dilate-time the grid grows 10× in days
+    // but the fill stays grid-bounded, never corpus-bounded.
+    "q186_gap_fill" -> { (s, dir) =>
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type").as("etype"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"), round(avg("value"), 6).as("avg_v"))
+        .localCheckpoint() // grid-sized; span, keys, and the join reuse it
+      val span = broadcast(daily.agg(min("day").as("d0"), max("day").as("d1")))
+      val grid = daily.select("etype").distinct()
+        .crossJoin(span)
+        .withColumn("day", explode(expr("sequence(d0, d1, interval 1 day)")))
+        .select("etype", "day")
+      val wfill = Window.partitionBy("etype").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(daily, Seq("etype", "day"), "left")
+        .select(col("etype"), col("day"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          col("n").isNull.as("filled"),
+          last(col("avg_v"), ignoreNulls = true).over(wfill).as("v_locf"))
+        .orderBy("etype", "day")
+    },
+
+    // Anti-entropy replica diff (the Merkle-tree device from
+    // Dynamo-style replication, flattened to one digest level): find
+    // every row that differs between table A and replica B WITHOUT a
+    // table-scale row join. Pass 1 computes a per-bucket digest
+    // (count + bit_xor of a 60-bit row hash) on each side — two
+    // map-side-combined aggregates whose output is 256 rows; pass 2
+    // re-reads ONLY rows falling in buckets whose digests disagree
+    // (a broadcast semi-join) and full-outer joins just those. When
+    // replicas agree on 99.9% of data — the production case — pass 2
+    // touches ~0.1% of rows; with hash-bucketed storage (BucketedTable)
+    // the bucket predicate becomes file pruning. B is derived from
+    // orders deterministically (md5-selected mutations: %97 price
+    // drift, %89 deletes, %83 B-only inserts) so the oracle can build
+    // the same replica and compute the diff directly — the gate proves
+    // the digest shortcut loses nothing.
+    "q187_partition_diff" -> { (s, dir) =>
+      val a = t(s, dir, "orders").select(col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderstatus").as("st"))
+      val sel = conv(substring(md5(concat(lit("mut:"),
+        col("k").cast("string"))), 1, 15), 16, 10).cast("long")
+      val ah = a.withColumn("h", sel)
+      val b = ah.filter(col("h") % 89 =!= 1)
+        .select(col("k"), when(col("h") % 97 === 0, col("cents") + 100L)
+          .otherwise(col("cents")).as("cents"), col("st"))
+        .unionByName(ah.filter(col("h") % 83 === 2)
+          .select((col("k") + 1000000000L).as("k"), col("cents"), col("st")))
+      val rowH = conv(substring(md5(concat_ws(":", col("k"), col("cents"),
+        col("st"))), 1, 15), 16, 10).cast("long")
+      val keyH = conv(substring(md5(col("k").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+      val bkt = pmod(hash(col("k")), lit(256)) // engine-internal partitioner
+      def digest(df: DataFrame, n: String, x: String) =
+        df.groupBy(bkt.as("bkt"))
+          .agg(count(lit(1)).as(n), bit_xor(rowH).as(x))
+      val dirty = digest(a, "na", "xa")
+        .join(digest(b, "nb", "xb"), Seq("bkt"), "full_outer")
+        .filter(coalesce(col("na"), lit(-1L)) =!= coalesce(col("nb"), lit(-1L))
+          || coalesce(col("xa"), lit(0L)) =!= coalesce(col("xb"), lit(0L)))
+        .select("bkt")
+      val af = a.join(broadcast(dirty), bkt === col("bkt"), "left_semi")
+        .withColumn("ha", rowH)
+      val bf = b.join(broadcast(dirty), bkt === col("bkt"), "left_semi")
+        .withColumn("hb", rowH)
+      af.join(bf, Seq("k"), "full_outer")
+        .withColumn("status",
+          when(col("hb").isNull, "missing_in_b")
+            .when(col("ha").isNull, "missing_in_a")
+            .when(col("ha") =!= col("hb"), "changed")
+            .otherwise("equal"))
+        .filter(col("status") =!= "equal")
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"), bit_xor(keyH).as("key_hash"))
+        .orderBy("status")
     }
   )
 
@@ -2379,6 +2467,59 @@ object CoverageQueries {
         |  FROM kept),
         |pa AS (SELECT count(*) AS n_positives FROM pos)
         |SELECT n_positives, n_kept, set_hash FROM pa, ka""".stripMargin,
+
+    // the same complete calendar, the same 6dp round-before-fill
+    "q186_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT event_type AS etype, CAST(ts AS DATE) AS day,
+        |    count(*) AS n, round(avg(value), 6) AS avg_v
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |days AS (
+        |  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+        |    AS DATE) AS day FROM span),
+        |grid AS (
+        |  SELECT etype, day
+        |  FROM (SELECT DISTINCT etype FROM daily), days)
+        |SELECT g.etype, g.day, coalesce(d.n, 0) AS n,
+        |  d.n IS NULL AS filled,
+        |  last_value(d.avg_v IGNORE NULLS) OVER (
+        |    PARTITION BY g.etype ORDER BY g.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_locf
+        |FROM grid g LEFT JOIN daily d ON d.etype = g.etype AND d.day = g.day
+        |ORDER BY g.etype, g.day""".stripMargin,
+
+    // the oracle builds the SAME deterministic replica and computes
+    // the diff directly (full join, no digest shortcut) — proving the
+    // engine's bucket-digest pruning loses no differing row
+    "q187_partition_diff" ->
+      """WITH a AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderstatus AS st
+        |  FROM orders),
+        |h AS (
+        |  SELECT k, cents, st,
+        |    ('0x' || substr(md5('mut:' || CAST(k AS VARCHAR)), 1, 15))
+        |      ::BIGINT AS h
+        |  FROM a),
+        |b AS (
+        |  SELECT k, CASE WHEN h % 97 = 0 THEN cents + 100 ELSE cents END
+        |      AS cents, st
+        |  FROM h WHERE h % 89 <> 1
+        |  UNION ALL
+        |  SELECT k + 1000000000, cents, st FROM h WHERE h % 83 = 2),
+        |d AS (
+        |  SELECT coalesce(a.k, b.k) AS k,
+        |    CASE WHEN b.k IS NULL THEN 'missing_in_b'
+        |         WHEN a.k IS NULL THEN 'missing_in_a'
+        |         WHEN a.cents <> b.cents OR a.st <> b.st THEN 'changed'
+        |         ELSE 'equal' END AS status
+        |  FROM a FULL JOIN b ON a.k = b.k)
+        |SELECT status, count(*) AS n,
+        |  bit_xor(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15))::BIGINT)
+        |    AS key_hash
+        |FROM d WHERE status <> 'equal' GROUP BY status ORDER BY status""".stripMargin,
 
     // the same two leads over the same (ts, event_id) order
     "q183_top_paths" ->

@@ -564,6 +564,90 @@ class Round8dOpsSpec extends SparkSpec {
     assert(iso === iso.sorted)
   }
 
+  // ---- q186 gap fill ----
+
+  test("q186: missing days resample to n=0 and LOCF carries the last " +
+    "rounded mean; days before first observation stay null") {
+    // type a: day1 (mean 1.5), hole on day2, day3 (2.5);
+    // type b: day2 only (4.0) — null before, carried after
+    val d1 = Timestamp.valueOf("2024-01-01 10:00:00")
+    val d2 = Timestamp.valueOf("2024-01-02 10:00:00")
+    val d3 = Timestamp.valueOf("2024-01-03 10:00:00")
+    val rows = Seq(
+      (1L, d1, 1L, "a", 1.0), (2L, d1, 1L, "a", 2.0),
+      (3L, d3, 1L, "a", 2.5), (4L, d2, 2L, "b", 4.0))
+    val out = q("q186_gap_fill", eventsDir(rows)).collect()
+      .map(r => (r.getAs[String]("etype"),
+        r.getAs[java.sql.Date]("day").toString) -> r).toMap
+    assert(out.size === 6) // 2 types x 3 calendar days
+    val a2 = out(("a", "2024-01-02"))
+    assert(a2.getAs[Long]("n") === 0L)
+    assert(a2.getAs[Boolean]("filled"))
+    assert(a2.getAs[Double]("v_locf") === 1.5)
+    val a3 = out(("a", "2024-01-03"))
+    assert(!a3.getAs[Boolean]("filled"))
+    assert(a3.getAs[Double]("v_locf") === 2.5)
+    val b1 = out(("b", "2024-01-01"))
+    assert(b1.getAs[Long]("n") === 0L)
+    assert(b1.isNullAt(b1.fieldIndex("v_locf")))
+    val b3 = out(("b", "2024-01-03"))
+    assert(b3.getAs[Boolean]("filled"))
+    assert(b3.getAs[Double]("v_locf") === 4.0)
+  }
+
+  // ---- q187 partition diff ----
+
+  private def ordersStDir(rows: Seq[(Long, Double, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("r8dos").toString
+    rows.toDF("o_orderkey", "o_totalprice", "o_orderstatus")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    dir
+  }
+
+  test("q187: digest-pruned diff equals an independent JVM replay of " +
+    "the full row diff") {
+    val rows = (1L to 500L).map(k =>
+      (k, k * 1.25, if (k % 3 == 0) "F" else "O"))
+    val out = q("q187_partition_diff", ordersStDir(rows)).collect()
+      .map(r => r.getAs[String]("status") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("key_hash")))).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(sd: String): Long = {
+      val hex = md.digest(sd.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    case class R(k: Long, cents: Long, st: String)
+    val a = rows.map { case (k, p, st) => R(k, math.round(p * 100), st) }
+    val b = a.flatMap { r =>
+      val h = h60(s"mut:${r.k}")
+      val kept =
+        if (h % 89 == 1) Nil
+        else Seq(r.copy(cents =
+          if (h % 97 == 0) r.cents + 100 else r.cents))
+      val ins =
+        if (h % 83 == 2) Seq(r.copy(k = r.k + 1000000000L)) else Nil
+      kept ++ ins
+    }
+    val amap = a.map(r => r.k -> r).toMap
+    val bmap = b.map(r => r.k -> r).toMap
+    val statuses = (amap.keySet ++ bmap.keySet).toSeq.flatMap { k =>
+      (amap.get(k), bmap.get(k)) match {
+        case (Some(_), None) => Some(k -> "missing_in_b")
+        case (None, Some(_)) => Some(k -> "missing_in_a")
+        case (Some(x), Some(y)) if x != y => Some(k -> "changed")
+        case _ => None
+      }
+    }
+    val expected = statuses.groupBy(_._2).map { case (st, ks) =>
+      st -> ((ks.size.toLong, ks.map(kv => h60(kv._1.toString))
+        .reduce(_ ^ _)))
+    }
+    // the fixture must exercise all three statuses to mean anything
+    assert(expected.keySet === Set("missing_in_a", "missing_in_b", "changed"))
+    assert(out === expected)
+  }
+
   // ---- q180 equal-frequency binning ----
 
   test("q180: 100 uniform distinct values land 10 per decile bin") {
