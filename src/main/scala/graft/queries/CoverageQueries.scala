@@ -2094,6 +2094,53 @@ object CoverageQueries {
         .groupBy("status")
         .agg(count(lit(1)).as("n"), bit_xor(keyH).as("key_hash"))
         .orderBy("status")
+    },
+
+    // Deterministic random walks over the customer–part bipartite
+    // graph — the walk-corpus generator graph-embedding training
+    // (DeepWalk/node2vec) consumes. RNG-free like q184: at step i the
+    // walk moves to the neighbor minimizing the md5 hash of
+    // (walk, step, candidate), with (hash, candidate) ordering so even
+    // a hash tie is deterministic — both engines trace byte-identical
+    // paths. Each step is ONE broadcast join (the frontier is
+    // |starts| rows — constant, never graph-scale) against the edge
+    // table plus a row_number over per-walk candidate groups; L steps
+    // = L passes, the shape that holds when edges are 100 TB because
+    // nothing graph-scale is ever shuffled by walk.
+    "q188_random_walks" -> { (s, dir) =>
+      val walkLen = 4
+      val edges = t(s, dir, "orders")
+        .select(col("o_custkey").as("u"), col("o_orderkey"))
+        .join(t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o_orderkey"),
+            col("l_partkey").as("p")), Seq("o_orderkey"))
+        .select("u", "p").distinct()
+        .localCheckpoint() // reused by all walkLen steps
+      def h(step: Int) = conv(substring(md5(concat_ws(":", lit("walk"),
+        col("walk"), lit(step), col("cand"))), 1, 15), 16, 10).cast("long")
+      var frontier = edges.select("p").distinct().filter(col("p") <= 200)
+        .select(col("p").as("walk"), col("p").as("cur"))
+      val steps = scala.collection.mutable.ArrayBuffer(
+        frontier.select(col("walk"), lit(0).as("step"),
+          concat(lit("p:"), col("cur")).as("node")))
+      for (step <- 1 to walkLen) {
+        val fromPart = step % 2 == 1
+        val cands =
+          if (fromPart)
+            edges.join(broadcast(frontier), edges("p") === frontier("cur"))
+              .select(col("walk"), col("u").as("cand"))
+          else
+            edges.join(broadcast(frontier), edges("u") === frontier("cur"))
+              .select(col("walk"), col("p").as("cand"))
+        val w = Window.partitionBy("walk").orderBy(col("hh"), col("cand"))
+        frontier = cands.withColumn("hh", h(step))
+          .withColumn("r", row_number().over(w)).filter(col("r") === 1)
+          .select(col("walk"), col("cand").as("cur"))
+          .localCheckpoint() // each step computed once, not re-derived
+        steps += frontier.select(col("walk"), lit(step).as("step"),
+          concat(lit(if (fromPart) "c:" else "p:"), col("cur")).as("node"))
+      }
+      steps.reduce(_ unionByName _).orderBy("walk", "step")
     }
   )
 
@@ -2520,6 +2567,57 @@ object CoverageQueries {
         |  bit_xor(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15))::BIGINT)
         |    AS key_hash
         |FROM d WHERE status <> 'equal' GROUP BY status ORDER BY status""".stripMargin,
+
+    // the same md5 argmin per step, unrolled; (hh, cand) tiebreak
+    "q188_random_walks" ->
+      """WITH edges AS (
+        |  SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS p
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |s0 AS (
+        |  SELECT p AS walk, p AS cur
+        |  FROM (SELECT DISTINCT p FROM edges) WHERE p <= 200),
+        |c1 AS (
+        |  SELECT s0.walk, e.u AS cand,
+        |    ('0x' || substr(md5('walk:' || CAST(s0.walk AS VARCHAR) ||
+        |      ':1:' || CAST(e.u AS VARCHAR)), 1, 15))::BIGINT AS hh
+        |  FROM s0 JOIN edges e ON e.p = s0.cur),
+        |s1 AS (SELECT walk, cand AS cur FROM (SELECT *, row_number()
+        |  OVER (PARTITION BY walk ORDER BY hh, cand) AS r FROM c1)
+        |  WHERE r = 1),
+        |c2 AS (
+        |  SELECT s1.walk, e.p AS cand,
+        |    ('0x' || substr(md5('walk:' || CAST(s1.walk AS VARCHAR) ||
+        |      ':2:' || CAST(e.p AS VARCHAR)), 1, 15))::BIGINT AS hh
+        |  FROM s1 JOIN edges e ON e.u = s1.cur),
+        |s2 AS (SELECT walk, cand AS cur FROM (SELECT *, row_number()
+        |  OVER (PARTITION BY walk ORDER BY hh, cand) AS r FROM c2)
+        |  WHERE r = 1),
+        |c3 AS (
+        |  SELECT s2.walk, e.u AS cand,
+        |    ('0x' || substr(md5('walk:' || CAST(s2.walk AS VARCHAR) ||
+        |      ':3:' || CAST(e.u AS VARCHAR)), 1, 15))::BIGINT AS hh
+        |  FROM s2 JOIN edges e ON e.p = s2.cur),
+        |s3 AS (SELECT walk, cand AS cur FROM (SELECT *, row_number()
+        |  OVER (PARTITION BY walk ORDER BY hh, cand) AS r FROM c3)
+        |  WHERE r = 1),
+        |c4 AS (
+        |  SELECT s3.walk, e.p AS cand,
+        |    ('0x' || substr(md5('walk:' || CAST(s3.walk AS VARCHAR) ||
+        |      ':4:' || CAST(e.p AS VARCHAR)), 1, 15))::BIGINT AS hh
+        |  FROM s3 JOIN edges e ON e.u = s3.cur),
+        |s4 AS (SELECT walk, cand AS cur FROM (SELECT *, row_number()
+        |  OVER (PARTITION BY walk ORDER BY hh, cand) AS r FROM c4)
+        |  WHERE r = 1)
+        |SELECT walk, 0 AS step, 'p:' || CAST(cur AS VARCHAR) AS node FROM s0
+        |UNION ALL
+        |SELECT walk, 1, 'c:' || CAST(cur AS VARCHAR) FROM s1
+        |UNION ALL
+        |SELECT walk, 2, 'p:' || CAST(cur AS VARCHAR) FROM s2
+        |UNION ALL
+        |SELECT walk, 3, 'c:' || CAST(cur AS VARCHAR) FROM s3
+        |UNION ALL
+        |SELECT walk, 4, 'p:' || CAST(cur AS VARCHAR) FROM s4
+        |ORDER BY walk, step""".stripMargin,
 
     // the same two leads over the same (ts, event_id) order
     "q183_top_paths" ->

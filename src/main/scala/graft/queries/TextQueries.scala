@@ -2073,6 +2073,32 @@ object TextQueries {
         .orderBy("bucket")
     },
 
+    // Sliding-window chunking — the RAG/embedding preprocessing step
+    // (fixed-size token windows, stride < size so consecutive chunks
+    // overlap). The whole operator is codegen'd array expressions
+    // (sequence → transform → slice → aggregate) evaluated per row:
+    // ZERO shuffles, embarrassingly parallel — the ideal 100 TB shape.
+    // The gate hashes EVERY chunk: per doc, the order-independent xor
+    // of each chunk's md5 — one flipped token in any window anywhere
+    // flips the row, without materializing chunk text in the output.
+    "q189_chunk_overlap" -> { (s, dir) =>
+      val C = 8; val S = 6 // window 8 tokens, stride 6 (overlap 2)
+      t(s, dir, "documents")
+        .select(col("doc_id"), toks(col("text")).as("tks"))
+        .withColumn("len", size(col("tks")))
+        .withColumn("starts", when(col("len") === 0,
+          array().cast("array<int>"))
+          .otherwise(expr(s"sequence(0, len - 1, $S)")))
+        .select(col("doc_id"), col("len").as("n_toks"),
+          size(col("starts")).as("n_chunks"),
+          expr(s"""aggregate(
+            transform(starts, st -> cast(conv(substring(md5(
+              array_join(slice(tks, st + 1, $C), ' ')), 1, 15), 16, 10)
+              as bigint)),
+            cast(0 as bigint), (acc, x) -> acc ^ x)""").as("chunk_hash"))
+        .orderBy("doc_id")
+    },
+
     // Cross-source duplication matrix: how many duplicate-FAMILY doc
     // PAIRS exist within and between sources — the "which crawls copy
     // from each other" provenance analytic that decides source
@@ -4023,6 +4049,24 @@ object TextQueries {
         |iso AS (SELECT i, max(minm) AS iso_rate FROM mn GROUP BY i)
         |SELECT grid.b AS bucket, grid.n, grid.pos,
         |  round(grid.pos::DOUBLE / grid.n, 6) AS raw_rate, iso.iso_rate
-        |FROM grid JOIN iso ON iso.i = grid.b ORDER BY bucket""".stripMargin
+        |FROM grid JOIN iso ON iso.i = grid.b ORDER BY bucket""".stripMargin,
+
+    // the same windows (8-token, stride 6), the same per-chunk md5
+    // folded with xor; range() excludes len so empty docs get 0 chunks
+    "q189_chunk_overlap" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(trim(lower(text)), ' ') AS tks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, len(tks) AS n_toks, tks,
+        |    range(0, len(tks), 6) AS starts
+        |  FROM d)
+        |SELECT doc_id, n_toks, len(starts) AS n_chunks,
+        |  CASE WHEN len(starts) = 0 THEN 0 ELSE list_reduce(
+        |    list_transform(starts, st ->
+        |      ('0x' || substr(md5(array_to_string(
+        |        list_slice(tks, st + 1, st + 8), ' ')), 1, 15))::BIGINT),
+        |    (a, b) -> xor(a, b)) END AS chunk_hash
+        |FROM c ORDER BY doc_id""".stripMargin
   )
 }

@@ -648,6 +648,77 @@ class Round8dOpsSpec extends SparkSpec {
     assert(out === expected)
   }
 
+  // ---- q188 random walks ----
+
+  test("q188: walks follow the md5-argmin neighbor at every step " +
+    "(JVM replay on a micro-graph)") {
+    val dir = java.nio.file.Files.createTempDirectory("r8dwk").toString
+    // customer 1 buys parts 100,200; customer 2 buys part 100
+    Seq((10L, 1L), (20L, 2L)).toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((10L, 100L), (10L, 200L), (20L, 100L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = q("q188_random_walks", dir).collect()
+      .map(r => (r.getAs[Long]("walk"), r.getAs[Int]("step")) ->
+        r.getAs[String]("node")).toMap
+    assert(out.size === 10) // 2 walks x 5 nodes
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(sd: String): Long = {
+      val hex = md.digest(sd.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val custOf = Map(100L -> Seq(1L, 2L), 200L -> Seq(1L))
+    val partOf = Map(1L -> Seq(100L, 200L), 2L -> Seq(100L))
+    for (start <- Seq(100L, 200L)) {
+      var cur = start
+      assert(out((start, 0)) === s"p:$start")
+      for (step <- 1 to 4) {
+        val fromPart = step % 2 == 1
+        val cands = if (fromPart) custOf(cur) else partOf(cur)
+        cur = cands.minBy(c => (h60(s"walk:$start:$step:$c"), c))
+        assert(out((start, step)) ===
+          (if (fromPart) s"c:$cur" else s"p:$cur"))
+      }
+    }
+  }
+
+  // ---- q189 chunk overlap ----
+
+  test("q189: window/stride arithmetic and per-chunk hashes match a " +
+    "JVM replay (tail chunks shorter, overlap preserved)") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" "), "en", "web"),
+      (2L, (1 to 8).map(i => s"t$i").mkString(" "), "en", "web"),
+      (3L, "solo", "en", "web"),
+      (4L, (1 to 6).map(i => s"t$i").mkString(" "), "en", "web"))
+    val out = q("q189_chunk_overlap", docsDir(docs)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(sd: String): Long = {
+      val hex = md.digest(sd.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    def replay(text: String): (Int, Int, Long) = {
+      val tks = text.split(" ").toSeq
+      val starts = 0 until tks.length by 6
+      val hash = starts.map(st =>
+        h60(tks.slice(st, st + 8).mkString(" "))).foldLeft(0L)(_ ^ _)
+      (tks.length, starts.length, hash)
+    }
+    docs.foreach { case (id, text, _, _) =>
+      val (nt, nc, hsh) = replay(text)
+      val r = out(id)
+      assert(r.getAs[Int]("n_toks") === nt, s"doc $id n_toks")
+      assert(r.getAs[Int]("n_chunks") === nc, s"doc $id n_chunks")
+      assert(r.getAs[Long]("chunk_hash") === hsh, s"doc $id hash")
+    }
+    // the 10-token doc must have produced an overlapping tail window
+    assert(out(1L).getAs[Int]("n_chunks") === 2)
+  }
+
   // ---- q180 equal-frequency binning ----
 
   test("q180: 100 uniform distinct values land 10 per decile bin") {
