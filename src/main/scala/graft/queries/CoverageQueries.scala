@@ -2141,6 +2141,71 @@ object CoverageQueries {
           concat(lit(if (fromPart) "c:" else "p:"), col("cur")).as("node"))
       }
       steps.reduce(_ unionByName _).orderBy("walk", "step")
+    },
+
+    // Label-propagation community detection (synchronous LPA, Raghavan
+    // et al. 2007) over the part co-purchase graph — the community
+    // operator the CC family can't express: CC merges every connected
+    // part into one blob, LPA splits dense regions by neighborhood
+    // majority. Determinism is forced two ways: synchronous rounds (a
+    // FIXED count, 5 — async update order is engine-dependent) and a
+    // total tie order (neighbor-label count desc, then smallest
+    // label). Each round is one edges⋈labels join + one (node, label)
+    // count + one per-node top-1 — all shuffles keyed by node, state
+    // is |nodes| rows checkpointed per round (the q178 BFS discipline),
+    // so 100 TB of edges costs 5 edge-scans, never an edge² blowup.
+    "q190_lpa_communities" -> { (s, dir) =>
+      val rounds = 5
+      val items = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val e = items.as("x").join(items.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+      val und = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+        .localCheckpoint() // reused by all rounds
+      var labels = und.select(col("a").as("node")).distinct()
+        .withColumn("lbl", col("node"))
+      for (_ <- 1 to rounds) {
+        val cnt = und.join(labels, und("b") === labels("node"))
+          .select(col("a").as("node"), col("lbl"))
+          .groupBy("node", "lbl").agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy("node")
+          .orderBy(col("c").desc, col("lbl"))
+        labels = cnt.withColumn("r", row_number().over(w))
+          .filter(col("r") === 1).select("node", "lbl")
+          .localCheckpoint() // bound lineage round-over-round
+      }
+      labels.select(col("node"), col("lbl").as("community"))
+        .orderBy("node")
+    },
+
+    // Approximate-percentile sketch vs exact — the q45 tolerance
+    // device applied to quantiles: each engine runs its OWN mergeable
+    // sketch (Spark's Greenwald-Khanna approx_percentile, DuckDB's
+    // t-digest) and asserts it lands within 5% of the per-group value
+    // span of the exact interpolated percentile; the hashed columns
+    // are the exact values + the tolerance booleans, which agree as
+    // long as both sketches honor their error bounds. At 100 TB the
+    // sketch is the only viable path — constant memory per partition,
+    // mergeable across executors — where exact percentile sorts the
+    // group; this gate keeps the fast path honest against the exact
+    // one at verifiable scale.
+    "q191_approx_percentile" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          round(expr("percentile(value, 0.5D)"), 6).as("p50_exact"),
+          round(expr("percentile(value, 0.95D)"), 6).as("p95_exact"),
+          expr("approx_percentile(value, 0.5D, 10000)").as("a50"),
+          expr("approx_percentile(value, 0.95D, 10000)").as("a95"),
+          (max("value") - min("value")).as("span"))
+        .select(col("event_type"), col("p50_exact"), col("p95_exact"),
+          (abs(col("a50") - col("p50_exact")) <= col("span") * 0.05)
+            .as("p50_within_tol"),
+          (abs(col("a95") - col("p95_exact")) <= col("span") * 0.05)
+            .as("p95_within_tol"))
+        .orderBy("event_type")
     }
   )
 
@@ -2618,6 +2683,50 @@ object CoverageQueries {
         |UNION ALL
         |SELECT walk, 4, 'p:' || CAST(cur AS VARCHAR) FROM s4
         |ORDER BY walk, step""".stripMargin,
+
+    // the same 5 synchronous rounds, the same (count desc, label asc)
+    // tie order, unrolled
+    "q190_lpa_communities" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT x.p AS a, y.p AS b
+        |  FROM items x JOIN items y ON x.o = y.o AND x.p < y.p),
+        |und AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+        |l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM und),
+        |r1 AS (SELECT u.a AS node, l.lbl, count(*) AS c FROM und u
+        |  JOIN l0 l ON l.node = u.b GROUP BY 1, 2),
+        |l1 AS (SELECT node, lbl FROM (SELECT *, row_number() OVER (
+        |  PARTITION BY node ORDER BY c DESC, lbl) AS r FROM r1) WHERE r = 1),
+        |r2 AS (SELECT u.a AS node, l.lbl, count(*) AS c FROM und u
+        |  JOIN l1 l ON l.node = u.b GROUP BY 1, 2),
+        |l2 AS (SELECT node, lbl FROM (SELECT *, row_number() OVER (
+        |  PARTITION BY node ORDER BY c DESC, lbl) AS r FROM r2) WHERE r = 1),
+        |r3 AS (SELECT u.a AS node, l.lbl, count(*) AS c FROM und u
+        |  JOIN l2 l ON l.node = u.b GROUP BY 1, 2),
+        |l3 AS (SELECT node, lbl FROM (SELECT *, row_number() OVER (
+        |  PARTITION BY node ORDER BY c DESC, lbl) AS r FROM r3) WHERE r = 1),
+        |r4 AS (SELECT u.a AS node, l.lbl, count(*) AS c FROM und u
+        |  JOIN l3 l ON l.node = u.b GROUP BY 1, 2),
+        |l4 AS (SELECT node, lbl FROM (SELECT *, row_number() OVER (
+        |  PARTITION BY node ORDER BY c DESC, lbl) AS r FROM r4) WHERE r = 1),
+        |r5 AS (SELECT u.a AS node, l.lbl, count(*) AS c FROM und u
+        |  JOIN l4 l ON l.node = u.b GROUP BY 1, 2),
+        |l5 AS (SELECT node, lbl FROM (SELECT *, row_number() OVER (
+        |  PARTITION BY node ORDER BY c DESC, lbl) AS r FROM r5) WHERE r = 1)
+        |SELECT node, lbl AS community FROM l5 ORDER BY node""".stripMargin,
+
+    // DuckDB runs its own t-digest; the gate compares exact values
+    // and the tolerance booleans, not the sketches themselves
+    "q191_approx_percentile" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS p50_exact,
+        |  round(quantile_cont(value, 0.95), 6) AS p95_exact,
+        |  abs(approx_quantile(value, 0.5) - quantile_cont(value, 0.5))
+        |    <= (max(value) - min(value)) * 0.05 AS p50_within_tol,
+        |  abs(approx_quantile(value, 0.95) - quantile_cont(value, 0.95))
+        |    <= (max(value) - min(value)) * 0.05 AS p95_within_tol
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // the same two leads over the same (ts, event_id) order
     "q183_top_paths" ->

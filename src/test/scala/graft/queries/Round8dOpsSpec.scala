@@ -719,6 +719,43 @@ class Round8dOpsSpec extends SparkSpec {
     assert(out(1L).getAs[Int]("n_chunks") === 2)
   }
 
+  // ---- q190 LPA communities ----
+
+  test("q190: two triangles joined by one bridge converge to two " +
+    "communities (hand-traced 5 synchronous rounds)") {
+    // each order holds exactly one edge's two parts
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (11L, 12L), (11L, 13L), (12L, 13L), (3L, 11L))
+    val li = edges.zipWithIndex.flatMap { case ((a, b), i) =>
+      Seq((i.toLong + 1, a), (i.toLong + 1, b))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("r8dlpa").toString
+    li.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = q("q190_lpa_communities", dir).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("community")).toMap
+    // hand trace: round 2 settles {1,2,3}->1; round 3 settles
+    // {11,12,13}->3; rounds 4-5 are stable fixpoint
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      11L -> 3L, 12L -> 3L, 13L -> 3L))
+  }
+
+  // ---- q191 approx percentile ----
+
+  test("q191: exact interpolated percentiles on 1..100 and a small-n " +
+    "sketch that is exact, so tolerance holds") {
+    val rows = (1 to 100).map(i =>
+      (i.toLong, t0, 1L, "view", i.toDouble))
+    val out = q("q191_approx_percentile", eventsDir(rows)).collect()
+    assert(out.length === 1)
+    val r = out.head
+    // 1 + 0.5*(100-1) = rank 50.5 -> 50.5; 1 + 0.95*99 = 95.05
+    assert(r.getAs[Double]("p50_exact") === 50.5)
+    assert(r.getAs[Double]("p95_exact") === 95.05)
+    assert(r.getAs[Boolean]("p50_within_tol"))
+    assert(r.getAs[Boolean]("p95_within_tol"))
+  }
+
   // ---- q180 equal-frequency binning ----
 
   test("q180: 100 uniform distinct values land 10 per decile bin") {
