@@ -2206,6 +2206,98 @@ object CoverageQueries {
           (abs(col("a95") - col("p95_exact")) <= col("span") * 0.05)
             .as("p95_within_tol"))
         .orderBy("event_type")
+    },
+
+    // Theil–Sen robust trend (median of pairwise slopes) — the
+    // outlier-proof complement to q154's OLS: one contaminated month
+    // moves OLS by its leverage but shifts a median-of-slopes only one
+    // rank. The corpus collapses to the monthly grid in ONE pass
+    // (integer cents); the pair set is grid² (~3k pairs at 80 months)
+    // — metadata, never event-scale — and both medians are the exact
+    // interpolated percentile over identical (long, long)-derived
+    // doubles, so the hash gate holds bit-for-bit.
+    "q192_theil_sen" -> { (s, dir) =>
+      val monthly = t(s, dir, "orders")
+        .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .as("x"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+        .localCheckpoint() // grid-sized; the pair algebra reuses it
+      val x0 = broadcast(monthly.agg(min("x").as("x0")))
+      val g = monthly.crossJoin(x0)
+        .select((col("x") - col("x0")).as("x"), col("cents"))
+      val slope = g.as("i").join(g.as("j"), col("i.x") < col("j.x"))
+        .select(((col("j.cents") - col("i.cents")).cast("double") /
+          (col("j.x") - col("i.x"))).as("slope"))
+        .agg(expr("percentile(slope, 0.5D)").as("m"))
+      broadcast(slope).crossJoin(g)
+        .agg(round(max("m"), 6).as("slope_cents_per_month"),
+          round(expr("percentile(cents - m * x, 0.5D)"), 6)
+            .as("intercept_cents"))
+    },
+
+    // k-anonymity audit with a generalization ladder — the privacy
+    // tier's measurement side (q109 redacts, this measures): how many
+    // quasi-identifier groups fall under k=5, and how much each
+    // generalization step (drop the balance bucket, then the nation)
+    // buys. Each level is one map-side-combined groupBy collapsing to
+    // the QI grid; risky mass is summed on grid rows. The 100 TB
+    // shape: the table is scanned once per level, nothing larger than
+    // the QI grid is ever shuffled.
+    "q193_k_anonymity" -> { (s, dir) =>
+      val k = 5
+      val c = t(s, dir, "customer").select(
+        col("c_nationkey").cast("long").as("nat"),
+        col("c_mktsegment").as("seg"),
+        floor(col("c_acctbal") / 1000).cast("long").as("balb"))
+      def audit(level: Int, keys: Seq[String]): DataFrame =
+        c.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+          .agg(count(lit(1)).as("n_groups"),
+            sum(when(col("n") < k, 1L).otherwise(0L)).as("risky_groups"),
+            sum(when(col("n") < k, col("n")).otherwise(0L)).as("risky_rows"))
+          .select(lit(level).as("level"), col("n_groups"),
+            col("risky_groups"), col("risky_rows"))
+      audit(0, Seq("nat", "seg", "balb"))
+        .unionByName(audit(1, Seq("nat", "seg")))
+        .unionByName(audit(2, Seq("seg")))
+        .orderBy("level")
+    },
+
+    // Pivot with an EXPLICIT value list — the reshape operator, done
+    // the way it must be done at 100 TB: naming the pivot values up
+    // front skips the hidden collect-distinct job Spark otherwise runs
+    // over the full table before it can even plan, and keeps the
+    // output schema stable when a new event type appears mid-release.
+    // One groupBy; absent cells coalesce to 0.
+    "q194_pivot" -> { (s, dir) =>
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .select(col("day") +:
+          types.map(tp => coalesce(col(tp), lit(0L)).as(tp)): _*)
+        .orderBy("day")
+    },
+
+    // Differentially-private counts via the deterministic Laplace
+    // mechanism: u is a dyadic rational from the md5 stream reduced
+    // mod 2^53 so every double is EXACT (the q104 discipline), the
+    // inverse-CDF ln is the only inexact step and the release is
+    // rounded well clear of ulp noise. eps=1, sensitivity 1 ⇒ b=1.
+    // The true n is kept in the output purely to strengthen the gate
+    // — a real release ships noisy_n alone. Per-partition counts
+    // partial-aggregate map-side; noise is applied to |types| rows.
+    "q195_dp_counts" -> { (s, dir) =>
+      val u = ((conv(substring(md5(concat(lit("dp:"), col("event_type"))),
+        1, 15), 16, 10).cast("long") % 9007199254740992L).cast("double")
+        + 0.5) / lit(9007199254740992.0)
+      t(s, dir, "events").groupBy("event_type")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("u", u)
+        .select(col("event_type"), col("n"),
+          round(col("n") + when(col("u") < 0.5, log(col("u") * 2))
+            .otherwise(-log((lit(1.0) - col("u")) * 2)), 4).as("noisy_n"))
+        .orderBy("event_type")
     }
   )
 
@@ -2727,6 +2819,78 @@ object CoverageQueries {
         |  abs(approx_quantile(value, 0.95) - quantile_cont(value, 0.95))
         |    <= (max(value) - min(value)) * 0.05 AS p95_within_tol
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // identical integer grid, identical pairwise-slope doubles, same
+    // interpolated medians
+    "q192_theil_sen" ->
+      """WITH monthly AS (
+        |  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS x,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY 1),
+        |x0 AS (SELECT min(x) AS x0 FROM monthly),
+        |g AS (SELECT x - x0 AS x, cents FROM monthly, x0),
+        |p AS (
+        |  SELECT (j.cents - i.cents)::DOUBLE / (j.x - i.x) AS slope
+        |  FROM g i JOIN g j ON i.x < j.x),
+        |m AS (SELECT quantile_cont(slope, 0.5) AS m FROM p)
+        |SELECT round(max(m.m), 6) AS slope_cents_per_month,
+        |  round(quantile_cont(g.cents - m.m * g.x, 0.5), 6)
+        |    AS intercept_cents
+        |FROM g, m""".stripMargin,
+
+    // the same three-level ladder over the same QI grid
+    "q193_k_anonymity" ->
+      """WITH c AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nat, c_mktsegment AS seg,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS balb
+        |  FROM customer),
+        |g0 AS (SELECT count(*) AS n FROM c GROUP BY nat, seg, balb),
+        |g1 AS (SELECT count(*) AS n FROM c GROUP BY nat, seg),
+        |g2 AS (SELECT count(*) AS n FROM c GROUP BY seg),
+        |a0 AS (SELECT 0 AS level, count(*) AS n_groups,
+        |  CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS risky_groups,
+        |  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+        |    AS risky_rows FROM g0),
+        |a1 AS (SELECT 1 AS level, count(*) AS n_groups,
+        |  CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS risky_groups,
+        |  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+        |    AS risky_rows FROM g1),
+        |a2 AS (SELECT 2 AS level, count(*) AS n_groups,
+        |  CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS risky_groups,
+        |  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+        |    AS risky_rows FROM g2)
+        |SELECT * FROM a0 UNION ALL SELECT * FROM a1
+        |UNION ALL SELECT * FROM a2 ORDER BY level""".stripMargin,
+
+    // the same fixed column list as CASE sums
+    "q194_pivot" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS view
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+
+    // the same exact dyadic u, the same inverse-CDF branch
+    "q195_dp_counts" ->
+      """WITH g AS (
+        |  SELECT event_type, count(*) AS n,
+        |    ((('0x' || substr(md5('dp:' || event_type), 1, 15))::BIGINT
+        |      % 9007199254740992)::DOUBLE + 0.5) / 9007199254740992.0 AS u
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, n,
+        |  round(n + CASE WHEN u < 0.5 THEN ln(u * 2)
+        |    ELSE -ln((1.0 - u) * 2) END, 4) AS noisy_n
+        |FROM g ORDER BY event_type""".stripMargin,
 
     // the same two leads over the same (ts, event_id) order
     "q183_top_paths" ->

@@ -756,6 +756,98 @@ class Round8dOpsSpec extends SparkSpec {
     assert(r.getAs[Boolean]("p95_within_tol"))
   }
 
+  // ---- q192 Theil-Sen ----
+
+  test("q192: median-of-slopes ignores a 25x outlier month that would " +
+    "wreck OLS (hand-computed pair medians)") {
+    // monthly cents [1000,2000,3000,4000,100000] at x=0..4:
+    // 6 of 10 pairwise slopes are exactly 1000 -> median 1000;
+    // intercept = median(y - 1000x) = 1000
+    val dir = java.nio.file.Files.createTempDirectory("r8dts").toString
+    Seq((1L, 10.0, "2024-01-15"), (2L, 20.0, "2024-02-15"),
+      (3L, 30.0, "2024-03-15"), (4L, 40.0, "2024-04-15"),
+      (5L, 1000.0, "2024-05-15"))
+      .toDF("o_orderkey", "o_totalprice", "d")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        to_date(col("d")).as("o_orderdate"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = q("q192_theil_sen", dir).collect().head
+    assert(r.getAs[Double]("slope_cents_per_month") === 1000.0)
+    assert(r.getAs[Double]("intercept_cents") === 1000.0)
+  }
+
+  // ---- q193 k-anonymity ----
+
+  test("q193: the generalization ladder absorbs one risky group per " +
+    "level (hand-counted)") {
+    val dir = java.nio.file.Files.createTempDirectory("r8dka").toString
+    val rows =
+      (1 to 6).map(i => (i.toLong, 1, 500.0, "A")) ++   // safe everywhere
+        (7 to 8).map(i => (i.toLong, 1, 1500.0, "A")) ++ // risky at L0 only
+        (9 to 11).map(i => (i.toLong, 2, 500.0, "B"))    // risky at all
+    rows.toDF("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val out = q("q193_k_anonymity", dir).collect()
+      .map(r => r.getAs[Int]("level") ->
+        ((r.getAs[Long]("n_groups"), r.getAs[Long]("risky_groups"),
+          r.getAs[Long]("risky_rows")))).toMap
+    assert(out(0) === ((3L, 2L, 5L)))
+    assert(out(1) === ((2L, 1L, 3L)))
+    assert(out(2) === ((2L, 1L, 3L)))
+  }
+
+  // ---- q194 pivot ----
+
+  test("q194: explicit-value pivot produces stable wide columns with " +
+    "0 for absent cells") {
+    val d2 = Timestamp.valueOf("2024-01-06 09:00:00")
+    val rows = Seq(
+      (1L, t0, 1L, "click", 1.0), (2L, t0, 2L, "click", 1.0),
+      (3L, t0, 1L, "view", 1.0), (4L, d2, 1L, "purchase", 1.0))
+    val out = q("q194_pivot", eventsDir(rows)).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString -> r).toMap
+    assert(out.size === 2)
+    val day1 = out("2024-01-05")
+    assert(day1.getAs[Long]("click") === 2L)
+    assert(day1.getAs[Long]("view") === 1L)
+    assert(day1.getAs[Long]("purchase") === 0L)
+    assert(day1.getAs[Long]("signup") === 0L)
+    val day2 = out("2024-01-06")
+    assert(day2.getAs[Long]("purchase") === 1L)
+    assert(day2.getAs[Long]("click") === 0L)
+  }
+
+  // ---- q195 DP counts ----
+
+  test("q195: the deterministic Laplace release matches a JVM replay " +
+    "of the exact dyadic inverse-CDF") {
+    val rows = Seq(
+      (1L, t0, 1L, "view", 1.0), (2L, t0, 2L, "view", 1.0),
+      (3L, t0, 3L, "view", 1.0), (4L, t0, 1L, "click", 1.0),
+      (5L, t0, 2L, "click", 1.0))
+    val out = q("q195_dp_counts", eventsDir(rows)).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("noisy_n")))).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(sd: String): Long = {
+      val hex = md.digest(sd.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    def replay(etype: String, n: Long): Double = {
+      val u = ((h60(s"dp:$etype") % 9007199254740992L).toDouble + 0.5) /
+        9007199254740992.0
+      val noise =
+        if (u < 0.5) math.log(u * 2) else -math.log((1.0 - u) * 2)
+      BigDecimal(n + noise)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(out("view") === ((3L, replay("view", 3L))))
+    assert(out("click") === ((2L, replay("click", 2L))))
+    // noise is nonzero but bounded (b=1 -> |noise| < 40 whp)
+    assert(math.abs(out("view")._2 - 3.0) > 0.0)
+  }
+
   // ---- q180 equal-frequency binning ----
 
   test("q180: 100 uniform distinct values land 10 per decile bin") {
