@@ -2298,6 +2298,84 @@ object CoverageQueries {
           round(col("n") + when(col("u") < 0.5, log(col("u") * 2))
             .otherwise(-log((lit(1.0) - col("u")) * 2)), 4).as("noisy_n"))
         .orderBy("event_type")
+    },
+
+    // Shapley-value channel attribution (Shapley 1953; the
+    // data-driven attribution model behind ad-platform MTA) — the
+    // game-theoretic upgrade of q146 last-touch / q167 linear: each
+    // channel's credit is its average marginal lift in conversion
+    // rate across ALL coalitions of the other channels. The corpus
+    // collapses in ONE pass to the (exposure-set bitmask → users,
+    // conversions) grid — 16 rows for 4 channels — and the whole
+    // subset algebra (v(S), the |S|!·(n−1−|S|)!/n! weights as exact
+    // integer coefficients over 12) runs on that grid: 32 term rows
+    // of metadata, never event-scale. v is 6dp-rounded BEFORE the
+    // weighted sums so both engines fold identical doubles.
+    "q196_shapley_attribution" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val firstP = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min("ts").as("pts"))
+      val bit = when(col("event_type") === "click", 1L)
+        .when(col("event_type") === "error", 2L)
+        .when(col("event_type") === "signup", 4L)
+        .when(col("event_type") === "view", 8L)
+      val masks = ev.join(firstP, Seq("user_id"), "left")
+        .filter(col("event_type") =!= "purchase" &&
+          (col("pts").isNull || col("ts") < col("pts")))
+        .select(col("user_id"), bit.as("b")).distinct()
+        .groupBy("user_id").agg(sum("b").as("mask"))
+      val grid = ev.select("user_id").distinct()
+        .join(firstP, Seq("user_id"), "left")
+        .join(masks, Seq("user_id"), "left")
+        .select(coalesce(col("mask"), lit(0L)).as("mask"),
+          col("pts").isNotNull.cast("long").as("conv"))
+        .groupBy("mask").agg(count(lit(1)).as("nu"), sum("conv").as("nc"))
+        .localCheckpoint() // ≤16 rows; the subset algebra reuses it
+      val v = s.range(0, 16).select(col("id").as("m"))
+        .join(grid, col("m") === col("mask"), "left")
+        .select(col("m"),
+          round(coalesce(col("nc") / col("nu"), lit(0.0)), 6).as("v"))
+        .localCheckpoint()
+      val chan = s.range(0, 4).select(
+        element_at(array(lit("click"), lit("error"), lit("signup"),
+          lit("view")), (col("id") + 1).cast("int")).as("channel"),
+        element_at(array(lit(1L), lit(2L), lit(4L), lit(8L)),
+          (col("id") + 1).cast("int")).as("cb"))
+      chan.crossJoin(v.select(col("m").as("sm"), col("v").as("v0")))
+        .filter(col("sm").bitwiseAND(col("cb")) === 0)
+        .join(v.select(col("m").as("smc"), col("v").as("v1")),
+          col("smc") === col("sm").bitwiseOR(col("cb")))
+        .withColumn("coef", element_at(array(lit(3), lit(1), lit(1),
+          lit(3)), (expr("bit_count(sm)") + 1).cast("int")))
+        .groupBy("channel")
+        .agg(round(sum(col("coef") * (col("v1") - col("v0"))) / 12, 6)
+          .as("phi"))
+        .orderBy("channel")
+    },
+
+    // SCD2 interval construction from a changelog — turn the event
+    // stream into versioned dimension rows: consecutive same-status
+    // runs per user collapse to [valid_from, valid_to) intervals,
+    // valid_to = the next run's start (null = current). This is the
+    // build side of every point-in-time join (q62 consumes such
+    // tables); the rule is change-on-VALUE, where q20's sessionize is
+    // change-on-GAP. Two user-keyed window passes + one user-keyed
+    // groupBy — all shuffles on user_id and AQE-coalescible; island
+    // ids are per-user running sums, never global.
+    "q197_scd2_intervals" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val prev = lag(col("event_type"), 1).over(w)
+      val isl = t(s, dir, "events")
+        .withColumn("chg",
+          when(prev.isNull || col("event_type") =!= prev, 1L).otherwise(0L))
+        .withColumn("island", sum("chg").over(w))
+      val iv = isl.groupBy(col("user_id"), col("island"))
+        .agg(min("event_type").as("status"), // constant within an island
+          min("ts").as("valid_from"), count(lit(1)).as("n_events"))
+      val w2 = Window.partitionBy("user_id").orderBy("island")
+      iv.withColumn("valid_to", lead(col("valid_from"), 1).over(w2))
+        .select("user_id", "status", "valid_from", "valid_to", "n_events")
+        .orderBy("user_id", "valid_from")
     }
   )
 
@@ -2891,6 +2969,69 @@ object CoverageQueries {
         |  round(n + CASE WHEN u < 0.5 THEN ln(u * 2)
         |    ELSE -ln((1.0 - u) * 2) END, 4) AS noisy_n
         |FROM g ORDER BY event_type""".stripMargin,
+
+    // the same 16-mask grid, the same integer-over-12 weights
+    "q196_shapley_attribution" ->
+      """WITH fp AS (
+        |  SELECT user_id, min(ts) AS pts FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |um AS (
+        |  SELECT e.user_id,
+        |    CAST(sum(DISTINCT CASE e.event_type WHEN 'click' THEN 1
+        |      WHEN 'error' THEN 2 WHEN 'signup' THEN 4
+        |      WHEN 'view' THEN 8 END) AS BIGINT) AS mask
+        |  FROM events e LEFT JOIN fp ON fp.user_id = e.user_id
+        |  WHERE e.event_type <> 'purchase'
+        |    AND (fp.pts IS NULL OR e.ts < fp.pts)
+        |  GROUP BY 1),
+        |u AS (SELECT DISTINCT user_id FROM events),
+        |g AS (
+        |  SELECT coalesce(m.mask, 0) AS mask,
+        |    CASE WHEN fp.pts IS NULL THEN 0 ELSE 1 END AS conv
+        |  FROM u LEFT JOIN um m USING (user_id)
+        |    LEFT JOIN fp USING (user_id)),
+        |grid AS (
+        |  SELECT mask, count(*) AS nu, CAST(sum(conv) AS BIGINT) AS nc
+        |  FROM g GROUP BY 1),
+        |allm AS (SELECT unnest(range(0, 16)) AS m),
+        |v AS (
+        |  SELECT m, round(coalesce(nc::DOUBLE / nu, 0), 6) AS v
+        |  FROM allm LEFT JOIN grid ON grid.mask = allm.m),
+        |ch AS (
+        |  SELECT unnest(['click', 'error', 'signup', 'view']) AS channel,
+        |    unnest([1, 2, 4, 8]) AS cb),
+        |terms AS (
+        |  SELECT ch.channel,
+        |    CASE bit_count(vs.m) WHEN 0 THEN 3 WHEN 1 THEN 1
+        |      WHEN 2 THEN 1 ELSE 3 END AS coef,
+        |    vs.v AS v0, vc.v AS v1
+        |  FROM ch JOIN v vs ON (vs.m & ch.cb) = 0
+        |  JOIN v vc ON vc.m = (vs.m | ch.cb))
+        |SELECT channel, round(sum(coef * (v1 - v0)) / 12, 6) AS phi
+        |FROM terms GROUP BY channel ORDER BY channel""".stripMargin,
+
+    // the same change-on-value islands over the same (ts, event_id)
+    // order
+    "q197_scd2_intervals" ->
+      """WITH c AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(event_type) OVER
+        |        (PARTITION BY user_id ORDER BY ts, event_id) IS DISTINCT
+        |        FROM event_type THEN 1 ELSE 0 END AS chg
+        |  FROM events),
+        |i AS (
+        |  SELECT user_id, event_type,
+        |    CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts,
+        |      event_id) AS BIGINT) AS island, ts
+        |  FROM c),
+        |iv AS (
+        |  SELECT user_id, island, min(event_type) AS status,
+        |    min(ts) AS valid_from, count(*) AS n_events
+        |  FROM i GROUP BY user_id, island)
+        |SELECT user_id, status, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY island)
+        |    AS valid_to, n_events
+        |FROM iv ORDER BY user_id, valid_from""".stripMargin,
 
     // the same two leads over the same (ts, event_id) order
     "q183_top_paths" ->

@@ -2099,6 +2099,37 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Brier-score decomposition (Murphy 1973) — the third leg of the
+    // calibration family: q133 plots the reliability curve, q185
+    // repairs it, this SCORES it: brier = mean squared error of the
+    // score-as-probability, split into reliability (bucket mean score
+    // vs bucket outcome rate), resolution (bucket outcome rate vs
+    // base rate) and uncertainty (base-rate variance). ONE corpus
+    // pass carries (n, Σoutcome, Σscore, Σ(score−outcome)²) per
+    // bucket; every term after is ≤10-row grid algebra.
+    "q198_brier_decomposition" -> { (s, dir) =>
+      val tk = toks(col("text"))
+      val g = t(s, dir, "documents")
+        .select(when(size(tk) === 0, lit(0.0))
+          .otherwise(size(filter(tk, w => w.isin(enStop: _*)))
+            .cast("double") / size(tk)).as("sc"),
+          (col("lang") === "en").cast("long").as("o"))
+        .groupBy(least(floor(col("sc") * 10).cast("long"), lit(9L)).as("b"))
+        .agg(count(lit(1)).as("n"), sum("o").as("so"),
+          sum("sc").as("ss"), sum(pow(col("sc") - col("o"), 2)).as("sq"))
+        .localCheckpoint() // ≤10 rows
+      val tot = broadcast(g.agg(sum("n").as("nt"), sum("so").as("sot"),
+        sum("sq").as("sqt")))
+      g.crossJoin(tot).agg(
+        round(max(col("sqt") / col("nt")), 6).as("brier"),
+        round(sum(col("n") * pow(col("ss") / col("n") -
+          col("so") / col("n"), 2)) / max(col("nt")), 6).as("reliability"),
+        round(sum(col("n") * pow(col("so") / col("n") -
+          col("sot") / col("nt"), 2)) / max(col("nt")), 6).as("resolution"),
+        round(max((col("sot") / col("nt")) *
+          (lit(1.0) - col("sot") / col("nt"))), 6).as("uncertainty"))
+    },
+
     // Cross-source duplication matrix: how many duplicate-FAMILY doc
     // PAIRS exist within and between sources — the "which crawls copy
     // from each other" provenance analytic that decides source
@@ -4067,6 +4098,33 @@ object TextQueries {
         |      ('0x' || substr(md5(array_to_string(
         |        list_slice(tks, st + 1, st + 8), ' ')), 1, 15))::BIGINT),
         |    (a, b) -> xor(a, b)) END AS chunk_hash
-        |FROM c ORDER BY doc_id""".stripMargin
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // the same one-pass bucket moments, the same grid algebra
+    "q198_brier_decomposition" ->
+      """WITH scored AS (
+        |  SELECT CASE WHEN len(string_split(trim(lower(text)), ' ')) = 0
+        |      THEN 0.0
+        |    ELSE len(list_filter(string_split(trim(lower(text)), ' '),
+        |        t -> t IN ('the','a','of','and','to','in')))::DOUBLE /
+        |      len(string_split(trim(lower(text)), ' ')) END AS sc,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS o
+        |  FROM documents),
+        |g AS (
+        |  SELECT least(CAST(floor(sc * 10) AS BIGINT), 9) AS b,
+        |    count(*) AS n, CAST(sum(o) AS BIGINT) AS so,
+        |    sum(sc) AS ss, sum(power(sc - o, 2)) AS sq
+        |  FROM scored GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS nt,
+        |    CAST(sum(so) AS BIGINT) AS sot, sum(sq) AS sqt FROM g)
+        |SELECT round(max(sqt / nt), 6) AS brier,
+        |  round(sum(n * power(ss / n - so::DOUBLE / n, 2)) / max(nt), 6)
+        |    AS reliability,
+        |  round(sum(n * power(so::DOUBLE / n - sot::DOUBLE / nt, 2))
+        |    / max(nt), 6) AS resolution,
+        |  round(max((sot::DOUBLE / nt) * (1.0 - sot::DOUBLE / nt)), 6)
+        |    AS uncertainty
+        |FROM g, tot""".stripMargin
   )
 }

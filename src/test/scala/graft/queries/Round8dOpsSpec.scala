@@ -848,6 +848,70 @@ class Round8dOpsSpec extends SparkSpec {
     assert(math.abs(out("view")._2 - 3.0) > 0.0)
   }
 
+  // ---- q196 Shapley attribution ----
+
+  test("q196: hand-computed Shapley on a 2-observed-channel game, " +
+    "with the efficiency property") {
+    // v({click}) = v({view}) = 0.5, every other coalition unobserved
+    // (v=0). phi_click = (3*0.5 + 1*(-0.5))/12 = 1/12; view symmetric;
+    // error/signup each get two -0.5 coef-1 terms -> -1/12.
+    val rows = Seq(
+      (1L, t0, 1L, "click", 1.0), (2L, t1, 1L, "purchase", 1.0),
+      (3L, t0, 2L, "click", 1.0),
+      (4L, t0, 3L, "view", 1.0), (5L, t1, 3L, "purchase", 1.0),
+      (6L, t0, 4L, "view", 1.0))
+    val out = q("q196_shapley_attribution", eventsDir(rows)).collect()
+      .map(r => r.getAs[String]("channel") -> r.getAs[Double]("phi")).toMap
+    assert(out("click") === 0.083333)
+    assert(out("view") === 0.083333)
+    assert(out("error") === -0.083333)
+    assert(out("signup") === -0.083333)
+    // efficiency: sum of credits = v(full) - v(empty) = 0
+    assert(math.abs(out.values.sum) < 1e-9)
+  }
+
+  // ---- q197 SCD2 intervals ----
+
+  test("q197: consecutive same-status runs collapse to intervals with " +
+    "valid_to = next run's start, null for the open run") {
+    val ts = (1 to 4).map(i => Timestamp.valueOf(s"2024-01-0$i 00:00:00"))
+    val rows = Seq(
+      (1L, ts(0), 1L, "view", 1.0), (2L, ts(1), 1L, "view", 1.0),
+      (3L, ts(2), 1L, "click", 1.0), (4L, ts(3), 1L, "view", 1.0),
+      (5L, ts(0), 2L, "error", 1.0))
+    val out = q("q197_scd2_intervals", eventsDir(rows)).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("valid_from"))
+        -> r)
+    val u1 = out.filter(_._1._1 == 1L).map(_._2)
+    assert(u1.length === 3)
+    assert(u1(0).getAs[String]("status") === "view")
+    assert(u1(0).getAs[Long]("n_events") === 2L)
+    assert(u1(0).getAs[Timestamp]("valid_to") === ts(2))
+    assert(u1(1).getAs[String]("status") === "click")
+    assert(u1(1).getAs[Timestamp]("valid_to") === ts(3))
+    assert(u1(2).getAs[String]("status") === "view")
+    assert(u1(2).isNullAt(u1(2).fieldIndex("valid_to"))) // open run
+    val u2 = out.filter(_._1._1 == 2L).map(_._2)
+    assert(u2.length === 1)
+    assert(u2(0).isNullAt(u2(0).fieldIndex("valid_to")))
+  }
+
+  // ---- q198 Brier decomposition ----
+
+  test("q198: hand-computed Murphy decomposition; identity " +
+    "brier = REL - RES + UNC holds when within-bucket variance is 0") {
+    // bucket 0: scores 0 with outcomes (0,1); bucket 9: scores 1 with
+    // outcomes (1,1) -> brier .25, REL .125, RES .0625, UNC .1875
+    val docs = Seq(
+      (1L, "x y", "de", "web"), (2L, "x y", "en", "web"),
+      (3L, "the", "en", "web"), (4L, "the", "en", "web"))
+    val r = q("q198_brier_decomposition", docsDir(docs)).collect().head
+    assert(r.getAs[Double]("brier") === 0.25)
+    assert(r.getAs[Double]("reliability") === 0.125)
+    assert(r.getAs[Double]("resolution") === 0.0625)
+    assert(r.getAs[Double]("uncertainty") === 0.1875)
+  }
+
   // ---- q180 equal-frequency binning ----
 
   test("q180: 100 uniform distinct values land 10 per decile bin") {
