@@ -777,4 +777,70 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), p)
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
+
+  // q184: the rejection is an equi anti-join on (u, cand) — never a
+  // per-row probe loop — and the keep-first window is keyed by the
+  // positive pair, never global.
+  test("q184 negative sampling: equi anti-join rejection, keyed window") {
+    val p = plan("q184_negative_sampling")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftAnti"), p)
+    val blocks = p.split("(?m)^\\s*\\(\\d+\\) ").toSeq
+    val windows = blocks.filter(b =>
+      b.startsWith("Window") && !b.startsWith("WindowGroupLimit"))
+    assert(windows.nonEmpty && windows.forall(_.contains("u#")), p)
+  }
+
+  // q186: the corpus contributes exactly one aggregate pair (the
+  // daily rollup feeding the checkpoint); the fill window is keyed by
+  // etype over grid rows, never a global window.
+  test("q186 gap fill: one corpus rollup, etype-keyed fill window") {
+    val p = plan("q186_gap_fill")
+    val blocks = p.split("(?m)^\\s*\\(\\d+\\) ").toSeq
+    val windows = blocks.filter(_.startsWith("Window"))
+    assert(windows.nonEmpty && windows.forall(_.contains("etype")), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  // q187: both diff passes are equi joins (digest full-outer on bkt,
+  // row full-outer on k); the dirty-bucket prune reaches the row scan
+  // as a broadcast semi-join.
+  test("q187 partition diff: equi joins only, broadcast bucket prune") {
+    val p = plan("q187_partition_diff")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  // q189: the chunker is pure per-row array algebra — NOTHING is
+  // hash-shuffled; the only exchange is the output ordering's range
+  // partition.
+  test("q189 chunking: zero hash shuffles, per-row codegen only") {
+    val p = plan("q189_chunk_overlap")
+    assert(!p.contains("hashpartitioning"), p)
+    // pure per-row pipeline: no join, no aggregate, no generate —
+    // just projects over the scan plus the output ordering
+    assert(!p.contains("Join") && !p.contains("HashAggregate") &&
+      !p.contains("Generate"), p)
+  }
+
+  // q196: the corpus collapses through map-side-combined aggregates;
+  // the subset algebra's nested-loop joins exist but only over the
+  // 16-row grid (post-checkpoint), never over events.
+  test("q196 shapley: map-side combine on the corpus passes") {
+    val p = plan("q196_shapley_attribution")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  // q197: both island windows and the rollup are keyed by user_id —
+  // no global window anywhere.
+  test("q197 scd2: all windows user-keyed") {
+    val p = plan("q197_scd2_intervals")
+    val blocks = p.split("(?m)^\\s*\\(\\d+\\) ").toSeq
+    val windows = blocks.filter(_.startsWith("Window"))
+    assert(windows.nonEmpty && windows.forall(_.contains("user_id")), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
