@@ -2376,6 +2376,107 @@ object CoverageQueries {
       iv.withColumn("valid_to", lead(col("valid_from"), 1).over(w2))
         .select("user_id", "status", "valid_from", "valid_to", "n_events")
         .orderBy("user_id", "valid_from")
+    },
+
+    // Item-item collaborative filtering (Sarwar et al. 2001; the
+    // Amazon-style "customers also bought") — cosine similarity
+    // between items' customer sets, top-3 neighbors per item. The
+    // co-count join explodes pairs WITHIN each customer's basket (the
+    // classic bounded-basket trade: cost ∝ Σ basket², never catalog²)
+    // and everything shuffled is (long, long, count); similarities
+    // are ROUNDED before ranking with an item-id tiebreak, so the
+    // top-k is engine-exact. At 100 TB the one guard this operator
+    // needs is a basket cap — the q89 pre-flight measures exactly
+    // that skew before this runs.
+    "q199_item_item_cf" -> { (s, dir) =>
+      val pos = t(s, dir, "orders")
+        .select(col("o_custkey").as("u"), col("o_orderkey"))
+        .join(t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o_orderkey"),
+            col("l_partkey").as("p")), Seq("o_orderkey"))
+        .select("u", "p").distinct()
+        .localCheckpoint() // reused by the co-count and the norms
+      val nu = pos.groupBy("p").agg(count(lit(1)).as("n"))
+      val co = pos.as("x").join(pos.as("y"),
+        col("x.u") === col("y.u") && col("x.p") < col("y.p"))
+        .groupBy(col("x.p").as("p1"), col("y.p").as("p2"))
+        .agg(count(lit(1)).as("c"))
+      val sim = co
+        .join(nu.select(col("p").as("p1"), col("n").as("n1")), "p1")
+        .join(nu.select(col("p").as("p2"), col("n").as("n2")), "p2")
+        .select(col("p1"), col("p2"),
+          round(col("c") / sqrt(col("n1") * col("n2")), 6).as("cosine"))
+      val both = sim.unionByName(
+        sim.select(col("p2").as("p1"), col("p1").as("p2"), col("cosine")))
+      val w = Window.partitionBy("p1").orderBy(col("cosine").desc, col("p2"))
+      both.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("p1").as("part"), col("rank"),
+          col("p2").as("similar"), col("cosine"))
+        .orderBy("part", "rank")
+    },
+
+    // Referential-integrity audit across the whole star schema — the
+    // data-contract check every ingest runs before publishing: per FK
+    // edge, child rows / null keys / orphans (non-null keys with no
+    // parent). Each edge is ONE left join against the parent's
+    // distinct keys folded into a single aggregate row — dims
+    // broadcast, the two fact-scale edges shuffle equi — and the
+    // whole audit ships as 5 rows.
+    "q200_referential_integrity" -> { (s, dir) =>
+      def edge(rel: String, child: DataFrame, ck: String,
+          parent: DataFrame, pk: String): DataFrame = {
+        val j = child.select(col(ck).as("k"))
+          .join(parent.select(col(pk).as("k")).distinct()
+            .withColumn("hit", lit(1)), Seq("k"), "left")
+        j.agg(count(lit(1)).as("n_child"),
+          sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_null"),
+          sum(when(col("k").isNotNull && col("hit").isNull, 1L)
+            .otherwise(0L)).as("n_orphans"))
+          .select(lit(rel).as("relation"), col("n_child"), col("n_null"),
+            col("n_orphans"))
+      }
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val cu = t(s, dir, "customer"); val pa = t(s, dir, "part")
+      val na = t(s, dir, "nation"); val re = t(s, dir, "region")
+      edge("customer.c_nationkey->nation", cu, "c_nationkey", na,
+        "n_nationkey")
+        .unionByName(edge("lineitem.l_orderkey->orders", li, "l_orderkey",
+          o, "o_orderkey"))
+        .unionByName(edge("lineitem.l_partkey->part", li, "l_partkey",
+          pa, "p_partkey"))
+        .unionByName(edge("nation.n_regionkey->region", na, "n_regionkey",
+          re, "r_regionkey"))
+        .unionByName(edge("orders.o_custkey->customer", o, "o_custkey",
+          cu, "c_custkey"))
+        .orderBy("relation")
+    },
+
+    // Empirical-Bayes beta-binomial shrinkage (Robbins 1956; the
+    // "how to rank small-sample rates" standard): per-part return
+    // rate shrunk toward the global prior, prior (α, β) fitted by
+    // method of moments from the per-part rate grid itself. A part
+    // with 3/3 returns no longer beats one with 40/45 — the ranking
+    // every naive rate sort gets wrong. One fact-scan groupBy to the
+    // part grid; the prior is a 1-row broadcast; ranking is on
+    // 6dp-rounded shrunk rates with a part-id tiebreak, TakeOrdered.
+    "q201_eb_shrinkage" -> { (s, dir) =>
+      val g = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey").as("part"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("x"))
+        .localCheckpoint() // part grid; prior fit + ranking reuse it
+      val prior = broadcast(g.filter(col("n") >= 5)
+        .select((col("x") / col("n")).as("r"))
+        .agg(avg("r").as("m"), var_samp(col("r")).as("v"))
+        .select(col("m"), ((col("m") * (lit(1.0) - col("m")) / col("v"))
+          - 1.0).as("k")))
+      g.crossJoin(prior)
+        .select(col("part"), col("n"), col("x"),
+          round(col("x") / col("n"), 6).as("raw_rate"),
+          round((col("x") + col("m") * col("k")) / (col("n") + col("k")), 6)
+            .as("shrunk_rate"))
+        .orderBy(col("shrunk_rate").desc, col("part")).limit(10)
     }
   )
 
@@ -3032,6 +3133,99 @@ object CoverageQueries {
         |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY island)
         |    AS valid_to, n_events
         |FROM iv ORDER BY user_id, valid_from""".stripMargin,
+
+    // the same basket pairs, rounded-cosine ranking, id tiebreak
+    "q199_item_item_cf" ->
+      """WITH pos AS (
+        |  SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS p
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |nu AS (SELECT p, count(*) AS n FROM pos GROUP BY p),
+        |co AS (
+        |  SELECT x.p AS p1, y.p AS p2, count(*) AS c
+        |  FROM pos x JOIN pos y ON x.u = y.u AND x.p < y.p
+        |  GROUP BY 1, 2),
+        |sim AS (
+        |  SELECT co.p1, co.p2,
+        |    round(co.c / sqrt(n1.n * n2.n), 6) AS cosine
+        |  FROM co JOIN nu n1 ON n1.p = co.p1 JOIN nu n2 ON n2.p = co.p2),
+        |bo AS (
+        |  SELECT p1, p2, cosine FROM sim
+        |  UNION ALL SELECT p2, p1, cosine FROM sim),
+        |r AS (
+        |  SELECT p1, p2, cosine, row_number() OVER (
+        |    PARTITION BY p1 ORDER BY cosine DESC, p2) AS rank
+        |  FROM bo)
+        |SELECT p1 AS part, CAST(rank AS INT) AS rank, p2 AS similar,
+        |  cosine
+        |FROM r WHERE rank <= 3 ORDER BY part, rank""".stripMargin,
+
+    // the same five FK edges, the same null/orphan classification
+    "q200_referential_integrity" ->
+      """WITH e1 AS (
+        |  SELECT 'customer.c_nationkey->nation' AS relation,
+        |    count(*) AS n_child,
+        |    CAST(sum(CASE WHEN c.c_nationkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_null,
+        |    CAST(sum(CASE WHEN c.c_nationkey IS NOT NULL
+        |      AND p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+        |  FROM customer c LEFT JOIN
+        |    (SELECT DISTINCT n_nationkey AS k FROM nation) p
+        |    ON p.k = c.c_nationkey),
+        |e2 AS (
+        |  SELECT 'lineitem.l_orderkey->orders', count(*),
+        |    CAST(sum(CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT),
+        |    CAST(sum(CASE WHEN l.l_orderkey IS NOT NULL
+        |      AND p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem l LEFT JOIN
+        |    (SELECT DISTINCT o_orderkey AS k FROM orders) p
+        |    ON p.k = l.l_orderkey),
+        |e3 AS (
+        |  SELECT 'lineitem.l_partkey->part', count(*),
+        |    CAST(sum(CASE WHEN l.l_partkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT),
+        |    CAST(sum(CASE WHEN l.l_partkey IS NOT NULL
+        |      AND p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem l LEFT JOIN
+        |    (SELECT DISTINCT p_partkey AS k FROM part) p
+        |    ON p.k = l.l_partkey),
+        |e4 AS (
+        |  SELECT 'nation.n_regionkey->region', count(*),
+        |    CAST(sum(CASE WHEN n.n_regionkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT),
+        |    CAST(sum(CASE WHEN n.n_regionkey IS NOT NULL
+        |      AND p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM nation n LEFT JOIN
+        |    (SELECT DISTINCT r_regionkey AS k FROM region) p
+        |    ON p.k = n.n_regionkey),
+        |e5 AS (
+        |  SELECT 'orders.o_custkey->customer', count(*),
+        |    CAST(sum(CASE WHEN o.o_custkey IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT),
+        |    CAST(sum(CASE WHEN o.o_custkey IS NOT NULL
+        |      AND p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM orders o LEFT JOIN
+        |    (SELECT DISTINCT c_custkey AS k FROM customer) p
+        |    ON p.k = o.o_custkey)
+        |SELECT * FROM e1 UNION ALL SELECT * FROM e2
+        |UNION ALL SELECT * FROM e3 UNION ALL SELECT * FROM e4
+        |UNION ALL SELECT * FROM e5 ORDER BY relation""".stripMargin,
+
+    // the same method-of-moments prior over the same part grid
+    "q201_eb_shrinkage" ->
+      """WITH g AS (
+        |  SELECT l_partkey AS part, count(*) AS n,
+        |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x
+        |  FROM lineitem GROUP BY 1),
+        |pr AS (
+        |  SELECT avg(x::DOUBLE / n) AS m,
+        |    var_samp(x::DOUBLE / n) AS v
+        |  FROM g WHERE n >= 5),
+        |k AS (SELECT m, (m * (1.0 - m) / v) - 1.0 AS k FROM pr)
+        |SELECT part, n, x, round(x::DOUBLE / n, 6) AS raw_rate,
+        |  round((x + m * k.k) / (n + k.k), 6) AS shrunk_rate
+        |FROM g, k ORDER BY shrunk_rate DESC, part LIMIT 10""".stripMargin,
 
     // the same two leads over the same (ts, event_id) order
     "q183_top_paths" ->

@@ -912,6 +912,97 @@ class Round8dOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("uncertainty") === 0.1875)
   }
 
+  // ---- q199 item-item CF ----
+
+  test("q199: cosine over customer sets, hand-computed on a 3-item " +
+    "catalog") {
+    val dir = java.nio.file.Files.createTempDirectory("r8dcf").toString
+    // u1:{1,2} u2:{1,2} u3:{1,3} -> n=(3,2,1); co(1,2)=2, co(1,3)=1
+    Seq((10L, 1L), (20L, 2L), (30L, 3L))
+      .toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((10L, 1L), (10L, 2L), (20L, 1L), (20L, 2L), (30L, 1L), (30L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = q("q199_item_item_cf", dir).collect()
+      .map(r => (r.getAs[Long]("part"), r.getAs[Int]("rank")) ->
+        ((r.getAs[Long]("similar"), r.getAs[Double]("cosine")))).toMap
+    assert(out((1L, 1)) === ((2L, 0.816497))) // 2/sqrt(3*2)
+    assert(out((1L, 2)) === ((3L, 0.57735)))  // 1/sqrt(3*1)
+    assert(out((2L, 1)) === ((1L, 0.816497)))
+    assert(out((3L, 1)) === ((1L, 0.57735)))
+    assert(out.size === 4)
+  }
+
+  // ---- q200 referential integrity ----
+
+  test("q200: orphans and null keys classified per FK edge") {
+    val dir = java.nio.file.Files.createTempDirectory("r8dri").toString
+    Seq((0, "r")).toDF("r_regionkey", "r_name")
+      .write.mode("overwrite").parquet(s"$dir/region.parquet")
+    Seq((0, 0, "n")).toDF("n_nationkey", "n_regionkey", "n_name")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    Seq((1L, 0), (2L, 0)).toDF("c_custkey", "c_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq(100L.asInstanceOf[java.lang.Long], null)
+      .toDF("p_partkey")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    Seq((10L, 1L), (20L, 9L)) // order 20 -> orphan customer 9
+      .toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    // one good row, one orphan order, one null order key, one orphan part
+    Seq[(java.lang.Long, java.lang.Long)]((10L, 100L), (99L, 100L),
+      (null, 100L), (10L, 555L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = q("q200_referential_integrity", dir).collect()
+      .map(r => r.getAs[String]("relation") ->
+        ((r.getAs[Long]("n_child"), r.getAs[Long]("n_null"),
+          r.getAs[Long]("n_orphans")))).toMap
+    assert(out("lineitem.l_orderkey->orders") === ((4L, 1L, 1L)))
+    assert(out("lineitem.l_partkey->part") === ((4L, 0L, 1L)))
+    assert(out("orders.o_custkey->customer") === ((2L, 0L, 1L)))
+    assert(out("customer.c_nationkey->nation") === ((2L, 0L, 0L)))
+    assert(out("nation.n_regionkey->region") === ((1L, 0L, 0L)))
+  }
+
+  // ---- q201 EB shrinkage ----
+
+  test("q201: shrinkage demotes a 3/3 part below a 40/45 part and " +
+    "matches a JVM replay of the method-of-moments fit") {
+    val dir = java.nio.file.Files.createTempDirectory("r8deb").toString
+    // part 1: 3/3 returns; part 2: 40/45; parts 3..10: 10 each with
+    // varied return counts so the prior variance is positive
+    val tail = Seq(1, 2, 3, 2, 1, 3, 2, 2)
+    val rows =
+      (1 to 3).map(i => (i.toLong, 1L, "R")) ++
+        (1 to 45).map(i => (100L + i, 2L, if (i <= 40) "R" else "N")) ++
+        tail.zipWithIndex.flatMap { case (x, pi) =>
+          (1 to 10).map(i => (1000L + pi * 100 + i, 3L + pi,
+            if (i <= x) "R" else "N"))
+        }
+    rows.toDF("l_orderkey", "l_partkey", "l_returnflag")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = q("q201_eb_shrinkage", dir).collect()
+    assert(out.head.getAs[Long]("part") === 2L) // 40/45 wins post-shrink
+    assert(out(1).getAs[Long]("part") === 1L)
+    // JVM replay of the fit (tolerance: double-sum order differs)
+    val grid = Seq((1L, 3L, 3L), (2L, 45L, 40L)) ++
+      tail.zipWithIndex.map { case (x, pi) => (3L + pi, 10L, x.toLong) }
+    val prior = grid.filter(_._2 >= 5).map(g => g._3.toDouble / g._2)
+    val m = prior.sum / prior.size
+    val v = prior.map(r => (r - m) * (r - m)).sum / (prior.size - 1)
+    val k = m * (1 - m) / v - 1
+    val expect = grid.map { case (p, n, x) =>
+      p -> (x + m * k) / (n + k)
+    }.toMap
+    out.foreach { r =>
+      val p = r.getAs[Long]("part")
+      assert(math.abs(r.getAs[Double]("shrunk_rate") - expect(p)) < 1e-5,
+        s"part $p")
+    }
+  }
+
   // ---- q180 equal-frequency binning ----
 
   test("q180: 100 uniform distinct values land 10 per decile bin") {
