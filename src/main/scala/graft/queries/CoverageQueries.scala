@@ -2170,10 +2170,14 @@ object CoverageQueries {
         val cnt = und.join(labels, und("b") === labels("node"))
           .select(col("a").as("node"), col("lbl"))
           .groupBy("node", "lbl").agg(count(lit(1)).as("c"))
-        val w = Window.partitionBy("node")
-          .orderBy(col("c").desc, col("lbl"))
-        labels = cnt.withColumn("r", row_number().over(w))
-          .filter(col("r") === 1).select("node", "lbl")
+        // (count desc, label asc) argmax as a hash aggregate —
+        // max(struct(c, -lbl)) — instead of a sort + row_number
+        // window: drops one full sort of the (node, label) table per
+        // round (sf1 5-round run ~25 s vs ~30 s same-day for the
+        // window form; sf0.1 within noise)
+        labels = cnt.groupBy("node")
+          .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+          .select(col("node"), (-col("m.nl")).as("lbl"))
           .localCheckpoint() // bound lineage round-over-round
       }
       labels.select(col("node"), col("lbl").as("community"))
@@ -2397,9 +2401,21 @@ object CoverageQueries {
         .select("u", "p").distinct()
         .localCheckpoint() // reused by the co-count and the norms
       val nu = pos.groupBy("p").agg(count(lit(1)).as("n"))
-      val co = pos.as("x").join(pos.as("y"),
-        col("x.u") === col("y.u") && col("x.p") < col("y.p"))
-        .groupBy(col("x.p").as("p1"), col("y.p").as("p2"))
+      // pair generation is map-side array algebra over per-customer
+      // baskets, NOT a self-join: saves the second full shuffle the
+      // pos⋈pos form pays (measured ~65 s → ~56 s at sf1). The
+      // remaining cost is the (p1,p2) count exchange itself — random
+      // baskets leave the combine factor ≈1, so ~Σ basket² rows cross
+      // it once; that is the exact-CF lower bound. At 100 TB the
+      // documented escape is DIMSUM-style sampling above a basket
+      // cap, traded in only when the q89 pre-flight flags the skew.
+      val co = pos.groupBy("u").agg(sort_array(collect_list("p")).as("sp"))
+        .select(explode(expr(
+          """flatten(transform(sp, (a, i) ->
+            |  transform(slice(sp, i + 2, size(sp)), b ->
+            |    named_struct('p1', a, 'p2', b))))""".stripMargin))
+          .as("pr"))
+        .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
         .agg(count(lit(1)).as("c"))
       val sim = co
         .join(nu.select(col("p").as("p1"), col("n").as("n1")), "p1")
@@ -2477,6 +2493,127 @@ object CoverageQueries {
           round((col("x") + col("m") * col("k")) / (col("n") + col("k")), 6)
             .as("shrunk_rate"))
         .orderBy(col("shrunk_rate").desc, col("part")).limit(10)
+    },
+
+    // Markov next-event prediction accuracy — the evaluation side of
+    // q151's transition matrix: train the argmax-next-state predictor
+    // on the FIRST half of each user's stream (by per-user position,
+    // so the split is leakage-free per q115's discipline) and score
+    // it on the second half. One windowed pass builds pairs + the
+    // split; the model is the |types|² grid with a (count desc, next
+    // asc) argmax so both engines pick identical predictions; scoring
+    // is a broadcast grid join against test pairs. Accuracy arrives
+    // per true next-type plus the overall row.
+    "q202_markov_accuracy" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val pairs = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("cur"))
+        .withColumn("nxt", lead(col("cur"), 1).over(w))
+        .withColumn("pos", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(
+          Window.partitionBy("user_id")))
+        .filter(col("nxt").isNotNull)
+        .withColumn("is_train", col("pos") <= col("cnt") / 2)
+        .localCheckpoint() // one corpus pass; train + test reuse it
+      val model = pairs.filter(col("is_train"))
+        .groupBy("cur", "nxt").agg(count(lit(1)).as("c"))
+        .withColumn("r", row_number().over(Window.partitionBy("cur")
+          .orderBy(col("c").desc, col("nxt"))))
+        .filter(col("r") === 1)
+        .select(col("cur"), col("nxt").as("pred"))
+      val scored = pairs.filter(!col("is_train"))
+        .join(broadcast(model), Seq("cur"), "left")
+        .select(col("nxt"),
+          (col("pred").isNotNull && col("pred") === col("nxt"))
+            .cast("long").as("hit"))
+      scored.groupBy(col("nxt").as("true_next"))
+        .agg(count(lit(1)).as("n"),
+          round(sum("hit") / count(lit(1)), 6).as("accuracy"))
+        .unionByName(scored.agg(count(lit(1)).as("n"),
+          round(sum("hit") / count(lit(1)), 6).as("accuracy"))
+          .select(lit("__overall__").as("true_next"), col("n"),
+            col("accuracy")))
+        .orderBy("true_next")
+    },
+
+    // Seasonal decomposition (multiplicative weekly profile) — the
+    // missing layer between the anomaly detectors (q90 trailing
+    // baseline, q162 CUSUM, q173 MAD): a Sunday lull is not an
+    // anomaly, it is seasonality. Seasonal index per day-of-week =
+    // mean daily count for that dow / grand mean (computed on the
+    // daily grid, 6dp-rounded); the top-5 deseasonalized residual
+    // days are the REAL anomalies. The corpus collapses to the daily
+    // grid in one pass; everything after is ≤7-row and ≤|days|-row
+    // grid algebra with rounded ratios and date tiebreaks.
+    "q203_seasonal_decomposition" -> { (s, dir) =>
+      val daily = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("dow", dayofweek(col("day")))
+        .localCheckpoint() // grid
+      val grand = broadcast(daily.agg(avg("n").as("g")))
+      val idx = daily.groupBy("dow").agg(avg("n").as("dn"))
+        .crossJoin(grand)
+        .select(col("dow"), round(col("dn") / col("g"), 6).as("sidx"))
+      val resid = daily.join(broadcast(idx), "dow").crossJoin(grand)
+        .select(col("day"), col("n"),
+          round(col("n") / (col("g") * col("sidx")), 6).as("ratio"))
+        .withColumn("dev", abs(col("ratio") - 1.0))
+        .orderBy(col("dev").desc, col("day")).limit(5)
+        .select(col("day").cast("string").as("key"), col("n"),
+          col("ratio").as("value"))
+      idx.select(concat(lit("dow:"), col("dow")).as("key"),
+        lit(null).cast("long").as("n"), col("sidx").as("value"))
+        .unionByName(resid)
+        .orderBy("key")
+    },
+
+    // Neyman-optimal stratified allocation (Neyman 1934) — the
+    // statistically-correct upgrade of q63's proportional sampling:
+    // stratum quotas ∝ N_h·σ_h, so volatile strata get more budget.
+    // σ_h comes EXACTLY from integer cent sums (Σx, Σx², n — one
+    // map-side-combined pass, no per-stratum variance scan), the
+    // deterministic draw is the q112 md5 rank within each stratum,
+    // and the kept sample ships as a per-stratum count + the
+    // order-independent key checksum. Everything between the two
+    // corpus passes is |strata|-row metadata.
+    "q204_neyman_allocation" -> { (s, dir) =>
+      val k = 1000 // total sample budget
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey") % 25 as "stratum", // nation-proxy strata
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .localCheckpoint()
+      // decimal(38,0) keeps Σx and Σx² EXACT (cents² sums overflow
+      // long beyond ~10⁵ rows/stratum); the one double division
+      // happens on identical integers in both engines
+      val g = o.groupBy("stratum").agg(count(lit(1)).as("nh"),
+        sum(col("cents").cast("decimal(38,0)")).as("sx"),
+        sum(col("cents").cast("decimal(38,0)") * col("cents")).as("sxx"))
+        .select(col("stratum"), col("nh"),
+          sqrt((col("nh") * col("sxx") - col("sx") * col("sx"))
+            .cast("double") /
+            (col("nh") * (col("nh") - 1)).cast("double")).as("sigma"))
+      val tot = broadcast(g.agg(sum(col("nh") * col("sigma")).as("z")))
+      val alloc = g.crossJoin(tot)
+        .select(col("stratum"), col("nh"),
+          least(col("nh"), round(lit(k) * col("nh") * col("sigma") /
+            col("z")).cast("long")).as("quota"))
+        .localCheckpoint() // |strata| rows
+      val ranked = o.join(broadcast(alloc), "stratum")
+        .withColumn("rk", row_number().over(Window.partitionBy("stratum")
+          .orderBy(conv(substring(md5(concat(lit("ney:"),
+            col("o_orderkey").cast("string"))), 1, 15), 16, 10)
+            .cast("long"), col("o_orderkey"))))
+        .filter(col("rk") <= col("quota"))
+      ranked.groupBy("stratum")
+        .agg(count(lit(1)).as("taken"),
+          expr("bit_xor(cast(conv(substring(md5(cast(o_orderkey as " +
+            "string)), 1, 15), 16, 10) as bigint))").as("sample_hash"))
+        .join(alloc.select(col("stratum"), col("nh"), col("quota")),
+          Seq("stratum"))
+        .select("stratum", "nh", "quota", "taken", "sample_hash")
+        .orderBy("stratum")
     }
   )
 
@@ -3226,6 +3363,93 @@ object CoverageQueries {
         |SELECT part, n, x, round(x::DOUBLE / n, 6) AS raw_rate,
         |  round((x + m * k.k) / (n + k.k), 6) AS shrunk_rate
         |FROM g, k ORDER BY shrunk_rate DESC, part LIMIT 10""".stripMargin,
+
+    // the same per-user positional split, the same (count desc, next
+    // asc) argmax model
+    "q202_markov_accuracy" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type AS cur,
+        |    lead(event_type) OVER w AS nxt,
+        |    row_number() OVER w AS pos,
+        |    count(*) OVER (PARTITION BY user_id) AS cnt
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |pairs AS (
+        |  SELECT cur, nxt, pos <= cnt / 2.0 AS is_train
+        |  FROM seq WHERE nxt IS NOT NULL),
+        |model AS (
+        |  SELECT cur, nxt AS pred FROM (
+        |    SELECT cur, nxt, row_number() OVER (PARTITION BY cur
+        |      ORDER BY count(*) DESC, nxt) AS r
+        |    FROM pairs WHERE is_train GROUP BY cur, nxt) WHERE r = 1),
+        |scored AS (
+        |  SELECT p.nxt, CASE WHEN m.pred = p.nxt THEN 1 ELSE 0 END AS hit
+        |  FROM pairs p LEFT JOIN model m ON m.cur = p.cur
+        |  WHERE NOT p.is_train)
+        |SELECT nxt AS true_next, count(*) AS n,
+        |  round(sum(hit)::DOUBLE / count(*), 6) AS accuracy
+        |FROM scored GROUP BY nxt
+        |UNION ALL
+        |SELECT '__overall__', count(*),
+        |  round(sum(hit)::DOUBLE / count(*), 6)
+        |FROM scored ORDER BY true_next""".stripMargin,
+
+    // the same daily grid; DuckDB's dayofweek is 0-based Sunday,
+    // Spark's is 1-based — the +1 aligns them
+    "q203_seasonal_decomposition" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+        |    dayofweek(CAST(ts AS DATE)) + 1 AS dow
+        |  FROM events GROUP BY 1, 3),
+        |grand AS (SELECT avg(n) AS g FROM daily),
+        |idx AS (
+        |  SELECT dow, round(avg(n) / max(grand.g), 6) AS sidx
+        |  FROM daily, grand GROUP BY dow),
+        |resid AS (
+        |  SELECT CAST(d.day AS VARCHAR) AS key, d.n,
+        |    round(d.n / (grand.g * i.sidx), 6) AS value,
+        |    abs(round(d.n / (grand.g * i.sidx), 6) - 1.0) AS dev
+        |  FROM daily d JOIN idx i ON i.dow = d.dow, grand
+        |  ORDER BY dev DESC, d.day LIMIT 5)
+        |SELECT 'dow:' || CAST(dow AS VARCHAR) AS key,
+        |  CAST(NULL AS BIGINT) AS n, sidx AS value FROM idx
+        |UNION ALL
+        |SELECT key, n, value FROM resid ORDER BY key""".stripMargin,
+
+    // the same exact HUGEINT moments, the same md5 rank draw
+    "q204_neyman_allocation" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey % 25 AS stratum,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |g AS (
+        |  SELECT stratum, count(*) AS nh,
+        |    sum(cents::HUGEINT) AS sx,
+        |    sum(cents::HUGEINT * cents) AS sxx
+        |  FROM o GROUP BY 1),
+        |sg AS (
+        |  SELECT stratum, nh,
+        |    sqrt((nh * sxx - sx * sx)::DOUBLE /
+        |      (nh * (nh - 1))::DOUBLE) AS sigma
+        |  FROM g),
+        |tot AS (SELECT sum(nh * sigma) AS z FROM sg),
+        |alloc AS (
+        |  SELECT stratum, nh,
+        |    least(nh, CAST(round(1000 * nh * sigma / z) AS BIGINT))
+        |      AS quota
+        |  FROM sg, tot),
+        |ranked AS (
+        |  SELECT o.stratum, o.o_orderkey, a.quota,
+        |    row_number() OVER (PARTITION BY o.stratum ORDER BY
+        |      ('0x' || substr(md5('ney:' || CAST(o.o_orderkey AS VARCHAR)),
+        |        1, 15))::BIGINT, o.o_orderkey) AS rk
+        |  FROM o JOIN alloc a ON a.stratum = o.stratum)
+        |SELECT r.stratum, a.nh, a.quota, count(*) AS taken,
+        |  bit_xor(('0x' || substr(md5(CAST(r.o_orderkey AS VARCHAR)),
+        |    1, 15))::BIGINT) AS sample_hash
+        |FROM ranked r JOIN alloc a ON a.stratum = r.stratum
+        |WHERE r.rk <= r.quota
+        |GROUP BY r.stratum, a.nh, a.quota ORDER BY r.stratum""".stripMargin,
 
     // the same two leads over the same (ts, event_id) order
     "q183_top_paths" ->

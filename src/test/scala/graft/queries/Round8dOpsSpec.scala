@@ -1003,6 +1003,81 @@ class Round8dOpsSpec extends SparkSpec {
     }
   }
 
+  // ---- q202 Markov accuracy ----
+
+  test("q202: per-user positional split trains an argmax model that " +
+    "scores hand-checkable accuracy on the held-out half") {
+    def e(id: Long, day: Int, u: Long, et: String) =
+      (id, Timestamp.valueOf(f"2024-01-$day%02d 12:00:00"), u, et, 1.0)
+    // u1: a,b,a,b,a,b -> train pairs (a>b),(b>a),(a>b); test (b>a),(a>b)
+    // u2: c,c,d -> train (c>c); test (c>d) miss
+    val rows = Seq(
+      e(1, 1, 1, "a"), e(2, 2, 1, "b"), e(3, 3, 1, "a"),
+      e(4, 4, 1, "b"), e(5, 5, 1, "a"), e(6, 6, 1, "b"),
+      e(7, 1, 2, "c"), e(8, 2, 2, "c"), e(9, 3, 2, "d"))
+    val out = q("q202_markov_accuracy", eventsDir(rows)).collect()
+      .map(r => r.getAs[String]("true_next") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("accuracy")))).toMap
+    assert(out("a") === ((1L, 1.0)))
+    assert(out("b") === ((1L, 1.0)))
+    assert(out("d") === ((1L, 0.0)))
+    assert(out("__overall__") === ((3L, 0.666667)))
+  }
+
+  // ---- q203 seasonal decomposition ----
+
+  test("q203: flat weekly profile with two Monday deviations — " +
+    "indexes 1.0, residual days ranked by deseasonalized deviation") {
+    // Mon 01-01: 2 events, Tue..Sun: 3 each, Mon 01-08: 4
+    // grand mean 3; every dow index 1.0; residuals 2/3 and 4/3
+    var id = 0L
+    val rows = (1 to 8).flatMap { day =>
+      val n = if (day == 1) 2 else if (day == 8) 4 else 3
+      (1 to n).map { _ =>
+        id += 1
+        (id, Timestamp.valueOf(f"2024-01-$day%02d 12:00:00"), id, "view", 1.0)
+      }
+    }
+    val out = q("q203_seasonal_decomposition", eventsDir(rows)).collect()
+      .map(r => r.getAs[String]("key") ->
+        ((Option(r.get(r.fieldIndex("n"))), r.getAs[Double]("value"))))
+      .toMap
+    assert(out.size === 12) // 7 dow rows + 5 residual days
+    (1 to 7).foreach(d => assert(out(s"dow:$d") === ((None, 1.0))))
+    assert(out("2024-01-01") === ((Some(2L), 0.666667)))
+    assert(out("2024-01-08") === ((Some(4L), 1.333333)))
+    // the three zero-deviation fillers are the earliest dates
+    assert(out.contains("2024-01-02") && out.contains("2024-01-03") &&
+      out.contains("2024-01-04"))
+  }
+
+  // ---- q204 Neyman allocation ----
+
+  test("q204: zero-variance stratum gets zero quota; the volatile " +
+    "stratum takes its full population with the replayed checksum") {
+    val dir = java.nio.file.Files.createTempDirectory("r8dny").toString
+    // stratum 1 (custkey 1): sigma > 0; stratum 2 (custkey 2): constant
+    Seq((11L, 1L, 10.0), (12L, 1L, 20.0), (13L, 1L, 30.0),
+      (21L, 2L, 50.0), (22L, 2L, 50.0), (23L, 2L, 50.0), (24L, 2L, 50.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = q("q204_neyman_allocation", dir).collect()
+    assert(out.length === 1) // the sigma=0 stratum allocates nothing
+    val r = out.head
+    assert(r.getAs[Long]("stratum") === 1L)
+    assert(r.getAs[Long]("nh") === 3L)
+    assert(r.getAs[Long]("quota") === 3L) // capped at the population
+    assert(r.getAs[Long]("taken") === 3L)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(sd: String): Long = {
+      val hex = md.digest(sd.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    assert(r.getAs[Long]("sample_hash") ===
+      Seq(11L, 12L, 13L).map(k => h60(k.toString)).reduce(_ ^ _))
+  }
+
   // ---- q180 equal-frequency binning ----
 
   test("q180: 100 uniform distinct values land 10 per decile bin") {
