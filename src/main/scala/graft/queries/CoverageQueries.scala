@@ -2614,6 +2614,94 @@ object CoverageQueries {
           Seq("stratum"))
         .select("stratum", "nh", "quota", "taken", "sample_hash")
         .orderBy("stratum")
+    },
+
+    // The analytic-ranking window family in one gate — rank,
+    // dense_rank, percent_rank, cume_dist, ntile — over national
+    // revenue. Tie semantics are part of the contract, so the rank
+    // functions run over the TIE-BEARING order (cents desc) where
+    // their tie behavior is well-defined and engine-portable, while
+    // ntile — whose tie assignment is row-order-dependent — gets the
+    // fully-deterministic (cents desc, nation) order. The corpus
+    // collapses to the 25-nation grid first; the global window is
+    // grid-bounded by construction.
+    "q205_window_rank_family" -> { (s, dir) =>
+      val rev = t(s, dir, "orders")
+        .join(t(s, dir, "customer")
+          .select(col("c_custkey").as("o_custkey"), col("c_nationkey")),
+          Seq("o_custkey"))
+        .groupBy(col("c_nationkey").cast("long").as("nation"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val wTie = Window.orderBy(col("cents").desc)
+      val wDet = Window.orderBy(col("cents").desc, col("nation"))
+      rev.select(col("nation"), col("cents"),
+        rank().over(wTie).cast("long").as("rnk"),
+        dense_rank().over(wTie).cast("long").as("drnk"),
+        round(percent_rank().over(wTie), 6).as("prnk"),
+        round(cume_dist().over(wTie), 6).as("cdist"),
+        ntile(4).over(wDet).as("quartile"))
+        .orderBy(col("cents").desc, col("nation"))
+    },
+
+    // Null-safe equality join (<=> / IS NOT DISTINCT FROM) — the
+    // operator plain equi joins silently drop: null keys MATCH null
+    // keys. Run in the production shape: each side collapses to its
+    // key histogram FIRST (the null bucket is the textbook hot key —
+    // a literal row join would pay nulls_A × nulls_B; the histogram
+    // form pays one row), then a null-safe FULL OUTER join of the
+    // grids multiplies counts. Keys divisible by 7 are nulled to
+    // stage the hazard deterministically.
+    "q206_null_safe_join" -> { (s, dir) =>
+      val kRaw = get_json_object(col("props"), "$.k").cast("long")
+      val key = when(kRaw % 7 === 0, lit(null).cast("long")).otherwise(kRaw)
+      val ev = t(s, dir, "events")
+      val ah = ev.filter(col("event_type") === "view")
+        .select(key.as("ka")).groupBy("ka")
+        .agg(count(lit(1)).as("na"))
+      val bh = ev.filter(col("event_type") === "click")
+        .select(key.as("kb")).groupBy("kb")
+        .agg(count(lit(1)).as("nb"))
+      ah.join(bh, col("ka") <=> col("kb"), "full_outer")
+        .select(
+          when(col("na").isNotNull,
+            coalesce(col("ka").cast("string"), lit("null")))
+            .otherwise(coalesce(col("kb").cast("string"), lit("null")))
+            .as("k"),
+          coalesce(col("na"), lit(0L)).as("na"),
+          coalesce(col("nb"), lit(0L)).as("nb"),
+          (coalesce(col("na"), lit(0L)) * coalesce(col("nb"), lit(0L)))
+            .as("n_pairs"))
+        .orderBy("k")
+    },
+
+    // Single exponential smoothing via its closed form — the
+    // recursive l_t = αy_t + (1−α)l_{t−1} is sequential and
+    // un-distributable, but it unrolls to ONE weighted sum per
+    // target: l_t = (1−α)^{t−1}y_1 + Σ α(1−α)^{t−i}y_i. The corpus
+    // collapses to the daily grid once; the last 6 one-step
+    // forecasts come from a triangle join over grid rows (≤6·|days|
+    // terms, metadata). α = 0.3; weights from pow on identical
+    // integer exponents, sums rounded 6dp.
+    "q207_exp_smoothing" -> { (s, dir) =>
+      val daily = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y"))
+        .localCheckpoint() // grid
+      val idx = daily.withColumn("t",
+        row_number().over(Window.orderBy("day"))) // grid-bounded window
+      val mx = broadcast(idx.agg(max("t").as("tmax")))
+      val targets = idx.crossJoin(mx).filter(col("t") > col("tmax") - 6)
+        .select(col("day"), col("y"), col("t"))
+      val hist = idx.select(col("t").as("i"), col("y").as("yi"))
+      targets.join(hist, col("i") <= col("t") - 1)
+        .withColumn("w",
+          when(col("i") === 1, pow(lit(0.7), col("t") - 2))
+            .otherwise(lit(0.3) * pow(lit(0.7), col("t") - 1 - col("i"))))
+        .groupBy("day", "y")
+        .agg(round(sum(col("w") * col("yi")), 6).as("forecast"))
+        .select(col("day"), col("y"), col("forecast"),
+          round(col("y") - col("forecast"), 6).as("err"))
+        .orderBy("day")
     }
   )
 
@@ -3450,6 +3538,66 @@ object CoverageQueries {
         |FROM ranked r JOIN alloc a ON a.stratum = r.stratum
         |WHERE r.rk <= r.quota
         |GROUP BY r.stratum, a.nh, a.quota ORDER BY r.stratum""".stripMargin,
+
+    // the same two window orders: tie-bearing for the rank family,
+    // fully-deterministic for ntile
+    "q205_window_rank_family" ->
+      """WITH rev AS (
+        |  SELECT CAST(c.c_nationkey AS BIGINT) AS nation,
+        |    sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+        |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |  GROUP BY 1)
+        |SELECT nation, cents,
+        |  CAST(rank() OVER wt AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER wt AS BIGINT) AS drnk,
+        |  round(percent_rank() OVER wt, 6) AS prnk,
+        |  round(cume_dist() OVER wt, 6) AS cdist,
+        |  CAST(ntile(4) OVER wd AS INT) AS quartile
+        |FROM rev
+        |WINDOW wt AS (ORDER BY cents DESC),
+        |  wd AS (ORDER BY cents DESC, nation)
+        |ORDER BY cents DESC, nation""".stripMargin,
+
+    // the same per-side histograms, IS NOT DISTINCT FROM full join
+    "q206_null_safe_join" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    CASE WHEN CAST(regexp_extract(props, '"k": ([0-9]+)', 1)
+        |        AS BIGINT) % 7 = 0 THEN NULL
+        |      ELSE CAST(regexp_extract(props, '"k": ([0-9]+)', 1)
+        |        AS BIGINT) END AS k
+        |  FROM events),
+        |ah AS (SELECT k AS ka, count(*) AS na FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |bh AS (SELECT k AS kb, count(*) AS nb FROM ev
+        |  WHERE event_type = 'click' GROUP BY 1)
+        |SELECT
+        |  CASE WHEN na IS NOT NULL
+        |    THEN coalesce(CAST(ka AS VARCHAR), 'null')
+        |    ELSE coalesce(CAST(kb AS VARCHAR), 'null') END AS k,
+        |  coalesce(na, 0) AS na, coalesce(nb, 0) AS nb,
+        |  coalesce(na, 0) * coalesce(nb, 0) AS n_pairs
+        |FROM ah FULL JOIN bh ON ka IS NOT DISTINCT FROM kb
+        |ORDER BY k""".stripMargin,
+
+    // the same closed-form weights over the same daily grid
+    "q207_exp_smoothing" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS y
+        |  FROM events GROUP BY 1),
+        |idx AS (
+        |  SELECT day, y, row_number() OVER (ORDER BY day) AS t FROM daily),
+        |mx AS (SELECT max(t) AS tmax FROM idx),
+        |targets AS (
+        |  SELECT day, y, t FROM idx, mx WHERE t > tmax - 6),
+        |terms AS (
+        |  SELECT tg.day, tg.y,
+        |    CASE WHEN h.t = 1 THEN power(0.7, tg.t - 2)
+        |      ELSE 0.3 * power(0.7, tg.t - 1 - h.t) END * h.y AS wy
+        |  FROM targets tg JOIN idx h ON h.t <= tg.t - 1)
+        |SELECT day, y, round(sum(wy), 6) AS forecast,
+        |  round(y - round(sum(wy), 6), 6) AS err
+        |FROM terms GROUP BY day, y ORDER BY day""".stripMargin,
 
     // the same two leads over the same (ts, event_id) order
     "q183_top_paths" ->

@@ -1078,6 +1078,81 @@ class Round8dOpsSpec extends SparkSpec {
       Seq(11L, 12L, 13L).map(k => h60(k.toString)).reduce(_ ^ _))
   }
 
+  // ---- q205 window rank family ----
+
+  test("q205: tie semantics — rank gaps, dense_rank doesn't, " +
+    "percent_rank/cume_dist tie-aware, ntile deterministic") {
+    val dir = java.nio.file.Files.createTempDirectory("r8dwr").toString
+    // nations 1,2 tie at 300 cents; nation 3 trails at 100
+    Seq((1L, 1), (2L, 2), (3L, 3))
+      .toDF("c_custkey", "c_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((10L, 1L, 3.0), (20L, 2L, 3.0), (30L, 3L, 1.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val out = q("q205_window_rank_family", dir).collect()
+      .map(r => r.getAs[Long]("nation") -> r).toMap
+    assert(out(1L).getAs[Long]("rnk") === 1L)
+    assert(out(2L).getAs[Long]("rnk") === 1L)
+    assert(out(3L).getAs[Long]("rnk") === 3L)  // gap after the tie
+    assert(out(3L).getAs[Long]("drnk") === 2L) // no gap
+    assert(out(1L).getAs[Double]("prnk") === 0.0)
+    assert(out(3L).getAs[Double]("prnk") === 1.0)
+    assert(out(1L).getAs[Double]("cdist") === 0.666667)
+    assert(out(3L).getAs[Double]("cdist") === 1.0)
+    // ntile over the deterministic order: 3 rows into 4 buckets
+    assert(out(1L).getAs[Int]("quartile") === 1)
+    assert(out(2L).getAs[Int]("quartile") === 2)
+    assert(out(3L).getAs[Int]("quartile") === 3)
+  }
+
+  // ---- q206 null-safe join ----
+
+  test("q206: null keys match null keys; one-sided keys survive the " +
+    "full outer with zero pairs") {
+    def e(id: Long, et: String, k: Int) =
+      (id, t0, id, et, 1.0, s"""{"k": $k}""")
+    val rows = Seq(
+      e(1, "view", 3), e(2, "view", 3), e(3, "view", 7), e(4, "view", 5),
+      e(5, "click", 3), e(6, "click", 3), e(7, "click", 3),
+      e(8, "click", 7), e(9, "click", 14))
+    val dir = java.nio.file.Files.createTempDirectory("r8dns2").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = q("q206_null_safe_join", dir).collect()
+      .map(r => r.getAs[String]("k") ->
+        ((r.getAs[Long]("na"), r.getAs[Long]("nb"),
+          r.getAs[Long]("n_pairs")))).toMap
+    assert(out("3") === ((2L, 3L, 6L)))
+    assert(out("null") === ((1L, 2L, 2L))) // k=7 view x (k=7, k=14) clicks
+    assert(out("5") === ((1L, 0L, 0L)))    // view-only key kept by full outer
+    assert(out.size === 3)
+  }
+
+  // ---- q207 exponential smoothing ----
+
+  test("q207: constant series forecasts itself; a final-day jump " +
+    "shows up only as that day's error") {
+    // days 1-7: 10 events; day 8: 20 events
+    var id = 0L
+    val rows = (1 to 8).flatMap { day =>
+      val n = if (day == 8) 20 else 10
+      (1 to n).map { _ =>
+        id += 1
+        (id, Timestamp.valueOf(f"2024-01-$day%02d 12:00:00"), id, "view", 1.0)
+      }
+    }
+    val out = q("q207_exp_smoothing", eventsDir(rows)).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString ->
+        ((r.getAs[Long]("y"), r.getAs[Double]("forecast"),
+          r.getAs[Double]("err")))).toMap
+    assert(out.size === 6) // last 6 days have a prior level
+    (3 to 7).foreach { d =>
+      assert(out(f"2024-01-$d%02d") === ((10L, 10.0, 0.0)))
+    }
+    assert(out("2024-01-08") === ((20L, 10.0, 10.0)))
+  }
+
   // ---- q180 equal-frequency binning ----
 
   test("q180: 100 uniform distinct values land 10 per decile bin") {
