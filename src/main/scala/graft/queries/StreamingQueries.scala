@@ -502,6 +502,28 @@ object StreamingQueries {
         .orderBy("content_hash")
     },
 
+    // The batch SCD2 build (q197) AS A STREAM: per-user status runs
+    // live in flatMapGroupsWithState; a status change closes the run
+    // and emits its [valid_from, valid_to) interval append-only.
+    // The 3-batch drain slices user streams ACROSS micro-batch
+    // boundaries, so runs opened in batch 0 must close correctly
+    // from state in batch 2 — the cross-batch property the gate
+    // exists for. Oracle: q197's SQL restricted to closed intervals
+    // (the stream never emits the open tail; batch's null-valid_to
+    // rows are exactly that tail).
+    "q208_multibatch_scd2" -> { (s, dir) =>
+      import s.implicits._
+      val input = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("status"))
+      runMultiBatch(s, "q208", input, in =>
+        StreamOps.scdIntervals(in.as[StreamOps.StatusEvent],
+          lateness = "36500 days", idleGapMs = Long.MaxValue / 4).toDF(),
+        orderCols = Seq(col("ts"), col("event_id")))
+        .select("user_id", "status", "valid_from", "valid_to", "n_events")
+        .orderBy("user_id", "valid_from")
+    },
+
     // The q105 ingest probe AS A STREAM: new docs arrive in
     // micro-batches and near-dup-probe the PERSISTED corpus band
     // index via a STREAM-STATIC equi-join on (band, bucket) — the
@@ -923,6 +945,34 @@ object StreamingQueries {
     "q99_multibatch_dedup" ->
       """SELECT DISTINCT md5(text) AS content_hash FROM documents
         |ORDER BY content_hash""".stripMargin,
+
+    // q197's SQL restricted to CLOSED intervals — the stream's
+    // append-only output must equal the batch build minus the open
+    // tail
+    "q208_multibatch_scd2" ->
+      """WITH c AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(event_type) OVER
+        |        (PARTITION BY user_id ORDER BY ts, event_id) IS DISTINCT
+        |        FROM event_type THEN 1 ELSE 0 END AS chg
+        |  FROM events),
+        |i AS (
+        |  SELECT user_id, event_type,
+        |    CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts,
+        |      event_id) AS BIGINT) AS island, ts
+        |  FROM c),
+        |iv AS (
+        |  SELECT user_id, island, min(event_type) AS status,
+        |    min(ts) AS valid_from, count(*) AS n_events
+        |  FROM i GROUP BY user_id, island),
+        |full_iv AS (
+        |  SELECT user_id, status, valid_from,
+        |    lead(valid_from) OVER (PARTITION BY user_id ORDER BY island)
+        |      AS valid_to, n_events
+        |  FROM iv)
+        |SELECT user_id, status, valid_from, valid_to, n_events
+        |FROM full_iv WHERE valid_to IS NOT NULL
+        |ORDER BY user_id, valid_from""".stripMargin,
 
     // q105's oracle verbatim: the streamed probe must equal the batch
     // incremental near-dup answer

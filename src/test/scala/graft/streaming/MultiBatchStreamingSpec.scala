@@ -109,6 +109,31 @@ class MultiBatchStreamingSpec extends SparkSpec {
     assert(pairs === Seq((101L, 13L), (102L, 11L), (103L, 12L)))
   }
 
+  test("scd2 run opened in batch 1 closes from state in batch 3, " +
+    "open tail never emits") {
+    // user 1 is 'on' at days 1 and 2 (slices 1 and 2) and flips to
+    // 'off' at day 3 (slice 3): the closed interval [day1, day3) with
+    // n_events=2 is only correct if the run survived two batch
+    // boundaries. The 'off' run stays open — nothing else may emit.
+    // user 2 pads each slice with a constant status (never closes).
+    val events = Seq(
+      (1L, ts(1), 10L, "on"), (2L, ts(1), 11L, "idle"),
+      (1L, ts(2), 20L, "on"), (2L, ts(2), 21L, "idle"),
+      (1L, ts(3), 30L, "off"), (2L, ts(3), 31L, "idle"))
+      .toDF("user_id", "ts", "event_id", "status")
+    val (out, nBatches) = StreamingQueries.runMultiBatchCounted(
+      spark, "mbspec_scd", events,
+      in => StreamOps.scdIntervals(in.as[StreamOps.StatusEvent],
+        lateness = "36500 days", idleGapMs = Long.MaxValue / 4).toDF(),
+      orderCols = Seq(col("ts"), col("event_id")),
+      batches = 3)
+    assert(nBatches >= 3, s"drained in $nBatches batches, wanted >= 3")
+    val rows = out.select("user_id", "status", "valid_from", "valid_to",
+      "n_events").as[(Long, String, Timestamp, Timestamp, Long)]
+      .collect().toSeq
+    assert(rows === Seq((1L, "on", ts(1), ts(3), 2L)))
+  }
+
   test("runMultiBatch fails loudly when asked for fewer than 2 batches") {
     val rows = Seq((1L, "X", ts(1))).toDF("id", "text", "ts")
     intercept[IllegalArgumentException] {
