@@ -2702,6 +2702,40 @@ object CoverageQueries {
         .select(col("day"), col("y"), col("forecast"),
           round(col("y") - col("forecast"), 6).as("err"))
         .orderBy("day")
+    },
+
+    // OPTIMIZE-style compaction on the CoW table (the table-
+    // maintenance tier's missing piece next to time travel/IVM/
+    // upsert): five fragmented commits leave the current version as
+    // dozens of small files — the small-file problem that kills scan
+    // throughput at 100 TB — then compact() re-commits the SAME
+    // content coalesced (shuffle-free) into ≤4 files and vacuum()
+    // reclaims superseded versions. The gate hashes every surviving
+    // row: compaction must change LAYOUT and nothing else. The
+    // file-count booleans are engine-measured; the oracle pins them
+    // true, so a compaction that fails to reduce files fails the
+    // round's gate, not just a spec.
+    "q209_compaction" -> { (s, dir) =>
+      val root = s"${Tables.scratchBase}/graft_q209_" +
+        s"${s.sparkContext.applicationId}/tbl"
+      val ev = t(s, dir, "events")
+        .select("event_id", "user_id", "event_type")
+      val tbl = new graft.sources.CowTable(root, s)
+      (0 until 5).foreach { i =>
+        val slice = ev.filter(pmod(col("event_id"), lit(5)) === i)
+          .repartition(8) // deliberately fragmented
+        if (i == 0) tbl.overwrite(slice) else tbl.append(slice)
+      }
+      val before = tbl.dataFileCount
+      tbl.compact(4)
+      val after = tbl.dataFileCount
+      tbl.vacuum()
+      tbl.read().agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(cast(conv(substring(md5(cast(event_id as string))" +
+          ", 1, 15), 16, 10) as bigint))").as("content_hash"))
+        .select(col("n_rows"), col("content_hash"),
+          lit(after < before).as("files_reduced"),
+          lit(after <= 4L).as("met_target"))
     }
   )
 
@@ -3598,6 +3632,16 @@ object CoverageQueries {
         |SELECT day, y, round(sum(wy), 6) AS forecast,
         |  round(y - round(sum(wy), 6), 6) AS err
         |FROM terms GROUP BY day, y ORDER BY day""".stripMargin,
+
+    // content identity straight off the source table; the layout
+    // booleans are pinned true — a compaction that loses rows breaks
+    // the hash, one that fails to shrink files breaks the booleans
+    "q209_compaction" ->
+      """SELECT count(*) AS n_rows,
+        |  bit_xor(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+        |    ::BIGINT) AS content_hash,
+        |  true AS files_reduced, true AS met_target
+        |FROM events""".stripMargin,
 
     // the same two leads over the same (ts, event_id) order
     "q183_top_paths" ->

@@ -140,6 +140,28 @@ class CowTable(val root: String, spark: SparkSession) extends VersionedTable {
   def deleteWhere(pred: org.apache.spark.sql.Column): Unit =
     commit(read().filter(!pred))
 
+  /** OPTIMIZE-style small-file compaction: re-commit the current
+    * contents coalesced into at most `targetFiles` files. Content is
+    * identical by construction — only the layout changes — and
+    * coalesce (not repartition) keeps the rewrite SHUFFLE-FREE: at
+    * scale it streams existing files into wider ones with no
+    * exchange. Readers on the old version are untouched (CoW);
+    * [[vacuum]] reclaims it once they drain.
+    */
+  def compact(targetFiles: Int): Unit = {
+    require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
+    commit(read().coalesce(targetFiles))
+  }
+
+  /** Number of data files in the current version — the metric
+    * compaction exists to drive down. */
+  def dataFileCount: Long = currentVersion.map { v =>
+    val listing = Files.list(Paths.get(root, v))
+    try listing.filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .count()
+    finally listing.close()
+  }.getOrElse(0L)
+
   /** Garbage-collect uncommitted/old version dirs and abandoned
     * staging dirs (keep current).
     */

@@ -91,6 +91,28 @@ class CowTableSpec extends SparkSpec {
       .iterator().asScala.exists(_.getFileName.toString.startsWith("_stage_")))
   }
 
+  test("compact shrinks the file count to the target and preserves " +
+    "content exactly") {
+    val t = new CowTable(tmp(), spark)
+    t.overwrite(spark.range(0, 100).toDF("id").repartition(10))
+    t.append(spark.range(100, 200).toDF("id").repartition(10))
+    val before = t.dataFileCount
+    assert(before > 4, s"fixture not fragmented: $before files")
+    t.compact(4)
+    assert(t.dataFileCount <= 4)
+    assert(t.dataFileCount >= 1)
+    assert(t.read().as[Long].collect().sorted.toSeq === (0L until 200L))
+    // the pre-compaction version is still readable until vacuum
+    t.vacuum()
+    assert(t.read().count() === 200)
+  }
+
+  test("compact rejects a non-positive file target") {
+    val t = new CowTable(tmp(), spark)
+    t.overwrite(spark.range(0, 10).toDF("id"))
+    intercept[IllegalArgumentException](t.compact(0))
+  }
+
   test("vacuum keeps only the current version; read unaffected") {
     val root = tmp()
     val t = new CowTable(root, spark)
