@@ -2736,6 +2736,34 @@ object CoverageQueries {
         .select(col("n_rows"), col("content_hash"),
           lit(after < before).as("files_reduced"),
           lit(after <= 4L).as("met_target"))
+    },
+
+    // Exact WEIGHTED median (here: the revenue-weighted median line
+    // quantity per return flag — "the line size at which half the
+    // money sits") — the weighted twin the percentile family (q10
+    // exact, q180 equi-depth, q191 sketch) lacks. One corpus pass
+    // collapses to the (flag, quantity) grid — quantity is a BOUNDED
+    // domain, so the grid is ≤ flags×50 rows at any corpus size —
+    // then an integer prefix sum finds the first value whose
+    // cumulative weight crosses half the total. All-integer
+    // arithmetic end to end: the gate is exact, no rounding anywhere.
+    "q210_weighted_median" -> { (s, dir) =>
+      val g = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          col("l_quantity").cast("long").as("qty"),
+          round(col("l_extendedprice") * 100).cast("long").as("w"))
+        .groupBy("flag", "qty").agg(sum("w").as("w"))
+        .localCheckpoint() // bounded grid; prefix + totals reuse it
+      val tot = g.groupBy("flag").agg(sum("w").as("wt"))
+      val wv = Window.partitionBy("flag").orderBy("qty")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g.withColumn("cw", sum("w").over(wv))
+        .join(broadcast(tot), "flag")
+        .filter(col("cw") * 2 >= col("wt"))
+        .groupBy("flag")
+        .agg(min("qty").as("weighted_median_qty"),
+          max("wt").as("total_weight_cents"))
+        .orderBy("flag")
     }
   )
 
@@ -3642,6 +3670,22 @@ object CoverageQueries {
         |    ::BIGINT) AS content_hash,
         |  true AS files_reduced, true AS met_target
         |FROM events""".stripMargin,
+
+    // the same integer grid, prefix sum, and crossing rule
+    "q210_weighted_median" ->
+      """WITH g AS (
+        |  SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS qty,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |tot AS (SELECT flag, sum(w) AS wt FROM g GROUP BY flag),
+        |pre AS (
+        |  SELECT g.flag, g.qty, tot.wt,
+        |    CAST(sum(g.w) OVER (PARTITION BY g.flag ORDER BY g.qty)
+        |      AS BIGINT) AS cw
+        |  FROM g JOIN tot ON tot.flag = g.flag)
+        |SELECT flag, min(qty) AS weighted_median_qty,
+        |  CAST(max(wt) AS BIGINT) AS total_weight_cents
+        |FROM pre WHERE cw * 2 >= wt GROUP BY flag ORDER BY flag""".stripMargin,
 
     // the same two leads over the same (ts, event_id) order
     "q183_top_paths" ->

@@ -1153,6 +1153,26 @@ class Round8dOpsSpec extends SparkSpec {
     assert(out("2024-01-08") === ((20L, 10.0, 10.0)))
   }
 
+  // ---- q210 weighted median ----
+
+  test("q210: the crossing rule lands where half the WEIGHT sits, " +
+    "lower median on an exact split") {
+    val dir = java.nio.file.Files.createTempDirectory("r8dwm").toString
+    // flag A: qty 1 (w 1.00), qty 2 (w 1.00), qty 3 (w 5.00)
+    //   -> half of 700 cents sits at qty 3 despite 2/3 of ROWS below
+    // flag B: qty 5 and 7, equal weight -> exact split, lower wins
+    Seq(("A", 1.0, 1.0), ("A", 2.0, 1.0), ("A", 3.0, 5.0),
+      ("B", 5.0, 1.0), ("B", 7.0, 1.0))
+      .toDF("l_returnflag", "l_quantity", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = q("q210_weighted_median", dir).collect()
+      .map(r => r.getAs[String]("flag") ->
+        ((r.getAs[Long]("weighted_median_qty"),
+          r.getAs[Long]("total_weight_cents")))).toMap
+    assert(out("A") === ((3L, 700L)))
+    assert(out("B") === ((5L, 200L)))
+  }
+
   // ---- q180 equal-frequency binning ----
 
   test("q180: 100 uniform distinct values land 10 per decile bin") {
