@@ -2406,9 +2406,10 @@ object CoverageQueries {
       // pos⋈pos form pays (measured ~65 s → ~56 s at sf1). The
       // remaining cost is the (p1,p2) count exchange itself — random
       // baskets leave the combine factor ≈1, so ~Σ basket² rows cross
-      // it once; that is the exact-CF lower bound. At 100 TB the
-      // documented escape is DIMSUM-style sampling above a basket
-      // cap, traded in only when the q89 pre-flight flags the skew.
+      // it once; that is the exact-CF lower bound. The skew escape is
+      // WIRED IN as q211 (md5-capped baskets, its own exact-under-cap
+      // oracle) — trade it in when the q89 pre-flight flags whale
+      // baskets.
       val co = pos.groupBy("u").agg(sort_array(collect_list("p")).as("sp"))
         .select(explode(expr(
           """flatten(transform(sp, (a, i) ->
@@ -2764,6 +2765,55 @@ object CoverageQueries {
         .agg(min("qty").as("weighted_median_qty"),
           max("wt").as("total_weight_cents"))
         .orderBy("flag")
+    },
+
+    // q199's WIRED-IN skew escape (the q73/q102 two-arms discipline:
+    // a documented fallback is code with its own gate, not a
+    // comment): item-item CF over md5-CAPPED baskets — every
+    // customer contributes at most `cap` deterministically-sampled
+    // items, so the pair stream is ≤ cap²/2 per customer NO MATTER
+    // how degenerate the basket distribution gets (the whale-basket
+    // regime the q89 pre-flight detects). Cosines are computed over
+    // the capped sets, so the arm is self-consistent and the oracle
+    // mirrors it EXACTLY under the same cap — approximate vs the
+    // full answer, exact vs its own contract.
+    "q211_item_item_cf_capped" -> { (s, dir) =>
+      val cap = 8
+      val pos = t(s, dir, "orders")
+        .select(col("o_custkey").as("u"), col("o_orderkey"))
+        .join(t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o_orderkey"),
+            col("l_partkey").as("p")), Seq("o_orderkey"))
+        .select("u", "p").distinct()
+      val capped = pos.withColumn("rk", row_number().over(
+        Window.partitionBy("u").orderBy(
+          conv(substring(md5(concat_ws(":", lit("cap"), col("u"),
+            col("p"))), 1, 15), 16, 10).cast("long"), col("p"))))
+        .filter(col("rk") <= cap).select("u", "p")
+        .localCheckpoint() // reused by the co-count and the norms
+      val nu = capped.groupBy("p").agg(count(lit(1)).as("n"))
+      val co = capped.groupBy("u")
+        .agg(sort_array(collect_list("p")).as("sp"))
+        .select(explode(expr(
+          """flatten(transform(sp, (a, i) ->
+            |  transform(slice(sp, i + 2, size(sp)), b ->
+            |    named_struct('p1', a, 'p2', b))))""".stripMargin))
+          .as("pr"))
+        .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+        .agg(count(lit(1)).as("c"))
+      val sim = co
+        .join(nu.select(col("p").as("p1"), col("n").as("n1")), "p1")
+        .join(nu.select(col("p").as("p2"), col("n").as("n2")), "p2")
+        .select(col("p1"), col("p2"),
+          round(col("c") / sqrt(col("n1") * col("n2")), 6).as("cosine"))
+      val both = sim.unionByName(
+        sim.select(col("p2").as("p1"), col("p1").as("p2"), col("cosine")))
+      val w = Window.partitionBy("p1").orderBy(col("cosine").desc, col("p2"))
+      both.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("p1").as("part"), col("rank"),
+          col("p2").as("similar"), col("cosine"))
+        .orderBy("part", "rank")
     }
   )
 
@@ -3686,6 +3736,37 @@ object CoverageQueries {
         |SELECT flag, min(qty) AS weighted_median_qty,
         |  CAST(max(wt) AS BIGINT) AS total_weight_cents
         |FROM pre WHERE cw * 2 >= wt GROUP BY flag ORDER BY flag""".stripMargin,
+
+    // the same md5 cap, the same pairs/cosine/ranking under it
+    "q211_item_item_cf_capped" ->
+      """WITH pos AS (
+        |  SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS p
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |capped AS (
+        |  SELECT u, p FROM (
+        |    SELECT u, p, row_number() OVER (PARTITION BY u ORDER BY
+        |      ('0x' || substr(md5('cap:' || CAST(u AS VARCHAR) || ':' ||
+        |        CAST(p AS VARCHAR)), 1, 15))::BIGINT, p) AS rk
+        |    FROM pos) WHERE rk <= 8),
+        |nu AS (SELECT p, count(*) AS n FROM capped GROUP BY p),
+        |co AS (
+        |  SELECT x.p AS p1, y.p AS p2, count(*) AS c
+        |  FROM capped x JOIN capped y ON x.u = y.u AND x.p < y.p
+        |  GROUP BY 1, 2),
+        |sim AS (
+        |  SELECT co.p1, co.p2,
+        |    round(co.c / sqrt(n1.n * n2.n), 6) AS cosine
+        |  FROM co JOIN nu n1 ON n1.p = co.p1 JOIN nu n2 ON n2.p = co.p2),
+        |bo AS (
+        |  SELECT p1, p2, cosine FROM sim
+        |  UNION ALL SELECT p2, p1, cosine FROM sim),
+        |r AS (
+        |  SELECT p1, p2, cosine, row_number() OVER (
+        |    PARTITION BY p1 ORDER BY cosine DESC, p2) AS rank
+        |  FROM bo)
+        |SELECT p1 AS part, CAST(rank AS INT) AS rank, p2 AS similar,
+        |  cosine
+        |FROM r WHERE rank <= 3 ORDER BY part, rank""".stripMargin,
 
     // the same two leads over the same (ts, event_id) order
     "q183_top_paths" ->

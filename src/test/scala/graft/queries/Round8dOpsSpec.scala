@@ -1173,6 +1173,35 @@ class Round8dOpsSpec extends SparkSpec {
     assert(out("B") === ((5L, 200L)))
   }
 
+  // ---- q211 capped item-item CF ----
+
+  test("q211: a 12-item whale basket is capped to the 8 md5-smallest " +
+    "items; dropped items vanish from the graph (JVM replay)") {
+    val dir = java.nio.file.Files.createTempDirectory("r8dcc").toString
+    Seq((10L, 1L)).toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    (1L to 12L).map(p => (10L, p)).toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(sd: String): Long = {
+      val hex = md.digest(sd.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val kept = (1L to 12L).sortBy(p => (h60(s"cap:1:$p"), p)).take(8).toSet
+    val out = q("q211_item_item_cf_capped", dir).collect()
+      .groupBy(_.getAs[Long]("part"))
+    assert(out.keySet === kept)
+    // within one basket every surviving pair has cosine 1; top-3 are
+    // the 3 smallest other surviving ids
+    kept.foreach { p =>
+      val rows = out(p).sortBy(_.getAs[Int]("rank"))
+      assert(rows.map(_.getAs[Long]("similar")).toSeq ===
+        (kept - p).toSeq.sorted.take(3), s"part $p")
+      assert(rows.forall(_.getAs[Double]("cosine") === 1.0))
+    }
+  }
+
   // ---- q180 equal-frequency binning ----
 
   test("q180: 100 uniform distinct values land 10 per decile bin") {
