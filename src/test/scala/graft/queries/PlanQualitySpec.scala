@@ -834,6 +834,35 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  // q199/q211: pair generation is basket-array algebra after ONE
+  // u-keyed aggregate — a Generate over collect_list output, never a
+  // pos⋈pos self-join (the form that shuffled the full pair stream
+  // twice). The only joins in the plan are the norm lookups.
+  test("q199 CF: pairs from basket arrays, no self-join on u") {
+    for (qn <- Seq("q199_item_item_cf", "q211_item_item_cf_capped")) {
+      val p = plan(qn)
+      assert(p.contains("Generate"), qn + "\n" + p)
+      assert(!p.contains("CartesianProduct"), qn + "\n" + p)
+      // no join keyed by the customer column: the u-shuffle feeds an
+      // aggregate, not a join
+      val blocks = p.split("(?m)^\\s*\\(\\d+\\) ").toSeq
+      val joins = blocks.filter(_.contains("Join"))
+      assert(joins.forall(!_.contains("u#")), qn + "\n" + p)
+    }
+  }
+
+  // q204: both corpus passes partial-aggregate map-side; the draw's
+  // window is stratum-keyed, never global.
+  test("q204 neyman: map-side moments, stratum-keyed draw window") {
+    val p = plan("q204_neyman_allocation")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    val blocks = p.split("(?m)^\\s*\\(\\d+\\) ").toSeq
+    val windows = blocks.filter(b =>
+      b.startsWith("Window") && !b.startsWith("WindowGroupLimit"))
+    assert(windows.nonEmpty && windows.forall(_.contains("stratum")), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   // q197: both island windows and the rollup are keyed by user_id —
   // no global window anywhere.
   test("q197 scd2: all windows user-keyed") {
