@@ -2814,6 +2814,39 @@ object CoverageQueries {
         .select(col("p1").as("part"), col("rank"),
           col("p2").as("similar"), col("cosine"))
         .orderBy("part", "rank")
+    },
+
+    // Chi-square test of independence + Cramér's V (Pearson 1900;
+    // Cramér 1946) — the categorical-association test the statistics
+    // tier lacked next to its rank/shift tests (q164 Mann-Whitney,
+    // q174 KS, q148 kappa): is event type independent of day-of-week?
+    // ONE corpus pass to the |types|×7 contingency grid; margins,
+    // expected counts and the statistic are exact-integer-derived
+    // grid algebra (E = rowTot·colTot/N — identical doubles in both
+    // engines), 6dp-rounded at the end. V = sqrt(χ²/(N·min(r−1,c−1)))
+    // normalizes to [0,1] so the answer is comparable across corpora.
+    "q212_chi_square" -> { (s, dir) =>
+      val cells = t(s, dir, "events")
+        .groupBy(col("event_type").as("et"),
+          dayofweek(to_date(col("ts"))).as("dow"))
+        .agg(count(lit(1)).as("o"))
+        .localCheckpoint() // ≤ types×7 grid
+      val rowT = cells.groupBy("et").agg(sum("o").as("rt"))
+      val colT = cells.groupBy("dow").agg(sum("o").as("ct"))
+      val tot = broadcast(cells.agg(sum("o").as("n"),
+        countDistinct("et").as("r"), countDistinct("dow").as("c")))
+      cells.join(broadcast(rowT), "et").join(broadcast(colT), "dow")
+        .crossJoin(tot)
+        .select(col("o"), col("rt"), col("ct"), col("n"), col("r"),
+          col("c"),
+          ((col("rt") * col("ct")).cast("double") / col("n")).as("e"))
+        .agg(max(col("n")).as("n_obs"),
+          ((max("r") - 1) * (max("c") - 1)).as("dof"),
+          round(sum(pow(col("o") - col("e"), 2) / col("e")), 6)
+            .as("chi2"),
+          round(sqrt(sum(pow(col("o") - col("e"), 2) / col("e")) /
+            (max("n") * least(max("r") - 1, max("c") - 1))), 6)
+            .as("cramers_v"))
     }
   )
 
@@ -3736,6 +3769,31 @@ object CoverageQueries {
         |SELECT flag, min(qty) AS weighted_median_qty,
         |  CAST(max(wt) AS BIGINT) AS total_weight_cents
         |FROM pre WHERE cw * 2 >= wt GROUP BY flag ORDER BY flag""".stripMargin,
+
+    // the same contingency grid (dow aligned +1 to Spark's 1-based
+    // Sunday), the same exact-integer expected counts
+    "q212_chi_square" ->
+      """WITH cells AS (
+        |  SELECT event_type AS et, dayofweek(CAST(ts AS DATE)) + 1 AS dow,
+        |    count(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |rt AS (SELECT et, sum(o) AS rt FROM cells GROUP BY et),
+        |ct AS (SELECT dow, sum(o) AS ct FROM cells GROUP BY dow),
+        |tot AS (
+        |  SELECT CAST(sum(o) AS BIGINT) AS n,
+        |    count(DISTINCT et) AS r, count(DISTINCT dow) AS c
+        |  FROM cells),
+        |j AS (
+        |  SELECT cells.o, (rt.rt * ct.ct)::DOUBLE / tot.n AS e,
+        |    tot.n, tot.r, tot.c
+        |  FROM cells JOIN rt ON rt.et = cells.et
+        |    JOIN ct ON ct.dow = cells.dow, tot)
+        |SELECT max(n) AS n_obs,
+        |  CAST((max(r) - 1) * (max(c) - 1) AS BIGINT) AS dof,
+        |  round(sum(power(o - e, 2) / e), 6) AS chi2,
+        |  round(sqrt(sum(power(o - e, 2) / e) /
+        |    (max(n) * least(max(r) - 1, max(c) - 1))), 6) AS cramers_v
+        |FROM j""".stripMargin,
 
     // the same md5 cap, the same pairs/cosine/ranking under it
     "q211_item_item_cf_capped" ->

@@ -1202,6 +1202,25 @@ class Round8dOpsSpec extends SparkSpec {
     }
   }
 
+  // ---- q212 chi-square ----
+
+  test("q212: hand-computed 2x2 independence test — chi2 = 100/15, " +
+    "dof 1, Cramer's V = 1/3") {
+    // Mon: a=10, b=20; Tue: a=20, b=10 -> all E=15, chi2 = 4*25/15
+    var id = 0L
+    def es(n: Int, day: Int, et: String) = (1 to n).map { _ =>
+      id += 1
+      (id, Timestamp.valueOf(f"2024-01-$day%02d 12:00:00"), id, et, 1.0)
+    }
+    val rows = es(10, 1, "a") ++ es(20, 1, "b") ++
+      es(20, 2, "a") ++ es(10, 2, "b")
+    val r = q("q212_chi_square", eventsDir(rows)).collect().head
+    assert(r.getAs[Long]("n_obs") === 60L)
+    assert(r.getAs[Long]("dof") === 1L)
+    assert(r.getAs[Double]("chi2") === 6.666667)
+    assert(r.getAs[Double]("cramers_v") === 0.333333)
+  }
+
   // ---- q180 equal-frequency binning ----
 
   test("q180: 100 uniform distinct values land 10 per decile bin") {
