@@ -2847,6 +2847,38 @@ object CoverageQueries {
           round(sqrt(sum(pow(col("o") - col("e"), 2) / col("e")) /
             (max("n") * least(max("r") - 1, max("c") - 1))), 6)
             .as("cramers_v"))
+    },
+
+    // Kendall's τ-b rank correlation (Kendall 1938, tie-corrected) —
+    // the rank-correlation family next to the linear q157: do days
+    // with more views also see more purchases, monotonically? The
+    // stream collapses to the daily (views, purchases) grid in ONE
+    // pass; concordant/discordant/tied pair counts are EXACT integer
+    // sums over the grid triangle (≤ days²/2 rows — metadata), and
+    // the only inexact step is the final sqrt on identical integers.
+    // Outlier-proof where Pearson is leverage-bound: one whale day
+    // moves τ by one rank, not by its magnitude.
+    "q213_kendall_tau" -> { (s, dir) =>
+      val daily = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("y"))
+        .localCheckpoint() // grid
+      val p = daily.as("i").join(daily.as("j"), col("i.day") < col("j.day"))
+        .select((col("i.x") - col("j.x")).as("dx"),
+          (col("i.y") - col("j.y")).as("dy"))
+      p.agg(count(lit(1)).as("n0"),
+        sum(when(col("dx") * col("dy") > 0, 1L).otherwise(0L)).as("cc"),
+        sum(when(col("dx") * col("dy") < 0, 1L).otherwise(0L)).as("dd"),
+        sum(when(col("dx") === 0, 1L).otherwise(0L)).as("tx"),
+        sum(when(col("dy") === 0, 1L).otherwise(0L)).as("ty"))
+        .select(col("n0"), col("cc").as("concordant"),
+          col("dd").as("discordant"),
+          round((col("cc") - col("dd")).cast("double") /
+            sqrt(((col("n0") - col("tx")) * (col("n0") - col("ty")))
+              .cast("double")), 6).as("tau_b"))
     }
   )
 
@@ -3794,6 +3826,30 @@ object CoverageQueries {
         |  round(sqrt(sum(power(o - e, 2) / e) /
         |    (max(n) * least(max(r) - 1, max(c) - 1))), 6) AS cramers_v
         |FROM j""".stripMargin,
+
+    // the same grid triangle, the same integer pair classification
+    "q213_kendall_tau" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |p AS (
+        |  SELECT i.x - j.x AS dx, i.y - j.y AS dy
+        |  FROM daily i JOIN daily j ON i.day < j.day)
+        |SELECT count(*) AS n0,
+        |  CAST(sum(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS concordant,
+        |  CAST(sum(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS discordant,
+        |  round((sum(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END) -
+        |    sum(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END))::DOUBLE /
+        |    sqrt(((count(*) - sum(CASE WHEN dx = 0 THEN 1 ELSE 0 END)) *
+        |      (count(*) - sum(CASE WHEN dy = 0 THEN 1 ELSE 0 END)))
+        |      ::DOUBLE), 6) AS tau_b
+        |FROM p""".stripMargin,
 
     // the same md5 cap, the same pairs/cosine/ranking under it
     "q211_item_item_cf_capped" ->

@@ -1221,6 +1221,33 @@ class Round8dOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("cramers_v") === 0.333333)
   }
 
+  // ---- q213 Kendall tau ----
+
+  test("q213: hand-computed tau-b — one discordant pair out of three, " +
+    "no ties") {
+    // days (x=views, y=purchases): (1,1), (2,3), (3,2)
+    // pairs: (d1,d2) C, (d1,d3) C, (d2,d3) D -> tau = (2-1)/3
+    var id = 0L
+    def es(day: Int, views: Int, purchases: Int) = {
+      val v = (1 to views).map { _ =>
+        id += 1
+        (id, Timestamp.valueOf(f"2024-01-$day%02d 12:00:00"), id, "view", 1.0)
+      }
+      val pch = (1 to purchases).map { _ =>
+        id += 1
+        (id, Timestamp.valueOf(f"2024-01-$day%02d 13:00:00"), id,
+          "purchase", 1.0)
+      }
+      v ++ pch
+    }
+    val rows = es(1, 1, 1) ++ es(2, 2, 3) ++ es(3, 3, 2)
+    val r = q("q213_kendall_tau", eventsDir(rows)).collect().head
+    assert(r.getAs[Long]("n0") === 3L)
+    assert(r.getAs[Long]("concordant") === 2L)
+    assert(r.getAs[Long]("discordant") === 1L)
+    assert(r.getAs[Double]("tau_b") === 0.333333)
+  }
+
   // ---- q180 equal-frequency binning ----
 
   test("q180: 100 uniform distinct values land 10 per decile bin") {
