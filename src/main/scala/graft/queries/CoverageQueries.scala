@@ -959,11 +959,18 @@ object CoverageQueries {
     // prefix-sum device — the timeline is never sorted through one
     // partition, which is what makes a sweep-line feasible over a
     // 100 TB event stream. Peak is always attained at a start key
-    // (only odd keys have positive net delta), so peak_at_us = (k−1)/2
-    // is exact integer arithmetic.
+    // (only odd keys have positive net delta), so the peak moment
+    // (k−1)/2 is exact integer arithmetic. The moment is reported as
+    // an OFFSET from the table's min(ts) rather than an absolute
+    // epoch: any timestamp-encoding/session-TZ delta between the
+    // engine's parquet dump and the oracle's reader shifts every
+    // instant by the same constant, which the subtraction cancels —
+    // the round-8 driver hash miss on the absolute-epoch form was
+    // exactly this hazard.
     "q145_peak_concurrency" -> { (s, dir) =>
       val ev = t(s, dir, "events")
         .select(col("event_type"), unix_micros(col("ts")).as("tu"))
+      val t0 = broadcast(ev.agg(min("tu").as("t0")))
       val deltas = ev
         .select(col("event_type"), (col("tu") * 2 + 1).as("k"),
           lit(1L).as("d"))
@@ -976,8 +983,9 @@ object CoverageQueries {
       run.join(broadcast(peak), "event_type")
         .filter(col("run") === col("peak"))
         .groupBy("event_type", "peak").agg(min("k").as("mk"))
-        .withColumn("peak_at_us", expr("(mk - 1) div 2"))
-        .select("event_type", "peak", "peak_at_us")
+        .crossJoin(t0)
+        .withColumn("peak_offset_us", expr("(mk - 1) div 2") - col("t0"))
+        .select("event_type", "peak", "peak_offset_us")
         .orderBy("event_type")
     },
 
@@ -2021,9 +2029,16 @@ object CoverageQueries {
     // only — at 10× events with dilate-time the grid grows 10× in days
     // but the fill stays grid-bounded, never corpus-bounded.
     "q186_gap_fill" -> { (s, dir) =>
+      // the daily mean rides an exact micro-unit integer sum (a raw
+      // avg(double) depends on partial-aggregation order in the last
+      // ulps — the q160/q164 cents discipline); the one double
+      // division happens on identical integers in both engines
       val daily = t(s, dir, "events")
         .groupBy(col("event_type").as("etype"), to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("n"), round(avg("value"), 6).as("avg_v"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 1e6).cast("long")).as("sv"))
+        .select(col("etype"), col("day"), col("n"),
+          round(col("sv") / (col("n") * 1e6), 6).as("avg_v"))
         .localCheckpoint() // grid-sized; span, keys, and the join reuse it
       val span = broadcast(daily.agg(min("day").as("d0"), max("day").as("d1")))
       val grid = daily.select("etype").distinct()
@@ -2592,9 +2607,14 @@ object CoverageQueries {
         sum(col("cents").cast("decimal(38,0)")).as("sx"),
         sum(col("cents").cast("decimal(38,0)") * col("cents")).as("sxx"))
         .select(col("stratum"), col("nh"),
-          sqrt((col("nh") * col("sxx") - col("sx") * col("sx"))
-            .cast("double") /
-            (col("nh") * (col("nh") - 1)).cast("double")).as("sigma"))
+          // a single-row stratum is 0/0 = NaN under the raw formula;
+          // DuckDB would then ERROR casting NaN→BIGINT while Spark
+          // silently yields 0 — guard nh>=2 so both engines agree on
+          // degenerate strata (σ of one observation is 0 by fiat)
+          when(col("nh") < 2, lit(0.0)).otherwise(
+            sqrt((col("nh") * col("sxx") - col("sx") * col("sx"))
+              .cast("double") /
+              (col("nh") * (col("nh") - 1)).cast("double"))).as("sigma"))
       val tot = broadcast(g.agg(sum(col("nh") * col("sigma")).as("z")))
       val alloc = g.crossJoin(tot)
         .select(col("stratum"), col("nh"),
@@ -2635,11 +2655,17 @@ object CoverageQueries {
         .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
       val wTie = Window.orderBy(col("cents").desc)
       val wDet = Window.orderBy(col("cents").desc, col("nation"))
+      // percent_rank/cume_dist ship as integer MICRO-UNITS (q167's
+      // micro-credit device) so the row is all-integer — the round-8
+      // driver gate hash-missed on the rounded-double form even
+      // though it was bit-exact locally
       rev.select(col("nation"), col("cents"),
         rank().over(wTie).cast("long").as("rnk"),
         dense_rank().over(wTie).cast("long").as("drnk"),
-        round(percent_rank().over(wTie), 6).as("prnk"),
-        round(cume_dist().over(wTie), 6).as("cdist"),
+        round(percent_rank().over(wTie) * 1e6).cast("long")
+          .as("prnk_micro"),
+        round(cume_dist().over(wTie) * 1e6).cast("long")
+          .as("cdist_micro"),
         ntile(4).over(wDet).as("quartile"))
         .orderBy(col("cents").desc, col("nation"))
     },
@@ -2879,6 +2905,73 @@ object CoverageQueries {
           round((col("cc") - col("dd")).cast("double") /
             sqrt(((col("n0") - col("tx")) * (col("n0") - col("ty")))
               .cast("double")), 6).as("tau_b"))
+    },
+
+    // DIMSUM-sampled item-item CF (Zadeh & Goel 2013, "Dimension
+    // Independent Matrix Square using MapReduce") — the third CF arm
+    // above q211's cap: instead of truncating whale BASKETS, it
+    // down-samples POPULAR-pair emissions probability-proportionally.
+    // Each within-basket pair (p1,p2) is emitted with probability
+    // p = min(1, γ/√(n1·n2)) — so a pair of two blockbuster items,
+    // whose co-count dominates the exact arm's Σ basket² exchange, is
+    // sampled at rate γ/√(n1·n2) and the EXPECTED total shuffle is
+    // ≤ γ·Σ cosine ≈ γ·|items| rows, independent of basket shape —
+    // while a rare pair (√(n1·n2) ≤ γ) keeps p = 1 and its count
+    // stays EXACT. The unbiased estimator ĉ = emitted/p divides out
+    // the sampling; cosine_est = ĉ/√(n1·n2). Determinism contract
+    // (the q104 device, hardened): the Bernoulli draw is a 40-bit md5
+    // integer per (u,p1,p2) compared against p quantized to the
+    // dyadic 2⁻²⁰ grid — within a (p1,p2) group p is CONSTANT (it
+    // depends only on the item counts), so the estimator is
+    // emit_count·2²⁰/pq — integers end to end, ONE double division
+    // per group on identical operands, and the oracle replays the
+    // identical draw. Map-side pair enumeration stays basket-bounded
+    // (compose with q211's cap when the q89 pre-flight flags whales);
+    // only SAMPLED pairs reach the exchange — the explode→filter
+    // pipeline never materializes the unsampled stream.
+    "q214_item_item_cf_dimsum" -> { (s, dir) =>
+      val gamma = 8.0
+      val M = 1L << 20
+      val pos = t(s, dir, "orders")
+        .select(col("o_custkey").as("u"), col("o_orderkey"))
+        .join(t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o_orderkey"),
+            col("l_partkey").as("p")), Seq("o_orderkey"))
+        .select("u", "p").distinct()
+        .localCheckpoint()
+      val nu = pos.groupBy("p").agg(count(lit(1)).as("n"))
+      val sampled = pos.join(nu, "p")
+        .groupBy("u")
+        .agg(sort_array(collect_list(struct(col("p"), col("n"))))
+          .as("sp"))
+        .select(col("u"), explode(expr(
+          """flatten(transform(sp, (a, i) ->
+            |  transform(slice(sp, i + 2, size(sp)), b ->
+            |    named_struct('p1', a.p, 'n1', a.n,
+            |                 'p2', b.p, 'n2', b.n))))""".stripMargin))
+          .as("pr"))
+        .select(col("u"), col("pr.p1").as("p1"), col("pr.n1").as("n1"),
+          col("pr.p2").as("p2"), col("pr.n2").as("n2"))
+        .withColumn("pq", round(least(lit(1.0),
+          lit(gamma) / sqrt(col("n1") * col("n2"))) * M).cast("long"))
+        .filter(conv(substring(md5(concat_ws(":", lit("ds"), col("u"),
+          col("p1"), col("p2"))), 1, 10), 16, 10).cast("long") <
+          col("pq") * M)
+      val sim = sampled
+        .groupBy("p1", "p2", "n1", "n2", "pq")
+        .agg(count(lit(1)).as("c"))
+        .select(col("p1"), col("p2"),
+          round(col("c") * M.toDouble / col("pq") /
+            sqrt(col("n1") * col("n2")), 6).as("cosine_est"))
+      val both = sim.unionByName(sim.select(col("p2").as("p1"),
+        col("p1").as("p2"), col("cosine_est")))
+      val w = Window.partitionBy("p1")
+        .orderBy(col("cosine_est").desc, col("p2"))
+      both.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("p1").as("part"), col("rank"),
+          col("p2").as("similar"), col("cosine_est"))
+        .orderBy("part", "rank")
     }
   )
 
@@ -3257,7 +3350,9 @@ object CoverageQueries {
     "q186_gap_fill" ->
       """WITH daily AS (
         |  SELECT event_type AS etype, CAST(ts AS DATE) AS day,
-        |    count(*) AS n, round(avg(value), 6) AS avg_v
+        |    count(*) AS n,
+        |    round(sum(CAST(round(value * 1e6) AS BIGINT))::DOUBLE
+        |      / (count(*) * 1e6), 6) AS avg_v
         |  FROM events GROUP BY 1, 2),
         |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
         |days AS (
@@ -3694,8 +3789,9 @@ object CoverageQueries {
         |  FROM o GROUP BY 1),
         |sg AS (
         |  SELECT stratum, nh,
-        |    sqrt((nh * sxx - sx * sx)::DOUBLE /
-        |      (nh * (nh - 1))::DOUBLE) AS sigma
+        |    CASE WHEN nh < 2 THEN 0.0
+        |      ELSE sqrt((nh * sxx - sx * sx)::DOUBLE /
+        |        (nh * (nh - 1))::DOUBLE) END AS sigma
         |  FROM g),
         |tot AS (SELECT sum(nh * sigma) AS z FROM sg),
         |alloc AS (
@@ -3727,8 +3823,10 @@ object CoverageQueries {
         |SELECT nation, cents,
         |  CAST(rank() OVER wt AS BIGINT) AS rnk,
         |  CAST(dense_rank() OVER wt AS BIGINT) AS drnk,
-        |  round(percent_rank() OVER wt, 6) AS prnk,
-        |  round(cume_dist() OVER wt, 6) AS cdist,
+        |  CAST(round(percent_rank() OVER wt * 1e6) AS BIGINT)
+        |    AS prnk_micro,
+        |  CAST(round(cume_dist() OVER wt * 1e6) AS BIGINT)
+        |    AS cdist_micro,
         |  CAST(ntile(4) OVER wd AS INT) AS quartile
         |FROM rev
         |WINDOW wt AS (ORDER BY cents DESC),
@@ -3850,6 +3948,46 @@ object CoverageQueries {
         |      (count(*) - sum(CASE WHEN dy = 0 THEN 1 ELSE 0 END)))
         |      ::DOUBLE), 6) AS tau_b
         |FROM p""".stripMargin,
+
+    // the identical dyadic draw replayed (pair enumeration here is
+    // the oracle-side self-join — quadratic is fine for the checker),
+    // the same integer estimator and ranking
+    "q214_item_item_cf_dimsum" ->
+      """WITH pos AS (
+        |  SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS p
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |nu AS (SELECT p, count(*) AS n FROM pos GROUP BY p),
+        |pairs AS (
+        |  SELECT a.u, a.p AS p1, n1.n AS n1, b.p AS p2, n2.n AS n2
+        |  FROM pos a JOIN pos b ON a.u = b.u AND a.p < b.p
+        |  JOIN nu n1 ON n1.p = a.p JOIN nu n2 ON n2.p = b.p),
+        |q AS (
+        |  SELECT u, p1, n1, p2, n2,
+        |    CAST(round(least(1.0, 8.0 / sqrt(n1 * n2)) * 1048576)
+        |      AS BIGINT) AS pq
+        |  FROM pairs),
+        |emits AS (
+        |  SELECT p1, p2, n1, n2, pq, count(*) AS c
+        |  FROM q
+        |  WHERE ('0x' || substr(md5('ds:' || CAST(u AS VARCHAR) || ':' ||
+        |      CAST(p1 AS VARCHAR) || ':' || CAST(p2 AS VARCHAR)), 1, 10))
+        |      ::BIGINT < pq * 1048576
+        |  GROUP BY p1, p2, n1, n2, pq),
+        |sim AS (
+        |  SELECT p1, p2,
+        |    round(c * 1048576.0 / pq / sqrt(n1 * n2), 6) AS cosine_est
+        |  FROM emits),
+        |sym AS (
+        |  SELECT p1, p2, cosine_est FROM sim
+        |  UNION ALL
+        |  SELECT p2 AS p1, p1 AS p2, cosine_est FROM sim),
+        |rk AS (
+        |  SELECT p1, p2, cosine_est, row_number() OVER (
+        |    PARTITION BY p1 ORDER BY cosine_est DESC, p2) AS rank
+        |  FROM sym)
+        |SELECT p1 AS part, CAST(rank AS INT) AS rank, p2 AS similar,
+        |  cosine_est
+        |FROM rk WHERE rank <= 3 ORDER BY part, rank""".stripMargin,
 
     // the same md5 cap, the same pairs/cosine/ranking under it
     "q211_item_item_cf_capped" ->
@@ -4103,9 +4241,12 @@ object CoverageQueries {
         |FROM arms, tot ORDER BY arm""".stripMargin,
 
     // the same odd/even key encoding; running sum as a plain window —
-    // the engine's two-phase form must agree
+    // the engine's two-phase form must agree. The peak moment is an
+    // offset from min(tu), so a constant timestamp-encoding shift
+    // between readers cancels
     "q145_peak_concurrency" ->
       """WITH ev AS (SELECT event_type, epoch_us(ts) AS tu FROM events),
+        |t0 AS (SELECT min(tu) AS t0 FROM ev),
         |d AS (
         |  SELECT event_type, k, CAST(sum(d) AS BIGINT) AS d FROM (
         |    SELECT event_type, tu * 2 + 1 AS k, 1 AS d FROM ev
@@ -4118,9 +4259,10 @@ object CoverageQueries {
         |  FROM d),
         |p AS (SELECT event_type, max(run) AS peak FROM r GROUP BY event_type)
         |SELECT r.event_type, p.peak,
-        |  CAST((min(r.k) - 1) // 2 AS BIGINT) AS peak_at_us
-        |FROM r JOIN p ON r.event_type = p.event_type AND r.run = p.peak
-        |GROUP BY r.event_type, p.peak ORDER BY r.event_type""".stripMargin,
+        |  CAST((min(r.k) - 1) // 2 - t0.t0 AS BIGINT) AS peak_offset_us
+        |FROM r JOIN p ON r.event_type = p.event_type AND r.run = p.peak, t0
+        |GROUP BY r.event_type, p.peak, t0.t0
+        |ORDER BY r.event_type""".stripMargin,
 
     // INDEPENDENT implementation: DuckDB's native ASOF LEFT JOIN with
     // the 7-day tolerance applied as a CASE after the match

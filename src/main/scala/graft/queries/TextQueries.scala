@@ -2106,24 +2106,38 @@ object TextQueries {
     // vs bucket outcome rate), resolution (bucket outcome rate vs
     // base rate) and uncertainty (base-rate variance). ONE corpus
     // pass carries (n, Σoutcome, Σscore, Σ(score−outcome)²) per
-    // bucket; every term after is ≤10-row grid algebra.
+    // bucket; every term after is ≤10-row grid algebra. The score is
+    // QUANTIZED to the dyadic 2⁻²⁰ grid per doc (round(sc·2²⁰) — one
+    // double division on identical integers, then exact), so every
+    // corpus-wide moment is an INTEGER sum: Σsc and Σ(sc−o)² as
+    // doubles would depend on Spark's partial-aggregation order in
+    // the last ulps and could flip a 6dp rounding boundary against
+    // the oracle (the q160/q164 exact-cents discipline, applied to
+    // ratios). Σd² rides decimal(38,0): d² ≤ 2⁴⁰ per doc, so a long
+    // overflows past ~4M docs.
     "q198_brier_decomposition" -> { (s, dir) =>
+      val M = 1L << 20
       val tk = toks(col("text"))
+      val sq = when(size(tk) === 0, lit(0L))
+        .otherwise(round(size(filter(tk, w => w.isin(enStop: _*)))
+          .cast("double") / size(tk) * M).cast("long"))
       val g = t(s, dir, "documents")
-        .select(when(size(tk) === 0, lit(0.0))
-          .otherwise(size(filter(tk, w => w.isin(enStop: _*)))
-            .cast("double") / size(tk)).as("sc"),
-          (col("lang") === "en").cast("long").as("o"))
-        .groupBy(least(floor(col("sc") * 10).cast("long"), lit(9L)).as("b"))
+        .select(sq.as("sq"), (col("lang") === "en").cast("long").as("o"))
+        .withColumn("d", col("sq") - col("o") * M)
+        .groupBy(least(expr(s"(sq * 10) div $M"), lit(9L)).as("b"))
         .agg(count(lit(1)).as("n"), sum("o").as("so"),
-          sum("sc").as("ss"), sum(pow(col("sc") - col("o"), 2)).as("sq"))
+          sum("sq").as("ssq"),
+          sum((col("d") * col("d")).cast("decimal(38,0)")).as("sd2"))
         .localCheckpoint() // ≤10 rows
       val tot = broadcast(g.agg(sum("n").as("nt"), sum("so").as("sot"),
-        sum("sq").as("sqt")))
+        sum("sd2").as("sd2t")))
+      val m2 = M.toDouble * M
       g.crossJoin(tot).agg(
-        round(max(col("sqt") / col("nt")), 6).as("brier"),
-        round(sum(col("n") * pow(col("ss") / col("n") -
-          col("so") / col("n"), 2)) / max(col("nt")), 6).as("reliability"),
+        round(max(col("sd2t").cast("double") / col("nt")) / m2, 6)
+          .as("brier"),
+        round(sum(col("n") * pow(col("ssq").cast("double") /
+          (col("n") * M) - col("so") / col("n"), 2)) / max(col("nt")), 6)
+          .as("reliability"),
         round(sum(col("n") * pow(col("so") / col("n") -
           col("sot") / col("nt"), 2)) / max(col("nt")), 6).as("resolution"),
         round(max((col("sot") / col("nt")) *
@@ -4100,27 +4114,35 @@ object TextQueries {
         |    (a, b) -> xor(a, b)) END AS chunk_hash
         |FROM c ORDER BY doc_id""".stripMargin,
 
-    // the same one-pass bucket moments, the same grid algebra
+    // the same one-pass bucket moments on the same dyadic 2^-20
+    // score grid (every corpus-wide sum is an integer), the same
+    // grid algebra
     "q198_brier_decomposition" ->
       """WITH scored AS (
         |  SELECT CASE WHEN len(string_split(trim(lower(text)), ' ')) = 0
-        |      THEN 0.0
-        |    ELSE len(list_filter(string_split(trim(lower(text)), ' '),
+        |      THEN 0
+        |    ELSE CAST(round(
+        |      len(list_filter(string_split(trim(lower(text)), ' '),
         |        t -> t IN ('the','a','of','and','to','in')))::DOUBLE /
-        |      len(string_split(trim(lower(text)), ' ')) END AS sc,
+        |      len(string_split(trim(lower(text)), ' ')) * 1048576)
+        |      AS BIGINT) END AS sq,
         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS o
         |  FROM documents),
         |g AS (
-        |  SELECT least(CAST(floor(sc * 10) AS BIGINT), 9) AS b,
+        |  SELECT least((sq * 10) // 1048576, 9) AS b,
         |    count(*) AS n, CAST(sum(o) AS BIGINT) AS so,
-        |    sum(sc) AS ss, sum(power(sc - o, 2)) AS sq
+        |    CAST(sum(sq) AS BIGINT) AS ssq,
+        |    sum(((sq - o * 1048576) * (sq - o * 1048576))::HUGEINT)
+        |      AS sd2
         |  FROM scored GROUP BY 1),
         |tot AS (
         |  SELECT CAST(sum(n) AS BIGINT) AS nt,
-        |    CAST(sum(so) AS BIGINT) AS sot, sum(sq) AS sqt FROM g)
-        |SELECT round(max(sqt / nt), 6) AS brier,
-        |  round(sum(n * power(ss / n - so::DOUBLE / n, 2)) / max(nt), 6)
-        |    AS reliability,
+        |    CAST(sum(so) AS BIGINT) AS sot, sum(sd2) AS sd2t FROM g)
+        |SELECT
+        |  round(max(sd2t::DOUBLE / nt) / (1048576.0 * 1048576.0), 6)
+        |    AS brier,
+        |  round(sum(n * power(ssq::DOUBLE / (n * 1048576)
+        |    - so::DOUBLE / n, 2)) / max(nt), 6) AS reliability,
         |  round(sum(n * power(so::DOUBLE / n - sot::DOUBLE / nt, 2))
         |    / max(nt), 6) AS resolution,
         |  round(max((sot::DOUBLE / nt) * (1.0 - sot::DOUBLE / nt)), 6)

@@ -158,11 +158,13 @@ object StreamOps {
   case class StatusEvent(user_id: Long, ts: Timestamp, event_id: Long,
                          status: String)
 
-  /** The open run for one user: current status, when it started, and
-    * how many observations it has absorbed. `since` stays a full
-    * Timestamp — a long-millis form would truncate the microsecond
-    * precision the events carry. */
-  case class ScdRun(status: String, since: Timestamp, n: Long)
+  /** The open run for one user: current status, when it started, the
+    * last event timestamp it absorbed (millis — the idle-timeout
+    * anchor), and how many observations it has absorbed. `since`
+    * stays a full Timestamp — a long-millis form would truncate the
+    * microsecond precision the events carry. */
+  case class ScdRun(status: String, since: Timestamp, lastMs: Long,
+                    n: Long)
 
   /** A CLOSED validity interval — what the stream emits. Open runs
     * live only in state; they close (and emit) when a different
@@ -186,7 +188,12 @@ object StreamOps {
     * [[streamingAsofEnrich]]. State per key is one small run record;
     * keys idle past `idleGapMs` drop on event-time timeout (their
     * open run is discarded unemitted, like the batch form's
-    * null-valid_to rows).
+    * null-valid_to rows). "Idle" is anchored to the run's LAST
+    * observed event (lastMs + idleGapMs), matching
+    * [[streamingAsofEnrich]]/sessionize — anchoring to the run START
+    * would discard long same-status runs that are still receiving
+    * events, and once the watermark passed since+idleGapMs the
+    * setTimeoutTimestamp call itself would throw.
     */
   def scdIntervals(events: Dataset[StatusEvent], lateness: String,
                    idleGapMs: Long): Dataset[ScdInterval] = {
@@ -208,18 +215,19 @@ object StreamOps {
             var run = state.getOption.orNull
             ordered.foreach { e =>
               if (run == null) {
-                run = ScdRun(e.status, e.ts, 1L)
+                run = ScdRun(e.status, e.ts, e.ts.getTime, 1L)
               } else if (run.status == e.status) {
-                run = run.copy(n = run.n + 1)
+                run = run.copy(n = run.n + 1,
+                  lastMs = math.max(run.lastMs, e.ts.getTime))
               } else {
                 closed += ScdInterval(userId, run.status, run.since,
                   e.ts, run.n)
-                run = ScdRun(e.status, e.ts, 1L)
+                run = ScdRun(e.status, e.ts, e.ts.getTime, 1L)
               }
             }
             if (run != null) {
               state.update(run)
-              state.setTimeoutTimestamp(run.since.getTime + idleGapMs)
+              state.setTimeoutTimestamp(run.lastMs + idleGapMs)
             }
             closed.result().iterator
           }

@@ -289,9 +289,10 @@ class Round8cOpsSpec extends SparkSpec {
       (4L, ts("2024-01-02 00:00:00"), 4L, "click", 1.0)))
     val out = q("q145_peak_concurrency", dir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    val base = ts("2024-01-01 00:00:00").getTime * 1000L
-    assert(out("view") === ((2L, base + 100000000L))) // peak 2 at b's start
+    // offsets are relative to the table-wide min(ts) (a's start)
+    assert(out("view") === ((2L, 100000000L))) // peak 2 at b's start
     assert(out("click")._1 === 1L)
+    assert(out("click")._2 === 86400000000L)   // next day's lone click
   }
 
   test("q145: simultaneous starts count together") {
@@ -301,7 +302,7 @@ class Round8cOpsSpec extends SparkSpec {
       (3L, ts("2024-01-01 00:00:00"), 3L, "view", 1.0)))
     val out = q("q145_peak_concurrency", dir).collect()
     assert(out.head.getLong(1) === 3L)
-    assert(out.head.getLong(2) === ts("2024-01-01 00:00:00").getTime * 1000L)
+    assert(out.head.getLong(2) === 0L) // at the corpus epoch itself
   }
 
   // ---- q146 last-touch attribution ----

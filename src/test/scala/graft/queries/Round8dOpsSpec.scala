@@ -1096,10 +1096,10 @@ class Round8dOpsSpec extends SparkSpec {
     assert(out(2L).getAs[Long]("rnk") === 1L)
     assert(out(3L).getAs[Long]("rnk") === 3L)  // gap after the tie
     assert(out(3L).getAs[Long]("drnk") === 2L) // no gap
-    assert(out(1L).getAs[Double]("prnk") === 0.0)
-    assert(out(3L).getAs[Double]("prnk") === 1.0)
-    assert(out(1L).getAs[Double]("cdist") === 0.666667)
-    assert(out(3L).getAs[Double]("cdist") === 1.0)
+    assert(out(1L).getAs[Long]("prnk_micro") === 0L)
+    assert(out(3L).getAs[Long]("prnk_micro") === 1000000L)
+    assert(out(1L).getAs[Long]("cdist_micro") === 666667L)
+    assert(out(3L).getAs[Long]("cdist_micro") === 1000000L)
     // ntile over the deterministic order: 3 rows into 4 buckets
     assert(out(1L).getAs[Int]("quartile") === 1)
     assert(out(2L).getAs[Int]("quartile") === 2)

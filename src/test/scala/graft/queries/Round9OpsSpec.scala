@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Round-9 operators on constructed micro-fixtures, driven through the
+  * exact SparkEntry query functions the driver gate runs. The DIMSUM
+  * tests pin the arm's two defining properties on hand-built corpora:
+  * the exact regime (rare pairs keep p = 1, so their cosines equal the
+  * exact arm's), and the whale regime (popular-pair emissions are
+  * down-sampled to ~γ·|items| — the sub-quadratic shuffle DIMSUM
+  * exists for).
+  */
+class Round9OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def q(name: String, dir: String) =
+    SparkEntry.queries(name)(spark, dir)
+
+  private def basketDir(baskets: Seq[(Long, Seq[Long])]): String = {
+    // one order per customer; basket items via lineitem
+    val dir = java.nio.file.Files.createTempDirectory("r9cf").toString
+    baskets.map { case (u, _) => (u * 100, u) }
+      .toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    baskets.flatMap { case (u, ps) => ps.map(p => (u * 100, p)) }
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    dir
+  }
+
+  // ---- q214 DIMSUM-sampled CF ----
+
+  test("q214: rare pairs (sqrt(n1*n2) <= gamma) are never sampled away " +
+    "and their estimates equal the exact arm's cosines") {
+    // every item appears in <= 3 baskets -> sqrt(n1*n2) <= 3 < 8 = γ,
+    // so p = 1 for every pair: DIMSUM must equal exact CF verbatim.
+    val dir = basketDir(Seq(
+      1L -> Seq(1L, 2L), 2L -> Seq(1L, 2L), 3L -> Seq(1L, 3L)))
+    val dimsum = q("q214_item_item_cf_dimsum", dir).collect()
+      .map(r => (r.getAs[Long]("part"), r.getAs[Int]("rank")) ->
+        ((r.getAs[Long]("similar"), r.getAs[Double]("cosine_est")))).toMap
+    // same fixture as the q199 spec: n=(3,2,1); co(1,2)=2, co(1,3)=1
+    assert(dimsum((1L, 1)) === ((2L, 0.816497))) // 2/sqrt(3*2)
+    assert(dimsum((1L, 2)) === ((3L, 0.57735)))  // 1/sqrt(3*1)
+    assert(dimsum((2L, 1)) === ((1L, 0.816497)))
+    assert(dimsum((3L, 1)) === ((1L, 0.57735)))
+    assert(dimsum.size === 4)
+  }
+
+  test("q214: whale-popular pairs are down-sampled sub-quadratically " +
+    "while the estimator stays centered") {
+    // 400 customers all buying the same 2 blockbuster items: the
+    // exact arm ships 400 co-count rows for the pair; DIMSUM's
+    // emission probability is γ/√(400·400) = 8/400 = 0.02, so the
+    // expected emitted count is 8 — two orders of magnitude below the
+    // exact exchange. The estimator divides the sampling back out, so
+    // the estimate must still land near cosine = 1 (the draw is the
+    // deterministic md5 sequence — this asserts the REALIZED count,
+    // not a tolerance band).
+    val dir = basketDir((1L to 400L).map(u => u -> Seq(1L, 2L)))
+    val out = q("q214_item_item_cf_dimsum", dir).collect()
+      .map(r => (r.getAs[Long]("part"), r.getAs[Long]("similar")) ->
+        r.getAs[Double]("cosine_est")).toMap
+    // realized emissions under the md5 draw: c = round(est * 400 / 2^20
+    // * pq) — recover it from the estimate and pin the bound
+    val est = out((1L, 2L))
+    val pq = math.round(math.min(1.0, 8.0 / 400.0) * (1L << 20))
+    val c = math.round(est * math.sqrt(400.0 * 400.0) * pq / (1L << 20))
+    assert(c >= 1L && c <= 32L, // binomial(400, 0.02): far below 400
+      s"emitted $c pairs; expected ~8, far below the 400 exact rows")
+    // unbiasedness sanity: the estimate reconstructs toward 1.0
+    assert(est > 0.2 && est < 3.0, s"estimate $est too far from 1.0")
+    // symmetric direction carries the identical estimate
+    assert(out((2L, 1L)) === est)
+  }
+
+  test("q214: estimates are deterministic across runs (md5 draw, " +
+    "no RNG state)") {
+    val dir = basketDir((1L to 50L).map(u =>
+      u -> (1L to 6L).filter(p => (u + p) % 3 != 0).map(identity)))
+    val a = q("q214_item_item_cf_dimsum", dir).collect().toSeq
+    val b = q("q214_item_item_cf_dimsum", dir).collect().toSeq
+    assert(a === b)
+  }
+}

@@ -134,6 +134,36 @@ class MultiBatchStreamingSpec extends SparkSpec {
     assert(rows === Seq((1L, "on", ts(1), ts(3), 2L)))
   }
 
+  test("scd2 long same-status run with a SMALL idle gap survives while " +
+    "events keep arriving (timeout anchored to last event, not run start)") {
+    // user 1 stays 'on' for two days — far longer than the 18h idle
+    // gap — but every inter-event gap is 12h, within bounds once the
+    // gap is measured from the LAST absorbed event. Anchoring the
+    // timeout to the run START (the round-8 bug) would throw from
+    // setTimeoutTimestamp once the watermark passed since+gap,
+    // killing the query in batch 3.
+    def at(s: String) = Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, at("2024-01-01 00:00:00"), 10L, "on"),
+      (1L, at("2024-01-01 12:00:00"), 20L, "on"),
+      (1L, at("2024-01-02 00:00:00"), 30L, "on"),
+      (1L, at("2024-01-02 12:00:00"), 40L, "on"),
+      (1L, at("2024-01-03 00:00:00"), 50L, "off"))
+      .toDF("user_id", "ts", "event_id", "status")
+    val (out, nBatches) = StreamingQueries.runMultiBatchCounted(
+      spark, "mbspec_scd_gap", events,
+      in => StreamOps.scdIntervals(in.as[StreamOps.StatusEvent],
+        lateness = "0 seconds", idleGapMs = 18L * 3600 * 1000).toDF(),
+      orderCols = Seq(col("ts"), col("event_id")),
+      batches = 3)
+    assert(nBatches >= 3)
+    val rows = out.select("user_id", "status", "valid_from", "valid_to",
+      "n_events").as[(Long, String, Timestamp, Timestamp, Long)]
+      .collect().toSeq
+    assert(rows === Seq(
+      (1L, "on", at("2024-01-01 00:00:00"), at("2024-01-03 00:00:00"), 4L)))
+  }
+
   test("runMultiBatch fails loudly when asked for fewer than 2 batches") {
     val rows = Seq((1L, "X", ts(1))).toDF("id", "text", "ts")
     intercept[IllegalArgumentException] {
