@@ -120,7 +120,17 @@ object Bench {
     // One JSON line, headline metric LAST: log captures keep the tail
     // of long output, and with 60+ queries the per-query map alone
     // exceeds 2000 chars — a leading "value" would be truncated away.
-    println(s"""{"queries":$qs,"solo":$soloJs,"solo_prev":$soloPrevJs,"failed":$failedJs,"sf":"$sfDir","reps":$reps,"value_min_sum":$totalMin,"metric":"total","value":$total,"unit":"sec"}""")
+    val line = s"""{"queries":$qs,"solo":$soloJs,"solo_prev":$soloPrevJs,"failed":$failedJs,"sf":"$sfDir","reps":$reps,"value_min_sum":$totalMin,"metric":"total","value":$total,"unit":"sec"}"""
+    println(line)
+    // The driver's BENCH_r*.json keeps only the tail of stdout
+    // (~2 KB), so the per-query map gets truncated there. Persist the
+    // COMPLETE line to a file the driver copies whole — round-over-
+    // round comparisons should not depend on what survives a tail
+    // capture (round-8 verdict item 8).
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_full.json"), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_full.json write failed: $e") }
     spark.stop()
     if (failures.nonEmpty) {
       System.err.println(s"[bench] ${failures.size} queries FAILED: " +

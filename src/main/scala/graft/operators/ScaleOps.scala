@@ -10,6 +10,29 @@ import org.apache.spark.sql.functions._
   */
 object ScaleOps {
 
+  /** Lineage-cutting materialization point for big iterative/reused
+    * state (q184's positives, q190's undirected edge table, the CC
+    * label rounds). Default = plain `localCheckpoint()` (Spark's
+    * MEMORY_AND_DISK block store — right when state fits executor
+    * memory). With `spark.graft.stage.diskOnly=true` (or env
+    * `SPARK_GRAFT_DISK_STAGE=1`) the blocks go to DISK_ONLY instead:
+    * on a single JVM whose MemoryStore a multi-GB checkpoint would
+    * thrash ("Not enough space to cache" → eviction storms, the
+    * round-8 sf10 probes on q184/q190), paying the sequential disk
+    * read per round is far cheaper than evicting every other block.
+    * On a real cluster the flag stays off — aggregate executor memory
+    * is the point of having executors.
+    */
+  def stage(df: DataFrame): DataFrame = {
+    val disk = df.sparkSession.conf
+      .getOption("spark.graft.stage.diskOnly")
+      .orElse(sys.env.get("SPARK_GRAFT_DISK_STAGE"))
+      .exists(v => v == "1" || v.equalsIgnoreCase("true"))
+    if (disk)
+      df.localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    else df.localCheckpoint()
+  }
+
   /** Salted equi-join for skewed keys: the build side is replicated
     * `salt` times, the probe side scatters each row to one replica, so
     * one hot key spreads over `salt` reducers instead of one straggler
@@ -157,9 +180,9 @@ object ScaleOps {
     val sym = edges.select(col(aCol).cast("long").as("src"),
         col(bCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
-    val both = sym.union(sym.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .localCheckpoint()
+    val both = stage(
+      sym.union(sym.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct())
     // `both` holds TWO rows per distinct undirected edge — probe
     // against 2×threshold so the knob means what the scaladoc says
     val symRowCap = (2L * localEdgeThreshold).min(Int.MaxValue.toLong - 1)
@@ -184,9 +207,8 @@ object ScaleOps {
       val vertices = pairs.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
       return vertices.toSeq.sorted.map(v => (v, find(v))).toDF("id", "rep")
     }
-    var labels = both.select(col("src").as("id")).distinct()
-      .withColumn("lab", col("id"))
-      .localCheckpoint()
+    var labels = stage(both.select(col("src").as("id")).distinct()
+      .withColumn("lab", col("id")))
     def labelSum(): Long =
       labels.agg(coalesce(sum("lab"), lit(0L))).head().getLong(0)
     var lastSum = labelSum()
@@ -202,10 +224,9 @@ object ScaleOps {
       // — O(log diameter) rounds — is SLOWER here: the extra join per
       // round outweighs the saved rounds on dedup graphs, whose
       // diameter is already small. Plain one-hop propagation wins.)
-      labels = labels.join(nbrMin, Seq("id"), "left")
+      labels = stage(labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("lab"), coalesce(col("nbr_lab"), col("lab"))).as("lab"))
-        .localCheckpoint()
+          least(col("lab"), coalesce(col("nbr_lab"), col("lab"))).as("lab")))
       val s = labelSum()
       converged = s == lastSum
       lastSum = s

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{RelationalOps => R}
+import graft.operators.{RelationalOps => R, ScaleOps => SO}
 
 /** Remaining SURVEY.md §2 operator families not yet demonstrated by
   * q01–q35: strict ranges (F3), top-1 (O2), key allocation (A3),
@@ -1983,13 +1983,15 @@ object CoverageQueries {
     "q184_negative_sampling" -> { (s, dir) =>
       val draws = 4
       val keep = 2
-      val pos = t(s, dir, "orders")
+      // SO.stage: lineage cut; DISK_ONLY under the single-JVM sf10
+      // probe flag (SPARK_GRAFT_DISK_STAGE) where this table thrashed
+      // the MemoryStore in round 8
+      val pos = SO.stage(t(s, dir, "orders")
         .select(col("o_custkey").as("u"), col("o_orderkey"))
         .join(t(s, dir, "lineitem")
           .select(col("l_orderkey").as("o_orderkey"),
             col("l_partkey").as("p")), Seq("o_orderkey"))
-        .select("u", "p").distinct()
-        .localCheckpoint()
+        .select("u", "p").distinct())
       val nParts = broadcast(t(s, dir, "part")
         .agg(max("p_partkey").as("np")))
       val cands = pos.crossJoin(nParts)
@@ -2177,8 +2179,9 @@ object CoverageQueries {
       val e = items.as("x").join(items.as("y"),
         col("x.o") === col("y.o") && col("x.p") < col("y.p"))
         .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
-      val und = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
-        .localCheckpoint() // reused by all rounds
+      val und = SO.stage( // reused by all rounds; DISK_ONLY under the
+        // single-JVM probe flag (see ScaleOps.stage)
+        e.unionByName(e.select(col("b").as("a"), col("a").as("b"))))
       var labels = und.select(col("a").as("node")).distinct()
         .withColumn("lbl", col("node"))
       for (_ <- 1 to rounds) {
@@ -2190,10 +2193,9 @@ object CoverageQueries {
         // window: drops one full sort of the (node, label) table per
         // round (sf1 5-round run ~25 s vs ~30 s same-day for the
         // window form; sf0.1 within noise)
-        labels = cnt.groupBy("node")
+        labels = SO.stage(cnt.groupBy("node") // bound lineage per round
           .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
-          .select(col("node"), (-col("m.nl")).as("lbl"))
-          .localCheckpoint() // bound lineage round-over-round
+          .select(col("node"), (-col("m.nl")).as("lbl")))
       }
       labels.select(col("node"), col("lbl").as("community"))
         .orderBy("node")
@@ -3454,32 +3456,54 @@ object CoverageQueries {
 
     // the same 5 synchronous rounds, the same (count desc, label asc)
     // tie order, unrolled
+    // INDEPENDENT tie/count path (round-9 verdict item 4): the engine
+    // symmetrizes edges once (und) and argmaxes with a max(struct(c,
+    // −lbl)) hash aggregate; the oracle never materializes und —
+    // each round counts neighbor labels through BOTH orientations of
+    // the half-edge table — and resolves ties through a row_number
+    // window over (c DESC, lbl). Same LPA contract (synchronous, 5
+    // rounds, smallest-label tie), no shared algebra past the edges.
     "q190_lpa_communities" ->
       """WITH items AS (
         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |e AS (
         |  SELECT DISTINCT x.p AS a, y.p AS b
         |  FROM items x JOIN items y ON x.o = y.o AND x.p < y.p),
-        |und AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
-        |l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM und),
-        |r1 AS (SELECT u.a AS node, l.lbl, count(*) AS c FROM und u
-        |  JOIN l0 l ON l.node = u.b GROUP BY 1, 2),
+        |l0 AS (SELECT p AS node, p AS lbl FROM (
+        |  SELECT a AS p FROM e UNION SELECT b FROM e)),
+        |r1 AS (SELECT node, lbl, count(*) AS c FROM (
+        |  SELECT e.a AS node, l.lbl FROM e JOIN l0 l ON l.node = e.b
+        |  UNION ALL
+        |  SELECT e.b AS node, l.lbl FROM e JOIN l0 l ON l.node = e.a)
+        |  GROUP BY 1, 2),
         |l1 AS (SELECT node, lbl FROM (SELECT *, row_number() OVER (
         |  PARTITION BY node ORDER BY c DESC, lbl) AS r FROM r1) WHERE r = 1),
-        |r2 AS (SELECT u.a AS node, l.lbl, count(*) AS c FROM und u
-        |  JOIN l1 l ON l.node = u.b GROUP BY 1, 2),
+        |r2 AS (SELECT node, lbl, count(*) AS c FROM (
+        |  SELECT e.a AS node, l.lbl FROM e JOIN l1 l ON l.node = e.b
+        |  UNION ALL
+        |  SELECT e.b AS node, l.lbl FROM e JOIN l1 l ON l.node = e.a)
+        |  GROUP BY 1, 2),
         |l2 AS (SELECT node, lbl FROM (SELECT *, row_number() OVER (
         |  PARTITION BY node ORDER BY c DESC, lbl) AS r FROM r2) WHERE r = 1),
-        |r3 AS (SELECT u.a AS node, l.lbl, count(*) AS c FROM und u
-        |  JOIN l2 l ON l.node = u.b GROUP BY 1, 2),
+        |r3 AS (SELECT node, lbl, count(*) AS c FROM (
+        |  SELECT e.a AS node, l.lbl FROM e JOIN l2 l ON l.node = e.b
+        |  UNION ALL
+        |  SELECT e.b AS node, l.lbl FROM e JOIN l2 l ON l.node = e.a)
+        |  GROUP BY 1, 2),
         |l3 AS (SELECT node, lbl FROM (SELECT *, row_number() OVER (
         |  PARTITION BY node ORDER BY c DESC, lbl) AS r FROM r3) WHERE r = 1),
-        |r4 AS (SELECT u.a AS node, l.lbl, count(*) AS c FROM und u
-        |  JOIN l3 l ON l.node = u.b GROUP BY 1, 2),
+        |r4 AS (SELECT node, lbl, count(*) AS c FROM (
+        |  SELECT e.a AS node, l.lbl FROM e JOIN l3 l ON l.node = e.b
+        |  UNION ALL
+        |  SELECT e.b AS node, l.lbl FROM e JOIN l3 l ON l.node = e.a)
+        |  GROUP BY 1, 2),
         |l4 AS (SELECT node, lbl FROM (SELECT *, row_number() OVER (
         |  PARTITION BY node ORDER BY c DESC, lbl) AS r FROM r4) WHERE r = 1),
-        |r5 AS (SELECT u.a AS node, l.lbl, count(*) AS c FROM und u
-        |  JOIN l4 l ON l.node = u.b GROUP BY 1, 2),
+        |r5 AS (SELECT node, lbl, count(*) AS c FROM (
+        |  SELECT e.a AS node, l.lbl FROM e JOIN l4 l ON l.node = e.b
+        |  UNION ALL
+        |  SELECT e.b AS node, l.lbl FROM e JOIN l4 l ON l.node = e.a)
+        |  GROUP BY 1, 2),
         |l5 AS (SELECT node, lbl FROM (SELECT *, row_number() OVER (
         |  PARTITION BY node ORDER BY c DESC, lbl) AS r FROM r5) WHERE r = 1)
         |SELECT node, lbl AS community FROM l5 ORDER BY node""".stripMargin,
@@ -3610,25 +3634,31 @@ object CoverageQueries {
 
     // the same change-on-value islands over the same (ts, event_id)
     // order
+    // INDEPENDENT derivation (round-9 verdict item 4): the engine
+    // builds islands from a lag() change flag + running sum; the
+    // oracle uses the classic gaps-and-islands rank-difference
+    // instead — row_number over the user minus row_number over
+    // (user, status) is constant exactly within one consecutive
+    // same-status run — so the two gap detections share no algebra.
+    // lead() is ordered by (valid_from, first event id): island order
+    // equals first-event order by construction, and the id tiebreak
+    // keeps it total even if two runs start on the same timestamp.
     "q197_scd2_intervals" ->
-      """WITH c AS (
+      """WITH r AS (
         |  SELECT user_id, ts, event_id, event_type,
-        |    CASE WHEN lag(event_type) OVER
-        |        (PARTITION BY user_id ORDER BY ts, event_id) IS DISTINCT
-        |        FROM event_type THEN 1 ELSE 0 END AS chg
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id)
+        |    - row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS grp
         |  FROM events),
-        |i AS (
-        |  SELECT user_id, event_type,
-        |    CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts,
-        |      event_id) AS BIGINT) AS island, ts
-        |  FROM c),
         |iv AS (
-        |  SELECT user_id, island, min(event_type) AS status,
-        |    min(ts) AS valid_from, count(*) AS n_events
-        |  FROM i GROUP BY user_id, island)
+        |  SELECT user_id, event_type AS status, grp,
+        |    min(ts) AS valid_from, min(event_id) AS first_id,
+        |    count(*) AS n_events
+        |  FROM r GROUP BY user_id, event_type, grp)
         |SELECT user_id, status, valid_from,
-        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY island)
-        |    AS valid_to, n_events
+        |  lead(valid_from) OVER (PARTITION BY user_id
+        |    ORDER BY valid_from, first_id) AS valid_to, n_events
         |FROM iv ORDER BY user_id, valid_from""".stripMargin,
 
     // the same basket pairs, rounded-cosine ranking, id tiebreak
@@ -4346,6 +4376,14 @@ object CoverageQueries {
     // the same three power iterations as chained CTEs; the teleport
     // term stays written as (1 - 0.85) so both engines compute the
     // identical IEEE value (a 0.15 literal differs in the last ulp)
+    // INDEPENDENT derivation (round-9 verdict item 4): the engine
+    // runs teleport-folded power iteration (r_{t+1} = (1−d)/n + d·M
+    // r_t); the oracle instead expands the SAME three steps as the
+    // Neumann polynomial r3 = (1−d)/n·(1 + d·s1 + d²·s2) + d³/n·s3
+    // with s_k = Mᵏ·1 — the teleport constant never re-enters the
+    // iteration, so the two computations share no intermediate
+    // tables, only the graph. Equality is algebraic; the 6dp round
+    // absorbs the differing float-summation groupings.
     "q134_pagerank" ->
       """WITH li AS (
         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
@@ -4354,32 +4392,26 @@ object CoverageQueries {
         |  FROM li a JOIN li b ON a.ok = b.ok AND a.p <> b.p),
         |deg AS (SELECT p, count(*) AS outdeg FROM e GROUP BY p),
         |n AS (SELECT count(*)::DOUBLE AS nn FROM deg),
-        |r0 AS (SELECT p, 1.0 / nn AS r FROM deg, n),
-        |m1 AS (
-        |  SELECT e.q AS p, sum(r0.r / deg.outdeg) AS in_mass
-        |  FROM e JOIN r0 ON e.p = r0.p JOIN deg ON e.p = deg.p
-        |  GROUP BY e.q),
-        |r1 AS (
-        |  SELECT d.p, (1 - 0.85) / n.nn + 0.85 * coalesce(m1.in_mass, 0.0)
-        |    AS r
-        |  FROM deg d CROSS JOIN n LEFT JOIN m1 ON d.p = m1.p),
-        |m2 AS (
-        |  SELECT e.q AS p, sum(r1.r / deg.outdeg) AS in_mass
-        |  FROM e JOIN r1 ON e.p = r1.p JOIN deg ON e.p = deg.p
-        |  GROUP BY e.q),
-        |r2 AS (
-        |  SELECT d.p, (1 - 0.85) / n.nn + 0.85 * coalesce(m2.in_mass, 0.0)
-        |    AS r
-        |  FROM deg d CROSS JOIN n LEFT JOIN m2 ON d.p = m2.p),
-        |m3 AS (
-        |  SELECT e.q AS p, sum(r2.r / deg.outdeg) AS in_mass
-        |  FROM e JOIN r2 ON e.p = r2.p JOIN deg ON e.p = deg.p
-        |  GROUP BY e.q),
-        |r3 AS (
-        |  SELECT d.p, (1 - 0.85) / n.nn + 0.85 * coalesce(m3.in_mass, 0.0)
-        |    AS r
-        |  FROM deg d CROSS JOIN n LEFT JOIN m3 ON d.p = m3.p)
-        |SELECT p AS part, round(r * 1000, 6) AS score FROM r3
+        |w AS (
+        |  SELECT e.p, e.q, 1.0 / d.outdeg AS wt
+        |  FROM e JOIN deg d ON d.p = e.p),
+        |s1 AS (SELECT q AS p, sum(wt) AS v FROM w GROUP BY q),
+        |s2 AS (
+        |  SELECT w.q AS p, sum(w.wt * s1.v) AS v
+        |  FROM w JOIN s1 ON s1.p = w.p GROUP BY w.q),
+        |s3 AS (
+        |  SELECT w.q AS p, sum(w.wt * s2.v) AS v
+        |  FROM w JOIN s2 ON s2.p = w.p GROUP BY w.q),
+        |r AS (
+        |  SELECT d.p,
+        |    (1 - 0.85) / n.nn * (1 + 0.85 * coalesce(s1.v, 0)
+        |      + 0.85 * 0.85 * coalesce(s2.v, 0))
+        |    + 0.85 * 0.85 * 0.85 / n.nn * coalesce(s3.v, 0) AS r
+        |  FROM deg d CROSS JOIN n
+        |  LEFT JOIN s1 ON s1.p = d.p
+        |  LEFT JOIN s2 ON s2.p = d.p
+        |  LEFT JOIN s3 ON s3.p = d.p)
+        |SELECT p AS part, round(r * 1000, 6) AS score FROM r
         |ORDER BY score DESC, part LIMIT 20""".stripMargin,
 
     // the same shift-mask spread, decimal masks, row_number mirror of

@@ -2648,17 +2648,28 @@ object TextQueries {
     * 0.05 would differ from the JVM's 1 − 0.95 in the last ulp).
     */
   private def recordLinkageOracle: String = {
-    val terms = linkageWeights.map { case (fld, wa, wd) =>
+    // INDEPENDENT score recompute (round-9 verdict item 4): the
+    // engine folds JVM-computed ln(m/u) / ln((1−m)/(1−u)) literals;
+    // the oracle re-derives the log-odds IN SQL from the raw m/u
+    // probabilities, so the model arithmetic is computed twice by two
+    // libms. The score takes only 2⁴ = 16 distinct values (4 binary
+    // agreements), so the 6dp round would only disagree if one of 16
+    // fixed sums sat within an ulp of a rounding boundary — checked
+    // green, and deterministic thereafter.
+    val mu = Seq(("lang", 0.95, 0.30), ("source", 0.90, 0.25),
+      ("lenb", 0.85, 0.10), ("fp", 0.80, 0.01))
+    val terms = mu.map { case (fld, m, u) =>
       val eq = fld match {
         case "lang"   => "a.lang = b.lang"
         case "source" => "a.source = b.source"
         case "lenb"   => "a.lenb = b.lenb"
         case "fp"     => "a.fp = b.fp"
       }
-      // ::DOUBLE on each literal: DuckDB types a bare decimal literal
+      // ::DOUBLE on each operand: DuckDB types a bare decimal literal
       // as DECIMAL, which would carry fixed-point arithmetic through
-      // the sum instead of the IEEE doubles the Spark plan folds
-      s"CASE WHEN $eq THEN ${wa}::DOUBLE ELSE ${wd}::DOUBLE END"
+      // ln() instead of the IEEE doubles the model is defined over
+      s"CASE WHEN $eq THEN ln($m::DOUBLE / $u::DOUBLE) " +
+        s"ELSE ln((1 - $m::DOUBLE) / (1 - $u::DOUBLE)) END"
     }.mkString(" +\n        ")
     s"""WITH tk AS (
        |  SELECT doc_id, lang, source, n_chars // 100 AS lenb,
@@ -2744,29 +2755,65 @@ object TextQueries {
     "q166_golden_record" -> goldenRecordOracle,
 
     // the same grid CDFs and exact integer cross-multiplied sum
+    // INDEPENDENT derivation (round-9 verdict item 4): the engine
+    // integrates |CDF_a − CDF_b| over the dense bucket grid; the
+    // oracle computes the DUAL quantile-integral form instead —
+    // W1 = ∫₀¹|F_a⁻¹(q) − F_b⁻¹(q)|dq. Both mass functions are
+    // rescaled to a common total na·nb, the merged CDF breakpoints
+    // partition [0, na·nb] into segments on which both step-quantile
+    // functions are constant (Q(hi) = the smallest bucket whose
+    // scaled cumulative reaches the segment's top), and each segment
+    // contributes mass × |Q_a − Q_b|. No dense-grid fill, no CDF
+    // subtraction — a different algebraic path that stays all-integer
+    // until the one closing division. n_buckets (the dense grid
+    // width) is recomputed directly from the histogram span.
     "q156_wasserstein" ->
       """WITH h AS (
         |  SELECT source, n_chars // 50 AS b, count(*) AS cnt
         |  FROM documents GROUP BY source, b),
-        |buckets AS (
-        |  SELECT unnest(range(min(b), max(b) + 1)) AS b FROM h),
+        |span AS (SELECT max(b) - min(b) + 1 AS n_buckets FROM h),
         |totals AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n
         |           FROM h GROUP BY source),
-        |grid AS (
-        |  SELECT t.source, t.n, bk.b, coalesce(h.cnt, 0) AS cnt
-        |  FROM totals t CROSS JOIN buckets bk
-        |  LEFT JOIN h ON h.source = t.source AND h.b = bk.b),
         |cdf AS (
-        |  SELECT source, b, n,
+        |  SELECT source, b,
         |    CAST(sum(cnt) OVER (PARTITION BY source ORDER BY b) AS BIGINT)
         |      AS cum
-        |  FROM grid)
-        |SELECT a.source AS source_a, c.source AS source_b,
-        |  count(*) AS n_buckets,
-        |  round(CAST(sum(abs(a.cum * c.n - c.cum * a.n)) AS BIGINT)::DOUBLE
-        |    / (a.n * c.n), 6) AS w1_buckets
-        |FROM cdf a JOIN cdf c ON a.b = c.b AND a.source < c.source
-        |GROUP BY a.source, c.source, a.n, c.n
+        |  FROM h),
+        |pr AS (
+        |  SELECT a.source AS sa, c.source AS sb, a.n AS na, c.n AS nb
+        |  FROM totals a JOIN totals c ON a.source < c.source),
+        |brk AS (
+        |  SELECT pr.sa, pr.sb, pr.na, pr.nb, c.cum * pr.nb AS s
+        |  FROM pr JOIN cdf c ON c.source = pr.sa
+        |  UNION
+        |  SELECT pr.sa, pr.sb, pr.na, pr.nb, c.cum * pr.na AS s
+        |  FROM pr JOIN cdf c ON c.source = pr.sb
+        |  UNION
+        |  SELECT sa, sb, na, nb, 0 AS s FROM pr),
+        |seg AS (
+        |  SELECT sa, sb, na, nb, s AS hi,
+        |    lag(s) OVER (PARTITION BY sa, sb ORDER BY s) AS lo
+        |  FROM brk),
+        |qa AS (
+        |  SELECT g.sa, g.sb, g.hi, min(c.b) AS q
+        |  FROM seg g JOIN cdf c
+        |    ON c.source = g.sa AND c.cum * g.nb >= g.hi
+        |  WHERE g.lo IS NOT NULL GROUP BY g.sa, g.sb, g.hi),
+        |qb AS (
+        |  SELECT g.sa, g.sb, g.hi, min(c.b) AS q
+        |  FROM seg g JOIN cdf c
+        |    ON c.source = g.sb AND c.cum * g.na >= g.hi
+        |  WHERE g.lo IS NOT NULL GROUP BY g.sa, g.sb, g.hi)
+        |SELECT g.sa AS source_a, g.sb AS source_b,
+        |  max(span.n_buckets) AS n_buckets,
+        |  round(CAST(sum((g.hi - g.lo) * abs(qa.q - qb.q)) AS BIGINT)
+        |    ::DOUBLE / (g.na * g.nb), 6) AS w1_buckets
+        |FROM seg g
+        |JOIN qa ON qa.sa = g.sa AND qa.sb = g.sb AND qa.hi = g.hi
+        |JOIN qb ON qb.sa = g.sa AND qb.sb = g.sb AND qb.hi = g.hi
+        |CROSS JOIN span
+        |WHERE g.lo IS NOT NULL
+        |GROUP BY g.sa, g.sb, g.na, g.nb
         |ORDER BY source_a, source_b""".stripMargin,
 
     // the same window-min selection over the same gram hashes

@@ -105,6 +105,26 @@ class ScaleOpsSpec extends SparkSpec {
       localEdgeThreshold = 0).count() == 0)
   }
 
+  test("stage() honors the disk-only flag without changing results") {
+    val df = spark.range(0, 1000).toDF("id")
+    // default path: plain localCheckpoint, results intact
+    assert(ScaleOps.stage(df).count() === 1000L)
+    // flagged path: blocks land DISK_ONLY (no memory residency) — the
+    // single-JVM big-state escape for the q184/q190 sf10 probes
+    spark.conf.set("spark.graft.stage.diskOnly", "true")
+    try {
+      val staged = ScaleOps.stage(df)
+      assert(staged.count() === 1000L)
+      val info = spark.sparkContext.getRDDStorageInfo
+      assert(info.exists(i =>
+        i.storageLevel.useDisk && !i.storageLevel.useMemory),
+        s"no DISK_ONLY block found in ${info.map(_.storageLevel).toSeq}")
+      // results identical across the two paths
+      assert(staged.as[Long].collect().sorted
+        .sameElements(ScaleOps.stage(df).as[Long].collect().sorted))
+    } finally spark.conf.unset("spark.graft.stage.diskOnly")
+  }
+
   test("partition-pruned range predicate composes month + row bounds") {
     val df = Seq(
       ("2020-03", "2020-03-05"), ("2020-04", "2020-04-20"),

@@ -183,6 +183,39 @@ class PartitionedCowTableSpec extends SparkSpec {
     assert(t.manifest.values.forall(parquetFiles(_) == 1))
   }
 
+  test("a second writer committing mid-flight fails the first loudly; " +
+    "a retry rebases on the new version, never silently dropping either") {
+    implicit val s = spark
+    val t = mk()
+    // writer B completes a full commit (manifest + pointer flip) WHILE
+    // writer A's parquet write executes — after A snapshots its base
+    // version, before A's pointer flip. A's carried manifest derives
+    // from the stale base, so A must throw, clean up its orphan data
+    // dir, and leave B's commit intact.
+    PcowRacer.root = t.root
+    PcowRacer.calls.set(0)
+    val race = udf(PcowRacer.fire)
+    intercept[java.util.ConcurrentModificationException] {
+      t.upsert(Seq((2L, "2020-03", "B-CLOBBER", true))
+        .toDF("pid", "month", "v", "flag")
+        .withColumn("pid", race($"pid")), Seq("pid"))
+    }
+    // B's version won; A's orphan w-dir and staging are gone
+    assert(t.version == 1)
+    assert(t.read().count() == 4)
+    import scala.jdk.CollectionConverters._
+    val names = Files.list(java.nio.file.Paths.get(t.root))
+      .iterator().asScala.map(_.getFileName.toString).toSet
+    assert(!names.contains("w_000001"))
+    assert(!names.exists(_.startsWith("_stage_")))
+    // A retries FROM THE NEW BASE: both writers' effects survive
+    t.upsert(Seq((2L, "2020-03", "A-retry", true))
+      .toDF("pid", "month", "v", "flag"), Seq("pid"))
+    assert(t.version == 2)
+    val vs = t.read().select("pid", "v").as[(Long, String)].collect().toMap
+    assert(vs(2L) == "A-retry" && vs.size == 4)
+  }
+
   test("data-dir collision fails the loser without touching the winner's files") {
     implicit val s = spark
     val t = mk()
@@ -247,5 +280,30 @@ class PartitionedCowTableSpec extends SparkSpec {
     // v1's manifest is gone — the retention contract is a loud error
     intercept[IllegalArgumentException] { t.readVersion(v1) }
     assert(t.read().count() == 4)
+  }
+}
+
+/** Simulates a competing writer's COMPLETED commit firing from inside
+  * another writer's in-flight parquet job (the CowTableSpec
+  * RacingWriter device, adapted to the manifest layout): version 1 =
+  * version 0's manifest re-published, pointer flipped to 1.
+  */
+object PcowRacer extends Serializable {
+  @volatile var root: String = _
+  val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+  // upsert() runs TWO actions over the updates frame: the
+  // touchedValues collect (before commit() snapshots its base
+  // version), then the staged parquet write (after). Firing on the
+  // second evaluation lands the competing commit exactly in the
+  // stale-base window the optimistic check must catch.
+  val fire: Long => Long = { x =>
+    if (calls.incrementAndGet() >= 2) {
+      val r = java.nio.file.Paths.get(root)
+      java.nio.file.Files.copy(r.resolve("v_000000.json"),
+        r.resolve("v_000001.json"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.Files.write(r.resolve("_current"), "1".getBytes("UTF-8"))
+    }
+    x
   }
 }
