@@ -2974,6 +2974,56 @@ object CoverageQueries {
         .select(col("p1").as("part"), col("rank"),
           col("p2").as("similar"), col("cosine_est"))
         .orderBy("part", "rank")
+    },
+
+    // Multi-step catalog mutation under the driver gate (round-9
+    // verdict item 6): the reference's quicklook and tilecache steps
+    // BOTH rewrite the ExtendedInfo JSONB column across separate
+    // commits (SURVEY §7.5-4) — the sibling-key-survival contract
+    // SceneCatalogSpec pins on one interleave, here exercised as two
+    // step-level bulk commits against a real PartitionedCowTable on
+    // scratch storage with OVERLAPPING scene sets (every 6th PID gets
+    // both keys). The gate reads the FINAL table state back: a
+    // clobbered sibling key, a lost carried partition, or a torn
+    // version fails the hash. The manifest-diff CDC between the two
+    // step commits rides along as a column (rows of partitions the
+    // second step rewrote), as does the version count — three commits,
+    // exactly. Oracle = the same end state closed-form from orders.
+    "q215_cow_step_interleave" -> { (s, dir) =>
+      val uid = java.util.UUID.randomUUID().toString
+      val root =
+        s"${Tables.scratchBase}/graft_q215_${s.sparkContext.applicationId}/$uid"
+      val src = t(s, dir, "orders").filter(col("o_orderkey") <= 400)
+        .select(col("o_orderkey").as("PID"),
+          date_format(to_date(col("o_orderdate")), "yyyy-MM").as("month"),
+          lit(null).cast("string").as("ExtendedInfo"))
+      val tbl = new graft.sources.PartitionedCowTable(
+        s"$root/scenes", "month", s)
+      tbl.overwrite(src)
+      def setKey(key: String, mod: Int): Map[String, org.apache.spark.sql
+          .Column] = Map("ExtendedInfo" ->
+        graft.functions.GraftFunctions.jsonSetKey(col("ExtendedInfo"),
+          lit(key), concat(lit("{\"f\": "),
+            (col("PID") % mod).cast("string"), lit("}"))))
+      // step 1 (quicklook): even PIDs; step 2 (tilecache): every 3rd —
+      // %6 PIDs are touched by BOTH steps across versions
+      tbl.updateWhere(col("PID") % 2 === 0, setKey("quicklook", 97))
+      tbl.updateWhere(col("PID") % 3 === 0, setKey("tilecache", 89))
+      val cdcRows = tbl.changedSince(1).count()
+      tbl.read()
+        .select(col("PID"),
+          get_json_object(col("ExtendedInfo"), "$.quicklook.f")
+            .cast("long").as("qf"),
+          get_json_object(col("ExtendedInfo"), "$.tilecache.f")
+            .cast("long").as("tf"))
+        .groupBy(col("qf").isNotNull.as("has_ql"),
+          col("tf").isNotNull.as("has_tc"))
+        .agg(count(lit(1)).as("n"), sum("qf").as("sum_qf"),
+          sum("tf").as("sum_tf"), min("PID").as("min_pid"),
+          max("PID").as("max_pid"))
+        .withColumn("versions", lit(tbl.version + 1L))
+        .withColumn("cdc_rows", lit(cdcRows))
+        .orderBy("has_ql", "has_tc")
     }
   )
 
@@ -4018,6 +4068,30 @@ object CoverageQueries {
         |SELECT p1 AS part, CAST(rank AS INT) AS rank, p2 AS similar,
         |  cosine_est
         |FROM rk WHERE rank <= 3 ORDER BY part, rank""".stripMargin,
+
+    // the engine's end state closed-form from orders: key presence,
+    // payloads, the 3-commit version count, and the step-2 CDC row
+    // count (rows of months containing a %3 PID)
+    "q215_cow_step_interleave" ->
+      """WITH t AS (
+        |  SELECT o_orderkey AS PID,
+        |    strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month
+        |  FROM orders WHERE o_orderkey <= 400),
+        |cdc AS (
+        |  SELECT count(*) AS cdc_rows FROM t
+        |  WHERE month IN (SELECT DISTINCT month FROM t WHERE PID % 3 = 0)),
+        |f AS (
+        |  SELECT PID,
+        |    CASE WHEN PID % 2 = 0 THEN PID % 97 END AS qf,
+        |    CASE WHEN PID % 3 = 0 THEN PID % 89 END AS tf
+        |  FROM t)
+        |SELECT qf IS NOT NULL AS has_ql, tf IS NOT NULL AS has_tc,
+        |  count(*) AS n, CAST(sum(qf) AS BIGINT) AS sum_qf,
+        |  CAST(sum(tf) AS BIGINT) AS sum_tf,
+        |  min(PID) AS min_pid, max(PID) AS max_pid,
+        |  CAST(3 AS BIGINT) AS versions, cdc.cdc_rows
+        |FROM f, cdc
+        |GROUP BY 1, 2, cdc.cdc_rows ORDER BY 1, 2""".stripMargin,
 
     // the same md5 cap, the same pairs/cosine/ranking under it
     "q211_item_item_cf_capped" ->

@@ -366,6 +366,26 @@ object StreamingQueries {
     dl.unionByName(ard).unionByName(dc)
   }
 
+  /** Deterministic scene step for q216 (q58's ModStep, redeclared here
+    * so the streaming gate ships no cross-object closure): succeeds
+    * unless PID % failMod == 0, work-list = rows with `flagCol` unset
+    * (and `preCol` set, for ordered pipelines).
+    */
+  private final case class MonitorModStep(stepName: String,
+      preCol: Option[String], flagCol: String, failMod: Int)
+      extends graft.pipeline.StepRunner.SceneStep {
+    override def name: String = stepName
+    override def workList(cat: graft.catalog.SceneCatalog): DataFrame = {
+      val pre = preCol.map(col(_)).getOrElse(lit(true))
+      cat.scenes.filter(pre && !col(flagCol) && !col("Invalid"))
+        .orderBy(col("Date_Acquired"), col("PID")).select("PID")
+    }
+    override def process(pid: Long): graft.pipeline.StepRunner.StepResult =
+      graft.pipeline.StepRunner.StepResult(pid, pid % failMod != 0, "")
+    override def onSuccess: Map[String, org.apache.spark.sql.Column] =
+      Map(flagCol -> lit(true))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Streaming as-of enrichment (the continuous twin of q62, same
@@ -763,10 +783,93 @@ object StreamingQueries {
         .select(col("c_user").as("user_id"), col("click_id"),
           col("purchase_id"))
         .orderBy("user_id", "click_id", "purchase_id")
+    },
+
+    // The reference's WHOLE monitoring loop under the driver gate
+    // (round-9 verdict item 7; bin/eoddrunmonitoring.py:88-89):
+    // catalogue rows → keyed ingest (J6 in-batch dedup + J1
+    // anti-join) → ordered two-step state machine → audit append, run
+    // as MonitorLoop.tick per micro-batch across a ≥3-batch drain —
+    // the composition MonitorLoopSpec pins on a hand stream, here
+    // hash-gated end to end at sf scale. The drain stages a POISON
+    // REPLAY: every 4th scene of the first half re-arrives in the
+    // LAST batch flagged Invalid — if the ingest anti-join ever let a
+    // replay through, those scenes would drop out of the step
+    // work-lists and flip the rollup. Failures are deterministic
+    // (PID%7 download, PID%5 ard) and retried every tick, so the
+    // final catalog state is closed-form; the audit row count (2
+    // steps × 3 ticks) rides as a column, so a lost append or a
+    // spurious 4th tick also fails the hash.
+    "q216_monitor_loop_drain" -> { (s, dir) =>
+      val uid = java.util.UUID.randomUUID().toString.take(8)
+      val root = s"${Tables.scratchBase}/graft_q216_" +
+        s"${s.sparkContext.applicationId}/$uid"
+      val base = t(s, dir, "orders").filter(col("o_orderkey") <= 300)
+        .select(col("o_orderkey").as("PID"),
+          to_date(col("o_orderdate")).as("Date_Acquired"),
+          lit(false).as("Downloaded"), lit(false).as("ARDProduct"),
+          lit(false).as("DCLoaded"), lit(false).as("Invalid"),
+          lit(false).as("Archived"))
+      // replay cutoff = first third of the PID range: originals of
+      // every replayed key then sit strictly before the last slice at
+      // ANY corpus size (positions <= maxPid/3 < 2(n+r)/3), while the
+      // replays occupy the tail — each replay crosses >= 1 batch
+      // boundary by construction (bounded-scalar action, q37's
+      // watermark idiom)
+      val maxPid = base.agg(max("PID")).head().getLong(0)
+      val rows = base.withColumn("rev", lit(0L))
+        .unionByName(base
+          .filter(col("PID") <= maxPid / 3 && col("PID") % 4 === 0)
+          .withColumn("Invalid", lit(true)) // the poison replay
+          .withColumn("rev", lit(1L)))
+      val cat = new graft.catalog.SceneCatalog(
+        new graft.sources.CowTable(s"$root/scenes", s), s)
+      val audit = new graft.pipeline.AuditLog(s"$root/audit", s)
+      val steps = Seq(
+        MonitorModStep("download", None, "Downloaded", failMod = 7),
+        MonitorModStep("ard", Some("Downloaded"), "ARDProduct",
+          failMod = 5))
+      // slice order (rev, PID): all originals precede every replay,
+      // and the replayed PIDs (first half) sit ≥ a full slice ahead
+      // of their replays — the replay ALWAYS crosses a batch boundary
+      // and must die in the anti-join, never in-batch dedup
+      runMultiBatchForeach(s, "q216", rows,
+        orderCols = Seq(col("rev"), col("PID")), batches = 3) { b =>
+        if (!b.isEmpty)
+          graft.streaming.MonitorLoop.tick(s, cat, b, Seq("PID"),
+            newestFirst = Seq(col("rev").desc), steps = steps,
+            parallelism = 8, audit = Some(audit))
+      }
+      val auditRows = audit.entries().count()
+      val out = cat.scenes
+        .groupBy("Downloaded", "ARDProduct")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("Invalid"), 1L).otherwise(0L)).as("n_invalid"),
+          min("PID").as("min_pid"), max("PID").as("max_pid"))
+        .withColumn("audit_rows", lit(auditRows))
+        .orderBy("Downloaded", "ARDProduct")
+        .localCheckpoint()
+      registerDeleteOnExit(java.nio.file.Paths.get(root))
+      out
     }
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    // the loop's closed-form end state: deterministic step outcomes,
+    // zero surviving replays, 2 steps × 3 ticks of audit rows
+    "q216_monitor_loop_drain" ->
+      """WITH t AS (
+        |  SELECT o_orderkey AS PID FROM orders WHERE o_orderkey <= 300),
+        |f AS (
+        |  SELECT PID, PID % 7 <> 0 AS Downloaded,
+        |    PID % 7 <> 0 AND PID % 5 <> 0 AS ARDProduct
+        |  FROM t)
+        |SELECT Downloaded, ARDProduct, count(*) AS n,
+        |  CAST(0 AS BIGINT) AS n_invalid,
+        |  min(PID) AS min_pid, max(PID) AS max_pid,
+        |  CAST(6 AS BIGINT) AS audit_rows
+        |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // q137's oracle verbatim: the streamed sketch must answer point
     // queries identically to the batch build

@@ -84,4 +84,52 @@ class Round9OpsSpec extends SparkSpec {
     val b = q("q214_item_item_cf_dimsum", dir).collect().toSeq
     assert(a === b)
   }
+
+  // ---- q215 CoW step interleave ----
+
+  private def ordersDateDir(n: Int): String = {
+    val dir = java.nio.file.Files.createTempDirectory("r9cow").toString
+    (1 to n).map(i => (i.toLong, f"2024-${i % 3 + 1}%02d-15"))
+      .toDF("o_orderkey", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    dir
+  }
+
+  test("q215: sibling JSONB keys survive two step commits; the overlap " +
+    "group carries both payloads") {
+    val out = q("q215_cow_step_interleave", ordersDateDir(24)).collect()
+      .map(r => (r.getAs[Boolean]("has_ql"), r.getAs[Boolean]("has_tc"))
+        -> r).toMap
+    // PIDs 1..24: evens get quicklook, %3 get tilecache, %6 get BOTH
+    val both = out((true, true))
+    assert(both.getAs[Long]("n") === 4L) // 6, 12, 18, 24
+    assert(both.getAs[Long]("sum_qf") === Seq(6L, 12L, 18L, 24L)
+      .map(_ % 97).sum) // quicklook payload intact after step 2
+    assert(both.getAs[Long]("sum_tf") === Seq(6L, 12L, 18L, 24L)
+      .map(_ % 89).sum)
+    assert(out((true, false)).getAs[Long]("n") === 8L)  // evens not %3
+    assert(out((false, true)).getAs[Long]("n") === 4L)  // 3, 9, 15, 21
+    assert(out((false, false)).getAs[Long]("n") === 8L)
+    // exactly three commits: overwrite + two step updates
+    assert(out.values.forall(_.getAs[Long]("versions") === 3L))
+  }
+
+  // ---- q216 monitor-loop drain ----
+
+  test("q216: the 3-batch drain ingests once per key (poison replay " +
+    "dies in the anti-join), steps retry deterministically, audit " +
+    "counts 2 steps x 3 ticks") {
+    val out = q("q216_monitor_loop_drain", ordersDateDir(60)).collect()
+      .map(r => (r.getAs[Boolean]("Downloaded"),
+        r.getAs[Boolean]("ARDProduct")) -> r).toMap
+    // PIDs 1..60: download fails %7 (8 scenes), ard additionally %5
+    val dlFail = (1 to 60).count(_ % 7 == 0)
+    val ardOk = (1 to 60).count(p => p % 7 != 0 && p % 5 != 0)
+    assert(out((false, false)).getAs[Long]("n") === dlFail.toLong)
+    assert(out((true, true)).getAs[Long]("n") === ardOk.toLong)
+    assert(out((true, false)).getAs[Long]("n") === (60 - dlFail - ardOk).toLong)
+    // no replay survived: every group reports zero Invalid rows
+    assert(out.values.forall(_.getAs[Long]("n_invalid") === 0L))
+    assert(out.values.forall(_.getAs[Long]("audit_rows") === 6L))
+  }
 }
