@@ -3024,6 +3024,157 @@ object CoverageQueries {
         .withColumn("versions", lit(tbl.version + 1L))
         .withColumn("cdc_rows", lit(cdcRows))
         .orderBy("has_ql", "has_tc")
+    },
+
+    // KMV (k-minimum-values) sketch SET ALGEBRA (Beyer et al. 2007) —
+    // the capability the sketch family (q136 HLL, q80 bottom-k)
+    // stopped short of: estimating the INTERSECTION of distinct sets
+    // ("how many users do view and purchase share?") without the
+    // exact distinct join. Per event type, the sketch is the k=1024
+    // smallest 60-bit md5 user hashes (one per-type top-k window —
+    // mergeable, k longs per type, executor-memory-free at any
+    // cardinality). For a pair: the k smallest of the sketch UNION is
+    // a uniform sample of the union, so ρ = |both-sketch hashes among
+    // them|/k estimates Jaccard and (k−1)·2⁶⁰/d_k estimates |A∪B|
+    // (d_k = the kth smallest hash); est_common = ρ·est_union. The
+    // exact overlap (one distinct self-join — affordable at gate
+    // scale, the thing the sketch REPLACES at 100 TB) rides along
+    // with a ±15% honesty flag. Every estimate is derived from
+    // identical integers in both engines, so the gate is exact even
+    // though the estimator is approximate.
+    "q217_kmv_set_overlap" -> { (s, dir) =>
+      val K = 1024
+      val two60 = 1152921504606846976L // 2^60, exact as a double
+      // set element = ACTIVE USER-DAY (not bare user: the gate corpus
+      // is user-dense — every user touches every type — which would
+      // leave every pair at Jaccard 1.0 and never exercise the k-th
+      // minimum path)
+      val u = t(s, dir, "events")
+        .select(col("event_type").as("et"), col("user_id"),
+          to_date(col("ts")).cast("string").as("d")).distinct()
+        .withColumn("h", conv(substring(md5(concat(lit("kmv:"),
+          col("user_id").cast("string"), lit(":"), col("d"))),
+          1, 15), 16, 10).cast("long"))
+        .localCheckpoint() // reused by sketches and both exact sides
+      val nEx = u.groupBy("et").agg(count(lit(1)).as("n"))
+      val sk = u.withColumn("rn", row_number().over(
+          Window.partitionBy("et").orderBy("h", "user_id", "d")))
+        .filter(col("rn") <= K)
+        .groupBy("et").agg(sort_array(collect_list("h")).as("sk"))
+      val pairs = sk.select(col("et").as("et_a"), col("sk").as("ska"))
+        .join(sk.select(col("et").as("et_b"), col("sk").as("skb")),
+          col("et_a") < col("et_b"))
+        .withColumn("mk",
+          slice(array_sort(array_union(col("ska"), col("skb"))), 1, K))
+        .withColumn("kk", size(col("mk")))
+        .withColumn("dk", element_at(col("mk"), col("kk")))
+        // union smaller than k ⇒ both sets fully sketched ⇒ exact
+        .withColumn("est_union", when(col("kk") < K,
+            col("kk").cast("double"))
+          .otherwise(lit((K - 1).toDouble) *
+            lit(two60).cast("double") / col("dk")))
+        .withColumn("shared", size(array_intersect(col("mk"),
+          array_intersect(col("ska"), col("skb")))))
+        .withColumn("est_jaccard",
+          round(col("shared").cast("double") / col("kk"), 6))
+        .withColumn("est_common",
+          round(col("shared").cast("double") / col("kk") *
+            col("est_union")).cast("long"))
+      val ex = u.select(col("et").as("et_a"), col("user_id"), col("d"))
+        .join(u.select(col("et").as("et_b"), col("user_id"), col("d")),
+          Seq("user_id", "d"))
+        .filter(col("et_a") < col("et_b"))
+        .groupBy("et_a", "et_b").agg(count(lit(1)).as("exact_common"))
+      pairs.join(ex, Seq("et_a", "et_b"))
+        .join(nEx.select(col("et").as("et_a"), col("n").as("n_a")), "et_a")
+        .join(nEx.select(col("et").as("et_b"), col("n").as("n_b")), "et_b")
+        .select(col("et_a"), col("et_b"), col("n_a"), col("n_b"),
+          col("exact_common"), col("est_common"), col("est_jaccard"),
+          (abs(col("est_common") - col("exact_common")).cast("double") <=
+            greatest(col("exact_common") * 0.15, lit(50.0)))
+            .as("within_tol"))
+        .orderBy("et_a", "et_b")
+    },
+
+    // Single-commit CDC apply (MERGE INTO) under the driver gate: a
+    // consolidated ops batch — deletes (%9), column-mutating updates
+    // (%4), inserts (shifted keys) — lands on a PartitionedCowTable
+    // as ONE committed version via mergeApply, the semantics every
+    // Debezium-style feed replay needs (upsert-then-delete as two
+    // commits publishes a state no upstream transaction ever held;
+    // q57/q130 gate the two-commit primitives, this gates their
+    // fusion). The rollup of the FINAL table state is hash-compared
+    // to the closed-form merge result; the version count (exactly 2:
+    // create + merge) and the manifest-diff CDC row count ride along.
+    "q218_cdc_merge_apply" -> { (s, dir) =>
+      val uid = java.util.UUID.randomUUID().toString
+      val root =
+        s"${Tables.scratchBase}/graft_q218_${s.sparkContext.applicationId}/$uid"
+      val src = t(s, dir, "orders").filter(col("o_orderkey") <= 600)
+        .select(col("o_orderkey").as("PID"),
+          date_format(to_date(col("o_orderdate")), "yyyy-MM").as("month"),
+          col("o_orderstatus").as("status"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val tbl = new graft.sources.PartitionedCowTable(s"$root/t", "month", s)
+      tbl.overwrite(src)
+      val dels = src.filter(col("PID") % 9 === 0)
+        .withColumn("op", lit("D"))
+      val ups = src.filter(col("PID") % 9 =!= 0 && col("PID") % 4 === 0)
+        .withColumn("status", lit("X"))
+        .withColumn("cents", col("cents") + 10000L)
+        .withColumn("op", lit("U"))
+      val ins = src.filter(col("PID") % 25 === 0)
+        .withColumn("PID", col("PID") + 100000L)
+        .withColumn("op", lit("I"))
+      tbl.mergeApply(dels.unionByName(ups).unionByName(ins), Seq("PID"))
+      val cdc = tbl.changedSince(0).count()
+      tbl.read().groupBy("status")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+          min("PID").as("min_pid"), max("PID").as("max_pid"))
+        .withColumn("versions", lit(tbl.version + 1L))
+        .withColumn("cdc_rows", lit(cdc))
+        .orderBy("status")
+    },
+
+    // HITS hubs & authorities (Kleinberg 1999) over the BIPARTITE
+    // customer→part purchase graph — the directed-centrality pair the
+    // graph tier lacked next to q134's PageRank: an authority is a
+    // part bought by high-hub customers, a hub is a customer buying
+    // high-authority parts — the mutual-reinforcement recursion, run
+    // two synchronous rounds UNNORMALIZED. That choice is the whole
+    // determinism story: unnormalized HITS iterates are PURE INTEGER
+    // path counts (h1 = outdeg, a1 = Σ buyer outdegs, h2 = Σ basket
+    // a1, a2 = Σ buyer h2 — four edge-keyed joins with map-side
+    // combine, zero floats in flight), so both engines agree
+    // bit-for-bit and the L∞ normalization happens ONCE at the end
+    // against a broadcast max (per-round L2 norms would thread a
+    // float through every join). Two rounds suffice for a stable
+    // ranking on bipartite co-purchase graphs; more rounds are the
+    // same joins.
+    "q219_hits" -> { (s, dir) =>
+      val e = t(s, dir, "orders")
+        .select(col("o_custkey").as("u"), col("o_orderkey"))
+        .join(t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o_orderkey"),
+            col("l_partkey").as("p")), Seq("o_orderkey"))
+        .select("u", "p").distinct()
+        .localCheckpoint() // four iteration joins reuse it
+      val h1 = e.groupBy("u").agg(count(lit(1)).as("h1"))
+      val a1 = e.join(h1, "u").groupBy("p").agg(sum("h1").as("a1"))
+      val h2 = e.join(a1, "p").groupBy("u").agg(sum("a1").as("h2"))
+      val a2 = e.join(h2, "u").groupBy("p").agg(sum("h2").as("a2"))
+      val am = broadcast(a2.agg(max("a2").as("am")))
+      val hm = broadcast(h2.agg(max("h2").as("hm")))
+      val topA = a2.crossJoin(am)
+        .select(lit("authority").as("role"), col("p").as("id"),
+          col("a2").as("raw"), round(col("a2") / col("am"), 6).as("score"))
+        .orderBy(col("raw").desc, col("id")).limit(10)
+      val topH = h2.crossJoin(hm)
+        .select(lit("hub").as("role"), col("u").as("id"),
+          col("h2").as("raw"), round(col("h2") / col("hm"), 6).as("score"))
+        .orderBy(col("raw").desc, col("id")).limit(10)
+      topA.unionByName(topH)
+        .orderBy(col("role"), col("raw").desc, col("id"))
     }
   )
 
@@ -4068,6 +4219,120 @@ object CoverageQueries {
         |SELECT p1 AS part, CAST(rank AS INT) AS rank, p2 AS similar,
         |  cosine_est
         |FROM rk WHERE rank <= 3 ORDER BY part, rank""".stripMargin,
+
+    // the identical 60-bit hashes, the identical k-smallest sketches
+    // and union/intersection estimates — list algebra in DuckDB,
+    // array algebra in Spark, same integers throughout
+    "q217_kmv_set_overlap" ->
+      """WITH u AS (
+        |  SELECT DISTINCT event_type AS et, user_id,
+        |    CAST(CAST(ts AS DATE) AS VARCHAR) AS d
+        |  FROM events),
+        |uh AS (
+        |  SELECT et, user_id, d,
+        |    ('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)
+        |      || ':' || d), 1, 15))::BIGINT AS h
+        |  FROM u),
+        |nex AS (SELECT et, count(*) AS n FROM uh GROUP BY et),
+        |sk AS (
+        |  SELECT et, list(h ORDER BY h) AS sk FROM (
+        |    SELECT et, h, row_number() OVER (
+        |      PARTITION BY et ORDER BY h, user_id, d) AS rn
+        |    FROM uh) WHERE rn <= 1024 GROUP BY et),
+        |pr AS (
+        |  SELECT a.et AS et_a, b.et AS et_b, a.sk AS ska, b.sk AS skb,
+        |    list_sort(list_distinct(list_concat(a.sk, b.sk)))[1:1024] AS mk
+        |  FROM sk a JOIN sk b ON a.et < b.et),
+        |est AS (
+        |  SELECT et_a, et_b, len(mk) AS kk, mk[len(mk)] AS dk,
+        |    len(list_intersect(mk, list_intersect(ska, skb))) AS shared
+        |  FROM pr),
+        |est2 AS (
+        |  SELECT et_a, et_b, kk, shared,
+        |    CASE WHEN kk < 1024 THEN kk::DOUBLE
+        |      ELSE 1023.0 * 1152921504606846976::DOUBLE / dk END
+        |      AS est_union
+        |  FROM est),
+        |ex AS (
+        |  SELECT a.et AS et_a, b.et AS et_b, count(*) AS exact_common
+        |  FROM uh a JOIN uh b
+        |    ON a.user_id = b.user_id AND a.d = b.d AND a.et < b.et
+        |  GROUP BY 1, 2)
+        |SELECT e.et_a, e.et_b, na.n AS n_a, nb.n AS n_b,
+        |  ex.exact_common,
+        |  CAST(round(e.shared::DOUBLE / e.kk * e.est_union) AS BIGINT)
+        |    AS est_common,
+        |  round(e.shared::DOUBLE / e.kk, 6) AS est_jaccard,
+        |  abs(CAST(round(e.shared::DOUBLE / e.kk * e.est_union)
+        |      AS BIGINT) - ex.exact_common)::DOUBLE
+        |    <= greatest(ex.exact_common * 0.15, 50.0) AS within_tol
+        |FROM est2 e
+        |JOIN ex ON ex.et_a = e.et_a AND ex.et_b = e.et_b
+        |JOIN nex na ON na.et = e.et_a
+        |JOIN nex nb ON nb.et = e.et_b
+        |ORDER BY 1, 2""".stripMargin,
+
+    // the same integer path counts, the same one-shot normalization
+    "q219_hits" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS p
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |h1 AS (SELECT u, count(*) AS h1 FROM e GROUP BY u),
+        |a1 AS (
+        |  SELECT e.p, CAST(sum(h1.h1) AS BIGINT) AS a1
+        |  FROM e JOIN h1 ON h1.u = e.u GROUP BY e.p),
+        |h2 AS (
+        |  SELECT e.u, CAST(sum(a1.a1) AS BIGINT) AS h2
+        |  FROM e JOIN a1 ON a1.p = e.p GROUP BY e.u),
+        |a2 AS (
+        |  SELECT e.p, CAST(sum(h2.h2) AS BIGINT) AS a2
+        |  FROM e JOIN h2 ON h2.u = e.u GROUP BY e.p),
+        |am AS (SELECT max(a2) AS am FROM a2),
+        |hm AS (SELECT max(h2) AS hm FROM h2),
+        |ta AS (
+        |  SELECT 'authority' AS role, p AS id, a2 AS raw,
+        |    round(a2 / am.am, 6) AS score
+        |  FROM a2, am ORDER BY raw DESC, id LIMIT 10),
+        |th AS (
+        |  SELECT 'hub' AS role, u AS id, h2 AS raw,
+        |    round(h2 / hm.hm, 6) AS score
+        |  FROM h2, hm ORDER BY raw DESC, id LIMIT 10)
+        |SELECT * FROM ta
+        |UNION ALL
+        |SELECT * FROM th
+        |ORDER BY role, raw DESC, id""".stripMargin,
+
+    // the closed-form merge result: deletes removed, updates mutated,
+    // inserts appended; cdc_rows = post-merge rows of months touched
+    // by any op
+    "q218_cdc_merge_apply" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS PID,
+        |    strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+        |    o_orderstatus AS status,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey <= 600),
+        |fin AS (
+        |  SELECT PID, month,
+        |    CASE WHEN PID % 4 = 0 THEN 'X' ELSE status END AS status,
+        |    CASE WHEN PID % 4 = 0 THEN cents + 10000 ELSE cents END
+        |      AS cents
+        |  FROM src WHERE PID % 9 <> 0
+        |  UNION ALL
+        |  SELECT PID + 100000, month, status, cents FROM src
+        |  WHERE PID % 25 = 0),
+        |tm AS (
+        |  SELECT DISTINCT month FROM src
+        |  WHERE PID % 9 = 0 OR PID % 4 = 0 OR PID % 25 = 0),
+        |cdc AS (
+        |  SELECT count(*) AS cdc_rows FROM fin
+        |  WHERE month IN (SELECT month FROM tm))
+        |SELECT status, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  min(PID) AS min_pid, max(PID) AS max_pid,
+        |  CAST(2 AS BIGINT) AS versions, cdc.cdc_rows
+        |FROM fin, cdc
+        |GROUP BY status, cdc.cdc_rows ORDER BY status""".stripMargin,
 
     // the engine's end state closed-form from orders: key presence,
     // payloads, the 3-commit version count, and the step-2 CDC row

@@ -282,6 +282,39 @@ class PartitionedCowTable(val root: String, val partCol: String,
       commit(readWhere(touched).filter(!pred), touched, manifest)
   }
 
+  /** Single-commit CDC apply — MERGE INTO semantics over an ops log:
+    * `ops` carries the table's columns plus `opCol` ∈ {'I','U','D'}.
+    * Inserts and updates land as a PK upsert, deletes drop their
+    * keys, and ALL of it commits as ONE version — the shape a
+    * downstream consumer of [[changedSince]] (or any Debezium-style
+    * feed) replays a batch with, where upsert-then-delete as two
+    * commits would publish a state no upstream transaction ever held.
+    * Only partitions containing op rows are rewritten (delete rows
+    * must carry their partition value — the same never-rewrites-the-
+    * partition-column contract as [[upsert]]). A batch with two ops
+    * for one key has no defined order and fails loudly (the probe is
+    * a limit-1 existence job, not a full count); callers consolidate
+    * to final-state-per-key first (the q126 latest-per-key device).
+    */
+  def mergeApply(ops: DataFrame, keys: Seq[String],
+                 opCol: String = "op"): Unit = {
+    val dup = ops.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+      .limit(1).count()
+    require(dup == 0,
+      s"mergeApply: multiple ops for one key — consolidate the batch " +
+        s"to final state per key before applying")
+    val data = ops.filter(col(opCol) =!= "D").drop(opCol)
+    if (!exists) { overwrite(data); return }
+    val touched = touchedValues(ops)
+    val touchedKeys = ops.select(keys.map(col): _*)
+    commit(
+      readWhere(touched)
+        .join(touchedKeys, keys, "left_anti")
+        .unionByName(data),
+      touched, manifest)
+  }
+
   /** Compact the selected partitions: rewrite each as a single task's
     * output (one file per partition dir), carrying everything else by
     * reference. The small-file antidote for long-lived tables — every

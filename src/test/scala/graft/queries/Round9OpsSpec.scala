@@ -132,4 +132,46 @@ class Round9OpsSpec extends SparkSpec {
     assert(out.values.forall(_.getAs[Long]("n_invalid") === 0L))
     assert(out.values.forall(_.getAs[Long]("audit_rows") === 6L))
   }
+
+  // ---- q217 KMV set overlap ----
+
+  test("q217: sets smaller than k take the exact path — estimate " +
+    "equals exact and Jaccard is the true ratio") {
+    // two event types over hand-built user-days: A = users 1..6 on one
+    // day, B = users 4..9 -> |A∩B| = 3, |A∪B| = 9, J = 1/3. Both sets
+    // are far below k = 1024, so kk < k and the estimator must
+    // degrade to EXACT set algebra.
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val dir = java.nio.file.Files.createTempDirectory("r9kmv").toString
+    ((1L to 6L).map(u => (u, ts, u, "view", 1.0)) ++
+      (4L to 9L).map(u => (u + 100, ts, u, "click", 1.0)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = q("q217_kmv_set_overlap", dir).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getAs[String]("et_a") === "click")
+    assert(row.getAs[Long]("n_a") === 6L)
+    assert(row.getAs[Long]("exact_common") === 3L)
+    assert(row.getAs[Long]("est_common") === 3L)  // exact path
+    assert(row.getAs[Double]("est_jaccard") === 0.333333)
+    assert(row.getAs[Boolean]("within_tol"))
+  }
+
+  // ---- q219 HITS ----
+
+  test("q219: two-round unnormalized HITS equals hand-computed " +
+    "integer path counts") {
+    // u1 buys {1,2}, u2 buys {2}: h1 = (2,1); a1(1)=2, a1(2)=3;
+    // h2(u1)=5, h2(u2)=3; a2(1)=5, a2(2)=8
+    val dir = basketDir(Seq(1L -> Seq(1L, 2L), 2L -> Seq(2L)))
+    val out = q("q219_hits", dir).collect()
+      .map(r => (r.getAs[String]("role"), r.getAs[Long]("id")) ->
+        ((r.getAs[Long]("raw"), r.getAs[Double]("score")))).toMap
+    assert(out(("authority", 2L)) === ((8L, 1.0)))
+    assert(out(("authority", 1L)) === ((5L, 0.625)))
+    assert(out(("hub", 1L)) === ((5L, 1.0)))
+    assert(out(("hub", 2L)) === ((3L, 0.6)))
+  }
 }

@@ -183,6 +183,33 @@ class PartitionedCowTableSpec extends SparkSpec {
     assert(t.manifest.values.forall(parquetFiles(_) == 1))
   }
 
+  test("mergeApply: inserts, updates and deletes land as ONE version; " +
+    "a batch with two ops for one key fails loudly") {
+    implicit val s = spark
+    val t = mk()
+    val v0 = t.version
+    // delete pid 1, update pid 3, insert pid 9 — one commit
+    t.mergeApply(Seq(
+      (1L, "2020-03", "a", false, "D"),
+      (3L, "2020-04", "C2", true, "U"),
+      (9L, "2020-05", "new", false, "I"))
+      .toDF("pid", "month", "v", "flag", "op"), Seq("pid"))
+    assert(t.version == v0 + 1) // exactly one new version
+    val rows = t.read().select("pid", "v").as[(Long, String)]
+      .collect().toMap
+    assert(rows == Map(2L -> "b", 3L -> "C2", 4L -> "d", 9L -> "new"))
+    // conflicting ops for one key: no defined order -> loud failure,
+    // and the table is untouched
+    intercept[IllegalArgumentException] {
+      t.mergeApply(Seq(
+        (2L, "2020-03", "x", false, "U"),
+        (2L, "2020-03", "y", false, "D"))
+        .toDF("pid", "month", "v", "flag", "op"), Seq("pid"))
+    }
+    assert(t.version == v0 + 1)
+    assert(t.read().count() == 4)
+  }
+
   test("a second writer committing mid-flight fails the first loudly; " +
     "a retry rebases on the new version, never silently dropping either") {
     implicit val s = spark
