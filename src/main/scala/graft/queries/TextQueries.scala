@@ -2521,6 +2521,45 @@ object TextQueries {
         .orderBy(col("rrf").desc, col("doc_id"))
         .limit(10)
         .select(col("doc_id"), col("ra"), col("rb"), col("rrf"))
+    },
+
+    // Temperature-scaled source resampling (the mC4/CCNet α-mixing
+    // rule; Conneau & Lample 2019) — the corpus-mixing operator
+    // between q77's fixed-ratio mix and q204's variance-optimal
+    // Neyman: source quotas ∝ n_s^α with α = 0.5, so low-resource
+    // sources are UP-weighted relative to their share (α = 1 is
+    // proportional, α = 0 uniform) — the standard fix for head-domain
+    // dominance in web-scale training mixes. One corpus pass to the
+    // per-source histogram; quotas are |sources|-row grid algebra
+    // (pow on identical integers); the kept sample is the q112/q204
+    // deterministic md5 rank within each source, and ships as counts
+    // + the order-independent bit_xor checksum — a single swapped
+    // document anywhere flips the gate.
+    "q220_temperature_resample" -> { (s, dir) =>
+      val budget = 500
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"))
+        .localCheckpoint() // histogram + ranked keep reuse it
+      val g = d.groupBy("source").agg(count(lit(1)).as("n"))
+        .withColumn("w", pow(col("n").cast("double"), 0.5))
+      val tot = broadcast(g.agg(sum("w").as("z")))
+      val alloc = g.crossJoin(tot)
+        .select(col("source"), col("n"),
+          least(col("n"), round(lit(budget) * col("w") / col("z"))
+            .cast("long")).as("quota"))
+        .localCheckpoint() // |sources| rows
+      val ranked = d.join(broadcast(alloc), "source")
+        .withColumn("rk", row_number().over(Window.partitionBy("source")
+          .orderBy(conv(substring(md5(concat(lit("tmp:"),
+            col("doc_id").cast("string"))), 1, 15), 16, 10)
+            .cast("long"), col("doc_id"))))
+        .filter(col("rk") <= col("quota"))
+      ranked.groupBy("source")
+        .agg(count(lit(1)).as("taken"),
+          expr("bit_xor(cast(conv(substring(md5(cast(doc_id as " +
+            "string)), 1, 15), 16, 10) as bigint))").as("sample_hash"))
+        .join(alloc, Seq("source"))
+        .select("source", "n", "quota", "taken", "sample_hash")
+        .orderBy("source")
     }
   )
 
@@ -4160,6 +4199,30 @@ object TextQueries {
         |        list_slice(tks, st + 1, st + 8), ' ')), 1, 15))::BIGINT),
         |    (a, b) -> xor(a, b)) END AS chunk_hash
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // the same α-powered quotas and md5 rank draw
+    "q220_temperature_resample" ->
+      """WITH d AS (SELECT doc_id, source FROM documents),
+        |g AS (
+        |  SELECT source, count(*) AS n, pow(count(*)::DOUBLE, 0.5) AS w
+        |  FROM d GROUP BY source),
+        |tot AS (SELECT sum(w) AS z FROM g),
+        |alloc AS (
+        |  SELECT source, n,
+        |    least(n, CAST(round(500 * w / z) AS BIGINT)) AS quota
+        |  FROM g, tot),
+        |ranked AS (
+        |  SELECT d.doc_id, d.source, a.n, a.quota,
+        |    row_number() OVER (PARTITION BY d.source ORDER BY
+        |      ('0x' || substr(md5('tmp:' || CAST(d.doc_id AS VARCHAR)),
+        |        1, 15))::BIGINT, d.doc_id) AS rk
+        |  FROM d JOIN alloc a ON a.source = d.source)
+        |SELECT source, CAST(max(n) AS BIGINT) AS n,
+        |  max(quota) AS quota, count(*) AS taken,
+        |  bit_xor(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |    ::BIGINT) AS sample_hash
+        |FROM ranked WHERE rk <= quota
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     // the same one-pass bucket moments on the same dyadic 2^-20
     // score grid (every corpus-wide sum is an integer), the same

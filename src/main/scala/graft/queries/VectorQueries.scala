@@ -417,10 +417,59 @@ object VectorQueries {
         .groupBy("cluster_id")
         .agg(count(lit(1)).as("n_cells"), sum("npts").as("n_points"))
         .orderBy("cluster_id")
+    },
+
+    // Hard-negative mining (the contrastive-training pair generator;
+    // the "hard" in hard negatives = nearest WRONG-label neighbors) —
+    // composes q184's negative sampling (random negatives) with the
+    // ANN family: for each anchor vector, the top-2 highest-cosine
+    // vectors with a DIFFERENT label. Anchors broadcast (≤10×dim),
+    // cosines compute map-side against the single corpus scan, and
+    // similarity ships as integer MICRO-units rounded BEFORE the
+    // per-anchor ranking (the q205/q106 rule), so the row is
+    // all-integer and the top-k is engine-exact. This gate runs the
+    // exact scan form — at 100 TB the scan side is first reduced by
+    // the IVF probe (q35/q110) and this exact form is what the probe
+    // must reproduce on the probed subset.
+    "q221_hard_negative_mining" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val anchors = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("anchor"), col("label").as("albl"),
+          col("v").as("av"))
+      e.crossJoin(broadcast(anchors))
+        .filter(col("label") =!= col("albl"))
+        .withColumn("cos_micro",
+          round(G.cosineSim(col("v"), col("av")) * 1e6).cast("long"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("anchor")
+            .orderBy(col("cos_micro").desc, col("vec_id"))))
+        .filter(col("rank") <= 2)
+        .select(col("anchor"), col("rank"), col("vec_id").as("negative"),
+          col("label").as("neg_label"), col("cos_micro"))
+        .orderBy("anchor", "rank")
     }
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    // the same micro-unit cosines, the same wrong-label top-2
+    "q221_hard_negative_mining" ->
+      """WITH a AS (
+        |  SELECT vec_id AS anchor, label AS albl,
+        |    embedding::DOUBLE[] AS av
+        |  FROM embeddings WHERE vec_id < 10),
+        |c AS (
+        |  SELECT a.anchor, e.vec_id, e.label,
+        |    CAST(round(list_cosine_similarity(e.embedding::DOUBLE[],
+        |      a.av) * 1e6) AS BIGINT) AS cos_micro
+        |  FROM embeddings e JOIN a ON e.label <> a.albl),
+        |r AS (
+        |  SELECT anchor, vec_id, label, cos_micro, row_number() OVER (
+        |    PARTITION BY anchor ORDER BY cos_micro DESC, vec_id) AS rank
+        |  FROM c)
+        |SELECT anchor, CAST(rank AS INT) AS rank, vec_id AS negative,
+        |  label AS neg_label, cos_micro
+        |FROM r WHERE rank <= 2 ORDER BY anchor, rank""".stripMargin,
 
     // the same exact float cell arithmetic; adjacency closed by the
     // recursive-CTE union-find

@@ -159,6 +159,55 @@ class Round9OpsSpec extends SparkSpec {
     assert(row.getAs[Boolean]("within_tol"))
   }
 
+  // ---- q220 temperature resample ----
+
+  test("q220: alpha=0.5 up-weights the low-resource source relative " +
+    "to its corpus share") {
+    // 96 docs from 'big', 4 from 'small': shares 96% / 4%, but
+    // sqrt-weights are sqrt(96)=9.8 vs 2 -> small gets ~17% of the
+    // budget (capped at its own size here) instead of 4%
+    val dir = java.nio.file.Files.createTempDirectory("r9tmp").toString
+    ((1L to 96L).map(i => (i, "big")) ++
+      (97L to 100L).map(i => (i, "small")))
+      .toDF("doc_id", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = q("q220_temperature_resample", dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    // quota_small = min(4, round(500 * 2 / 11.798)) = 4 (capped)
+    assert(out("small").getAs[Long]("quota") === 4L)
+    assert(out("small").getAs[Long]("taken") === 4L)
+    // quota_big = min(96, round(500 * 9.798 / 11.798)) = 96 (capped)
+    assert(out("big").getAs[Long]("quota") === 96L)
+    // the un-capped RATIO is the point: 2/11.8 = 17% >> 4% share
+    assert(out("small").getAs[Long]("n") === 4L)
+    assert(out("big").getAs[Long]("n") === 96L)
+  }
+
+  // ---- q221 hard-negative mining ----
+
+  test("q221: the mined negative is the nearest WRONG-label vector, " +
+    "same-label near-duplicates are skipped") {
+    implicit val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("r9hnm").toString
+    // anchor 0 (label A) at (1,0); 11 = same label, nearly identical
+    // (must be SKIPPED); 12 = label B at 45 degrees (the hard
+    // negative); 13 = label B, orthogonal (rank 2)
+    Seq(
+      (0L, "A", Seq(1.0, 0.0)), (11L, "A", Seq(0.99, 0.01)),
+      (12L, "B", Seq(1.0, 1.0)), (13L, "B", Seq(0.0, 1.0)))
+      .toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = q("q221_hard_negative_mining", dir).collect()
+      .map(r => (r.getAs[Long]("anchor"), r.getAs[Int]("rank")) ->
+        ((r.getAs[Long]("negative"), r.getAs[Long]("cos_micro")))).toMap
+    assert(out((0L, 1)) === ((12L, 707107L))) // cos 45 deg
+    assert(out((0L, 2)) === ((13L, 0L)))      // orthogonal
+    // exactly anchor 0's two rows; the same-label near-dup 11 is
+    // never mined as a negative
+    assert(out.size === 2)
+    assert(out.values.map(_._1).toSet === Set(12L, 13L))
+  }
+
   // ---- q219 HITS ----
 
   test("q219: two-round unnormalized HITS equals hand-computed " +
