@@ -2956,9 +2956,15 @@ object CoverageQueries {
           col("pr.p2").as("p2"), col("pr.n2").as("n2"))
         .withColumn("pq", round(least(lit(1.0),
           lit(gamma) / sqrt(col("n1") * col("n2"))) * M).cast("long"))
-        .filter(conv(substring(md5(concat_ws(":", lit("ds"), col("u"),
-          col("p1"), col("p2"))), 1, 10), 16, 10).cast("long") <
-          col("pq") * M)
+        // pq == 2^20 ⇔ p = 1 ⇔ the 40-bit draw always passes — the
+        // leading disjunct short-circuits codegen past the md5 for
+        // every exact-regime pair (the common case off the whale
+        // tail; measured ~12 → ~7 s at sf0.1), with IDENTICAL
+        // semantics, so the oracle replays the unconditional form
+        .filter(col("pq") >= M ||
+          conv(substring(md5(concat_ws(":", lit("ds"), col("u"),
+            col("p1"), col("p2"))), 1, 10), 16, 10).cast("long") <
+            col("pq") * M)
       val sim = sampled
         .groupBy("p1", "p2", "n1", "n2", "pq")
         .agg(count(lit(1)).as("c"))
@@ -3175,6 +3181,59 @@ object CoverageQueries {
         .orderBy(col("raw").desc, col("id")).limit(10)
       topA.unionByName(topH)
         .orderBy(col("role"), col("raw").desc, col("id"))
+    },
+
+    // Trailing-window distinct users from MERGED daily HLL sketches —
+    // the composition q136 exists for: at 100 TB nobody re-scans a
+    // week of raw events per dashboard tile; the pipeline persists
+    // ONE ≤m-row register table per day and every trailing-7d
+    // distinct count is a register-wise max over 7 such tables
+    // (mergeability IS the product). The raw stream is touched once
+    // (the daily register build); the merge runs on the days×m grid
+    // joined to a 7-offset calendar explode — metadata at any corpus
+    // size. Estimator = q136's (bias-corrected + linear-counting
+    // small-range); the dyadic Σ2^⁻ʳ stays order-independent-exact.
+    // The exact trailing distinct rides along (the thing the sketch
+    // REPLACES at scale) so the estimate is auditable per day.
+    "q222_hll_trailing_distinct" -> { (s, dir) =>
+      val m = 64
+      val h = t(s, dir, "events").select(to_date(col("ts")).as("day"),
+        conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+          .cast("long").as("h32"))
+      val regs = h
+        .select(col("day"), (col("h32") % m).as("bucket"),
+          expr(s"h32 div $m").as("w"))
+        .withColumn("rho", when(col("w") === 0, lit(27))
+          .otherwise(lit(26) - floor(log2(col("w"))).cast("long")))
+        .groupBy("day", "bucket").agg(max("rho").as("register"))
+        .localCheckpoint() // the persisted per-day sketch table
+      val probes = regs.select("day").distinct()
+        .withColumn("off", explode(sequence(lit(0), lit(6))))
+        .select(col("day").as("tday"),
+          date_sub(col("day"), col("off")).as("day"))
+      val merged = probes.join(regs, "day")
+        .groupBy(col("tday"), col("bucket"))
+        .agg(max("register").as("register"))
+      val sketch = merged.groupBy("tday").agg(
+        count(lit(1)).as("n_buckets"),
+        expr("bit_xor(bucket * 100 + register)").as("reg_xor"),
+        sum(pow(lit(2.0), -col("register"))).as("ssum"))
+      val est = sketch
+        .withColumn("v", lit(m.toDouble) - col("n_buckets"))
+        .withColumn("raw", lit(0.709 * m * m) / (col("ssum") + col("v")))
+        .withColumn("est_distinct", round(
+          when(col("v") > 0 && col("raw") <= lit(2.5 * m),
+            lit(m.toDouble) * log(lit(m.toDouble) / col("v")))
+            .otherwise(col("raw")), 6))
+      val ud = t(s, dir, "events")
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val exact = probes.join(ud, "day")
+        .select("tday", "user_id").distinct()
+        .groupBy("tday").agg(count(lit(1)).as("exact_distinct"))
+      est.join(exact, "tday")
+        .select(col("tday").as("day"), col("n_buckets"), col("reg_xor"),
+          col("est_distinct"), col("exact_distinct"))
+        .orderBy("day")
     }
   )
 
@@ -4271,6 +4330,51 @@ object CoverageQueries {
         |JOIN nex na ON na.et = e.et_a
         |JOIN nex nb ON nb.et = e.et_b
         |ORDER BY 1, 2""".stripMargin,
+
+    // the same per-day registers, 7-offset calendar merge, q136
+    // estimator
+    "q222_hll_trailing_distinct" ->
+      """WITH h AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+        |      AS h32
+        |  FROM events),
+        |r AS (
+        |  SELECT day, h32 % 64 AS bucket,
+        |    max(CASE WHEN h32 // 64 = 0 THEN 27
+        |        ELSE 26 - CAST(floor(log2(h32 // 64)) AS BIGINT) END)
+        |      AS register
+        |  FROM h GROUP BY day, bucket),
+        |probes AS (
+        |  SELECT d.day AS tday, d.day - CAST(t.off AS INTEGER) AS day
+        |  FROM (SELECT DISTINCT day FROM r) d,
+        |    UNNEST(range(0, 7)) AS t(off)),
+        |merged AS (
+        |  SELECT p.tday, r.bucket, max(r.register) AS register
+        |  FROM probes p JOIN r ON r.day = p.day
+        |  GROUP BY p.tday, r.bucket),
+        |sk AS (
+        |  SELECT tday, count(*) AS n_buckets,
+        |    bit_xor(bucket * 100 + register) AS reg_xor,
+        |    sum(power(2.0, -register)) AS ssum
+        |  FROM merged GROUP BY tday),
+        |est AS (
+        |  SELECT tday, n_buckets, reg_xor,
+        |    64.0 - n_buckets AS v,
+        |    (0.709 * 64 * 64) / (ssum + (64.0 - n_buckets)) AS raw
+        |  FROM sk),
+        |ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+        |       FROM events),
+        |ex AS (
+        |  SELECT p.tday, count(DISTINCT ud.user_id) AS exact_distinct
+        |  FROM probes p JOIN ud ON ud.day = p.day
+        |  GROUP BY p.tday)
+        |SELECT est.tday AS day, n_buckets, reg_xor,
+        |  round(CASE WHEN v > 0 AND raw <= 160.0
+        |        THEN 64.0 * ln(64.0 / v) ELSE raw END, 6) AS est_distinct,
+        |  exact_distinct
+        |FROM est JOIN ex ON ex.tday = est.tday
+        |ORDER BY day""".stripMargin,
 
     // the same integer path counts, the same one-shot normalization
     "q219_hits" ->

@@ -2560,6 +2560,74 @@ object TextQueries {
         .join(alloc, Seq("source"))
         .select("source", "n", "quota", "taken", "sample_hash")
         .orderBy("source")
+    },
+
+    // The WHOLE curation pipeline as ONE gated dataflow — the
+    // composition CurationPipelineDemo narrates, here hash-checked
+    // end to end: exact dedup (keep-min per text hash) → quality
+    // floor (token count + stopword ratio) → temperature source mix
+    // (q220's α=0.5 quotas over the SURVIVORS, md5-rank draw) →
+    // deterministic 80/10/10 split (q96's content-stable buckets) →
+    // token-budget shard packing (q64's two-phase prefix sum — no
+    // split-wide window). The gated output is the TRAINING MANIFEST:
+    // per (split, shard) doc/token counts and an order-independent
+    // doc-id checksum — one document routed differently ANYWHERE in
+    // the five stages flips the row. Every stage is the production
+    // shape of its standalone gate; the chain proves they compose
+    // without driver round-trips (one job, five operators).
+    "q223_curation_pipeline" -> { (s, dir) =>
+      val budget = 300
+      val shardTokens = 1024L
+      val tk = toks(col("text"))
+      val scored = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"),
+          size(tk).cast("long").as("n_tokens"),
+          size(filter(tk, w => w.isin(enStop: _*))).cast("long")
+            .as("n_stop"))
+      // 1. exact dedup: one survivor (min doc_id) per text
+      val distinctDocs = scored
+        .groupBy(md5(col("text")).as("th"))
+        .agg(min(struct(col("doc_id"), col("source"), col("n_tokens"),
+          col("n_stop"))).as("m"))
+        .select(col("m.doc_id"), col("m.source"), col("m.n_tokens"),
+          col("m.n_stop"))
+      // 2. quality floor: enough tokens, >= 1% stopwords
+      val clean = distinctDocs
+        .filter(col("n_tokens") >= 5 &&
+          col("n_stop") * 100 >= col("n_tokens"))
+        .localCheckpoint() // histogram + draw reuse it
+      // 3. temperature mix over the survivors
+      val g = clean.groupBy("source").agg(count(lit(1)).as("n"))
+        .withColumn("w", pow(col("n").cast("double"), 0.5))
+      val tot = broadcast(g.agg(sum("w").as("z")))
+      val alloc = g.crossJoin(tot)
+        .select(col("source"),
+          least(col("n"), round(lit(budget) * col("w") / col("z"))
+            .cast("long")).as("quota"))
+      val mixed = clean.join(broadcast(alloc), "source")
+        .withColumn("rk", row_number().over(Window.partitionBy("source")
+          .orderBy(conv(substring(md5(concat(lit("mix:"),
+            col("doc_id").cast("string"))), 1, 15), 16, 10)
+            .cast("long"), col("doc_id"))))
+        .filter(col("rk") <= col("quota"))
+      // 4. content-stable split
+      val split = mixed.withColumn("b",
+          conv(substring(md5(concat(lit("split:"),
+            col("doc_id").cast("string"))), 1, 15), 16, 10)
+            .cast("long") % 100)
+        .withColumn("split", when(col("b") < 80, "train")
+          .when(col("b") < 90, "val").otherwise("test"))
+        .select("split", "doc_id", "n_tokens")
+      // 5. token-budget packing, two-phase prefix sum per split
+      graft.operators.RelationalOps
+        .groupedPrefixSum(split, "split", "doc_id", "n_tokens", "cum")
+        .withColumn("shard_id",
+          floor(col("cum") / shardTokens).cast("long"))
+        .groupBy("split", "shard_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"),
+          expr("bit_xor(cast(conv(substring(md5(cast(doc_id as " +
+            "string)), 1, 15), 16, 10) as bigint))").as("doc_hash"))
+        .orderBy("split", "shard_id")
     }
   )
 
@@ -4199,6 +4267,61 @@ object TextQueries {
         |        list_slice(tks, st + 1, st + 8), ' ')), 1, 15))::BIGINT),
         |    (a, b) -> xor(a, b)) END AS chunk_hash
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // the same five stages as one CTE chain; the oracle may use the
+    // plain per-split window where the engine runs the two-phase form
+    "q223_curation_pipeline" ->
+      """WITH scored AS (
+        |  SELECT doc_id, source, md5(text) AS th,
+        |    CAST(len(string_split(trim(lower(text)), ' ')) AS BIGINT)
+        |      AS n_tokens,
+        |    CAST(len(list_filter(string_split(trim(lower(text)), ' '),
+        |      t -> t IN ('the','a','of','and','to','in'))) AS BIGINT)
+        |      AS n_stop
+        |  FROM documents),
+        |dedup AS (
+        |  SELECT doc_id, source, n_tokens, n_stop FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY th
+        |      ORDER BY doc_id) AS rn FROM scored) WHERE rn = 1),
+        |clean AS (
+        |  SELECT * FROM dedup
+        |  WHERE n_tokens >= 5 AND n_stop * 100 >= n_tokens),
+        |g AS (
+        |  SELECT source, count(*) AS n, pow(count(*)::DOUBLE, 0.5) AS w
+        |  FROM clean GROUP BY source),
+        |tot AS (SELECT sum(w) AS z FROM g),
+        |alloc AS (
+        |  SELECT source, least(n, CAST(round(300 * w / z) AS BIGINT))
+        |    AS quota
+        |  FROM g, tot),
+        |mixed AS (
+        |  SELECT c.doc_id, c.n_tokens FROM (
+        |    SELECT c.*, a.quota, row_number() OVER (
+        |      PARTITION BY c.source ORDER BY
+        |      ('0x' || substr(md5('mix:' || CAST(c.doc_id AS VARCHAR)),
+        |        1, 15))::BIGINT, c.doc_id) AS rk
+        |    FROM clean c JOIN alloc a ON a.source = c.source) c
+        |  WHERE rk <= quota),
+        |sp AS (
+        |  SELECT doc_id, n_tokens,
+        |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+        |      ELSE 'test' END AS split
+        |  FROM (
+        |    SELECT *, ('0x' || substr(md5('split:' ||
+        |      CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
+        |    FROM mixed)),
+        |packed AS (
+        |  SELECT split, doc_id, n_tokens,
+        |    coalesce(CAST(sum(n_tokens) OVER (PARTITION BY split
+        |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING) AS BIGINT), 0) AS cum
+        |  FROM sp)
+        |SELECT split, cum // 1024 AS shard_id, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |  bit_xor(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |    ::BIGINT) AS doc_hash
+        |FROM packed GROUP BY split, cum // 1024
+        |ORDER BY split, shard_id""".stripMargin,
 
     // the same α-powered quotas and md5 rank draw
     "q220_temperature_resample" ->

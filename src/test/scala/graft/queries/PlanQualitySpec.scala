@@ -872,4 +872,52 @@ class PlanQualitySpec extends SparkSpec {
     assert(windows.nonEmpty && windows.forall(_.contains("user_id")), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  // q214: DIMSUM pairs come from per-basket array algebra + a
+  // map-side Bernoulli filter — no self-join keyed by the customer,
+  // no cartesian; the only u-keyed operator is the basket aggregate.
+  test("q214 DIMSUM: map-side sampled pairs, no self-join on u") {
+    val p = plan("q214_item_item_cf_dimsum")
+    assert(!p.contains("CartesianProduct"), p)
+    val blocks = p.split("(?m)^\\s*\\(\\d+\\) ").toSeq
+    val joins = blocks.filter(_.contains("Join"))
+    assert(joins.forall(!_.contains("u#")), p)
+    // the Bernoulli draw filters BEFORE any aggregation of pairs
+    assert(p.contains("Generate") || p.contains("explode"), p)
+  }
+
+  // q217: the sketch top-k window is keyed by event type, and the
+  // per-pair estimate algebra never joins row-level data — exact
+  // sides are equi joins, no cartesian.
+  test("q217 KMV: type-keyed sketch window, equi joins only") {
+    val p = plan("q217_kmv_set_overlap")
+    assert(!p.contains("CartesianProduct"), p)
+    val blocks = p.split("(?m)^\\s*\\(\\d+\\) ").toSeq
+    val windows = blocks.filter(b =>
+      b.startsWith("Window") && !b.startsWith("WindowGroupLimit"))
+    assert(windows.nonEmpty && windows.forall(_.contains("et")), p)
+  }
+
+  // q219: four integer iteration joins, all equi on u or p — no
+  // cartesian, map-side combine on every degree rollup.
+  test("q219 HITS: equi iteration joins, partial aggregation") {
+    val p = plan("q219_hits")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+  }
+
+  // q221: anchors broadcast; the per-anchor ranking exchange carries
+  // only (ids, label, cos_micro) — the vector arrays never cross a
+  // hash exchange, and WindowGroupLimit prunes to top-k map-side.
+  test("q221 hard negatives: no vector through the rank exchange") {
+    val p = plan("q221_hard_negative_mining")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+    val blocks = p.split("(?m)^\\s*\\(\\d+\\) ").toSeq
+    val hashEx = blocks.filter(b => b.startsWith("Exchange") &&
+      b.contains("hashpartitioning"))
+    assert(hashEx.nonEmpty && hashEx.forall(!_.contains("av#")), p)
+    assert(hashEx.forall(b => !b.contains(", v#") && !b.contains("[v#")), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
 }

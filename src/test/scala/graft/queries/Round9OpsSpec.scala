@@ -208,6 +208,53 @@ class Round9OpsSpec extends SparkSpec {
     assert(out.values.map(_._1).toSet === Set(12L, 13L))
   }
 
+  // ---- q222 trailing HLL distinct ----
+
+  test("q222: the 7-day register merge window includes day T-6 and " +
+    "excludes older days (exact side pins the calendar)") {
+    def at(s: String) = java.sql.Timestamp.valueOf(s)
+    val dir = java.nio.file.Files.createTempDirectory("r9hll").toString
+    Seq(
+      (1L, at("2024-01-01 10:00:00"), 1L, "view", 1.0),
+      (2L, at("2024-01-01 11:00:00"), 2L, "view", 1.0),
+      (3L, at("2024-01-03 10:00:00"), 3L, "view", 1.0),
+      (4L, at("2024-01-10 10:00:00"), 9L, "view", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = q("q222_hll_trailing_distinct", dir).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString -> r).toMap
+    assert(out("2024-01-01").getAs[Long]("exact_distinct") === 2L)
+    // day 3's window reaches back to day 1: all three users
+    assert(out("2024-01-03").getAs[Long]("exact_distinct") === 3L)
+    // day 10's window starts at day 4: only user 9
+    assert(out("2024-01-10").getAs[Long]("exact_distinct") === 1L)
+    // estimates exist and are positive for every grid day
+    assert(out.values.forall(_.getAs[Double]("est_distinct") > 0.0))
+  }
+
+  // ---- q223 curation pipeline ----
+
+  test("q223: dedup drops the copy, quality floors drop short and " +
+    "stopword-free docs, survivors all reach the manifest") {
+    val dir = java.nio.file.Files.createTempDirectory("r9cur").toString
+    Seq(
+      (1L, "the cat sat on a mat", "en", "A"),
+      (2L, "the cat sat on a mat", "en", "A"), // exact dup -> dropped
+      (3L, "x y z", "en", "B"),                // < 5 tokens -> dropped
+      (4L, "w1 w2 w3 w4 w5 w6", "en", "B"),    // 0 stopwords -> dropped
+      (5L, "to be or not to be today", "en", "B"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = q("q223_curation_pipeline", dir).collect()
+    // survivors: doc 1 (6 tokens) + doc 5 (7 tokens), quotas cover both
+    assert(out.map(_.getAs[Long]("n_docs")).sum === 2L)
+    assert(out.map(_.getAs[Long]("sum_tokens")).sum === 13L)
+    // every manifest row names a real split
+    assert(out.map(_.getAs[String]("split")).toSet
+      .subsetOf(Set("train", "val", "test")))
+  }
+
   // ---- q219 HITS ----
 
   test("q219: two-round unnormalized HITS equals hand-computed " +
