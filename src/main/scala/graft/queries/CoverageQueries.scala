@@ -3234,6 +3234,85 @@ object CoverageQueries {
         .select(col("tday").as("day"), col("n_buckets"), col("reg_xor"),
           col("est_distinct"), col("exact_distinct"))
         .orderBy("day")
+    },
+
+    // Difference-in-differences (Card–Krueger design) — the
+    // quasi-experimental estimator the A/B tier (q144 SRM, q160
+    // CUPED, q196 Shapley) lacked: when assignment isn't randomized
+    // per-unit, the treatment effect is the POST−PRE delta of the
+    // treated arm net of the control arm's same delta (parallel
+    // trends assumption stated, not tested). q160's exact prologue
+    // verbatim: md5 arms, cents, the fixed period cut; per-user
+    // integer sums collapse to per-arm (n, Σpre, Σpost) and every
+    // mean/did is one division on identical integers. One summary
+    // row — the experimentation dashboard's headline number.
+    "q224_diff_in_diff" -> { (s, dir) =>
+      val cut = lit("2024-01-16").cast("timestamp")
+      val perUser = t(s, dir, "events")
+        .select(col("user_id"), col("ts"),
+          expr("cast(round(value * 100) as bigint)").as("cents"))
+        .withColumn("arm",
+          (conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 2).cast("int"))
+        .groupBy("user_id", "arm")
+        .agg(
+          sum(when(col("ts") < cut, col("cents")).otherwise(0L)).as("x"),
+          sum(when(col("ts") >= cut, col("cents")).otherwise(0L)).as("y"))
+      perUser.groupBy("arm").agg(count(lit(1)).as("n"),
+          sum("x").as("sx"), sum("y").as("sy"))
+        .agg(
+          sum(when(col("arm") === 1, col("n"))).as("n_treat"),
+          sum(when(col("arm") === 0, col("n"))).as("n_ctrl"),
+          sum(when(col("arm") === 1, col("sx"))).as("pre_t"),
+          sum(when(col("arm") === 1, col("sy"))).as("post_t"),
+          sum(when(col("arm") === 0, col("sx"))).as("pre_c"),
+          sum(when(col("arm") === 0, col("sy"))).as("post_c"))
+        .select(col("n_treat"), col("n_ctrl"),
+          round(col("pre_t") / col("n_treat"), 6).as("mean_pre_t"),
+          round(col("post_t") / col("n_treat"), 6).as("mean_post_t"),
+          round(col("pre_c") / col("n_ctrl"), 6).as("mean_pre_c"),
+          round(col("post_c") / col("n_ctrl"), 6).as("mean_post_c"),
+          round((col("post_t") / col("n_treat") -
+            col("pre_t") / col("n_treat")) -
+            (col("post_c") / col("n_ctrl") -
+              col("pre_c") / col("n_ctrl")), 6).as("did_cents"))
+    },
+
+    // Winsorized robust metrics (the whale-clipping every revenue
+    // metric ships with) — p05/p95 thresholds and the clipped mean
+    // per event type, computed ENTIRELY on the (type, micro-value)
+    // HISTOGRAM: values quantize to exact 1e-6 integers at the scan,
+    // the nearest-rank thresholds come from the q107 grouped-prefix-
+    // sum quantile device (no per-type sort, no corpus window — a
+    // type holding half a 100 TB corpus still never funnels one
+    // reducer), and the winsorized sum is Σ clamp(v,lo,hi)·cnt over
+    // histogram rows — integers to the one closing division. Where
+    // q173's MAD flags whales, this NEUTRALIZES them.
+    "q225_winsorized_metrics" -> { (s, dir) =>
+      val h = t(s, dir, "events")
+        .select(col("event_type").as("et"),
+          round(col("value") * 1e6).cast("long").as("v"))
+        .groupBy("et", "v").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint() // thresholds + clipped sums reuse it
+      val cum = R.groupedPrefixSum(h, "et", "v", "cnt", "pre")
+        .withColumn("cum", col("pre") + col("cnt"))
+      val n = h.groupBy("et").agg(sum("cnt").as("n"))
+      val ranked = cum.join(broadcast(n), "et")
+      val lo = ranked.filter(col("cum") * 20 >= col("n"))
+        .groupBy("et").agg(min("v").as("lo"))
+      val hi = ranked.filter(col("cum") * 20 >= col("n") * 19)
+        .groupBy("et").agg(min("v").as("hi"))
+      h.join(broadcast(lo), "et").join(broadcast(hi), "et")
+        .join(broadcast(n), "et")
+        .groupBy(col("et"), col("n"), col("lo"), col("hi"))
+        .agg(sum(least(greatest(col("v"), col("lo")), col("hi")) *
+          col("cnt")).as("ws"),
+          sum(col("v") * col("cnt")).as("rs"))
+        .select(col("et").as("event_type"), col("n"),
+          col("lo").as("p05_micro"), col("hi").as("p95_micro"),
+          round(col("ws") / (col("n") * 1e6), 6).as("winsorized_mean"),
+          round(col("rs") / (col("n") * 1e6), 6).as("raw_mean"))
+        .orderBy("event_type")
     }
   )
 
@@ -4330,6 +4409,71 @@ object CoverageQueries {
         |JOIN nex na ON na.et = e.et_a
         |JOIN nex nb ON nb.et = e.et_b
         |ORDER BY 1, 2""".stripMargin,
+
+    // the same exact per-arm integer sums, the same division order
+    "q224_diff_in_diff" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+        |      % 2 AS arm,
+        |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events GROUP BY user_id),
+        |a AS (
+        |  SELECT arm, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(y) AS BIGINT) AS sy
+        |  FROM u GROUP BY arm),
+        |p AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n_treat,
+        |    CAST(sum(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n_ctrl,
+        |    CAST(sum(CASE WHEN arm = 1 THEN sx END) AS BIGINT) AS pre_t,
+        |    CAST(sum(CASE WHEN arm = 1 THEN sy END) AS BIGINT) AS post_t,
+        |    CAST(sum(CASE WHEN arm = 0 THEN sx END) AS BIGINT) AS pre_c,
+        |    CAST(sum(CASE WHEN arm = 0 THEN sy END) AS BIGINT) AS post_c
+        |  FROM a)
+        |SELECT n_treat, n_ctrl,
+        |  round(pre_t / n_treat, 6) AS mean_pre_t,
+        |  round(post_t / n_treat, 6) AS mean_post_t,
+        |  round(pre_c / n_ctrl, 6) AS mean_pre_c,
+        |  round(post_c / n_ctrl, 6) AS mean_post_c,
+        |  round((post_t / n_treat - pre_t / n_treat)
+        |    - (post_c / n_ctrl - pre_c / n_ctrl), 6) AS did_cents
+        |FROM p""".stripMargin,
+
+    // the same histogram thresholds (cum·20 >= n / 19n) and clipped
+    // integer sums; the oracle may use the plain per-type window
+    "q225_winsorized_metrics" ->
+      """WITH h AS (
+        |  SELECT event_type AS et,
+        |    CAST(round(value * 1e6) AS BIGINT) AS v, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |c AS (
+        |  SELECT et, v, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY et ORDER BY v) AS BIGINT)
+        |      AS cum
+        |  FROM h),
+        |n AS (SELECT et, CAST(sum(cnt) AS BIGINT) AS n FROM h GROUP BY et),
+        |lo AS (
+        |  SELECT c.et, min(v) AS lo FROM c JOIN n ON n.et = c.et
+        |  WHERE cum * 20 >= n GROUP BY c.et),
+        |hi AS (
+        |  SELECT c.et, min(v) AS hi FROM c JOIN n ON n.et = c.et
+        |  WHERE cum * 20 >= n * 19 GROUP BY c.et)
+        |SELECT h.et AS event_type, n.n,
+        |  lo.lo AS p05_micro, hi.hi AS p95_micro,
+        |  round(CAST(sum(least(greatest(h.v, lo.lo), hi.hi) * h.cnt)
+        |    AS BIGINT) / (n.n * 1e6), 6) AS winsorized_mean,
+        |  round(CAST(sum(h.v * h.cnt) AS BIGINT) / (n.n * 1e6), 6)
+        |    AS raw_mean
+        |FROM h JOIN lo ON lo.et = h.et JOIN hi ON hi.et = h.et
+        |JOIN n ON n.et = h.et
+        |GROUP BY h.et, n.n, lo.lo, hi.hi
+        |ORDER BY event_type""".stripMargin,
 
     // the same per-day registers, 7-offset calendar merge, q136
     // estimator

@@ -208,6 +208,65 @@ class Round9OpsSpec extends SparkSpec {
     assert(out.values.map(_._1).toSet === Set(12L, 13L))
   }
 
+  // ---- q224 diff-in-diff ----
+
+  private def md5Arm(u: Long): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(u.toString.getBytes("UTF-8"))
+    val hex = d.map("%02x".format(_)).mkString.take(8)
+    (java.lang.Long.parseLong(hex, 16) % 2).toInt
+  }
+
+  test("q224: a treatment-only post-period lift nets out the shared " +
+    "trend exactly") {
+    def at(s: String) = java.sql.Timestamp.valueOf(s)
+    val pre = at("2024-01-10 00:00:00")
+    val post = at("2024-01-20 00:00:00")
+    // every user: pre 10, post 30 (shared trend +20); treated users
+    // get +100 cents more post -> did = +100 exactly
+    val users = (1L to 12L)
+    val rows = users.zipWithIndex.flatMap { case (u, i) =>
+      val lift = if (md5Arm(u) == 1) 1.0 else 0.0
+      Seq((i * 2 + 1L, pre, u, "view", 0.10),
+        (i * 2 + 2L, post, u, "view", 0.30 + lift))
+    }
+    val dir = eventsDir(rows)
+    val r = q("q224_diff_in_diff", dir).collect().head
+    val nT = users.count(md5Arm(_) == 1)
+    assert(r.getAs[Long]("n_treat") === nT.toLong)
+    assert(r.getAs[Long]("n_ctrl") === (12L - nT))
+    assert(r.getAs[Double]("mean_pre_t") === 10.0)
+    assert(r.getAs[Double]("mean_pre_c") === 10.0)
+    assert(r.getAs[Double]("mean_post_c") === 30.0)
+    assert(r.getAs[Double]("mean_post_t") === 130.0)
+    assert(r.getAs[Double]("did_cents") === 100.0)
+  }
+
+  private def eventsDir(
+      rows: Seq[(Long, java.sql.Timestamp, Long, String, Double)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("r9ev").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  // ---- q225 winsorized metrics ----
+
+  test("q225: nearest-rank p05/p95 clip exactly one value each on " +
+    "1..20, shifting the mean by -0.05") {
+    def at(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = (1 to 20).map(i =>
+      (i.toLong, at("2024-01-01 10:00:00"), i.toLong, "view", i.toDouble))
+    val r = q("q225_winsorized_metrics", eventsDir(rows)).collect().head
+    assert(r.getAs[Long]("n") === 20L)
+    assert(r.getAs[Long]("p05_micro") === 1000000L)  // rank ceil(1) = 1st
+    assert(r.getAs[Long]("p95_micro") === 19000000L) // rank ceil(19) = 19th
+    // clamp(20 -> 19): sum 210 - 1 = 209 -> mean 10.45 (raw 10.5)
+    assert(r.getAs[Double]("winsorized_mean") === 10.45)
+    assert(r.getAs[Double]("raw_mean") === 10.5)
+  }
+
   // ---- q222 trailing HLL distinct ----
 
   test("q222: the 7-day register merge window includes day T-6 and " +
