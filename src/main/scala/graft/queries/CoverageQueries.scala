@@ -3313,6 +3313,57 @@ object CoverageQueries {
           round(col("ws") / (col("n") * 1e6), 6).as("winsorized_mean"),
           round(col("rs") / (col("n") * 1e6), 6).as("raw_mean"))
         .orderBy("event_type")
+    },
+
+    // Consistent MULTI-TABLE snapshot reads (sources/SnapshotCatalog)
+    // — the cross-table guarantee q131's single-table time travel
+    // can't give: step 3 commits to BOTH tables (a delete
+    // propagated across the pair), and its log row is published only
+    // after both pointer flips, so the step-2 snapshot must see
+    // step 1's orders update and step 2's lineitem update but
+    // NEITHER side of step 3 — a reader catching one table's delete
+    // without the other's would flip the joined checksum. The gate
+    // reads snapshots 2 and 3 via versionsAt → readVersion and joins
+    // the pair AT each snapshot; the oracle computes both joined
+    // states closed-form.
+    "q226_snapshot_consistent_read" -> { (s, dir) =>
+      val uid = java.util.UUID.randomUUID().toString
+      val root =
+        s"${Tables.scratchBase}/graft_q226_${s.sparkContext.applicationId}/$uid"
+      val o = t(s, dir, "orders").filter(col("o_orderkey") <= 400)
+        .select(col("o_orderkey").as("PID"),
+          date_format(to_date(col("o_orderdate")), "yyyy-MM").as("month"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val li = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("PID"))
+        .agg(sum(col("l_quantity").cast("long")).as("qty"))
+        .join(o.select("PID", "month"), "PID")
+      val a = new graft.sources.PartitionedCowTable(s"$root/a", "month", s)
+      val b = new graft.sources.PartitionedCowTable(s"$root/b", "month", s)
+      val snap = new graft.sources.SnapshotCatalog(s"$root/log", s)
+      a.overwrite(o); b.overwrite(li)
+      snap.record(0, Map("a" -> a.version, "b" -> b.version))
+      a.updateWhere(col("PID") % 4 === 0,
+        Map("cents" -> (col("cents") + 1000L)))
+      snap.record(1, Map("a" -> a.version, "b" -> b.version))
+      b.updateWhere(col("PID") % 3 === 0, Map("qty" -> (col("qty") + 5L)))
+      snap.record(2, Map("a" -> a.version, "b" -> b.version))
+      // step 3: ONE logical commit touching BOTH tables
+      a.deleteWhere(col("PID") % 9 === 0)
+      b.deleteWhere(col("PID") % 9 === 0)
+      snap.record(3, Map("a" -> a.version, "b" -> b.version))
+      def at(step: Long): DataFrame = {
+        val vs = snap.versionsAt(step)
+        a.readVersion(vs("a")).select("PID", "cents")
+          .join(b.readVersion(vs("b")).select("PID", "qty"), "PID")
+          .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+            sum("qty").as("sum_qty"),
+            sum(col("cents") * col("qty")).as("sum_cross"))
+          .withColumn("snapshot", lit(s"step$step"))
+      }
+      at(2).unionByName(at(3))
+        .select("snapshot", "n", "sum_cents", "sum_qty", "sum_cross")
+        .orderBy("snapshot")
     }
   )
 
@@ -4409,6 +4460,36 @@ object CoverageQueries {
         |JOIN nex na ON na.et = e.et_a
         |JOIN nex nb ON nb.et = e.et_b
         |ORDER BY 1, 2""".stripMargin,
+
+    // both joined snapshot states closed-form: step 2 = A after the
+    // %4 update × B after the %3 update (no deletes); step 3 = the
+    // same minus the %9 rows on BOTH sides
+    "q226_snapshot_consistent_read" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS PID,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) + CASE
+        |      WHEN o_orderkey % 4 = 0 THEN 1000 ELSE 0 END AS cents
+        |  FROM orders WHERE o_orderkey <= 400),
+        |l AS (
+        |  SELECT l_orderkey AS PID,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) + CASE
+        |      WHEN l_orderkey % 3 = 0 THEN 5 ELSE 0 END AS qty
+        |  FROM lineitem WHERE l_orderkey <= 400 GROUP BY l_orderkey),
+        |j AS (SELECT o.PID, o.cents, l.qty FROM o JOIN l ON l.PID = o.PID),
+        |s2 AS (
+        |  SELECT 'step2' AS snapshot, count(*) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |    CAST(sum(qty) AS BIGINT) AS sum_qty,
+        |    CAST(sum(cents * qty) AS BIGINT) AS sum_cross
+        |  FROM j),
+        |s3 AS (
+        |  SELECT 'step3' AS snapshot, count(*) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |    CAST(sum(qty) AS BIGINT) AS sum_qty,
+        |    CAST(sum(cents * qty) AS BIGINT) AS sum_cross
+        |  FROM j WHERE PID % 9 <> 0)
+        |SELECT * FROM s2 UNION ALL SELECT * FROM s3
+        |ORDER BY snapshot""".stripMargin,
 
     // the same exact per-arm integer sums, the same division order
     "q224_diff_in_diff" ->
