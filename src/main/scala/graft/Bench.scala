@@ -7,6 +7,26 @@ object Bench {
     * the artifact itself without cross-round archaeology.
     */
   private def prevSolo(cwd: String = "."): Map[String, Double] = {
+    // Prefer the previous round's complete bench_full.json (written by
+    // this main at line end, committed per round): the driver's
+    // BENCH_r*.json keeps only ~2 KB of stdout tail, which truncated
+    // the solo map clean out of the round-8 artifact. prevSolo runs
+    // BEFORE this round's bench_full.json write, so the file still
+    // holds last round's ledger.
+    val full = new java.io.File(cwd, "bench_full.json")
+    if (full.exists()) {
+      try {
+        val txt = java.nio.file.Files.readString(full.toPath)
+        val sStart = txt.indexOf("\"solo\":")
+        if (sStart >= 0) {
+          val body = txt.substring(txt.indexOf('{', sStart) + 1,
+            txt.indexOf('}', sStart))
+          val m = "\"([^\"]+)\":(-?[0-9.eE+]+)".r.findAllMatchIn(body)
+            .map(x => x.group(1) -> x.group(2).toDouble).toMap
+          if (m.nonEmpty) return m
+        }
+      } catch { case _: Throwable => }
+    }
     val files = Option(new java.io.File(cwd).listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
     if (files.isEmpty) return Map.empty
