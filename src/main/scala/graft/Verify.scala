@@ -24,6 +24,26 @@ object Verify {
     * name-sort order, never to a crash.
     */
   private[graft] def benchMedians(cwd: String = "."): Map[String, Double] = {
+    // Prefer the committed bench_full.json (complete per-query map —
+    // Bench writes it whole) over the driver's BENCH_r*.json, whose
+    // ~2 KB stdout-tail capture truncates the queries map and once
+    // dropped the entire solo ledger (round 8).
+    val full = new java.io.File(cwd, "bench_full.json")
+    if (full.exists()) {
+      try {
+        val txt = Files.readString(full.toPath)
+        def objAt(key: String): Map[String, Double] = {
+          val start = txt.indexOf(s""""$key":""")
+          if (start < 0) return Map.empty
+          val body = txt.substring(txt.indexOf('{', start) + 1,
+            txt.indexOf('}', start))
+          "\"([^\"]+)\":(-?[0-9.eE+]+)".r.findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+        val m = objAt("queries") ++ objAt("solo")
+        if (m.nonEmpty) return m
+      } catch { case _: Throwable => }
+    }
     val files = Option(new java.io.File(cwd).listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
     if (files.isEmpty) return Map.empty

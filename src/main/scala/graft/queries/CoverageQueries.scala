@@ -3364,6 +3364,69 @@ object CoverageQueries {
       at(2).unionByName(at(3))
         .select("snapshot", "n", "sum_cents", "sum_qty", "sum_cross")
         .orderBy("snapshot")
+    },
+
+    // The COMPLETE 100 TB CF recipe: q211's basket cap composed with
+    // q214's DIMSUM sampling — the cap bounds the MAP-side pair
+    // enumeration (≤ cap²/2 per customer, the part sampling alone
+    // can't touch: q214's sf10 probe still paid the full basket²
+    // explode), the probability-proportional draw bounds the
+    // EXCHANGE (popular pairs down-sampled to ~γ/√(n1·n2)); together
+    // the operator is whale-proof on BOTH axes. The same md5 cap
+    // draw as q211 ('cap:') and the same dyadic Bernoulli draw as
+    // q214 ('ds:'), so the oracle replays both; item counts are
+    // taken over the CAPPED sets — the arm is exact under its own
+    // composed contract, like each parent.
+    "q227_item_item_cf_capped_dimsum" -> { (s, dir) =>
+      val cap = 8
+      val gamma = 8.0
+      val M = 1L << 20
+      val pos = t(s, dir, "orders")
+        .select(col("o_custkey").as("u"), col("o_orderkey"))
+        .join(t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o_orderkey"),
+            col("l_partkey").as("p")), Seq("o_orderkey"))
+        .select("u", "p").distinct()
+      val capped = pos.withColumn("rk", row_number().over(
+          Window.partitionBy("u").orderBy(
+            conv(substring(md5(concat_ws(":", lit("cap"), col("u"),
+              col("p"))), 1, 15), 16, 10).cast("long"), col("p"))))
+        .filter(col("rk") <= cap).select("u", "p")
+        .localCheckpoint()
+      val nu = capped.groupBy("p").agg(count(lit(1)).as("n"))
+      val sampled = capped.join(nu, "p")
+        .groupBy("u")
+        .agg(sort_array(collect_list(struct(col("p"), col("n"))))
+          .as("sp"))
+        .select(col("u"), explode(expr(
+          """flatten(transform(sp, (a, i) ->
+            |  transform(slice(sp, i + 2, size(sp)), b ->
+            |    named_struct('p1', a.p, 'n1', a.n,
+            |                 'p2', b.p, 'n2', b.n))))""".stripMargin))
+          .as("pr"))
+        .select(col("u"), col("pr.p1").as("p1"), col("pr.n1").as("n1"),
+          col("pr.p2").as("p2"), col("pr.n2").as("n2"))
+        .withColumn("pq", round(least(lit(1.0),
+          lit(gamma) / sqrt(col("n1") * col("n2"))) * M).cast("long"))
+        .filter(col("pq") >= M ||
+          conv(substring(md5(concat_ws(":", lit("ds"), col("u"),
+            col("p1"), col("p2"))), 1, 10), 16, 10).cast("long") <
+            col("pq") * M)
+      val sim = sampled
+        .groupBy("p1", "p2", "n1", "n2", "pq")
+        .agg(count(lit(1)).as("c"))
+        .select(col("p1"), col("p2"),
+          round(col("c") * M.toDouble / col("pq") /
+            sqrt(col("n1") * col("n2")), 6).as("cosine_est"))
+      val both = sim.unionByName(sim.select(col("p2").as("p1"),
+        col("p1").as("p2"), col("cosine_est")))
+      val w = Window.partitionBy("p1")
+        .orderBy(col("cosine_est").desc, col("p2"))
+      both.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("p1").as("part"), col("rank"),
+          col("p2").as("similar"), col("cosine_est"))
+        .orderBy("part", "rank")
     }
   )
 
@@ -4460,6 +4523,51 @@ object CoverageQueries {
         |JOIN nex na ON na.et = e.et_a
         |JOIN nex nb ON nb.et = e.et_b
         |ORDER BY 1, 2""".stripMargin,
+
+    // q211's cap CTE feeding q214's draw/estimator CTEs — both
+    // deterministic draws replayed
+    "q227_item_item_cf_capped_dimsum" ->
+      """WITH pos AS (
+        |  SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS p
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |capped AS (
+        |  SELECT u, p FROM (
+        |    SELECT u, p, row_number() OVER (PARTITION BY u ORDER BY
+        |      ('0x' || substr(md5('cap:' || CAST(u AS VARCHAR) || ':' ||
+        |        CAST(p AS VARCHAR)), 1, 15))::BIGINT, p) AS rk
+        |    FROM pos) WHERE rk <= 8),
+        |nu AS (SELECT p, count(*) AS n FROM capped GROUP BY p),
+        |pairs AS (
+        |  SELECT a.u, a.p AS p1, n1.n AS n1, b.p AS p2, n2.n AS n2
+        |  FROM capped a JOIN capped b ON a.u = b.u AND a.p < b.p
+        |  JOIN nu n1 ON n1.p = a.p JOIN nu n2 ON n2.p = b.p),
+        |q AS (
+        |  SELECT u, p1, n1, p2, n2,
+        |    CAST(round(least(1.0, 8.0 / sqrt(n1 * n2)) * 1048576)
+        |      AS BIGINT) AS pq
+        |  FROM pairs),
+        |emits AS (
+        |  SELECT p1, p2, n1, n2, pq, count(*) AS c
+        |  FROM q
+        |  WHERE ('0x' || substr(md5('ds:' || CAST(u AS VARCHAR) || ':' ||
+        |      CAST(p1 AS VARCHAR) || ':' || CAST(p2 AS VARCHAR)), 1, 10))
+        |      ::BIGINT < pq * 1048576
+        |  GROUP BY p1, p2, n1, n2, pq),
+        |sim AS (
+        |  SELECT p1, p2,
+        |    round(c * 1048576.0 / pq / sqrt(n1 * n2), 6) AS cosine_est
+        |  FROM emits),
+        |sym AS (
+        |  SELECT p1, p2, cosine_est FROM sim
+        |  UNION ALL
+        |  SELECT p2 AS p1, p1 AS p2, cosine_est FROM sim),
+        |rk AS (
+        |  SELECT p1, p2, cosine_est, row_number() OVER (
+        |    PARTITION BY p1 ORDER BY cosine_est DESC, p2) AS rank
+        |  FROM sym)
+        |SELECT p1 AS part, CAST(rank AS INT) AS rank, p2 AS similar,
+        |  cosine_est
+        |FROM rk WHERE rank <= 3 ORDER BY part, rank""".stripMargin,
 
     // both joined snapshot states closed-form: step 2 = A after the
     // %4 update × B after the %3 update (no deletes); step 3 = the

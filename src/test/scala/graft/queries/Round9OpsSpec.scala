@@ -208,6 +208,38 @@ class Round9OpsSpec extends SparkSpec {
     assert(out.values.map(_._1).toSet === Set(12L, 13L))
   }
 
+  // ---- q227 capped + DIMSUM composed CF ----
+
+  test("q227: with every capped item count below gamma (p = 1), the " +
+    "composed arm equals q211's capped-exact output verbatim") {
+    // 6 customers x small baskets: capped sets = full sets (baskets
+    // <= 8) and every n_i <= 6 so sqrt(n1*n2) <= 6 < 8 = gamma -> the
+    // Bernoulli draw always passes and the estimator is exact under
+    // the cap's contract: the two arms must agree bit-for-bit.
+    val dir = basketDir((1L to 6L).map(u =>
+      u -> (1L to 5L).filter(p => (u + p) % 2 == 0)))
+    val composed = q("q227_item_item_cf_capped_dimsum", dir).collect()
+      .map(r => (r.getAs[Long]("part"), r.getAs[Int]("rank")) ->
+        ((r.getAs[Long]("similar"), r.getAs[Double]("cosine_est")))).toMap
+    val cappedOnly = q("q211_item_item_cf_capped", dir).collect()
+      .map(r => (r.getAs[Long]("part"), r.getAs[Int]("rank")) ->
+        ((r.getAs[Long]("similar"), r.getAs[Double]("cosine")))).toMap
+    assert(composed === cappedOnly)
+  }
+
+  test("q227: a whale basket is capped before pair enumeration — no " +
+    "uncapped item ever appears in the output") {
+    // one customer buys 40 items: the cap keeps 8, so any similar/part
+    // id outside the md5-capped set proves the explode ran uncapped
+    val dir = basketDir(Seq(1L -> (1L to 40L)))
+    val out = q("q227_item_item_cf_capped_dimsum", dir).collect()
+    val ids = out.flatMap(r => Seq(r.getAs[Long]("part"),
+      r.getAs[Long]("similar"))).toSet
+    assert(ids.size <= 8, s"${ids.size} distinct items in output")
+    // and the capped set still produces rankings (8 items, cosines 1)
+    assert(out.nonEmpty)
+  }
+
   // ---- q224 diff-in-diff ----
 
   private def md5Arm(u: Long): Int = {
