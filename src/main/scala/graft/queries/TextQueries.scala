@@ -2628,6 +2628,40 @@ object TextQueries {
           expr("bit_xor(cast(conv(substring(md5(cast(doc_id as " +
             "string)), 1, 15), 16, 10) as bigint))").as("doc_hash"))
         .orderBy("split", "shard_id")
+    },
+
+    // Feature-hashing linear scorer (Weinberger et al.'s hashing
+    // trick — the inference pass of every fastText-style quality/
+    // topic filter): token → bucket via md5 % 1024, per-bucket
+    // integer micro-weight derived from md5("w:"+bucket) so BOTH
+    // engines own the identical "model" without a weights file, and
+    // per-doc logit = Σ occurrences·weight — all integer, so the
+    // band histogram is engine-exact. Scale shape: the weight is
+    // computed MAP-SIDE from the bucket id (a learned model would be
+    // a broadcast ≤nb-row LUT — never a shuffle side); one shuffle
+    // to the doc logit, one to the (lang, band) histogram. The
+    // corpus-sized explode never carries text past the map stage —
+    // only (doc_id, lang, weight) longs cross the exchange.
+    "q229_hashed_linear_score" -> { (s, dir) =>
+      val nb = 1024
+      val perDoc = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(toks(col("text"))).as("tk"))
+        .withColumn("bucket",
+          conv(substring(md5(col("tk")), 1, 8), 16, 10).cast("long") % nb)
+        .withColumn("w",
+          conv(substring(md5(concat(lit("w:"),
+            col("bucket").cast("string"))), 1, 8), 16, 10).cast("long")
+            % 2001 - 1000)
+        .groupBy("doc_id", "lang")
+        .agg(sum("w").as("logit_micro"))
+      perDoc
+        .withColumn("band",
+          floor(col("logit_micro").cast("double") / 20000.0).cast("long"))
+        .groupBy("lang", "band")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("logit_micro").as("sum_logit_micro"))
+        .orderBy("lang", "band")
     }
   )
 
@@ -4380,6 +4414,30 @@ object TextQueries {
         |    / max(nt), 6) AS resolution,
         |  round(max((sot::DOUBLE / nt) * (1.0 - sot::DOUBLE / nt)), 6)
         |    AS uncertainty
-        |FROM g, tot""".stripMargin
+        |FROM g, tot""".stripMargin,
+
+    // the same md5-derived buckets/weights and 20000-micro bands
+    "q229_hashed_linear_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang,
+        |    unnest(string_split(trim(lower(text)), ' ')) AS tk
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5(tk), 1, 8))::BIGINT % 1024 AS bucket
+        |  FROM tok),
+        |w AS (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5('w:' || CAST(bucket AS VARCHAR)), 1, 8))
+        |      ::BIGINT % 2001 - 1000 AS w
+        |  FROM b),
+        |d AS (
+        |  SELECT doc_id, lang, CAST(sum(w) AS BIGINT) AS logit_micro
+        |  FROM w GROUP BY doc_id, lang)
+        |SELECT lang,
+        |  CAST(floor(logit_micro / 20000.0) AS BIGINT) AS band,
+        |  count(*) AS n_docs,
+        |  CAST(sum(logit_micro) AS BIGINT) AS sum_logit_micro
+        |FROM d GROUP BY lang, band ORDER BY lang, band""".stripMargin
   )
 }

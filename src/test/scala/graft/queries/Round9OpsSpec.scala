@@ -361,4 +361,53 @@ class Round9OpsSpec extends SparkSpec {
     assert(out(("hub", 1L)) === ((5L, 1.0)))
     assert(out(("hub", 2L)) === ((3L, 0.6)))
   }
+
+  // ---- q228 MMR diversified top-k ----
+
+  test("q228: MMR prefers a diverse lower-relevance candidate over a " +
+    "redundant higher-relevance one, and drains small pools early") {
+    implicit val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("r9mmr").toString
+    // query q=(1,0,0). B=(2.1,1,0) has top relevance (step 1).
+    // A=(2.05,1,0) outranks C=(2,0,1) on relevance (898768 > 894427
+    // micro) but is nearly identical to B (sim ~0.99996), so MMR's
+    // 7·rel − 3·msim scores C ~3.84e6 > A ~3.29e6: step 2 must pick
+    // the DIVERSE C — the flip pure top-k cannot produce.
+    Seq(
+      (0L, "q", Seq(1.0, 0.0, 0.0)), (1L, "x", Seq(2.05, 1.0, 0.0)),
+      (2L, "x", Seq(2.1, 1.0, 0.0)), (3L, "x", Seq(2.0, 0.0, 1.0)))
+      .toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = q("q228_mmr_diversified_topk", dir).collect()
+      .map(r => r.getAs[Int]("step") ->
+        ((r.getAs[Long]("vec_id"), r.getAs[Long]("rel_micro")))).toMap
+    assert(out(1) === ((2L, 902861L))) // highest relevance seeds
+    assert(out(2)._1 === 3L)           // diverse beats redundant
+    assert(out(3)._1 === 1L)           // redundant last
+    // 3 candidates < k=8: the greedy loop stops when the pool drains
+    // (matching the oracle's empty LIMIT-1 steps) instead of crashing
+    assert(out.size === 3)
+  }
+
+  // ---- q229 feature-hashing linear scorer ----
+
+  test("q229: logits are exactly linear in token occurrences and " +
+    "weights stay on the md5 integer grid") {
+    implicit val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("r9fh").toString
+    // same token repeated: doc y's logit must be EXACTLY 2x doc x's
+    // (the hashing trick is a linear map of the count vector)
+    Seq((1L, "x", "alpha"), (2L, "y", "alpha alpha"))
+      .toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = q("q229_hashed_linear_score", dir).collect()
+      .map(r => r.getAs[String]("lang") -> r).toMap
+    val w = out("x").getAs[Long]("sum_logit_micro")
+    assert(out("y").getAs[Long]("sum_logit_micro") === 2 * w)
+    assert(w >= -1000L && w <= 1000L) // md5 % 2001 - 1000 grid
+    // band is the 20000-micro floor of the per-doc logit
+    assert(out("x").getAs[Long]("band") ===
+      math.floor(w.toDouble / 20000.0).toLong)
+    assert(out.values.map(_.getAs[Long]("n_docs")).sum === 2L)
+  }
 }
