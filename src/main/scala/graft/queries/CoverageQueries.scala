@@ -3427,6 +3427,82 @@ object CoverageQueries {
         .select(col("p1").as("part"), col("rank"),
           col("p2").as("similar"), col("cosine_est"))
         .orderBy("part", "rank")
+    },
+
+    // Bradley–Terry preference strengths via Hunter's (2004) MM
+    // iteration — the batch rating pass behind pairwise-preference
+    // data (RLHF comparison sets, judge panels, match histories).
+    // Duels derive from events: per user, for each event-type pair,
+    // the type the user triggered MORE often wins (ties = no
+    // contest). Five synchronous MM rounds entirely on BIGINTs:
+    // strengths live in micro units and every division is a FLOOR
+    // division at a fixed point — term_ij = n_ij·1e12 div (s_i+s_j),
+    // s_i' = w_i·1e12 div Σ_j term_ij — so both engines walk the
+    // identical integer trajectory with no rounding-mode ambiguity
+    // (floor-div beats round(): no half-way cases at all). Scale
+    // shape: one shuffle to (user, type) counts; the per-user duel
+    // expansion is a user-keyed equi self-join bounded by the type
+    // vocabulary (≤T² rows per user); everything after the (i,j)
+    // match aggregate is a ≤T-row state table per round — bounded
+    // metadata (kmeansFit precedent), never a corpus shuffle. The
+    // closing row_number runs over that same ≤T-row table.
+    "q230_bradley_terry" -> { (s, dir) =>
+      val rounds = 5
+      val SC = "1000000000000" // 1e12; w,n ≤ ~2e4 at sf1 → < 2^63
+      val perUser = t(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type").as("ty"))
+        .agg(count(lit(1)).as("c"))
+      val duels = perUser.select(col("user_id"), col("ty").as("ta"),
+          col("c").as("ca"))
+        .join(perUser.select(col("user_id"), col("ty").as("tb"),
+          col("c").as("cb")), Seq("user_id"))
+        .filter(col("ta") < col("tb") && col("ca") =!= col("cb"))
+        .select(
+          when(col("ca") > col("cb"), col("ta")).otherwise(col("tb"))
+            .as("win"),
+          when(col("ca") > col("cb"), col("tb")).otherwise(col("ta"))
+            .as("lose"))
+      val nij = duels
+        .groupBy(least(col("win"), col("lose")).as("i"),
+          greatest(col("win"), col("lose")).as("j"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint() // ≤T² rows
+      val wins = duels.groupBy(col("win").as("ty"))
+        .agg(count(lit(1)).as("w"))
+      // items with ≥1 duel are rated; an all-losing item keeps w = 0
+      // (its strength floors to 0, never a division by zero — the
+      // denominators only ever see OPPONENT strengths added to own)
+      val items = nij.select(col("i").as("ty"), col("n"))
+        .unionByName(nij.select(col("j").as("ty"), col("n")))
+        .groupBy("ty").agg(sum("n").as("m"))
+        .join(wins, Seq("ty"), "left")
+        .select(col("ty"), coalesce(col("w"), lit(0L)).as("w"), col("m"))
+        .localCheckpoint()
+      val directed = nij
+        .unionByName(nij.select(col("j").as("i"), col("i").as("j"),
+          col("n")))
+        .localCheckpoint()
+      var strength = items.select(col("ty"), lit(1000000L).as("st"))
+      for (_ <- 1 to rounds) {
+        val denom = directed
+          .join(strength.select(col("ty").as("i"), col("st").as("si")),
+            "i")
+          .join(strength.select(col("ty").as("j"), col("st").as("sj")),
+            "j")
+          .select(col("i").as("ty"),
+            expr(s"(n * ${SC}L) div (si + sj)").as("term"))
+          .groupBy("ty").agg(sum("term").as("dn"))
+        strength = items.join(denom, "ty")
+          .select(col("ty"), expr(s"(w * ${SC}L) div dn").as("st"))
+          .localCheckpoint() // ≤T rows per round
+      }
+      strength.join(items, "ty")
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("st").desc, col("ty"))))
+        .select(col("rank"), col("ty").as("event_type"),
+          col("w").as("wins"), col("m").as("matches"),
+          col("st").as("strength_micro"))
+        .orderBy("rank")
     }
   )
 
@@ -4568,6 +4644,60 @@ object CoverageQueries {
         |SELECT p1 AS part, CAST(rank AS INT) AS rank, p2 AS similar,
         |  cosine_est
         |FROM rk WHERE rank <= 3 ORDER BY part, rank""".stripMargin,
+
+    // the same 5 MM rounds as chained MATERIALIZED CTEs; every
+    // division is BIGINT floor division (//), so both engines walk
+    // the identical integer strength trajectory
+    "q230_bradley_terry" -> {
+      def mmRound(j: Int): String =
+        s"""s$j AS MATERIALIZED (
+           |  SELECT it.ty,
+           |    CAST((it.w * 1000000000000) // d.dn AS BIGINT) AS st
+           |  FROM items it JOIN (
+           |    SELECT dd.i AS ty, CAST(sum(
+           |        (dd.n * 1000000000000) // (si.st + sj.st))
+           |      AS BIGINT) AS dn
+           |    FROM dd JOIN s${j - 1} si ON si.ty = dd.i
+           |            JOIN s${j - 1} sj ON sj.ty = dd.j
+           |    GROUP BY dd.i) d USING (ty)),""".stripMargin
+      """WITH pu AS MATERIALIZED (
+        |  SELECT user_id, event_type AS ty, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |duel AS MATERIALIZED (
+        |  SELECT CASE WHEN a.c > b.c THEN a.ty ELSE b.ty END AS win,
+        |         CASE WHEN a.c > b.c THEN b.ty ELSE a.ty END AS lose
+        |  FROM pu a JOIN pu b
+        |    ON a.user_id = b.user_id AND a.ty < b.ty
+        |  WHERE a.c <> b.c),
+        |nij AS MATERIALIZED (
+        |  SELECT least(win, lose) AS i, greatest(win, lose) AS j,
+        |    count(*) AS n
+        |  FROM duel GROUP BY 1, 2),
+        |wins AS (SELECT win AS ty, count(*) AS w FROM duel GROUP BY 1),
+        |items AS MATERIALIZED (
+        |  SELECT m.ty, COALESCE(w.w, 0) AS w, m.m
+        |  FROM (SELECT ty, CAST(sum(n) AS BIGINT) AS m FROM (
+        |          SELECT i AS ty, n FROM nij
+        |          UNION ALL SELECT j, n FROM nij) GROUP BY ty) m
+        |  LEFT JOIN wins w USING (ty)),
+        |dd AS MATERIALIZED (
+        |  SELECT i, j, n FROM nij
+        |  UNION ALL SELECT j AS i, i AS j, n FROM nij),
+        |s0 AS MATERIALIZED (
+        |  SELECT ty, CAST(1000000 AS BIGINT) AS st FROM items),
+        |""".stripMargin +
+        (1 to 5).map(mmRound).mkString("\n") +
+        """
+          |ranked AS (
+          |  SELECT row_number() OVER (ORDER BY s5.st DESC, s5.ty)
+          |      AS rank,
+          |    s5.ty AS event_type, items.w AS wins, items.m AS matches,
+          |    s5.st AS strength_micro
+          |  FROM s5 JOIN items ON items.ty = s5.ty)
+          |SELECT CAST(rank AS INT) AS rank, event_type, wins, matches,
+          |  strength_micro
+          |FROM ranked ORDER BY rank""".stripMargin
+    },
 
     // both joined snapshot states closed-form: step 2 = A after the
     // %4 update × B after the %3 update (no deletes); step 3 = the

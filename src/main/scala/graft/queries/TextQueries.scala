@@ -2662,6 +2662,44 @@ object TextQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum("logit_micro").as("sum_logit_micro"))
         .orderBy("lang", "band")
+    },
+
+    // Cross-source score quantile normalization (CDF matching — the
+    // calibration pass that makes per-crawl quality scores
+    // comparable: a raw score's meaning drifts per source, its
+    // within-source QUANTILE does not). Score = exact token count.
+    // Everything runs on the (source, score) HISTOGRAM: per-source
+    // prefix sums give the within-source CDF, a global prefix gives
+    // the corpus CDF, and each cell maps to the smallest global
+    // score whose cumulative count reaches the cell's nearest-rank
+    // quantile, ceil(k_src·N / n_s) — all BIGINT with one floor
+    // division. No per-doc window anywhere: windows run over
+    // HISTOGRAM rows (score domain × source count — the q210/q225
+    // bounded-grid device) and the mapping join is histogram ×
+    // broadcast(global histogram). k_src·N needs a decimal above
+    // ~2^31 docs; a quantized score grid keeps the histogram bounded
+    // regardless of corpus size.
+    "q231_quantile_normalize" -> { (s, dir) =>
+      val hist = t(s, dir, "documents")
+        .select(col("source"),
+          size(toks(col("text"))).cast("long").as("sc"))
+        .groupBy("source", "sc").agg(count(lit(1)).as("c"))
+        .localCheckpoint() // |sources| x |score domain| rows
+      val srcCdf = hist
+        .withColumn("k",
+          sum("c").over(Window.partitionBy("source").orderBy("sc")))
+        .withColumn("ns", sum("c").over(Window.partitionBy("source")))
+      val glob = hist.groupBy("sc").agg(sum("c").as("gc"))
+        .withColumn("kg", sum("gc").over(Window.orderBy("sc")))
+      val n = glob.agg(sum("gc").as("nn"))
+      srcCdf.crossJoin(broadcast(n))
+        .withColumn("gr", expr("(k * nn + ns - 1) div ns"))
+        .join(broadcast(glob.select(col("sc").as("g"), col("kg"))),
+          col("kg") >= col("gr"))
+        .groupBy("source", "sc", "c").agg(min("g").as("norm"))
+        .select(col("source"), col("sc").as("score"),
+          col("norm").as("normalized"), col("c").as("n_docs"))
+        .orderBy("source", "score")
     }
   )
 
@@ -4438,6 +4476,34 @@ object TextQueries {
         |  CAST(floor(logit_micro / 20000.0) AS BIGINT) AS band,
         |  count(*) AS n_docs,
         |  CAST(sum(logit_micro) AS BIGINT) AS sum_logit_micro
-        |FROM d GROUP BY lang, band ORDER BY lang, band""".stripMargin
+        |FROM d GROUP BY lang, band ORDER BY lang, band""".stripMargin,
+
+    // the same histogram CDFs and nearest-rank floor-div mapping
+    "q231_quantile_normalize" ->
+      """WITH h AS MATERIALIZED (
+        |  SELECT source,
+        |    CAST(len(string_split(trim(lower(text)), ' ')) AS BIGINT)
+        |      AS sc,
+        |    count(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |sc_cdf AS MATERIALIZED (
+        |  SELECT source, sc, c,
+        |    CAST(sum(c) OVER (PARTITION BY source ORDER BY sc)
+        |      AS BIGINT) AS k,
+        |    CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS ns
+        |  FROM h),
+        |g AS (SELECT sc, CAST(sum(c) AS BIGINT) AS gc FROM h
+        |      GROUP BY sc),
+        |gcum AS MATERIALIZED (
+        |  SELECT sc AS gsc,
+        |    CAST(sum(gc) OVER (ORDER BY sc) AS BIGINT) AS kg
+        |  FROM g),
+        |n AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM h)
+        |SELECT s.source, s.sc AS score, min(gcum.gsc) AS normalized,
+        |  s.c AS n_docs
+        |FROM sc_cdf s, n, gcum
+        |WHERE gcum.kg >= (s.k * n.nn + s.ns - 1) // s.ns
+        |GROUP BY s.source, s.sc, s.c
+        |ORDER BY s.source, score""".stripMargin
   )
 }

@@ -512,6 +512,53 @@ object VectorQueries {
       import s.implicits._
       sel.toDF("step", "vec_id", "rel_micro", "score_micro")
         .orderBy("step")
+    },
+
+    // k-center greedy coreset (Gonzalez 1985 farthest-point
+    // traversal — the 2-approximation behind diverse data-subset /
+    // active-learning selection): seed at vec_id 0, then k−1 times
+    // pick the vector FARTHEST from everything selected so far,
+    // distance = 1e6 − micro-cosine (rounded once, then pure
+    // integers). Scale shape: the running min-distance column
+    // updates against ONE newly-selected broadcast vector per step
+    // and the argmax is one hash aggregate — k linear scans total,
+    // state checkpointed per step (the q190 state-as-table device);
+    // nothing quadratic in the corpus, unlike the all-pairs
+    // formulations of diversity selection.
+    "q232_kcenter_coreset" -> { (s, dir) =>
+      val k = 8
+      val e = emb(s, dir).select("vec_id", "v")
+      def distTo(nv: Column): Column =
+        lit(1000000L) - round(G.cosineSim(col("v"), nv) * 1e6).cast("long")
+      // seed: dist recorded as the metric's upper bound (cos ≥ −1)
+      var sel = Vector((1, 0L, 2000000L))
+      var st = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(e.filter(col("vec_id") === 0)
+          .select(col("v").as("nv"))))
+        .select(col("vec_id"), col("v"), distTo(col("nv")).as("mind"))
+        .localCheckpoint()
+      var step = 2
+      var exhausted = false
+      while (step <= k && !exhausted) {
+        val top = st.filter(!col("vec_id").isInCollection(sel.map(_._2)))
+          .agg(max(struct(col("mind").as("d"), (-col("vec_id")).as("nid")))
+            .as("m"))
+          .select(col("m.d"), (-col("m.nid")).as("vec_id"))
+          .head()
+        if (top.isNullAt(0)) exhausted = true
+        else {
+          val picked = top.getLong(1)
+          sel = sel :+ ((step, picked, top.getLong(0)))
+          st = st.crossJoin(broadcast(
+              st.filter(col("vec_id") === picked).select(col("v").as("nv"))))
+            .select(col("vec_id"), col("v"),
+              least(col("mind"), distTo(col("nv"))).as("mind"))
+            .localCheckpoint()
+          step += 1
+        }
+      }
+      import s.implicits._
+      sel.toDF("step", "vec_id", "dist_micro").orderBy("step")
     }
   )
 
@@ -855,6 +902,37 @@ object VectorQueries {
             s" score AS score_micro FROM s$j")
           .mkString("\nUNION ALL\n") +
         "\nORDER BY step"
+    },
+
+    // the same greedy traversal: each MATERIALIZED step recomputes
+    // every unselected vector's min distance to the selected set —
+    // identical values to the engine's incremental least() chain
+    "q232_kcenter_coreset" -> {
+      def stepCte(j: Int): String =
+        s"""p$j AS MATERIALIZED (
+           |  SELECT $j AS step, e.vec_id,
+           |    min(1000000 - CAST(round(
+           |      list_cosine_similarity(e.v, s.v) * 1e6) AS BIGINT))
+           |      AS dist
+           |  FROM e, e s
+           |  WHERE s.vec_id IN (SELECT vec_id FROM l${j - 1})
+           |    AND e.vec_id NOT IN (SELECT vec_id FROM l${j - 1})
+           |  GROUP BY e.vec_id
+           |  ORDER BY dist DESC, e.vec_id LIMIT 1),
+           |l$j AS MATERIALIZED (
+           |  SELECT step, vec_id, dist FROM l${j - 1}
+           |  UNION ALL SELECT step, vec_id, dist FROM p$j),""".stripMargin
+      """WITH e AS MATERIALIZED (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |l1 AS MATERIALIZED (
+        |  SELECT 1 AS step, CAST(0 AS BIGINT) AS vec_id,
+        |    CAST(2000000 AS BIGINT) AS dist),
+        |""".stripMargin +
+        (2 to 8).map(stepCte).mkString("\n") +
+        """
+          |dummy AS (SELECT 1)
+          |SELECT step, vec_id, dist AS dist_micro FROM l8
+          |ORDER BY step""".stripMargin
     }
   )
 }

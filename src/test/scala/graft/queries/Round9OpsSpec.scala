@@ -410,4 +410,78 @@ class Round9OpsSpec extends SparkSpec {
       math.floor(w.toDouble / 20000.0).toLong)
     assert(out.values.map(_.getAs[Long]("n_docs")).sum === 2L)
   }
+
+  // ---- q230 Bradley–Terry ----
+
+  test("q230: two-item MM fixpoint recovers the w_a/w_b strength " +
+    "ratio in floored micro units") {
+    // u1: a>b, u2: a>b, u3: b>a  ->  n_ab=3, w_a=2, w_b=1.
+    // Round 1: term = 3e12 div 2e6 = 1.5e6 both; s_a = 2e12 div
+    // 1.5e6 = 1333333, s_b = 666666; rounds 2..5 are a fixpoint
+    // (term = 3e12 div 1999999 = 1500000). BT MLE: p(a beats b) =
+    // s_a/(s_a+s_b) = 2/3 exactly.
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val rows = Seq(
+      (1L, "a"), (2L, "a"), (3L, "b"),            // u1: a twice, b once
+      (4L, "a"), (5L, "a"), (6L, "a"), (7L, "b"), // u2
+      (8L, "b"), (9L, "b"), (10L, "a"))           // u3: b wins
+        .zipWithIndex.map { case ((id, ty), i) =>
+          val u = if (id <= 3) 1L else if (id <= 7) 2L else 3L
+          (id, ts(i), u, ty, 1.0)
+        }
+    val out = q("q230_bradley_terry", eventsDir(rows)).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(out("a").getAs[Long]("strength_micro") === 1333333L)
+    assert(out("b").getAs[Long]("strength_micro") === 666666L)
+    assert(out("a").getAs[Int]("rank") === 1)
+    assert(out("a").getAs[Long]("wins") === 2L)
+    assert(out("b").getAs[Long]("matches") === 3L)
+  }
+
+  // ---- q231 quantile normalization ----
+
+  test("q231: equal within-source quantiles map to the same global " +
+    "score regardless of each source's raw scale") {
+    implicit val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("r9qn").toString
+    // srcA scores {1,2}, srcB scores {10,20}: global order 1,2,10,20.
+    // Both sources' medians (k/n = 1/2 -> gr = 2) normalize to 2 and
+    // both maxima (gr = 4) to 20 — srcB's inflated raw scale cancels.
+    Seq((1L, "srcA", "w"), (2L, "srcA", "w w"),
+      (3L, "srcB", Seq.fill(10)("w").mkString(" ")),
+      (4L, "srcB", Seq.fill(20)("w").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = q("q231_quantile_normalize", dir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("score")) ->
+        r.getAs[Long]("normalized")).toMap
+    assert(out(("srcA", 1L)) === 2L)
+    assert(out(("srcB", 10L)) === 2L)  // same quantile, same output
+    assert(out(("srcA", 2L)) === 20L)
+    assert(out(("srcB", 20L)) === 20L)
+  }
+
+  // ---- q232 k-center coreset ----
+
+  test("q232: farthest-point traversal picks the antipode, then the " +
+    "orthogonal, and leaves the near-duplicate of the seed for last") {
+    implicit val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("r9kc").toString
+    // seed 0=(1,0); 1=(1,0.01) is a near-dup of the seed (dist 50
+    // micro); 2=(-1,0) is the antipode (dist 2e6); 3=(0,1) is
+    // orthogonal to both 0 and 2 (dist 1e6)
+    Seq((0L, "s", Seq(1.0, 0.0)), (1L, "s", Seq(1.0, 0.01)),
+      (2L, "s", Seq(-1.0, 0.0)), (3L, "s", Seq(0.0, 1.0)))
+      .toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = q("q232_kcenter_coreset", dir).collect()
+      .map(r => r.getAs[Int]("step") ->
+        ((r.getAs[Long]("vec_id"), r.getAs[Long]("dist_micro"))))
+      .toMap
+    assert(out(1) === ((0L, 2000000L))) // seed at the metric cap
+    assert(out(2) === ((2L, 2000000L))) // antipode first
+    assert(out(3) === ((3L, 1000000L))) // orthogonal next
+    assert(out(4) === ((1L, 50L)))      // near-dup last, tiny radius
+    assert(out.size === 4)              // pool drained before k=8
+  }
 }
