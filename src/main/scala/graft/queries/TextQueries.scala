@@ -2700,6 +2700,77 @@ object TextQueries {
         .select(col("source"), col("sc").as("score"),
           col("norm").as("normalized"), col("c").as("n_docs"))
         .orderBy("source", "score")
+    },
+
+    // Nucleus (top-p) selection per source — keep each source's
+    // highest-scoring docs until they cover p = 80% of the source's
+    // total score mass (the budgeted "best slice per crawl" curation
+    // cut; ties at the cutoff all kept, so no per-doc rank exists).
+    // Runs entirely on the (source, score) HISTOGRAM: a descending
+    // prefix sum finds the cutoff = highest score whose running mass
+    // first reaches ceil(4·total/5) — integer threshold via floor
+    // div, one closing floor div for the kept-share. No per-doc
+    // window at any corpus size (q231's device, descending).
+    "q233_nucleus_select" -> { (s, dir) =>
+      val hist = t(s, dir, "documents")
+        .select(col("source"),
+          size(toks(col("text"))).cast("long").as("sc"))
+        .groupBy("source", "sc").agg(count(lit(1)).as("c"))
+        .withColumn("mass", col("sc") * col("c"))
+      val cum = hist
+        .withColumn("km", sum("mass").over(
+          Window.partitionBy("source").orderBy(col("sc").desc)))
+        .withColumn("kc", sum("c").over(
+          Window.partitionBy("source").orderBy(col("sc").desc)))
+        .withColumn("total", sum("mass").over(
+          Window.partitionBy("source")))
+      cum.filter(col("km") >= expr("(4 * total + 4) div 5"))
+        .groupBy("source")
+        .agg(max("sc").as("cutoff_score"),
+          max("total").as("mass_total"))
+        .join(cum, Seq("source"))
+        .filter(col("sc") === col("cutoff_score"))
+        .select(col("source"), col("cutoff_score"),
+          col("kc").as("n_kept"), col("km").as("mass_kept"),
+          expr("(km * 1000000) div mass_total").as("share_micro"))
+        .orderBy("source")
+    },
+
+    // Split conformal calibration (Vovk; the distribution-free
+    // coverage guarantee every selective-prediction filter wants):
+    // a deterministic md5 split carves out the calibration set, the
+    // conformal quantile q̂ is the nearest-rank
+    // ⌈(n_cal+1)(1−α)⌉-th smallest calibration score (α = 0.1), and
+    // the held-out rows audit the ≥ 1−α coverage promise. The
+    // quantile comes from a prefix sum over the bounded SCORE
+    // HISTOGRAM — no sort, no corpus-wide window — and coverage is
+    // one integer count with a single closing floor division.
+    "q234_conformal_calibration" -> { (s, dir) =>
+      val scored = t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(toks(col("text"))).cast("long").as("sc"),
+          (conv(substring(md5(concat(lit("cal:"),
+            col("doc_id").cast("string"))), 1, 8), 16, 10)
+            .cast("long") % 5 === 0).as("is_cal"))
+      // NOT checkpointed: the md5 split is deterministic, so each
+      // branch re-derives it from the scan — a corpus-sized
+      // materialization here would be the actual scale bug
+      val calHist = scored.filter(col("is_cal"))
+        .groupBy("sc").agg(count(lit(1)).as("c"))
+        .withColumn("k", sum("c").over(Window.orderBy("sc")))
+      val nCal = scored.filter(col("is_cal"))
+        .agg(count(lit(1)).as("n_cal"))
+      // nearest-rank index ⌈(n_cal+1)·0.9⌉ = (9·(n_cal+1)+9) div 10
+      val qhat = calHist.crossJoin(broadcast(nCal))
+        .filter(col("k") >= expr("(9 * (n_cal + 1) + 9) div 10"))
+        .agg(min("sc").as("qhat"), max("n_cal").as("n_cal"))
+      scored.filter(!col("is_cal"))
+        .crossJoin(broadcast(qhat))
+        .agg(max("n_cal").as("n_cal"), max("qhat").as("qhat"),
+          count(lit(1)).as("n_test"),
+          sum((col("sc") <= col("qhat")).cast("long")).as("n_covered"))
+        .withColumn("coverage_micro",
+          expr("(n_covered * 1000000) div n_test"))
     }
   )
 
@@ -4504,6 +4575,62 @@ object TextQueries {
         |FROM sc_cdf s, n, gcum
         |WHERE gcum.kg >= (s.k * n.nn + s.ns - 1) // s.ns
         |GROUP BY s.source, s.sc, s.c
-        |ORDER BY s.source, score""".stripMargin
+        |ORDER BY s.source, score""".stripMargin,
+
+    // the same descending histogram prefix and ceil(4/5) floor-div cut
+    "q233_nucleus_select" ->
+      """WITH h AS (
+        |  SELECT source,
+        |    CAST(len(string_split(trim(lower(text)), ' ')) AS BIGINT)
+        |      AS sc,
+        |    count(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |cum AS MATERIALIZED (
+        |  SELECT source, sc,
+        |    CAST(sum(sc * c) OVER (PARTITION BY source
+        |      ORDER BY sc DESC) AS BIGINT) AS km,
+        |    CAST(sum(c) OVER (PARTITION BY source ORDER BY sc DESC)
+        |      AS BIGINT) AS kc,
+        |    CAST(sum(sc * c) OVER (PARTITION BY source) AS BIGINT)
+        |      AS total
+        |  FROM h),
+        |cut AS (
+        |  SELECT source, max(sc) AS cutoff_score,
+        |    max(total) AS mass_total
+        |  FROM cum WHERE km >= (4 * total + 4) // 5 GROUP BY source)
+        |SELECT c.source, c.cutoff_score, m.kc AS n_kept,
+        |  m.km AS mass_kept,
+        |  CAST((m.km * 1000000) // c.mass_total AS BIGINT)
+        |    AS share_micro
+        |FROM cut c JOIN cum m
+        |  ON m.source = c.source AND m.sc = c.cutoff_score
+        |ORDER BY c.source""".stripMargin,
+
+    // the same md5 split, nearest-rank histogram quantile, and
+    // single closing floor division
+    "q234_conformal_calibration" ->
+      """WITH scored AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(trim(lower(text)), ' ')) AS BIGINT)
+        |      AS sc,
+        |    ('0x' || substr(md5('cal:' || CAST(doc_id AS VARCHAR)),
+        |      1, 8))::BIGINT % 5 = 0 AS is_cal
+        |  FROM documents),
+        |ch AS (SELECT sc, count(*) AS c FROM scored WHERE is_cal
+        |       GROUP BY sc),
+        |ck AS MATERIALIZED (
+        |  SELECT sc, CAST(sum(c) OVER (ORDER BY sc) AS BIGINT) AS k
+        |  FROM ch),
+        |nc AS (SELECT count(*) AS n_cal FROM scored WHERE is_cal),
+        |qh AS (
+        |  SELECT min(ck.sc) AS qhat, max(nc.n_cal) AS n_cal
+        |  FROM ck, nc WHERE ck.k >= (9 * (nc.n_cal + 1) + 9) // 10)
+        |SELECT qh.n_cal, qh.qhat, count(*) AS n_test,
+        |  CAST(sum(CASE WHEN t.sc <= qh.qhat THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_covered,
+        |  CAST((sum(CASE WHEN t.sc <= qh.qhat THEN 1 ELSE 0 END)
+        |    * 1000000) // count(*) AS BIGINT) AS coverage_micro
+        |FROM scored t, qh WHERE NOT t.is_cal
+        |GROUP BY qh.n_cal, qh.qhat""".stripMargin
   )
 }

@@ -920,4 +920,64 @@ class PlanQualitySpec extends SparkSpec {
     assert(hashEx.forall(b => !b.contains(", v#") && !b.contains("[v#")), p)
     assert(p.contains("WindowGroupLimit"), p)
   }
+
+  // q229: the hashing-trick scorer's exchanges carry (doc_id, lang,
+  // weight) longs — the exploded token column stays map-side, and
+  // the logit aggregate has a partial (map-side combine) pass.
+  test("q229 hashed scorer: tokens never cross an exchange") {
+    val p = plan("q229_hashed_linear_score")
+    val blocks = p.split("(?m)^\\s*\\(\\d+\\) ").toSeq
+    val hashEx = blocks.filter(b => b.startsWith("Exchange") &&
+      b.contains("hashpartitioning"))
+    assert(hashEx.nonEmpty, p)
+    assert(hashEx.forall(b => !b.contains("tk#") && !b.contains("text#")), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+  }
+
+  // q231/q233: the CDF machinery runs on the (source, score)
+  // HISTOGRAM — every Window operates over histogram rows (no doc_id
+  // in any window block), and raw text never crosses an exchange.
+  test("q231 quantile normalize: windows on histogram rows only") {
+    val p = plan("q231_quantile_normalize")
+    val blocks = p.split("(?m)^\\s*\\(\\d+\\) ").toSeq
+    val windows = blocks.filter(b =>
+      b.startsWith("Window") && !b.startsWith("WindowGroupLimit"))
+    assert(windows.nonEmpty && windows.forall(!_.contains("doc_id")), p)
+    val hashEx = blocks.filter(b => b.startsWith("Exchange"))
+    assert(hashEx.forall(!_.contains("text#")), p)
+  }
+
+  test("q233 nucleus select: windows on histogram rows only, no cartesian") {
+    val p = plan("q233_nucleus_select")
+    assert(!p.contains("CartesianProduct"), p)
+    val blocks = p.split("(?m)^\\s*\\(\\d+\\) ").toSeq
+    val windows = blocks.filter(b =>
+      b.startsWith("Window") && !b.startsWith("WindowGroupLimit"))
+    assert(windows.nonEmpty && windows.forall(!_.contains("doc_id")), p)
+  }
+
+  // q230: the MM rounds checkpoint per round, so the visible plan is
+  // the closing join + rank over the ≤T-row state table — what must
+  // hold is no cartesian (the duel stages already ran through
+  // checkpoints; their equi-join shape is pinned by the q230 spec's
+  // closed-form values, which a cartesian would not change anyway —
+  // the scale property here is the ≤T-row final window).
+  test("q230 Bradley-Terry: no cartesian in the closing plan") {
+    val p = plan("q230_bradley_terry")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  // q234: no corpus-wide window (the quantile comes from the bounded
+  // score histogram), the qhat scalar broadcasts, no cartesian.
+  test("q234 conformal: histogram quantile, no per-doc window") {
+    val p = plan("q234_conformal_calibration")
+    assert(!p.contains("CartesianProduct"), p)
+    val blocks = p.split("(?m)^\\s*\\(\\d+\\) ").toSeq
+    val windows = blocks.filter(b =>
+      b.startsWith("Window") && !b.startsWith("WindowGroupLimit"))
+    assert(windows.forall(!_.contains("doc_id")), p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+  }
 }

@@ -484,4 +484,67 @@ class Round9OpsSpec extends SparkSpec {
     assert(out(4) === ((1L, 50L)))      // near-dup last, tiny radius
     assert(out.size === 4)              // pool drained before k=8
   }
+
+  // ---- q233 nucleus (top-p) selection ----
+
+  private def srcDocsDir(docs: Seq[(Long, String, Int)]): String = {
+    implicit val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("r9np").toString
+    docs.map { case (id, src, nTok) =>
+      (id, src, Seq.fill(nTok)("w").mkString(" ")) }
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q233: the cut stops at the first score crossing 80% of the " +
+    "mass, and ties at the cutoff are all kept") {
+    // srcA masses desc: 10, 15, 19 vs thr ceil(0.8*20)=16 -> cutoff 4
+    // keeps 3 docs / 19 mass; srcB {3,3,2,2}: thr 8, sc=3 carries
+    // only 6, so the cut lands on 2 and BOTH sc=2 docs stay
+    val dir = srcDocsDir(Seq(
+      (1L, "srcA", 10), (2L, "srcA", 5), (3L, "srcA", 4),
+      (4L, "srcA", 1),
+      (5L, "srcB", 3), (6L, "srcB", 3), (7L, "srcB", 2),
+      (8L, "srcB", 2)))
+    val out = q("q233_nucleus_select", dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(out("srcA").getAs[Long]("cutoff_score") === 4L)
+    assert(out("srcA").getAs[Long]("n_kept") === 3L)
+    assert(out("srcA").getAs[Long]("mass_kept") === 19L)
+    assert(out("srcA").getAs[Long]("share_micro") === 950000L)
+    assert(out("srcB").getAs[Long]("cutoff_score") === 2L)
+    assert(out("srcB").getAs[Long]("n_kept") === 4L) // ties kept
+    assert(out("srcB").getAs[Long]("share_micro") === 1000000L)
+  }
+
+  // ---- q234 split conformal calibration ----
+
+  test("q234: the gated row matches an independent JVM-side replay " +
+    "of the md5 split and nearest-rank quantile") {
+    // 100 docs with token counts 1..100; the expectation below
+    // re-derives the split with java MessageDigest (not Spark md5)
+    // and the quantile with plain Scala — an independent oracle
+    val docs = (1L to 100L).map(i => (i, "s", i.toInt))
+    val out = q("q234_conformal_calibration", srcDocsDir(docs)).head()
+    def isCal(id: Long): Boolean = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"cal:$id".getBytes("UTF-8"))
+      val hex = d.take(4).map(b => f"$b%02x").mkString // first 8 chars
+      java.lang.Long.parseLong(hex, 16) % 5 == 0
+    }
+    val cal = docs.filter(d => isCal(d._1)).map(_._3.toLong).sorted
+    val test = docs.filterNot(d => isCal(d._1)).map(_._3.toLong)
+    val idx = (9 * (cal.size + 1) + 9) / 10 // ceil((n+1)*0.9)
+    val qhat = cal(idx - 1)
+    val covered = test.count(_ <= qhat).toLong
+    assert(out.getAs[Long]("n_cal") === cal.size.toLong)
+    assert(out.getAs[Long]("qhat") === qhat)
+    assert(out.getAs[Long]("n_test") === test.size.toLong)
+    assert(out.getAs[Long]("n_covered") === covered)
+    assert(out.getAs[Long]("coverage_micro") ===
+      covered * 1000000L / test.size)
+    // the conformal promise itself on this realization
+    assert(out.getAs[Long]("coverage_micro") >= 850000L)
+  }
 }
