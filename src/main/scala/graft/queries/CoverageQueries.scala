@@ -3503,6 +3503,83 @@ object CoverageQueries {
           col("w").as("wins"), col("m").as("matches"),
           col("st").as("strength_micro"))
         .orderBy("rank")
+    },
+
+    // l-diversity audit (Machanavajjhala et al. — the k-anonymity
+    // companion q193 leaves open: a group can be k-large yet reveal
+    // everyone's segment if all k share one sensitive value). Per
+    // quasi-identifier grouping at two coarsening levels, count
+    // groups whose DISTINCT sensitive-value count falls below l = 3
+    // and the rows they expose. One exact-distinct shuffle per level
+    // — the audit table is groups, never rows.
+    "q235_l_diversity" -> { (s, dir) =>
+      val l = 3
+      val c = t(s, dir, "customer").select(
+        col("c_nationkey").cast("long").as("nat"),
+        floor(col("c_acctbal") / 1000).cast("long").as("balb"),
+        col("c_mktsegment").as("seg"))
+      def audit(level: Int, keys: Seq[String]): DataFrame =
+        c.groupBy(keys.map(col): _*)
+          .agg(countDistinct(col("seg")).as("d"), count(lit(1)).as("n"))
+          .agg(count(lit(1)).as("n_groups"),
+            sum(when(col("d") < l, 1L).otherwise(0L)).as("risky_groups"),
+            sum(when(col("d") < l, col("n")).otherwise(0L))
+              .as("risky_rows"))
+          .select(lit(level).as("level"), col("n_groups"),
+            col("risky_groups"), col("risky_rows"))
+      audit(0, Seq("nat", "balb")).unionByName(audit(1, Seq("nat")))
+        .orderBy("level")
+    },
+
+    // NEAREST as-of join (pandas merge_asof direction='nearest'
+    // within a tolerance — q62 is the backward-only arm): each
+    // purchase matches the user's closest click within ±30 min,
+    // preferring the earlier side on exact |Δt| ties and the lowest
+    // click id among same-timestamp clicks (deduped BEFORE the
+    // window, so the per-direction candidates are unique). Shape:
+    // the union-then-window device — ONE user-keyed sort yields both
+    // the backward candidate (running last click) and the forward
+    // candidate (first following click); no range join, no per-row
+    // probe. Output carries only Δt (epoch differences — never an
+    // absolute epoch column, the q145 lesson).
+    "q237_nearest_asof" -> { (s, dir) =>
+      val tolUs = 30L * 60 * 1000000
+      val ev = t(s, dir, "events").select(col("user_id"),
+        col("event_type"), expr("unix_micros(ts)").as("tus"),
+        col("event_id"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("tus"), col("event_id").as("pid"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("tus").as("ct"))
+        .agg(min("event_id").as("cid")) // same-ts dedup: min id wins
+      val u = purch.select(col("user_id"), col("tus"), lit(1).as("isl"),
+          col("pid"), lit(null).cast("long").as("ct"),
+          lit(null).cast("long").as("cid"))
+        .unionByName(clicks.select(col("user_id"), col("ct").as("tus"),
+          lit(0).as("isl"), lit(null).cast("long").as("pid"), col("ct"),
+          col("cid")))
+      // same-ts click sorts BEFORE the purchase (isl 0 < 1), so Δ=0
+      // lands on the backward side — matching the tie rule
+      val w = Window.partitionBy("user_id").orderBy("tus", "isl")
+      val cand = u
+        .withColumn("prev", last(struct(col("ct"), col("cid")), true)
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("next", first(struct(col("ct"), col("cid")), true)
+          .over(w.rowsBetween(1, Window.unboundedFollowing)))
+        .filter(col("isl") === 1)
+      cand
+        .withColumn("db", col("tus") - col("prev.ct"))
+        .withColumn("df", col("next.ct") - col("tus"))
+        .withColumn("useB", col("db").isNotNull &&
+          (col("df").isNull || col("db") <= col("df")))
+        .select(col("pid").as("purchase_id"), col("user_id"),
+          when(col("useB"), col("prev.cid")).otherwise(col("next.cid"))
+            .as("click_id"),
+          when(col("useB"), -col("db")).otherwise(col("df"))
+            .as("delta_us"))
+        .filter(col("click_id").isNotNull &&
+          abs(col("delta_us")) <= tolUs)
+        .orderBy("purchase_id")
     }
   )
 
@@ -4698,6 +4775,57 @@ object CoverageQueries {
           |  strength_micro
           |FROM ranked ORDER BY rank""".stripMargin
     },
+
+    // the same two coarsening levels and l = 3 distinct-seg floor
+    "q235_l_diversity" ->
+      """WITH c AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nat,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS balb,
+        |    c_mktsegment AS seg
+        |  FROM customer),
+        |g0 AS (SELECT nat, balb, count(DISTINCT seg) AS d,
+        |         count(*) AS n
+        |       FROM c GROUP BY nat, balb),
+        |g1 AS (SELECT nat, count(DISTINCT seg) AS d, count(*) AS n
+        |       FROM c GROUP BY nat)
+        |SELECT 0 AS level, count(*) AS n_groups,
+        |  CAST(sum(CASE WHEN d < 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS risky_groups,
+        |  CAST(sum(CASE WHEN d < 3 THEN n ELSE 0 END) AS BIGINT)
+        |    AS risky_rows
+        |FROM g0
+        |UNION ALL
+        |SELECT 1, count(*),
+        |  CAST(sum(CASE WHEN d < 3 THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(sum(CASE WHEN d < 3 THEN n ELSE 0 END) AS BIGINT)
+        |FROM g1
+        |ORDER BY level""".stripMargin,
+
+    // independent formulation: an explicit |Δt|-bounded range join
+    // ranked by (|Δt|, direction, click id) — not the engine's
+    // union-then-window path
+    "q237_nearest_asof" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS tus
+        |  FROM events),
+        |p AS (SELECT user_id, event_id AS pid, tus AS pt FROM e
+        |      WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, min(event_id) AS cid, tus AS ct FROM e
+        |      WHERE event_type = 'click' GROUP BY user_id, tus),
+        |cand AS (
+        |  SELECT p.pid, p.user_id, c.cid, c.ct - p.pt AS delta,
+        |    abs(c.ct - p.pt) AS adist
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |  WHERE abs(c.ct - p.pt) <= 1800000000),
+        |best AS (
+        |  SELECT pid, user_id, cid, delta, row_number() OVER (
+        |    PARTITION BY pid
+        |    ORDER BY adist, CASE WHEN delta <= 0 THEN 0 ELSE 1 END,
+        |      cid) AS rn
+        |  FROM cand)
+        |SELECT pid AS purchase_id, user_id, cid AS click_id,
+        |  delta AS delta_us
+        |FROM best WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
 
     // both joined snapshot states closed-form: step 2 = A after the
     // %4 update × B after the %3 update (no deletes); step 3 = the

@@ -2771,6 +2771,41 @@ object TextQueries {
           sum((col("sc") <= col("qhat")).cast("long")).as("n_covered"))
         .withColumn("coverage_micro",
           expr("(n_covered * 1000000) div n_test"))
+    },
+
+    // Budget waterfilling across sources (the max-min fair quota
+    // assignment behind every "mix N sources into a B-doc budget"
+    // curation config): find the largest integer level L with
+    // Σ min(cap_i, L) ≤ B (B = 60% of the corpus) on the RANKED cap
+    // table — i* = the last rank where prefix_i + cap_i·(m−i) fits,
+    // then L = (B − prefix_{i*}) div (m − i*) — so small sources keep
+    // everything and big sources are clipped to the common waterline.
+    // The whole computation after the per-source count runs on ≤m
+    // rows of metadata; every step is BIGINT with floor division.
+    "q236_budget_waterfill" -> { (s, dir) =>
+      val caps = t(s, dir, "documents")
+        .groupBy("source").agg(count(lit(1)).as("cap"))
+        .localCheckpoint() // ≤|sources| rows
+      val st = broadcast(caps.agg(count(lit(1)).as("m"),
+        sum("cap").as("tot"), max("cap").as("maxcap")))
+      val wr = Window.orderBy("cap", "source") // ≤m-row window
+      val ranked = caps.crossJoin(st)
+        .withColumn("i", row_number().over(wr).cast("long"))
+        .withColumn("p", sum("cap").over(wr))
+        .withColumn("b", expr("(3 * tot) div 5"))
+      val istar = ranked.filter(expr("p + cap * (m - i) <= b"))
+        .agg(max(struct(col("i"), col("p"))).as("x"))
+        .select(col("x.i").as("istar"), col("x.p").as("pstar"))
+      val level = broadcast(istar.crossJoin(st)
+        .select(when(col("istar").isNull,
+            expr("((3 * tot) div 5) div m"))
+          .when(col("istar") === col("m"), col("maxcap"))
+          .otherwise(expr("(((3 * tot) div 5) - pstar) div (m - istar)"))
+          .as("level")))
+      caps.crossJoin(level)
+        .select(col("source"), col("cap"),
+          least(col("cap"), col("level")).as("quota"), col("level"))
+        .orderBy("source")
     }
   )
 
@@ -4631,6 +4666,37 @@ object TextQueries {
         |  CAST((sum(CASE WHEN t.sc <= qh.qhat THEN 1 ELSE 0 END)
         |    * 1000000) // count(*) AS BIGINT) AS coverage_micro
         |FROM scored t, qh WHERE NOT t.is_cal
-        |GROUP BY qh.n_cal, qh.qhat""".stripMargin
+        |GROUP BY qh.n_cal, qh.qhat""".stripMargin,
+
+    // the same ranked-prefix waterline and floor divisions
+    "q236_budget_waterfill" ->
+      """WITH caps AS MATERIALIZED (
+        |  SELECT source, count(*) AS cap FROM documents
+        |  GROUP BY source),
+        |st AS (SELECT count(*) AS m, CAST(sum(cap) AS BIGINT) AS tot,
+        |         max(cap) AS maxcap
+        |       FROM caps),
+        |rk AS MATERIALIZED (
+        |  SELECT source, cap,
+        |    CAST(row_number() OVER (ORDER BY cap, source) AS BIGINT)
+        |      AS i,
+        |    CAST(sum(cap) OVER (ORDER BY cap, source) AS BIGINT) AS p
+        |  FROM caps),
+        |feas AS (
+        |  SELECT rk.i, rk.p FROM rk, st
+        |  WHERE rk.p + rk.cap * (st.m - rk.i) <= (3 * st.tot) // 5),
+        |istar AS (SELECT max(i) AS istar FROM feas),
+        |lvl AS (
+        |  SELECT CASE
+        |    WHEN istar.istar IS NULL THEN ((3 * st.tot) // 5) // st.m
+        |    WHEN istar.istar = st.m THEN st.maxcap
+        |    ELSE (((3 * st.tot) // 5) -
+        |      (SELECT p FROM feas WHERE i = istar.istar))
+        |      // (st.m - istar.istar)
+        |  END AS level
+        |  FROM istar, st)
+        |SELECT c.source, c.cap, least(c.cap, l.level) AS quota,
+        |  l.level
+        |FROM caps c, lvl l ORDER BY c.source""".stripMargin
   )
 }

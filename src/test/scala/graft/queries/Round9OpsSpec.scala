@@ -547,4 +547,80 @@ class Round9OpsSpec extends SparkSpec {
     // the conformal promise itself on this realization
     assert(out.getAs[Long]("coverage_micro") >= 850000L)
   }
+
+  // ---- q235 l-diversity ----
+
+  test("q235: a group is risky when its distinct sensitive values " +
+    "fall below l, and coarsening can repair it") {
+    implicit val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("r9ld").toString
+    // (nat=1, balb=0): segs A,B,C -> safe; (1,1): A,A -> risky(2 rows);
+    // (2,0): A,B -> risky(2 rows). Coarsened to nat alone: nat=1 has
+    // {A,B,C} (repaired), nat=2 still {A,B}.
+    Seq((1L, 500.0, "A"), (1L, 500.0, "B"), (1L, 500.0, "C"),
+      (1L, 1500.0, "A"), (1L, 1500.0, "A"),
+      (2L, 500.0, "A"), (2L, 500.0, "B"))
+      .toDF("c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val out = q("q235_l_diversity", dir).collect()
+      .map(r => r.getAs[Int]("level") -> r).toMap
+    assert(out(0).getAs[Long]("n_groups") === 3L)
+    assert(out(0).getAs[Long]("risky_groups") === 2L)
+    assert(out(0).getAs[Long]("risky_rows") === 4L)
+    assert(out(1).getAs[Long]("n_groups") === 2L)
+    assert(out(1).getAs[Long]("risky_groups") === 1L)
+    assert(out(1).getAs[Long]("risky_rows") === 2L)
+  }
+
+  // ---- q236 budget waterfilling ----
+
+  test("q236: the waterline clips big sources, keeps small ones " +
+    "whole, and spends the budget exactly when it divides evenly") {
+    // caps A=10, B=2, C=8; budget = 60% of 20 = 12. Ranked (2,8,10):
+    // only i=1 fits (2 + 2*2 = 6 <= 12), so L = (12-2) div 2 = 5 ->
+    // quotas B=2 (whole), C=5, A=5; sum = 12 = budget.
+    val dir = srcDocsDir(
+      (1L to 10L).map(i => (i, "A", 1)) ++
+        (11L to 12L).map(i => (i, "B", 1)) ++
+        (13L to 20L).map(i => (i, "C", 1)))
+    val out = q("q236_budget_waterfill", dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("quota"), r.getAs[Long]("level")))).toMap
+    assert(out("A") === ((5L, 5L)))
+    assert(out("B") === ((2L, 5L)))
+    assert(out("C") === ((5L, 5L)))
+  }
+
+  // ---- q237 nearest as-of join ----
+
+  test("q237: nearest click wins in either direction, exact ties " +
+    "prefer the earlier side, tolerance excludes, same-ts dedups") {
+    def ts(sec: Long) =
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    val rows = Seq(
+      // u1 p100 @1000: clicks @400 (|600|) vs @1500 (|500|) -> fwd
+      (100L, ts(1000), 1L, "purchase", 0.0),
+      (1L, ts(400), 1L, "click", 0.0), (2L, ts(1500), 1L, "click", 0.0),
+      // u1 p101 @2000: @1500 (|500|) vs @2600 (|600|) -> backward
+      (101L, ts(2000), 1L, "purchase", 0.0),
+      (7L, ts(2600), 1L, "click", 0.0),
+      // u2 exact tie |500| both sides -> earlier (backward) wins
+      (200L, ts(1000), 2L, "purchase", 0.0),
+      (3L, ts(500), 2L, "click", 0.0), (4L, ts(1500), 2L, "click", 0.0),
+      // u3: only click is 9000s away -> outside the 30 min tolerance
+      (300L, ts(1000), 3L, "purchase", 0.0),
+      (8L, ts(10000), 3L, "click", 0.0),
+      // u4: two clicks at the purchase's own ts -> min id, delta 0
+      (400L, ts(1000), 4L, "purchase", 0.0),
+      (5L, ts(1000), 4L, "click", 0.0), (6L, ts(1000), 4L, "click", 0.0))
+    val out = q("q237_nearest_asof", eventsDir(rows)).collect()
+      .map(r => r.getAs[Long]("purchase_id") ->
+        ((r.getAs[Long]("click_id"), r.getAs[Long]("delta_us")))).toMap
+    assert(out(100L) === ((2L, 500000000L)))
+    assert(out(101L) === ((2L, -500000000L))) // click 2 serves both
+    assert(out(200L) === ((3L, -500000000L))) // tie -> earlier
+    assert(out(400L) === ((5L, 0L)))          // same-ts min id
+    assert(!out.contains(300L))               // tolerance excludes
+    assert(out.size === 4)
+  }
 }
