@@ -2806,6 +2806,35 @@ object TextQueries {
         .select(col("source"), col("cap"),
           least(col("cap"), col("level")).as("quota"), col("level"))
         .orderBy("source")
+    },
+
+    // Data-constrained epoch allocation (the Muennighoff-style
+    // accounting for budgets that EXCEED the corpus — q236's
+    // waterfill clips, this one REPEATS): a 4×-corpus token budget
+    // splits ∝ √tokens (q220's temperature weights, each √ rounded
+    // ONCE per source to micro — the only transcendental), then
+    // epochs_i = alloc_i / tokens_i in micro with floor divisions.
+    // Sources pushed past 4 epochs get the diminishing-returns flag.
+    // Everything after the per-source token sum is ≤m metadata rows.
+    // (budget·w products fit a BIGINT to ~10^14 corpus tokens; the
+    // decimal(38) form takes over beyond that.)
+    "q238_epoch_allocation" -> { (s, dir) =>
+      val g = t(s, dir, "documents")
+        .select(col("source"),
+          size(toks(col("text"))).cast("long").as("nt"))
+        .groupBy("source").agg(sum("nt").as("tok"))
+        .withColumn("w",
+          round(sqrt(col("tok").cast("double")) * 1e6).cast("long"))
+        .localCheckpoint() // ≤|sources| rows
+      val tot = broadcast(g.agg(sum("tok").as("corpus"),
+        sum("w").as("z")))
+      g.crossJoin(tot)
+        .withColumn("alloc", expr("(4 * corpus * w) div z"))
+        .withColumn("epochs_micro", expr("(alloc * 1000000) div tok"))
+        .withColumn("repeat_heavy",
+          (col("epochs_micro") > 4000000L).cast("int"))
+        .select("source", "tok", "alloc", "epochs_micro", "repeat_heavy")
+        .orderBy("source")
     }
   )
 
@@ -4697,6 +4726,30 @@ object TextQueries {
         |  FROM istar, st)
         |SELECT c.source, c.cap, least(c.cap, l.level) AS quota,
         |  l.level
-        |FROM caps c, lvl l ORDER BY c.source""".stripMargin
+        |FROM caps c, lvl l ORDER BY c.source""".stripMargin,
+
+    // the same micro-rounded √ weights and floor-division chain
+    "q238_epoch_allocation" ->
+      """WITH g AS MATERIALIZED (
+        |  SELECT source,
+        |    CAST(sum(len(string_split(trim(lower(text)), ' ')))
+        |      AS BIGINT) AS tok
+        |  FROM documents GROUP BY source),
+        |w AS MATERIALIZED (
+        |  SELECT source, tok,
+        |    CAST(round(sqrt(tok) * 1e6) AS BIGINT) AS w
+        |  FROM g),
+        |st AS (SELECT CAST(sum(tok) AS BIGINT) AS corpus,
+        |         CAST(sum(w) AS BIGINT) AS z
+        |       FROM w),
+        |a AS (
+        |  SELECT source, tok,
+        |    CAST((4 * st.corpus * w.w) // st.z AS BIGINT) AS alloc
+        |  FROM w, st)
+        |SELECT source, tok, alloc,
+        |  CAST((alloc * 1000000) // tok AS BIGINT) AS epochs_micro,
+        |  CASE WHEN (alloc * 1000000) // tok > 4000000 THEN 1 ELSE 0
+        |    END AS repeat_heavy
+        |FROM a ORDER BY source""".stripMargin
   )
 }

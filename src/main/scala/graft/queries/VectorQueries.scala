@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -559,6 +560,95 @@ object VectorQueries {
       }
       import s.implicits._
       sel.toDF("step", "vec_id", "dist_micro").orderBy("step")
+    },
+
+    // Matryoshka truncation audit (Kusupati et al. — can the first
+    // 16 of 64 dims serve retrieval?): for 5 query vectors, the
+    // exact top-10 under FULL cosine vs under the 16-dim PREFIX
+    // cosine — per query, how many of the true neighbors the
+    // truncated index keeps (overlap@10) and how far their ranks
+    // drift. Both arms are the q33 shape: one map-side pass against
+    // broadcast queries, WindowGroupLimit pruning to k per query
+    // BEFORE the exchange; the audit join is k×queries metadata.
+    "q239_matryoshka_audit" -> { (s, dir) =>
+      val k = 10
+      val e = emb(s, dir).select("vec_id", "v")
+      val qs = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val corpus = e.filter(col("vec_id") >= 5)
+      def topk(dims: Int, tag: String): DataFrame = {
+        val (cv, cq) =
+          if (dims == 0) (col("v"), col("qv"))
+          else (slice(col("v"), 1, dims), slice(col("qv"), 1, dims))
+        corpus.crossJoin(broadcast(qs))
+          .select(col("qid"), col("vec_id"),
+            round(G.cosineSim(cv, cq) * 1e6).cast("long").as("cm"))
+          .withColumn("rk", row_number().over(Window.partitionBy("qid")
+            .orderBy(col("cm").desc, col("vec_id"))))
+          .filter(col("rk") <= k)
+          .select(col("qid"), col("vec_id"), col("rk").as(tag))
+      }
+      topk(0, "rf").join(topk(16, "rt"), Seq("qid", "vec_id"))
+        .groupBy("qid")
+        .agg(count(lit(1)).as("overlap_at_10"),
+          sum(abs(col("rf") - col("rt"))).as("rank_displacement"))
+        .orderBy("qid")
+    },
+
+    // ANN recall audit — the acceptance gate every approximate index
+    // must pass before it replaces the exact scan: per query,
+    // recall@10 of the IVF probe (q35's index: 16 fixed centroids,
+    // 2 probed cells) against the brute-force truth, WITH the
+    // scanned-fraction column that justifies the trade (recall alone
+    // says nothing without the cost side). Map-side cosines, k-row
+    // rank exchanges, audit join on k×queries metadata.
+    "q240_ann_recall_audit" -> { (s, dir) =>
+      val k = 10
+      val e = emb(s, dir)
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val assigned = V.assignToCentroids(e, cents)
+        .filter(col("vec_id") >= 5)
+        .localCheckpoint() // reused by both the probe and the counts
+      val qs = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val nCorpus = broadcast(assigned.agg(count(lit(1)).as("nc")))
+      // per query: the 2 nearest cells (6dp, matching q35's device)
+      val probed = cents.crossJoin(broadcast(qs))
+        .withColumn("qc", round(G.cosineSim(col("cv"), col("qv")), 6))
+        .withColumn("rk", row_number().over(Window.partitionBy("qid")
+          .orderBy(col("qc").desc, col("cid"))))
+        .filter(col("rk") <= 2)
+        .select(col("qid"), col("cid").as("cluster"))
+      val cand = assigned.join(broadcast(probed), Seq("cluster"))
+      val ivf = cand.join(broadcast(qs), Seq("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(G.cosineSim(col("v"), col("qv")) * 1e6).cast("long")
+            .as("cm"))
+        .withColumn("rk", row_number().over(Window.partitionBy("qid")
+          .orderBy(col("cm").desc, col("vec_id"))))
+        .filter(col("rk") <= k)
+        .select("qid", "vec_id")
+      val brute = e.filter(col("vec_id") >= 5).crossJoin(broadcast(qs))
+        .select(col("qid"), col("vec_id"),
+          round(G.cosineSim(col("v"), col("qv")) * 1e6).cast("long")
+            .as("cm"))
+        .withColumn("rk", row_number().over(Window.partitionBy("qid")
+          .orderBy(col("cm").desc, col("vec_id"))))
+        .filter(col("rk") <= k)
+        .select("qid", "vec_id")
+      val scanned = cand.groupBy("qid")
+        .agg(count(lit(1)).as("n_scanned"))
+      val truth = brute.groupBy("qid").agg(count(lit(1)).as("n_truth"))
+      brute.join(ivf, Seq("qid", "vec_id"))
+        .groupBy("qid").agg(count(lit(1)).as("hits"))
+        .join(truth, "qid") // recall denominator = |truth list| ≤ k
+        .join(scanned, "qid").crossJoin(nCorpus)
+        .select(col("qid"), col("hits"),
+          expr("(hits * 1000000) div n_truth").as("recall_micro"),
+          col("n_scanned"),
+          expr("(n_scanned * 1000000) div nc").as("scanned_micro"))
+        .orderBy("qid")
     }
   )
 
@@ -933,6 +1023,93 @@ object VectorQueries {
           |dummy AS (SELECT 1)
           |SELECT step, vec_id, dist AS dist_micro FROM l8
           |ORDER BY step""".stripMargin
-    }
+    },
+
+    // the same two top-10 arms (full vs 16-dim prefix slice) and
+    // the k×queries audit join
+    "q239_matryoshka_audit" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+        |c AS (SELECT vec_id, v FROM e WHERE vec_id >= 5),
+        |rf AS MATERIALIZED (
+        |  SELECT qid, vec_id, rk AS rf FROM (
+        |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+        |        ORDER BY cm DESC, vec_id) AS rk
+        |    FROM (SELECT q.qid, c.vec_id,
+        |            CAST(round(list_cosine_similarity(c.v, q.qv) * 1e6)
+        |              AS BIGINT) AS cm
+        |          FROM c, q))
+        |  WHERE rk <= 10),
+        |rt AS MATERIALIZED (
+        |  SELECT qid, vec_id, rk AS rt FROM (
+        |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+        |        ORDER BY cm DESC, vec_id) AS rk
+        |    FROM (SELECT q.qid, c.vec_id,
+        |            CAST(round(list_cosine_similarity(
+        |              c.v[1:16], q.qv[1:16]) * 1e6) AS BIGINT) AS cm
+        |          FROM c, q))
+        |  WHERE rk <= 10)
+        |SELECT rf.qid, count(*) AS overlap_at_10,
+        |  CAST(sum(abs(rf.rf - rt.rt)) AS BIGINT) AS rank_displacement
+        |FROM rf JOIN rt USING (qid, vec_id)
+        |GROUP BY rf.qid ORDER BY rf.qid""".stripMargin,
+
+    // the same centroid assignment (6dp, min-cid ties), 2-cell
+    // probe, and both top-10 arms
+    "q240_ann_recall_audit" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |           FROM embeddings),
+        |cents AS (SELECT vec_id AS cid, v AS cv FROM e
+        |          WHERE vec_id < 16),
+        |assigned AS MATERIALIZED (
+        |  SELECT vec_id, cid AS cluster, v FROM (
+        |    SELECT e.vec_id, cents.cid, e.v, row_number() OVER (
+        |        PARTITION BY e.vec_id
+        |        ORDER BY round(list_cosine_similarity(e.v, cents.cv), 6)
+        |          DESC, cents.cid) AS rk
+        |    FROM e, cents)
+        |  WHERE rk = 1 AND vec_id >= 5),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+        |probed AS MATERIALIZED (
+        |  SELECT qid, cid AS cluster FROM (
+        |    SELECT q.qid, cents.cid, row_number() OVER (
+        |        PARTITION BY q.qid
+        |        ORDER BY round(list_cosine_similarity(cents.cv, q.qv), 6)
+        |          DESC, cents.cid) AS rk
+        |    FROM cents, q)
+        |  WHERE rk <= 2),
+        |cand AS MATERIALIZED (
+        |  SELECT p.qid, a.vec_id, a.v FROM assigned a
+        |  JOIN probed p ON p.cluster = a.cluster),
+        |ivf AS MATERIALIZED (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT cand.qid, cand.vec_id, row_number() OVER (
+        |        PARTITION BY cand.qid ORDER BY
+        |        CAST(round(list_cosine_similarity(cand.v, q.qv) * 1e6)
+        |          AS BIGINT) DESC, cand.vec_id) AS rk
+        |    FROM cand JOIN q USING (qid))
+        |  WHERE rk <= 10),
+        |brute AS MATERIALIZED (
+        |  SELECT qid, vec_id FROM (
+        |    SELECT q.qid, c.vec_id, row_number() OVER (
+        |        PARTITION BY q.qid ORDER BY
+        |        CAST(round(list_cosine_similarity(c.v, q.qv) * 1e6)
+        |          AS BIGINT) DESC, c.vec_id) AS rk
+        |    FROM e c, q WHERE c.vec_id >= 5)
+        |  WHERE rk <= 10),
+        |nc AS (SELECT count(*) AS nc FROM assigned),
+        |sc AS (SELECT qid, count(*) AS n_scanned FROM cand GROUP BY qid),
+        |tr AS (SELECT qid, count(*) AS n_truth FROM brute GROUP BY qid),
+        |h AS (SELECT b.qid, count(*) AS hits FROM brute b
+        |      JOIN ivf USING (qid, vec_id) GROUP BY b.qid)
+        |SELECT h.qid, h.hits,
+        |  CAST((h.hits * 1000000) // tr.n_truth AS BIGINT)
+        |    AS recall_micro,
+        |  sc.n_scanned,
+        |  CAST((sc.n_scanned * 1000000) // nc.nc AS BIGINT)
+        |    AS scanned_micro
+        |FROM h JOIN sc USING (qid) JOIN tr USING (qid), nc
+        |ORDER BY h.qid""".stripMargin
   )
 }

@@ -623,4 +623,83 @@ class Round9OpsSpec extends SparkSpec {
     assert(!out.contains(300L))               // tolerance excludes
     assert(out.size === 4)
   }
+
+  // ---- q238 data-constrained epoch allocation ----
+
+  test("q238: a 4x budget splits by sqrt-weights and flags the " +
+    "source pushed past 4 epochs") {
+    // A: 9 tokens (w=3e6), B: 16 (w=4e6); corpus 25, budget 100.
+    // alloc_A = 300e6 div 7e6 = 42 -> epochs 42e6 div 9 = 4666666
+    // (> 4e6, flagged); alloc_B = 57 -> 3562500 (unflagged). The
+    // sqrt temperature UP-weights the small source into repetition.
+    val dir = srcDocsDir(Seq(
+      (1L, "A", 3), (2L, "A", 3), (3L, "A", 3),
+      (4L, "B", 8), (5L, "B", 8)))
+    val out = q("q238_epoch_allocation", dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(out("A").getAs[Long]("alloc") === 42L)
+    assert(out("A").getAs[Long]("epochs_micro") === 4666666L)
+    assert(out("A").getAs[Int]("repeat_heavy") === 1)
+    assert(out("B").getAs[Long]("alloc") === 57L)
+    assert(out("B").getAs[Long]("epochs_micro") === 3562500L)
+    assert(out("B").getAs[Int]("repeat_heavy") === 0)
+  }
+
+  // ---- q239 matryoshka truncation audit ----
+
+  test("q239: truncation to the 16-dim prefix flips a rank the " +
+    "audit must report as displacement, not loss") {
+    implicit val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("r9mk").toString
+    def vec(parts: (Int, Double)*): Seq[Double] = {
+      val a = Array.fill(20)(0.0); parts.foreach { case (i, x) => a(i) = x }
+      a.toSeq
+    }
+    // q0 = e0 + e16. A = e0: full cos 0.707, prefix cos 1.0 (rank 1
+    // truncated). B = 0.1·e0 + 0.1·e1 + e16: full cos 0.770 (rank 1
+    // full), prefix cos 0.707 (rank 2 truncated) -> both survive
+    // (overlap 2) but swap ranks (displacement 2)
+    Seq((0L, "q", vec(0 -> 1.0, 16 -> 1.0)),
+      (5L, "c", vec(0 -> 1.0)),
+      (6L, "c", vec(0 -> 0.1, 1 -> 0.1, 16 -> 1.0)))
+      .toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = q("q239_matryoshka_audit", dir).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("qid") === 0L)
+    assert(out.head.getAs[Long]("overlap_at_10") === 2L)
+    assert(out.head.getAs[Long]("rank_displacement") === 2L)
+  }
+
+  // ---- q240 ANN recall audit ----
+
+  test("q240: a probe that skips the cell holding no true neighbors " +
+    "keeps recall 1.0 at a sub-full scanned share") {
+    implicit val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("r9ra").toString
+    // cents 1 = e1; cents 0 and 2..15 all = e0 (duplicate directions
+    // tie-break to the smallest cid, so cell 0 holds every e0-ish
+    // vector and cells 2..15 stay empty). Corpus (ids >= 5, which by
+    // the q35 convention includes the duplicate-centroid rows 5..15):
+    // eleven e0 copies + 16/17 near e0 (cell 0), 18/19 near e1
+    // (cell 1). Query 0 = e0 probes cells {0, 2}: cell 1 is SKIPPED,
+    // yet its 2 vectors are nowhere near the true top-10 -> recall
+    // 1.0 while scanning 13 of 15. Query 1 = e1 probes {1, 0} = all.
+    val rows = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))) ++
+      (2L to 15L).map(i => (i, Seq(1.0, 0.0))) ++
+      Seq((16L, Seq(1.0, 0.1)), (17L, Seq(1.0, 0.2)),
+        (18L, Seq(0.1, 1.0)), (19L, Seq(0.2, 1.0)))
+    rows.map { case (id, v) => (id, "x", v) }
+      .toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = q("q240_ann_recall_audit", dir).collect()
+      .map(r => r.getAs[Long]("qid") -> r).toMap
+    assert(out.keySet === Set(0L, 1L, 2L, 3L, 4L)) // 2-4 dup query 0
+    assert(out(0L).getAs[Long]("recall_micro") === 1000000L)
+    assert(out(0L).getAs[Long]("n_scanned") === 13L)
+    assert(out(0L).getAs[Long]("scanned_micro") === 866666L) // 13/15
+    assert(out(1L).getAs[Long]("recall_micro") === 1000000L)
+    assert(out(1L).getAs[Long]("n_scanned") === 15L)
+    assert(out(1L).getAs[Long]("scanned_micro") === 1000000L)
+  }
 }
