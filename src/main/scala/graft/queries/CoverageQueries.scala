@@ -3580,6 +3580,43 @@ object CoverageQueries {
         .filter(col("click_id").isNotNull &&
           abs(col("delta_us")) <= tolUs)
         .orderBy("purchase_id")
+    },
+
+    // Partition-spec evolution end-to-end (Iceberg's signature
+    // metadata feature, on PartitionedCowTable): a month-partitioned
+    // orders slice EVOLVES to partition by priority with a
+    // metadata-only commit (no byte rewritten), new data lands under
+    // the new spec, and an upsert touching keys in old-spec dirs
+    // migrates exactly those dirs in the same commit (progressive
+    // migration — cold months stay by reference until compaction).
+    // The gate hashes the final content per priority PLUS the
+    // migration ledger: the final version number and how many cold
+    // legacy dirs remain (data-derived: months whose slice holds no
+    // upserted key).
+    "q241_partition_evolution" -> { (s, dir) =>
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_pevo").toString
+      def slice(lo: Long, hi: Long) = t(s, dir, "orders")
+        .filter(col("o_orderkey") > lo && col("o_orderkey") <= hi)
+        .select(col("o_orderkey").as("pid"),
+          substring(col("o_orderdate").cast("string"), 1, 7).as("month"),
+          col("o_orderpriority").as("prio"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val tbl = new graft.sources.PartitionedCowTable(
+        s"$root/t", "month", s)
+      tbl.overwrite(slice(-1, 400))     // v0: month dirs (keys start at 0)
+      tbl.evolvePartitioning("prio")    // v1: metadata-only
+      tbl.append(slice(400, 500))       // v2: prio dirs, months legacy
+      tbl.upsert(slice(-1, 400).filter(col("pid") % 7 === 0)
+          .withColumn("cents", col("cents") + 1000L),
+        Seq("pid"))                     // v3: touched months migrate
+      val legacyLeft = tbl.legacyEntries.size.toLong
+      val ver = tbl.version.toLong
+      tbl.read().groupBy("prio")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        .withColumn("final_version", lit(ver))
+        .withColumn("legacy_dirs", lit(legacyLeft))
+        .orderBy("prio")
     }
   )
 
@@ -4826,6 +4863,30 @@ object CoverageQueries {
         |SELECT pid AS purchase_id, user_id, cid AS click_id,
         |  delta AS delta_us
         |FROM best WHERE rn = 1 ORDER BY purchase_id""".stripMargin,
+
+    // final content closed-form (base + appended + the %7 upsert
+    // bump); legacy_dirs = months of the original slice holding no
+    // upserted key; final_version = the 4 commits (0-based)
+    "q241_partition_evolution" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS pid,
+        |    substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS month,
+        |    o_orderpriority AS prio,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) + CASE
+        |      WHEN o_orderkey <= 400 AND o_orderkey % 7 = 0 THEN 1000
+        |      ELSE 0 END AS cents
+        |  FROM orders WHERE o_orderkey <= 500),
+        |leg AS (
+        |  SELECT count(*) AS legacy_dirs FROM (
+        |    SELECT month FROM base WHERE pid <= 400
+        |    GROUP BY month
+        |    HAVING sum(CASE WHEN pid % 7 = 0 THEN 1 ELSE 0 END) = 0))
+        |SELECT prio, count(*) AS n, CAST(sum(cents) AS BIGINT)
+        |    AS sum_cents,
+        |  CAST(3 AS BIGINT) AS final_version,
+        |  CAST(l.legacy_dirs AS BIGINT) AS legacy_dirs
+        |FROM base, leg l
+        |GROUP BY prio, l.legacy_dirs ORDER BY prio""".stripMargin,
 
     // both joined snapshot states closed-form: step 2 = A after the
     // %4 update × B after the %3 update (no deletes); step 3 = the

@@ -33,9 +33,22 @@ import org.apache.spark.sql.types.StructType
   * never rewrites `Date_Acquired`). Rows keep `partCol` as a normal
   * column — each partition dir has a constant value for it, so
   * parquet min/max stats prune it even on full-table reads.
+  *
+  * PARTITION EVOLUTION (Iceberg-style): [[evolvePartitioning]] is a
+  * metadata-only commit that switches the spec column for FUTURE
+  * writes. Dirs written under an older spec become `legacy` manifest
+  * entries: still read by every query (correctness never depends on
+  * the spec), never prunable by the new spec (exactly Iceberg's
+  * contract — old files keep their old spec), and migrated
+  * PROGRESSIVELY — an upsert/merge that touches keys living in a
+  * legacy dir rewrites that whole dir's rows under the current spec,
+  * so hot data migrates itself and cold data is never rewritten
+  * until [[compact]] (which migrates all remaining legacy dirs).
   */
 class PartitionedCowTable(val root: String, val partCol: String,
                           spark: SparkSession) extends VersionedTable {
+
+  import PartitionedCowTable.Entry
 
   private val mapper = new ObjectMapper()
   private def pointer = Paths.get(root, "_current")
@@ -50,16 +63,45 @@ class PartitionedCowTable(val root: String, val partCol: String,
   private def requireVersion: Int = currentVersion.getOrElse(
     throw new IllegalStateException(s"no committed version at $root"))
 
-  /** partition value → data dir relative to root (current version) —
-    * public introspection, the `DESCRIBE DETAIL` analogue.
+  /** partition value → data dir relative to root (current version,
+    * CURRENT spec only) — public introspection, the `DESCRIBE DETAIL`
+    * analogue. Legacy-spec dirs are listed by [[legacyEntries]].
     */
-  def manifest: Map[String, String] = manifestAt(requireVersion)
+  def manifest: Map[String, String] =
+    entriesAt(requireVersion).filter(_.pcol == currentPartCol)
+      .map(e => e.value -> e.dir).toMap
 
-  private def manifestAt(v: Int): Map[String, String] = {
+  /** (specCol, value, dir) of every dir still on an older spec. */
+  def legacyEntries: Seq[(String, String, String)] =
+    entriesAt(requireVersion).filter(_.pcol != currentPartCol)
+      .map(e => (e.pcol, e.value, e.dir))
+
+  /** The spec column NEW commits partition by — the constructor's
+    * `partCol` until [[evolvePartitioning]] changes it.
+    */
+  def currentPartCol: String =
+    currentVersion.map(partColAt).getOrElse(partCol)
+
+  private def partColAt(v: Int): String = {
     val node = mapper.readTree(Files.readAllBytes(
       Paths.get(root, f"v_$v%06d.json")))
-    node.get("partitions").fields().asScala
-      .map(e => e.getKey -> e.getValue.asText()).toMap
+    if (node.has("partcol")) node.get("partcol").asText() else partCol
+  }
+
+  private def entriesAt(v: Int): Seq[Entry] = {
+    val node = mapper.readTree(Files.readAllBytes(
+      Paths.get(root, f"v_$v%06d.json")))
+    val spec = if (node.has("partcol")) node.get("partcol").asText()
+      else partCol
+    val cur = node.get("partitions").fields().asScala
+      .map(e => Entry(spec, e.getKey, e.getValue.asText())).toSeq
+    val legacy =
+      if (!node.has("legacy")) Seq.empty
+      else node.get("legacy").elements().asScala.map { n =>
+        Entry(n.get("col").asText(), n.get("value").asText(),
+          n.get("dir").asText())
+      }.toSeq
+    cur ++ legacy
   }
 
   private def schemaAt(v: Int): StructType =
@@ -84,13 +126,20 @@ class PartitionedCowTable(val root: String, val partCol: String,
     */
   def readVersion(v: Int): DataFrame = readVersionWhere(v, _ => true)
 
-  /** [[readVersion]] with manifest-level partition pruning. */
+  /** [[readVersion]] with manifest-level partition pruning. Pruning
+    * applies only to dirs on that version's CURRENT spec; legacy-spec
+    * dirs cannot be pruned by the new spec's values and are always
+    * read (the Iceberg contract — stats-based file pruning would be
+    * the production refinement).
+    */
   def readVersionWhere(v: Int,
                        partFilter: String => Boolean): DataFrame = {
     require(Files.exists(Paths.get(root, f"v_$v%06d.json")),
       s"no version $v at $root (never committed, or vacuumed away)")
-    val dirs = manifestAt(v).filter { case (value, _) => partFilter(value) }
-      .values.map(d => s"$root/$d").toSeq
+    val spec = partColAt(v)
+    val dirs = entriesAt(v)
+      .filter(e => e.pcol != spec || partFilter(e.value))
+      .map(e => s"$root/${e.dir}")
     if (dirs.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schemaAt(v))
     else spark.read.parquet(dirs: _*)
@@ -111,13 +160,18 @@ class PartitionedCowTable(val root: String, val partCol: String,
     */
   def changedSince(sinceVersion: Int): DataFrame = {
     val cur = requireVersion
-    val old =
-      if (sinceVersion < 0) Map.empty[String, String]
-      else manifestAt(sinceVersion)
-    val changed = manifestAt(cur).filter { case (k, d) =>
-      !old.get(k).contains(d)
-    }.keySet
-    readWhere(changed.contains)
+    val old: Set[String] =
+      if (sinceVersion < 0) Set.empty
+      else entriesAt(sinceVersion).map(_.dir).toSet
+    // diff on the DIRECTORY, not the key: an evolve commit relabels
+    // entries (spec moves to legacy) without touching a byte — its
+    // dirs are unchanged, so it must produce an empty change set
+    val dirs = entriesAt(cur).map(_.dir).filterNot(old.contains)
+      .map(d => s"$root/$d")
+    if (dirs.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        schemaAt(cur))
+    else spark.read.parquet(dirs: _*)
   }
 
   /** The distinct partition values present in a DataFrame — small by
@@ -125,7 +179,7 @@ class PartitionedCowTable(val root: String, val partCol: String,
     * bounded by partition count, not data size.
     */
   private def touchedValues(df: DataFrame): Set[String] = {
-    val vals = df.select(col(partCol).cast("string")).distinct()
+    val vals = df.select(col(currentPartCol).cast("string")).distinct()
       .collect().map(_.getString(0)).toSet
     // manifest keys are recovered from `__part=<value>` directory
     // names, which Spark percent-escapes — a value that doesn't
@@ -150,7 +204,8 @@ class PartitionedCowTable(val root: String, val partCol: String,
     * from `carried`.
     */
   private def commit(data: DataFrame, touched: Set[String],
-                     carried: Map[String, String]): Unit = {
+                     carried: Seq[Entry]): Unit = {
+    val spec = currentPartCol
     val next = currentVersion.map(_ + 1).getOrElse(0)
     val wdir = f"w_$next%06d"
     // stage under a writer-unique name, then claim w_<next> with a
@@ -160,7 +215,7 @@ class PartitionedCowTable(val root: String, val partCol: String,
     // dir-name collision fails the loser before shared state is touched
     val stage = s"_stage_${wdir}_${java.util.UUID.randomUUID()}"
     data
-      .withColumn("__part", col(partCol).cast("string"))
+      .withColumn("__part", col(spec).cast("string"))
       .write.partitionBy("__part").mode("overwrite").parquet(s"$root/$stage")
     // catch the whole FileSystemException family, not just the
     // pre-rename existence stat's FileAlreadyExistsException: two
@@ -181,16 +236,21 @@ class PartitionedCowTable(val root: String, val partCol: String,
         cme.initCause(e)
         throw cme
     }
-    val written: Map[String, String] = {
+    val written: Seq[Entry] = {
       val listing = Files.list(Paths.get(root, wdir))
       try listing.iterator().asScala
         .map(_.getFileName.toString)
         .filter(_.startsWith("__part="))
-        .map(n => n.stripPrefix("__part=") -> s"$wdir/$n").toMap
+        .map(n => Entry(spec, n.stripPrefix("__part="), s"$wdir/$n")).toSeq
       finally listing.close()
     }
+    // carried minus current-spec entries being replaced (an evolved
+    // table's legacy entries are dropped only when explicitly absent
+    // from `carried` — the migration paths pass them pre-filtered)
+    val kept = carried.filterNot(e =>
+      e.pcol == spec && touched.contains(e.value))
     try {
-      writeVersion(next, data.schema.toDDL, (carried -- touched) ++ written)
+      writeVersion(next, data.schema.toDDL, spec, kept ++ written)
     } catch {
       case e: java.util.ConcurrentModificationException =>
         // the claimed data dir is ours (the rename succeeded) and no
@@ -201,8 +261,8 @@ class PartitionedCowTable(val root: String, val partCol: String,
     }
   }
 
-  private def writeVersion(v: Int, schemaDdl: String,
-                           partitions: Map[String, String]): Unit = {
+  private def writeVersion(v: Int, schemaDdl: String, spec: String,
+                           entries: Seq[Entry]): Unit = {
     // optimistic concurrency (see CowTable.commit): a competing writer
     // advancing the pointer mid-commit means this manifest's carried
     // partitions derive from a stale read — fail loudly, don't
@@ -215,8 +275,18 @@ class PartitionedCowTable(val root: String, val partCol: String,
           s"${currentVersion.getOrElse("<none>")}")
     val node = mapper.createObjectNode()
     node.put("schema", schemaDdl)
+    node.put("partcol", spec)
     val parts = node.putObject("partitions")
-    partitions.toSeq.sortBy(_._1).foreach { case (k, d) => parts.put(k, d) }
+    entries.filter(_.pcol == spec).sortBy(_.value)
+      .foreach(e => parts.put(e.value, e.dir))
+    val legacy = entries.filter(_.pcol != spec)
+    if (legacy.nonEmpty) {
+      val arr = node.putArray("legacy")
+      legacy.sortBy(e => (e.pcol, e.value)).foreach { e =>
+        val n = arr.addObject()
+        n.put("col", e.pcol); n.put("value", e.value); n.put("dir", e.dir)
+      }
+    }
     Files.write(Paths.get(root, f"v_$v%06d.json"),
       mapper.writeValueAsBytes(node))
     val tmp = Paths.get(root, s"_current.tmp.$v")
@@ -225,61 +295,137 @@ class PartitionedCowTable(val root: String, val partCol: String,
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  private def currentManifestOrEmpty: Map[String, String] =
-    currentVersion.map(manifestAt).getOrElse(Map.empty)
+  private def currentEntriesOrEmpty: Seq[Entry] =
+    currentVersion.map(entriesAt).getOrElse(Seq.empty)
 
-  /** Create or fully replace the table (every partition rewritten). */
-  override def overwrite(df: DataFrame): Unit = {
-    val all = currentManifestOrEmpty.keySet ++ touchedValues(df)
-    commit(df, all, currentManifestOrEmpty)
+  /** Switch the partition spec for future writes — a METADATA-ONLY
+    * commit (no data job, no byte rewritten): every existing dir
+    * becomes a legacy entry under its own spec. `newPartCol` must be
+    * an existing column; reads are unaffected (legacy dirs are always
+    * included), [[changedSince]] across the evolve is empty by
+    * construction, and migration happens progressively (upsert/merge
+    * touching a legacy dir rewrites it, [[compact]] migrates the
+    * rest).
+    */
+  def evolvePartitioning(newPartCol: String): Unit = {
+    val cur = requireVersion
+    require(schemaAt(cur).fieldNames.contains(newPartCol),
+      s"evolvePartitioning: column '$newPartCol' not in schema")
+    if (newPartCol == currentPartCol) return
+    val next = cur + 1
+    writeVersion(next, schemaAt(cur).toDDL, newPartCol, entriesAt(cur))
   }
+
+  /** An empty DataFrame with the table's committed schema (safe to
+    * unionByName against any read of this table).
+    */
+  private def emptyLike(): DataFrame = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[Row], schemaAt(requireVersion))
+
+  /** Pruned read over CURRENT-SPEC dirs only — the mutation paths'
+    * base read. Legacy dirs are handled explicitly by migration;
+    * using the legacy-inclusive [[readWhere]] here would double-count
+    * their rows into a commit.
+    */
+  private def readSpec(values: Set[String]): DataFrame = {
+    val spec = currentPartCol
+    val dirs = currentEntriesOrEmpty
+      .filter(e => e.pcol == spec && values.contains(e.value))
+      .map(e => s"$root/${e.dir}")
+    if (dirs.isEmpty) emptyLike() else spark.read.parquet(dirs: _*)
+  }
+
+  /** Legacy dirs containing at least one row `mark` keeps (for
+    * upsert/merge that is a KEY semi-join — a dir migrates because a
+    * touched key lives there, never because it merely shares a
+    * partition value), found by one scan of legacy data only (shrinks
+    * as migration proceeds; per-file stats pruning would be the
+    * production refinement). Returns (their entries, ALL rows of
+    * those dirs) — migration rewrites whole dirs, so unrelated rows
+    * ride along.
+    */
+  private def legacyTouching(mark: DataFrame => DataFrame)
+      : (Seq[Entry], DataFrame) = {
+    val legacy = currentEntriesOrEmpty.filter(_.pcol != currentPartCol)
+    if (legacy.isEmpty) return (Seq.empty, emptyLike())
+    val hitFiles = mark(spark.read
+        .parquet(legacy.map(e => s"$root/${e.dir}"): _*)
+        .withColumn("__f", input_file_name()))
+      .select("__f").distinct().collect().map(_.getString(0))
+    val hit = legacy.filter(e => hitFiles.exists(_.contains(s"/${e.dir}/")))
+    if (hit.isEmpty) (Seq.empty, emptyLike())
+    else (hit, spark.read.parquet(hit.map(e => s"$root/${e.dir}"): _*))
+  }
+
+  /** Create or fully replace the table (every partition rewritten,
+    * legacy dirs dropped — a full rewrite is also a full migration).
+    */
+  override def overwrite(df: DataFrame): Unit =
+    commit(df, touchedValues(df), Seq.empty)
 
   /** Append rows: only the partitions the batch lands in are
     * rewritten (existing rows of those partitions union the batch).
+    * Needs no legacy migration — appends never replace keys, and
+    * reads union legacy dirs regardless.
     */
   override def append(df: DataFrame): Unit =
     if (!exists) overwrite(df)
     else {
       val touched = touchedValues(df)
-      commit(readWhere(touched).unionByName(df), touched, manifest)
+      commit(readSpec(touched).unionByName(df), touched,
+        currentEntriesOrEmpty)
     }
 
   /** PK upsert (J7): incoming rows replace same-key rows; untouched
-    * PARTITIONS (not just rows) are carried by reference.
+    * PARTITIONS (not just rows) are carried by reference. On an
+    * evolved table, legacy dirs holding touched keys are migrated
+    * whole to the current spec in the same commit (their unrelated
+    * rows ride along — progressive migration, never key duplication).
     */
   override def upsert(updates: DataFrame, keys: Seq[String]): Unit =
     if (!exists) overwrite(updates)
     else {
-      val touched = touchedValues(updates)
+      val touched0 = touchedValues(updates)
+      val (mig, migRows) = legacyTouching(
+        _.join(updates.select(keys.map(col): _*), keys, "left_semi"))
+      val touched = touched0 ++ touchedValues(migRows)
       commit(
-        readWhere(touched)
+        readSpec(touched).unionByName(migRows)
           .join(updates.select(keys.map(col): _*), keys, "left_anti")
           .unionByName(updates),
-        touched, manifest)
+        touched, currentEntriesOrEmpty.filterNot(mig.contains))
     }
 
   /** Targeted column update: partitions containing matching rows are
-    * found first (pruned scan), then only those are rewritten.
+    * found first (pruned scan), then only those are rewritten; legacy
+    * dirs with matching rows migrate to the current spec.
     */
   override def updateWhere(pred: Column,
                            sets: Map[String, Column]): Unit = {
-    val touched = touchedValues(read().filter(pred))
+    val (mig, migRows) = legacyTouching(_.filter(pred))
+    val touched = touchedValues(read().filter(pred)) ++
+      touchedValues(migRows)
     if (touched.nonEmpty) {
-      val updated = sets.foldLeft(readWhere(touched)) {
+      val updated = sets.foldLeft(
+        readSpec(touched).unionByName(migRows)) {
         case (df, (name, value)) =>
           df.withColumn(name, when(pred, value).otherwise(col(name)))
       }
-      commit(updated, touched, manifest)
+      commit(updated, touched, currentEntriesOrEmpty.filterNot(mig.contains))
     }
   }
 
   /** Anti-delete: only partitions containing matching rows are
-    * rewritten; a partition deleted empty leaves the manifest.
+    * rewritten; a partition deleted empty leaves the manifest; legacy
+    * dirs with matching rows migrate to the current spec.
     */
   override def deleteWhere(pred: Column): Unit = {
-    val touched = touchedValues(read().filter(pred))
+    val (mig, migRows) = legacyTouching(_.filter(pred))
+    val touched = touchedValues(read().filter(pred)) ++
+      touchedValues(migRows)
     if (touched.nonEmpty)
-      commit(readWhere(touched).filter(!pred), touched, manifest)
+      commit(readSpec(touched).unionByName(migRows).filter(!pred),
+        touched, currentEntriesOrEmpty.filterNot(mig.contains))
   }
 
   /** Single-commit CDC apply — MERGE INTO semantics over an ops log:
@@ -306,13 +452,16 @@ class PartitionedCowTable(val root: String, val partCol: String,
         s"to final state per key before applying")
     val data = ops.filter(col(opCol) =!= "D").drop(opCol)
     if (!exists) { overwrite(data); return }
-    val touched = touchedValues(ops)
+    val touched0 = touchedValues(ops)
     val touchedKeys = ops.select(keys.map(col): _*)
+    val (mig, migRows) = legacyTouching(
+      _.join(touchedKeys, keys, "left_semi"))
+    val touched = touched0 ++ touchedValues(migRows)
     commit(
-      readWhere(touched)
+      readSpec(touched).unionByName(migRows)
         .join(touchedKeys, keys, "left_anti")
         .unionByName(data),
-      touched, manifest)
+      touched, currentEntriesOrEmpty.filterNot(mig.contains))
   }
 
   /** Compact the selected partitions: rewrite each as a single task's
@@ -325,16 +474,26 @@ class PartitionedCowTable(val root: String, val partCol: String,
     * unchanged (a pure layout commit); old dirs become vacuumable.
     */
   def compact(partFilter: String => Boolean = _ => true): Unit = {
-    val touched = manifest.keySet.filter(partFilter)
+    // compaction is also the full-migration vehicle: every remaining
+    // legacy dir is rewritten under the current spec alongside the
+    // selected partitions (one layout commit, row content unchanged)
+    val legacy = currentEntriesOrEmpty.filter(_.pcol != currentPartCol)
+    val migRows =
+      if (legacy.isEmpty) emptyLike()
+      else spark.read.parquet(legacy.map(e => s"$root/${e.dir}"): _*)
+    val touched = manifest.keySet.filter(partFilter) ++
+      touchedValues(migRows)
     if (touched.nonEmpty)
-      commit(readWhere(touched).repartition(col(partCol)), touched, manifest)
+      commit(readSpec(touched).unionByName(migRows)
+          .repartition(col(currentPartCol)),
+        touched, currentEntriesOrEmpty.filterNot(legacy.contains))
   }
 
   /** Drop every `w_*` dir and `v_*.json` no longer reachable from the
     * current manifest; shared dirs it still references survive.
     */
   override def vacuum(): Unit = currentVersion.foreach { cur =>
-    val live = manifestAt(cur).values.map(_.split('/').head).toSet
+    val live = entriesAt(cur).map(_.dir.split('/').head).toSet
     val entries = {
       val listing = Files.list(Paths.get(root))
       try listing.iterator().asScala.toSeq finally listing.close()
@@ -351,6 +510,12 @@ class PartitionedCowTable(val root: String, val partCol: String,
 }
 
 object PartitionedCowTable {
+  /** One manifest entry: the spec column the dir was written under,
+    * its partition value, and the data dir relative to root.
+    */
+  private[sources] case class Entry(pcol: String, value: String,
+                                    dir: String)
+
   def apply(root: String, partCol: String)
            (implicit spark: SparkSession): PartitionedCowTable =
     new PartitionedCowTable(root, partCol, spark)

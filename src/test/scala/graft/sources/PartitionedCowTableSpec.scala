@@ -308,6 +308,75 @@ class PartitionedCowTableSpec extends SparkSpec {
     intercept[IllegalArgumentException] { t.readVersion(v1) }
     assert(t.read().count() == 4)
   }
+
+  // ---- partition evolution ----
+
+  test("evolvePartitioning is metadata-only: no data job, empty " +
+    "change feed, identical reads, old versions intact") {
+    val t = mk()
+    val v0 = t.version
+    val before = t.read().orderBy("pid").collect().toSeq
+    t.evolvePartitioning("v")
+    assert(t.version === v0 + 1)
+    assert(t.currentPartCol === "v")
+    assert(t.changedSince(v0).count() === 0) // dirs unchanged
+    assert(t.read().orderBy("pid").collect().toSeq === before)
+    assert(t.manifest.isEmpty) // nothing on the new spec yet
+    assert(t.legacyEntries.map(_._1).toSet === Set("month"))
+    assert(t.readVersion(v0).count() === 4) // time travel intact
+    intercept[IllegalArgumentException] { t.evolvePartitioning("nope") }
+  }
+
+  test("post-evolve appends land under the new spec; legacy dirs are " +
+    "read but never pruned by new-spec values") {
+    val t = mk()
+    t.evolvePartitioning("v")
+    t.append(Seq((5L, "2020-06", "e", false)).toDF("pid", "month", "v", "flag"))
+    assert(t.manifest.keySet === Set("e")) // new spec entry
+    assert(t.legacyEntries.size === 3)     // all month dirs intact
+    assert(t.read().count() === 5)
+    // pruning on the new spec keeps every legacy row (Iceberg rule:
+    // old files keep their old spec, only new-spec dirs prune)
+    assert(t.readWhere(_ == "e").count() === 5)
+    assert(t.readWhere(_ => false).count() === 4) // legacy only
+  }
+
+  test("upsert migrates exactly the legacy dirs holding touched keys; " +
+    "cold legacy dirs stay by reference") {
+    val t = mk()
+    t.evolvePartitioning("v")
+    // pid 1 lives in the month=2020-03 legacy dir (with pid 2): that
+    // whole dir migrates; 2020-04 and 2020-05 stay legacy
+    t.upsert(Seq((1L, "2020-03", "a", true)).toDF("pid", "month", "v", "flag"),
+      Seq("pid"))
+    assert(t.read().count() === 4) // no duplication
+    assert(t.read().filter(col("pid") === 1).head().getAs[Boolean]("flag"))
+    val legacyMonths = t.legacyEntries.map(_._2).toSet
+    assert(legacyMonths === Set("2020-04", "2020-05"))
+    // the migrated dir's OTHER row (pid 2) rode along under 'v'
+    assert(t.manifest.keySet === Set("a", "b"))
+  }
+
+  test("compact migrates every remaining legacy dir; content unchanged") {
+    val t = mk()
+    t.evolvePartitioning("v")
+    val before = t.read().orderBy("pid").collect().toSeq
+    t.compact()
+    assert(t.legacyEntries.isEmpty)
+    assert(t.manifest.keySet === Set("a", "b", "c", "d"))
+    assert(t.read().orderBy("pid").collect().toSeq === before)
+    t.vacuum() // old-spec dirs now unreferenced and reclaimable
+    assert(t.read().orderBy("pid").collect().toSeq === before)
+  }
+
+  test("deleteWhere on a legacy row migrates its dir minus the row") {
+    val t = mk()
+    t.evolvePartitioning("v")
+    t.deleteWhere(col("pid") === 2)
+    assert(t.read().count() === 3)
+    assert(t.manifest.keySet === Set("a")) // pid 1 migrated alongside
+    assert(t.legacyEntries.map(_._2).toSet === Set("2020-04", "2020-05"))
+  }
 }
 
 /** Simulates a competing writer's COMPLETED commit firing from inside
