@@ -3617,6 +3617,45 @@ object CoverageQueries {
         .withColumn("final_version", lit(ver))
         .withColumn("legacy_dirs", lit(legacyLeft))
         .orderBy("prio")
+    },
+
+    // Declarative reconcile (MERGE-sync): make the table EQUAL a
+    // system-of-record snapshot in ONE commit — q218 replays an ops
+    // LOG someone else prepared; mergeSync derives the I/U/D set
+    // itself from a keyed full-outer diff of 64-bit row hashes, then
+    // rewrites only partitions containing a change (unchanged
+    // partitions and unchanged legacy dirs carry by reference, legacy
+    // dirs holding changed keys migrate). Composed with evolution
+    // here: the table syncs AFTER an evolve, so the diff spans both
+    // layouts. Gate = final per-priority content (must equal the
+    // source exactly) + the derived I/U/D counts.
+    "q242_merge_sync" -> { (s, dir) =>
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_msync").toString
+      def rows(hi: Long) = t(s, dir, "orders")
+        .filter(col("o_orderkey") < hi)
+        .select(col("o_orderkey").as("pid"),
+          substring(col("o_orderdate").cast("string"), 1, 7).as("month"),
+          col("o_orderpriority").as("prio"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val tbl = new graft.sources.PartitionedCowTable(
+        s"$root/t", "month", s)
+      tbl.overwrite(rows(400))          // v0: keys 0..399 by month
+      tbl.evolvePartitioning("prio")    // v1
+      // source of record: keys %5==0 dropped, %3==0 bumped, 400..499
+      // new — the engine must DERIVE these ops and land them at once
+      val src = rows(500).filter(col("pid") % 5 =!= 0)
+        .withColumn("cents",
+          when(col("pid") % 3 === 0, col("cents") + 777L)
+            .otherwise(col("cents")))
+      val (ins, upd, del) = tbl.mergeSync(src, Seq("pid"))
+      tbl.read().groupBy("prio")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        .withColumn("inserted", lit(ins))
+        .withColumn("updated", lit(upd))
+        .withColumn("deleted", lit(del))
+        .withColumn("final_version", lit(tbl.version.toLong))
+        .orderBy("prio")
     }
   )
 
@@ -4887,6 +4926,35 @@ object CoverageQueries {
         |  CAST(l.legacy_dirs AS BIGINT) AS legacy_dirs
         |FROM base, leg l
         |GROUP BY prio, l.legacy_dirs ORDER BY prio""".stripMargin,
+
+    // final content = the source snapshot itself; I/U/D closed-form
+    // from the key predicates; final_version = overwrite+evolve+sync
+    "q242_merge_sync" ->
+      """WITH src AS (
+        |  SELECT o_orderkey AS pid, o_orderpriority AS prio,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) + CASE
+        |      WHEN o_orderkey % 3 = 0 THEN 777 ELSE 0 END AS cents
+        |  FROM orders
+        |  WHERE o_orderkey < 500 AND o_orderkey % 5 <> 0),
+        |c AS (
+        |  SELECT
+        |    (SELECT count(*) FROM orders WHERE o_orderkey >= 400
+        |       AND o_orderkey < 500 AND o_orderkey % 5 <> 0)
+        |      AS inserted,
+        |    (SELECT count(*) FROM orders WHERE o_orderkey < 400
+        |       AND o_orderkey % 5 <> 0 AND o_orderkey % 3 = 0)
+        |      AS updated,
+        |    (SELECT count(*) FROM orders WHERE o_orderkey < 400
+        |       AND o_orderkey % 5 = 0) AS deleted)
+        |SELECT prio, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(c.inserted AS BIGINT) AS inserted,
+        |  CAST(c.updated AS BIGINT) AS updated,
+        |  CAST(c.deleted AS BIGINT) AS deleted,
+        |  CAST(2 AS BIGINT) AS final_version
+        |FROM src, c
+        |GROUP BY prio, c.inserted, c.updated, c.deleted
+        |ORDER BY prio""".stripMargin,
 
     // both joined snapshot states closed-form: step 2 = A after the
     // %4 update × B after the %3 update (no deletes); step 3 = the

@@ -464,6 +464,63 @@ class PartitionedCowTable(val root: String, val partCol: String,
       touched, currentEntriesOrEmpty.filterNot(mig.contains))
   }
 
+  /** Declarative reconcile — make the table's content EQUAL `source`
+    * in one commit (the "sync from system-of-record" op; q218's
+    * mergeApply replays an ops LOG, this derives the ops itself).
+    * Inserts, updates (any column differing) and deletes are detected
+    * by a keyed full-outer diff; only partitions containing a change
+    * are rewritten, unchanged partitions (and unchanged legacy dirs)
+    * carry by reference; legacy dirs holding changed keys migrate
+    * (the [[upsert]] rule). Returns (inserted, updated, deleted).
+    * Same contract as upsert: a key's partition value never changes.
+    */
+  def mergeSync(source: DataFrame,
+                keys: Seq[String]): (Long, Long, Long) = {
+    if (!exists) { overwrite(source); return (source.count(), 0L, 0L) }
+    val cols = read().columns.sorted.toSeq
+    // 64-bit row hash: at billions of changed keys a 32-bit hash
+    // WOULD silently miss ~n/2^32 updates; 64-bit pushes that past
+    // any realistic sync volume
+    def hashed(df: DataFrame, tag: String) =
+      df.select(keys.map(col) :+
+        col(currentPartCol).cast("string").as(s"__v_$tag") :+
+        xxhash64(cols.map(col): _*).as(s"__h_$tag"): _*)
+    val diff = hashed(source, "s")
+      .join(hashed(read(), "t"), keys, "full_outer")
+      .withColumn("__st",
+        when(col("__h_t").isNull, "I")
+          .when(col("__h_s").isNull, "D")
+          .when(col("__h_s") =!= col("__h_t"), "U"))
+      .filter(col("__st").isNotNull)
+      .localCheckpoint() // changed keys only; reused 4×
+    val counts = diff.groupBy("__st").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (diff.isEmpty) return (0L, 0L, 0L)
+    val touched0 = diff
+      .select(coalesce(col("__v_s"), col("__v_t")).as("v"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val changedKeys = diff.select(keys.map(col): _*)
+    val (mig, migRows) = legacyTouching(
+      _.join(changedKeys, keys, "left_semi"))
+    val touched = touched0 ++ touchedValues(migRows)
+    // keys that stay behind in NON-migrated legacy dirs are unchanged
+    // by construction (their dirs held no changed key) — exclude them
+    // from the rewritten partitions so they aren't duplicated
+    val remain = currentEntriesOrEmpty
+      .filter(e => e.pcol != currentPartCol && !mig.contains(e))
+    val remainKeys =
+      if (remain.isEmpty) emptyLike().select(keys.map(col): _*)
+      else spark.read.parquet(remain.map(e => s"$root/${e.dir}"): _*)
+        .select(keys.map(col): _*)
+    commit(
+      source.filter(col(currentPartCol).cast("string")
+          .isInCollection(touched.toSeq))
+        .join(remainKeys, keys, "left_anti"),
+      touched, currentEntriesOrEmpty.filterNot(mig.contains))
+    (counts.getOrElse("I", 0L), counts.getOrElse("U", 0L),
+      counts.getOrElse("D", 0L))
+  }
+
   /** Compact the selected partitions: rewrite each as a single task's
     * output (one file per partition dir), carrying everything else by
     * reference. The small-file antidote for long-lived tables — every

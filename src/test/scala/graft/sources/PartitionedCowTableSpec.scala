@@ -377,6 +377,47 @@ class PartitionedCowTableSpec extends SparkSpec {
     assert(t.manifest.keySet === Set("a")) // pid 1 migrated alongside
     assert(t.legacyEntries.map(_._2).toSet === Set("2020-04", "2020-05"))
   }
+
+  // ---- mergeSync ----
+
+  test("mergeSync derives I/U/D, rewrites only changed partitions, " +
+    "and a no-op sync commits nothing") {
+    val t = mk()
+    val dirsBefore = t.manifest
+    // source: pid 1 flag flipped (U, month 2020-03), pid 3 gone (D,
+    // 2020-04), pid 5 new (I, 2020-06); pid 4's 2020-05 untouched
+    val src = Seq(
+      (1L, "2020-03", "a", true), (2L, "2020-03", "b", false),
+      (4L, "2020-05", "d", false), (5L, "2020-06", "e", false))
+      .toDF("pid", "month", "v", "flag")
+    assert(t.mergeSync(src, Seq("pid")) === ((1L, 1L, 1L)))
+    assert(t.read().orderBy("pid").collect().toSeq ===
+      src.orderBy("pid").collect().toSeq)
+    // untouched partition carried by reference, not rewritten
+    assert(t.manifest("2020-05") === dirsBefore("2020-05"))
+    assert(t.manifest.get("2020-04").isEmpty) // emptied by the delete
+    // idempotence: syncing the same source again is a no-op commit
+    val v = t.version
+    assert(t.mergeSync(src, Seq("pid")) === ((0L, 0L, 0L)))
+    assert(t.version === v)
+  }
+
+  test("mergeSync after evolve: changed-key legacy dirs migrate, " +
+    "unchanged legacy dirs carry") {
+    val t = mk()
+    t.evolvePartitioning("v")
+    // change pid 1 (legacy 2020-03 dir migrates with pid 2 riding
+    // along); 2020-04 and 2020-05 hold no changed key and stay legacy
+    val src = Seq(
+      (1L, "2020-03", "a", true), (2L, "2020-03", "b", false),
+      (3L, "2020-04", "c", false), (4L, "2020-05", "d", false))
+      .toDF("pid", "month", "v", "flag")
+    assert(t.mergeSync(src, Seq("pid")) === ((0L, 1L, 0L)))
+    assert(t.read().orderBy("pid").collect().toSeq ===
+      src.orderBy("pid").collect().toSeq)
+    assert(t.legacyEntries.map(_._2).toSet === Set("2020-04", "2020-05"))
+    assert(t.manifest.keySet === Set("a", "b"))
+  }
 }
 
 /** Simulates a competing writer's COMPLETED commit firing from inside
