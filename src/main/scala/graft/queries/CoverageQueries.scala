@@ -3656,6 +3656,103 @@ object CoverageQueries {
         .withColumn("deleted", lit(del))
         .withColumn("final_version", lit(tbl.version.toLong))
         .orderBy("prio")
+    },
+
+    // Top-k + OTHER rollup — the high-cardinality dashboard pattern:
+    // per source, the 2 biggest languages stay named and everything
+    // else folds into one OTHER bucket, so the report width is
+    // k+1 per group no matter how many languages exist. Runs on the
+    // (source, lang) rollup (group-count bounded); the rank window
+    // sees rollup rows, never docs.
+    "q243_topk_other_rollup" -> { (s, dir) =>
+      val g = t(s, dir, "documents")
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+      val ranked = g.withColumn("rk", row_number().over(
+        Window.partitionBy("source")
+          .orderBy(col("n").desc, col("lang"))))
+      ranked
+        .withColumn("bucket",
+          when(col("rk") <= 2, col("lang")).otherwise(lit("OTHER")))
+        .groupBy("source", "bucket")
+        .agg(sum("n").as("n_docs"), sum("chars").as("sum_chars"))
+        .orderBy("source", "bucket")
+    },
+
+    // Markov removal-effect attribution (Anderl et al.'s
+    // absorbing-chain model — the data-driven alternative to the
+    // positional rules q146/q167/q196 implement): journeys run
+    // start → events → first purchase (conv) or exhaustion (null);
+    // the base conversion probability comes from 25 synchronous
+    // power-iteration rounds over the transition matrix, and each
+    // channel's effect is the drop when that channel's value is
+    // forced to 0 (its inbound mass dies — the standard removal
+    // device). Corpus work = ONE user-keyed sort to journey edges;
+    // the matrix is type-vocab-bounded metadata (≤7×7 here), so the
+    // 5 iteration scenarios run driver-side on collected integers —
+    // micro-unit probabilities with floor divisions at fixed points,
+    // the q230 engine-exact trajectory discipline.
+    "q244_markov_removal_attribution" -> { (s, dir) =>
+      val M = 1000000L
+      val rounds = 25
+      val channels = Seq("click", "error", "signup", "view")
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          when(col("event_type") === "purchase", lit("conv"))
+            .otherwise(col("event_type")).as("st"))
+      val fp = ev.filter(col("st") === "conv")
+        .groupBy("user_id")
+        .agg(min(struct(col("ts"), col("event_id"))).as("fp"))
+      val j = ev.join(fp, Seq("user_id"), "left")
+        .filter(col("fp").isNull ||
+          struct(col("ts"), col("event_id")) <= col("fp"))
+        .withColumn("nxt", lead(col("st"), 1).over(w))
+        .withColumn("rn", row_number().over(w))
+      val edges = j.filter(col("rn") === 1)
+          .select(lit("start").as("cur"), col("st").as("to"))
+        .unionByName(j.filter(col("nxt").isNotNull)
+          .select(col("st").as("cur"), col("nxt").as("to")))
+        .unionByName(j.filter(col("nxt").isNull && col("st") =!= "conv")
+          .select(col("st").as("cur"), lit("null").as("to")))
+        .groupBy("cur", "to").agg(count(lit(1)).as("n"))
+      val pm = edges
+        .join(edges.groupBy("cur").agg(sum("n").as("tot")), "cur")
+        .select(col("cur"), col("to"),
+          expr(s"(n * ${M}L) div tot").as("pm"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap // type-vocab-bounded metadata, the kmeansFit precedent
+      val states = (pm.keys.flatMap(k => Seq(k._1, k._2)).toSet
+        ++ Set("conv", "null")).toSeq.sorted
+      def converge(removed: Option[String]): Long = {
+        var x = states.map(s =>
+          s -> (if (s == "conv") M else 0L)).toMap
+        for (_ <- 1 to rounds) {
+          x = states.map { s =>
+            val v =
+              if (s == "conv") M
+              else if (s == "null" || removed.contains(s)) 0L
+              else states.map(t =>
+                pm.getOrElse((s, t), 0L) * x(t)).sum / M
+            s -> v
+          }.toMap
+        }
+        x.getOrElse("start", 0L)
+      }
+      val base = converge(None)
+      val rows = channels.map { c =>
+        val rem = converge(Some(c))
+        (c, base, rem, math.max(0L, base - rem))
+      }
+      val totalEff = rows.map(_._4).sum
+      import s.implicits._
+      rows.map { case (c, b, r, e) =>
+        (c, b, r, e, if (totalEff == 0) 0L else e * M / totalEff)
+      }.toDF("channel", "base_micro", "removal_micro", "effect_micro",
+        "share_micro")
+        .orderBy("channel")
     }
   )
 
@@ -4955,6 +5052,110 @@ object CoverageQueries {
         |FROM src, c
         |GROUP BY prio, c.inserted, c.updated, c.deleted
         |ORDER BY prio""".stripMargin,
+
+    // the same rollup-then-rank-then-fold
+    "q243_topk_other_rollup" ->
+      """WITH g AS (
+        |  SELECT source, lang, count(*) AS n,
+        |    CAST(sum(n_chars) AS BIGINT) AS chars
+        |  FROM documents GROUP BY source, lang),
+        |r AS (
+        |  SELECT source, lang, n, chars, row_number() OVER (
+        |    PARTITION BY source ORDER BY n DESC, lang) AS rk
+        |  FROM g)
+        |SELECT source,
+        |  CASE WHEN rk <= 2 THEN lang ELSE 'OTHER' END AS bucket,
+        |  CAST(sum(n) AS BIGINT) AS n_docs,
+        |  CAST(sum(chars) AS BIGINT) AS sum_chars
+        |FROM r GROUP BY source, bucket
+        |ORDER BY source, bucket""".stripMargin,
+
+    // the same journeys, micro transition matrix, and 25 integer
+    // power-iteration rounds × 5 scenarios as generated MATERIALIZED
+    // CTEs (the kcore/q230 device)
+    "q244_markov_removal_attribution" -> {
+      val scen = Seq("base" -> "", "click" -> "click",
+        "error" -> "error", "signup" -> "signup", "view" -> "view")
+      def roundCte(sc: String, removed: String, k: Int): String = {
+        val remCase =
+          if (removed.isEmpty) ""
+          else s"WHEN s.st = '$removed' THEN 0\n    "
+        s"""x${k}_$sc AS MATERIALIZED (
+           |  SELECT s.st, CAST(CASE
+           |    WHEN s.st = 'conv' THEN 1000000
+           |    WHEN s.st = 'null' THEN 0
+           |    ${remCase}ELSE COALESCE((
+           |      SELECT CAST(sum(p.pm * x.x) // 1000000 AS BIGINT)
+           |      FROM pm p JOIN x${k - 1}_$sc x ON x.st = p.nxt
+           |      WHERE p.cur = s.st), 0)
+           |  END AS BIGINT) AS x
+           |  FROM sts s),""".stripMargin
+      }
+      val zeros = scen.map { case (sc, _) =>
+        s"""x0_$sc AS (SELECT st, CAST(CASE WHEN st = 'conv'
+           |  THEN 1000000 ELSE 0 END AS BIGINT) AS x FROM sts),"""
+          .stripMargin
+      }.mkString("\n")
+      val iters = scen.flatMap { case (sc, rm) =>
+        (1 to 25).map(k => roundCte(sc, rm, k))
+      }.mkString("\n")
+      val effRows = scen.tail.map { case (sc, _) =>
+        s"SELECT '$sc' AS channel, (SELECT x FROM x25_$sc " +
+          s"WHERE st = 'start') AS removal"
+      }.mkString("\nUNION ALL ")
+      """WITH e AS MATERIALIZED (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type = 'purchase' THEN 'conv'
+        |      ELSE event_type END AS st
+        |  FROM events),
+        |fp AS MATERIALIZED (
+        |  SELECT user_id, ts AS fts, event_id AS fid FROM (
+        |    SELECT user_id, ts, event_id, row_number() OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS rk
+        |    FROM e WHERE st = 'conv') WHERE rk = 1),
+        |j AS MATERIALIZED (
+        |  SELECT q.*, lead(st) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS nxt,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM (
+        |    SELECT e.user_id, e.ts, e.event_id, e.st
+        |    FROM e LEFT JOIN fp ON fp.user_id = e.user_id
+        |    WHERE fp.user_id IS NULL
+        |      OR (e.ts, e.event_id) <= (fp.fts, fp.fid)) q),
+        |ed AS MATERIALIZED (
+        |  SELECT cur, t AS nxt, count(*) AS n FROM (
+        |    SELECT 'start' AS cur, st AS t FROM j WHERE rn = 1
+        |    UNION ALL SELECT st, nxt FROM j WHERE nxt IS NOT NULL
+        |    UNION ALL SELECT st, 'null' FROM j
+        |      WHERE nxt IS NULL AND st <> 'conv')
+        |  GROUP BY cur, t),
+        |pm AS MATERIALIZED (
+        |  SELECT ed.cur, ed.nxt,
+        |    CAST((ed.n * 1000000) // t.tot AS BIGINT) AS pm
+        |  FROM ed JOIN (SELECT cur, CAST(sum(n) AS BIGINT) AS tot
+        |                FROM ed GROUP BY cur) t USING (cur)),
+        |sts AS MATERIALIZED (
+        |  SELECT DISTINCT st FROM (
+        |    SELECT cur AS st FROM pm UNION ALL SELECT nxt FROM pm
+        |    UNION ALL SELECT 'conv' UNION ALL SELECT 'null')),
+        |""".stripMargin +
+        zeros + "\n" + iters + "\n" +
+        s"""b AS (SELECT x AS base FROM x25_base WHERE st = 'start'),
+           |effs AS ($effRows),
+           |tot AS (
+           |  SELECT CAST(sum(greatest(b.base - effs.removal, 0))
+           |    AS BIGINT) AS te
+           |  FROM effs, b)
+           |SELECT effs.channel, b.base AS base_micro,
+           |  effs.removal AS removal_micro,
+           |  CAST(greatest(b.base - effs.removal, 0) AS BIGINT)
+           |    AS effect_micro,
+           |  CAST(CASE WHEN tot.te = 0 THEN 0
+           |    ELSE (greatest(b.base - effs.removal, 0) * 1000000)
+           |      // tot.te END AS BIGINT) AS share_micro
+           |FROM effs, b, tot ORDER BY effs.channel""".stripMargin
+    },
 
     // both joined snapshot states closed-form: step 2 = A after the
     // %4 update × B after the %3 update (no deletes); step 3 = the

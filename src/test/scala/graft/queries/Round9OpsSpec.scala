@@ -702,4 +702,51 @@ class Round9OpsSpec extends SparkSpec {
     assert(out(1L).getAs[Long]("n_scanned") === 15L)
     assert(out(1L).getAs[Long]("scanned_micro") === 1000000L)
   }
+
+  // ---- q243 top-k + OTHER rollup ----
+
+  test("q243: the two biggest languages stay named, the tail folds " +
+    "into OTHER, ties break on language") {
+    implicit val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("r9to").toString
+    Seq((1L, "srcA", "en", 10L), (2L, "srcA", "en", 10L),
+      (3L, "srcA", "en", 10L), (4L, "srcA", "fr", 20L),
+      (5L, "srcA", "fr", 20L), (6L, "srcA", "de", 30L),
+      (7L, "srcA", "es", 40L))
+      .toDF("doc_id", "source", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = q("q243_topk_other_rollup", dir).collect()
+      .map(r => r.getAs[String]("bucket") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("sum_chars")))).toMap
+    assert(out("en") === ((3L, 30L)))
+    assert(out("fr") === ((2L, 40L)))
+    assert(out("OTHER") === ((2L, 70L))) // de + es fold
+    assert(out.size === 3)               // width is k+1, not |langs|
+  }
+
+  // ---- q244 Markov removal-effect attribution ----
+
+  test("q244: removal effects match the hand-solved absorbing chain " +
+    "and absent channels get zero effect") {
+    // u1: view -> purchase; u2: view -> (null); u3: click -> purchase.
+    // P: start->{view 2/3, click 1/3}; view->{conv 1/2, null 1/2};
+    // click->conv 1. base = 666666 micro. Removing view OR click
+    // each drops start-conversion to 333333 -> equal effects, shares
+    // 500000 each; error/signup never occur -> effect 0.
+    def ts(sec: Long) =
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    val rows = Seq(
+      (1L, ts(10), 1L, "view", 0.0), (2L, ts(20), 1L, "purchase", 0.0),
+      (3L, ts(10), 2L, "view", 0.0),
+      (4L, ts(10), 3L, "click", 0.0), (5L, ts(20), 3L, "purchase", 0.0))
+    val out = q("q244_markov_removal_attribution", eventsDir(rows))
+      .collect().map(r => r.getAs[String]("channel") -> r).toMap
+    assert(out("view").getAs[Long]("base_micro") === 666666L)
+    assert(out("view").getAs[Long]("effect_micro") === 333333L)
+    assert(out("click").getAs[Long]("effect_micro") === 333333L)
+    assert(out("view").getAs[Long]("share_micro") === 500000L)
+    assert(out("click").getAs[Long]("share_micro") === 500000L)
+    assert(out("error").getAs[Long]("effect_micro") === 0L)
+    assert(out("signup").getAs[Long]("share_micro") === 0L)
+  }
 }
