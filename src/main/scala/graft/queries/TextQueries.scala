@@ -4613,62 +4613,65 @@ object TextQueries {
         |  CAST(sum(logit_micro) AS BIGINT) AS sum_logit_micro
         |FROM d GROUP BY lang, band ORDER BY lang, band""".stripMargin,
 
-    // the same histogram CDFs and nearest-rank floor-div mapping
+    // INDEPENDENT formulation: the naive per-doc definition — each
+    // doc's within-source max-rank quantile maps to the global score
+    // at the nearest-rank position via per-doc windows and a direct
+    // ordered-array index — no histogram, no prefix-sum algebra
+    // shared with the engine
     "q231_quantile_normalize" ->
-      """WITH h AS MATERIALIZED (
-        |  SELECT source,
+      """WITH d AS MATERIALIZED (
+        |  SELECT doc_id, source,
         |    CAST(len(string_split(trim(lower(text)), ' ')) AS BIGINT)
-        |      AS sc,
-        |    count(*) AS c
-        |  FROM documents GROUP BY 1, 2),
-        |sc_cdf AS MATERIALIZED (
-        |  SELECT source, sc, c,
-        |    CAST(sum(c) OVER (PARTITION BY source ORDER BY sc)
-        |      AS BIGINT) AS k,
-        |    CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS ns
-        |  FROM h),
-        |g AS (SELECT sc, CAST(sum(c) AS BIGINT) AS gc FROM h
-        |      GROUP BY sc),
-        |gcum AS MATERIALIZED (
-        |  SELECT sc AS gsc,
-        |    CAST(sum(gc) OVER (ORDER BY sc) AS BIGINT) AS kg
-        |  FROM g),
-        |n AS (SELECT CAST(sum(c) AS BIGINT) AS nn FROM h)
-        |SELECT s.source, s.sc AS score, min(gcum.gsc) AS normalized,
-        |  s.c AS n_docs
-        |FROM sc_cdf s, n, gcum
-        |WHERE gcum.kg >= (s.k * n.nn + s.ns - 1) // s.ns
-        |GROUP BY s.source, s.sc, s.c
-        |ORDER BY s.source, score""".stripMargin,
+        |      AS sc
+        |  FROM documents),
+        |rk AS MATERIALIZED (
+        |  SELECT doc_id, source, sc,
+        |    CAST(rank() OVER (PARTITION BY source ORDER BY sc)
+        |      AS BIGINT)
+        |      + CAST(count(*) OVER (PARTITION BY source, sc)
+        |          AS BIGINT) - 1 AS k,
+        |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS ns
+        |  FROM d),
+        |gs AS (SELECT list(sc ORDER BY sc) AS arr,
+        |         CAST(count(*) AS BIGINT) AS nn
+        |       FROM d)
+        |SELECT r.source, r.sc AS score,
+        |  CAST(gs.arr[CAST((r.k * gs.nn + r.ns - 1) // r.ns AS INT)]
+        |    AS BIGINT) AS normalized,
+        |  count(*) AS n_docs
+        |FROM rk r, gs
+        |GROUP BY r.source, r.sc, normalized
+        |ORDER BY r.source, score""".stripMargin,
 
-    // the same descending histogram prefix and ceil(4/5) floor-div cut
+    // INDEPENDENT formulation: the naive per-doc definition — a
+    // per-doc descending running mass finds the first crossing doc,
+    // then the kept set is re-counted directly from docs; no
+    // histogram cells shared with the engine's algebra
     "q233_nucleus_select" ->
-      """WITH h AS (
-        |  SELECT source,
+      """WITH d AS MATERIALIZED (
+        |  SELECT doc_id, source,
         |    CAST(len(string_split(trim(lower(text)), ' ')) AS BIGINT)
-        |      AS sc,
-        |    count(*) AS c
-        |  FROM documents GROUP BY 1, 2),
-        |cum AS MATERIALIZED (
+        |      AS sc
+        |  FROM documents),
+        |c AS MATERIALIZED (
         |  SELECT source, sc,
-        |    CAST(sum(sc * c) OVER (PARTITION BY source
-        |      ORDER BY sc DESC) AS BIGINT) AS km,
-        |    CAST(sum(c) OVER (PARTITION BY source ORDER BY sc DESC)
-        |      AS BIGINT) AS kc,
-        |    CAST(sum(sc * c) OVER (PARTITION BY source) AS BIGINT)
+        |    CAST(sum(sc) OVER (PARTITION BY source
+        |      ORDER BY sc DESC, doc_id) AS BIGINT) AS km_doc,
+        |    CAST(sum(sc) OVER (PARTITION BY source) AS BIGINT)
         |      AS total
-        |  FROM h),
+        |  FROM d),
         |cut AS (
-        |  SELECT source, max(sc) AS cutoff_score,
-        |    max(total) AS mass_total
-        |  FROM cum WHERE km >= (4 * total + 4) // 5 GROUP BY source)
-        |SELECT c.source, c.cutoff_score, m.kc AS n_kept,
-        |  m.km AS mass_kept,
-        |  CAST((m.km * 1000000) // c.mass_total AS BIGINT)
+        |  SELECT source, max(sc) AS cutoff, max(total) AS total
+        |  FROM c WHERE km_doc >= (4 * total + 4) // 5
+        |  GROUP BY source)
+        |SELECT t.source, t.cutoff AS cutoff_score,
+        |  count(*) AS n_kept, CAST(sum(d.sc) AS BIGINT) AS mass_kept,
+        |  CAST((sum(d.sc) * 1000000) // max(t.total) AS BIGINT)
         |    AS share_micro
-        |FROM cut c JOIN cum m
-        |  ON m.source = c.source AND m.sc = c.cutoff_score
-        |ORDER BY c.source""".stripMargin,
+        |FROM d JOIN cut t
+        |  ON t.source = d.source AND d.sc >= t.cutoff
+        |GROUP BY t.source, t.cutoff
+        |ORDER BY t.source""".stripMargin,
 
     // the same md5 split, nearest-rank histogram quantile, and
     // single closing floor division
