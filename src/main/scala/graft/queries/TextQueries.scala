@@ -2835,6 +2835,60 @@ object TextQueries {
           (col("epochs_micro") > 4000000L).cast("int"))
         .select("source", "tok", "alloc", "epochs_micro", "repeat_heavy")
         .orderBy("source")
+    },
+
+    // Quality-classifier cascade audit — the production shape of
+    // filtering at 100 TB: a CHEAP stage (token count) accepts the
+    // clearly-good, rejects the clearly-bad, and only the borderline
+    // band ever reaches the EXPENSIVE scorer (stopword ratio here,
+    // standing in for the model pass) — so the audit's key column is
+    // the expensive-scored fraction, the number that decides the
+    // fleet bill. One scan; every decision is integer (counts +
+    // one floor division for the fraction).
+    "q245_cascade_audit" -> { (s, dir) =>
+      val tk = toks(col("text"))
+      val staged = t(s, dir, "documents")
+        .select(size(tk).cast("long").as("n"),
+          size(filter(tk, w => w.isin(enStop: _*))).cast("long")
+            .as("stop"))
+        .withColumn("decision",
+          when(col("n") < 5, "reject_cheap")
+            .when(col("n") >= 50, "accept_cheap")
+            .when(col("stop") * 1000000L >= col("n") * 40000L,
+              "accept_expensive")
+            .otherwise("reject_expensive"))
+      staged.groupBy("decision").agg(count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(staged.agg(
+          count(lit(1)).as("total"),
+          sum((col("n") >= 5 && col("n") < 50).cast("long"))
+            .as("n_expensive"))))
+        .select(col("decision"), col("n_docs"),
+          expr("(n_expensive * 1000000) div total")
+            .as("expensive_frac_micro"))
+        .orderBy("decision")
+    },
+
+    // Trending-token detection between two corpus epochs (doc_id
+    // parity as the stand-in for crawl snapshots): add-one-smoothed
+    // growth ratio in micro units via one floor division per token,
+    // df floor on the NEW side so one-off noise can't trend. The
+    // rank window runs over the vocabulary table, never docs.
+    "q246_trending_tokens" -> { (s, dir) =>
+      val cnt = t(s, dir, "documents")
+        .select((col("doc_id") % 2 === 1).as("newer"),
+          explode(toks(col("text"))).as("tk"))
+        .groupBy("tk")
+        .agg(sum(when(col("newer"), 1L).otherwise(0L)).as("cb"),
+          sum(when(!col("newer"), 1L).otherwise(0L)).as("ca"))
+        .filter(col("cb") >= 5)
+        .withColumn("growth_micro",
+          expr("((cb + 1) * 1000000) div (ca + 1)"))
+      cnt.withColumn("rk", row_number().over(
+          Window.orderBy(col("growth_micro").desc, col("tk"))))
+        .filter(col("rk") <= 10)
+        .select(col("rk"), col("tk").as("token"), col("ca"), col("cb"),
+          col("growth_micro"))
+        .orderBy("rk")
     }
   )
 
@@ -4753,6 +4807,60 @@ object TextQueries {
         |  CAST((alloc * 1000000) // tok AS BIGINT) AS epochs_micro,
         |  CASE WHEN (alloc * 1000000) // tok > 4000000 THEN 1 ELSE 0
         |    END AS repeat_heavy
-        |FROM a ORDER BY source""".stripMargin
+        |FROM a ORDER BY source""".stripMargin,
+
+    // the same two-stage routing and one closing floor division
+    "q245_cascade_audit" ->
+      """WITH d AS MATERIALIZED (
+        |  SELECT
+        |    CAST(len(string_split(trim(lower(text)), ' ')) AS BIGINT)
+        |      AS n,
+        |    CAST(len(list_filter(string_split(trim(lower(text)), ' '),
+        |      t -> t IN ('the','a','of','and','to','in'))) AS BIGINT)
+        |      AS stop
+        |  FROM documents),
+        |staged AS (
+        |  SELECT CASE
+        |    WHEN n < 5 THEN 'reject_cheap'
+        |    WHEN n >= 50 THEN 'accept_cheap'
+        |    WHEN stop * 1000000 >= n * 40000 THEN 'accept_expensive'
+        |    ELSE 'reject_expensive' END AS decision
+        |  FROM d),
+        |tot AS (
+        |  SELECT count(*) AS total,
+        |    CAST(sum(CASE WHEN n >= 5 AND n < 50 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_expensive
+        |  FROM d)
+        |SELECT s.decision, count(*) AS n_docs,
+        |  CAST((t.n_expensive * 1000000) // t.total AS BIGINT)
+        |    AS expensive_frac_micro
+        |FROM staged s, tot t
+        |GROUP BY s.decision, t.n_expensive, t.total
+        |ORDER BY s.decision""".stripMargin,
+
+    // the same smoothed growth ratio and df floor
+    "q246_trending_tokens" ->
+      """WITH tok AS (
+        |  SELECT doc_id % 2 = 1 AS newer,
+        |    unnest(string_split(trim(lower(text)), ' ')) AS tk
+        |  FROM documents),
+        |c AS (
+        |  SELECT tk,
+        |    CAST(sum(CASE WHEN newer THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS cb,
+        |    CAST(sum(CASE WHEN newer THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS ca
+        |  FROM tok GROUP BY tk HAVING
+        |    sum(CASE WHEN newer THEN 1 ELSE 0 END) >= 5),
+        |g AS (
+        |  SELECT tk, ca, cb,
+        |    CAST(((cb + 1) * 1000000) // (ca + 1) AS BIGINT)
+        |      AS growth_micro
+        |  FROM c)
+        |SELECT rk, tk AS token, ca, cb, growth_micro FROM (
+        |  SELECT g.*, row_number() OVER (
+        |    ORDER BY growth_micro DESC, tk) AS rk
+        |  FROM g)
+        |WHERE rk <= 10 ORDER BY rk""".stripMargin
   )
 }

@@ -649,6 +649,42 @@ object VectorQueries {
           col("n_scanned"),
           expr("(n_scanned * 1000000) div nc").as("scanned_micro"))
         .orderBy("qid")
+    },
+
+    // Embedding drift monitor — per label, the cosine between the
+    // centroid of the even half and the odd half (parity standing in
+    // for old/new embedding-model runs): a retrained encoder that
+    // moves a class's centroid silently poisons every ANN index built
+    // on mixed vintages. Float-sum discipline: components quantize to
+    // micro INTEGERS first, so the per-position sums that cross the
+    // exchange are exact (never an order-dependent double
+    // accumulation); the cosine of the two exact integer-sum vectors
+    // is computed once and rounded once. The per-position rollup is
+    // labels × 2 × dim rows — grid metadata, not corpus.
+    "q247_centroid_drift" -> { (s, dir) =>
+      val e = emb(s, dir)
+        .select(col("label"), (col("vec_id") % 2 === 1).as("newer"),
+          posexplode(col("v")).as(Seq("pos", "x")))
+        .withColumn("xi", round(col("x") * 1e6).cast("long"))
+      val grid = e.groupBy("label", "pos")
+        .agg(sum(when(col("newer"), col("xi")).otherwise(0L)).as("sb"),
+          sum(when(!col("newer"), col("xi")).otherwise(0L)).as("sa"))
+      val counts = emb(s, dir).groupBy("label")
+        .agg(sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L))
+            .as("n_b"),
+          sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L))
+            .as("n_a"))
+      grid.groupBy("label")
+        .agg(sum(col("sa").cast("decimal(38,0)") * col("sb"))
+            .as("dot"),
+          sum(col("sa").cast("decimal(38,0)") * col("sa")).as("na"),
+          sum(col("sb").cast("decimal(38,0)") * col("sb")).as("nb"))
+        .join(counts, "label")
+        .select(col("label"), col("n_a"), col("n_b"),
+          (lit(1000000L) - round(col("dot").cast("double") /
+            sqrt(col("na").cast("double") * col("nb").cast("double"))
+            * 1e6).cast("long")).as("drift_micro"))
+        .orderBy("label")
     }
   )
 
@@ -1110,6 +1146,44 @@ object VectorQueries {
         |  CAST((sc.n_scanned * 1000000) // nc.nc AS BIGINT)
         |    AS scanned_micro
         |FROM h JOIN sc USING (qid) JOIN tr USING (qid), nc
-        |ORDER BY h.qid""".stripMargin
+        |ORDER BY h.qid""".stripMargin,
+
+    // the same micro-quantized integer component sums, exact grid
+    // algebra, and one closing rounded cosine
+    "q247_centroid_drift" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, vec_id % 2 = 1 AS newer,
+        |    unnest(embedding::DOUBLE[]) AS x,
+        |    generate_subscripts(embedding, 1) - 1 AS pos
+        |  FROM embeddings),
+        |q AS (SELECT label, newer, pos,
+        |        CAST(round(x * 1000000) AS BIGINT) AS xi
+        |      FROM e),
+        |grid AS MATERIALIZED (
+        |  SELECT label, pos,
+        |    CAST(sum(CASE WHEN newer THEN xi ELSE 0 END) AS BIGINT)
+        |      AS sb,
+        |    CAST(sum(CASE WHEN newer THEN 0 ELSE xi END) AS BIGINT)
+        |      AS sa
+        |  FROM q GROUP BY label, pos),
+        |dots AS (
+        |  SELECT label,
+        |    sum(CAST(sa AS HUGEINT) * sb) AS dot,
+        |    sum(CAST(sa AS HUGEINT) * sa) AS na,
+        |    sum(CAST(sb AS HUGEINT) * sb) AS nb
+        |  FROM grid GROUP BY label),
+        |cnt AS (
+        |  SELECT label,
+        |    CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_b
+        |  FROM embeddings GROUP BY label)
+        |SELECT d.label, c.n_a, c.n_b,
+        |  CAST(1000000 - round(d.dot::DOUBLE /
+        |    sqrt(d.na::DOUBLE * d.nb::DOUBLE) * 1000000) AS BIGINT)
+        |    AS drift_micro
+        |FROM dots d JOIN cnt c USING (label)
+        |ORDER BY d.label""".stripMargin
   )
 }

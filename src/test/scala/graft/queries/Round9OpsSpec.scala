@@ -749,4 +749,72 @@ class Round9OpsSpec extends SparkSpec {
     assert(out("error").getAs[Long]("effect_micro") === 0L)
     assert(out("signup").getAs[Long]("share_micro") === 0L)
   }
+
+  // ---- q245 cascade audit ----
+
+  test("q245: cheap stage routes the clear cases, only the " +
+    "borderline band reaches the expensive scorer") {
+    implicit val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("r9ca").toString
+    Seq(
+      (1L, "s", "a b c"),                            // n=3 -> reject_cheap
+      (2L, "s", Seq.fill(60)("w").mkString(" ")),    // n=60 -> accept_cheap
+      (3L, "s", "the " + Seq.fill(9)("w").mkString(" ")), // 1/10 stop -> acc_exp
+      (4L, "s", Seq.fill(10)("w").mkString(" ")))    // 0/10 -> rej_exp
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = q("q245_cascade_audit", dir).collect()
+      .map(r => r.getAs[String]("decision") ->
+        ((r.getAs[Long]("n_docs"),
+          r.getAs[Long]("expensive_frac_micro")))).toMap
+    assert(out("reject_cheap")._1 === 1L)
+    assert(out("accept_cheap")._1 === 1L)
+    assert(out("accept_expensive")._1 === 1L)
+    assert(out("reject_expensive")._1 === 1L)
+    assert(out.values.head._2 === 500000L) // 2 of 4 scored expensively
+  }
+
+  // ---- q246 trending tokens ----
+
+  test("q246: smoothed growth ranks a fresh token above a stable " +
+    "one, and the df floor drops one-off noise") {
+    implicit val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("r9tt").toString
+    // odd doc_ids = newer epoch. 'hot': 5 newer / 0 older (growth
+    // 6e6); 'old': 5 newer / 10 older (545454); 'rare': 4 newer
+    // (below the df floor, must vanish)
+    val docs =
+      Seq((1L, "s", "hot hot hot hot hot old old old old old"),
+        (3L, "s", "rare rare rare rare"),
+        (2L, "s", Seq.fill(10)("old").mkString(" ")))
+    docs.toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = q("q246_trending_tokens", dir).collect()
+      .map(r => r.getAs[String]("token") ->
+        ((r.getAs[Int]("rk"), r.getAs[Long]("growth_micro")))).toMap
+    assert(out("hot") === ((1, 6000000L)))
+    assert(out("old") === ((2, 545454L))) // (5+1)*1e6 div (10+1)
+    assert(!out.contains("rare"))
+  }
+
+  // ---- q247 centroid drift ----
+
+  test("q247: orthogonal half-centroids read as full drift, " +
+    "identical halves as zero") {
+    implicit val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("r9cd").toString
+    // label x: even half on e0, odd half on e1 -> cos 0 -> drift 1e6;
+    // label y: both halves identical -> drift 0
+    Seq((0L, "x", Seq(1.0, 0.0)), (2L, "x", Seq(1.0, 0.0)),
+      (1L, "x", Seq(0.0, 1.0)), (3L, "x", Seq(0.0, 1.0)),
+      (10L, "y", Seq(0.5, 0.5)), (11L, "y", Seq(0.5, 0.5)))
+      .toDF("vec_id", "label", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = q("q247_centroid_drift", dir).collect()
+      .map(r => r.getAs[String]("label") -> r).toMap
+    assert(out("x").getAs[Long]("drift_micro") === 1000000L)
+    assert(out("x").getAs[Long]("n_a") === 2L)
+    assert(out("x").getAs[Long]("n_b") === 2L)
+    assert(out("y").getAs[Long]("drift_micro") === 0L)
+  }
 }
