@@ -2889,6 +2889,115 @@ object TextQueries {
         .select(col("rk"), col("tk").as("token"), col("ca"), col("cb"),
           col("growth_micro"))
         .orderBy("rk")
+    },
+
+    // Weak-supervision label model (Snorkel-style majority vote —
+    // how labeled training sets actually get bootstrapped): three
+    // heuristic labeling functions vote is-English — stopword ratio
+    // (can abstain never), length (abstains on short docs), an md5
+    // noise labeler — majority of NON-abstaining votes wins, exact
+    // ties abstain. The audit row: coverage (how much the label
+    // model labels at all) and accuracy on the covered slice against
+    // the reference lang column. One scan, all-integer votes.
+    "q248_weak_supervision" -> { (s, dir) =>
+      val tk = toks(col("text"))
+      val voted = t(s, dir, "documents")
+        .select(col("doc_id"), (col("lang") === "en").as("actual"),
+          size(tk).cast("long").as("n"),
+          size(filter(tk, w => w.isin(enStop: _*))).cast("long")
+            .as("stop"))
+        .withColumn("v1",
+          when(col("stop") * 1000000L >= col("n") * 40000L, 1)
+            .otherwise(0))
+        .withColumn("v2", when(col("n") < 30, lit(null).cast("int"))
+          .otherwise(when(col("n") >= 40, 1).otherwise(0)))
+        .withColumn("v3",
+          (conv(substring(md5(concat(lit("lf:"),
+            col("doc_id").cast("string"))), 1, 8), 16, 10)
+            .cast("long") % 2).cast("int"))
+        .withColumn("yes",
+          col("v1") + coalesce(col("v2"), lit(0)) + col("v3"))
+        .withColumn("votes",
+          lit(2) + when(col("v2").isNull, 0).otherwise(1))
+        .withColumn("pred",
+          when(col("yes") * 2 > col("votes"), "en")
+            .when(col("yes") * 2 < col("votes"), "other")
+            .otherwise("abstain"))
+      voted.groupBy("pred", "actual")
+        .agg(count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(voted.agg(
+          count(lit(1)).as("total"),
+          sum(when(col("pred") =!= "abstain", 1L).otherwise(0L))
+            .as("covered"),
+          sum(when(col("pred") === "en" && col("actual"), 1L)
+            .when(col("pred") === "other" && !col("actual"), 1L)
+            .otherwise(0L)).as("correct"))))
+        .select(col("pred"), col("actual"), col("n_docs"),
+          expr("(covered * 1000000) div total").as("coverage_micro"),
+          expr("(correct * 1000000) div covered").as("accuracy_micro"))
+        .orderBy("pred", "actual")
+    },
+
+    // Exact F1-optimal threshold sweep — pick the quality-filter
+    // cutoff that maximizes F1 for is-English, ENTIRELY on the
+    // (score, label) histogram: descending prefix sums give TP/FP at
+    // every candidate threshold, FN = positives − TP, and the argmax
+    // runs over histogram rows with F1 in floor-div micro (ties →
+    // larger threshold). The sweep every filter deployment runs,
+    // with no per-doc sort and no float F1.
+    "q249_f1_threshold" -> { (s, dir) =>
+      val tk = toks(col("text"))
+      val scored = t(s, dir, "documents")
+        .select((col("lang") === "en").cast("long").as("y"),
+          when(size(tk) === 0, 0L).otherwise(
+            round(size(filter(tk, w => w.isin(enStop: _*)))
+              .cast("double") / size(tk) * 1000000).cast("long"))
+            .as("sc"))
+      val hist = scored.groupBy("sc")
+        .agg(sum("y").as("pos"), count(lit(1)).as("c"))
+      val wd = Window.orderBy(col("sc").desc)
+      val swept = hist
+        .withColumn("tp", sum("pos").over(wd))
+        .withColumn("pred", sum("c").over(wd))
+        .crossJoin(broadcast(scored.agg(sum("y").as("allpos"))))
+        .withColumn("fp", col("pred") - col("tp"))
+        .withColumn("fn", col("allpos") - col("tp"))
+        .withColumn("f1_micro",
+          expr("(2 * tp * 1000000) div (2 * tp + fp + fn)"))
+      swept.agg(
+          max(struct(col("f1_micro"), col("sc"), col("tp"), col("fp"),
+            col("fn"))).as("b"),
+          count(lit(1)).as("n_thresholds"))
+        .select(col("b.sc").as("threshold_micro"),
+          col("b.tp").as("tp"), col("b.fp").as("fp"),
+          col("b.fn").as("fn"), col("b.f1_micro").as("f1_micro"),
+          col("n_thresholds"))
+    },
+
+    // Dataset card (Gebru et al.'s datasheet, the one-row corpus
+    // summary every release ships): size, vocabulary of languages
+    // and sources, exact duplicate rate, mean length, English share —
+    // each a single integer or one floor division, all from two scans
+    // (one plus the distinct-hash dedup count).
+    "q250_dataset_card" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          size(toks(col("text"))).cast("long").as("n"),
+          md5(col("text")).as("h"))
+      d.agg(
+          count(lit(1)).as("n_docs"),
+          sum("n").as("n_tokens"),
+          countDistinct("lang").as("n_langs"),
+          countDistinct("source").as("n_sources"),
+          countDistinct("h").as("n_distinct"),
+          sum((col("lang") === "en").cast("long")).as("n_en"))
+        .select(col("n_docs"), col("n_tokens"), col("n_langs"),
+          col("n_sources"),
+          expr("((n_docs - n_distinct) * 1000000) div n_docs")
+            .as("dup_rate_micro"),
+          expr("(n_tokens * 1000000) div n_docs")
+            .as("mean_tokens_micro"),
+          expr("(n_en * 1000000) div n_docs").as("en_share_micro"))
     }
   )
 
@@ -4861,6 +4970,108 @@ object TextQueries {
         |  SELECT g.*, row_number() OVER (
         |    ORDER BY growth_micro DESC, tk) AS rk
         |  FROM g)
-        |WHERE rk <= 10 ORDER BY rk""".stripMargin
+        |WHERE rk <= 10 ORDER BY rk""".stripMargin,
+
+    // the same three labeling functions, majority rule, and audit
+    "q248_weak_supervision" ->
+      """WITH d AS MATERIALIZED (
+        |  SELECT doc_id, lang = 'en' AS actual,
+        |    CAST(len(string_split(trim(lower(text)), ' ')) AS BIGINT)
+        |      AS n,
+        |    CAST(len(list_filter(string_split(trim(lower(text)), ' '),
+        |      t -> t IN ('the','a','of','and','to','in'))) AS BIGINT)
+        |      AS stop
+        |  FROM documents),
+        |v AS MATERIALIZED (
+        |  SELECT actual,
+        |    CASE WHEN stop * 1000000 >= n * 40000 THEN 1 ELSE 0 END
+        |      AS v1,
+        |    CASE WHEN n < 30 THEN NULL
+        |      WHEN n >= 40 THEN 1 ELSE 0 END AS v2,
+        |    CAST(('0x' || substr(md5('lf:' ||
+        |      CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS INT)
+        |      AS v3
+        |  FROM d),
+        |p AS MATERIALIZED (
+        |  SELECT actual,
+        |    CASE
+        |      WHEN (v1 + COALESCE(v2, 0) + v3) * 2 >
+        |        (2 + CASE WHEN v2 IS NULL THEN 0 ELSE 1 END)
+        |        THEN 'en'
+        |      WHEN (v1 + COALESCE(v2, 0) + v3) * 2 <
+        |        (2 + CASE WHEN v2 IS NULL THEN 0 ELSE 1 END)
+        |        THEN 'other'
+        |      ELSE 'abstain' END AS pred
+        |  FROM v),
+        |t AS (
+        |  SELECT count(*) AS total,
+        |    CAST(sum(CASE WHEN pred <> 'abstain' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS covered,
+        |    CAST(sum(CASE WHEN (pred = 'en' AND actual)
+        |        OR (pred = 'other' AND NOT actual) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS correct
+        |  FROM p)
+        |SELECT p.pred, p.actual, count(*) AS n_docs,
+        |  CAST((t.covered * 1000000) // t.total AS BIGINT)
+        |    AS coverage_micro,
+        |  CAST((t.correct * 1000000) // t.covered AS BIGINT)
+        |    AS accuracy_micro
+        |FROM p, t
+        |GROUP BY p.pred, p.actual, t.covered, t.total, t.correct
+        |ORDER BY p.pred, p.actual""".stripMargin,
+
+    // the same histogram sweep with floor-div micro F1
+    "q249_f1_threshold" ->
+      """WITH s AS MATERIALIZED (
+        |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        |    CASE WHEN len(string_split(trim(lower(text)), ' ')) = 0
+        |      THEN 0
+        |    ELSE CAST(round(
+        |      len(list_filter(string_split(trim(lower(text)), ' '),
+        |        t -> t IN ('the','a','of','and','to','in')))::DOUBLE /
+        |      len(string_split(trim(lower(text)), ' ')) * 1000000)
+        |      AS BIGINT) END AS sc
+        |  FROM documents),
+        |h AS (SELECT sc, CAST(sum(y) AS BIGINT) AS pos,
+        |        count(*) AS c
+        |      FROM s GROUP BY sc),
+        |w AS MATERIALIZED (
+        |  SELECT sc,
+        |    CAST(sum(pos) OVER (ORDER BY sc DESC) AS BIGINT) AS tp,
+        |    CAST(sum(c) OVER (ORDER BY sc DESC) AS BIGINT) AS pred
+        |  FROM h),
+        |ap AS (SELECT CAST(sum(y) AS BIGINT) AS allpos FROM s),
+        |f AS (
+        |  SELECT w.sc, w.tp, w.pred - w.tp AS fp,
+        |    ap.allpos - w.tp AS fn,
+        |    CAST((2 * w.tp * 1000000) //
+        |      (2 * w.tp + (w.pred - w.tp) + (ap.allpos - w.tp))
+        |      AS BIGINT) AS f1
+        |  FROM w, ap),
+        |best AS (
+        |  SELECT * FROM f ORDER BY f1 DESC, sc DESC LIMIT 1)
+        |SELECT b.sc AS threshold_micro, b.tp, b.fp, b.fn,
+        |  b.f1 AS f1_micro,
+        |  (SELECT count(*) FROM f) AS n_thresholds
+        |FROM best b""".stripMargin,
+
+    // the same one-row datasheet
+    "q250_dataset_card" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST(len(string_split(trim(lower(text)), ' ')) AS BIGINT)
+        |      AS n,
+        |    md5(text) AS h
+        |  FROM documents)
+        |SELECT count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |  CAST(((count(*) - count(DISTINCT h)) * 1000000) // count(*)
+        |    AS BIGINT) AS dup_rate_micro,
+        |  CAST((sum(n) * 1000000) // count(*) AS BIGINT)
+        |    AS mean_tokens_micro,
+        |  CAST((sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+        |    * 1000000) // count(*) AS BIGINT) AS en_share_micro
+        |FROM d""".stripMargin
   )
 }

@@ -817,4 +817,90 @@ class Round9OpsSpec extends SparkSpec {
     assert(out("x").getAs[Long]("n_b") === 2L)
     assert(out("y").getAs[Long]("drift_micro") === 0L)
   }
+
+  // ---- q248 weak supervision ----
+
+  private def langDocsDir(docs: Seq[(Long, String, String)]): String = {
+    implicit val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("r9ws").toString
+    docs.toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q248: two agreeing labelers decide regardless of the noise " +
+    "vote; short docs fall to the md5 labeler (replayed with " +
+    "MessageDigest)") {
+    def v3(id: Long): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"lf:$id".getBytes("UTF-8"))
+      (java.lang.Long.parseLong(
+        d.take(4).map(b => f"$b%02x").mkString, 16) % 2).toInt
+    }
+    val docs = Seq(
+      // v1=1 (2/50 stop), v2=1 (n>=40) -> 'en' whatever v3 says
+      (1L, "en", "the a " + Seq.fill(48)("w").mkString(" ")),
+      // v1=0, v2=0 (30<=n<40, no stopwords) -> 'other' whatever v3
+      (2L, "fr", Seq.fill(35)("w").mkString(" ")),
+      // short (v2 abstains), v1=1: yes=1+v3 of 2 votes ->
+      // v3=1 -> 'en', v3=0 -> tie -> 'abstain'
+      (3L, "en", "the " + Seq.fill(9)("w").mkString(" ")),
+      // short, v1=0: yes=v3 -> v3=1 tie 'abstain', v3=0 'other'
+      (4L, "fr", Seq.fill(10)("w").mkString(" ")))
+    val p3 = if (v3(3L) == 1) "en" else "abstain"
+    val p4 = if (v3(4L) == 1) "abstain" else "other"
+    val preds = Map(1L -> "en", 2L -> "other", 3L -> p3, 4L -> p4)
+    val actual = Map(1L -> true, 2L -> false, 3L -> true, 4L -> false)
+    val covered = preds.count(_._2 != "abstain").toLong
+    val correct = preds.count { case (id, p) =>
+      (p == "en" && actual(id)) || (p == "other" && !actual(id)) }.toLong
+    val out = q("q248_weak_supervision", langDocsDir(docs)).collect()
+    val got = out.map(r => (r.getAs[String]("pred"),
+      r.getAs[Boolean]("actual")) -> r.getAs[Long]("n_docs")).toMap
+    val want = preds.toSeq.map { case (id, p) => (p, actual(id)) }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(got === want)
+    assert(out.head.getAs[Long]("coverage_micro") ===
+      covered * 1000000L / 4)
+    assert(out.head.getAs[Long]("accuracy_micro") ===
+      correct * 1000000L / covered)
+  }
+
+  // ---- q249 F1 threshold sweep ----
+
+  test("q249: the sweep lands on the cutoff that trades one false " +
+    "positive for zero false negatives") {
+    // scores: en x3 at 500000, fr x2 at 0, fr x1 at 500000.
+    // t=500000: tp=3 fp=1 fn=0 -> f1 = 6e6 div 7 = 857142;
+    // t=0: fp=3 -> 666666. Best = the higher cutoff.
+    val docs = Seq(
+      (1L, "en", "the w"), (2L, "en", "the w"), (3L, "en", "the w"),
+      (4L, "fr", "w w"), (5L, "fr", "w w"), (6L, "fr", "the w"))
+    val out = q("q249_f1_threshold", langDocsDir(docs)).head()
+    assert(out.getAs[Long]("threshold_micro") === 500000L)
+    assert(out.getAs[Long]("tp") === 3L)
+    assert(out.getAs[Long]("fp") === 1L)
+    assert(out.getAs[Long]("fn") === 0L)
+    assert(out.getAs[Long]("f1_micro") === 857142L)
+    assert(out.getAs[Long]("n_thresholds") === 2L)
+  }
+
+  // ---- q250 dataset card ----
+
+  test("q250: the one-row datasheet counts exactly") {
+    implicit val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("r9dc").toString
+    Seq((1L, "en", "s1", "w w"), (2L, "en", "s1", "w w"), // exact dup
+      (3L, "fr", "s2", "w w w"), (4L, "de", "s2", "w w w w w"))
+      .toDF("doc_id", "lang", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = q("q250_dataset_card", dir).head()
+    assert(out.getAs[Long]("n_docs") === 4L)
+    assert(out.getAs[Long]("n_tokens") === 12L)
+    assert(out.getAs[Long]("n_langs") === 3L)
+    assert(out.getAs[Long]("n_sources") === 2L)
+    assert(out.getAs[Long]("dup_rate_micro") === 250000L)
+    assert(out.getAs[Long]("mean_tokens_micro") === 3000000L)
+    assert(out.getAs[Long]("en_share_micro") === 500000L)
+  }
 }
