@@ -3658,6 +3658,42 @@ object CoverageQueries {
         .orderBy("prio")
     },
 
+    // Schema evolution with column defaults end-to-end (Iceberg's
+    // add-column contract on PartitionedCowTable): a metadata-only
+    // commit adds `review_state` with default 'pending' — zero data
+    // I/O at any table size — then an append carries the column
+    // explicitly and an upsert WITHOUT it gets the default
+    // materialized by write-side conformance. Old dirs read the
+    // default; time travel to v0 still has the original shape. The
+    // gate hashes the final per-state content.
+    "q251_schema_evolution_cow" -> { (s, dir) =>
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_sevo").toString
+      def slice(lo: Long, hi: Long) = t(s, dir, "orders")
+        .filter(col("o_orderkey") > lo && col("o_orderkey") <= hi)
+        .select(col("o_orderkey").as("pid"),
+          substring(col("o_orderdate").cast("string"), 1, 7).as("month"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val tbl = new graft.sources.PartitionedCowTable(
+        s"$root/t", "month", s)
+      tbl.overwrite(slice(-1, 400))                    // v0
+      tbl.evolveSchema("review_state", "STRING",
+        Some("'pending'"))                             // v1: metadata
+      tbl.append(slice(400, 500)
+        .withColumn("review_state", lit("done")))      // v2
+      tbl.upsert(slice(-1, 400).filter(col("pid") % 9 === 0)
+          .withColumn("cents", col("cents") + 555L),
+        Seq("pid"))                                    // v3: no column
+      val v0HasCol =
+        if (tbl.readVersion(0).columns.contains("review_state")) 1L
+        else 0L
+      tbl.read().groupBy("review_state")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        .withColumn("final_version", lit(tbl.version.toLong))
+        .withColumn("v0_has_column", lit(v0HasCol))
+        .orderBy("review_state")
+    },
+
     // Top-k + OTHER rollup — the high-cardinality dashboard pattern:
     // per source, the 2 biggest languages stay named and everything
     // else folds into one OTHER bucket, so the report width is
@@ -5052,6 +5088,25 @@ object CoverageQueries {
         |FROM src, c
         |GROUP BY prio, c.inserted, c.updated, c.deleted
         |ORDER BY prio""".stripMargin,
+
+    // final content closed-form: pre-evolution rows read the default,
+    // appended rows carry 'done', the %9 upsert bumps cents but the
+    // conformance writes the default state back in
+    "q251_schema_evolution_cow" ->
+      """WITH rows_ AS (
+        |  SELECT o_orderkey AS pid,
+        |    CASE WHEN o_orderkey > 400 THEN 'done'
+        |      ELSE 'pending' END AS review_state,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) + CASE
+        |      WHEN o_orderkey <= 400 AND o_orderkey % 9 = 0 THEN 555
+        |      ELSE 0 END AS cents
+        |  FROM orders WHERE o_orderkey <= 500)
+        |SELECT review_state, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(3 AS BIGINT) AS final_version,
+        |  CAST(0 AS BIGINT) AS v0_has_column
+        |FROM rows_ GROUP BY review_state
+        |ORDER BY review_state""".stripMargin,
 
     // the same rollup-then-rank-then-fold
     "q243_topk_other_rollup" ->

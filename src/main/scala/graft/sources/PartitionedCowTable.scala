@@ -108,6 +108,54 @@ class PartitionedCowTable(val root: String, val partCol: String,
     StructType.fromDDL(mapper.readTree(Files.readAllBytes(
       Paths.get(root, f"v_$v%06d.json"))).get("schema").asText())
 
+  /** column → SQL default literal for columns added by
+    * [[evolveSchema]] with a default (applied on read over dirs
+    * written before the column existed).
+    */
+  private def defaultsAt(v: Int): Map[String, String] = {
+    val node = mapper.readTree(Files.readAllBytes(
+      Paths.get(root, f"v_$v%06d.json")))
+    if (!node.has("defaults")) Map.empty
+    else node.get("defaults").fields().asScala
+      .map(e => e.getKey -> e.getValue.asText()).toMap
+  }
+
+  /** Align a caller frame to the committed schema: columns added by
+    * [[evolveSchema]] that the frame lacks materialize their default
+    * (or null); columns the schema doesn't know fail loudly. Applied
+    * at every mutation entry point so unions against table reads are
+    * shape-safe after an evolve.
+    */
+  private def conformInput(df: DataFrame): DataFrame = {
+    if (!exists) return df
+    val target = schemaAt(requireVersion)
+    val dfl = defaultsAt(requireVersion)
+    val extra = df.columns.filterNot(target.fieldNames.contains)
+    require(extra.isEmpty,
+      s"commit: columns ${extra.mkString(", ")} not in the " +
+        s"committed schema — use overwrite() to change the schema" +
+        s" or evolveSchema() to add columns")
+    target.fields.foldLeft(df) { (d, f) =>
+      if (d.columns.contains(f.name)) d
+      else d.withColumn(f.name,
+        dfl.get(f.name).map(expr).getOrElse(lit(null))
+          .cast(f.dataType))
+    }.select(target.fieldNames.map(col): _*)
+  }
+
+  /** Read dirs through version `v`'s committed schema: columns a dir
+    * predates come back null (Spark's explicit-schema parquet read),
+    * then declared defaults fill them — the metadata-only
+    * add-column contract.
+    */
+  private def readConformed(v: Int, dirs: Seq[String]): DataFrame = {
+    val base = spark.read.schema(schemaAt(v)).parquet(dirs: _*)
+    defaultsAt(v).foldLeft(base) { case (df, (c, lit_)) =>
+      if (df.columns.contains(c))
+        df.withColumn(c, coalesce(col(c), expr(lit_))) else df
+    }
+  }
+
   override def read(): DataFrame = readWhere(_ => true)
 
   /** Manifest-level partition pruning: only matching partitions' dirs
@@ -142,7 +190,7 @@ class PartitionedCowTable(val root: String, val partCol: String,
       .map(e => s"$root/${e.dir}")
     if (dirs.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schemaAt(v))
-    else spark.read.parquet(dirs: _*)
+    else readConformed(v, dirs)
   }
 
   /** Current committed version number (for [[changedSince]]). */
@@ -171,7 +219,7 @@ class PartitionedCowTable(val root: String, val partCol: String,
     if (dirs.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         schemaAt(cur))
-    else spark.read.parquet(dirs: _*)
+    else readConformed(cur, dirs)
   }
 
   /** The distinct partition values present in a DataFrame — small by
@@ -203,10 +251,20 @@ class PartitionedCowTable(val root: String, val partCol: String,
     * is dropped — it became empty); carry every untouched partition
     * from `carried`.
     */
-  private def commit(data: DataFrame, touched: Set[String],
-                     carried: Seq[Entry]): Unit = {
+  private def commit(data0: DataFrame, touched: Set[String],
+                     carried: Seq[Entry],
+                     resetSchema: Boolean = false): Unit = {
     val spec = currentPartCol
     val next = currentVersion.map(_ + 1).getOrElse(0)
+    // conform to the committed schema unless this commit SETS the
+    // schema (overwrite / first write): columns [[evolveSchema]]
+    // added but the caller's frame lacks materialize their default
+    // (or null); extra caller columns fail loudly
+    val (data, schemaDdl, defaults) =
+      if (resetSchema || !exists)
+        (data0, data0.schema.toDDL, Map.empty[String, String])
+      else (conformInput(data0), schemaAt(requireVersion).toDDL,
+        defaultsAt(requireVersion))
     val wdir = f"w_$next%06d"
     // stage under a writer-unique name, then claim w_<next> with a
     // no-replace rename (see CowTable.commit): two writers racing from
@@ -250,7 +308,7 @@ class PartitionedCowTable(val root: String, val partCol: String,
     val kept = carried.filterNot(e =>
       e.pcol == spec && touched.contains(e.value))
     try {
-      writeVersion(next, data.schema.toDDL, spec, kept ++ written)
+      writeVersion(next, schemaDdl, spec, kept ++ written, defaults)
     } catch {
       case e: java.util.ConcurrentModificationException =>
         // the claimed data dir is ours (the rename succeeded) and no
@@ -262,7 +320,9 @@ class PartitionedCowTable(val root: String, val partCol: String,
   }
 
   private def writeVersion(v: Int, schemaDdl: String, spec: String,
-                           entries: Seq[Entry]): Unit = {
+                           entries: Seq[Entry],
+                           defaults: Map[String, String] = Map.empty)
+      : Unit = {
     // optimistic concurrency (see CowTable.commit): a competing writer
     // advancing the pointer mid-commit means this manifest's carried
     // partitions derive from a stale read — fail loudly, don't
@@ -276,6 +336,11 @@ class PartitionedCowTable(val root: String, val partCol: String,
     val node = mapper.createObjectNode()
     node.put("schema", schemaDdl)
     node.put("partcol", spec)
+    if (defaults.nonEmpty) {
+      val d = node.putObject("defaults")
+      defaults.toSeq.sortBy(_._1).foreach { case (k, v2) =>
+        d.put(k, v2) }
+    }
     val parts = node.putObject("partitions")
     entries.filter(_.pcol == spec).sortBy(_.value)
       .foreach(e => parts.put(e.value, e.dir))
@@ -312,8 +377,27 @@ class PartitionedCowTable(val root: String, val partCol: String,
     require(schemaAt(cur).fieldNames.contains(newPartCol),
       s"evolvePartitioning: column '$newPartCol' not in schema")
     if (newPartCol == currentPartCol) return
-    val next = cur + 1
-    writeVersion(next, schemaAt(cur).toDDL, newPartCol, entriesAt(cur))
+    writeVersion(cur + 1, schemaAt(cur).toDDL, newPartCol,
+      entriesAt(cur), defaultsAt(cur))
+  }
+
+  /** Add a column — a METADATA-ONLY commit (Iceberg's add-column
+    * contract: no data file is touched): the committed schema gains
+    * the field, dirs that predate it read back null, and
+    * `defaultSql` (a SQL literal, e.g. "'pending'") fills those
+    * nulls on every read until writes materialize it. Subsequent
+    * commits conform automatically: a caller frame without the new
+    * column gets the default written in.
+    */
+  def evolveSchema(name: String, sqlType: String,
+                   defaultSql: Option[String] = None): Unit = {
+    val cur = requireVersion
+    val sch = schemaAt(cur)
+    require(!sch.fieldNames.contains(name),
+      s"evolveSchema: column '$name' already exists")
+    val widened = StructType.fromDDL(s"${sch.toDDL}, `$name` $sqlType")
+    writeVersion(cur + 1, widened.toDDL, partColAt(cur), entriesAt(cur),
+      defaultsAt(cur) ++ defaultSql.map(name -> _))
   }
 
   /** An empty DataFrame with the table's committed schema (safe to
@@ -332,7 +416,8 @@ class PartitionedCowTable(val root: String, val partCol: String,
     val dirs = currentEntriesOrEmpty
       .filter(e => e.pcol == spec && values.contains(e.value))
       .map(e => s"$root/${e.dir}")
-    if (dirs.isEmpty) emptyLike() else spark.read.parquet(dirs: _*)
+    if (dirs.isEmpty) emptyLike()
+    else readConformed(requireVersion, dirs)
   }
 
   /** Legacy dirs containing at least one row `mark` keeps (for
@@ -348,29 +433,31 @@ class PartitionedCowTable(val root: String, val partCol: String,
       : (Seq[Entry], DataFrame) = {
     val legacy = currentEntriesOrEmpty.filter(_.pcol != currentPartCol)
     if (legacy.isEmpty) return (Seq.empty, emptyLike())
-    val hitFiles = mark(spark.read
-        .parquet(legacy.map(e => s"$root/${e.dir}"): _*)
+    val hitFiles = mark(
+      readConformed(requireVersion, legacy.map(e => s"$root/${e.dir}"))
         .withColumn("__f", input_file_name()))
       .select("__f").distinct().collect().map(_.getString(0))
     val hit = legacy.filter(e => hitFiles.exists(_.contains(s"/${e.dir}/")))
     if (hit.isEmpty) (Seq.empty, emptyLike())
-    else (hit, spark.read.parquet(hit.map(e => s"$root/${e.dir}"): _*))
+    else (hit, readConformed(requireVersion,
+      hit.map(e => s"$root/${e.dir}")))
   }
 
   /** Create or fully replace the table (every partition rewritten,
     * legacy dirs dropped — a full rewrite is also a full migration).
     */
   override def overwrite(df: DataFrame): Unit =
-    commit(df, touchedValues(df), Seq.empty)
+    commit(df, touchedValues(df), Seq.empty, resetSchema = true)
 
   /** Append rows: only the partitions the batch lands in are
     * rewritten (existing rows of those partitions union the batch).
     * Needs no legacy migration — appends never replace keys, and
     * reads union legacy dirs regardless.
     */
-  override def append(df: DataFrame): Unit =
-    if (!exists) overwrite(df)
+  override def append(df0: DataFrame): Unit =
+    if (!exists) overwrite(df0)
     else {
+      val df = conformInput(df0)
       val touched = touchedValues(df)
       commit(readSpec(touched).unionByName(df), touched,
         currentEntriesOrEmpty)
@@ -382,9 +469,10 @@ class PartitionedCowTable(val root: String, val partCol: String,
     * whole to the current spec in the same commit (their unrelated
     * rows ride along — progressive migration, never key duplication).
     */
-  override def upsert(updates: DataFrame, keys: Seq[String]): Unit =
-    if (!exists) overwrite(updates)
+  override def upsert(updates0: DataFrame, keys: Seq[String]): Unit =
+    if (!exists) overwrite(updates0)
     else {
+      val updates = conformInput(updates0)
       val touched0 = touchedValues(updates)
       val (mig, migRows) = legacyTouching(
         _.join(updates.select(keys.map(col): _*), keys, "left_semi"))
@@ -450,7 +538,7 @@ class PartitionedCowTable(val root: String, val partCol: String,
     require(dup == 0,
       s"mergeApply: multiple ops for one key — consolidate the batch " +
         s"to final state per key before applying")
-    val data = ops.filter(col(opCol) =!= "D").drop(opCol)
+    val data = conformInput(ops.filter(col(opCol) =!= "D").drop(opCol))
     if (!exists) { overwrite(data); return }
     val touched0 = touchedValues(ops)
     val touchedKeys = ops.select(keys.map(col): _*)
@@ -474,9 +562,10 @@ class PartitionedCowTable(val root: String, val partCol: String,
     * (the [[upsert]] rule). Returns (inserted, updated, deleted).
     * Same contract as upsert: a key's partition value never changes.
     */
-  def mergeSync(source: DataFrame,
+  def mergeSync(source0: DataFrame,
                 keys: Seq[String]): (Long, Long, Long) = {
-    if (!exists) { overwrite(source); return (source.count(), 0L, 0L) }
+    if (!exists) { overwrite(source0); return (source0.count(), 0L, 0L) }
+    val source = conformInput(source0)
     val cols = read().columns.sorted.toSeq
     // 64-bit row hash: at billions of changed keys a 32-bit hash
     // WOULD silently miss ~n/2^32 updates; 64-bit pushes that past
@@ -510,8 +599,8 @@ class PartitionedCowTable(val root: String, val partCol: String,
       .filter(e => e.pcol != currentPartCol && !mig.contains(e))
     val remainKeys =
       if (remain.isEmpty) emptyLike().select(keys.map(col): _*)
-      else spark.read.parquet(remain.map(e => s"$root/${e.dir}"): _*)
-        .select(keys.map(col): _*)
+      else readConformed(requireVersion,
+        remain.map(e => s"$root/${e.dir}")).select(keys.map(col): _*)
     commit(
       source.filter(col(currentPartCol).cast("string")
           .isInCollection(touched.toSeq))
@@ -537,7 +626,8 @@ class PartitionedCowTable(val root: String, val partCol: String,
     val legacy = currentEntriesOrEmpty.filter(_.pcol != currentPartCol)
     val migRows =
       if (legacy.isEmpty) emptyLike()
-      else spark.read.parquet(legacy.map(e => s"$root/${e.dir}"): _*)
+      else readConformed(requireVersion,
+        legacy.map(e => s"$root/${e.dir}"))
     val touched = manifest.keySet.filter(partFilter) ++
       touchedValues(migRows)
     if (touched.nonEmpty)

@@ -378,6 +378,49 @@ class PartitionedCowTableSpec extends SparkSpec {
     assert(t.legacyEntries.map(_._2).toSet === Set("2020-04", "2020-05"))
   }
 
+  // ---- schema evolution ----
+
+  test("evolveSchema is metadata-only: old dirs read the default, " +
+    "time travel keeps the old shape, writes conform") {
+    val t = mk()
+    val v0 = t.version
+    t.evolveSchema("state", "STRING", Some("'pending'"))
+    assert(t.version === v0 + 1)
+    assert(t.changedSince(v0).count() === 0) // no byte rewritten
+    // every pre-evolution row reads the default
+    assert(t.read().filter(col("state") === "pending").count() === 4)
+    // time travel to v0 has no such column
+    assert(!t.readVersion(v0).columns.contains("state"))
+    // an upsert WITHOUT the new column materializes the default;
+    // one WITH it keeps the value
+    t.upsert(Seq((1L, "2020-03", "A", true))
+      .toDF("pid", "month", "v", "flag"), Seq("pid"))
+    t.upsert(Seq((2L, "2020-03", "B", true, "done"))
+      .toDF("pid", "month", "v", "flag", "state"), Seq("pid"))
+    val st = t.read().collect()
+      .map(r => r.getAs[Long]("pid") -> r.getAs[String]("state")).toMap
+    assert(st === Map(1L -> "pending", 2L -> "done",
+      3L -> "pending", 4L -> "pending"))
+    // duplicate add and unknown extra columns fail loudly
+    intercept[IllegalArgumentException] {
+      t.evolveSchema("state", "STRING")
+    }
+    intercept[IllegalArgumentException] {
+      t.append(Seq((9L, "2020-07", "z", false, "done", 1))
+        .toDF("pid", "month", "v", "flag", "state", "oops"))
+    }
+  }
+
+  test("evolveSchema without a default reads null for old rows") {
+    val t = mk()
+    t.evolveSchema("score", "BIGINT")
+    assert(t.read().filter(col("score").isNull).count() === 4)
+    t.append(Seq((5L, "2020-06", "e", false, 7L))
+      .toDF("pid", "month", "v", "flag", "score"))
+    assert(t.read().filter(col("score") === 7L).count() === 1)
+    assert(t.read().filter(col("score").isNull).count() === 4)
+  }
+
   // ---- mergeSync ----
 
   test("mergeSync derives I/U/D, rewrites only changed partitions, " +
