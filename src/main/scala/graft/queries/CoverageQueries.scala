@@ -3789,6 +3789,56 @@ object CoverageQueries {
       }.toDF("channel", "base_micro", "removal_micro", "effect_micro",
         "share_micro")
         .orderBy("channel")
+    },
+
+    // Retention-policy expiry audit (the GDPR/TTL sweep every event
+    // store schedules): per month, how many rows have outlived the
+    // 10-day horizon measured from the table's OWN max timestamp —
+    // never an absolute wall-clock, so the audit is reproducible and
+    // epoch-encoding-proof (the q145 lesson). One scan + a broadcast
+    // scalar; the share is one floor division.
+    "q252_retention_audit" -> { (s, dir) =>
+      val ev = t(s, dir, "events").select(col("ts"))
+      val mx = broadcast(ev.agg(max("ts").as("mx")))
+      val marked = ev.crossJoin(mx)
+        .select(date_format(col("ts"), "yyyy-MM").as("month"),
+          (col("ts") < col("mx") - expr("INTERVAL 10 DAYS"))
+            .cast("long").as("expired"))
+      marked.groupBy("month")
+        .agg(count(lit(1)).as("n"), sum("expired").as("n_expired"))
+        .crossJoin(broadcast(marked.agg(
+          sum("expired").as("te"), count(lit(1)).as("tn"))))
+        .select(col("month"), col("n"), col("n_expired"),
+          expr("(te * 1000000) div tn").as("expired_share_micro"))
+        .orderBy("month")
+    },
+
+    // Fixed-window rate-limit simulation (ingest throttling replay —
+    // what a per-user cap WOULD have dropped): each user admits at
+    // most 2 events per clock hour, first-come by (ts, event_id);
+    // the report shows admitted/throttled per event type and the
+    // overall throttled share. The rank window is per (user, hour) —
+    // bounded keys, never a corpus-wide sort.
+    "q253_rate_limit_sim" -> { (s, dir) =>
+      val cap = 2
+      val ranked = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"),
+          col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd-HH").as("hr"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("user_id", "hr")
+            .orderBy("ts", "event_id")))
+        .withColumn("admitted", (col("rk") <= cap).cast("long"))
+      ranked.groupBy("event_type")
+        .agg(sum("admitted").as("n_admitted"),
+          sum(lit(1L) - col("admitted")).as("n_throttled"))
+        .crossJoin(broadcast(ranked.agg(
+          sum(lit(1L) - col("admitted")).as("tt"),
+          count(lit(1)).as("tn"))))
+        .select(col("event_type"), col("n_admitted"),
+          col("n_throttled"),
+          expr("(tt * 1000000) div tn").as("throttled_share_micro"))
+        .orderBy("event_type")
     }
   )
 
@@ -5211,6 +5261,42 @@ object CoverageQueries {
            |      // tot.te END AS BIGINT) AS share_micro
            |FROM effs, b, tot ORDER BY effs.channel""".stripMargin
     },
+
+    // the same self-anchored horizon and one floor division
+    "q252_retention_audit" ->
+      """WITH m AS (SELECT max(ts) AS mx FROM events),
+        |d AS MATERIALIZED (
+        |  SELECT strftime(ts, '%Y-%m') AS month,
+        |    CASE WHEN ts < m.mx - INTERVAL 10 DAY THEN 1 ELSE 0 END
+        |      AS expired
+        |  FROM events, m),
+        |t AS (SELECT CAST(sum(expired) AS BIGINT) AS te,
+        |        count(*) AS tn FROM d)
+        |SELECT d.month, count(*) AS n,
+        |  CAST(sum(d.expired) AS BIGINT) AS n_expired,
+        |  CAST((t.te * 1000000) // t.tn AS BIGINT)
+        |    AS expired_share_micro
+        |FROM d, t GROUP BY d.month, t.te, t.tn
+        |ORDER BY d.month""".stripMargin,
+
+    // the same per-(user, hour) first-2 rule and closing share
+    "q253_rate_limit_sim" ->
+      """WITH r AS MATERIALIZED (
+        |  SELECT event_type,
+        |    CASE WHEN row_number() OVER (
+        |      PARTITION BY user_id, strftime(ts, '%Y-%m-%d-%H')
+        |      ORDER BY ts, event_id) <= 2 THEN 1 ELSE 0 END
+        |      AS admitted
+        |  FROM events),
+        |t AS (SELECT CAST(sum(1 - admitted) AS BIGINT) AS tt,
+        |        count(*) AS tn FROM r)
+        |SELECT r.event_type,
+        |  CAST(sum(r.admitted) AS BIGINT) AS n_admitted,
+        |  CAST(sum(1 - r.admitted) AS BIGINT) AS n_throttled,
+        |  CAST((t.tt * 1000000) // t.tn AS BIGINT)
+        |    AS throttled_share_micro
+        |FROM r, t GROUP BY r.event_type, t.tt, t.tn
+        |ORDER BY r.event_type""".stripMargin,
 
     // both joined snapshot states closed-form: step 2 = A after the
     // %4 update × B after the %3 update (no deletes); step 3 = the

@@ -903,4 +903,49 @@ class Round9OpsSpec extends SparkSpec {
     assert(out.getAs[Long]("mean_tokens_micro") === 3000000L)
     assert(out.getAs[Long]("en_share_micro") === 500000L)
   }
+
+  // ---- q252 retention audit ----
+
+  test("q252: the horizon anchors to the table's own max ts and " +
+    "splits months exactly") {
+    def ts(str: String) = java.sql.Timestamp.valueOf(str)
+    // max = 2024-02-15; 10-day horizon = 2024-02-05: both January
+    // rows expired, both February rows fresh
+    val rows = Seq(
+      (1L, ts("2024-02-15 12:00:00"), 1L, "view", 0.0),
+      (2L, ts("2024-02-10 12:00:00"), 1L, "view", 0.0),
+      (3L, ts("2024-01-20 12:00:00"), 2L, "view", 0.0),
+      (4L, ts("2024-01-01 12:00:00"), 2L, "view", 0.0))
+    val out = q("q252_retention_audit", eventsDir(rows)).collect()
+      .map(r => r.getAs[String]("month") -> r).toMap
+    assert(out("2024-01").getAs[Long]("n_expired") === 2L)
+    assert(out("2024-02").getAs[Long]("n_expired") === 0L)
+    assert(out("2024-01").getAs[Long]("expired_share_micro")
+      === 500000L)
+  }
+
+  // ---- q253 rate-limit simulation ----
+
+  test("q253: the per-(user, hour) cap admits first-come and the " +
+    "report splits by type") {
+    def ts(str: String) = java.sql.Timestamp.valueOf(str)
+    // u1 10:00 hour: 2 clicks admitted, 2 later views throttled;
+    // u1 11:00 and u2 10:00 stay under the cap
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click", 0.0),
+      (2L, ts("2024-01-01 10:00:01"), 1L, "click", 0.0),
+      (3L, ts("2024-01-01 10:00:02"), 1L, "view", 0.0),
+      (4L, ts("2024-01-01 10:00:03"), 1L, "view", 0.0),
+      (5L, ts("2024-01-01 11:00:00"), 1L, "click", 0.0),
+      (6L, ts("2024-01-01 10:30:00"), 2L, "click", 0.0),
+      (7L, ts("2024-01-01 10:30:01"), 2L, "click", 0.0))
+    val out = q("q253_rate_limit_sim", eventsDir(rows)).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(out("click").getAs[Long]("n_admitted") === 5L)
+    assert(out("click").getAs[Long]("n_throttled") === 0L)
+    assert(out("view").getAs[Long]("n_admitted") === 0L)
+    assert(out("view").getAs[Long]("n_throttled") === 2L)
+    assert(out("view").getAs[Long]("throttled_share_micro")
+      === 285714L) // 2 of 7
+  }
 }
