@@ -3561,10 +3561,15 @@ object CoverageQueries {
       // same-ts click sorts BEFORE the purchase (isl 0 < 1), so Δ=0
       // lands on the backward side — matching the tie rule
       val w = Window.partitionBy("user_id").orderBy("tus", "isl")
+      // click payload is NULL (not struct(null,null)) on purchase
+      // rows: a struct of nulls is itself non-null, so ignoreNulls
+      // would treat an adjacent purchase as a "candidate" and mask
+      // the real backward/forward click (round-9 ADVICE bug)
+      val payload = when(col("isl") === 0, struct(col("ct"), col("cid")))
       val cand = u
-        .withColumn("prev", last(struct(col("ct"), col("cid")), true)
+        .withColumn("prev", last(payload, ignoreNulls = true)
           .over(w.rowsBetween(Window.unboundedPreceding, -1)))
-        .withColumn("next", first(struct(col("ct"), col("cid")), true)
+        .withColumn("next", first(payload, ignoreNulls = true)
           .over(w.rowsBetween(1, Window.unboundedFollowing)))
         .filter(col("isl") === 1)
       cand
@@ -4715,7 +4720,7 @@ object CoverageQueries {
         |    sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
         |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
         |  GROUP BY 1)
-        |SELECT nation, cents,
+        |SELECT nation, CAST(cents AS BIGINT) AS cents,
         |  CAST(rank() OVER wt AS BIGINT) AS rnk,
         |  CAST(dense_rank() OVER wt AS BIGINT) AS drnk,
         |  CAST(round(percent_rank() OVER wt * 1e6) AS BIGINT)
@@ -5793,7 +5798,7 @@ object CoverageQueries {
         |    sum(d) OVER (PARTITION BY event_type ORDER BY k) AS run
         |  FROM d),
         |p AS (SELECT event_type, max(run) AS peak FROM r GROUP BY event_type)
-        |SELECT r.event_type, p.peak,
+        |SELECT r.event_type, CAST(p.peak AS BIGINT) AS peak,
         |  CAST((min(r.k) - 1) // 2 - t0.t0 AS BIGINT) AS peak_offset_us
         |FROM r JOIN p ON r.event_type = p.event_type AND r.run = p.peak, t0
         |GROUP BY r.event_type, p.peak, t0.t0

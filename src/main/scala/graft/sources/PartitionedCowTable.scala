@@ -108,16 +108,25 @@ class PartitionedCowTable(val root: String, val partCol: String,
     StructType.fromDDL(mapper.readTree(Files.readAllBytes(
       Paths.get(root, f"v_$v%06d.json"))).get("schema").asText())
 
-  /** column → SQL default literal for columns added by
-    * [[evolveSchema]] with a default (applied on read over dirs
-    * written before the column existed).
+  /** column → (SQL default literal, version the column was ADDED at)
+    * for columns added by [[evolveSchema]] with a default. The `since`
+    * version scopes the default to dirs that PREDATE the column
+    * (Iceberg's initial-default contract): a dir written at version
+    * >= since stored the column physically — including explicit
+    * NULLs — and must read back verbatim. Reads tolerate the legacy
+    * bare-string form (treated as since=MaxValue, the old
+    * fill-everywhere behavior) so pre-upgrade manifests stay readable.
     */
-  private def defaultsAt(v: Int): Map[String, String] = {
+  private def defaultsAt(v: Int): Map[String, (String, Int)] = {
     val node = mapper.readTree(Files.readAllBytes(
       Paths.get(root, f"v_$v%06d.json")))
     if (!node.has("defaults")) Map.empty
-    else node.get("defaults").fields().asScala
-      .map(e => e.getKey -> e.getValue.asText()).toMap
+    else node.get("defaults").fields().asScala.map { e =>
+      val n = e.getValue
+      if (n.isObject)
+        e.getKey -> (n.get("sql").asText(), n.get("since").asInt())
+      else e.getKey -> (n.asText(), Int.MaxValue)
+    }.toMap
   }
 
   /** Align a caller frame to the committed schema: columns added by
@@ -138,22 +147,35 @@ class PartitionedCowTable(val root: String, val partCol: String,
     target.fields.foldLeft(df) { (d, f) =>
       if (d.columns.contains(f.name)) d
       else d.withColumn(f.name,
-        dfl.get(f.name).map(expr).getOrElse(lit(null))
+        dfl.get(f.name).map(v => expr(v._1)).getOrElse(lit(null))
           .cast(f.dataType))
     }.select(target.fieldNames.map(col): _*)
   }
 
   /** Read dirs through version `v`'s committed schema: columns a dir
     * predates come back null (Spark's explicit-schema parquet read),
-    * then declared defaults fill them — the metadata-only
-    * add-column contract.
+    * then declared defaults fill them — the metadata-only add-column
+    * contract. Iceberg's initial-default scoping: the default fills
+    * ONLY dirs written before the column existed; a dir written after
+    * the evolve stored the column physically, so its explicit NULLs
+    * read back as NULL. Every data dir name embeds its commit version
+    * (w_NNNNNN), so the pre/post split needs no extra metadata — dirs
+    * are grouped by which defaults apply and each group is one scan.
     */
   private def readConformed(v: Int, dirs: Seq[String]): DataFrame = {
-    val base = spark.read.schema(schemaAt(v)).parquet(dirs: _*)
-    defaultsAt(v).foldLeft(base) { case (df, (c, lit_)) =>
-      if (df.columns.contains(c))
-        df.withColumn(c, coalesce(col(c), expr(lit_))) else df
-    }
+    val sch = schemaAt(v)
+    val dfl = defaultsAt(v).filter { case (c, _) =>
+      sch.fieldNames.contains(c) }
+    if (dfl.isEmpty) return spark.read.schema(sch).parquet(dirs: _*)
+    val wv = "(?:^|/)w_(\\d{6})/".r
+    def writeVer(d: String): Int =
+      wv.findFirstMatchIn(d).map(_.group(1).toInt).getOrElse(Int.MaxValue)
+    dirs.groupBy(d => dfl.filter(_._2._2 > writeVer(d)).keys.toSeq.sorted)
+      .map { case (cols, ds) =>
+        val base = spark.read.schema(sch).parquet(ds: _*)
+        cols.foldLeft(base)((df, c) =>
+          df.withColumn(c, coalesce(col(c), expr(dfl(c)._1))))
+      }.reduce(_.unionByName(_))
   }
 
   override def read(): DataFrame = readWhere(_ => true)
@@ -262,7 +284,7 @@ class PartitionedCowTable(val root: String, val partCol: String,
     // (or null); extra caller columns fail loudly
     val (data, schemaDdl, defaults) =
       if (resetSchema || !exists)
-        (data0, data0.schema.toDDL, Map.empty[String, String])
+        (data0, data0.schema.toDDL, Map.empty[String, (String, Int)])
       else (conformInput(data0), schemaAt(requireVersion).toDDL,
         defaultsAt(requireVersion))
     val wdir = f"w_$next%06d"
@@ -321,7 +343,8 @@ class PartitionedCowTable(val root: String, val partCol: String,
 
   private def writeVersion(v: Int, schemaDdl: String, spec: String,
                            entries: Seq[Entry],
-                           defaults: Map[String, String] = Map.empty)
+                           defaults: Map[String, (String, Int)] =
+                             Map.empty)
       : Unit = {
     // optimistic concurrency (see CowTable.commit): a competing writer
     // advancing the pointer mid-commit means this manifest's carried
@@ -338,8 +361,10 @@ class PartitionedCowTable(val root: String, val partCol: String,
     node.put("partcol", spec)
     if (defaults.nonEmpty) {
       val d = node.putObject("defaults")
-      defaults.toSeq.sortBy(_._1).foreach { case (k, v2) =>
-        d.put(k, v2) }
+      defaults.toSeq.sortBy(_._1).foreach { case (k, (sql, since)) =>
+        val o = d.putObject(k)
+        o.put("sql", sql); o.put("since", since)
+      }
     }
     val parts = node.putObject("partitions")
     entries.filter(_.pcol == spec).sortBy(_.value)
@@ -396,8 +421,11 @@ class PartitionedCowTable(val root: String, val partCol: String,
     require(!sch.fieldNames.contains(name),
       s"evolveSchema: column '$name' already exists")
     val widened = StructType.fromDDL(s"${sch.toDDL}, `$name` $sqlType")
+    // the column exists from version cur+1 onward: dirs whose embedded
+    // write version is < cur+1 predate it and get the default on read;
+    // dirs written by later commits store the column physically
     writeVersion(cur + 1, widened.toDDL, partColAt(cur), entriesAt(cur),
-      defaultsAt(cur) ++ defaultSql.map(name -> _))
+      defaultsAt(cur) ++ defaultSql.map(d => name -> (d, cur + 1)))
   }
 
   /** An empty DataFrame with the table's committed schema (safe to
@@ -437,7 +465,18 @@ class PartitionedCowTable(val root: String, val partCol: String,
       readConformed(requireVersion, legacy.map(e => s"$root/${e.dir}"))
         .withColumn("__f", input_file_name()))
       .select("__f").distinct().collect().map(_.getString(0))
-    val hit = legacy.filter(e => hitFiles.exists(_.contains(s"/${e.dir}/")))
+    // input_file_name() returns a URI-encoded path (space -> %20,
+    // etc.) while manifest dir names are the raw on-disk names; a
+    // value that URI-encodes differently (space passes the
+    // escapePathName guard but not URI encoding) would never
+    // substring-match and its legacy dir would silently skip
+    // migration, duplicating keys. Decode back to the filesystem path
+    // before comparing (URI.getPath exactly reverses the encoding and
+    // leaves literal %XX from escapePathName'd dir names intact).
+    val hitPaths = hitFiles.map { f =>
+      try new java.net.URI(f).getPath catch { case _: Exception => f }
+    }
+    val hit = legacy.filter(e => hitPaths.exists(_.contains(s"/${e.dir}/")))
     if (hit.isEmpty) (Seq.empty, emptyLike())
     else (hit, readConformed(requireVersion,
       hit.map(e => s"$root/${e.dir}")))

@@ -612,7 +612,20 @@ class Round9OpsSpec extends SparkSpec {
       (8L, ts(10000), 3L, "click", 0.0),
       // u4: two clicks at the purchase's own ts -> min id, delta 0
       (400L, ts(1000), 4L, "purchase", 0.0),
-      (5L, ts(1000), 4L, "click", 0.0), (6L, ts(1000), 4L, "click", 0.0))
+      (5L, ts(1000), 4L, "click", 0.0), (6L, ts(1000), 4L, "click", 0.0),
+      // u5: ADJACENT purchases — the later one must still see the
+      // click BEHIND the earlier purchase. A struct(null,null) from
+      // the neighboring purchase row is non-null, so a naive
+      // last(..., ignoreNulls) would return it instead of skipping
+      // to the real click (round-9 ADVICE bug).
+      (500L, ts(1400), 5L, "purchase", 0.0),
+      (501L, ts(1200), 5L, "purchase", 0.0),
+      (9L, ts(1000), 5L, "click", 0.0),
+      // u6: forward mirror — the earlier purchase sees the click
+      // AHEAD of the later purchase
+      (600L, ts(1000), 6L, "purchase", 0.0),
+      (601L, ts(1200), 6L, "purchase", 0.0),
+      (10L, ts(1400), 6L, "click", 0.0))
     val out = q("q237_nearest_asof", eventsDir(rows)).collect()
       .map(r => r.getAs[Long]("purchase_id") ->
         ((r.getAs[Long]("click_id"), r.getAs[Long]("delta_us")))).toMap
@@ -621,7 +634,11 @@ class Round9OpsSpec extends SparkSpec {
     assert(out(200L) === ((3L, -500000000L))) // tie -> earlier
     assert(out(400L) === ((5L, 0L)))          // same-ts min id
     assert(!out.contains(300L))               // tolerance excludes
-    assert(out.size === 4)
+    assert(out(500L) === ((9L, -400000000L))) // skips adjacent purchase
+    assert(out(501L) === ((9L, -200000000L)))
+    assert(out(600L) === ((10L, 400000000L))) // forward mirror
+    assert(out(601L) === ((10L, 200000000L)))
+    assert(out.size === 8)
   }
 
   // ---- q238 data-constrained epoch allocation ----

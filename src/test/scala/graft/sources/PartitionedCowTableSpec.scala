@@ -411,6 +411,48 @@ class PartitionedCowTableSpec extends SparkSpec {
     }
   }
 
+  test("initial-default scoping: an explicit NULL written AFTER the " +
+    "evolve reads back as NULL, not the default (Iceberg contract)") {
+    val t = mk()
+    t.evolveSchema("state", "STRING", Some("'pending'"))
+    // post-evolve write with an EXPLICIT null in the defaulted column
+    t.upsert(Seq((1L, "2020-03", "A", true, null: String))
+      .toDF("pid", "month", "v", "flag", "state"), Seq("pid"))
+    val st = t.read().collect()
+      .map(r => r.getAs[Long]("pid") -> r.getAs[String]("state")).toMap
+    // pid 1's NULL survives (its dir postdates the column); pid 2
+    // rode along in the rewritten dir and materialized the default
+    // via conformInput; pids 3/4 sit in pre-evolution dirs and read
+    // the default
+    assert(st(1L) === null)
+    assert(st(2L) === "pending")
+    assert(st(3L) === "pending"); assert(st(4L) === "pending")
+    // time travel to the version BEFORE the null write still defaults
+    assert(t.readVersion(t.version - 1)
+      .filter(col("state") === "pending").count() === 4)
+  }
+
+  test("legacy migration matches dirs whose partition value " +
+    "URI-encodes differently (space passes the path-safe guard)") {
+    implicit val s = spark
+    val t = PartitionedCowTable(
+      Files.createTempDirectory("pcow_sp").toString + "/t", "cat")
+    // 'a b' contains a space: path-safe per Hive escapePathName, but
+    // input_file_name() URI-encodes it (%20) — a raw substring match
+    // would silently skip migrating its dir (round-9 ADVICE bug)
+    t.overwrite(Seq((1L, "a b", "x"), (2L, "a b", "y"), (3L, "c", "z"))
+      .toDF("pid", "cat", "v"))
+    t.evolvePartitioning("v")
+    t.upsert(Seq((1L, "a b", "x2")).toDF("pid", "cat", "v"), Seq("pid"))
+    // no duplication: the 'a b' legacy dir migrated (stale pid 1 row
+    // dropped), pid 2 rode along, 'c' stays legacy
+    assert(t.read().count() === 3)
+    assert(t.read().filter(col("pid") === 1).head()
+      .getAs[String]("v") === "x2")
+    assert(t.legacyEntries.map(_._2).toSet === Set("c"))
+    assert(t.manifest.keySet === Set("x2", "y"))
+  }
+
   test("evolveSchema without a default reads null for old rows") {
     val t = mk()
     t.evolveSchema("score", "BIGINT")

@@ -14,6 +14,7 @@ checker; this mirrors it so mismatches surface before commit).
 import sys, json, glob, os, math
 
 import duckdb
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -64,7 +65,18 @@ def main(sf_dir, out_dir):
             continue
         gc, gr = table_key(got)
         wc, wr = table_key(want)
-        if gc != wc:
+        # Driver-hash hazard guard (round-9 root cause): DuckDB
+        # sum(BIGINT) returns HUGEINT -> arrow decimal128(38,0), which
+        # the driver's type-sensitive hasher normalizes differently
+        # from int64 even at equal value. str()-normalization below
+        # would hide it, so fail loudly on any decimal output column.
+        dec = [f.name for f in want.schema
+               if pa.types.is_decimal(f.type)]
+        if dec:
+            results[qname] = (f"TYPE-HAZARD oracle emits decimal "
+                              f"(HUGEINT?) columns {dec} — CAST to "
+                              f"BIGINT in the final SELECT")
+        elif gc != wc:
             results[qname] = f"COLS-MISMATCH spark={gc} duckdb={wc}"
         elif len(gr) != len(wr):
             results[qname] = f"ROWS-MISMATCH spark={len(gr)} duckdb={len(wr)}"
