@@ -3844,6 +3844,89 @@ object CoverageQueries {
           col("n_throttled"),
           expr("(tt * 1000000) div tn").as("throttled_share_micro"))
         .orderBy("event_type")
+    },
+
+    // SnapshotCatalog's CRASH contract, end-to-end (q226 gates only
+    // the happy path): step 2's table commits land on BOTH tables but
+    // the process dies before record(), so the log is unadvanced and
+    // every snapshot reader must see the PRE-crash state — the orphan
+    // versions exist on disk yet are invisible. Recovery then rolls
+    // BACK with the new restore() primitive (Delta RESTORE semantics:
+    // a metadata-only commit republishing the last LOGGED version),
+    // vacuums the orphan commits away, REDOES the step, and publishes
+    // it — after which the snapshot at step 2 sees both deletes. The
+    // audit row pins the mechanics: the crash-window currentStep (1),
+    // the post-recovery step (2), and the version manifests vacuum
+    // reclaimed (5 = a's v0,v1,v2-orphan + b's v0,v1-orphan; the
+    // restore commits are the survivors).
+    "q254_snapshot_crash_recovery" -> { (s, dir) =>
+      val uid = java.util.UUID.randomUUID().toString
+      val root =
+        s"${Tables.scratchBase}/graft_q254_${s.sparkContext.applicationId}/$uid"
+      val o = t(s, dir, "orders").filter(col("o_orderkey") <= 200)
+        .select(col("o_orderkey").as("PID"),
+          date_format(to_date(col("o_orderdate")), "yyyy-MM").as("month"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val li = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("PID"))
+        .agg(sum(col("l_quantity").cast("long")).as("qty"))
+        .join(o.select("PID", "month"), "PID")
+      val a = new graft.sources.PartitionedCowTable(s"$root/a", "month", s)
+      val b = new graft.sources.PartitionedCowTable(s"$root/b", "month", s)
+      val snap = new graft.sources.SnapshotCatalog(s"$root/log", s)
+      a.overwrite(o); b.overwrite(li)
+      snap.record(0, Map("a" -> a.version, "b" -> b.version))
+      a.updateWhere(col("PID") % 4 === 0,
+        Map("cents" -> (col("cents") + 1000L)))
+      snap.record(1, Map("a" -> a.version, "b" -> b.version))
+      // step 2 CRASHES between the table commits and the log append:
+      // both deletes are durable, the record() never runs
+      a.deleteWhere(col("PID") % 9 === 0)
+      b.deleteWhere(col("PID") % 9 === 0)
+      val crashStep = snap.currentStep // 1 — the log is unadvanced
+      val vs = snap.versionsAt(crashStep)
+      def joined(va: Int, vb: Int, tag: String): DataFrame =
+        a.readVersion(va).select("PID", "cents")
+          .join(b.readVersion(vb).select("PID", "qty"), "PID")
+          .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+            sum("qty").as("sum_qty"))
+          .withColumn("snapshot", lit(tag))
+      // materialized BEFORE vacuum: post-vacuum, the undone version
+      // manifests are gone (the same retention contract as Delta)
+      val crashedView = joined(vs("a"), vs("b"), "crashed_view")
+        .localCheckpoint()
+      // recovery: roll back to the logged versions, reclaim orphans,
+      // redo the step, publish atomically
+      a.restore(vs("a")); b.restore(vs("b"))
+      def manifests(sub: String): Long = {
+        val listing = java.nio.file.Files.list(
+          java.nio.file.Paths.get(s"$root/$sub"))
+        try {
+          var n = 0L
+          listing.forEach { p =>
+            val f = p.getFileName.toString
+            if (f.startsWith("v_") && f.endsWith(".json")) n += 1
+          }
+          n
+        } finally listing.close()
+      }
+      val before = manifests("a") + manifests("b")
+      a.vacuum(); b.vacuum()
+      val reclaimed = before - (manifests("a") + manifests("b"))
+      a.deleteWhere(col("PID") % 9 === 0)
+      b.deleteWhere(col("PID") % 9 === 0)
+      snap.record(2, Map("a" -> a.version, "b" -> b.version))
+      val vs2 = snap.versionsAt(snap.currentStep)
+      val recovered = joined(vs2("a"), vs2("b"), "recovered")
+        .localCheckpoint()
+      import s.implicits._
+      val audit = Seq(("audit", crashStep, snap.currentStep, reclaimed))
+        .toDF("snapshot", "n", "sum_cents", "sum_qty")
+      audit.unionByName(crashedView.select(
+          col("snapshot"), col("n"), col("sum_cents"), col("sum_qty")))
+        .unionByName(recovered.select(
+          col("snapshot"), col("n"), col("sum_cents"), col("sum_qty")))
+        .orderBy("snapshot")
     }
   )
 
@@ -5302,6 +5385,34 @@ object CoverageQueries {
         |    AS throttled_share_micro
         |FROM r, t GROUP BY r.event_type, t.tt, t.tn
         |ORDER BY r.event_type""".stripMargin,
+
+    // both snapshot states closed-form: the crashed view is step 1
+    // (update applied, NO deletes — the orphan commits are invisible);
+    // the recovered view removes the %9 rows from both sides. The
+    // audit literals are the mechanics the gate measures: crash-window
+    // step 1, recovered step 2, and 5 vacuumed manifests (a: v0 + v1
+    // + the orphan delete; b: v0 + the orphan delete — the restore
+    // commits survive as current).
+    "q254_snapshot_crash_recovery" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS PID,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) + CASE
+        |      WHEN o_orderkey % 4 = 0 THEN 1000 ELSE 0 END AS cents
+        |  FROM orders WHERE o_orderkey <= 200),
+        |l AS (
+        |  SELECT l_orderkey AS PID,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem WHERE l_orderkey <= 200 GROUP BY l_orderkey),
+        |j AS (SELECT o.PID, o.cents, l.qty FROM o JOIN l ON l.PID = o.PID)
+        |SELECT 'audit' AS snapshot, CAST(1 AS BIGINT) AS n,
+        |  CAST(2 AS BIGINT) AS sum_cents, CAST(5 AS BIGINT) AS sum_qty
+        |UNION ALL
+        |SELECT 'crashed_view', count(*), CAST(sum(cents) AS BIGINT),
+        |  CAST(sum(qty) AS BIGINT) FROM j
+        |UNION ALL
+        |SELECT 'recovered', count(*), CAST(sum(cents) AS BIGINT),
+        |  CAST(sum(qty) AS BIGINT) FROM j WHERE PID % 9 <> 0
+        |ORDER BY snapshot""".stripMargin,
 
     // both joined snapshot states closed-form: step 2 = A after the
     // %4 update × B after the %3 update (no deletes); step 3 = the

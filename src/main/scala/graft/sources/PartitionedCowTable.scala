@@ -406,6 +406,24 @@ class PartitionedCowTable(val root: String, val partCol: String,
       entriesAt(cur), defaultsAt(cur))
   }
 
+  /** Delta-style RESTORE (`RESTORE TABLE ... TO VERSION AS OF v`):
+    * make the CURRENT state equal version `v`'s by re-publishing v's
+    * manifest under the next version number — a METADATA-ONLY commit,
+    * no data job, nothing deleted. CoW-safe roll-back: the undone
+    * versions stay time-travelable until [[vacuum]] reclaims them.
+    * This is the crash-recovery primitive for [[SnapshotCatalog]]'s
+    * orphaned-step contract: restore each table to its last LOGGED
+    * version, vacuum the orphan commits, redo the step, publish.
+    */
+  def restore(v: Int): Unit = {
+    val cur = requireVersion
+    require(Files.exists(Paths.get(root, f"v_$v%06d.json")),
+      s"restore: no version $v at $root (never committed, or vacuumed)")
+    if (v == cur) return
+    writeVersion(cur + 1, schemaAt(v).toDDL, partColAt(v), entriesAt(v),
+      defaultsAt(v))
+  }
+
   /** Add a column — a METADATA-ONLY commit (Iceberg's add-column
     * contract: no data file is touched): the committed schema gains
     * the field, dirs that predate it read back null, and

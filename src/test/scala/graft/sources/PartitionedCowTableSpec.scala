@@ -378,6 +378,28 @@ class PartitionedCowTableSpec extends SparkSpec {
     assert(t.legacyEntries.map(_._2).toSet === Set("2020-04", "2020-05"))
   }
 
+  test("restore republishes an old version as a NEW commit; vacuum " +
+    "then reclaims the undone versions") {
+    val t = mk()
+    t.upsert(Seq((1L, "2020-03", "A", true))
+      .toDF("pid", "month", "v", "flag"), Seq("pid")) // v1
+    val v1State = t.read().orderBy("pid").collect().toSeq
+    t.deleteWhere(col("pid") === 2) // v2
+    t.restore(1) // v3, metadata-only
+    assert(t.version === 3)
+    assert(t.read().orderBy("pid").collect().toSeq === v1State)
+    // the undone version stays time-travelable until vacuum
+    assert(t.readVersion(2).count() === 3)
+    t.vacuum()
+    intercept[IllegalArgumentException] { t.readVersion(2) }
+    assert(t.read().orderBy("pid").collect().toSeq === v1State)
+    // restore to the current version is a no-op
+    t.restore(3)
+    assert(t.version === 3)
+    // restoring a vacuumed-away version fails loudly
+    intercept[IllegalArgumentException] { t.restore(0) }
+  }
+
   // ---- schema evolution ----
 
   test("evolveSchema is metadata-only: old dirs read the default, " +
