@@ -4356,46 +4356,52 @@ object CoverageQueries {
         |    AS key_hash
         |FROM d WHERE status <> 'equal' GROUP BY status ORDER BY status""".stripMargin,
 
-    // the same md5 argmin per step, unrolled; (hh, cand) tiebreak
+    // INDEPENDENT selection mechanics (round-9 verdict item 4): the
+    // hash-defined path is the contract — any oracle must replay the
+    // md5 draws — but the engine resolves each step's argmin with a
+    // row_number window over (hh, cand); this oracle uses NO window
+    // at all: per step, a grouped min(hh) joins back to the candidate
+    // set and a second grouped min(cand) breaks hash ties. Same
+    // (hash, candidate) total order, disjoint mechanics.
     "q188_random_walks" ->
-      """WITH edges AS (
+      """WITH edges AS MATERIALIZED (
         |  SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS p
         |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
         |s0 AS (
         |  SELECT p AS walk, p AS cur
         |  FROM (SELECT DISTINCT p FROM edges) WHERE p <= 200),
-        |c1 AS (
+        |c1 AS MATERIALIZED (
         |  SELECT s0.walk, e.u AS cand,
         |    ('0x' || substr(md5('walk:' || CAST(s0.walk AS VARCHAR) ||
         |      ':1:' || CAST(e.u AS VARCHAR)), 1, 15))::BIGINT AS hh
         |  FROM s0 JOIN edges e ON e.p = s0.cur),
-        |s1 AS (SELECT walk, cand AS cur FROM (SELECT *, row_number()
-        |  OVER (PARTITION BY walk ORDER BY hh, cand) AS r FROM c1)
-        |  WHERE r = 1),
-        |c2 AS (
+        |m1 AS (SELECT walk, min(hh) AS mh FROM c1 GROUP BY walk),
+        |s1 AS (SELECT c.walk, min(c.cand) AS cur FROM c1 c
+        |  JOIN m1 ON m1.walk = c.walk AND c.hh = m1.mh GROUP BY c.walk),
+        |c2 AS MATERIALIZED (
         |  SELECT s1.walk, e.p AS cand,
         |    ('0x' || substr(md5('walk:' || CAST(s1.walk AS VARCHAR) ||
         |      ':2:' || CAST(e.p AS VARCHAR)), 1, 15))::BIGINT AS hh
         |  FROM s1 JOIN edges e ON e.u = s1.cur),
-        |s2 AS (SELECT walk, cand AS cur FROM (SELECT *, row_number()
-        |  OVER (PARTITION BY walk ORDER BY hh, cand) AS r FROM c2)
-        |  WHERE r = 1),
-        |c3 AS (
+        |m2 AS (SELECT walk, min(hh) AS mh FROM c2 GROUP BY walk),
+        |s2 AS (SELECT c.walk, min(c.cand) AS cur FROM c2 c
+        |  JOIN m2 ON m2.walk = c.walk AND c.hh = m2.mh GROUP BY c.walk),
+        |c3 AS MATERIALIZED (
         |  SELECT s2.walk, e.u AS cand,
         |    ('0x' || substr(md5('walk:' || CAST(s2.walk AS VARCHAR) ||
         |      ':3:' || CAST(e.u AS VARCHAR)), 1, 15))::BIGINT AS hh
         |  FROM s2 JOIN edges e ON e.p = s2.cur),
-        |s3 AS (SELECT walk, cand AS cur FROM (SELECT *, row_number()
-        |  OVER (PARTITION BY walk ORDER BY hh, cand) AS r FROM c3)
-        |  WHERE r = 1),
-        |c4 AS (
+        |m3 AS (SELECT walk, min(hh) AS mh FROM c3 GROUP BY walk),
+        |s3 AS (SELECT c.walk, min(c.cand) AS cur FROM c3 c
+        |  JOIN m3 ON m3.walk = c.walk AND c.hh = m3.mh GROUP BY c.walk),
+        |c4 AS MATERIALIZED (
         |  SELECT s3.walk, e.p AS cand,
         |    ('0x' || substr(md5('walk:' || CAST(s3.walk AS VARCHAR) ||
         |      ':4:' || CAST(e.p AS VARCHAR)), 1, 15))::BIGINT AS hh
         |  FROM s3 JOIN edges e ON e.u = s3.cur),
-        |s4 AS (SELECT walk, cand AS cur FROM (SELECT *, row_number()
-        |  OVER (PARTITION BY walk ORDER BY hh, cand) AS r FROM c4)
-        |  WHERE r = 1)
+        |m4 AS (SELECT walk, min(hh) AS mh FROM c4 GROUP BY walk),
+        |s4 AS (SELECT c.walk, min(c.cand) AS cur FROM c4 c
+        |  JOIN m4 ON m4.walk = c.walk AND c.hh = m4.mh GROUP BY c.walk)
         |SELECT walk, 0 AS step, 'p:' || CAST(cur AS VARCHAR) AS node FROM s0
         |UNION ALL
         |SELECT walk, 1, 'c:' || CAST(cur AS VARCHAR) FROM s1
@@ -5084,29 +5090,32 @@ object CoverageQueries {
            |    FROM dd JOIN s${j - 1} si ON si.ty = dd.i
            |            JOIN s${j - 1} sj ON sj.ty = dd.j
            |    GROUP BY dd.i) d USING (ty)),""".stripMargin
+      // INDEPENDENT duel derivation (round-9 verdict item 4): the MM
+      // trajectory replay is the contract (identical floored-integer
+      // rounds), but the engine builds its inputs through a
+      // win/lose CASE -> undirected nij -> union-to-directed chain;
+      // this oracle never forms a duel or nij table — wins, matches
+      // and the directed duel-count table all come STRAIGHT off the
+      // per-user count table with asymmetric join predicates
+      // (a.c > b.c for wins, a.c <> b.c both orientations for dd).
       """WITH pu AS MATERIALIZED (
         |  SELECT user_id, event_type AS ty, count(*) AS c
         |  FROM events GROUP BY 1, 2),
-        |duel AS MATERIALIZED (
-        |  SELECT CASE WHEN a.c > b.c THEN a.ty ELSE b.ty END AS win,
-        |         CASE WHEN a.c > b.c THEN b.ty ELSE a.ty END AS lose
-        |  FROM pu a JOIN pu b
-        |    ON a.user_id = b.user_id AND a.ty < b.ty
-        |  WHERE a.c <> b.c),
-        |nij AS MATERIALIZED (
-        |  SELECT least(win, lose) AS i, greatest(win, lose) AS j,
-        |    count(*) AS n
-        |  FROM duel GROUP BY 1, 2),
-        |wins AS (SELECT win AS ty, count(*) AS w FROM duel GROUP BY 1),
+        |dd AS MATERIALIZED (
+        |  SELECT a.ty AS i, b.ty AS j, count(*) AS n
+        |  FROM pu a JOIN pu b ON a.user_id = b.user_id
+        |    AND a.ty <> b.ty AND a.c <> b.c
+        |  GROUP BY 1, 2),
+        |wins AS (
+        |  SELECT a.ty, CAST(count(*) AS BIGINT) AS w
+        |  FROM pu a JOIN pu b ON a.user_id = b.user_id
+        |    AND a.ty <> b.ty AND a.c > b.c
+        |  GROUP BY 1),
         |items AS MATERIALIZED (
         |  SELECT m.ty, COALESCE(w.w, 0) AS w, m.m
-        |  FROM (SELECT ty, CAST(sum(n) AS BIGINT) AS m FROM (
-        |          SELECT i AS ty, n FROM nij
-        |          UNION ALL SELECT j, n FROM nij) GROUP BY ty) m
+        |  FROM (SELECT i AS ty, CAST(sum(n) AS BIGINT) AS m
+        |        FROM dd GROUP BY 1) m
         |  LEFT JOIN wins w USING (ty)),
-        |dd AS MATERIALIZED (
-        |  SELECT i, j, n FROM nij
-        |  UNION ALL SELECT j AS i, i AS j, n FROM nij),
         |s0 AS MATERIALIZED (
         |  SELECT ty, CAST(1000000 AS BIGINT) AS st FROM items),
         |""".stripMargin +
@@ -5554,21 +5563,36 @@ object CoverageQueries {
         |FROM est JOIN ex ON ex.tday = est.tday
         |ORDER BY day""".stripMargin,
 
-    // the same integer path counts, the same one-shot normalization
+    // INDEPENDENT derivation (round-9 verdict item 4): the engine
+    // iterates h1 -> a1 -> h2 -> a2 through four edge-keyed joins;
+    // this oracle never forms the h2/a2 chain — it goes through the
+    // PROJECTION matrices instead. Identities: h2(u) = Σ_{u'}
+    // C(u,u')·deg(u') where C is the user-user common-part count
+    // (AᵀA), and a2(p) = Σ_{p'} W(p,p')·a1(p') where W is the
+    // part-part co-buyer count (AAᵀ) — the matrix-power view of HITS
+    // (Kleinberg 1999 §3), sharing only the edge table and the a1
+    // base with the engine's iterated form. All-integer until the
+    // one-shot normalization.
     "q219_hits" ->
-      """WITH e AS (
+      """WITH e AS MATERIALIZED (
         |  SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS p
         |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
-        |h1 AS (SELECT u, count(*) AS h1 FROM e GROUP BY u),
-        |a1 AS (
-        |  SELECT e.p, CAST(sum(h1.h1) AS BIGINT) AS a1
-        |  FROM e JOIN h1 ON h1.u = e.u GROUP BY e.p),
-        |h2 AS (
-        |  SELECT e.u, CAST(sum(a1.a1) AS BIGINT) AS h2
-        |  FROM e JOIN a1 ON a1.p = e.p GROUP BY e.u),
-        |a2 AS (
-        |  SELECT e.p, CAST(sum(h2.h2) AS BIGINT) AS a2
-        |  FROM e JOIN h2 ON h2.u = e.u GROUP BY e.p),
+        |degu AS (SELECT u, count(*) AS d FROM e GROUP BY u),
+        |a1 AS MATERIALIZED (
+        |  SELECT e.p, CAST(sum(degu.d) AS BIGINT) AS a1
+        |  FROM e JOIN degu ON degu.u = e.u GROUP BY e.p),
+        |cuu AS (
+        |  SELECT x.u AS u, y.u AS u2, count(*) AS c
+        |  FROM e x JOIN e y ON y.p = x.p GROUP BY x.u, y.u),
+        |h2 AS MATERIALIZED (
+        |  SELECT cuu.u, CAST(sum(cuu.c * degu.d) AS BIGINT) AS h2
+        |  FROM cuu JOIN degu ON degu.u = cuu.u2 GROUP BY cuu.u),
+        |wpp AS (
+        |  SELECT x.p AS p, y.p AS p2, count(*) AS c
+        |  FROM e x JOIN e y ON y.u = x.u GROUP BY x.p, y.p),
+        |a2 AS MATERIALIZED (
+        |  SELECT wpp.p, CAST(sum(wpp.c * a1.a1) AS BIGINT) AS a2
+        |  FROM wpp JOIN a1 ON a1.p = wpp.p2 GROUP BY wpp.p),
         |am AS (SELECT max(a2) AS am FROM a2),
         |hm AS (SELECT max(h2) AS hm FROM h2),
         |ta AS (
