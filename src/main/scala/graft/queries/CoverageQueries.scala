@@ -3927,6 +3927,85 @@ object CoverageQueries {
         .unionByName(recovered.select(
           col("snapshot"), col("n"), col("sum_cents"), col("sum_qty")))
         .orderBy("snapshot")
+    },
+
+    // t-closeness audit (Li-Li-Venkatasubramanian 2007) — the third
+    // leg of the privacy triad (k-anonymity q193 bounds group SIZE,
+    // l-diversity q235 bounds distinct sensitive values, t-closeness
+    // bounds the DISTRIBUTION: a group whose segment mix diverges
+    // from the global mix leaks membership even when large and
+    // diverse). Distance = variational (half-L1) between the group's
+    // and the global segment distribution, kept EXACT: per cell
+    // |cnt·N − gs·n| is integer, summed as longs, ONE closing
+    // integer division onto the micro scale — (num·5e5) div (n·N)
+    // stays under 2^63 through sf10. The grid is groups × |segments|
+    // (zero-filled — an absent segment still contributes its global
+    // mass), aggregated metadata at any corpus size.
+    "q255_t_closeness" -> { (s, dir) =>
+      val c = t(s, dir, "customer").select(
+        col("c_nationkey").cast("long").as("nat"),
+        floor(col("c_acctbal") / 1000).cast("long").as("balb"),
+        col("c_mktsegment").as("seg"))
+        .localCheckpoint() // both levels + global reuse it
+      val gl = broadcast(c.groupBy("seg").agg(count(lit(1)).as("gs")))
+      val tot = broadcast(c.agg(count(lit(1)).as("nn")))
+      def audit(level: Int, keys: Seq[String]): DataFrame = {
+        val grp = c.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+        val gseg = c.groupBy((keys :+ "seg").map(col): _*)
+          .agg(count(lit(1)).as("cnt"))
+        grp.crossJoin(gl)
+          .join(gseg, keys :+ "seg", "left").na.fill(0L, Seq("cnt"))
+          .crossJoin(tot)
+          .withColumn("term",
+            abs(col("cnt") * col("nn") - col("gs") * col("n")))
+          .groupBy((keys.map(col) :+ col("n") :+ col("nn")): _*)
+          .agg(sum("term").as("num"))
+          .withColumn("t_micro", expr("(num * 500000) div (n * nn)"))
+          .agg(count(lit(1)).as("n_groups"),
+            max("t_micro").as("max_t_micro"),
+            sum(when(col("t_micro") > 300000, 1L).otherwise(0L))
+              .as("risky_groups"),
+            sum(when(col("t_micro") > 300000, col("n")).otherwise(0L))
+              .as("risky_rows"))
+          .select(lit(level).as("level"), col("n_groups"),
+            col("max_t_micro"), col("risky_groups"), col("risky_rows"))
+      }
+      audit(0, Seq("nat", "balb")).unionByName(audit(1, Seq("nat")))
+        .orderBy("level")
+    },
+
+    // Differentially-private histogram release (Dwork et al.'s
+    // Laplace mechanism) with REPLAYABLE noise — the publishable-
+    // statistics sink a curated corpus ships with: per (event_type,
+    // month) counts get Laplace(1/eps) noise drawn by inverse CDF
+    // from an md5 uniform keyed on the CELL, so both engines (and a
+    // re-run) draw the identical noise — the q184/q188 RNG-free
+    // device applied to DP. eps = 1 per cell. Determinism contract:
+    // u = (2h+1)/2^61 from the top-60 md5 bits (exactly representable
+    // arithmetic), the one transcendental (ln) is computed per CELL
+    // (bounded: types × months, never rows) and rounded ONCE at
+    // micro scale; the released value is integer micro-units from
+    // there. The histogram is one partial-aggregated scan; noise
+    // attaches on the |cells|-row result.
+    "q257_dp_laplace_release" -> { (s, dir) =>
+      val cells = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          date_format(col("ts"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("tc"))
+      val h = conv(substring(md5(concat_ws(":", lit("dp"),
+        col("event_type"), col("month"))), 1, 15), 16, 10).cast("long")
+      cells
+        .withColumn("u",
+          (h * 2 + 1).cast("double") / lit(2.0).cast("double") / pow(lit(2.0), 60))
+        .withColumn("lap", -signum(col("u") - 0.5) *
+          log(lit(1.0) - lit(2.0) * abs(col("u") - 0.5)))
+        .withColumn("noise_micro",
+          round(col("lap") * 1e6).cast("long"))
+        .select(col("event_type"), col("month"),
+          (col("tc") * 1000000L + col("noise_micro"))
+            .as("released_micro"),
+          abs(col("noise_micro")).as("err_micro"))
+        .orderBy("event_type", "month")
     }
   )
 
@@ -5422,6 +5501,75 @@ object CoverageQueries {
         |SELECT 'recovered', count(*), CAST(sum(cents) AS BIGINT),
         |  CAST(sum(qty) AS BIGINT) FROM j WHERE PID % 9 <> 0
         |ORDER BY snapshot""".stripMargin,
+
+    // the same integer variational distance over the same zero-filled
+    // group x segment grid, both coarsening levels
+    "q255_t_closeness" ->
+      """WITH c AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nat,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS balb,
+        |    c_mktsegment AS seg
+        |  FROM customer),
+        |gl AS (SELECT seg, count(*) AS gs FROM c GROUP BY seg),
+        |tot AS (SELECT count(*) AS nn FROM c),
+        |g0 AS (SELECT nat, balb, count(*) AS n FROM c GROUP BY 1, 2),
+        |s0 AS (SELECT nat, balb, seg, count(*) AS cnt
+        |       FROM c GROUP BY 1, 2, 3),
+        |t0 AS (
+        |  SELECT g.nat, g.balb, g.n,
+        |    CAST((sum(abs(COALESCE(s.cnt, 0) * tot.nn - gl.gs * g.n))
+        |      * 500000) // (g.n * tot.nn) AS BIGINT) AS tm
+        |  FROM g0 g CROSS JOIN gl
+        |  LEFT JOIN s0 s
+        |    ON s.nat = g.nat AND s.balb = g.balb AND s.seg = gl.seg
+        |  CROSS JOIN tot
+        |  GROUP BY g.nat, g.balb, g.n, tot.nn),
+        |g1 AS (SELECT nat, count(*) AS n FROM c GROUP BY 1),
+        |s1 AS (SELECT nat, seg, count(*) AS cnt FROM c GROUP BY 1, 2),
+        |t1 AS (
+        |  SELECT g.nat, g.n,
+        |    CAST((sum(abs(COALESCE(s.cnt, 0) * tot.nn - gl.gs * g.n))
+        |      * 500000) // (g.n * tot.nn) AS BIGINT) AS tm
+        |  FROM g1 g CROSS JOIN gl
+        |  LEFT JOIN s1 s ON s.nat = g.nat AND s.seg = gl.seg
+        |  CROSS JOIN tot
+        |  GROUP BY g.nat, g.n, tot.nn)
+        |SELECT 0 AS level, count(*) AS n_groups, max(tm) AS max_t_micro,
+        |  CAST(sum(CASE WHEN tm > 300000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS risky_groups,
+        |  CAST(sum(CASE WHEN tm > 300000 THEN n ELSE 0 END) AS BIGINT)
+        |    AS risky_rows
+        |FROM t0
+        |UNION ALL
+        |SELECT 1, count(*), max(tm),
+        |  CAST(sum(CASE WHEN tm > 300000 THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(sum(CASE WHEN tm > 300000 THEN n ELSE 0 END) AS BIGINT)
+        |FROM t1
+        |ORDER BY level""".stripMargin,
+
+    // the same md5-keyed inverse-CDF Laplace draw per cell: identical
+    // exact dyadic u, ln rounded once at micro scale
+    "q257_dp_laplace_release" ->
+      """WITH cells AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m') AS month,
+        |    count(*) AS tc
+        |  FROM events GROUP BY 1, 2),
+        |d AS (
+        |  SELECT event_type, month, tc,
+        |    CAST(round(
+        |      -sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)) * 1e6)
+        |      AS BIGINT) AS noise_micro
+        |  FROM (
+        |    SELECT *,
+        |      CAST(2 * ('0x' || substr(md5('dp:' || event_type || ':' ||
+        |          month), 1, 15))::BIGINT + 1 AS DOUBLE)
+        |        / 2.0 / 1152921504606846976.0 AS u
+        |    FROM cells))
+        |SELECT event_type, month,
+        |  CAST(tc * 1000000 + noise_micro AS BIGINT) AS released_micro,
+        |  abs(noise_micro) AS err_micro
+        |FROM d
+        |ORDER BY event_type, month""".stripMargin,
 
     // both joined snapshot states closed-form: step 2 = A after the
     // %4 update × B after the %3 update (no deletes); step 3 = the

@@ -685,6 +685,49 @@ object VectorQueries {
             sqrt(col("na").cast("double") * col("nb").cast("double"))
             * 1e6).cast("long")).as("drift_micro"))
         .orderBy("label")
+    },
+
+    // Mixture-of-experts ROUTING audit (Shazeer 2017 top-k gating,
+    // Switch/GShard load balancing) — the training-infra question a
+    // curated corpus feeds next: with E=8 experts (the first 8
+    // vectors as deterministic expert prototypes), route every other
+    // vector to its top-2 experts by 6dp-rounded cosine gate score
+    // and audit the load: tokens landed per expert at rank 1 and 2,
+    // summed top-1 gate mass, and the Switch load factor f_e x E in
+    // micro units (1e6 = perfectly balanced; the aux-loss signal).
+    // Shape: gate matrix = tokens x 8 via a BROADCAST of the expert
+    // prototypes (k x dim driver traffic only), top-2 via a window
+    // over 8-row per-token groups, then one |E|-row aggregate — at
+    // 100 TB the only corpus-scale pass is the gate scan itself.
+    // Zero-load experts still report (left join from the prototype
+    // list): a silent missing row is exactly the collapsed-expert
+    // failure the audit exists to catch.
+    "q256_moe_routing" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val experts = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("expert"), col("v").as("ev"))
+      val toks = e.filter(col("vec_id") >= 8)
+      val gates = toks.crossJoin(broadcast(experts))
+        .withColumn("gm",
+          round(G.cosineSim(col("v"), col("ev")) * 1e6).cast("long"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("vec_id")
+            .orderBy(col("gm").desc, col("expert"))))
+        .filter(col("rk") <= 2)
+      val nTok = broadcast(toks.agg(count(lit(1)).as("nt")))
+      val agg = gates.groupBy("expert")
+        .agg(sum(when(col("rk") === 1, 1L).otherwise(0L)).as("n_top1"),
+          sum(when(col("rk") === 2, 1L).otherwise(0L)).as("n_top2"),
+          sum(when(col("rk") === 1, col("gm")).otherwise(0L))
+            .as("sum_top1_micro"))
+      experts.select("expert").join(agg, Seq("expert"), "left")
+        .na.fill(0L, Seq("n_top1", "n_top2", "sum_top1_micro"))
+        .crossJoin(nTok)
+        .withColumn("load_factor_micro",
+          expr("(n_top1 * 8 * 1000000) div nt"))
+        .select("expert", "n_top1", "n_top2", "sum_top1_micro",
+          "load_factor_micro")
+        .orderBy("expert")
     }
   )
 
@@ -1184,6 +1227,42 @@ object VectorQueries {
         |    sqrt(d.na::DOUBLE * d.nb::DOUBLE) * 1000000) AS BIGINT)
         |    AS drift_micro
         |FROM dots d JOIN cnt c USING (label)
-        |ORDER BY d.label""".stripMargin
+        |ORDER BY d.label""".stripMargin,
+
+    // the same 6dp cosine gates, the same (gm DESC, expert) top-2,
+    // zero-load experts preserved by the left join
+    "q256_moe_routing" ->
+      """WITH ex AS (
+        |  SELECT vec_id AS expert, embedding::DOUBLE[] AS ev
+        |  FROM embeddings WHERE vec_id < 8),
+        |tok AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings WHERE vec_id >= 8),
+        |g AS (
+        |  SELECT t.vec_id, ex.expert,
+        |    CAST(round(list_cosine_similarity(t.v, ex.ev) * 1e6)
+        |      AS BIGINT) AS gm
+        |  FROM tok t CROSS JOIN ex),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY gm DESC, expert) AS rk
+        |  FROM g),
+        |nt AS (SELECT count(*) AS nt FROM tok),
+        |agg AS (
+        |  SELECT expert,
+        |    CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_top1,
+        |    CAST(sum(CASE WHEN rk = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_top2,
+        |    CAST(sum(CASE WHEN rk = 1 THEN gm ELSE 0 END) AS BIGINT)
+        |      AS sum_top1_micro
+        |  FROM r WHERE rk <= 2 GROUP BY expert)
+        |SELECT ex.expert, COALESCE(agg.n_top1, 0) AS n_top1,
+        |  COALESCE(agg.n_top2, 0) AS n_top2,
+        |  COALESCE(agg.sum_top1_micro, 0) AS sum_top1_micro,
+        |  CAST((COALESCE(agg.n_top1, 0) * 8 * 1000000) // nt.nt
+        |    AS BIGINT) AS load_factor_micro
+        |FROM ex LEFT JOIN agg USING (expert) CROSS JOIN nt
+        |ORDER BY ex.expert""".stripMargin
   )
 }

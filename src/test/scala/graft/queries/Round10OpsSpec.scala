@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Unit fixtures for the round-10 additions: each test pins the
+  * operator's contract on a hand-computable input (the sf-scale
+  * DuckDB gate checks the full-table behavior; these check the
+  * EDGE semantics a small gate can miss).
+  */
+class Round10OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def q(name: String, dir: String) =
+    SparkEntry.queries(name)(spark, dir)
+
+  // ---- q255 t-closeness ----
+
+  private def customerDir(rows: Seq[(Long, Int, Double, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("r10cust").toString
+    rows.toDF("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    dir
+  }
+
+  test("q255: variational distance is exact integer arithmetic; " +
+    "skewed and tiny groups trip the 0.3 threshold, balanced ones don't") {
+    // global: A=6, B=3, N=9. nat1 = balanced {A,B}x2 split over two
+    // balance buckets; nat2 = all-A (skewed); nat3 = one B (tiny).
+    val dir = customerDir(Seq(
+      (1L, 1, 500.0, "A"), (2L, 1, 500.0, "B"),
+      (3L, 1, 1500.0, "A"), (4L, 1, 1500.0, "B"),
+      (5L, 2, 500.0, "A"), (6L, 2, 500.0, "A"),
+      (7L, 2, 500.0, "A"), (8L, 2, 500.0, "A"),
+      (9L, 3, 500.0, "B")))
+    val out = q("q255_t_closeness", dir).collect()
+      .map(r => r.getAs[Int]("level") ->
+        ((r.getAs[Long]("n_groups"), r.getAs[Long]("max_t_micro"),
+          r.getAs[Long]("risky_groups"), r.getAs[Long]("risky_rows"))))
+      .toMap
+    // nat1 groups: num = |1*9-6*2| + |1*9-3*2| = 6 -> 6*5e5/18 = 166666
+    // nat2: num = |36-24| + |0-12| = 24 -> 24*5e5/36 = 333333 (risky)
+    // nat3: num = |0-6| + |9-3| = 12 -> 12*5e5/9 = 666666 (risky)
+    assert(out(0) === ((4L, 666666L, 2L, 5L)))
+    // level 1 merges nat1's two buckets: num = 12 over n=4 -> 166666
+    assert(out(1) === ((3L, 666666L, 2L, 5L)))
+  }
+
+  // ---- q256 MoE routing ----
+
+  private def embDir(rows: Seq[(Long, Seq[Float], Int)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("r10emb").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("q256: top-2 cosine gating routes each token, gate ties break " +
+    "by expert id, and ZERO-load experts still report") {
+    // experts 0=[1,0], 1=[0,1], 2..7=[-1,0] (identical — tie fodder)
+    val experts = Seq(
+      (0L, Seq(1f, 0f), 0), (1L, Seq(0f, 1f), 0)) ++
+      (2L to 7L).map(i => (i, Seq(-1f, 0f), 0))
+    val toks = Seq(
+      (8L, Seq(1f, 0.1f), 1),  // top1 e0, top2 e1
+      (9L, Seq(0.1f, 1f), 1),  // top1 e1, top2 e0
+      (10L, Seq(-1f, 0f), 1))  // cos=1 with e2..e7 -> e2 top1, e3 top2
+    val out = q("q256_moe_routing", embDir(experts ++ toks)).collect()
+      .map(r => r.getAs[Long]("expert") ->
+        ((r.getAs[Long]("n_top1"), r.getAs[Long]("n_top2"),
+          r.getAs[Long]("sum_top1_micro"),
+          r.getAs[Long]("load_factor_micro"))))
+      .toMap
+    assert(out.size === 8) // every expert reports, loaded or not
+    // cos([1, 0.1f], [1, 0]) = 1/sqrt(1 + 0.1f^2) -> 995037 micro
+    assert(out(0L) === ((1L, 1L, 995037L, 2666666L)))
+    assert(out(1L) === ((1L, 1L, 995037L, 2666666L)))
+    assert(out(2L) === ((1L, 0L, 1000000L, 2666666L))) // tie -> min id
+    assert(out(3L) === ((0L, 1L, 0L, 0L)))             // tie runner-up
+    (4L to 7L).foreach(e => assert(out(e) === ((0L, 0L, 0L, 0L))))
+  }
+
+  // ---- q257 deterministic DP release ----
+
+  test("q257: the Laplace draw replays from the cell's md5 — noise " +
+    "is the exact inverse-CDF value, released = count + noise") {
+    def at(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = (1 to 7).map(i =>
+      (i.toLong, at("2024-03-05 10:00:00"), i.toLong, "view", 1.0)) ++
+      (1 to 2).map(i =>
+        (100L + i, at("2024-04-01 10:00:00"), 1L, "view", 1.0))
+    val dir = java.nio.file.Files.createTempDirectory("r10dp").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // JVM replay of the draw (independent of the Spark plan)
+    def noise(cell: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(cell.getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString.take(15)
+      val h = java.lang.Long.parseLong(hex, 16)
+      val u = (2.0 * h + 1.0) / 2.0 / math.pow(2.0, 60)
+      val lap = -math.signum(u - 0.5) * math.log(1.0 - 2.0 * math.abs(u - 0.5))
+      math.round(lap * 1e6)
+    }
+    val out = q("q257_dp_laplace_release", dir).collect()
+      .map(r => r.getAs[String]("month") ->
+        ((r.getAs[Long]("released_micro"), r.getAs[Long]("err_micro"))))
+      .toMap
+    val n3 = noise("dp:view:2024-03")
+    val n4 = noise("dp:view:2024-04")
+    assert(out("2024-03") === ((7000000L + n3, math.abs(n3))))
+    assert(out("2024-04") === ((2000000L + n4, math.abs(n4))))
+    // the mechanism adds REAL noise (a zero draw would mean the md5
+    // key collapsed) and it stays in the plausible Laplace(1) range
+    assert(math.abs(n3) > 0 && math.abs(n3) < 40000000L)
+  }
+}
