@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{GraftFunctions => G}
-import graft.operators.{ScaleOps => Sc}
+import graft.operators.{RelationalOps => R, ScaleOps => Sc}
 
 /** LLM-training-data text operators over the `documents` table
   * (SURVEY.md §7.2 scale extensions): exact dedup, MinHash+LSH and
@@ -2998,6 +2998,76 @@ object TextQueries {
           expr("(n_tokens * 1000000) div n_docs")
             .as("mean_tokens_micro"),
           expr("(n_en * 1000000) div n_docs").as("en_share_micro"))
+    },
+
+    // Padding-waste audit for fixed-batch training (the efficiency
+    // question length-bucketed batching — Morgan & Bourlard-era
+    // bucketing, every modern dataloader — exists to answer): batch
+    // the corpus 8 docs at a time under two orders, naive by doc_id
+    // vs by (length, id), and measure padded tokens = Σ_batches
+    // (batch_max × batch_size − batch_token_sum). Global rank comes
+    // from allocateKeys (per-partition row_numbers + broadcast
+    // offsets — the data never crosses a single-partition window, the
+    // q64 discipline), batches are a floor division on the rank, and
+    // the waste arithmetic is all-integer with one closing micro
+    // division. The two strategies differ ONLY in the rank key.
+    "q258_padding_waste" -> { (s, dir) =>
+      val bs = 8
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(toks(col("text"))).cast("long").as("len"))
+        .localCheckpoint() // both strategies rank the same snapshot
+      def waste(tag: String, key: Column): DataFrame =
+        R.allocateKeys(docs.withColumn("__k", key), "__k", lit(0L), "rn")
+          .withColumn("batch", expr(s"(rn - 1) div $bs"))
+          .groupBy("batch")
+          .agg(max("len").as("mx"), sum("len").as("sm"),
+            count(lit(1)).as("bn"))
+          .agg(count(lit(1)).as("n_batches"),
+            sum("sm").as("total_tokens"),
+            sum(col("mx") * col("bn") - col("sm")).as("padded_tokens"))
+          .withColumn("waste_micro", expr(
+            "(padded_tokens * 1000000) div (padded_tokens + total_tokens)"))
+          .select(lit(tag).as("strategy"), col("n_batches"),
+            col("total_tokens"), col("padded_tokens"),
+            col("waste_micro"))
+      // length key folds the unique id in so the order is total (ties
+      // would make batch membership engine-dependent)
+      waste("naive_by_id", col("doc_id"))
+        .unionByName(waste("length_bucketed",
+          col("len") * 10000000000L + col("doc_id")))
+        .orderBy("strategy")
+    },
+
+    // Cross-fold dedup leakage — the eval-hygiene audit between
+    // splitting and training: a doc duplicated across CV folds leaks
+    // training content into validation no matter how clean the split
+    // arithmetic is. Folds are the q96 md5 device (hash the id, mod
+    // 5); duplicate groups are q25's exact content hash; a group of
+    // size N spanning folds with sizes n_i leaks (N² − Σn_i²)/2
+    // pairs — integer-exact from the (group, fold) histogram, which
+    // is also where the work collapses: after one corpus scan
+    // everything is ≤|groups|×5 rows of metadata.
+    "q259_fold_leakage" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("h"))
+        .withColumn("fold",
+          (conv(substring(md5(concat_ws(":", lit("fold"),
+            col("doc_id"))), 1, 15), 16, 10).cast("long") % 5)
+            .cast("int"))
+      val gf = d.groupBy("h", "fold").agg(count(lit(1)).as("nf"))
+      val g = gf.groupBy("h")
+        .agg(sum("nf").as("n"), sum(col("nf") * col("nf")).as("sq"),
+          count(lit(1)).as("n_folds"))
+        .filter(col("n") >= 2)
+      g.agg(count(lit(1)).as("n_dup_groups"),
+          sum(when(col("n_folds") >= 2, 1L).otherwise(0L))
+            .as("n_leaky_groups"),
+          sum(expr("(n * n - sq) div 2")).as("leaked_pairs"),
+          sum(expr("(n * (n - 1)) div 2") - expr("(n * n - sq) div 2"))
+            .as("intra_fold_pairs"))
+        .select("n_dup_groups", "n_leaky_groups", "leaked_pairs",
+          "intra_fold_pairs")
     }
   )
 
@@ -5072,6 +5142,58 @@ object TextQueries {
         |    AS mean_tokens_micro,
         |  CAST((sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
         |    * 1000000) // count(*) AS BIGINT) AS en_share_micro
-        |FROM d""".stripMargin
+        |FROM d""".stripMargin,
+
+    // the same two total orders, the same floor-division batching
+    "q258_padding_waste" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(trim(lower(text)), ' ')) AS BIGINT)
+        |      AS l
+        |  FROM documents),
+        |n1 AS (SELECT l, row_number() OVER (ORDER BY doc_id) AS rn
+        |       FROM d),
+        |b1 AS (SELECT (rn - 1) // 8 AS batch, max(l) AS mx,
+        |         CAST(sum(l) AS BIGINT) AS sm, count(*) AS bn
+        |       FROM n1 GROUP BY 1),
+        |a1 AS (SELECT 'naive_by_id' AS strategy, count(*) AS n_batches,
+        |         CAST(sum(sm) AS BIGINT) AS total_tokens,
+        |         CAST(sum(mx * bn - sm) AS BIGINT) AS padded_tokens
+        |       FROM b1),
+        |n2 AS (SELECT l, row_number() OVER (
+        |         ORDER BY l * 10000000000 + doc_id) AS rn FROM d),
+        |b2 AS (SELECT (rn - 1) // 8 AS batch, max(l) AS mx,
+        |         CAST(sum(l) AS BIGINT) AS sm, count(*) AS bn
+        |       FROM n2 GROUP BY 1),
+        |a2 AS (SELECT 'length_bucketed' AS strategy, count(*)
+        |           AS n_batches,
+        |         CAST(sum(sm) AS BIGINT) AS total_tokens,
+        |         CAST(sum(mx * bn - sm) AS BIGINT) AS padded_tokens
+        |       FROM b2)
+        |SELECT strategy, n_batches, total_tokens, padded_tokens,
+        |  CAST((padded_tokens * 1000000)
+        |    // (padded_tokens + total_tokens) AS BIGINT) AS waste_micro
+        |FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2)
+        |ORDER BY strategy""".stripMargin,
+
+    // the same md5 fold draw, the same (N² − Σn_i²)/2 pair counting
+    "q259_fold_leakage" ->
+      """WITH d AS (
+        |  SELECT doc_id, md5(text) AS h,
+        |    ('0x' || substr(md5('fold:' || CAST(doc_id AS VARCHAR)),
+        |      1, 15))::BIGINT % 5 AS fold
+        |  FROM documents),
+        |gf AS (SELECT h, fold, count(*) AS nf FROM d GROUP BY 1, 2),
+        |g AS (
+        |  SELECT h, CAST(sum(nf) AS BIGINT) AS n,
+        |    CAST(sum(nf * nf) AS BIGINT) AS sq, count(*) AS n_folds
+        |  FROM gf GROUP BY h HAVING sum(nf) >= 2)
+        |SELECT count(*) AS n_dup_groups,
+        |  CAST(sum(CASE WHEN n_folds >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_leaky_groups,
+        |  CAST(sum((n * n - sq) // 2) AS BIGINT) AS leaked_pairs,
+        |  CAST(sum((n * (n - 1)) // 2 - (n * n - sq) // 2) AS BIGINT)
+        |    AS intra_fold_pairs
+        |FROM g""".stripMargin
   )
 }

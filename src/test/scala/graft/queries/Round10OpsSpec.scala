@@ -81,6 +81,65 @@ class Round10OpsSpec extends SparkSpec {
     (4L to 7L).foreach(e => assert(out(e) === ((0L, 0L, 0L, 0L))))
   }
 
+  // ---- q258 padding waste ----
+
+  private def docsDir(rows: Seq[(Long, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("r10doc").toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q258: alternating 1/100-token docs waste ~half the batch " +
+    "naively and nothing once length-bucketed") {
+    val rows = (1L to 16L).map(i =>
+      (i, if (i % 2 == 1) "a" else Seq.fill(100)("w").mkString(" ")))
+    val out = q("q258_padding_waste", docsDir(rows)).collect()
+      .map(r => r.getAs[String]("strategy") ->
+        ((r.getAs[Long]("n_batches"), r.getAs[Long]("total_tokens"),
+          r.getAs[Long]("padded_tokens"), r.getAs[Long]("waste_micro"))))
+      .toMap
+    // naive: two mixed batches, each max 100 x 8 = 800 vs 404 real
+    assert(out("naive_by_id") === ((2L, 808L, 792L, 495000L)))
+    // bucketed: all-1 batch + all-100 batch, zero padding
+    assert(out("length_bucketed") === ((2L, 808L, 0L, 0L)))
+  }
+
+  // ---- q259 cross-fold dedup leakage ----
+
+  test("q259: a dup group spanning folds leaks exactly " +
+    "(N^2 - sum n_i^2)/2 pairs; intra-fold pairs are the rest") {
+    // group X: ids 1,2,3 share a text; group Y: ids 4,5; 6,7 unique
+    val rows = Seq(
+      (1L, "dup one"), (2L, "dup one"), (3L, "dup one"),
+      (4L, "dup two"), (5L, "dup two"),
+      (6L, "solo a"), (7L, "solo b"))
+    def fold(id: Long): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"fold:$id".getBytes("UTF-8"))
+      (java.lang.Long.parseLong(
+        d.map("%02x".format(_)).mkString.take(15), 16) % 5).toInt
+    }
+    def pairs(ids: Seq[Long]): (Long, Long) = {
+      val n = ids.size.toLong
+      val sq = ids.groupBy(fold).values.map(g => g.size.toLong * g.size)
+        .sum
+      val leaked = (n * n - sq) / 2
+      (leaked, n * (n - 1) / 2 - leaked)
+    }
+    val (lx, ix) = pairs(Seq(1L, 2L, 3L))
+    val (ly, iy) = pairs(Seq(4L, 5L))
+    val r = q("q259_fold_leakage", docsDir(rows)).collect().head
+    assert(r.getAs[Long]("n_dup_groups") === 2L)
+    assert(r.getAs[Long]("leaked_pairs") === lx + ly)
+    assert(r.getAs[Long]("intra_fold_pairs") === ix + iy)
+    val leaky = Seq(Seq(1L, 2L, 3L), Seq(4L, 5L))
+      .count(_.map(fold).distinct.size >= 2).toLong
+    assert(r.getAs[Long]("n_leaky_groups") === leaky)
+  }
+
   // ---- q257 deterministic DP release ----
 
   test("q257: the Laplace draw replays from the cell's md5 — noise " +
