@@ -4006,6 +4006,53 @@ object CoverageQueries {
             .as("released_micro"),
           abs(col("noise_micro")).as("err_micro"))
         .orderBy("event_type", "month")
+    },
+
+    // Dyadic-histogram quantile sketch WITH its error audit — the
+    // mergeable-quantiles slot in the sketch family (HLL counts
+    // distincts, CMS counts items; this bounds ranks): per type,
+    // values collapse to power-of-2 buckets (≤64 rows per key,
+    // mergeable by addition, ORDER-INDEPENDENT — the property that
+    // rules out GK/KLL here, whose compactions depend on arrival
+    // order and would be engine-dependent). The p50/p95/p99 estimate
+    // is the covering bucket's upper bound (guaranteed ≥ exact,
+    // relative error ≤ 2× by construction); the EXACT nearest-rank
+    // percentile rides along from the value histogram (the thing the
+    // sketch replaces at 100 TB) so every released estimate carries
+    // its measured error. floor(log2) is string-exact via
+    // length(bin(x)) — a float log2 can land 2.9999... and mis-bucket
+    // powers of two.
+    "q261_dyadic_quantile_sketch" -> { (s, dir) =>
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select(col("event_type").as("et"),
+          round(col("value") * 1e6).cast("long").as("vm"))
+        .localCheckpoint() // sketch + exact arms share the scan
+      val n = ev.groupBy("et").agg(count(lit(1)).as("n"))
+      val ranks = n.crossJoin(broadcast(Seq(50L, 95L, 99L).toDF("p")))
+        .withColumn("r", expr("(n * p + 99) div 100"))
+      val sk = ev
+        .withColumn("b", (length(bin(col("vm"))) - 1).cast("long"))
+        .groupBy("et", "b").agg(count(lit(1)).as("cnt"))
+      val skCum = R.groupedPrefixSum(sk, "et", "b", "cnt", "pre")
+        .withColumn("cum", col("pre") + col("cnt"))
+      val est = ranks.join(skCum, "et")
+        .filter(col("cum") >= col("r"))
+        .groupBy("et", "p", "n").agg(min("b").as("bb"))
+        .withColumn("est_micro",
+          expr("cast(pow(2, bb + 1) as long) - 1"))
+      val hx = ev.groupBy("et", "vm").agg(count(lit(1)).as("cnt"))
+      val hxCum = R.groupedPrefixSum(hx, "et", "vm", "cnt", "pre")
+        .withColumn("cum", col("pre") + col("cnt"))
+      val exact = ranks.join(hxCum, "et")
+        .filter(col("cum") >= col("r"))
+        .groupBy("et", "p").agg(min("vm").as("exact_micro"))
+      est.join(exact, Seq("et", "p"))
+        .select(col("et").as("event_type"), col("p"), col("n"),
+          col("est_micro"), col("exact_micro"),
+          expr("((est_micro - exact_micro) * 1000000) div exact_micro")
+            .as("rel_err_micro"))
+        .orderBy("event_type", "p")
     }
   )
 
@@ -5570,6 +5617,49 @@ object CoverageQueries {
         |  abs(noise_micro) AS err_micro
         |FROM d
         |ORDER BY event_type, month""".stripMargin,
+
+    // the same string-exact log2 buckets, the same nearest-rank pick
+    // on both arms
+    "q261_dyadic_quantile_sketch" ->
+      """WITH ev AS MATERIALIZED (
+        |  SELECT event_type AS et,
+        |    CAST(round(value * 1e6) AS BIGINT) AS vm
+        |  FROM events),
+        |n AS (SELECT et, count(*) AS n FROM ev GROUP BY et),
+        |ranks AS (
+        |  SELECT n.et, n.n, p.p, (n.n * p.p + 99) // 100 AS r
+        |  FROM n CROSS JOIN (VALUES (CAST(50 AS BIGINT)), (95), (99))
+        |    AS p(p)),
+        |sk AS (
+        |  SELECT et, CAST(length(bin(vm)) - 1 AS BIGINT) AS b,
+        |    count(*) AS cnt
+        |  FROM ev GROUP BY 1, 2),
+        |skc AS (
+        |  SELECT et, b,
+        |    CAST(sum(cnt) OVER (PARTITION BY et ORDER BY b) AS BIGINT)
+        |      AS cum
+        |  FROM sk),
+        |est AS (
+        |  SELECT rk.et, rk.p, rk.n,
+        |    CAST(pow(2, min(skc.b) + 1) AS BIGINT) - 1 AS est_micro
+        |  FROM ranks rk JOIN skc ON skc.et = rk.et AND skc.cum >= rk.r
+        |  GROUP BY rk.et, rk.p, rk.n),
+        |hx AS (SELECT et, vm, count(*) AS cnt FROM ev GROUP BY 1, 2),
+        |hxc AS (
+        |  SELECT et, vm,
+        |    CAST(sum(cnt) OVER (PARTITION BY et ORDER BY vm) AS BIGINT)
+        |      AS cum
+        |  FROM hx),
+        |ex AS (
+        |  SELECT rk.et, rk.p, min(hxc.vm) AS exact_micro
+        |  FROM ranks rk JOIN hxc ON hxc.et = rk.et AND hxc.cum >= rk.r
+        |  GROUP BY rk.et, rk.p)
+        |SELECT est.et AS event_type, est.p AS p, est.n, est.est_micro,
+        |  ex.exact_micro,
+        |  CAST(((est.est_micro - ex.exact_micro) * 1000000)
+        |    // ex.exact_micro AS BIGINT) AS rel_err_micro
+        |FROM est JOIN ex ON ex.et = est.et AND ex.p = est.p
+        |ORDER BY event_type, p""".stripMargin,
 
     // both joined snapshot states closed-form: step 2 = A after the
     // %4 update × B after the %3 update (no deletes); step 3 = the

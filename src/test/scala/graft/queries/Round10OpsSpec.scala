@@ -140,6 +140,29 @@ class Round10OpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_leaky_groups") === leaky)
   }
 
+  // ---- q261 dyadic quantile sketch ----
+
+  test("q261: power-of-2 buckets cover the nearest rank, the estimate " +
+    "is the covering bucket's upper bound, error is exact-integer") {
+    def at(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = (1 to 8).map(i =>
+      (i.toLong, at("2024-01-01 10:00:00"), i.toLong, "view", i.toDouble))
+    val dir = java.nio.file.Files.createTempDirectory("r10q").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = q("q261_dyadic_quantile_sketch", dir).collect()
+      .map(r => r.getAs[Long]("p") ->
+        ((r.getAs[Long]("est_micro"), r.getAs[Long]("exact_micro"),
+          r.getAs[Long]("rel_err_micro")))).toMap
+    // vm = i*1e6; buckets (floor log2): 1e6->19, 2e6->20, 3-4e6->21,
+    // 5-8e6->22; p50 rank 4 covers at bucket 21 -> est 2^22-1
+    assert(out(50L) === ((4194303L, 4000000L, 48575L)))
+    // p95/p99 rank 8 -> bucket 22 -> est 2^23-1 vs exact 8e6
+    assert(out(95L) === ((8388607L, 8000000L, 48575L)))
+    assert(out(99L) === ((8388607L, 8000000L, 48575L)))
+  }
+
   // ---- q257 deterministic DP release ----
 
   test("q257: the Laplace draw replays from the cell's md5 — noise " +
