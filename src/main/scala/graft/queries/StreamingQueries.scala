@@ -896,6 +896,36 @@ object StreamingQueries {
         .localCheckpoint()
       registerDeleteOnExit(java.nio.file.Paths.get(root))
       out
+    },
+
+    // Watermark LATE-DATA DROP semantics — the one streaming contract
+    // every other gate deliberately avoids (their slices arrive in
+    // event-time order or with lateness beyond the data span, so
+    // nothing is ever late). Here arrival order is an md5 shuffle of
+    // the corpus: after the first micro-batch the watermark jumps to
+    // (global max ts − 1 h), so most rows of batches 2-3 arrive LATE
+    // for their daily window and Spark must drop them from state, and
+    // the final day's window (end past the last watermark) must stay
+    // unemitted in append mode. The gate hashes exactly what the sink
+    // saw; the oracle replays the micro-batch watermark protocol
+    // closed-form (per-slice max ts, watermark before batch b = max
+    // of earlier slices − delay, drop late rows, emit windows closed
+    // by the FINAL watermark — the q176 emission predicate, now with
+    // the drop side exercised too).
+    "q260_streaming_late_drop" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), col("ts"), col("event_id"))
+        .withColumn("arr",
+          conv(substring(md5(concat_ws(":", lit("arr"),
+            col("event_id"))), 1, 15), 16, 10).cast("long"))
+      runMultiBatch(s, "q260", ev, in =>
+        in.withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 day"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(date_format(col("window.start"), "yyyy-MM-dd")
+            .as("day"), col("event_type"), col("n")),
+        orderCols = Seq(col("arr"), col("event_id")))
+        .orderBy("day", "event_type")
     }
   )
 
@@ -915,6 +945,44 @@ object StreamingQueries {
         |  min(PID) AS min_pid, max(PID) AS max_pid,
         |  CAST(6 AS BIGINT) AS audit_rows
         |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the micro-batch watermark protocol replayed closed-form,
+    // empirically pinned against Spark 4.1.2 under AvailableNow +
+    // maxFilesPerTrigger=1: the watermark in force while batch b
+    // processes derives from slices < b−1 (one batch LATER than the
+    // naive "data through batch b−1" reading — the offset-log
+    // metadata carries the previous batch's pre-update value), late
+    // rows drop when their window end is not past that watermark, and
+    // a window emits iff its end < the final watermark (the q176
+    // emission predicate). Boundary coincidences (window end exactly
+    // equal to a watermark) cannot occur with this data's
+    // microsecond timestamps.
+    "q260_streaming_late_drop" ->
+      """WITH ev AS MATERIALIZED (
+        |  SELECT event_type, ts,
+        |    ('0x' || substr(md5('arr:' || CAST(event_id AS VARCHAR)),
+        |      1, 15))::BIGINT AS arr,
+        |    event_id
+        |  FROM events),
+        |sl AS MATERIALIZED (
+        |  SELECT event_type, ts, date_trunc('day', ts) AS ws,
+        |    date_trunc('day', ts) + INTERVAL 1 DAY AS we,
+        |    ntile(3) OVER (ORDER BY arr, event_id) AS b
+        |  FROM ev),
+        |mx AS (SELECT b, max(ts) AS mts FROM sl GROUP BY b),
+        |wm AS (
+        |  SELECT m.b, (SELECT max(mts) FROM mx m2 WHERE m2.b < m.b - 1)
+        |    - INTERVAL 1 HOUR AS wmb
+        |  FROM mx m),
+        |fin AS (SELECT max(ts) - INTERVAL 1 HOUR AS fw FROM ev),
+        |surv AS (
+        |  SELECT sl.ws, sl.we, sl.event_type
+        |  FROM sl JOIN wm ON wm.b = sl.b
+        |  WHERE wm.wmb IS NULL OR sl.we > wm.wmb)
+        |SELECT strftime(ws, '%Y-%m-%d') AS day, event_type,
+        |  count(*) AS n
+        |FROM surv, fin WHERE we < fw
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // q137's oracle verbatim: the streamed sketch must answer point
     // queries identically to the batch build

@@ -140,6 +140,41 @@ class Round10OpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_leaky_groups") === leaky)
   }
 
+  // ---- q260 streaming late-drop ----
+
+  test("q260: a late row in the last micro-batch is DROPPED from its " +
+    "already-closed window; the final day's window never emits") {
+    def at(s: String) = java.sql.Timestamp.valueOf(s)
+    def arr(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"arr:$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    // replay the harness's arrival shuffle to learn slice membership,
+    // then plant one day-1 row in slice 1 (survives) and one in
+    // slice 3 (late once slice 1's day-5 rows advance the watermark)
+    val ids = (1L to 9L)
+    val sorted = ids.sortBy(id => (arr(id), id))
+    val day1 = Set(sorted.head, sorted(6))
+    val rows = ids.map(id => (id,
+      if (day1(id)) at("2024-01-01 12:00:00")
+      else at("2024-01-05 12:00:00"),
+      id, "view", 1.0))
+    val dir = java.nio.file.Files.createTempDirectory("r10wm").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = q("q260_streaming_late_drop", dir).collect()
+      .map(r => (r.getAs[String]("day"), r.getAs[String]("event_type"),
+        r.getAs[Long]("n")))
+    // watermark while batch 3 runs = slice 1's max (day 5) − 1h: the
+    // day-1 window (end Jan 2) is long closed, so slice 3's day-1 row
+    // drops — count stays 1, not 2. The day-5 window (end Jan 6 >
+    // final watermark Jan 5 11:00) is withheld entirely.
+    assert(out.toSeq === Seq(("2024-01-01", "view", 1L)))
+  }
+
   // ---- q261 dyadic quantile sketch ----
 
   test("q261: power-of-2 buckets cover the nearest rank, the estimate " +
