@@ -4053,6 +4053,41 @@ object CoverageQueries {
           expr("((est_micro - exact_micro) * 1000000) div exact_micro")
             .as("rel_err_micro"))
         .orderBy("event_type", "p")
+    },
+
+    // ZONE-MAP pruning end-to-end (PartitionedCowTable.statsColumns +
+    // readWhereStats) — the per-dir min/max stats path both pruning
+    // scaladocs deferred as "the production refinement", now real: a
+    // month-partitioned orders table records each dir's [min, max]
+    // datekey at commit (one footer-sized aggregate per commit), and
+    // a date-range query on the NON-partition datekey column opens
+    // only the intersecting dirs. The gate pins both the ANSWER
+    // (identical to the full-scan filter by construction — pruning is
+    // advisory, the predicate still applies) and the I/O LEDGER
+    // (dirs_total vs dirs_kept, the number a 100 TB scan cares
+    // about); the oracle derives the ledger from per-month datekey
+    // extents — data, not engine internals.
+    "q262_zone_map_pruning" -> { (s, dir) =>
+      val root = s"${Tables.scratchBase}/graft_q262_" +
+        s"${s.sparkContext.applicationId}/${java.util.UUID.randomUUID()}"
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey").as("PID"),
+        date_format(to_date(col("o_orderdate")), "yyyy-MM").as("month"),
+        (year(col("o_orderdate")) * 10000 +
+          month(col("o_orderdate")) * 100 +
+          dayofmonth(col("o_orderdate"))).cast("long").as("dk"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val tbl = new graft.sources.PartitionedCowTable(
+        s"$root/t", "month", s, statsColumns = Seq("dk"))
+      tbl.overwrite(o)
+      val (lo, hi) = (19960101L, 19960315L)
+      val (total, kept) = tbl.pruneLedger("dk", lo, hi)
+      tbl.readWhereStats("dk", lo, hi)
+        .filter(col("dk").between(lo, hi))
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+          min("dk").as("min_dk"), max("dk").as("max_dk"))
+        .withColumn("dirs_total", lit(total.toLong))
+        .withColumn("dirs_kept", lit(kept.toLong))
     }
   )
 
@@ -5660,6 +5695,33 @@ object CoverageQueries {
         |    // ex.exact_micro AS BIGINT) AS rel_err_micro
         |FROM est JOIN ex ON ex.et = est.et AND ex.p = est.p
         |ORDER BY event_type, p""".stripMargin,
+
+    // the answer from the plain range filter; the ledger from
+    // per-month datekey extents (a month dir is kept iff its extent
+    // intersects the range)
+    "q262_zone_map_pruning" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS PID,
+        |    strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+        |    CAST(year(CAST(o_orderdate AS DATE)) * 10000 +
+        |      month(CAST(o_orderdate AS DATE)) * 100 +
+        |      day(CAST(o_orderdate AS DATE)) AS BIGINT) AS dk,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |ext AS (
+        |  SELECT month, min(dk) AS mn, max(dk) AS mx
+        |  FROM o GROUP BY month),
+        |led AS (
+        |  SELECT count(*) AS dirs_total,
+        |    CAST(sum(CASE WHEN mx >= 19960101 AND mn <= 19960315
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS dirs_kept
+        |  FROM ext)
+        |SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  min(dk) AS min_dk, max(dk) AS max_dk,
+        |  led.dirs_total, led.dirs_kept
+        |FROM o, led
+        |WHERE dk BETWEEN 19960101 AND 19960315
+        |GROUP BY led.dirs_total, led.dirs_kept""".stripMargin,
 
     // both joined snapshot states closed-form: step 2 = A after the
     // %4 update × B after the %3 update (no deletes); step 3 = the

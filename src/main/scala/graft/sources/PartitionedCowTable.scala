@@ -46,7 +46,9 @@ import org.apache.spark.sql.types.StructType
   * until [[compact]] (which migrates all remaining legacy dirs).
   */
 class PartitionedCowTable(val root: String, val partCol: String,
-                          spark: SparkSession) extends VersionedTable {
+                          spark: SparkSession,
+                          val statsColumns: Seq[String] = Seq.empty)
+    extends VersionedTable {
 
   import PartitionedCowTable.Entry
 
@@ -107,6 +109,26 @@ class PartitionedCowTable(val root: String, val partCol: String,
   private def schemaAt(v: Int): StructType =
     StructType.fromDDL(mapper.readTree(Files.readAllBytes(
       Paths.get(root, f"v_$v%06d.json"))).get("schema").asText())
+
+  /** dir → column → (min, max) ZONE MAPS for the integral columns in
+    * [[statsColumns]], recorded at commit time (one extra aggregate
+    * over just-written dirs — zero cost when statsColumns is empty)
+    * and carried with the dir across versions (an untouched dir's
+    * bytes don't change, so neither do its stats — the same sharing
+    * as the data itself). [[readWhereStats]] prunes on them; a dir
+    * with no recorded stats for a column is kept conservatively.
+    */
+  private def statsAt(v: Int): Map[String, Map[String, (Long, Long)]] = {
+    val node = mapper.readTree(Files.readAllBytes(
+      Paths.get(root, f"v_$v%06d.json")))
+    if (!node.has("stats")) Map.empty
+    else node.get("stats").fields().asScala.map { e =>
+      e.getKey -> e.getValue.fields().asScala.map { c =>
+        c.getKey -> (c.getValue.get(0).asLong(),
+          c.getValue.get(1).asLong())
+      }.toMap
+    }.toMap
+  }
 
   /** column → (SQL default literal, version the column was ADDED at)
     * for columns added by [[evolveSchema]] with a default. The `since`
@@ -213,6 +235,42 @@ class PartitionedCowTable(val root: String, val partCol: String,
     if (dirs.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schemaAt(v))
     else readConformed(v, dirs)
+  }
+
+  /** ZONE-MAP pruned read: only dirs whose recorded [min, max] for
+    * `c` intersects [lo, hi] are listed, opened, or scheduled — the
+    * per-file-stats pruning [[readWhere]]'s scaladoc promises, for
+    * predicates on a NON-partition column that correlates with the
+    * layout (dates inside month dirs, monotone keys inside ingest
+    * batches — the classic zone-map win). Dirs without recorded
+    * stats for `c` (table built without [[statsColumns]], legacy
+    * dirs predating it) are kept CONSERVATIVELY: pruning is an
+    * optimization, never a filter — callers still apply their
+    * predicate to the returned rows.
+    */
+  def readWhereStats(c: String, lo: Long, hi: Long): DataFrame = {
+    val v = requireVersion
+    val dirs = statsKept(c, lo, hi).map(e => s"$root/${e.dir}")
+    if (dirs.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schemaAt(v))
+    else readConformed(v, dirs)
+  }
+
+  /** (total dirs, dirs kept) for a [[readWhereStats]] predicate —
+    * the pruning ledger an I/O audit gates on.
+    */
+  def pruneLedger(c: String, lo: Long, hi: Long): (Int, Int) =
+    (entriesAt(requireVersion).size, statsKept(c, lo, hi).size)
+
+  private def statsKept(c: String, lo: Long, hi: Long): Seq[Entry] = {
+    val v = requireVersion
+    val st = statsAt(v)
+    entriesAt(v).filter { e =>
+      st.get(e.dir).flatMap(_.get(c)) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true // no stats -> never prune
+      }
+    }
   }
 
   /** Current committed version number (for [[changedSince]]). */
@@ -329,8 +387,38 @@ class PartitionedCowTable(val root: String, val partCol: String,
     // from `carried` — the migration paths pass them pre-filtered)
     val kept = carried.filterNot(e =>
       e.pcol == spec && touched.contains(e.value))
+    // zone maps: carried dirs keep their recorded stats verbatim
+    // (unchanged bytes, unchanged stats); freshly-written dirs get ONE
+    // footer-sized aggregate over the new files. Zero jobs when
+    // statsColumns is empty.
+    val carriedStats = currentVersion.map(statsAt).getOrElse(Map.empty)
+    val writtenStats: Map[String, Map[String, (Long, Long)]] =
+      if (statsColumns.isEmpty || written.isEmpty) Map.empty
+      else {
+        val cols = statsColumns.filter(data.columns.contains)
+        if (cols.isEmpty) Map.empty
+        else {
+          val aggs = cols.flatMap(c => Seq(
+            min(col(c).cast("long")).as(s"__mn_$c"),
+            max(col(c).cast("long")).as(s"__mx_$c")))
+          val byValue = spark.read.parquet(s"$root/$wdir")
+            .groupBy(col("__part").cast("string").as("__part"))
+            .agg(aggs.head, aggs.tail: _*)
+            .collect()
+            .map { r =>
+              val v2 = r.getAs[String]("__part")
+              v2 -> cols.flatMap { c =>
+                if (r.isNullAt(r.fieldIndex(s"__mn_$c"))) None
+                else Some(c -> (r.getAs[Long](s"__mn_$c"),
+                  r.getAs[Long](s"__mx_$c")))
+              }.toMap
+            }.toMap
+          written.flatMap(e => byValue.get(e.value).map(e.dir -> _)).toMap
+        }
+      }
     try {
-      writeVersion(next, schemaDdl, spec, kept ++ written, defaults)
+      writeVersion(next, schemaDdl, spec, kept ++ written, defaults,
+        carriedStats ++ writtenStats)
     } catch {
       case e: java.util.ConcurrentModificationException =>
         // the claimed data dir is ours (the rename succeeded) and no
@@ -344,6 +432,8 @@ class PartitionedCowTable(val root: String, val partCol: String,
   private def writeVersion(v: Int, schemaDdl: String, spec: String,
                            entries: Seq[Entry],
                            defaults: Map[String, (String, Int)] =
+                             Map.empty,
+                           stats: Map[String, Map[String, (Long, Long)]] =
                              Map.empty)
       : Unit = {
     // optimistic concurrency (see CowTable.commit): a competing writer
@@ -364,6 +454,20 @@ class PartitionedCowTable(val root: String, val partCol: String,
       defaults.toSeq.sortBy(_._1).foreach { case (k, (sql, since)) =>
         val o = d.putObject(k)
         o.put("sql", sql); o.put("since", since)
+      }
+    }
+    // persist zone maps only for dirs this manifest references
+    val live = entries.map(_.dir).toSet
+    val liveStats = stats.filter { case (d, m) =>
+      live.contains(d) && m.nonEmpty }
+    if (liveStats.nonEmpty) {
+      val st = node.putObject("stats")
+      liveStats.toSeq.sortBy(_._1).foreach { case (d, cols) =>
+        val o = st.putObject(d)
+        cols.toSeq.sortBy(_._1).foreach { case (c, (lo, hi)) =>
+          val a = o.putArray(c)
+          a.add(lo); a.add(hi)
+        }
       }
     }
     val parts = node.putObject("partitions")
@@ -403,7 +507,7 @@ class PartitionedCowTable(val root: String, val partCol: String,
       s"evolvePartitioning: column '$newPartCol' not in schema")
     if (newPartCol == currentPartCol) return
     writeVersion(cur + 1, schemaAt(cur).toDDL, newPartCol,
-      entriesAt(cur), defaultsAt(cur))
+      entriesAt(cur), defaultsAt(cur), statsAt(cur))
   }
 
   /** Delta-style RESTORE (`RESTORE TABLE ... TO VERSION AS OF v`):
@@ -421,7 +525,7 @@ class PartitionedCowTable(val root: String, val partCol: String,
       s"restore: no version $v at $root (never committed, or vacuumed)")
     if (v == cur) return
     writeVersion(cur + 1, schemaAt(v).toDDL, partColAt(v), entriesAt(v),
-      defaultsAt(v))
+      defaultsAt(v), statsAt(v))
   }
 
   /** Add a column — a METADATA-ONLY commit (Iceberg's add-column
@@ -443,7 +547,8 @@ class PartitionedCowTable(val root: String, val partCol: String,
     // write version is < cur+1 predate it and get the default on read;
     // dirs written by later commits store the column physically
     writeVersion(cur + 1, widened.toDDL, partColAt(cur), entriesAt(cur),
-      defaultsAt(cur) ++ defaultSql.map(d => name -> (d, cur + 1)))
+      defaultsAt(cur) ++ defaultSql.map(d => name -> (d, cur + 1)),
+      statsAt(cur))
   }
 
   /** An empty DataFrame with the table's committed schema (safe to

@@ -400,6 +400,36 @@ class PartitionedCowTableSpec extends SparkSpec {
     intercept[IllegalArgumentException] { t.restore(0) }
   }
 
+  test("zone maps: stats recorded at commit, carried for untouched " +
+    "dirs, recomputed for rewritten ones; pruning is conservative") {
+    implicit val s = spark
+    val t = new PartitionedCowTable(
+      Files.createTempDirectory("pcow_zm").toString + "/t", "month",
+      spark, statsColumns = Seq("k"))
+    t.overwrite(Seq(
+      (1L, "2020-03", 10L), (2L, "2020-03", 20L),
+      (3L, "2020-04", 100L), (4L, "2020-05", 1000L))
+      .toDF("pid", "month", "k"))
+    // [15, 150] intersects 2020-03 [10,20] and 2020-04 [100,100]
+    assert(t.pruneLedger("k", 15L, 150L) === ((3, 2)))
+    assert(t.readWhereStats("k", 15L, 150L)
+      .filter(col("k").between(15L, 150L))
+      .collect().map(_.getAs[Long]("pid")).toSet === Set(2L, 3L))
+    // a column with no recorded stats never prunes
+    assert(t.pruneLedger("pid", 999L, 9999L) === ((3, 3)))
+    // upsert rewrites 2020-03 -> its stats recompute; others carry
+    t.upsert(Seq((1L, "2020-03", 500L)).toDF("pid", "month", "k"),
+      Seq("pid"))
+    assert(t.pruneLedger("k", 400L, 600L) === ((3, 1))) // only 2020-03
+    assert(t.pruneLedger("k", 15L, 30L) === ((3, 1)))   // k=20 remains
+    // metadata-only commits carry the zone maps verbatim
+    t.evolveSchema("note", "STRING")
+    assert(t.pruneLedger("k", 400L, 600L) === ((3, 1)))
+    // and restore brings the restored version's stats back
+    t.restore(t.version - 1)
+    assert(t.pruneLedger("k", 400L, 600L) === ((3, 1)))
+  }
+
   // ---- schema evolution ----
 
   test("evolveSchema is metadata-only: old dirs read the default, " +
