@@ -980,4 +980,53 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") ||
       p.contains("BroadcastExchange"), p)
   }
+
+  // q255: the segment LUT and the total are broadcast scalars — the
+  // group×segment grid never shuffles the customer rows twice, and
+  // nothing is a cartesian over data (the grid crossJoins are
+  // broadcast ≤|segments|-row tables).
+  test("q255 t-closeness: broadcast grid, partial aggregation") {
+    val p = plan("q255_t_closeness")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
+
+  // q256: the 8 expert prototypes broadcast (k×dim driver traffic
+  // only); the per-token top-2 window partitions by vec_id — never a
+  // global sort.
+  test("q256 MoE routing: experts broadcast, window keyed by token") {
+    val p = plan("q256_moe_routing")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+    val blocks = p.split("(?m)^\\s*\\(\\d+\\) ").toSeq
+    val windows = blocks.filter(b =>
+      b.startsWith("Window") && !b.startsWith("WindowGroupLimit"))
+    assert(windows.nonEmpty && windows.forall(_.contains("vec_id")), p)
+  }
+
+  // q258: the global rank comes from allocateKeys — per-partition
+  // row_numbers (window keyed by __part) + broadcast offsets; a
+  // corpus-wide ORDER BY window would single-partition 100 TB.
+  test("q258 padding waste: rank windows keyed by __part, no " +
+    "corpus-wide window") {
+    val p = plan("q258_padding_waste")
+    val blocks = p.split("(?m)^\\s*\\(\\d+\\) ").toSeq
+    val windows = blocks.filter(b =>
+      b.startsWith("Window") && !b.startsWith("WindowGroupLimit"))
+    assert(windows.nonEmpty && windows.forall(_.contains("__part")), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  // q261: both arms are histogram prefix sums — windows ride the
+  // (et, bucket)/(et, value) HISTOGRAM rows, partitioned by et, with
+  // map-side partial aggregation building them.
+  test("q261 quantile sketch: windows keyed by type, partial aggs") {
+    val p = plan("q261_dyadic_quantile_sketch")
+    val blocks = p.split("(?m)^\\s*\\(\\d+\\) ").toSeq
+    val windows = blocks.filter(b =>
+      b.startsWith("Window") && !b.startsWith("WindowGroupLimit"))
+    assert(windows.nonEmpty && windows.forall(_.contains("et")), p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+  }
 }
