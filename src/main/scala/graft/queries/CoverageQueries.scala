@@ -4088,6 +4088,50 @@ object CoverageQueries {
           min("dk").as("min_dk"), max("dk").as("max_dk"))
         .withColumn("dirs_total", lit(total.toLong))
         .withColumn("dirs_kept", lit(kept.toLong))
+    },
+
+    // Referential CASCADE on CoW tables — the erasure flow a
+    // right-to-be-forgotten request runs at the lakehouse layer:
+    // parent keys delete by predicate, then the CHILD table syncs
+    // declaratively to the surviving parent keys — cascade =
+    // mergeSync(child ⋉ parent), which derives the deletes itself
+    // and rewrites ONLY partitions that lost rows (never the table;
+    // the same progressive-rewrite contract as every other mutation).
+    // The gate pins the surviving row counts on both sides, the
+    // cascade's derived delete count, the post-cascade ORPHAN count
+    // (the q200 referential-integrity audit — must be zero), and both
+    // tables' version numbers (exactly one commit each).
+    "q264_cascade_delete" -> { (s, dir) =>
+      val root = s"${Tables.scratchBase}/graft_q264_" +
+        s"${s.sparkContext.applicationId}/${java.util.UUID.randomUUID()}"
+      val par = t(s, dir, "orders").filter(col("o_orderkey") <= 500)
+        .select(col("o_orderkey").as("PID"),
+          date_format(to_date(col("o_orderdate")), "yyyy-MM").as("month"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      // child PK = (PID, line): the synthetic lineitem duplicates
+      // (orderkey, linenumber), so aggregate to unique keys first —
+      // mergeSync's full-outer key diff requires key-unique sides
+      val chi = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("PID"),
+          col("l_linenumber").cast("long").as("line"))
+        .agg(sum(col("l_quantity").cast("long")).as("qty"))
+        .join(par.select("PID", "month"), "PID")
+      val a = new graft.sources.PartitionedCowTable(s"$root/a", "month", s)
+      val b = new graft.sources.PartitionedCowTable(s"$root/b", "month", s)
+      a.overwrite(par); b.overwrite(chi)
+      a.deleteWhere(col("PID") % 7 === 0) // the erasure request
+      val (ins, upd, del) = b.mergeSync(
+        b.read().join(a.read().select("PID"), Seq("PID"), "left_semi"),
+        Seq("PID", "line"))
+      val orphans = b.read()
+        .join(a.read().select("PID"), Seq("PID"), "left_anti").count()
+      a.read().agg(count(lit(1)).as("parent_rows"))
+        .crossJoin(b.read().agg(count(lit(1)).as("child_rows")))
+        .withColumn("cascade_deleted", lit(del))
+        .withColumn("cascade_ins_upd", lit(ins + upd))
+        .withColumn("orphans", lit(orphans))
+        .withColumn("parent_version", lit(a.version.toLong))
+        .withColumn("child_version", lit(b.version.toLong))
     }
   )
 
@@ -5722,6 +5766,24 @@ object CoverageQueries {
         |FROM o, led
         |WHERE dk BETWEEN 19960101 AND 19960315
         |GROUP BY led.dirs_total, led.dirs_kept""".stripMargin,
+
+    // surviving rows closed-form; the cascade deletes exactly the
+    // child rows of erased parents, nothing inserts or updates,
+    // orphans audit to zero, one commit per table
+    "q264_cascade_delete" ->
+      """WITH p AS (
+        |  SELECT o_orderkey AS PID FROM orders WHERE o_orderkey <= 500),
+        |c AS (
+        |  SELECT DISTINCT l.l_orderkey AS PID, l.l_linenumber AS line
+        |  FROM lineitem l JOIN p ON p.PID = l.l_orderkey)
+        |SELECT
+        |  (SELECT count(*) FROM p WHERE PID % 7 <> 0) AS parent_rows,
+        |  (SELECT count(*) FROM c WHERE PID % 7 <> 0) AS child_rows,
+        |  (SELECT count(*) FROM c WHERE PID % 7 = 0) AS cascade_deleted,
+        |  CAST(0 AS BIGINT) AS cascade_ins_upd,
+        |  CAST(0 AS BIGINT) AS orphans,
+        |  CAST(1 AS BIGINT) AS parent_version,
+        |  CAST(1 AS BIGINT) AS child_version""".stripMargin,
 
     // both joined snapshot states closed-form: step 2 = A after the
     // %4 update × B after the %3 update (no deletes); step 3 = the

@@ -3068,6 +3068,41 @@ object TextQueries {
             .as("intra_fold_pairs"))
         .select("n_dup_groups", "n_leaky_groups", "leaked_pairs",
           "intra_fold_pairs")
+    },
+
+    // Sample-level LINEAGE for packed training shards — the
+    // provenance question data governance asks of every release
+    // ("which exact inputs made shard 17, and from which sources?")
+    // answered WITHOUT storing id lists: each shard carries an
+    // order-independent fingerprint, bit_xor over md5(doc_id) of its
+    // surviving contributors (commutative/associative, so shuffle
+    // order can't change it, and any single added/dropped/substituted
+    // doc flips it — the q132 table-checksum device at shard grain).
+    // The pipeline upstream is the real one: exact-dedup keep-min,
+    // a ≥5-token quality floor, then q64's grouped prefix-sum pack —
+    // provenance survives BECAUSE every stage is deterministic.
+    "q263_shard_lineage" -> { (s, dir) =>
+      val B = 2000L
+      val kept = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          size(toks(col("text"))).cast("long").as("n_tokens"),
+          md5(col("text")).as("h"))
+        .withColumn("keep",
+          row_number().over(Window.partitionBy("h").orderBy("doc_id")))
+        .filter(col("keep") === 1 && col("n_tokens") >= 5)
+        .select("doc_id", "lang", "source", "n_tokens")
+      val packed = graft.operators.RelationalOps
+        .groupedPrefixSum(kept, "lang", "doc_id", "n_tokens",
+          "cum_before")
+        .withColumn("shard_id",
+          expr(s"cum_before div $B"))
+      packed.groupBy("lang", "shard_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("sum_tokens"),
+          countDistinct("source").as("n_sources"),
+          expr("bit_xor(cast(conv(substring(md5(cast(doc_id as " +
+            "string)), 1, 15), 16, 10) as long))").as("lineage_hash"))
+        .orderBy("lang", "shard_id")
     }
   )
 
@@ -5194,6 +5229,33 @@ object TextQueries {
         |  CAST(sum((n * n - sq) // 2) AS BIGINT) AS leaked_pairs,
         |  CAST(sum((n * (n - 1)) // 2 - (n * n - sq) // 2) AS BIGINT)
         |    AS intra_fold_pairs
-        |FROM g""".stripMargin
+        |FROM g""".stripMargin,
+
+    // the same keep-min dedup, floor, pack and xor fingerprint
+    "q263_shard_lineage" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST(len(string_split(trim(lower(text)), ' ')) AS BIGINT)
+        |      AS n_tokens,
+        |    md5(text) AS h
+        |  FROM documents),
+        |kept AS (
+        |  SELECT doc_id, lang, source, n_tokens FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY h ORDER BY doc_id) AS keep FROM d)
+        |  WHERE keep = 1 AND n_tokens >= 5),
+        |c AS (
+        |  SELECT lang, doc_id, source, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM kept)
+        |SELECT lang, CAST((cum - n_tokens) // 2000 AS BIGINT)
+        |    AS shard_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |  bit_xor(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |    ::BIGINT) AS lineage_hash
+        |FROM c GROUP BY lang, shard_id ORDER BY lang, shard_id""".stripMargin
   )
 }

@@ -140,6 +140,61 @@ class Round10OpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_leaky_groups") === leaky)
   }
 
+  // ---- q263 shard lineage ----
+
+  test("q263: the fingerprint is the xor of surviving contributors — " +
+    "dedup losers and floor rejects don't contribute") {
+    def h(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val five = "a b c d e"
+    val rows = Seq(
+      (1L, five),            // kept
+      (2L, five),            // exact dup of 1 -> loses keep-min
+      (3L, "a b c d e f"),   // kept
+      (4L, "a b"))           // below the 5-token floor
+    val dir = java.nio.file.Files.createTempDirectory("r10lin").toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = q("q263_shard_lineage", dir).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_docs") === 2L)
+    assert(r.getAs[Long]("sum_tokens") === 11L)
+    assert(r.getAs[Long]("lineage_hash") === (h(1L) ^ h(3L)))
+  }
+
+  // ---- q264 cascade delete ----
+
+  test("q264: the cascade removes exactly the erased parents' child " +
+    "rows, zero orphans, one commit per table") {
+    val dir = java.nio.file.Files.createTempDirectory("r10casc").toString
+    // parents 1..7 (7 erased by %7); children: 2 rows for id 7,
+    // 1 row each for 1..6
+    (1L to 7L).map(i => (i, s"2020-0${(i % 3 + 1)}", i * 100.0))
+      .toDF("o_orderkey", "o_orderdate_s", "o_totalprice")
+      .withColumn("o_orderdate",
+        to_timestamp(concat(col("o_orderdate_s"), lit("-01"))))
+      .drop("o_orderdate_s")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    ((1L to 6L).map(i => (i, 1, 2.0)) ++ Seq((7L, 1, 2.0), (7L, 2, 3.0)))
+      .toDF("l_orderkey", "l_linenumber", "l_quantity")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = q("q264_cascade_delete", dir).collect().head
+    assert(r.getAs[Long]("parent_rows") === 6L)
+    assert(r.getAs[Long]("child_rows") === 6L)
+    assert(r.getAs[Long]("cascade_deleted") === 2L)
+    assert(r.getAs[Long]("cascade_ins_upd") === 0L)
+    assert(r.getAs[Long]("orphans") === 0L)
+    assert(r.getAs[Long]("parent_version") === 1L)
+    assert(r.getAs[Long]("child_version") === 1L)
+  }
+
   // ---- q260 streaming late-drop ----
 
   test("q260: a late row in the last micro-batch is DROPPED from its " +
