@@ -926,6 +926,34 @@ object StreamingQueries {
             .as("day"), col("event_type"), col("n")),
         orderCols = Seq(col("arr"), col("event_id")))
         .orderBy("day", "event_type")
+    },
+
+    // BOUNDED-STATE streaming dedup (dropDuplicatesWithinWatermark,
+    // Spark 3.5+) — the production form of q94/q99's dropDuplicates,
+    // whose state never expires and therefore grows with every key
+    // ever seen; here state for a key is held only until the
+    // watermark passes its event time + delay, which is what makes
+    // dedup FEASIBLE on an unbounded 100 TB/day stream. The dedup key
+    // includes the hour-floored event time itself, so every duplicate
+    // of a key carries an IDENTICAL watermark column — the
+    // within-batch "which duplicate is stored" choice can't leak into
+    // state expiry (the determinism contract). Arrival is the q260
+    // md5 shuffle, so late keys exist and must be dropped outright.
+    "q265_streaming_dedup_watermark" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .select(col("user_id"),
+          date_trunc("hour", col("ts")).as("hts"),
+          col("event_id"))
+        .withColumn("arr",
+          conv(substring(md5(concat_ws(":", lit("ddw"),
+            col("event_id"))), 1, 15), 16, 10).cast("long"))
+      runMultiBatch(s, "q265", ev, in =>
+        in.withWatermark("hts", "2 hours")
+          .dropDuplicatesWithinWatermark("user_id", "hts")
+          .select(col("user_id"),
+            date_format(col("hts"), "yyyy-MM-dd-HH").as("hr")),
+        orderCols = Seq(col("arr"), col("event_id")))
+        .orderBy("user_id", "hr")
     }
   )
 
@@ -983,6 +1011,37 @@ object StreamingQueries {
         |  count(*) AS n
         |FROM surv, fin WHERE we < fw
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the q260 watermark protocol (lag-1, empirically pinned) with
+    // the dedup operator's row rule: a row is kept iff its event time
+    // is STRICTLY above the in-force watermark (this data exercises
+    // the boundary — hour-floored event times land exactly on
+    // watermark values, and the non-strict variant differs by 5 rows
+    // at sf0.01), each key admitted once at its first non-late batch;
+    // state expiry and the late filter share the ts+delay boundary,
+    // so readmission never occurs
+    "q265_streaming_dedup_watermark" ->
+      """WITH ev AS MATERIALIZED (
+        |  SELECT user_id, date_trunc('hour', ts) AS hts, event_id,
+        |    ('0x' || substr(md5('ddw:' || CAST(event_id AS VARCHAR)),
+        |      1, 15))::BIGINT AS arr
+        |  FROM events),
+        |sl AS MATERIALIZED (
+        |  SELECT user_id, hts,
+        |    ntile(3) OVER (ORDER BY arr, event_id) AS b
+        |  FROM ev),
+        |mx AS (SELECT b, max(hts) AS mts FROM sl GROUP BY b),
+        |wm AS (
+        |  SELECT m.b, (SELECT max(mts) FROM mx m2 WHERE m2.b < m.b - 1)
+        |    - INTERVAL 2 HOUR AS wmb
+        |  FROM mx m),
+        |nonlate AS (
+        |  SELECT sl.user_id, sl.hts
+        |  FROM sl JOIN wm ON wm.b = sl.b
+        |  WHERE wm.wmb IS NULL OR sl.hts > wm.wmb
+        |  GROUP BY sl.user_id, sl.hts)
+        |SELECT user_id, strftime(hts, '%Y-%m-%d-%H') AS hr
+        |FROM nonlate ORDER BY user_id, hr""".stripMargin,
 
     // q137's oracle verbatim: the streamed sketch must answer point
     // queries identically to the batch build

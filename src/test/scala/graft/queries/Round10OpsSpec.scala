@@ -230,6 +230,44 @@ class Round10OpsSpec extends SparkSpec {
     assert(out.toSeq === Seq(("2024-01-01", "view", 1L)))
   }
 
+  // ---- q265 bounded-state streaming dedup ----
+
+  test("q265: cross-batch duplicate suppressed while state lives, " +
+    "late duplicate dropped, exact-watermark event dropped (strict)") {
+    def at(s: String) = java.sql.Timestamp.valueOf(s)
+    def arr(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ddw:$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val ids = (1L to 9L)
+    val sorted = ids.sortBy(id => (arr(id), id))
+    // slice 1 anchors the watermark at Jan-05 12:00 − 2h = 10:00
+    val ts = Map(
+      sorted(0) -> (1L, "2024-01-01 12:30:00"),
+      sorted(1) -> (2L, "2024-01-05 12:30:00"),
+      sorted(2) -> (3L, "2024-01-05 11:30:00"),
+      sorted(3) -> (4L, "2024-01-05 09:30:00"),
+      sorted(4) -> (5L, "2024-01-05 08:30:00"),
+      sorted(5) -> (6L, "2024-01-05 07:30:00"),
+      // slice 3, watermark Jan-05 10:00 now in force:
+      sorted(6) -> (1L, "2024-01-01 12:45:00"), // LATE -> dropped
+      sorted(7) -> (2L, "2024-01-05 12:59:00"), // dup, state alive -> suppressed
+      sorted(8) -> (9L, "2024-01-05 10:30:00")) // hts == wm -> strict drop
+    val rows = ids.map(id => (id, at(ts(id)._2), ts(id)._1, "view", 1.0))
+    val dir = java.nio.file.Files.createTempDirectory("r10ddw").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = q("q265_streaming_dedup_watermark", dir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("hr"))).toSet
+    assert(out === Set(
+      (1L, "2024-01-01-12"), (2L, "2024-01-05-12"),
+      (3L, "2024-01-05-11"), (4L, "2024-01-05-09"),
+      (5L, "2024-01-05-08"), (6L, "2024-01-05-07")))
+  }
+
   // ---- q261 dyadic quantile sketch ----
 
   test("q261: power-of-2 buckets cover the nearest rank, the estimate " +
