@@ -320,7 +320,19 @@ object StreamingQueries {
                                           input: DataFrame,
                                           orderCols: Seq[org.apache.spark.sql.Column],
                                           batches: Int = 3)(
-                                          perBatch: DataFrame => Unit): Int = {
+                                          perBatch: DataFrame => Unit): Int =
+    runMultiBatchForeachById(s, tag, input, orderCols, batches) {
+      (df, _) => perBatch(df) }
+
+  /** [[runMultiBatchForeach]] exposing Spark's batchId — the
+    * exactly-once ingredient: an idempotent sink records the id with
+    * its commit and skips replays (q266 gates that recipe).
+    */
+  private[graft] def runMultiBatchForeachById(s: SparkSession, tag: String,
+                                          input: DataFrame,
+                                          orderCols: Seq[org.apache.spark.sql.Column],
+                                          batches: Int = 3)(
+                                          perBatchId: (DataFrame, Long) => Unit): Int = {
     val uid = java.util.UUID.randomUUID().toString.take(8)
     val base = s"${Tables.scratchBase}/graft_${tag}_" +
       s"${s.sparkContext.applicationId}/$uid"
@@ -330,7 +342,7 @@ object StreamingQueries {
       .parquet(inDir)
     val q = stream.writeStream
       .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-                       _: Long) => perBatch(df) }
+                       bid: Long) => perBatchId(df, bid) }
       .option("checkpointLocation", s"$base/ckpt")
       .trigger(Trigger.AvailableNow())
       .start()
@@ -954,6 +966,58 @@ object StreamingQueries {
             date_format(col("hts"), "yyyy-MM-dd-HH").as("hr")),
         orderCols = Seq(col("arr"), col("event_id")))
         .orderBy("user_id", "hr")
+    },
+
+    // EXACTLY-ONCE foreachBatch sink — the idempotence recipe that
+    // turns Spark's at-least-once batch replay into exactly-once
+    // storage: every commit carries its batchId as a LEDGER row in
+    // the same atomic CowTable append (one pointer flip covers data +
+    // ledger — a crash can't persist one without the other), and a
+    // tick whose batchId is already in the ledger is a no-op. The
+    // gate drains 3 micro-batches, then REPLAYS batch 1 by hand (the
+    // at-least-once scenario a checkpoint-recovery run produces —
+    // with a deliberately DIFFERENT payload, which exactly-once must
+    // ignore because the id, not the payload, is the identity), then
+    // applies a genuinely new id; final state pins data rows, ledger
+    // count (0,1,2 from the drain + the new id = 4), and that the
+    // replay changed nothing.
+    "q266_exactly_once_sink" -> { (s, dir) =>
+      import s.implicits._
+      val uid = java.util.UUID.randomUUID().toString.take(8)
+      val root = s"${Tables.scratchBase}/graft_q266_" +
+        s"${s.sparkContext.applicationId}/$uid"
+      val sink = new graft.sources.CowTable(s"$root/sink", s)
+      val base = t(s, dir, "orders").filter(col("o_orderkey") <= 300)
+        .select(col("o_orderkey").as("PID"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      def tick(df: DataFrame, bid: Long): Unit = {
+        val applied = sink.exists && !sink.read()
+          .filter(col("kind") === "b" && col("bid") === bid).isEmpty
+        if (!applied) {
+          val data = df.select(lit("d").as("kind"), lit(bid).as("bid"),
+            col("PID"), col("cents"))
+          val ledger = Seq(("b", bid, -1L, 0L))
+            .toDF("kind", "bid", "PID", "cents")
+          sink.append(data.unionByName(ledger)) // ONE atomic commit
+        }
+      }
+      runMultiBatchForeachById(s, "q266", base,
+        orderCols = Seq(col("PID")), batches = 3) { (df, bid) =>
+        if (!df.isEmpty) tick(df, bid)
+      }
+      val before = sink.read().count()
+      tick(base.limit(50), 1L) // at-least-once replay: must skip
+      val replaySkipped = if (sink.read().count() == before) 1L else 0L
+      tick(base.filter(col("PID") % 10 === 0)
+        .withColumn("PID", col("PID") + 100000L), 100L) // new id applies
+      val out = sink.read().filter(col("kind") === "d")
+        .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"))
+        .withColumn("n_batches_applied",
+          lit(sink.read().filter(col("kind") === "b").count()))
+        .withColumn("replay_skipped", lit(replaySkipped))
+        .localCheckpoint()
+      registerDeleteOnExit(java.nio.file.Paths.get(root))
+      out
     }
   )
 
@@ -1042,6 +1106,23 @@ object StreamingQueries {
         |  GROUP BY sl.user_id, sl.hts)
         |SELECT user_id, strftime(hts, '%Y-%m-%d-%H') AS hr
         |FROM nonlate ORDER BY user_id, hr""".stripMargin,
+
+    // exactly-once end state closed-form: every base row once (the
+    // replay is a no-op), plus the new batch's shifted rows; 4 ledger
+    // entries
+    "q266_exactly_once_sink" ->
+      """WITH b AS (
+        |  SELECT o_orderkey AS PID,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey <= 300),
+        |x AS (SELECT PID + 100000 AS PID, cents FROM b
+        |      WHERE PID % 10 = 0),
+        |a AS (SELECT * FROM b UNION ALL SELECT * FROM x)
+        |SELECT count(*) AS n_rows, CAST(sum(cents) AS BIGINT)
+        |    AS sum_cents,
+        |  CAST(4 AS BIGINT) AS n_batches_applied,
+        |  CAST(1 AS BIGINT) AS replay_skipped
+        |FROM a""".stripMargin,
 
     // q137's oracle verbatim: the streamed sketch must answer point
     // queries identically to the batch build
