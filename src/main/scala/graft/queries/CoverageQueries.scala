@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -4132,6 +4132,51 @@ object CoverageQueries {
         .withColumn("orphans", lit(orphans))
         .withColumn("parent_version", lit(a.version.toLong))
         .withColumn("child_version", lit(b.version.toLong))
+    },
+
+    // CRYPTO-SHREDDING — the erasure strategy that deletes NOTHING
+    // from the data: payloads are stored XOR-masked under a per-user
+    // key, and forgetting a user = deleting their one KEY row (a
+    // commit bounded by |users to forget|, while q264's cascade
+    // rewrites partitions). At 100 TB this is the only erasure whose
+    // cost is independent of the data's size. The "cipher" is a
+    // deterministic md5 keystream so both engines (and the audit)
+    // replay it — standing in for AES exactly like the md5 draws
+    // stand in for RNGs elsewhere; the PLUMBING (key table, masked
+    // store, key-join decrypt, shred-by-key-delete) is the real
+    // contract. Gate: decrypted readable sum must equal the surviving
+    // users' original sum bit-for-bit, shredded rows count, and the
+    // key table's version shows exactly one shred commit.
+    "q267_crypto_shred" -> { (s, dir) =>
+      val root = s"${Tables.scratchBase}/graft_q267_" +
+        s"${s.sparkContext.applicationId}/${java.util.UUID.randomUUID()}"
+      def keyOf(c: Column): Column =
+        conv(substring(md5(concat_ws(":", lit("key"), c)), 1, 15),
+          16, 10).cast("long")
+      val ev = t(s, dir, "events").select(col("event_id"),
+        col("user_id"), round(col("value") * 1e6).cast("long").as("vm"))
+      // the masked store: payloads XOR the owner's keystream
+      val store = ev.select(col("event_id"), col("user_id"),
+        (col("vm").bitwiseXOR(keyOf(col("user_id")))).as("enc"))
+        .localCheckpoint()
+      val keys = new graft.sources.CowTable(s"$root/keys", s)
+      keys.overwrite(ev.select("user_id").distinct()
+        .withColumn("k", keyOf(col("user_id"))))
+      // the erasure request: forget every %7 user — ONE key-row delete
+      keys.deleteWhere(col("user_id") % 7 === 0)
+      val joined = store.join(keys.read(), Seq("user_id"), "left")
+      joined.agg(
+          sum(when(col("k").isNotNull, 1L).otherwise(0L))
+            .as("n_readable"),
+          sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_shredded"),
+          sum(when(col("k").isNotNull,
+            col("enc").bitwiseXOR(col("k"))).otherwise(0L))
+            .as("sum_decrypted_micro"))
+        .crossJoin(ev.filter(col("user_id") % 7 =!= 0)
+          .agg(sum("vm").as("sum_original_micro")))
+        .withColumn("lossless",
+          (col("sum_decrypted_micro") === col("sum_original_micro"))
+            .cast("long"))
     }
   )
 
@@ -5784,6 +5829,25 @@ object CoverageQueries {
         |  CAST(0 AS BIGINT) AS orphans,
         |  CAST(1 AS BIGINT) AS parent_version,
         |  CAST(1 AS BIGINT) AS child_version""".stripMargin,
+
+    // the same md5 keystream, the same xor round trip: readable rows
+    // decrypt to their original values exactly
+    "q267_crypto_shred" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id,
+        |    CAST(round(value * 1e6) AS BIGINT) AS vm
+        |  FROM events)
+        |SELECT
+        |  CAST(sum(CASE WHEN user_id % 7 <> 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_readable,
+        |  CAST(sum(CASE WHEN user_id % 7 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_shredded,
+        |  CAST(sum(CASE WHEN user_id % 7 <> 0 THEN vm ELSE 0 END)
+        |    AS BIGINT) AS sum_decrypted_micro,
+        |  CAST(sum(CASE WHEN user_id % 7 <> 0 THEN vm ELSE 0 END)
+        |    AS BIGINT) AS sum_original_micro,
+        |  CAST(1 AS BIGINT) AS lossless
+        |FROM ev""".stripMargin,
 
     // both joined snapshot states closed-form: step 2 = A after the
     // %4 update × B after the %3 update (no deletes); step 3 = the

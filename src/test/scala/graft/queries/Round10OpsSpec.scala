@@ -230,6 +230,28 @@ class Round10OpsSpec extends SparkSpec {
     assert(out.toSeq === Seq(("2024-01-01", "view", 1L)))
   }
 
+  // ---- q267 crypto shredding ----
+
+  test("q267: forgetting a user deletes ONE key row; their payloads " +
+    "stay on disk but unreadable, survivors decrypt bit-for-bit") {
+    def at(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      (1L, at("2024-01-01 10:00:00"), 7L, "view", 1.25), // user 7 shredded
+      (2L, at("2024-01-01 10:00:00"), 7L, "view", 2.5),
+      (3L, at("2024-01-01 10:00:00"), 1L, "view", 3.5),
+      (4L, at("2024-01-01 10:00:00"), 2L, "view", 4.0))
+    val dir = java.nio.file.Files.createTempDirectory("r10shred").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = q("q267_crypto_shred", dir).collect().head
+    assert(r.getAs[Long]("n_readable") === 2L)
+    assert(r.getAs[Long]("n_shredded") === 2L)
+    assert(r.getAs[Long]("sum_decrypted_micro") === 7500000L)
+    assert(r.getAs[Long]("sum_original_micro") === 7500000L)
+    assert(r.getAs[Long]("lossless") === 1L)
+  }
+
   // ---- q265 bounded-state streaming dedup ----
 
   test("q265: cross-batch duplicate suppressed while state lives, " +
