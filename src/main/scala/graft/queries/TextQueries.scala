@@ -3103,6 +3103,54 @@ object TextQueries {
           expr("bit_xor(cast(conv(substring(md5(cast(doc_id as " +
             "string)), 1, 15), 16, 10) as long))").as("lineage_hash"))
         .orderBy("lang", "shard_id")
+    },
+
+    // Heaps'-law vocabulary growth (V(N) = k·N^β) measured on the
+    // corpus's own ingestion order — the curation statistic that
+    // predicts how much NEW vocabulary the next 10× of data brings
+    // (β≈0.5 for organic text; β collapsing toward 0 means the corpus
+    // is recycling itself — the scaling-law early warning). One token
+    // pass: each token's FIRST-SEEN decile (a min aggregate) turns
+    // the cumulative-vocabulary curve into a 10-row histogram — the
+    // corpus is never re-scanned per prefix. The log-log slope is
+    // exact-integer OLS on milli-rounded ln points (10 bounded
+    // entities — the transcendental discipline), one closing division
+    // onto the micro scale.
+    "q268_heaps_law" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), toks(col("text")).as("tk"))
+      val ranked = graft.operators.RelationalOps
+        .allocateKeys(d, "doc_id", lit(0L), "rn")
+      val tot = broadcast(ranked.agg(count(lit(1)).as("nd")))
+      val tokens = ranked.crossJoin(tot)
+        .withColumn("dec", expr("((rn - 1) * 10) div nd + 1"))
+        .select(col("dec"), explode(col("tk")).as("w"))
+      val perDec = tokens.groupBy("dec").agg(count(lit(1)).as("nt"))
+      val firstSeen = tokens.groupBy("w").agg(min("dec").as("fd"))
+        .groupBy(col("fd").as("dec")).agg(count(lit(1)).as("nv"))
+      val grid = perDec.join(firstSeen, Seq("dec"), "left")
+        .na.fill(0L, Seq("nv")).withColumn("one", lit(1))
+      val c1 = graft.operators.RelationalOps
+        .groupedPrefixSum(grid, "one", "dec", "nt", "p1")
+        .withColumn("tokens_cum", col("p1") + col("nt"))
+      val c2 = graft.operators.RelationalOps
+        .groupedPrefixSum(c1, "one", "dec", "nv", "p2")
+        .withColumn("vocab_cum", col("p2") + col("nv"))
+      val pts = c2.select(col("dec"), col("tokens_cum"),
+          col("vocab_cum"),
+          round(log(col("tokens_cum")) * 1000).cast("long").as("x"),
+          round(log(col("vocab_cum")) * 1000).cast("long").as("y"))
+        .localCheckpoint() // 10 rows; the fit and output reuse them
+      val beta = broadcast(pts.agg(count(lit(1)).as("n"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(expr("((n * sxy - sx * sy) * 1000000) div " +
+          "(n * sxx - sx * sx)").as("beta_micro")))
+      pts.crossJoin(beta)
+        .select(col("dec").as("decile"), col("tokens_cum"),
+          col("vocab_cum"), col("beta_micro"))
+        .orderBy("decile")
     }
   )
 
@@ -5256,6 +5304,42 @@ object TextQueries {
         |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
         |  bit_xor(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
         |    ::BIGINT) AS lineage_hash
-        |FROM c GROUP BY lang, shard_id ORDER BY lang, shard_id""".stripMargin
+        |FROM c GROUP BY lang, shard_id ORDER BY lang, shard_id""".stripMargin,
+
+    // the same first-seen-decile histogram and exact-integer OLS
+    "q268_heaps_law" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(trim(lower(text)), ' ') AS tk
+        |  FROM documents),
+        |r AS (SELECT tk, row_number() OVER (ORDER BY doc_id) AS rn
+        |      FROM d),
+        |n AS (SELECT count(*) AS nd FROM d),
+        |tok AS (
+        |  SELECT ((rn - 1) * 10) // n.nd + 1 AS dec, unnest(tk) AS w
+        |  FROM r, n),
+        |pd AS (SELECT dec, count(*) AS nt FROM tok GROUP BY dec),
+        |fs AS (SELECT fd AS dec, count(*) AS nv FROM (
+        |  SELECT w, min(dec) AS fd FROM tok GROUP BY w) GROUP BY fd),
+        |grid AS (
+        |  SELECT pd.dec, pd.nt, COALESCE(fs.nv, 0) AS nv
+        |  FROM pd LEFT JOIN fs USING (dec)),
+        |cum AS (
+        |  SELECT dec,
+        |    CAST(sum(nt) OVER (ORDER BY dec) AS BIGINT) AS tokens_cum,
+        |    CAST(sum(nv) OVER (ORDER BY dec) AS BIGINT) AS vocab_cum
+        |  FROM grid),
+        |pts AS (
+        |  SELECT dec, tokens_cum, vocab_cum,
+        |    CAST(round(ln(tokens_cum) * 1000) AS BIGINT) AS x,
+        |    CAST(round(ln(vocab_cum) * 1000) AS BIGINT) AS y
+        |  FROM cum),
+        |b AS (
+        |  SELECT CAST(((count(*) * sum(x * y) - sum(x) * sum(y))
+        |      * 1000000) // (count(*) * sum(x * x) - sum(x) * sum(x))
+        |    AS BIGINT) AS beta_micro
+        |  FROM pts)
+        |SELECT p.dec AS decile, p.tokens_cum, p.vocab_cum,
+        |  b.beta_micro
+        |FROM pts p, b ORDER BY decile""".stripMargin
   )
 }

@@ -230,6 +230,39 @@ class Round10OpsSpec extends SparkSpec {
     assert(out.toSeq === Seq(("2024-01-01", "view", 1L)))
   }
 
+  // ---- q268 Heaps' law ----
+
+  test("q268: all-unique vocabulary fits beta=1 exactly, a recycled " +
+    "corpus fits beta=0; cumulative counts are per-decile exact") {
+    def dirOf(rows: Seq[(Long, String)]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("r10hp").toString
+      rows.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+        .withColumn("n_chars", length(col("text")))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    // doc i carries i globally-unique tokens -> vocab == tokens at
+    // every decile -> x == y -> slope exactly 1
+    val unique = (1L to 10L).map(i =>
+      (i, (1L to i).map(j => s"t${i}_$j").mkString(" ")))
+    val o1 = q("q268_heaps_law", dirOf(unique)).collect()
+    assert(o1.length === 10)
+    o1.foreach { r =>
+      val d = r.getAs[Long]("decile")
+      assert(r.getAs[Long]("tokens_cum") === d * (d + 1) / 2)
+      assert(r.getAs[Long]("vocab_cum") === d * (d + 1) / 2)
+      assert(r.getAs[Long]("beta_micro") === 1000000L)
+    }
+    // every doc the same single token -> vocab pinned at 1 -> slope 0
+    val recycled = (1L to 10L).map(i => (i, "z"))
+    val o2 = q("q268_heaps_law", dirOf(recycled)).collect()
+    o2.foreach { r =>
+      assert(r.getAs[Long]("vocab_cum") === 1L)
+      assert(r.getAs[Long]("beta_micro") === 0L)
+    }
+  }
+
   // ---- q267 crypto shredding ----
 
   test("q267: forgetting a user deletes ONE key row; their payloads " +
