@@ -4177,6 +4177,29 @@ object CoverageQueries {
         .withColumn("lossless",
           (col("sum_decrypted_micro") === col("sum_original_micro"))
             .cast("long"))
+    },
+
+    // SLIDING (overlapping) windows — Spark's window(ts, size, slide)
+    // with slide < size, the trailing-metrics operator the tumbling
+    // gates (q95, q260) don't exercise: every event lands in
+    // size/slide = 4 windows, and the engine's own window-explode
+    // generation is what's under test. Windows are epoch-aligned
+    // 6-hour slots; the output keys them by OFFSET from the corpus's
+    // first slot (the q145 absolute-epoch discipline), so timestamp
+    // encoding can't drift the gate. One explode + one partial-
+    // aggregated rollup — the result is windows × types metadata.
+    "q269_sliding_window" -> { (s, dir) =>
+      val win = t(s, dir, "events")
+        .select(window(col("ts"), "1 day", "6 hours").as("w"),
+          col("event_type"))
+        .select(expr("unix_micros(w.start) div 21600000000L")
+          .as("slot"), col("event_type"))
+      val base = broadcast(win.agg(min("slot").as("s0")))
+      win.crossJoin(base)
+        .groupBy((col("slot") - col("s0")).as("slot_off"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("slot_off", "event_type")
     }
   )
 
@@ -5848,6 +5871,20 @@ object CoverageQueries {
         |    AS BIGINT) AS sum_original_micro,
         |  CAST(1 AS BIGINT) AS lossless
         |FROM ev""".stripMargin,
+
+    // the same 4-way epoch-aligned window expansion, slot offsets
+    // from the corpus's first slot
+    "q269_sliding_window" ->
+      """WITH ev AS (
+        |  SELECT epoch_us(ts) // 21600000000 AS s, event_type
+        |  FROM events),
+        |w AS (
+        |  SELECT s - k.k AS slot, event_type
+        |  FROM ev, UNNEST(range(0, 4)) AS k(k)),
+        |base AS (SELECT min(slot) AS s0 FROM w)
+        |SELECT CAST(w.slot - base.s0 AS BIGINT) AS slot_off,
+        |  event_type, count(*) AS n
+        |FROM w, base GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // both joined snapshot states closed-form: step 2 = A after the
     // %4 update × B after the %3 update (no deletes); step 3 = the

@@ -230,6 +230,24 @@ class Round10OpsSpec extends SparkSpec {
     assert(out.toSeq === Seq(("2024-01-01", "view", 1L)))
   }
 
+  // ---- q269 sliding windows ----
+
+  test("q269: every event lands in exactly 4 overlapping 1d/6h " +
+    "windows; two events 6h apart overlap in 3") {
+    def at(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      (1L, at("2024-01-10 01:00:00"), 1L, "view", 1.0),
+      (2L, at("2024-01-10 07:00:00"), 1L, "view", 1.0))
+    val dir = java.nio.file.Files.createTempDirectory("r10sw").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = q("q269_sliding_window", dir).collect()
+      .map(r => r.getAs[Long]("slot_off") -> r.getAs[Long]("n")).toMap
+    assert(out === Map(0L -> 1L, 1L -> 2L, 2L -> 2L, 3L -> 2L,
+      4L -> 1L))
+  }
+
   // ---- q268 Heaps' law ----
 
   test("q268: all-unique vocabulary fits beta=1 exactly, a recycled " +
