@@ -131,11 +131,18 @@ object Bench {
     // (the uncapped every->1s ledger is what blew the round-9 driver
     // wall). Worst drift first so a budget cut drops the least
     // informative entries.
+    // drift reference: last round's solo number, else its suite
+    // median — a heavy whose median is stable round-over-round needs
+    // no solo re-measure even if it was never solo'd (without the
+    // median fallback the stream-stream heavies re-soloed every
+    // sitting and ate ~150 s of budget for numbers that never moved)
+    def steadyRef(n: String): Option[Double] =
+      prevSolo.get(n).filter(_ > 0).orElse(prevMed.get(n).filter(_ > 0))
     val soloCandidates = results
       .filter { case (n, (med, _)) =>
-        med > 1.0 && prevSolo.get(n).forall(p => p <= 0 || med > 1.5 * p) }
+        med > 1.0 && steadyRef(n).forall(p => med > 1.5 * p) }
       .sortBy { case (n, (med, _)) =>
-        -prevSolo.get(n).filter(_ > 0).map(med / _).getOrElse(med) }
+        -steadyRef(n).map(med / _).getOrElse(med) }
     val solo = soloCandidates.flatMap { case (name, (med, _)) =>
       if (elapsed() + 3 * med > budget) None
       else {
