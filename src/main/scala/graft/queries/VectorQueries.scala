@@ -728,6 +728,51 @@ object VectorQueries {
         .select("expert", "n_top1", "n_top2", "sum_top1_micro",
           "load_factor_micro")
         .orderBy("expert")
+    },
+
+    // Johnson-Lindenstrauss random-projection audit — does a 64→16
+    // ±1 projection (Achlioptas 2003's database-friendly JL) preserve
+    // pairwise distances well enough to run the ANN/dedup stack in
+    // the cheaper space? E[‖Rx‖²] = m·‖x‖² for ±1 entries, so the
+    // per-pair ratio d²_proj/(m·d²_orig) should concentrate around 1;
+    // this measures it on 100 consecutive-id pairs. Determinism: the
+    // projection matrix is md5-parity signs, components are
+    // milli-quantized BEFORE any sum (the q247 exact-integer-exchange
+    // device), so projections, distances and ratios are all integer
+    // arithmetic — no float crosses an aggregate. Shape: one
+    // dims-explode (n×64 rows) joined to a 16-row broadcast axis, one
+    // (vec, j) regroup — linear passes, no pair blowup beyond the
+    // sampled 100.
+    "q270_jl_projection_audit" -> { (s, dir) =>
+      import s.implicits._
+      val m = 16
+      val comps = emb(s, dir).filter(col("vec_id") <= 100)
+        .select(col("vec_id"), posexplode(col("v")).as(Seq("d", "x")))
+        .withColumn("xm", round(col("x") * 1000).cast("long"))
+      val axes = broadcast((0 until m).toDF("j"))
+      val proj = comps.crossJoin(axes)
+        .withColumn("sgn", lit(1L) - lit(2L) *
+          (conv(substring(md5(concat_ws(":", lit("jl"), col("j"),
+            col("d"))), 1, 15), 16, 10).cast("long") % 2))
+        .groupBy("vec_id", "j").agg(sum(col("sgn") * col("xm")).as("y"))
+      // pair (i, i+1): axis-aligned self-join, squared-diff sum
+      def pairDist(df: DataFrame, ax: String, v: String,
+                   out: String): DataFrame =
+        df.select(col("vec_id").as("pair"), col(ax).as("ax"),
+            col(v).as("ka"))
+          .join(df.select((col("vec_id") - 1).as("pair"),
+            col(ax).as("ax"), col(v).as("kb")), Seq("pair", "ax"))
+          .groupBy("pair")
+          .agg(sum((col("ka") - col("kb")) * (col("ka") - col("kb")))
+            .as(out))
+      val d2o = pairDist(comps, "d", "xm", "d2_orig")
+      val d2p = pairDist(proj, "j", "y", "d2_proj")
+      d2o.join(d2p, "pair")
+        .filter(col("d2_orig") > 0)
+        .withColumn("ratio_micro",
+          expr(s"(d2_proj * 1000000) div ($m * d2_orig)"))
+        .select("pair", "d2_orig", "d2_proj", "ratio_micro")
+        .orderBy("pair")
     }
   )
 
@@ -1263,6 +1308,44 @@ object VectorQueries {
         |  CAST((COALESCE(agg.n_top1, 0) * 8 * 1000000) // nt.nt
         |    AS BIGINT) AS load_factor_micro
         |FROM ex LEFT JOIN agg USING (expert) CROSS JOIN nt
-        |ORDER BY ex.expert""".stripMargin
+        |ORDER BY ex.expert""".stripMargin,
+
+    // the same md5-parity signs over the same milli-quantized
+    // components — every sum is integer in both engines
+    "q270_jl_projection_audit" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE vec_id <= 100),
+        |comps AS (
+        |  SELECT vec_id, d.i - 1 AS d,
+        |    CAST(round(v[d.i] * 1000) AS BIGINT) AS xm
+        |  FROM e, UNNEST(range(1, len(v) + 1)) AS d(i)),
+        |axes AS (SELECT unnest(range(0, 16)) AS j),
+        |proj AS (
+        |  SELECT c.vec_id, a.j,
+        |    CAST(sum((1 - 2 * (('0x' || substr(md5('jl:' ||
+        |        CAST(a.j AS VARCHAR) || ':' || CAST(c.d AS VARCHAR)),
+        |        1, 15))::BIGINT % 2)) * c.xm) AS BIGINT) AS y
+        |  FROM comps c CROSS JOIN axes a GROUP BY c.vec_id, a.j),
+        |d2o AS (
+        |  SELECT x.vec_id AS pair,
+        |    CAST(sum((x.xm - y2.xm) * (x.xm - y2.xm)) AS BIGINT)
+        |      AS d2_orig
+        |  FROM comps x JOIN comps y2
+        |    ON y2.vec_id = x.vec_id + 1 AND y2.d = x.d
+        |  GROUP BY x.vec_id),
+        |d2p AS (
+        |  SELECT p1.vec_id AS pair,
+        |    CAST(sum((p1.y - p2.y) * (p1.y - p2.y)) AS BIGINT)
+        |      AS d2_proj
+        |  FROM proj p1 JOIN proj p2
+        |    ON p2.vec_id = p1.vec_id + 1 AND p2.j = p1.j
+        |  GROUP BY p1.vec_id)
+        |SELECT d2o.pair, d2o.d2_orig, d2p.d2_proj,
+        |  CAST((d2p.d2_proj * 1000000) // (16 * d2o.d2_orig)
+        |    AS BIGINT) AS ratio_micro
+        |FROM d2o JOIN d2p USING (pair)
+        |WHERE d2o.d2_orig > 0
+        |ORDER BY pair""".stripMargin
   )
 }

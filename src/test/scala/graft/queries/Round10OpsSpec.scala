@@ -230,6 +230,32 @@ class Round10OpsSpec extends SparkSpec {
     assert(out.toSeq === Seq(("2024-01-01", "view", 1L)))
   }
 
+  // ---- q270 JL projection audit ----
+
+  test("q270: md5-parity signs replay exactly; the ratio is pure " +
+    "integer arithmetic on milli components") {
+    def sign(j: Int, d: Int): Long = {
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"jl:$j:$d".getBytes("UTF-8"))
+      1L - 2L * (java.lang.Long.parseLong(
+        dig.map("%02x".format(_)).mkString.take(15), 16) % 2)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("r10jl").toString
+    Seq((0L, Seq(1f, 0f), 0), (1L, Seq(0f, 1f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r = q("q270_jl_projection_audit", dir).collect()
+    assert(r.length === 1)
+    val d2p = (0 until 16).map { j =>
+      val diff = sign(j, 0) * 1000L - sign(j, 1) * 1000L
+      diff * diff
+    }.sum
+    assert(r.head.getAs[Long]("d2_orig") === 2000000L)
+    assert(r.head.getAs[Long]("d2_proj") === d2p)
+    assert(r.head.getAs[Long]("ratio_micro") ===
+      d2p * 1000000L / (16L * 2000000L))
+  }
+
   // ---- q269 sliding windows ----
 
   test("q269: every event lands in exactly 4 overlapping 1d/6h " +
