@@ -4200,6 +4200,51 @@ object CoverageQueries {
           col("event_type"))
         .agg(count(lit(1)).as("n"))
         .orderBy("slot_off", "event_type")
+    },
+
+    // DELETION VECTORS end-to-end (PartitionedCowTable.deleteWhereDV)
+    // — the delete whose cost is proportional to the DELETED rows,
+    // not the touched partitions: a %5 erasure over the WHOLE orders
+    // table commits one small key file and rewrites ZERO data dirs
+    // (gated: the manifest's dir set is bit-identical before/after).
+    // Readers anti-join the vector; upserting a subset of the deleted
+    // keys back rewrites only those months — which MATERIALIZES the
+    // vector there, so the other deleted keys of those months stay
+    // gone while the upserted keys live (the exact Delta-DV rewrite
+    // contract); compact materializes the rest and vacuum reclaims
+    // the vector file (gated: zero live vectors at the end, content
+    // unchanged by compaction).
+    "q271_deletion_vectors" -> { (s, dir) =>
+      val root = s"${Tables.scratchBase}/graft_q271_" +
+        s"${s.sparkContext.applicationId}/${java.util.UUID.randomUUID()}"
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey").as("PID"),
+        date_format(to_date(col("o_orderdate")), "yyyy-MM").as("month"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val tbl = new graft.sources.PartitionedCowTable(
+        s"$root/t", "month", s)
+      tbl.overwrite(o)
+      val nInitial = tbl.read().count()
+      val dirs0 = tbl.manifest.values.toSet
+      tbl.deleteWhereDV(col("PID") % 5 === 0, Seq("PID"))
+      val noRewrite =
+        if (tbl.manifest.values.toSet == dirs0) 1L else 0L
+      val nAfterDv = tbl.read().count()
+      // re-insert a subset of the deleted keys with changed payloads
+      tbl.upsert(o.filter(col("PID") % 25 === 0)
+        .withColumn("cents", col("cents") + 7L), Seq("PID"))
+      tbl.compact()
+      tbl.vacuum()
+      tbl.read()
+        .agg(count(lit(1)).as("n_final"),
+          sum("cents").as("sum_cents_final"))
+        .withColumn("n_initial", lit(nInitial))
+        .withColumn("n_after_dv", lit(nAfterDv))
+        .withColumn("no_dir_rewritten", lit(noRewrite))
+        .withColumn("dv_files_after_compact",
+          lit(tbl.liveDvFiles.size.toLong))
+        .select("n_initial", "n_after_dv", "no_dir_rewritten",
+          "n_final", "sum_cents_final", "dv_files_after_compact")
     }
   )
 
@@ -5885,6 +5930,26 @@ object CoverageQueries {
         |SELECT CAST(w.slot - base.s0 AS BIGINT) AS slot_off,
         |  event_type, count(*) AS n
         |FROM w, base GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the end state closed-form: %5 keys deleted logically, the %25
+    // subset re-inserted with +7 cents; zero dirs rewritten by the
+    // delete, zero live vectors after compaction
+    "q271_deletion_vectors" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS PID,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |surv AS (
+        |  SELECT PID, cents FROM o WHERE PID % 5 <> 0
+        |  UNION ALL
+        |  SELECT PID, cents + 7 FROM o WHERE PID % 25 = 0)
+        |SELECT (SELECT count(*) FROM o) AS n_initial,
+        |  (SELECT count(*) FROM o WHERE PID % 5 <> 0) AS n_after_dv,
+        |  CAST(1 AS BIGINT) AS no_dir_rewritten,
+        |  count(*) AS n_final,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents_final,
+        |  CAST(0 AS BIGINT) AS dv_files_after_compact
+        |FROM surv""".stripMargin,
 
     // both joined snapshot states closed-form: step 2 = A after the
     // %4 update × B after the %3 update (no deletes); step 3 = the

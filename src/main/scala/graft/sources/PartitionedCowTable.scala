@@ -130,6 +130,23 @@ class PartitionedCowTable(val root: String, val partCol: String,
     }.toMap
   }
 
+  /** dir → DELETION-VECTOR files (paths relative to root) in force
+    * for that dir — the Delta-DV/Iceberg-delete-file idea at key
+    * grain: [[deleteWhereDV]] commits a tiny key file instead of
+    * rewriting data dirs, readers anti-join it, and any REWRITE of a
+    * dir (upsert, compact, merge) reads through the vector and drops
+    * it — the rewrite materializes the deletion, so re-inserted keys
+    * live again (new dirs never reference old vectors).
+    */
+  private def dvsAt(v: Int): Map[String, Seq[String]] = {
+    val node = mapper.readTree(Files.readAllBytes(
+      Paths.get(root, f"v_$v%06d.json")))
+    if (!node.has("dvs")) Map.empty
+    else node.get("dvs").fields().asScala.map { e =>
+      e.getKey -> e.getValue.elements().asScala.map(_.asText()).toSeq
+    }.toMap
+  }
+
   /** column → (SQL default literal, version the column was ADDED at)
     * for columns added by [[evolveSchema]] with a default. The `since`
     * version scopes the default to dirs that PREDATE the column
@@ -188,15 +205,29 @@ class PartitionedCowTable(val root: String, val partCol: String,
     val sch = schemaAt(v)
     val dfl = defaultsAt(v).filter { case (c, _) =>
       sch.fieldNames.contains(c) }
-    if (dfl.isEmpty) return spark.read.schema(sch).parquet(dirs: _*)
+    val dvs = dvsAt(v)
+    if (dfl.isEmpty && dvs.isEmpty)
+      return spark.read.schema(sch).parquet(dirs: _*)
     val wv = "(?:^|/)w_(\\d{6})/".r
     def writeVer(d: String): Int =
       wv.findFirstMatchIn(d).map(_.group(1).toInt).getOrElse(Int.MaxValue)
-    dirs.groupBy(d => dfl.filter(_._2._2 > writeVer(d)).keys.toSeq.sorted)
-      .map { case (cols, ds) =>
+    def relDir(d: String): String = d.stripPrefix(s"$root/")
+    // one scan per (defaults, deletion-vector) signature: dirs with
+    // identical conformance needs read together
+    dirs.groupBy(d => (
+        dfl.filter(_._2._2 > writeVer(d)).keys.toSeq.sorted,
+        dvs.getOrElse(relDir(d), Seq.empty).sorted))
+      .map { case ((cols, dvFiles), ds) =>
         val base = spark.read.schema(sch).parquet(ds: _*)
-        cols.foldLeft(base)((df, c) =>
+        val defaulted = cols.foldLeft(base)((df, c) =>
           df.withColumn(c, coalesce(col(c), expr(dfl(c)._1))))
+        // deletion vectors: anti-join each key file — a vector can
+        // reference keys not present in this group harmlessly (the
+        // anti-join is a no-op for them)
+        dvFiles.foldLeft(defaulted) { (df, f) =>
+          val dv = spark.read.parquet(s"$root/$f")
+          df.join(dv, dv.columns.toSeq, "left_anti")
+        }
       }.reduce(_.unionByName(_))
   }
 
@@ -288,19 +319,68 @@ class PartitionedCowTable(val root: String, val partCol: String,
     */
   def changedSince(sinceVersion: Int): DataFrame = {
     val cur = requireVersion
-    val old: Set[String] =
-      if (sinceVersion < 0) Set.empty
-      else entriesAt(sinceVersion).map(_.dir).toSet
-    // diff on the DIRECTORY, not the key: an evolve commit relabels
+    // diff on (DIRECTORY, deletion vectors): an evolve commit relabels
     // entries (spec moves to legacy) without touching a byte — its
-    // dirs are unchanged, so it must produce an empty change set
-    val dirs = entriesAt(cur).map(_.dir).filterNot(old.contains)
-      .map(d => s"$root/$d")
+    // dirs are unchanged, so it must produce an empty change set; a
+    // deleteWhereDV commit changes a dir's CONTENT without touching
+    // its bytes, so the dv list is part of the identity
+    val old: Map[String, Seq[String]] =
+      if (sinceVersion < 0) Map.empty
+      else {
+        val dv0 = dvsAt(sinceVersion)
+        entriesAt(sinceVersion)
+          .map(e => e.dir -> dv0.getOrElse(e.dir, Seq.empty)).toMap
+      }
+    val dvc = dvsAt(cur)
+    val dirs = entriesAt(cur)
+      .filter { e =>
+        if (sinceVersion < 0) true
+        else old.get(e.dir) match {
+          case Some(prevDv) =>
+            dvc.getOrElse(e.dir, Seq.empty) != prevDv
+          case None => true
+        }
+      }
+      .map(e => s"$root/${e.dir}")
     if (dirs.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         schemaAt(cur))
     else readConformed(cur, dirs)
   }
+
+  /** DELETION-VECTOR delete: commit the matching rows' KEYS as a tiny
+    * sidecar file instead of rewriting any data dir — the Delta
+    * deletion-vector / Iceberg delete-file shape, the only delete
+    * whose cost is proportional to the DELETED rows, not the touched
+    * partitions. Readers anti-join the vector ([[readConformed]]);
+    * any later rewrite of a dir reads through its vectors and drops
+    * them (the rewrite materializes the deletion), so upserting a
+    * deleted key re-inserts it — exactly the engine-native semantics.
+    * [[changedSince]] treats a new vector as changing every dir it
+    * attaches to; [[compact]] materializes all vectors; [[vacuum]]
+    * reclaims unreferenced vector files. Deleting already-DV-deleted
+    * rows is a no-op (the matching read applies existing vectors).
+    */
+  def deleteWhereDV(pred: Column, keys: Seq[String]): Unit = {
+    val cur = requireVersion
+    val matches = read().filter(pred)
+      .select(keys.map(col): _*).distinct()
+    if (matches.isEmpty) return
+    val rel = f"dv/dv_${cur + 1}%06d_" +
+      s"${java.util.UUID.randomUUID().toString.take(8)}.parquet"
+    matches.coalesce(1).write.parquet(s"$root/$rel")
+    val entries = entriesAt(cur)
+    val dv0 = dvsAt(cur)
+    val dvNew = entries
+      .map(e => e.dir -> (dv0.getOrElse(e.dir, Seq.empty) :+ rel))
+      .toMap
+    writeVersion(cur + 1, schemaAt(cur).toDDL, partColAt(cur), entries,
+      defaultsAt(cur), statsAt(cur), dvNew)
+  }
+
+  /** Deletion-vector files the current version references (audit). */
+  def liveDvFiles: Seq[String] =
+    dvsAt(requireVersion).values.flatten.toSeq.distinct.sorted
 
   /** The distinct partition values present in a DataFrame — small by
     * construction (a commit touches few partitions), so the collect is
@@ -392,6 +472,9 @@ class PartitionedCowTable(val root: String, val partCol: String,
     // footer-sized aggregate over the new files. Zero jobs when
     // statsColumns is empty.
     val carriedStats = currentVersion.map(statsAt).getOrElse(Map.empty)
+    // deletion vectors ride with carried dirs; rewritten dirs read
+    // THROUGH their vectors above, so the rewrite materialized them
+    val carriedDvs = currentVersion.map(dvsAt).getOrElse(Map.empty)
     val writtenStats: Map[String, Map[String, (Long, Long)]] =
       if (statsColumns.isEmpty || written.isEmpty) Map.empty
       else {
@@ -418,7 +501,7 @@ class PartitionedCowTable(val root: String, val partCol: String,
       }
     try {
       writeVersion(next, schemaDdl, spec, kept ++ written, defaults,
-        carriedStats ++ writtenStats)
+        carriedStats ++ writtenStats, carriedDvs)
     } catch {
       case e: java.util.ConcurrentModificationException =>
         // the claimed data dir is ours (the rename succeeded) and no
@@ -434,7 +517,8 @@ class PartitionedCowTable(val root: String, val partCol: String,
                            defaults: Map[String, (String, Int)] =
                              Map.empty,
                            stats: Map[String, Map[String, (Long, Long)]] =
-                             Map.empty)
+                             Map.empty,
+                           dvs: Map[String, Seq[String]] = Map.empty)
       : Unit = {
     // optimistic concurrency (see CowTable.commit): a competing writer
     // advancing the pointer mid-commit means this manifest's carried
@@ -460,6 +544,15 @@ class PartitionedCowTable(val root: String, val partCol: String,
     val live = entries.map(_.dir).toSet
     val liveStats = stats.filter { case (d, m) =>
       live.contains(d) && m.nonEmpty }
+    val liveDvs = dvs.filter { case (d, fs) =>
+      live.contains(d) && fs.nonEmpty }
+    if (liveDvs.nonEmpty) {
+      val dn = node.putObject("dvs")
+      liveDvs.toSeq.sortBy(_._1).foreach { case (d, fs) =>
+        val a = dn.putArray(d)
+        fs.foreach(a.add)
+      }
+    }
     if (liveStats.nonEmpty) {
       val st = node.putObject("stats")
       liveStats.toSeq.sortBy(_._1).foreach { case (d, cols) =>
@@ -507,7 +600,7 @@ class PartitionedCowTable(val root: String, val partCol: String,
       s"evolvePartitioning: column '$newPartCol' not in schema")
     if (newPartCol == currentPartCol) return
     writeVersion(cur + 1, schemaAt(cur).toDDL, newPartCol,
-      entriesAt(cur), defaultsAt(cur), statsAt(cur))
+      entriesAt(cur), defaultsAt(cur), statsAt(cur), dvsAt(cur))
   }
 
   /** Delta-style RESTORE (`RESTORE TABLE ... TO VERSION AS OF v`):
@@ -525,7 +618,7 @@ class PartitionedCowTable(val root: String, val partCol: String,
       s"restore: no version $v at $root (never committed, or vacuumed)")
     if (v == cur) return
     writeVersion(cur + 1, schemaAt(v).toDDL, partColAt(v), entriesAt(v),
-      defaultsAt(v), statsAt(v))
+      defaultsAt(v), statsAt(v), dvsAt(v))
   }
 
   /** Add a column — a METADATA-ONLY commit (Iceberg's add-column
@@ -548,7 +641,7 @@ class PartitionedCowTable(val root: String, val partCol: String,
     // dirs written by later commits store the column physically
     writeVersion(cur + 1, widened.toDDL, partColAt(cur), entriesAt(cur),
       defaultsAt(cur) ++ defaultSql.map(d => name -> (d, cur + 1)),
-      statsAt(cur))
+      statsAt(cur), dvsAt(cur))
   }
 
   /** An empty DataFrame with the table's committed schema (safe to
@@ -814,6 +907,20 @@ class PartitionedCowTable(val root: String, val partCol: String,
         n != f"v_$cur%06d.json"
       val deadStage = n.startsWith("_stage_")
       if (deadData || deadManifest || deadStage) CowTable.walkDelete(p)
+    }
+    // deletion-vector files no current dir references (materialized
+    // by rewrites, or orphaned by vacuumed versions)
+    val liveDv = dvsAt(cur).values.flatten
+      .map(_.stripPrefix("dv/")).toSet
+    val dvDir = Paths.get(root, "dv")
+    if (Files.exists(dvDir)) {
+      val listing = Files.list(dvDir)
+      val children = try listing.iterator().asScala.toSeq
+        finally listing.close()
+      children.foreach { p =>
+        if (!liveDv.contains(p.getFileName.toString))
+          CowTable.walkDelete(p)
+      }
     }
   }
 }

@@ -430,6 +430,40 @@ class PartitionedCowTableSpec extends SparkSpec {
     assert(t.pruneLedger("k", 400L, 600L) === ((3, 1)))
   }
 
+  test("deletion vectors: delete rewrites NO dir, rewrites " +
+    "materialize, re-inserts live, compact clears, vacuum reclaims") {
+    val t = mk()
+    val dirsBefore = t.manifest.values.toSet
+    t.deleteWhereDV(col("pid") % 2 === 0, Seq("pid")) // pids 2, 4
+    assert(t.manifest.values.toSet === dirsBefore) // zero data rewrite
+    assert(t.read().collect().map(_.getAs[Long]("pid")).toSet ===
+      Set(1L, 3L))
+    assert(t.liveDvFiles.size === 1)
+    // deleting already-DV-deleted rows is a version no-op
+    val v = t.version
+    t.deleteWhereDV(col("pid") === 2, Seq("pid"))
+    assert(t.version === v)
+    // the DV commit changes every dir's CONTENT: CDC sees it
+    assert(t.changedSince(0).count() === 2) // survivors 1, 3
+    // upsert a deleted key: its partition rewrites (materializing the
+    // vector there), the new row lives; other vectors stay in force
+    t.upsert(Seq((2L, "2020-03", "bb", true))
+      .toDF("pid", "month", "v", "flag"), Seq("pid"))
+    assert(t.read().collect().map(_.getAs[Long]("pid")).toSet ===
+      Set(1L, 2L, 3L)) // pid 4 still deleted via its dir's vector
+    // compact materializes everything and drops all vectors
+    t.compact()
+    assert(t.liveDvFiles.isEmpty)
+    assert(t.read().collect().map(_.getAs[Long]("pid")).toSet ===
+      Set(1L, 2L, 3L))
+    t.vacuum() // reclaims the now-unreferenced dv file
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(t.root, "dv")) ||
+      java.nio.file.Files.list(
+        java.nio.file.Paths.get(t.root, "dv")).count() === 0)
+    assert(t.read().count() === 3)
+  }
+
   // ---- schema evolution ----
 
   test("evolveSchema is metadata-only: old dirs read the default, " +
