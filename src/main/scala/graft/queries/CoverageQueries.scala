@@ -4245,6 +4245,82 @@ object CoverageQueries {
           lit(tbl.liveDvFiles.size.toLong))
         .select("n_initial", "n_after_dv", "no_dir_rewritten",
           "n_final", "sum_cents_final", "dv_files_after_compact")
+    },
+
+    // Named refs (Iceberg TAGS) as RETENTION ANCHORS: a tagged
+    // version survives vacuum with its manifest, data dirs and
+    // deletion vectors — the contract that lets a training run pin
+    // "release-1" while the table keeps mutating and compacting
+    // underneath. Gated end-to-end: tag v0, mutate twice, tag the
+    // head, vacuum — the UNTAGGED middle version is reclaimed
+    // (readVersion raises, emitted as a flag) while both tags read
+    // back their exact states.
+    "q272_version_tags" -> { (s, dir) =>
+      val root = s"${Tables.scratchBase}/graft_q272_" +
+        s"${s.sparkContext.applicationId}/${java.util.UUID.randomUUID()}"
+      val o = t(s, dir, "orders").filter(col("o_orderkey") <= 400)
+        .select(col("o_orderkey").as("PID"),
+          date_format(to_date(col("o_orderdate")), "yyyy-MM").as("month"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val tbl = new graft.sources.PartitionedCowTable(
+        s"$root/t", "month", s)
+      tbl.overwrite(o)          // v0
+      tbl.tag("baseline")       // anchors v0
+      tbl.updateWhere(col("PID") % 3 === 0,
+        Map("cents" -> (col("cents") + 50L)))      // v1 — untagged
+      tbl.deleteWhere(col("PID") % 11 === 0)       // v2
+      tbl.tag("release")        // anchors v2
+      tbl.vacuum()
+      val untaggedReclaimed =
+        try { tbl.readVersion(1).count(); 0L }
+        catch { case _: IllegalArgumentException => 1L }
+      def snap(name: String, tag: String): DataFrame =
+        tbl.readTag(name).agg(count(lit(1)).as(s"${tag}_n"),
+          sum("cents").as(s"${tag}_cents"))
+      snap("baseline", "baseline").crossJoin(snap("release", "release"))
+        .withColumn("untagged_reclaimed", lit(untaggedReclaimed))
+    },
+
+    // Orphan-file health audit (PartitionedCowTable.orphanReport) —
+    // the pre-flight a storage janitor runs BEFORE vacuum: what's on
+    // disk that no protected manifest references? The gate PLANTS the
+    // three real failure artifacts (a claimed-but-unreferenced data
+    // dir from a crashed commit, an interrupted stage dir, plus the
+    // superseded manifest an upsert naturally leaves) and pins that
+    // the report counts exactly them, vacuum reclaims exactly them,
+    // and the table's rows never change.
+    "q273_orphan_audit" -> { (s, dir) =>
+      val root = s"${Tables.scratchBase}/graft_q273_" +
+        s"${s.sparkContext.applicationId}/${java.util.UUID.randomUUID()}"
+      val o = t(s, dir, "orders").filter(col("o_orderkey") <= 300)
+        .select(col("o_orderkey").as("PID"),
+          date_format(to_date(col("o_orderdate")), "yyyy-MM").as("month"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val tbl = new graft.sources.PartitionedCowTable(
+        s"$root/t", "month", s)
+      tbl.overwrite(o) // v0
+      tbl.updateWhere(col("PID") % 10 === 0,
+        Map("cents" -> (col("cents") + 1L))) // v1 supersedes v0
+      // plant a crashed writer's torn artifacts
+      val torn = java.nio.file.Paths.get(s"$root/t/w_000099/__part=x")
+      java.nio.file.Files.createDirectories(torn)
+      java.nio.file.Files.write(torn.resolve("part-0.parquet"),
+        Array[Byte](1, 2, 3))
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$root/t/_stage_crashed"))
+      val (dd0, dm0, ds0, dv0) = tbl.orphanReport
+      tbl.vacuum()
+      val (dd1, dm1, ds1, dv1) = tbl.orphanReport
+      tbl.read().agg(count(lit(1)).as("n_rows"),
+          sum("cents").as("sum_cents"))
+        .withColumn("orphan_dirs_before", lit(dd0))
+        .withColumn("dead_manifests_before", lit(dm0))
+        .withColumn("stage_dirs_before", lit(ds0))
+        .withColumn("dead_dvs_before", lit(dv0))
+        .withColumn("orphans_after", lit(dd1 + dm1 + ds1 + dv1))
+        .select("n_rows", "sum_cents", "orphan_dirs_before",
+          "dead_manifests_before", "stage_dirs_before",
+          "dead_dvs_before", "orphans_after")
     }
   )
 
@@ -5950,6 +6026,43 @@ object CoverageQueries {
         |  CAST(sum(cents) AS BIGINT) AS sum_cents_final,
         |  CAST(0 AS BIGINT) AS dv_files_after_compact
         |FROM surv""".stripMargin,
+
+    // both tagged states closed-form: baseline = the original slice,
+    // release = +50 on %3 keys minus the %11 keys; the untagged
+    // middle version is gone
+    "q272_version_tags" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS PID,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey <= 400),
+        |rel AS (
+        |  SELECT PID, cents + CASE WHEN PID % 3 = 0 THEN 50 ELSE 0 END
+        |      AS cents
+        |  FROM o WHERE PID % 11 <> 0)
+        |SELECT
+        |  (SELECT count(*) FROM o) AS baseline_n,
+        |  (SELECT CAST(sum(cents) AS BIGINT) FROM o) AS baseline_cents,
+        |  count(*) AS release_n,
+        |  CAST(sum(cents) AS BIGINT) AS release_cents,
+        |  CAST(1 AS BIGINT) AS untagged_reclaimed
+        |FROM rel""".stripMargin,
+
+    // the planted artifacts counted exactly, zero after vacuum, rows
+    // untouched (+1 cent on the %10 keys from the superseding upsert)
+    "q273_orphan_audit" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS PID,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) +
+        |      CASE WHEN o_orderkey % 10 = 0 THEN 1 ELSE 0 END AS cents
+        |  FROM orders WHERE o_orderkey <= 300)
+        |SELECT count(*) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(1 AS BIGINT) AS orphan_dirs_before,
+        |  CAST(1 AS BIGINT) AS dead_manifests_before,
+        |  CAST(1 AS BIGINT) AS stage_dirs_before,
+        |  CAST(0 AS BIGINT) AS dead_dvs_before,
+        |  CAST(0 AS BIGINT) AS orphans_after
+        |FROM o""".stripMargin,
 
     // both joined snapshot states closed-form: step 2 = A after the
     // %4 update × B after the %3 update (no deletes); step 3 = the

@@ -382,6 +382,50 @@ class PartitionedCowTable(val root: String, val partCol: String,
   def liveDvFiles: Seq[String] =
     dvsAt(requireVersion).values.flatten.toSeq.distinct.sorted
 
+  // ---- named refs (Iceberg-style tags) ----
+
+  private def refsFile = Paths.get(root, "refs.json")
+
+  /** name → version for every named ref. Tags are RETENTION ANCHORS:
+    * [[vacuum]] keeps every tagged version's manifest, data dirs and
+    * deletion vectors alive alongside the current version, so a
+    * release consumer reading `readTag("release-x")` survives any
+    * amount of later mutation + vacuuming until the tag is dropped —
+    * the Iceberg ref-retention contract.
+    */
+  def tags: Map[String, Int] =
+    if (!Files.exists(refsFile)) Map.empty
+    else mapper.readTree(Files.readAllBytes(refsFile)).fields().asScala
+      .map(e => e.getKey -> e.getValue.asInt()).toMap
+
+  /** Pin `name` to version `v` (default: the current version).
+    * Re-tagging an existing name moves it (Iceberg's replace-tag).
+    */
+  def tag(name: String, v: Int = -1): Unit = {
+    val target = if (v < 0) requireVersion else v
+    require(Files.exists(Paths.get(root, f"v_$target%06d.json")),
+      s"tag: no version $target at $root")
+    writeRefs(tags + (name -> target))
+  }
+
+  def dropTag(name: String): Unit = writeRefs(tags - name)
+
+  /** The table exactly as the tagged version committed it. */
+  def readTag(name: String): DataFrame = {
+    val t = tags.getOrElse(name,
+      throw new IllegalArgumentException(s"no tag '$name' at $root"))
+    readVersion(t)
+  }
+
+  private def writeRefs(m: Map[String, Int]): Unit = {
+    val node = mapper.createObjectNode()
+    m.toSeq.sortBy(_._1).foreach { case (k, v) => node.put(k, v) }
+    val tmp = Paths.get(root, s"_refs.tmp.${java.util.UUID.randomUUID()}")
+    Files.write(tmp, mapper.writeValueAsBytes(node))
+    Files.move(tmp, refsFile, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** The distinct partition values present in a DataFrame — small by
     * construction (a commit touches few partitions), so the collect is
     * bounded by partition count, not data size.
@@ -894,8 +938,58 @@ class PartitionedCowTable(val root: String, val partCol: String,
   /** Drop every `w_*` dir and `v_*.json` no longer reachable from the
     * current manifest; shared dirs it still references survive.
     */
+  /** The PROTECTED versions — current plus every tagged version that
+    * still has a manifest — and the disk footprint they pin.
+    */
+  private def protectedState(cur: Int)
+      : (Set[Int], Set[String], Set[String]) = {
+    val versions = (tags.values.toSet + cur).filter(v =>
+      Files.exists(Paths.get(root, f"v_$v%06d.json")))
+    val dirs = versions.flatMap(v =>
+      entriesAt(v).map(_.dir.split('/').head))
+    val dvFiles = versions.flatMap(v =>
+      dvsAt(v).values.flatten.map(_.stripPrefix("dv/")))
+    (versions, dirs, dvFiles)
+  }
+
+  /** What [[vacuum]] WOULD reclaim, without touching anything — the
+    * pre-flight health check (a crashed writer's claimed-but-
+    * unreferenced data dir, an interrupted stage, superseded
+    * manifests, materialized deletion vectors). Returns
+    * (data dirs, manifests, stage dirs, dv files).
+    */
+  def orphanReport: (Long, Long, Long, Long) =
+    currentVersion.map { cur =>
+      val (versions, live, liveDv) = protectedState(cur)
+      val entries = {
+        val listing = Files.list(Paths.get(root))
+        try listing.iterator().asScala.toSeq finally listing.close()
+      }
+      var (dd, dm, ds) = (0L, 0L, 0L)
+      entries.foreach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("w_") && !live.contains(n)) dd += 1
+        else if (n.startsWith("v_") && n.endsWith(".json") &&
+          !versions.contains(n.stripPrefix("v_").stripSuffix(".json")
+            .toInt)) dm += 1
+        else if (n.startsWith("_stage_")) ds += 1
+      }
+      val dvDir = Paths.get(root, "dv")
+      val dvDead =
+        if (!Files.exists(dvDir)) 0L
+        else {
+          val listing = Files.list(dvDir)
+          try listing.iterator().asScala
+            .count(p => !liveDv.contains(p.getFileName.toString)).toLong
+          finally listing.close()
+        }
+      (dd, dm, ds, dvDead)
+    }.getOrElse((0L, 0L, 0L, 0L))
+
   override def vacuum(): Unit = currentVersion.foreach { cur =>
-    val live = entriesAt(cur).map(_.dir.split('/').head).toSet
+    // tagged versions are retention anchors: their manifests, data
+    // dirs and deletion vectors survive vacuum until the tag drops
+    val (versions, live, liveDv) = protectedState(cur)
     val entries = {
       val listing = Files.list(Paths.get(root))
       try listing.iterator().asScala.toSeq finally listing.close()
@@ -904,14 +998,11 @@ class PartitionedCowTable(val root: String, val partCol: String,
       val n = p.getFileName.toString
       val deadData = n.startsWith("w_") && !live.contains(n)
       val deadManifest = n.startsWith("v_") && n.endsWith(".json") &&
-        n != f"v_$cur%06d.json"
+        !versions.contains(
+          n.stripPrefix("v_").stripSuffix(".json").toInt)
       val deadStage = n.startsWith("_stage_")
       if (deadData || deadManifest || deadStage) CowTable.walkDelete(p)
     }
-    // deletion-vector files no current dir references (materialized
-    // by rewrites, or orphaned by vacuumed versions)
-    val liveDv = dvsAt(cur).values.flatten
-      .map(_.stripPrefix("dv/")).toSet
     val dvDir = Paths.get(root, "dv")
     if (Files.exists(dvDir)) {
       val listing = Files.list(dvDir)

@@ -464,6 +464,31 @@ class PartitionedCowTableSpec extends SparkSpec {
     assert(t.read().count() === 3)
   }
 
+  test("tags anchor versions through vacuum; dropping the tag " +
+    "releases them; re-tagging moves the ref") {
+    val t = mk() // v0
+    t.tag("base")
+    t.deleteWhere(col("pid") === 1) // v1
+    t.vacuum()
+    assert(t.readTag("base").count() === 4) // v0 survives via the tag
+    assert(t.read().count() === 3)
+    // orphanReport sees nothing while the tag protects v0
+    assert(t.orphanReport === ((0L, 0L, 0L, 0L)))
+    t.dropTag("base")
+    assert(t.orphanReport._2 >= 1L) // v0's manifest now reclaimable
+    t.vacuum()
+    intercept[IllegalArgumentException] { t.readTag("base") }
+    intercept[IllegalArgumentException] { t.readVersion(0) }
+    assert(t.read().count() === 3)
+    // replace-tag: the name moves to the new head
+    t.tag("rel")
+    t.upsert(Seq((5L, "2020-06", "e", false))
+      .toDF("pid", "month", "v", "flag"), Seq("pid")) // v2
+    t.tag("rel")
+    assert(t.tags("rel") === 2)
+    assert(t.readTag("rel").count() === 4)
+  }
+
   // ---- schema evolution ----
 
   test("evolveSchema is metadata-only: old dirs read the default, " +
