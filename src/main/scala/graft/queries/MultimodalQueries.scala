@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.{GraftFunctions => G}
 import graft.multimodal.{Multimodal => M}
 
 /** Multimodal binary-column pipeline under the driver gate
@@ -102,6 +103,36 @@ object MultimodalQueries {
       M.sampleFrames(media, 4)
         .select(col("media_id"), col("sample_idx"), col("frame_offset"))
         .orderBy("media_id", "sample_idx")
+    },
+
+    // MULTIMODAL sequence packing — the context-window arithmetic of
+    // interleaved image-text training: a sample's budget is its text
+    // tokens PLUS its image's ViT patch tokens ((w div 14)·(h div
+    // 14), patch size 14 — the cost a vision encoder actually bills),
+    // and samples pack into 4096-token windows per language stream by
+    // q64's start-offset prefix-sum rule (no corpus-wide window —
+    // grouped prefix sums). The per-window ledger (samples, text vs
+    // patch tokens, images) is what a dataloader needs to budget a
+    // step; every quantity is integer metadata from one scan.
+    "q274_multimodal_packing" -> { (s, dir) =>
+      val ctx = 4096L
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(G.tokens(col("text"))).cast("long").as("txt"),
+          when(col("doc_id") % 3 === 0,
+            expr("((n_chars % 640 + 32) div 14) * " +
+              "((n_chars % 480 + 32) div 14)"))
+            .otherwise(0L).as("patches"))
+        .withColumn("tok", col("txt") + col("patches"))
+      graft.operators.RelationalOps
+        .groupedPrefixSum(d, "lang", "doc_id", "tok", "pre")
+        .withColumn("win", expr(s"pre div $ctx"))
+        .groupBy("lang", "win")
+        .agg(count(lit(1)).as("n_samples"),
+          sum("txt").as("text_tokens"),
+          sum("patches").as("patch_tokens"),
+          sum((col("patches") > 0).cast("long")).as("n_images"))
+        .orderBy("lang", "win")
     }
   )
 
@@ -126,6 +157,30 @@ object MultimodalQueries {
         |  round(('0x' || substr(hex, 13, 6))::BIGINT / 16777216.0 - 0.5, 6) AS f2,
         |  round(('0x' || substr(hex, 19, 6))::BIGINT / 16777216.0 - 0.5, 6) AS f3
         |FROM m ORDER BY media_id""".stripMargin,
+
+    // the same patch-token arithmetic and start-offset packing
+    "q274_multimodal_packing" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(trim(lower(text)), ' ')) AS BIGINT)
+        |      AS txt,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN ((n_chars % 640 + 32) // 14) *
+        |           ((n_chars % 480 + 32) // 14)
+        |      ELSE 0 END AS patches
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, doc_id, txt, patches,
+        |    sum(txt + patches) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - (txt + patches) AS pre
+        |  FROM d)
+        |SELECT lang, CAST(pre // 4096 AS BIGINT) AS win,
+        |  CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(sum(txt) AS BIGINT) AS text_tokens,
+        |  CAST(sum(patches) AS BIGINT) AS patch_tokens,
+        |  CAST(sum(CASE WHEN patches > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_images
+        |FROM c GROUP BY lang, win ORDER BY lang, win""".stripMargin,
 
     "q67_frame_sample" ->
       """WITH m AS (

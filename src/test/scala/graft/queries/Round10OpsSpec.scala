@@ -230,6 +230,23 @@ class Round10OpsSpec extends SparkSpec {
     assert(out.toSeq === Seq(("2024-01-01", "view", 1L)))
   }
 
+  // ---- q274 multimodal packing ----
+
+  test("q274: an image sample bills its ViT patch tokens on top of " +
+    "its text tokens; packing follows the start-offset rule") {
+    // doc 3 (%3==0) carries the image: n_chars=5 -> dims 37x37 ->
+    // (37 div 14)^2 = 4 patch tokens
+    val rows = Seq((1L, "a b"), (2L, "c"), (3L, "d e f"))
+    val out = q("q274_multimodal_packing", docsDir(rows)).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("win") === 0L)
+    assert(r.getAs[Long]("n_samples") === 3L)
+    assert(r.getAs[Long]("text_tokens") === 6L)
+    assert(r.getAs[Long]("patch_tokens") === 4L)
+    assert(r.getAs[Long]("n_images") === 1L)
+  }
+
   // ---- q270 JL projection audit ----
 
   test("q270: md5-parity signs replay exactly; the ratio is pure " +
