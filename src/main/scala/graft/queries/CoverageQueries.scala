@@ -4321,6 +4321,93 @@ object CoverageQueries {
         .select("n_rows", "sum_cents", "orphan_dirs_before",
           "dead_manifests_before", "stage_dirs_before",
           "dead_dvs_before", "orphans_after")
+    },
+
+    // SCOPED deletion vectors (PartitionedCowTable.deleteWhereDV) —
+    // the vector attaches ONLY to partitions that held a deleted key,
+    // so at 100 TB a one-month erasure costs one month, not the
+    // table: every other partition's read plan carries NO anti-join
+    // (pinned from the optimized plan) and CDC (changedSince) reports
+    // exactly the touched month. The gate deletes %3 keys of a single
+    // month and emits the survivor aggregate, the deleted count, the
+    // CDC month ledger, and both plan flags.
+    "q275_dv_scoping" -> { (s, dir) =>
+      val root = s"${Tables.scratchBase}/graft_q275_" +
+        s"${s.sparkContext.applicationId}/${java.util.UUID.randomUUID()}"
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey").as("PID"),
+        date_format(to_date(col("o_orderdate")), "yyyy-MM").as("month"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val tbl = new graft.sources.PartitionedCowTable(
+        s"$root/t", "month", s)
+      tbl.overwrite(o) // v0
+      val m = "1996-01"
+      tbl.deleteWhereDV(col("month") === m && col("PID") % 3 === 0,
+        Seq("PID"))
+      // CDC after the delete: exactly the touched month changed
+      val changedMonths = tbl.changedSince(0)
+        .select("month").distinct().collect().map(_.getString(0)).toSeq
+      val cdcExact =
+        if (changedMonths == Seq(m)) 1L else 0L
+      // plan flags: the untouched months scan plain, the touched one
+      // anti-joins its vector
+      def hasAnti(df: DataFrame): Boolean =
+        df.queryExecution.optimizedPlan.toString.contains("LeftAnti")
+      val elsewhereClean =
+        if (!hasAnti(tbl.readWhere(_ != m))) 1L else 0L
+      val touchedJoins = if (hasAnti(tbl.readWhere(_ == m))) 1L else 0L
+      val nDeleted = o.count() - tbl.read().count()
+      tbl.read()
+        .agg(count(lit(1)).as("n_final"), sum("cents").as("sum_cents"))
+        .withColumn("n_deleted", lit(nDeleted))
+        .withColumn("cdc_touched_month_only", lit(cdcExact))
+        .withColumn("no_antijoin_elsewhere", lit(elsewhereClean))
+        .withColumn("antijoin_on_touched", lit(touchedJoins))
+        .select("n_final", "sum_cents", "n_deleted",
+          "cdc_touched_month_only", "no_antijoin_elsewhere",
+          "antijoin_on_touched")
+    },
+
+    // PLAN-AUTOMATIC pruning (GraftFileIndex): a plain
+    // `read().filter(...)` — no bespoke readWhere/readWhereStats —
+    // prunes directories through the manifest, because the table's
+    // scan is a FileIndex that evaluates Spark's own pushed-down data
+    // filters against each dir's partition value and zone-map
+    // [min, max] (the Delta/Iceberg file-skipping read contract; at
+    // 100 TB this is the difference between a month and a table). The
+    // gate runs BOTH filter shapes through plain DataFrame filters and
+    // emits the answers plus the I/O ledgers (dirs total vs dirs the
+    // scan actually listed); the oracle derives the ledgers from
+    // per-month data extents — data, not engine internals.
+    "q276_auto_pruning" -> { (s, dir) =>
+      val root = s"${Tables.scratchBase}/graft_q276_" +
+        s"${s.sparkContext.applicationId}/${java.util.UUID.randomUUID()}"
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey").as("PID"),
+        date_format(to_date(col("o_orderdate")), "yyyy-MM").as("month"),
+        (year(col("o_orderdate")) * 10000 +
+          month(col("o_orderdate")) * 100 +
+          dayofmonth(col("o_orderdate"))).cast("long").as("dk"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val tbl = new graft.sources.PartitionedCowTable(
+        s"$root/t", "month", s, statsColumns = Seq("dk"))
+      tbl.overwrite(o)
+      // 1: plain partition-column equality — exact manifest prune
+      val m = "1996-01"
+      val mr = tbl.read().filter(col("month") === m)
+        .agg(count(lit(1)), sum("cents")).collect()(0)
+      val (mTot, mKept) = tbl.autoPruneLedger
+      // 2: plain range filter on the NON-partition dk column —
+      // zone-map prune
+      val (lo, hi) = (19960101L, 19960315L)
+      val zr = tbl.read().filter(col("dk").between(lo, hi))
+        .agg(count(lit(1)), sum("cents")).collect()(0)
+      val (zTot, zKept) = tbl.autoPruneLedger
+      import s.implicits._
+      Seq((mr.getLong(0), mr.getLong(1), mTot.toLong, mKept.toLong,
+        zr.getLong(0), zr.getLong(1), zTot.toLong, zKept.toLong))
+        .toDF("m_n", "m_cents", "m_dirs_total", "m_dirs_opened",
+          "z_n", "z_cents", "z_dirs_total", "z_dirs_opened")
     }
   )
 
@@ -7236,6 +7323,61 @@ object CoverageQueries {
         |  CASE WHEN sig2 = 0 THEN 0
         |    ELSE round((u2x::DOUBLE / 2.0 - n0t::DOUBLE * n1t / 2.0)
         |      / sqrt(sig2), 6) END AS z
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+
+    // survivors closed-form (%3 keys of one month logically deleted);
+    // the scoping flags are engine invariants pinned true: CDC saw
+    // only the touched month, untouched months' plans carry no
+    // anti-join, the touched one does
+    "q275_dv_scoping" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS PID,
+        |    strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |surv AS (
+        |  SELECT * FROM o
+        |  WHERE NOT (month = '1996-01' AND PID % 3 = 0))
+        |SELECT count(*) AS n_final,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  (SELECT count(*) FROM o
+        |    WHERE month = '1996-01' AND PID % 3 = 0) AS n_deleted,
+        |  CAST(1 AS BIGINT) AS cdc_touched_month_only,
+        |  CAST(1 AS BIGINT) AS no_antijoin_elsewhere,
+        |  CAST(1 AS BIGINT) AS antijoin_on_touched
+        |FROM surv""".stripMargin,
+
+    // both answers from plain filters; both ledgers from per-month
+    // data extents (a month dir is listed iff its value matches /
+    // its dk extent intersects the range)
+    "q276_auto_pruning" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS PID,
+        |    strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+        |    CAST(year(CAST(o_orderdate AS DATE)) * 10000 +
+        |      month(CAST(o_orderdate AS DATE)) * 100 +
+        |      day(CAST(o_orderdate AS DATE)) AS BIGINT) AS dk,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |ext AS (
+        |  SELECT month, min(dk) AS mn, max(dk) AS mx
+        |  FROM o GROUP BY month),
+        |mled AS (
+        |  SELECT count(*) AS m_dirs_total,
+        |    CAST(sum(CASE WHEN month = '1996-01' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS m_dirs_opened FROM ext),
+        |zled AS (
+        |  SELECT count(*) AS z_dirs_total,
+        |    CAST(sum(CASE WHEN mx >= 19960101 AND mn <= 19960315
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS z_dirs_opened FROM ext),
+        |magg AS (
+        |  SELECT count(*) AS m_n, CAST(sum(cents) AS BIGINT) AS m_cents
+        |  FROM o WHERE month = '1996-01'),
+        |zagg AS (
+        |  SELECT count(*) AS z_n, CAST(sum(cents) AS BIGINT) AS z_cents
+        |  FROM o WHERE dk BETWEEN 19960101 AND 19960315)
+        |SELECT m_n, m_cents, m_dirs_total, m_dirs_opened,
+        |  z_n, z_cents, z_dirs_total, z_dirs_opened
+        |FROM magg, mled, zagg, zled""".stripMargin
   )
 }

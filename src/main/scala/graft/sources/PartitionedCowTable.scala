@@ -191,6 +191,37 @@ class PartitionedCowTable(val root: String, val partCol: String,
     }.select(target.fieldNames.map(col): _*)
   }
 
+  /** The scans of the most recent [[readConformed]], for
+    * [[autoPruneLedger]]. */
+  @volatile private var lastIndexes: Seq[GraftFileIndex] = Seq.empty
+
+  /** (dirs total, dirs opened) across the most recent read's scans,
+    * AFTER an action forced them — the plan-automatic pruning ledger:
+    * a plain `read().filter(...)` consults the manifest's partition
+    * values and zone maps through [[GraftFileIndex]], and this reports
+    * how many directories the scan actually listed.
+    */
+  def autoPruneLedger: (Int, Int) = {
+    val l = lastIndexes.map(_.lastPrune)
+    (l.map(_._1).sum, l.map(_._2).sum)
+  }
+
+  /** One manifest-aware scan over `ds`: a [[GraftFileIndex]] carrying
+    * each dir's partition value + zone maps, so Spark's own pushed
+    * filters prune directories at plan time (no bespoke readWhere
+    * needed). Explicit-schema semantics identical to
+    * `spark.read.schema(sch).parquet(ds)`.
+    */
+  private def indexedScan(v: Int, sch: StructType, ds: Seq[String],
+                          info: Map[String, GraftFileIndex.ScanDir])
+      : DataFrame = {
+    val (df, idx) = GraftFileIndex.scan(spark, sch, ds.map(p =>
+      info.getOrElse(p,
+        GraftFileIndex.ScanDir(p, Map.empty, Map.empty))))
+    lastIndexes = lastIndexes :+ idx
+    df
+  }
+
   /** Read dirs through version `v`'s committed schema: columns a dir
     * predates come back null (Spark's explicit-schema parquet read),
     * then declared defaults fill them — the metadata-only add-column
@@ -206,8 +237,16 @@ class PartitionedCowTable(val root: String, val partCol: String,
     val dfl = defaultsAt(v).filter { case (c, _) =>
       sch.fieldNames.contains(c) }
     val dvs = dvsAt(v)
+    val st = statsAt(v)
+    val info: Map[String, GraftFileIndex.ScanDir] =
+      entriesAt(v).map { e =>
+        val p = s"$root/${e.dir}"
+        p -> GraftFileIndex.ScanDir(p, Map(e.pcol -> e.value),
+          st.getOrElse(e.dir, Map.empty))
+      }.toMap
+    lastIndexes = Seq.empty
     if (dfl.isEmpty && dvs.isEmpty)
-      return spark.read.schema(sch).parquet(dirs: _*)
+      return indexedScan(v, sch, dirs, info)
     val wv = "(?:^|/)w_(\\d{6})/".r
     def writeVer(d: String): Int =
       wv.findFirstMatchIn(d).map(_.group(1).toInt).getOrElse(Int.MaxValue)
@@ -218,15 +257,21 @@ class PartitionedCowTable(val root: String, val partCol: String,
         dfl.filter(_._2._2 > writeVer(d)).keys.toSeq.sorted,
         dvs.getOrElse(relDir(d), Seq.empty).sorted))
       .map { case ((cols, dvFiles), ds) =>
-        val base = spark.read.schema(sch).parquet(ds: _*)
+        val base = indexedScan(v, sch, ds, info)
         val defaulted = cols.foldLeft(base)((df, c) =>
           df.withColumn(c, coalesce(col(c), expr(dfl(c)._1))))
         // deletion vectors: anti-join each key file — a vector can
         // reference keys not present in this group harmlessly (the
-        // anti-join is a no-op for them)
+        // anti-join is a no-op for them). NULL-SAFE equality: a
+        // deleted row whose key column is null must still match its
+        // vector entry (plain = never matches NULL, which would make
+        // an erasure path silently skip such rows)
         dvFiles.foldLeft(defaulted) { (df, f) =>
           val dv = spark.read.parquet(s"$root/$f")
-          df.join(dv, dv.columns.toSeq, "left_anti")
+          val dvA = dv.toDF(dv.columns.map("__dv_" + _): _*)
+          val cond = dv.columns.map(c => df(c) <=> dvA("__dv_" + c))
+            .reduce(_ && _)
+          df.join(dvA, cond, "left_anti")
         }
       }.reduce(_.unionByName(_))
   }
@@ -360,21 +405,44 @@ class PartitionedCowTable(val root: String, val partCol: String,
     * attaches to; [[compact]] materializes all vectors; [[vacuum]]
     * reclaims unreferenced vector files. Deleting already-DV-deleted
     * rows is a no-op (the matching read applies existing vectors).
+    *
+    * SCOPED ATTACH: the new vector is attached ONLY to dirs whose
+    * partition value actually held a matching row (legacy-spec dirs
+    * attach conservatively — the new spec's values say nothing about
+    * them). Untouched dirs keep their exact dv list, so
+    * [[changedSince]] reports only the dirs that really changed and
+    * their reads carry no anti-join — read cost stays proportional
+    * to the deleted rows, as the contract above claims.
+    *
+    * SHARDED KEY FILE: the vector is written as
+    * ceil(keys / shardRows) part files instead of a forced single
+    * file — a billion-key erasure must not funnel through one task.
     */
-  def deleteWhereDV(pred: Column, keys: Seq[String]): Unit = {
+  def deleteWhereDV(pred: Column, keys: Seq[String],
+                    shardRows: Long = 8L * 1024 * 1024): Unit = {
     val cur = requireVersion
-    val matches = read().filter(pred)
-      .select(keys.map(col): _*).distinct()
-    if (matches.isEmpty) return
+    val spec = partColAt(cur)
+    val selCols = (keys :+ spec).distinct
+    val hit = read().filter(pred).select(selCols.map(col): _*)
+      .localCheckpoint() // reused: key projection + touched values
+    val matches = hit.select(keys.map(col): _*).distinct()
+    val nKeys = matches.count()
+    if (nKeys == 0) return
+    val touched = hit.select(col(spec).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
     val rel = f"dv/dv_${cur + 1}%06d_" +
       s"${java.util.UUID.randomUUID().toString.take(8)}.parquet"
-    matches.coalesce(1).write.parquet(s"$root/$rel")
+    val shards = math.max(1, math.ceil(nKeys.toDouble / shardRows).toInt)
+    (if (shards == 1) matches.coalesce(1) else matches.repartition(shards))
+      .write.parquet(s"$root/$rel")
     val entries = entriesAt(cur)
     val dv0 = dvsAt(cur)
-    val dvNew = entries
-      .map(e => e.dir -> (dv0.getOrElse(e.dir, Seq.empty) :+ rel))
-      .toMap
-    writeVersion(cur + 1, schemaAt(cur).toDDL, partColAt(cur), entries,
+    val dvNew = entries.map { e =>
+      val attach = e.pcol != spec || touched.contains(e.value)
+      val prev = dv0.getOrElse(e.dir, Seq.empty)
+      e.dir -> (if (attach) prev :+ rel else prev)
+    }.toMap
+    writeVersion(cur + 1, schemaAt(cur).toDDL, spec, entries,
       defaultsAt(cur), statsAt(cur), dvNew)
   }
 
@@ -968,8 +1036,11 @@ class PartitionedCowTable(val root: String, val partCol: String,
       var (dd, dm, ds) = (0L, 0L, 0L)
       entries.foreach { p =>
         val n = p.getFileName.toString
+        // only OUR manifest names (v_NNNNNN.json) parse — a foreign
+        // file like v_backup.json must be left untouched, not crash
+        // the audit on toInt
         if (n.startsWith("w_") && !live.contains(n)) dd += 1
-        else if (n.startsWith("v_") && n.endsWith(".json") &&
+        else if (n.matches("v_\\d{6}\\.json") &&
           !versions.contains(n.stripPrefix("v_").stripSuffix(".json")
             .toInt)) dm += 1
         else if (n.startsWith("_stage_")) ds += 1
@@ -997,7 +1068,10 @@ class PartitionedCowTable(val root: String, val partCol: String,
     entries.foreach { p =>
       val n = p.getFileName.toString
       val deadData = n.startsWith("w_") && !live.contains(n)
-      val deadManifest = n.startsWith("v_") && n.endsWith(".json") &&
+      // strict v_NNNNNN.json match: a foreign v_*.json (backup, torn
+      // copy) must never abort vacuum mid-delete on toInt — treat it
+      // as not ours and leave it alone
+      val deadManifest = n.matches("v_\\d{6}\\.json") &&
         !versions.contains(
           n.stripPrefix("v_").stripSuffix(".json").toInt)
       val deadStage = n.startsWith("_stage_")

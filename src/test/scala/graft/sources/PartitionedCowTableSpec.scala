@@ -443,8 +443,12 @@ class PartitionedCowTableSpec extends SparkSpec {
     val v = t.version
     t.deleteWhereDV(col("pid") === 2, Seq("pid"))
     assert(t.version === v)
-    // the DV commit changes every dir's CONTENT: CDC sees it
-    assert(t.changedSince(0).count() === 2) // survivors 1, 3
+    // the DV commit changes exactly the dirs holding deleted keys:
+    // 2020-03 (pid 2) and 2020-05 (pid 4) — CDC reports their
+    // surviving rows (pid 1; 2020-05 emptied) and NOT untouched
+    // 2020-04 (pid 3), so read cost stays proportional to the delete
+    assert(t.changedSince(0).collect()
+      .map(_.getAs[Long]("pid")).toSet === Set(1L))
     // upsert a deleted key: its partition rewrites (materializing the
     // vector there), the new row lives; other vectors stay in force
     t.upsert(Seq((2L, "2020-03", "bb", true))
@@ -462,6 +466,119 @@ class PartitionedCowTableSpec extends SparkSpec {
       java.nio.file.Files.list(
         java.nio.file.Paths.get(t.root, "dv")).count() === 0)
     assert(t.read().count() === 3)
+  }
+
+  test("plan-automatic pruning: plain DataFrame filters consult the " +
+    "manifest + zone maps through the table's FileIndex") {
+    implicit val s = spark
+    val t = new PartitionedCowTable(
+      Files.createTempDirectory("pcow_auto").toString + "/t", "month",
+      spark, statsColumns = Seq("k"))
+    t.overwrite(Seq(
+      (1L, "2020-03", 10L), (2L, "2020-03", 20L),
+      (3L, "2020-04", 100L), (4L, "2020-05", 1000L))
+      .toDF("pid", "month", "k"))
+    // partition-column equality through a PLAIN filter: one dir listed
+    val m = t.read().filter(col("month") === "2020-04")
+    assert(m.collect().map(_.getAs[Long]("pid")).toSet === Set(3L))
+    assert(t.autoPruneLedger === ((3, 1)))
+    // range on the zone-mapped NON-partition column: two dirs
+    val z = t.read().filter(col("k") >= 15L && col("k") <= 150L)
+    assert(z.collect().map(_.getAs[Long]("pid")).toSet === Set(2L, 3L))
+    assert(t.autoPruneLedger === ((3, 2)))
+    // IN-list on the partition column
+    val i = t.read().filter(col("month").isin("2020-03", "2020-05"))
+    assert(i.count() === 3)
+    assert(t.autoPruneLedger === ((3, 2)))
+    // negation evaluates exactly on the known partition value
+    val n = t.read().filter(col("month") =!= "2020-03")
+    assert(n.count() === 2)
+    assert(t.autoPruneLedger === ((3, 2)))
+    // an unmodeled predicate keeps everything: conservative, correct
+    val u = t.read().filter(length(col("month")) === 7)
+    assert(u.count() === 4)
+    assert(t.autoPruneLedger === ((3, 3)))
+    // pruning composes with schema evolution and deletion vectors
+    t.evolveSchema("note", "STRING", Some("'x'"))
+    t.deleteWhereDV(col("pid") === 3L, Seq("pid"))
+    val c = t.read().filter(col("month") === "2020-04")
+    assert(c.collect().isEmpty) // dv applied
+    assert(t.autoPruneLedger === ((3, 1)))
+    assert(t.read().filter(col("month") === "2020-03")
+      .collect().map(_.getAs[String]("note")).toSet === Set("x"))
+  }
+
+  test("deletion vectors are SCOPED: untouched partitions keep their " +
+    "dv list and their reads carry no anti-join") {
+    val t = mk()
+    t.deleteWhereDV(col("pid") === 2, Seq("pid")) // lives in 2020-03
+    // only the touched partition's read applies a vector
+    val unaffected = t.readWhere(_ == "2020-04")
+    assert(!unaffected.queryExecution.optimizedPlan.toString
+      .contains("LeftAnti"))
+    assert(unaffected.count() === 1)
+    val touched = t.readWhere(_ == "2020-03")
+    assert(touched.queryExecution.optimizedPlan.toString
+      .contains("LeftAnti"))
+    assert(touched.collect().map(_.getAs[Long]("pid")).toSet === Set(1L))
+    // CDC: the delete changed exactly one partition
+    assert(t.changedSince(0).collect()
+      .map(_.getAs[Long]("pid")).toSet === Set(1L))
+    // a second delete in a different partition stacks independently
+    t.deleteWhereDV(col("pid") === 3, Seq("pid")) // 2020-04
+    assert(t.read().collect().map(_.getAs[Long]("pid")).toSet ===
+      Set(1L, 4L))
+    assert(!t.readWhere(_ == "2020-05").queryExecution.optimizedPlan
+      .toString.contains("LeftAnti"))
+  }
+
+  test("deletion vectors delete NULL-keyed rows (null-safe anti-join)") {
+    implicit val s = spark
+    val t = PartitionedCowTable(
+      Files.createTempDirectory("pcow_dvnull").toString + "/t", "month")
+    t.overwrite(Seq(
+      (Option(1L), "2020-03", 10L),
+      (Option.empty[Long], "2020-03", 999L),
+      (Option(3L), "2020-04", 30L))
+      .toDF("pid", "month", "k"))
+    // the predicate matches the null-keyed row; a plain-equality
+    // anti-join would silently keep it — the erasure must remove it
+    t.deleteWhereDV(col("k") === 999L, Seq("pid"))
+    assert(t.read().collect().map(_.getAs[Long]("k")).toSet ===
+      Set(10L, 30L))
+    // and non-null keys still delete alongside
+    t.deleteWhereDV(col("pid") === 3L, Seq("pid"))
+    assert(t.read().collect().map(_.getAs[Long]("k")).toSet === Set(10L))
+  }
+
+  test("deleteWhereDV shards large key files instead of coalesce(1)") {
+    val t = mk()
+    t.deleteWhereDV(col("pid") <= 3, Seq("pid"), shardRows = 1L)
+    assert(t.read().collect().map(_.getAs[Long]("pid")).toSet === Set(4L))
+    val dvDir = java.nio.file.Paths.get(t.root, t.liveDvFiles.head)
+    import scala.jdk.CollectionConverters._
+    val parts = {
+      val l = java.nio.file.Files.list(dvDir)
+      try l.iterator().asScala.count(p =>
+        p.getFileName.toString.startsWith("part-") &&
+          p.getFileName.toString.endsWith(".parquet"))
+      finally l.close()
+    }
+    assert(parts === 3) // ceil(3 keys / 1 per shard)
+  }
+
+  test("vacuum and orphanReport ignore foreign v_*.json names") {
+    val t = mk()
+    t.upsert(Seq((1L, "2020-03", "A", true))
+      .toDF("pid", "month", "v", "flag"), Seq("pid")) // v1 supersedes v0
+    val foreign = java.nio.file.Paths.get(t.root, "v_backup.json")
+    java.nio.file.Files.write(foreign, "{}".getBytes)
+    // a non-conforming name is not ours: never parsed, never counted,
+    // never deleted — and it must not abort the audit or the vacuum
+    assert(t.orphanReport._2 === 1L) // only the superseded v0 manifest
+    t.vacuum()
+    assert(java.nio.file.Files.exists(foreign))
+    assert(t.read().count() === 4)
   }
 
   test("tags anchor versions through vacuum; dropping the tag " +
