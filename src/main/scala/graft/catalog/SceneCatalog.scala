@@ -462,9 +462,13 @@ object SceneCatalog {
       case 3413 | 3031 => (x, y) =>
         val r = ProjImpl.psInverse(x, y, epsg)
         (r.getDouble(0), r.getDouble(1))
+      case 27700 => (x, y) =>
+        val r = ProjImpl.osgbInverse(x, y)
+        (r.getDouble(0), r.getDouble(1))
       case e => throw new IllegalArgumentException(
         s"normalizeLayerTo4326: unsupported layer EPSG:$e " +
-          "(supported: 4326, 3857, UTM 326zz/327zz, polar 3413/3031)")
+          "(supported: 4326, 3857, UTM 326zz/327zz, polar 3413/3031, " +
+          "OSGB 27700)")
     }
     // One WKT numeric token: optional sign, "3", "3.5", ".5", "3." —
     // the earlier form required a LEADING DIGIT, so ".5 50" matched

@@ -12,11 +12,14 @@ import org.apache.spark.sql.types._
   * dependency, from the published closed forms:
   *
   *  - EPSG:4326 (identity), EPSG:3857 (web mercator — composed from
-  *    built-ins in GraftFunctions), and
+  *    built-ins in GraftFunctions),
   *  - the UTM families EPSG:326zz (north) / 327zz (south) via the
   *    WGS84 Transverse Mercator series (Snyder 1987, "Map
   *    Projections — A Working Manual", eqs. 8-9..8-25; sub-cm vs
-  *    proj within a zone's normal extent).
+  *    proj within a zone's normal extent), and
+  *  - EPSG:27700 (OSGB National Grid — the reference's home CRS):
+  *    the same TM series on Airy 1830 with false origin, composed
+  *    with the OS published WGS84↔OSGB36 Helmert shift.
   *
   * Scalar math with `doGenCode` static calls — reprojection runs
   * per-scene-row inside whole-stage codegen during spatial joins.
@@ -212,15 +215,171 @@ object ProjImpl {
     psInverseParams(x, y, psLatTs(epsg), psLon0(epsg))
   }
 
+  // ---- OSGB National Grid (EPSG:27700) — the reference's home CRS
+  // (its GB vector layers author in it; eodatadownlandsatgoogsensor
+  // .py:723-725 reprojects arbitrary layer EPSGs). Airy 1830
+  // Transverse Mercator with false origin, constants from the EPSG
+  // registry / OS "A guide to coordinate systems in Great Britain"
+  // (Annexes A-C), on the SAME Snyder series as UTM — plus the OS
+  // published 7-parameter small-angle Helmert between the WGS84 and
+  // OSGB36 geodetic datums (position-vector convention; ±3 m nominal
+  // vs the OSTN grid — exactly what osr does for 27700 without grid
+  // files). Projection series itself is mm-exact over GB (worked
+  // example pinned < 10 cm in ProjSpec).
+
+  private val airyA = 6377563.396
+  private val airyB = 6356256.909
+  private val airyE2 = 1 - (airyB * airyB) / (airyA * airyA)
+  private val airyEp2 = airyE2 / (1 - airyE2)
+  private val osgbK0 = 0.9996012717
+  private val osgbPhi0 = math.toRadians(49.0)
+  private val osgbLam0 = math.toRadians(-2.0)
+  private val osgbFE = 400000.0
+  private val osgbFN = -100000.0
+
+  /** Snyder eq. 3-21 with explicit ellipsoid constants. */
+  private def arcOn(phi: Double, aa: Double, ee2: Double): Double = {
+    val e4 = ee2 * ee2; val e6 = e4 * ee2
+    aa * ((1 - ee2 / 4 - 3 * e4 / 64 - 5 * e6 / 256) * phi -
+      (3 * ee2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024) * math.sin(2 * phi) +
+      (15 * e4 / 256 + 45 * e6 / 1024) * math.sin(4 * phi) -
+      (35 * e6 / 3072) * math.sin(6 * phi))
+  }
+
+  /** OSGB36 (lon, lat) degrees → National Grid (E, N) meters: the
+    * UTM forward series with Airy constants, scale, false origin.
+    */
+  def osgbTmForward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+    val phi = math.toRadians(latDeg)
+    val lam = math.toRadians(lonDeg)
+    val sinP = math.sin(phi); val cosP = math.cos(phi)
+    val tanP = math.tan(phi)
+    val n = airyA / math.sqrt(1 - airyE2 * sinP * sinP)
+    val t = tanP * tanP
+    val c = airyEp2 * cosP * cosP
+    val bigA = cosP * (lam - osgbLam0)
+    val a2 = bigA * bigA; val a3 = a2 * bigA
+    val a4 = a3 * bigA; val a5 = a4 * bigA; val a6 = a5 * bigA
+    val x = osgbK0 * n * (bigA + (1 - t + c) * a3 / 6 +
+      (5 - 18 * t + t * t + 72 * c - 58 * airyEp2) * a5 / 120) + osgbFE
+    val m0 = arcOn(osgbPhi0, airyA, airyE2)
+    val y = osgbK0 * (arcOn(phi, airyA, airyE2) - m0 +
+      n * tanP * (a2 / 2 + (5 - t + 9 * c + 4 * c * c) * a4 / 24 +
+        (61 - 58 * t + t * t + 600 * c - 330 * airyEp2) * a6 / 720)) +
+      osgbFN
+    (x, y)
+  }
+
+  /** National Grid (E, N) meters → OSGB36 (lon, lat) degrees. */
+  def osgbTmInverse(easting: Double, northing: Double)
+      : (Double, Double) = {
+    val x = easting - osgbFE
+    val m = arcOn(osgbPhi0, airyA, airyE2) + (northing - osgbFN) / osgbK0
+    val e4 = airyE2 * airyE2; val e6 = e4 * airyE2
+    val mu = m / (airyA * (1 - airyE2 / 4 - 3 * e4 / 64 - 5 * e6 / 256))
+    val e1 = (1 - math.sqrt(1 - airyE2)) / (1 + math.sqrt(1 - airyE2))
+    val e1_2 = e1 * e1; val e1_3 = e1_2 * e1; val e1_4 = e1_3 * e1
+    val phi1 = mu + (3 * e1 / 2 - 27 * e1_3 / 32) * math.sin(2 * mu) +
+      (21 * e1_2 / 16 - 55 * e1_4 / 32) * math.sin(4 * mu) +
+      (151 * e1_3 / 96) * math.sin(6 * mu) +
+      (1097 * e1_4 / 512) * math.sin(8 * mu)
+    val sinP = math.sin(phi1); val cosP = math.cos(phi1)
+    val tanP = math.tan(phi1)
+    val c1 = airyEp2 * cosP * cosP
+    val t1 = tanP * tanP
+    val n1 = airyA / math.sqrt(1 - airyE2 * sinP * sinP)
+    val r1 = airyA * (1 - airyE2) /
+      math.pow(1 - airyE2 * sinP * sinP, 1.5)
+    val d = x / (n1 * osgbK0)
+    val d2 = d * d; val d3 = d2 * d; val d4 = d3 * d
+    val d5 = d4 * d; val d6 = d5 * d
+    val phi = phi1 - (n1 * tanP / r1) * (d2 / 2 -
+      (5 + 3 * t1 + 10 * c1 - 4 * c1 * c1 - 9 * airyEp2) * d4 / 24 +
+      (61 + 90 * t1 + 298 * c1 + 45 * t1 * t1 - 252 * airyEp2 -
+        3 * c1 * c1) * d6 / 720)
+    val lam = (d - (1 + 2 * t1 + c1) * d3 / 6 +
+      (5 - 2 * c1 + 28 * t1 - 3 * c1 * c1 + 8 * airyEp2 +
+        24 * t1 * t1) * d5 / 120) / cosP
+    (math.toDegrees(osgbLam0 + lam), math.toDegrees(phi))
+  }
+
+  // OS Helmert WGS84 → OSGB36 (position-vector, small-angle): tx ty
+  // tz meters, s ppm, rx ry rz arcseconds. The inverse uses the
+  // negated set (standard small-angle practice; re-application error
+  // is mm at these magnitudes).
+  private val helmTx = -446.448
+  private val helmTy = 125.157
+  private val helmTz = -542.060
+  private val helmS = 20.4894e-6
+  private val helmRx = math.toRadians(-0.1502 / 3600.0)
+  private val helmRy = math.toRadians(-0.2470 / 3600.0)
+  private val helmRz = math.toRadians(-0.8421 / 3600.0)
+
+  /** Geodetic (h=0) → geocentric cartesian on an ellipsoid. */
+  private def toXYZ(lonDeg: Double, latDeg: Double, aa: Double,
+                    ee2: Double): (Double, Double, Double) = {
+    val phi = math.toRadians(latDeg); val lam = math.toRadians(lonDeg)
+    val sinP = math.sin(phi)
+    val nu = aa / math.sqrt(1 - ee2 * sinP * sinP)
+    (nu * math.cos(phi) * math.cos(lam),
+      nu * math.cos(phi) * math.sin(lam),
+      nu * (1 - ee2) * sinP)
+  }
+
+  /** Geocentric cartesian → geodetic lon/lat (iterative latitude). */
+  private def toLonLat(x: Double, y: Double, z: Double, aa: Double,
+                       ee2: Double): (Double, Double) = {
+    val lam = math.atan2(y, x)
+    val p = math.hypot(x, y)
+    var phi = math.atan2(z, p * (1 - ee2))
+    var i = 0
+    while (i < 8) { // converges to < 1e-12 rad in ~4 rounds
+      val sinP = math.sin(phi)
+      val nu = aa / math.sqrt(1 - ee2 * sinP * sinP)
+      phi = math.atan2(z + ee2 * nu * sinP, p)
+      i += 1
+    }
+    (math.toDegrees(lam), math.toDegrees(phi))
+  }
+
+  private def helmert(x: Double, y: Double, z: Double, sign: Double)
+      : (Double, Double, Double) = {
+    val s = 1 + sign * helmS
+    val rx = sign * helmRx; val ry = sign * helmRy; val rz = sign * helmRz
+    (sign * helmTx + s * (x - rz * y + ry * z),
+      sign * helmTy + s * (rz * x + y - rx * z),
+      sign * helmTz + s * (-ry * x + rx * y + z))
+  }
+
+  /** WGS84 (lon, lat) degrees → National Grid (easting, northing):
+    * Helmert to OSGB36, then the Airy TM forward.
+    */
+  def osgbForward(lonDeg: Double, latDeg: Double): InternalRow = {
+    val (x, y, z) = toXYZ(lonDeg, latDeg, a, e2)
+    val (x2, y2, z2) = helmert(x, y, z, 1.0)
+    val (lon36, lat36) = toLonLat(x2, y2, z2, airyA, airyE2)
+    val (east, north) = osgbTmForward(lon36, lat36)
+    InternalRow(east, north)
+  }
+
+  /** National Grid (easting, northing) → WGS84 (lon, lat) degrees. */
+  def osgbInverse(easting: Double, northing: Double): InternalRow = {
+    val (lon36, lat36) = osgbTmInverse(easting, northing)
+    val (x, y, z) = toXYZ(lon36, lat36, airyA, airyE2)
+    val (x2, y2, z2) = helmert(x, y, z, -1.0)
+    val (lon, lat) = toLonLat(x2, y2, z2, a, e2)
+    InternalRow(lon, lat)
+  }
+
   /** bbox struct (degrees) → bbox struct (target CRS meters), corner
     * reprojection + envelope (what reprojBBOX does for a rectangle).
     * Throws on unsupported EPSG — silently wrong geometry is worse.
-    * Dispatches across BOTH supported projection families: UTM
-    * 326zz/327zz and polar stereographic 3413/3031. NB: a corner
-    * envelope in a polar CRS UNDER-covers a box that spans the pole or
-    * wide longitudes (the projected edges bulge); callers doing polar
-    * containment joins should cut wide boxes first (bboxSplit) exactly
-    * as they do for the antimeridian.
+    * Dispatches across the supported projection families: UTM
+    * 326zz/327zz, polar stereographic 3413/3031, and OSGB 27700. NB:
+    * a corner envelope in a polar CRS UNDER-covers a box that spans
+    * the pole or wide longitudes (the projected edges bulge); callers
+    * doing polar containment joins should cut wide boxes first
+    * (bboxSplit) exactly as they do for the antimeridian.
     */
   def bboxToUtm(bbox: InternalRow, epsg: Int): InternalRow = {
     val n = bbox.getDouble(0); val s = bbox.getDouble(1)
@@ -231,10 +390,13 @@ object ProjImpl {
         val south = isSouth(epsg)
         Array((w, s), (w, n), (e, s), (e, n))
           .map { case (lon, lat) => utmForward(lon, lat, zone, south) }
+      } else if (epsg == 27700) {
+        Array((w, s), (w, n), (e, s), (e, n))
+          .map { case (lon, lat) => osgbForward(lon, lat) }
       } else {
         require(epsg == 3413 || epsg == 3031,
-          s"unsupported EPSG:$epsg (expected UTM 326zz/327zz or " +
-            "polar stereographic 3413/3031)")
+          s"unsupported EPSG:$epsg (expected UTM 326zz/327zz, " +
+            "polar stereographic 3413/3031, or OSGB 27700)")
         Array((w, s), (w, n), (e, s), (e, n))
           .map { case (lon, lat) => psForward(lon, lat, epsg) }
       }

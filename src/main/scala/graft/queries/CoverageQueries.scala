@@ -3735,7 +3735,7 @@ object CoverageQueries {
     // the q230 engine-exact trajectory discipline.
     "q244_markov_removal_attribution" -> { (s, dir) =>
       val M = 1000000L
-      val rounds = 25
+      val rounds = 500 // loud-failure cap, not a target (see converge)
       val channels = Seq("click", "error", "signup", "view")
       val w = Window.partitionBy("user_id")
         .orderBy(col("ts"), col("event_id"))
@@ -3767,11 +3767,22 @@ object CoverageQueries {
         .toMap // type-vocab-bounded metadata, the kmeansFit precedent
       val states = (pm.keys.flatMap(k => Seq(k._1, k._2)).toSet
         ++ Set("conv", "null")).toSeq.sorted
+      // iterate the discretized Bellman operator to its FIXED POINT,
+      // not a fixed round count: the operator is monotone on the
+      // integer-micro lattice (all coefficients >= 0) and the start
+      // vector is its bottom, so iterates increase to the unique
+      // least fixed point in finitely many rounds — the converged
+      // value is iteration-count-independent, which is what lets the
+      // oracle DERIVE it (recursive fixpoint) instead of replaying a
+      // round count (the q168 idempotence argument). Observed ~60
+      // rounds at sf0.01; the cap is a loud-failure backstop.
       def converge(removed: Option[String]): Long = {
         var x = states.map(s =>
           s -> (if (s == "conv") M else 0L)).toMap
-        for (_ <- 1 to rounds) {
-          x = states.map { s =>
+        var r = 0
+        var stable = false
+        while (!stable && r < rounds) {
+          val nx = states.map { s =>
             val v =
               if (s == "conv") M
               else if (s == "null" || removed.contains(s)) 0L
@@ -3779,7 +3790,12 @@ object CoverageQueries {
                 pm.getOrElse((s, t), 0L) * x(t)).sum / M
             s -> v
           }.toMap
+          stable = nx == x
+          x = nx
+          r += 1
         }
+        require(stable,
+          s"markov attribution did not converge in $rounds rounds")
         x.getOrElse("start", 0L)
       }
       val base = converge(None)
@@ -5753,40 +5769,18 @@ object CoverageQueries {
         |FROM r GROUP BY source, bucket
         |ORDER BY source, bucket""".stripMargin,
 
-    // the same journeys, micro transition matrix, and 25 integer
-    // power-iteration rounds × 5 scenarios as generated MATERIALIZED
-    // CTEs (the kcore/q230 device)
-    "q244_markov_removal_attribution" -> {
-      val scen = Seq("base" -> "", "click" -> "click",
-        "error" -> "error", "signup" -> "signup", "view" -> "view")
-      def roundCte(sc: String, removed: String, k: Int): String = {
-        val remCase =
-          if (removed.isEmpty) ""
-          else s"WHEN s.st = '$removed' THEN 0\n    "
-        s"""x${k}_$sc AS MATERIALIZED (
-           |  SELECT s.st, CAST(CASE
-           |    WHEN s.st = 'conv' THEN 1000000
-           |    WHEN s.st = 'null' THEN 0
-           |    ${remCase}ELSE COALESCE((
-           |      SELECT CAST(sum(p.pm * x.x) // 1000000 AS BIGINT)
-           |      FROM pm p JOIN x${k - 1}_$sc x ON x.st = p.nxt
-           |      WHERE p.cur = s.st), 0)
-           |  END AS BIGINT) AS x
-           |  FROM sts s),""".stripMargin
-      }
-      val zeros = scen.map { case (sc, _) =>
-        s"""x0_$sc AS (SELECT st, CAST(CASE WHEN st = 'conv'
-           |  THEN 1000000 ELSE 0 END AS BIGINT) AS x FROM sts),"""
-          .stripMargin
-      }.mkString("\n")
-      val iters = scen.flatMap { case (sc, rm) =>
-        (1 to 25).map(k => roundCte(sc, rm, k))
-      }.mkString("\n")
-      val effRows = scen.tail.map { case (sc, _) =>
-        s"SELECT '$sc' AS channel, (SELECT x FROM x25_$sc " +
-          s"WHERE st = 'start') AS removal"
-      }.mkString("\nUNION ALL ")
-      """WITH e AS MATERIALIZED (
+    // the absorbing chain SOLVED as a recursive FIXPOINT, not a
+    // round-count replay: the discretized operator is monotone on the
+    // integer-micro lattice, so iterating from bottom converges to
+    // its unique least fixed point in finitely many rounds (~60 at
+    // sf0.01) and is then idempotent — a 500-round recursion returns
+    // the converged vector no matter how many rounds the engine took
+    // (the q168 argument). Absorbing states ride as self-loop rows so
+    // the recursive member needs exactly one reference to the
+    // iteration table; the removed channel's value is forced 0 inside
+    // the same member.
+    "q244_markov_removal_attribution" ->
+      """WITH RECURSIVE e AS MATERIALIZED (
         |  SELECT user_id, ts, event_id,
         |    CASE WHEN event_type = 'purchase' THEN 'conv'
         |      ELSE event_type END AS st
@@ -5817,28 +5811,43 @@ object CoverageQueries {
         |  SELECT ed.cur, ed.nxt,
         |    CAST((ed.n * 1000000) // t.tot AS BIGINT) AS pm
         |  FROM ed JOIN (SELECT cur, CAST(sum(n) AS BIGINT) AS tot
-        |                FROM ed GROUP BY cur) t USING (cur)),
+        |                FROM ed GROUP BY cur) t USING (cur)
+        |  UNION ALL SELECT 'conv', 'conv', CAST(1000000 AS BIGINT)
+        |  UNION ALL SELECT 'null', 'null', CAST(1000000 AS BIGINT)),
         |sts AS MATERIALIZED (
         |  SELECT DISTINCT st FROM (
-        |    SELECT cur AS st FROM pm UNION ALL SELECT nxt FROM pm
-        |    UNION ALL SELECT 'conv' UNION ALL SELECT 'null')),
-        |""".stripMargin +
-        zeros + "\n" + iters + "\n" +
-        s"""b AS (SELECT x AS base FROM x25_base WHERE st = 'start'),
-           |effs AS ($effRows),
-           |tot AS (
-           |  SELECT CAST(sum(greatest(b.base - effs.removal, 0))
-           |    AS BIGINT) AS te
-           |  FROM effs, b)
-           |SELECT effs.channel, b.base AS base_micro,
-           |  effs.removal AS removal_micro,
-           |  CAST(greatest(b.base - effs.removal, 0) AS BIGINT)
-           |    AS effect_micro,
-           |  CAST(CASE WHEN tot.te = 0 THEN 0
-           |    ELSE (greatest(b.base - effs.removal, 0) * 1000000)
-           |      // tot.te END AS BIGINT) AS share_micro
-           |FROM effs, b, tot ORDER BY effs.channel""".stripMargin
-    },
+        |    SELECT cur AS st FROM pm UNION ALL SELECT nxt FROM pm)),
+        |scen(rem) AS (
+        |  VALUES (NULL), ('click'), ('error'), ('signup'), ('view')),
+        |it AS (
+        |  SELECT 0 AS r, scen.rem, sts.st,
+        |    CAST(CASE WHEN sts.st = 'conv' THEN 1000000 ELSE 0 END
+        |      AS BIGINT) AS x
+        |  FROM scen, sts
+        |  UNION ALL
+        |  SELECT it.r + 1, it.rem, pm.cur AS st,
+        |    CAST(CASE WHEN pm.cur IS NOT DISTINCT FROM it.rem THEN 0
+        |         ELSE sum(pm.pm * it.x) // 1000000 END AS BIGINT) AS x
+        |  FROM it JOIN pm ON pm.nxt = it.st
+        |  WHERE it.r < 500
+        |  GROUP BY it.r, it.rem, pm.cur),
+        |fin AS (SELECT rem, x FROM it WHERE r = 500 AND st = 'start'),
+        |b AS (SELECT x AS base FROM fin WHERE rem IS NULL),
+        |effs AS (
+        |  SELECT rem AS channel, fin.x AS removal FROM fin
+        |  WHERE rem IS NOT NULL),
+        |tot AS (
+        |  SELECT CAST(sum(greatest(b.base - effs.removal, 0))
+        |    AS BIGINT) AS te
+        |  FROM effs, b)
+        |SELECT effs.channel, b.base AS base_micro,
+        |  effs.removal AS removal_micro,
+        |  CAST(greatest(b.base - effs.removal, 0) AS BIGINT)
+        |    AS effect_micro,
+        |  CAST(CASE WHEN tot.te = 0 THEN 0
+        |    ELSE (greatest(b.base - effs.removal, 0) * 1000000)
+        |      // tot.te END AS BIGINT) AS share_micro
+        |FROM effs, b, tot ORDER BY effs.channel""".stripMargin,
 
     // the same self-anchored horizon and one floor division
     "q252_retention_audit" ->
@@ -5975,6 +5984,13 @@ object CoverageQueries {
 
     // the same string-exact log2 buckets, the same nearest-rank pick
     // on both arms
+    // the EXACT nearest-rank percentile is the oracle's primary (its
+    // own value histogram — the audit arm promoted); the sketch
+    // estimate is DERIVED from it closed-form, never rebuilt: the
+    // covering dyadic bucket of rank r is floor(log2(x_r)), so
+    // est = 2^(floor(log2(x_r)) + 1) − 1 — count(v <= 2^(b+1)−1) >= r
+    // iff 2^(b+1)−1 >= x_r, so the minimal covering bucket and the
+    // exact percentile determine each other
     "q261_dyadic_quantile_sketch" ->
       """WITH ev AS MATERIALIZED (
         |  SELECT event_type AS et,
@@ -5985,20 +6001,6 @@ object CoverageQueries {
         |  SELECT n.et, n.n, p.p, (n.n * p.p + 99) // 100 AS r
         |  FROM n CROSS JOIN (VALUES (CAST(50 AS BIGINT)), (95), (99))
         |    AS p(p)),
-        |sk AS (
-        |  SELECT et, CAST(length(bin(vm)) - 1 AS BIGINT) AS b,
-        |    count(*) AS cnt
-        |  FROM ev GROUP BY 1, 2),
-        |skc AS (
-        |  SELECT et, b,
-        |    CAST(sum(cnt) OVER (PARTITION BY et ORDER BY b) AS BIGINT)
-        |      AS cum
-        |  FROM sk),
-        |est AS (
-        |  SELECT rk.et, rk.p, rk.n,
-        |    CAST(pow(2, min(skc.b) + 1) AS BIGINT) - 1 AS est_micro
-        |  FROM ranks rk JOIN skc ON skc.et = rk.et AND skc.cum >= rk.r
-        |  GROUP BY rk.et, rk.p, rk.n),
         |hx AS (SELECT et, vm, count(*) AS cnt FROM ev GROUP BY 1, 2),
         |hxc AS (
         |  SELECT et, vm,
@@ -6006,15 +6008,17 @@ object CoverageQueries {
         |      AS cum
         |  FROM hx),
         |ex AS (
-        |  SELECT rk.et, rk.p, min(hxc.vm) AS exact_micro
+        |  SELECT rk.et, rk.p, rk.n, min(hxc.vm) AS exact_micro
         |  FROM ranks rk JOIN hxc ON hxc.et = rk.et AND hxc.cum >= rk.r
-        |  GROUP BY rk.et, rk.p)
-        |SELECT est.et AS event_type, est.p AS p, est.n, est.est_micro,
-        |  ex.exact_micro,
-        |  CAST(((est.est_micro - ex.exact_micro) * 1000000)
-        |    // ex.exact_micro AS BIGINT) AS rel_err_micro
-        |FROM est JOIN ex ON ex.et = est.et AND ex.p = est.p
-        |ORDER BY event_type, p""".stripMargin,
+        |  GROUP BY rk.et, rk.p, rk.n)
+        |SELECT et AS event_type, p, n,
+        |  CAST(pow(2, length(bin(exact_micro))) AS BIGINT) - 1
+        |    AS est_micro,
+        |  exact_micro,
+        |  CAST(((CAST(pow(2, length(bin(exact_micro))) AS BIGINT) - 1
+        |    - exact_micro) * 1000000) // exact_micro AS BIGINT)
+        |    AS rel_err_micro
+        |FROM ex ORDER BY event_type, p""".stripMargin,
 
     // the answer from the plain range filter; the ledger from
     // per-month datekey extents (a month dir is kept iff its extent

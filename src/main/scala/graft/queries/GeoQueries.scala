@@ -176,6 +176,44 @@ object GeoQueries {
         .orderBy("p_partkey")
     },
 
+    // C11 OSGB family under the driver gate: a vector layer authored
+    // in EPSG:27700 (National Grid — the reference's home CRS,
+    // eodatadownlandsatgoogsensor.py:723-725 reprojects arbitrary
+    // layer EPSGs) normalizes through the Airy-TM + Helmert inverse
+    // and joins footprints exactly like a 4326 layer; the oracle runs
+    // the SAME spatial predicate on the ORIGINAL 4326 triangle via
+    // closed-form SAT — so a mis-georeferenced inverse (wrong false
+    // origin, dropped datum shift) flips membership rows and fails
+    // the hash. The OS published worked example rides along cm-
+    // rounded as the absolute georeferencing anchor (651409.903 /
+    // 313177.270 — OS guide Annexe C).
+    "q279_osgb_layer_join" -> { (s, dir) =>
+      import graft.functions.expressions.ProjImpl
+      val fp = footprints(s, dir)
+      // GB triangle; vertices off the integer lattice so footprint
+      // corners never sit ON an edge (round-trip wobble is ~1e-8 deg,
+      // margins are >= 1e-2)
+      val tri = Seq((-5.9, 50.1), (1.7, 51.3), (-2.3, 57.9),
+        (-5.9, 50.1))
+      val wkt27700 = "POLYGON ((" + tri.map { case (lon, lat) =>
+        val r = ProjImpl.osgbForward(lon, lat)
+        String.format(java.util.Locale.ROOT, "%.3f %.3f",
+          Double.box(r.getDouble(0)), Double.box(r.getDouble(1)))
+      }.mkString(", ") + "))"
+      val Seq((_, wkt)) = graft.catalog.SceneCatalog
+        .normalizeLayerTo4326(Seq(("gb", wkt27700)), 27700)
+      val (exE, exN) = ProjImpl.osgbTmForward(
+        1.0 + 43.0 / 60 + 4.5177 / 3600,
+        52.0 + 39.0 / 60 + 27.2531 / 3600)
+      fp.filter(G.polygonIntersects(
+          G.bbox(col("north"), col("south"), col("east"), col("west")),
+          lit(wkt)))
+        .agg(count(lit(1)).as("n_hits"),
+          sum("c_custkey").as("sum_keys"))
+        .withColumn("example_e_cm", lit(math.round(exE * 100)))
+        .withColumn("example_n_cm", lit(math.round(exN * 100)))
+    },
+
     // S9 under the driver gate: GeoJSON FeatureCollection round trip.
     // Footprints export through the real single-file writer
     // (ExportImport.exportGeoJson — distributed feature build,
@@ -367,6 +405,48 @@ object GeoQueries {
         |WHERE east >= env_w AND west <= env_e
         |  AND north >= env_s AND south <= env_n
         |ORDER BY geom, c_custkey""".stripMargin,
+
+    // membership from the ORIGINAL 4326 triangle via closed-form SAT
+    // (exact for convex shapes): bbox overlap + the three edge-normal
+    // axes, rect projections taken corner-wise by normal sign. The
+    // worked-example anchor is the OS PUBLISHED grid value, cm-rounded
+    // (the engine's series is mm-exact, so the cm digits must agree).
+    "q279_osgb_layer_join" ->
+      """WITH fp AS (
+        |  SELECT c_custkey,
+        |    CAST(c_custkey % 160 - 80 + 1 + c_custkey % 7 AS DOUBLE) AS north,
+        |    CAST(c_custkey % 160 - 80 AS DOUBLE) AS south,
+        |    CAST((c_custkey * 7) % 340 - 170 + 1 + c_custkey % 11 AS DOUBLE) AS east,
+        |    CAST((c_custkey * 7) % 340 - 170 AS DOUBLE) AS west
+        |  FROM customer),
+        |axes(nx, ny) AS (
+        |  VALUES (1.2, -7.6), (6.6, 4.0), (-7.8, 3.6)),
+        |proj AS (
+        |  SELECT nx, ny,
+        |    least(nx * (-5.9) + ny * 50.1, nx * 1.7 + ny * 51.3,
+        |      nx * (-2.3) + ny * 57.9) AS tmin,
+        |    greatest(nx * (-5.9) + ny * 50.1, nx * 1.7 + ny * 51.3,
+        |      nx * (-2.3) + ny * 57.9) AS tmax
+        |  FROM axes),
+        |hits AS (
+        |  SELECT c_custkey FROM fp
+        |  WHERE east >= -5.9 AND west <= 1.7
+        |    AND north >= 50.1 AND south <= 57.9
+        |    AND NOT EXISTS (
+        |      SELECT 1 FROM proj
+        |      WHERE NOT (
+        |        (CASE WHEN nx >= 0 THEN nx * east ELSE nx * west END +
+        |         CASE WHEN ny >= 0 THEN ny * north ELSE ny * south END)
+        |          >= tmin
+        |        AND
+        |        (CASE WHEN nx >= 0 THEN nx * west ELSE nx * east END +
+        |         CASE WHEN ny >= 0 THEN ny * south ELSE ny * north END)
+        |          <= tmax)))
+        |SELECT count(*) AS n_hits,
+        |  CAST(sum(c_custkey) AS BIGINT) AS sum_keys,
+        |  CAST(65140990 AS BIGINT) AS example_e_cm,
+        |  CAST(31317727 AS BIGINT) AS example_n_cm
+        |FROM hits""".stripMargin,
 
     // Forward mirrored term-for-term (Snyder §21 / EPSG variant B;
     // the south aspect is the north formulas on |lat| with flipped

@@ -1090,8 +1090,12 @@ object StreamingQueries {
               "p_ts <= c_ts + interval 1 hour"), "full_outer"),
         orderColsA = Seq(col("c_ts"), col("click_id")),
         orderColsB = Seq(col("p_ts"), col("purchase_id")))._1
+        // null sides surface as -1: the ids are positive, and a
+        // sentinel keeps the gate's sort/hash total (mixed null/value
+        // columns have engine-specific orderings)
         .select(coalesce(col("c_user"), col("p_user")).as("user_id"),
-          col("click_id"), col("purchase_id"))
+          coalesce(col("click_id"), lit(-1L)).as("click_id"),
+          coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"))
         .orderBy("user_id", "click_id", "purchase_id")
     },
 
@@ -1316,6 +1320,91 @@ object StreamingQueries {
         |    AND p.p_ts >= c.c_ts AND p.p_ts <= c.c_ts + INTERVAL 1 HOUR))
         |SELECT user_id, click_id, purchase_id FROM m
         |UNION ALL SELECT user_id, click_id, purchase_id FROM unm
+        |ORDER BY user_id, click_id, purchase_id""".stripMargin,
+
+    // both state curves derived from the micro-batch watermark
+    // protocol, empirically pinned against Spark 4.1.2 (the q260/q265
+    // method): unbounded dedup state = cumulative distinct keys
+    // first-seen through batch b; bounded state = first-seen NON-LATE
+    // keys (late under the in-force watermark, slices < b-1) still
+    // unexpired at batch b's END-OF-BATCH watermark (slices < b,
+    // minus the 2h delay) — an entry survives while hts + delay >
+    // that watermark, strictly (boundary ties occur at whole hours
+    // and Spark holds the strict side)
+    "q278_state_metrics_bounded" ->
+      """WITH ev AS MATERIALIZED (
+        |  SELECT user_id, date_trunc('hour', ts) AS hts, event_id,
+        |    ('0x' || substr(md5('smb:' || CAST(event_id AS VARCHAR)),
+        |      1, 15))::BIGINT AS arr
+        |  FROM events),
+        |sl AS MATERIALIZED (
+        |  SELECT user_id, hts,
+        |    ntile(5) OVER (ORDER BY arr, event_id) AS b
+        |  FROM ev),
+        |mx AS (SELECT b, max(hts) AS mts FROM sl GROUP BY b),
+        |wmin AS (
+        |  SELECT m.b, (SELECT max(mts) FROM mx m2 WHERE m2.b < m.b - 1)
+        |    - INTERVAL 2 HOUR AS w
+        |  FROM mx m),
+        |wev AS (
+        |  SELECT m.b, (SELECT max(mts) FROM mx m2 WHERE m2.b < m.b)
+        |    - INTERVAL 2 HOUR AS w
+        |  FROM mx m),
+        |f AS (SELECT user_id, hts, min(b) AS fb FROM sl GROUP BY 1, 2),
+        |nonlate AS (
+        |  SELECT sl.user_id, sl.hts, min(sl.b) AS firstb
+        |  FROM sl JOIN wmin ON wmin.b = sl.b
+        |  WHERE wmin.w IS NULL OR sl.hts > wmin.w
+        |  GROUP BY 1, 2),
+        |u AS (
+        |  SELECT m.b, count(*) AS un FROM mx m
+        |  JOIN f ON f.fb <= m.b GROUP BY m.b),
+        |wc AS (
+        |  SELECT we.b, count(*) AS wn FROM wev we
+        |  JOIN nonlate nl ON nl.firstb <= we.b
+        |    AND (we.w IS NULL OR nl.hts + INTERVAL 2 HOUR > we.w)
+        |  GROUP BY we.b)
+        |SELECT CAST(u.b - 1 AS BIGINT) AS batch,
+        |  u.un AS unbounded_state_rows,
+        |  wc.wn AS bounded_state_rows
+        |FROM u JOIN wc ON u.b = wc.b ORDER BY batch""".stripMargin,
+
+    // q177's cutoff model extended symmetrically: matches always;
+    // null-purchase rows for clicks whose 1h window closed under the
+    // final watermark; null-click rows for purchases the watermark
+    // passed (a purchase only matches clicks at or before it)
+    "q277_stream_stream_full_outer" ->
+      """WITH c AS (
+        |  SELECT user_id, ts AS c_ts, event_id AS click_id
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, ts AS p_ts, event_id AS purchase_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |wm AS (
+        |  SELECT least((SELECT max(c_ts) FROM c),
+        |               (SELECT max(p_ts) FROM p))
+        |    - INTERVAL 1 HOUR AS w),
+        |m AS (
+        |  SELECT c.user_id, c.click_id, p.purchase_id
+        |  FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p.p_ts >= c.c_ts AND p.p_ts <= c.c_ts + INTERVAL 1 HOUR),
+        |unc AS (
+        |  SELECT c.user_id, c.click_id, CAST(-1 AS BIGINT) AS purchase_id
+        |  FROM c, wm
+        |  WHERE c.c_ts + INTERVAL 1 HOUR < wm.w
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM p WHERE p.user_id = c.user_id
+        |    AND p.p_ts >= c.c_ts AND p.p_ts <= c.c_ts + INTERVAL 1 HOUR)),
+        |unp AS (
+        |  SELECT p.user_id, CAST(-1 AS BIGINT) AS click_id, p.purchase_id
+        |  FROM p, wm
+        |  WHERE p.p_ts < wm.w
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM c WHERE c.user_id = p.user_id
+        |    AND p.p_ts >= c.c_ts AND p.p_ts <= c.c_ts + INTERVAL 1 HOUR))
+        |SELECT user_id, click_id, purchase_id FROM m
+        |UNION ALL SELECT user_id, click_id, purchase_id FROM unc
+        |UNION ALL SELECT user_id, click_id, purchase_id FROM unp
         |ORDER BY user_id, click_id, purchase_id""".stripMargin,
 
     // the batch interval join the drained stream must reproduce

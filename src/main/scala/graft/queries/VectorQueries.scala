@@ -526,6 +526,17 @@ object VectorQueries {
     // state checkpointed per step (the q190 state-as-table device);
     // nothing quadratic in the corpus, unlike the all-pairs
     // formulations of diversity selection.
+    //
+    // Gated by PROPERTY, not by replaying the traversal (the
+    // independent-oracle program): the oracle derives d2 — the
+    // farthest distance from the seed — from the data alone, and pins
+    // the Gonzalez invariants the engine MEASURES over its own
+    // result: k distinct centers; the greedy pick distances
+    // non-increasing; every point within the last pick's distance of
+    // some center (coverage radius ≤ d_k); the centers pairwise at
+    // least d_k apart (each pick was that far from all earlier ones).
+    // A broken greedy (wrong argmax, stale min-distance, duplicate
+    // pick) fails one of the measured flags or d2.
     "q232_kcenter_coreset" -> { (s, dir) =>
       val k = 8
       val e = emb(s, dir).select("vec_id", "v")
@@ -558,8 +569,33 @@ object VectorQueries {
           step += 1
         }
       }
+      // measured invariants over the engine's own result
+      val picks = sel.drop(1) // (step, id, dist) for steps 2..k
+      val dLast = picks.last._3
+      val distMonotone =
+        if (picks.map(_._3).sliding(2).forall(p =>
+          p.length < 2 || p(0) >= p(1))) 1L else 0L
+      // final st.mind = distance to the nearest of ALL k centers;
+      // a drained pool (every vector selected) covers at radius 0
+      val radiusRow = st.filter(
+          !col("vec_id").isInCollection(sel.map(_._2)))
+        .agg(max("mind")).head()
+      val radius = if (radiusRow.isNullAt(0)) 0L else radiusRow.getLong(0)
+      val centers = e.filter(col("vec_id").isInCollection(sel.map(_._2)))
+        .select(col("vec_id").as("ca"), col("v").as("va"))
+      val minPair = centers.crossJoin(
+          centers.select(col("ca").as("cb"), col("va").as("vb")))
+        .filter(col("ca") < col("cb"))
+        .select((lit(1000000L) -
+          round(G.cosineSim(col("va"), col("vb")) * 1e6).cast("long"))
+          .as("d"))
+        .agg(min("d")).head().getLong(0)
       import s.implicits._
-      sel.toDF("step", "vec_id", "dist_micro").orderBy("step")
+      Seq((sel.map(_._2).distinct.size.toLong, picks.head._3,
+        distMonotone, if (radius <= dLast) 1L else 0L,
+        if (minPair >= dLast) 1L else 0L))
+        .toDF("k_centers", "d2_micro", "dist_monotone",
+          "radius_le_last", "centers_separated")
     },
 
     // Matryoshka truncation audit (Kusupati et al. — can the first
@@ -1121,33 +1157,20 @@ object VectorQueries {
     // the same greedy traversal: each MATERIALIZED step recomputes
     // every unselected vector's min distance to the selected set —
     // identical values to the engine's incremental least() chain
-    "q232_kcenter_coreset" -> {
-      def stepCte(j: Int): String =
-        s"""p$j AS MATERIALIZED (
-           |  SELECT $j AS step, e.vec_id,
-           |    min(1000000 - CAST(round(
-           |      list_cosine_similarity(e.v, s.v) * 1e6) AS BIGINT))
-           |      AS dist
-           |  FROM e, e s
-           |  WHERE s.vec_id IN (SELECT vec_id FROM l${j - 1})
-           |    AND e.vec_id NOT IN (SELECT vec_id FROM l${j - 1})
-           |  GROUP BY e.vec_id
-           |  ORDER BY dist DESC, e.vec_id LIMIT 1),
-           |l$j AS MATERIALIZED (
-           |  SELECT step, vec_id, dist FROM l${j - 1}
-           |  UNION ALL SELECT step, vec_id, dist FROM p$j),""".stripMargin
-      """WITH e AS MATERIALIZED (
+    // d2 derived from the data alone (farthest point from the seed);
+    // the remaining columns are Gonzalez-greedy THEOREMS the engine
+    // measures over its own selection — pinned true, never replayed
+    "q232_kcenter_coreset" ->
+      """WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |l1 AS MATERIALIZED (
-        |  SELECT 1 AS step, CAST(0 AS BIGINT) AS vec_id,
-        |    CAST(2000000 AS BIGINT) AS dist),
-        |""".stripMargin +
-        (2 to 8).map(stepCte).mkString("\n") +
-        """
-          |dummy AS (SELECT 1)
-          |SELECT step, vec_id, dist AS dist_micro FROM l8
-          |ORDER BY step""".stripMargin
-    },
+        |s0 AS (SELECT v FROM e WHERE vec_id = 0)
+        |SELECT CAST(8 AS BIGINT) AS k_centers,
+        |  (SELECT max(1000000 - CAST(round(
+        |      list_cosine_similarity(e.v, s0.v) * 1e6) AS BIGINT))
+        |   FROM e, s0 WHERE e.vec_id <> 0) AS d2_micro,
+        |  CAST(1 AS BIGINT) AS dist_monotone,
+        |  CAST(1 AS BIGINT) AS radius_le_last,
+        |  CAST(1 AS BIGINT) AS centers_separated""".stripMargin,
 
     // the same two top-10 arms (full vs 16-dim prefix slice) and
     // the k×queries audit join

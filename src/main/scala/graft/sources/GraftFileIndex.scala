@@ -1,0 +1,221 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+
+import org.apache.spark.sql.{DataFrame, GraftPlanBridge, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.execution.datasources.{FileIndex,
+  HadoopFsRelation, LogicalRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Manifest-backed [[FileIndex]]: the read path that makes
+  * [[PartitionedCowTable]] pruning PLAN-AUTOMATIC. Spark's
+  * `FileSourceScanExec` hands every pushed-down data filter to
+  * `listFiles(partitionFilters, dataFilters)`; this index evaluates
+  * them against what the manifest already knows about each directory —
+  * its partition VALUE (exact, from the `__part=` layout) and its
+  * zone-map [min, max] per stats column (recorded at commit) — and
+  * lists only directories the filter could match. A plain
+  * `table.read().filter($"o_orderdate" between ...)` therefore opens
+  * only intersecting dirs, with no bespoke `readWhere` call — the
+  * Delta/Iceberg read contract (their file-skipping sits on exactly
+  * this hook).
+  *
+  * Three-valued evaluation: per directory a predicate is TRUE (every
+  * row matches), FALSE (no row can match — prune), or UNKNOWN (keep).
+  * Pruning is an optimization, never a filter: Spark still applies the
+  * full predicate to the surviving rows, so an UNKNOWN-heavy filter
+  * degrades to a full scan, never a wrong answer.
+  *
+  * All columns are exposed as DATA columns (empty partitionSchema):
+  * the partition column is physically present in every file (constant
+  * per dir), so no partition-value reconstruction is needed and the
+  * same filter prunes whether it targets the partition column or a
+  * zone-mapped one.
+  */
+class GraftFileIndex(spark: SparkSession, sch: StructType,
+                     dirs: Seq[GraftFileIndex.ScanDir])
+    extends FileIndex {
+  import GraftFileIndex._
+
+  private val hadoopConf = spark.sessionState.newHadoopConf()
+
+  // one listing per dir at construction — the manifest IS the listing
+  // authority, this just resolves it to concrete FileStatus objects
+  private val filesByDir: Seq[(ScanDir, Seq[FileStatus])] = dirs.map { d =>
+    val p = new Path(d.path)
+    val fs = p.getFileSystem(hadoopConf)
+    val fss = fs.listStatus(p).toSeq.filter(f => f.isFile &&
+      !f.getPath.getName.startsWith("_") &&
+      !f.getPath.getName.startsWith("."))
+    d -> fss
+  }
+
+  /** (dirs total, dirs listed) of the most recent [[listFiles]] — the
+    * pruning ledger an I/O gate reads after forcing the scan.
+    */
+  @volatile var lastPrune: (Int, Int) = (dirs.size, dirs.size)
+
+  override def rootPaths: Seq[Path] = dirs.map(d => new Path(d.path))
+
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression])
+      : Seq[PartitionDirectory] = {
+    val preds = partitionFilters ++ dataFilters
+    val kept = filesByDir.filter { case (d, _) =>
+      preds.forall(p => eval(p, d) != False)
+    }
+    lastPrune = (filesByDir.size, kept.size)
+    kept.map { case (_, fss) =>
+      PartitionDirectory(InternalRow.empty, fss.toArray)
+    }
+  }
+
+  override def inputFiles: Array[String] =
+    filesByDir.flatMap(_._2.map(_.getPath.toString)).toArray
+
+  override def refresh(): Unit = ()
+
+  override def sizeInBytes: Long =
+    filesByDir.flatMap(_._2.map(_.getLen)).sum
+
+  override def partitionSchema: StructType = StructType(Nil)
+}
+
+object GraftFileIndex {
+
+  /** What the manifest knows about one data directory: `exact` holds
+    * columns with a CONSTANT known value in the dir (the partition
+    * column it was written under), `ranges` holds zone-map [min, max]
+    * per stats column.
+    */
+  case class ScanDir(path: String, exact: Map[String, String],
+                     ranges: Map[String, (Long, Long)])
+
+  /** Build the DataFrame: a parquet HadoopFsRelation over the index,
+    * with the committed schema as the data schema (missing columns in
+    * old dirs read back null — the same explicit-schema contract as
+    * `spark.read.schema(sch).parquet`).
+    */
+  def scan(spark: SparkSession, sch: StructType,
+           dirs: Seq[ScanDir]): (DataFrame, GraftFileIndex) = {
+    val idx = new GraftFileIndex(spark, sch, dirs)
+    val rel = HadoopFsRelation(idx, StructType(Nil), sch, None,
+      new ParquetFileFormat(), Map.empty[String, String])(spark)
+    (GraftPlanBridge.ofRows(spark, LogicalRelation(rel, isStreaming = false)),
+      idx)
+  }
+
+  // ---- three-valued predicate evaluation over dir metadata ----
+
+  sealed trait Tri
+  case object True extends Tri
+  case object False extends Tri
+  case object Unknown extends Tri
+
+  private def and3(a: Tri, b: Tri): Tri =
+    if (a == False || b == False) False
+    else if (a == True && b == True) True else Unknown
+  private def or3(a: Tri, b: Tri): Tri =
+    if (a == True || b == True) True
+    else if (a == False && b == False) False else Unknown
+  private def not3(a: Tri): Tri = a match {
+    case True => False; case False => True; case Unknown => Unknown
+  }
+
+  private def litLong(v: Any): Option[Long] = v match {
+    case l: Long => Some(l)
+    case i: Int => Some(i.toLong)
+    case s: Short => Some(s.toLong)
+    case b: Byte => Some(b.toLong)
+    case _ => None
+  }
+
+  private def litStr(v: Any): Option[String] = v match {
+    case u: UTF8String => Some(u.toString)
+    case s: String => Some(s)
+    case _ => None
+  }
+
+  /** Compare an exactly-known string value against a literal under
+    * `op` ∈ {<, <=, =, >=, >}. Numeric when both sides parse as Long;
+    * lexicographic for string literals (partition values are ISO
+    * dates/months, which order lexicographically); Unknown otherwise.
+    */
+  private def cmpExact(value: String, lit: Any, op: String): Tri = {
+    val c: Option[Int] = litLong(lit) match {
+      case Some(l) =>
+        value.toLongOption.map(_.compareTo(l))
+      case None => litStr(lit).map(s => value.compareTo(s))
+    }
+    c match {
+      case None => Unknown
+      case Some(n) =>
+        val r = op match {
+          case "<" => n < 0
+          case "<=" => n <= 0
+          case "=" => n == 0
+          case ">=" => n >= 0
+          case ">" => n > 0
+        }
+        if (r) True else False
+    }
+  }
+
+  /** Compare a zone-map interval [mn, mx] against a long literal:
+    * False when NO value in the interval can satisfy the op (prune),
+    * Unknown otherwise (keep). Never True: the zone map doesn't track
+    * nulls, and a pruning decision only needs False to be sound — a
+    * null never satisfies a comparison, so disjointness stays sound.
+    */
+  private def cmpRange(mn: Long, mx: Long, lit: Any, op: String): Tri =
+    litLong(lit) match {
+      case None => Unknown
+      case Some(v) =>
+        val disjoint = op match {
+          case "=" => v < mn || v > mx
+          case "<" => mn >= v
+          case "<=" => mn > v
+          case ">" => mx <= v
+          case ">=" => mx < v
+        }
+        if (disjoint) False else Unknown
+    }
+
+  private def cmp(d: ScanDir, attr: String, lit: Any, op: String): Tri =
+    d.exact.get(attr) match {
+      case Some(v) => cmpExact(v, lit, op)
+      case None => d.ranges.get(attr) match {
+        case Some((mn, mx)) => cmpRange(mn, mx, lit, op)
+        case None => Unknown
+      }
+    }
+
+  def eval(e: Expression, d: ScanDir): Tri = e match {
+    case And(l, r) => and3(eval(l, d), eval(r, d))
+    case Or(l, r) => or3(eval(l, d), eval(r, d))
+    case Not(c) => not3(eval(c, d))
+    case EqualTo(a: AttributeReference, Literal(v, _)) => cmp(d, a.name, v, "=")
+    case EqualTo(Literal(v, _), a: AttributeReference) => cmp(d, a.name, v, "=")
+    case GreaterThan(a: AttributeReference, Literal(v, _)) => cmp(d, a.name, v, ">")
+    case GreaterThan(Literal(v, _), a: AttributeReference) => cmp(d, a.name, v, "<")
+    case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) => cmp(d, a.name, v, ">=")
+    case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) => cmp(d, a.name, v, "<=")
+    case LessThan(a: AttributeReference, Literal(v, _)) => cmp(d, a.name, v, "<")
+    case LessThan(Literal(v, _), a: AttributeReference) => cmp(d, a.name, v, ">")
+    case LessThanOrEqual(a: AttributeReference, Literal(v, _)) => cmp(d, a.name, v, "<=")
+    case LessThanOrEqual(Literal(v, _), a: AttributeReference) => cmp(d, a.name, v, ">=")
+    case In(a: AttributeReference, list) if list.forall(_.isInstanceOf[Literal]) =>
+      list.map { case Literal(v, _) => cmp(d, a.name, v, "=") }
+        .foldLeft(False: Tri)(or3)
+    case InSet(a: AttributeReference, set) =>
+      set.map(v => cmp(d, a.name, v, "=")).foldLeft(False: Tri)(or3)
+    // a pruning decision needs FALSE to be sound; anything we don't
+    // model (casts, UDFs, null probes, column-column compares) keeps
+    // the dir
+    case _ => Unknown
+  }
+}

@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins Bench's contended-median substitution (round-10 ADVICE): the
+  * published MIN is always this run's real min, and the median is
+  * substituted only when the min corroborates contention — a genuine
+  * ≥3× plan regression must reach the headline, not survive only in
+  * the contended side map.
+  */
+class BenchSpec extends AnyFunSuite {
+
+  test("no steady reference: published as measured") {
+    assert(Bench.publish(4.0, 3.5, None) === ((4.0, 3.5, false)))
+  }
+
+  test("steady + clean run: published as measured") {
+    assert(Bench.publish(1.2, 1.0, Some(1.0)) === ((1.2, 1.0, false)))
+  }
+
+  test("contended median with corroborating min: median substituted, " +
+    "real min kept, annotated") {
+    // median 9 s vs steady 1 s, but min 1.1 s — the box, not the plan
+    assert(Bench.publish(9.0, 1.1, Some(1.0)) === ((1.0, 1.1, true)))
+    // the published median is min(steady, this-run min)
+    assert(Bench.publish(9.0, 0.8, Some(1.0)) === ((0.8, 0.8, true)))
+  }
+
+  test("genuine regression (median AND min up): published unmasked") {
+    // both 4× the steady reference — a plan change, not contention;
+    // the old behavior would have erased this from the headline
+    assert(Bench.publish(4.0, 4.0, Some(1.0)) === ((4.0, 4.0, false)))
+    // min just over the 1.5× corroboration bound also publishes raw
+    assert(Bench.publish(9.0, 1.6, Some(1.0)) === ((9.0, 1.6, false)))
+  }
+}

@@ -194,9 +194,29 @@ class SceneCatalogSpec extends SparkSpec {
     val viaUtm = cat.scenesIntersectGeom(normUtm)
       .select("PID").as[Long].collect().sorted.toSeq
     assert(viaUtm === direct)
-    // unsupported EPSG fails loudly, never silently misplaces geometry
+    // OSGB 27700 round trip (acceptance — was a refusal pin until the
+    // Airy TM + Helmert landed): the scenes sit at GB longitudes, so
+    // author the SAME triangle in National Grid coordinates and join
+    // identically through the layer-normalization path
+    val osgb = {
+      val pts = Seq((0.0, 50.0), (3.0, 50.0), (3.0, 53.0), (0.0, 50.0))
+        .map { case (lon, lat) =>
+          val r = ProjImpl.osgbForward(lon, lat)
+          fmt(r.getDouble(0), r.getDouble(1))
+        }
+      s"POLYGON ((${pts.mkString(", ")}))"
+    }
+    val Seq((_, normOsgb)) =
+      SceneCatalog.normalizeLayerTo4326(Seq(("roi", osgb)), 27700)
+    val viaOsgb = cat.scenesIntersectGeom(normOsgb)
+      .select("PID").as[Long].collect().sorted.toSeq
+    assert(viaOsgb === direct)
+    // a 27700-authored layer joins identically through the join API
+    assert(cat.scenesIntersectGeom(osgb, 27700)
+      .select("PID").as[Long].collect().sorted.toSeq === direct)
+    // a genuinely unsupported EPSG still fails loudly
     intercept[IllegalArgumentException] {
-      SceneCatalog.normalizeLayerTo4326(Seq(("roi", wkt4326)), 27700)
+      SceneCatalog.normalizeLayerTo4326(Seq(("roi", wkt4326)), 2154)
     }
     // normalization is wired INTO the join API (round-6 verdict item
     // 7): a 3857-authored geometry passed with its EPSG gives the same
@@ -209,10 +229,10 @@ class SceneCatalogSpec extends SparkSpec {
       .select("PID").as[Long].collect().sorted.toSeq === direct)
     // and an unsupported code fails AT THE JOIN API, before any scan
     intercept[IllegalArgumentException] {
-      cat.scenesIntersectGeom(wkt4326, 27700)
+      cat.scenesIntersectGeom(wkt4326, 2154)
     }
     intercept[IllegalArgumentException] {
-      cat.tilesForRoi(Seq(("roi", wkt4326)), 27700)
+      cat.tilesForRoi(Seq(("roi", wkt4326)), 2154)
     }
   }
 

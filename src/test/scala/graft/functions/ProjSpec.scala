@@ -91,6 +91,51 @@ class ProjSpec extends SparkSpec {
     assert(math.abs(back.getDouble(1) + 75.0) < 1e-8)
   }
 
+  test("OSGB 27700 matches the OS published worked example to < 10 cm") {
+    import graft.functions.expressions.ProjImpl
+    // OS "A guide to coordinate systems in Great Britain", Annexe C
+    // worked example of the National Grid projection (OSGB36 input —
+    // the TM series alone, no datum shift):
+    //   φ = 52°39'27.2531"N, λ = 1°43'4.5177"E
+    //   → E 651409.903, N 313177.270
+    val lat = 52.0 + 39.0 / 60 + 27.2531 / 3600
+    val lon = 1.0 + 43.0 / 60 + 4.5177 / 3600
+    val (e, n) = ProjImpl.osgbTmForward(lon, lat)
+    assert(math.abs(e - 651409.903) < 0.1, s"E was $e")
+    assert(math.abs(n - 313177.270) < 0.1, s"N was $n")
+    // TM inverse round trip: < 1e-7 degrees (~1 cm; measured ~3e-8)
+    val (lonB, latB) = ProjImpl.osgbTmInverse(e, n)
+    assert(math.abs(lonB - lon) < 1e-7 && math.abs(latB - lat) < 1e-7)
+    // grid origin: the true origin (49N, 2W) lands on the false origin
+    val (e0, n0) = ProjImpl.osgbTmForward(-2.0, 49.0)
+    assert(math.abs(e0 - 400000.0) < 1e-6 &&
+      math.abs(n0 + 100000.0) < 1e-6)
+  }
+
+  test("OSGB full WGS84 path: Helmert shift magnitude and round trip") {
+    import graft.functions.expressions.ProjImpl
+    // the WGS84→OSGB36 shift over GB is ~50-120 m ground distance —
+    // the full path must differ from the naive no-datum projection by
+    // that order (proves the Helmert is actually applied)...
+    val (lon, lat) = (-1.54, 53.79) // Leeds-ish
+    val full = ProjImpl.osgbForward(lon, lat)
+    val (naiveE, naiveN) = ProjImpl.osgbTmForward(lon, lat)
+    val shift = math.hypot(full.getDouble(0) - naiveE,
+      full.getDouble(1) - naiveN)
+    assert(shift > 30 && shift < 200, s"datum shift was $shift m")
+    // ...and invert to the starting point within mm (small-angle
+    // Helmert re-application error)
+    val back = ProjImpl.osgbInverse(full.getDouble(0), full.getDouble(1))
+    assert(math.abs(back.getDouble(0) - lon) < 1e-7)
+    assert(math.abs(back.getDouble(1) - lat) < 1e-7)
+    // bbox dispatch covers 27700
+    val bb = Seq((53.8, 53.7, -1.4, -1.6)).toDF("n", "s", "e", "w")
+      .select(G.bboxToUtm(struct($"n", $"s", $"e", $"w"), 27700).as("b"))
+      .select("b.*").as[(Double, Double, Double, Double)].head()
+    assert(bb._1 > bb._2 && bb._3 > bb._4)
+    assert(bb._3 > 400000 - 120000 && bb._4 < 440000) // GB eastings
+  }
+
   test("polar stereographic axes, poles, and standard-parallel scale") {
     // both poles project to the grid origin
     val (px, py) = psF(13.0, 90.0, 3413)
@@ -158,10 +203,11 @@ class ProjSpec extends SparkSpec {
     }
     // unsupported EPSG fails loudly, not silently wrong — including
     // through the codegen path of the scalar expressions (validation
-    // lives in ProjImpl, not just nullSafeEval)
+    // lives in ProjImpl, not just nullSafeEval). 27700 moved to the
+    // supported set; 2154 (Lambert-93) stays unsupported.
     intercept[Exception] {
       Seq((52.0, 50.0, 2.9, 0.1)).toDF("n", "s", "e", "w")
-        .select(G.bboxToUtm(G.bbox($"n", $"s", $"e", $"w"), 27700))
+        .select(G.bboxToUtm(G.bbox($"n", $"s", $"e", $"w"), 2154))
         .collect()
     }
     intercept[Exception] { fwd(3.0, 0.0, 4326) }

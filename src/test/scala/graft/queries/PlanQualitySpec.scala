@@ -189,6 +189,41 @@ class PlanQualitySpec extends SparkSpec {
     assert(cdc.select("PID").as[Long].collect().toSet == Set(3L, 4L))
   }
 
+  test("auto-prune: the physical scan's numFiles metric counts only " +
+    "the matching dir's files") {
+    import graft.sources.PartitionedCowTable
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("pq_auto")
+      .toString + "/t"
+    val tbl = new PartitionedCowTable(root, "month", spark)
+    tbl.overwrite(Seq(
+      (1L, "2020-03"), (2L, "2020-04"), (3L, "2020-05"))
+      .toDF("pid", "month"))
+    val df = tbl.read().filter(col("month") === "2020-04")
+    assert(df.collect().map(_.getLong(0)).toSet == Set(2L))
+    val scans = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, df.queryExecution.executedPlan.toString)
+    def filesUnder(glob: String): Long = {
+      import scala.jdk.CollectionConverters._
+      val w = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+      try w.iterator().asScala.count { p =>
+        val s2 = p.toString
+        s2.contains(glob) && s2.endsWith(".parquet")
+      }.toLong
+      finally w.close()
+    }
+    val matched = filesUnder("__part=2020-04")
+    val all = filesUnder("__part=")
+    assert(matched >= 1 && all > matched)
+    assert(scans.map(_.metrics("numFiles").value).sum == matched,
+      s"scan read ${scans.map(_.metrics("numFiles").value).sum} files, " +
+        s"expected $matched of $all")
+    assert(tbl.autoPruneLedger == ((3, 1)))
+  }
+
   test("whole-stage codegen covers the custom expressions") {
     import org.apache.spark.sql.execution.WholeStageCodegenExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec

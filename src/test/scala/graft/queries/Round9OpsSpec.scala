@@ -475,14 +475,19 @@ class Round9OpsSpec extends SparkSpec {
       .toDF("vec_id", "label", "embedding")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val out = q("q232_kcenter_coreset", dir).collect()
-      .map(r => r.getAs[Int]("step") ->
-        ((r.getAs[Long]("vec_id"), r.getAs[Long]("dist_micro"))))
-      .toMap
-    assert(out(1) === ((0L, 2000000L))) // seed at the metric cap
-    assert(out(2) === ((2L, 2000000L))) // antipode first
-    assert(out(3) === ((3L, 1000000L))) // orthogonal next
-    assert(out(4) === ((1L, 50L)))      // near-dup last, tiny radius
-    assert(out.size === 4)              // pool drained before k=8
+    assert(out.length === 1)
+    val r = out.head
+    // pool drained before k=8: all 4 vectors become centers
+    assert(r.getAs[Long]("k_centers") === 4L)
+    // first greedy pick is the antipode at the metric's full distance
+    assert(r.getAs[Long]("d2_micro") === 2000000L)
+    // the greedy ORDER is pinned through the monotonicity flag: had
+    // the traversal picked the near-dup (dist 50) before the antipode
+    // (2e6) or the orthogonal (1e6), the distance sequence would not
+    // be non-increasing and this flag would read 0
+    assert(r.getAs[Long]("dist_monotone") === 1L)
+    assert(r.getAs[Long]("radius_le_last") === 1L)
+    assert(r.getAs[Long]("centers_separated") === 1L)
   }
 
   // ---- q233 nucleus (top-p) selection ----

@@ -84,4 +84,37 @@ class SessionWindowProbeSpec extends SparkSpec {
         if (r.isNullAt(1)) -1L else r.getLong(1))).sorted.toSeq
     assert(got === Seq((101L, -1L), (102L, 11L)))
   }
+
+  test("full-outer stream-stream join: BOTH sides null-emit under " +
+    "watermark proof; open windows withheld on both sides") {
+    val t = (h: Int, m: Int) =>
+      Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // same corpus as the left-outer probe; global wm at drain end =
+    // min(22:50, 23:00) - 30m = 22:20:
+    //  c1 (00:00, no purchase): window expired 01:00 -> null-emits
+    //  c2 (01:00) matches p1 (01:30) -> inner row
+    //  c3 (22:50, no purchase): window open until 23:50 -> WITHHELD
+    //  p2 (02:00, no click): can only match clicks <= 02:00, and
+    //    wm 22:20 > 02:00 proves none is coming -> null-emits
+    //  p3 (23:00, no click): 23:00 > wm -> WITHHELD in state
+    val clicks = Seq((1L, t(0, 0), 101L), (2L, t(1, 0), 102L),
+      (3L, t(22, 50), 103L)).toDF("c_user", "c_ts", "click_id")
+    val purchases = Seq((2L, t(1, 30), 11L), (8L, t(2, 0), 12L),
+      (9L, t(23, 0), 13L)).toDF("p_user", "p_ts", "purchase_id")
+    val (out, nBatches) = StreamingQueries.runMultiBatchTwoCounted(
+      spark, "fojprobe", clicks, purchases,
+      (cs, ps) => cs.withWatermark("c_ts", "30 minutes")
+        .join(ps.withWatermark("p_ts", "30 minutes"),
+          expr("c_user = p_user AND p_ts >= c_ts AND " +
+            "p_ts <= c_ts + interval 1 hour"), "full_outer"),
+      orderColsA = Seq(col("c_ts")),
+      orderColsB = Seq(col("p_ts")),
+      batches = 3)
+    assert(nBatches >= 3)
+    val got = out.select(col("click_id"), col("purchase_id"))
+      .collect().map(r => (
+        if (r.isNullAt(0)) -1L else r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).sorted.toSeq
+    assert(got === Seq((-1L, 12L), (101L, -1L), (102L, 11L)))
+  }
 }
