@@ -4424,6 +4424,37 @@ object CoverageQueries {
         zr.getLong(0), zr.getLong(1), zTot.toLong, zKept.toLong))
         .toDF("m_n", "m_cents", "m_dirs_total", "m_dirs_opened",
           "z_n", "z_cents", "z_dirs_total", "z_dirs_opened")
+    },
+
+    // STRING zone maps (q276's sibling for the other stats family):
+    // ISO-date STRINGS — the commonest real-lake layout column —
+    // record lexicographic per-dir (min, max) at commit, and a plain
+    // DataFrame range filter on the string column prunes through the
+    // same FileIndex (ASCII-guarded: pruning only where Java and
+    // Spark string orders provably agree). Ledger + answer gated; the
+    // oracle derives the ledger from per-month string extents.
+    "q280_string_zone_maps" -> { (s, dir) =>
+      val root = s"${Tables.scratchBase}/graft_q280_" +
+        s"${s.sparkContext.applicationId}/${java.util.UUID.randomUUID()}"
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey").as("PID"),
+        date_format(to_date(col("o_orderdate")), "yyyy-MM").as("month"),
+        date_format(to_date(col("o_orderdate")), "yyyy-MM-dd")
+          .as("odate"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val tbl = new graft.sources.PartitionedCowTable(
+        s"$root/t", "month", s, statsColumns = Seq("odate"))
+      tbl.overwrite(o)
+      val (lo, hi) = ("1996-01-05", "1996-02-10")
+      val r = tbl.read().filter(col("odate").between(lo, hi))
+        .agg(count(lit(1)), sum("cents"), min("odate"), max("odate"))
+        .collect()(0)
+      val (tot, kept) = tbl.autoPruneLedger
+      import s.implicits._
+      Seq((r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        tot.toLong, kept.toLong))
+        .toDF("n", "sum_cents", "min_odate", "max_odate",
+          "dirs_total", "dirs_opened")
     }
   )
 
@@ -7382,6 +7413,30 @@ object CoverageQueries {
         |  FROM o WHERE dk BETWEEN 19960101 AND 19960315)
         |SELECT m_n, m_cents, m_dirs_total, m_dirs_opened,
         |  z_n, z_cents, z_dirs_total, z_dirs_opened
-        |FROM magg, mled, zagg, zled""".stripMargin
+        |FROM magg, mled, zagg, zled""".stripMargin,
+
+    // answer from the plain string-range filter; the ledger from
+    // per-month STRING date extents (ISO dates order lexicographically
+    // = chronologically, so min/max strings are the zone map)
+    "q280_string_zone_maps" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS PID,
+        |    strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+        |    strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS odate,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |ext AS (
+        |  SELECT month, min(odate) AS mn, max(odate) AS mx
+        |  FROM o GROUP BY month),
+        |led AS (
+        |  SELECT count(*) AS dirs_total,
+        |    CAST(sum(CASE WHEN mx >= '1996-01-05' AND mn <= '1996-02-10'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS dirs_opened FROM ext)
+        |SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  min(odate) AS min_odate, max(odate) AS max_odate,
+        |  led.dirs_total, led.dirs_opened
+        |FROM o, led
+        |WHERE odate BETWEEN '1996-01-05' AND '1996-02-10'
+        |GROUP BY led.dirs_total, led.dirs_opened""".stripMargin
   )
 }

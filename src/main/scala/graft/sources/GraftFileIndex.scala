@@ -90,10 +90,13 @@ object GraftFileIndex {
   /** What the manifest knows about one data directory: `exact` holds
     * columns with a CONSTANT known value in the dir (the partition
     * column it was written under), `ranges` holds zone-map [min, max]
-    * per stats column.
+    * per integral stats column, `sranges` per STRING stats column
+    * (lexicographic bounds — pruned only for all-ASCII comparisons,
+    * where Java's UTF-16 order and Spark's UTF-8 binary order agree).
     */
   case class ScanDir(path: String, exact: Map[String, String],
-                     ranges: Map[String, (Long, Long)])
+                     ranges: Map[String, (Long, Long)],
+                     sranges: Map[String, (String, String)] = Map.empty)
 
   /** Build the DataFrame: a parquet HadoopFsRelation over the index,
     * with the committed schema as the data schema (missing columns in
@@ -185,12 +188,38 @@ object GraftFileIndex {
         if (disjoint) False else Unknown
     }
 
+  private def isAscii(s: String): Boolean = s.forall(_ < 128)
+
+  /** String zone-map compare: False only when the [mn, mx] interval
+    * is provably disjoint from the op. Pruned ONLY when every
+    * participant is ASCII — Java String ordering is UTF-16 code-unit
+    * order while Spark compares UTF-8 bytes, and the two disagree for
+    * supplementary characters; on ASCII they coincide exactly.
+    */
+  private def cmpRangeStr(mn: String, mx: String, lit: Any,
+                          op: String): Tri =
+    litStr(lit) match {
+      case Some(v) if isAscii(v) && isAscii(mn) && isAscii(mx) =>
+        val disjoint = op match {
+          case "=" => v < mn || v > mx
+          case "<" => mn >= v
+          case "<=" => mn > v
+          case ">" => mx <= v
+          case ">=" => mx < v
+        }
+        if (disjoint) False else Unknown
+      case _ => Unknown
+    }
+
   private def cmp(d: ScanDir, attr: String, lit: Any, op: String): Tri =
     d.exact.get(attr) match {
       case Some(v) => cmpExact(v, lit, op)
       case None => d.ranges.get(attr) match {
         case Some((mn, mx)) => cmpRange(mn, mx, lit, op)
-        case None => Unknown
+        case None => d.sranges.get(attr) match {
+          case Some((mn, mx)) => cmpRangeStr(mn, mx, lit, op)
+          case None => Unknown
+        }
       }
     }
 

@@ -8,7 +8,7 @@ import com.fasterxml.jackson.databind.ObjectMapper
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StringType, StructType}
 
 /** Partition-level copy-on-write table — the 100 TB layout promised by
   * [[CowTable]]'s scaladoc, implemented. A version is a MANIFEST
@@ -130,6 +130,25 @@ class PartitionedCowTable(val root: String, val partCol: String,
     }.toMap
   }
 
+  /** STRING zone maps — [[statsColumns]] entries whose schema type is
+    * string record per-dir (min, max) STRINGS at commit (ISO dates,
+    * month keys, status codes). [[GraftFileIndex]] prunes on them
+    * with byte-order-safe lexicographic bounds; same carry-by-
+    * reference sharing as the integral stats.
+    */
+  private def strStatsAt(v: Int)
+      : Map[String, Map[String, (String, String)]] = {
+    val node = mapper.readTree(Files.readAllBytes(
+      Paths.get(root, f"v_$v%06d.json")))
+    if (!node.has("sstats")) Map.empty
+    else node.get("sstats").fields().asScala.map { e =>
+      e.getKey -> e.getValue.fields().asScala.map { c =>
+        c.getKey -> (c.getValue.get(0).asText(),
+          c.getValue.get(1).asText())
+      }.toMap
+    }.toMap
+  }
+
   /** dir → DELETION-VECTOR files (paths relative to root) in force
     * for that dir — the Delta-DV/Iceberg-delete-file idea at key
     * grain: [[deleteWhereDV]] commits a tiny key file instead of
@@ -238,11 +257,13 @@ class PartitionedCowTable(val root: String, val partCol: String,
       sch.fieldNames.contains(c) }
     val dvs = dvsAt(v)
     val st = statsAt(v)
+    val sst = strStatsAt(v)
     val info: Map[String, GraftFileIndex.ScanDir] =
       entriesAt(v).map { e =>
         val p = s"$root/${e.dir}"
         p -> GraftFileIndex.ScanDir(p, Map(e.pcol -> e.value),
-          st.getOrElse(e.dir, Map.empty))
+          st.getOrElse(e.dir, Map.empty),
+          sst.getOrElse(e.dir, Map.empty))
       }.toMap
     lastIndexes = Seq.empty
     if (dfl.isEmpty && dvs.isEmpty)
@@ -443,7 +464,7 @@ class PartitionedCowTable(val root: String, val partCol: String,
       e.dir -> (if (attach) prev :+ rel else prev)
     }.toMap
     writeVersion(cur + 1, schemaAt(cur).toDDL, spec, entries,
-      defaultsAt(cur), statsAt(cur), dvNew)
+      defaultsAt(cur), statsAt(cur), dvNew, strStatsAt(cur))
   }
 
   /** Deletion-vector files the current version references (audit). */
@@ -584,36 +605,60 @@ class PartitionedCowTable(val root: String, val partCol: String,
     // footer-sized aggregate over the new files. Zero jobs when
     // statsColumns is empty.
     val carriedStats = currentVersion.map(statsAt).getOrElse(Map.empty)
+    val carriedSStats = currentVersion.map(strStatsAt).getOrElse(Map.empty)
     // deletion vectors ride with carried dirs; rewritten dirs read
     // THROUGH their vectors above, so the rewrite materialized them
     val carriedDvs = currentVersion.map(dvsAt).getOrElse(Map.empty)
-    val writtenStats: Map[String, Map[String, (Long, Long)]] =
-      if (statsColumns.isEmpty || written.isEmpty) Map.empty
+    // string-typed stats columns record lexicographic (min, max)
+    // STRINGS; everything else records long bounds (one footer-sized
+    // aggregate covers both families)
+    val strCols = statsColumns.filter(c => data.schema.fields.exists(
+      f => f.name == c && f.dataType == StringType))
+    val (writtenStats, writtenSStats)
+        : (Map[String, Map[String, (Long, Long)]],
+           Map[String, Map[String, (String, String)]]) =
+      if (statsColumns.isEmpty || written.isEmpty) (Map.empty, Map.empty)
       else {
         val cols = statsColumns.filter(data.columns.contains)
-        if (cols.isEmpty) Map.empty
+        if (cols.isEmpty) (Map.empty, Map.empty)
         else {
-          val aggs = cols.flatMap(c => Seq(
-            min(col(c).cast("long")).as(s"__mn_$c"),
-            max(col(c).cast("long")).as(s"__mx_$c")))
-          val byValue = spark.read.parquet(s"$root/$wdir")
+          val aggs = cols.flatMap { c =>
+            if (strCols.contains(c)) Seq(
+              min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c"))
+            else Seq(
+              min(col(c).cast("long")).as(s"__mn_$c"),
+              max(col(c).cast("long")).as(s"__mx_$c"))
+          }
+          val rows = spark.read.parquet(s"$root/$wdir")
             .groupBy(col("__part").cast("string").as("__part"))
             .agg(aggs.head, aggs.tail: _*)
             .collect()
-            .map { r =>
-              val v2 = r.getAs[String]("__part")
-              v2 -> cols.flatMap { c =>
+          val byValueL = rows.map { r =>
+            r.getAs[String]("__part") ->
+              cols.filterNot(strCols.contains).flatMap { c =>
                 if (r.isNullAt(r.fieldIndex(s"__mn_$c"))) None
                 else Some(c -> (r.getAs[Long](s"__mn_$c"),
                   r.getAs[Long](s"__mx_$c")))
               }.toMap
-            }.toMap
-          written.flatMap(e => byValue.get(e.value).map(e.dir -> _)).toMap
+          }.toMap
+          val byValueS = rows.map { r =>
+            r.getAs[String]("__part") ->
+              cols.filter(strCols.contains).flatMap { c =>
+                if (r.isNullAt(r.fieldIndex(s"__mn_$c"))) None
+                else Some(c -> (r.getAs[String](s"__mn_$c"),
+                  r.getAs[String](s"__mx_$c")))
+              }.toMap
+          }.toMap
+          (written.flatMap(e =>
+             byValueL.get(e.value).map(e.dir -> _)).toMap,
+           written.flatMap(e =>
+             byValueS.get(e.value).map(e.dir -> _)).toMap)
         }
       }
     try {
       writeVersion(next, schemaDdl, spec, kept ++ written, defaults,
-        carriedStats ++ writtenStats, carriedDvs)
+        carriedStats ++ writtenStats, carriedDvs,
+        carriedSStats ++ writtenSStats)
     } catch {
       case e: java.util.ConcurrentModificationException =>
         // the claimed data dir is ours (the rename succeeded) and no
@@ -630,7 +675,9 @@ class PartitionedCowTable(val root: String, val partCol: String,
                              Map.empty,
                            stats: Map[String, Map[String, (Long, Long)]] =
                              Map.empty,
-                           dvs: Map[String, Seq[String]] = Map.empty)
+                           dvs: Map[String, Seq[String]] = Map.empty,
+                           sstats: Map[String,
+                             Map[String, (String, String)]] = Map.empty)
       : Unit = {
     // optimistic concurrency (see CowTable.commit): a competing writer
     // advancing the pointer mid-commit means this manifest's carried
@@ -675,6 +722,18 @@ class PartitionedCowTable(val root: String, val partCol: String,
         }
       }
     }
+    val liveSStats = sstats.filter { case (d, m) =>
+      live.contains(d) && m.nonEmpty }
+    if (liveSStats.nonEmpty) {
+      val st = node.putObject("sstats")
+      liveSStats.toSeq.sortBy(_._1).foreach { case (d, cols) =>
+        val o = st.putObject(d)
+        cols.toSeq.sortBy(_._1).foreach { case (c, (lo, hi)) =>
+          val a = o.putArray(c)
+          a.add(lo); a.add(hi)
+        }
+      }
+    }
     val parts = node.putObject("partitions")
     entries.filter(_.pcol == spec).sortBy(_.value)
       .foreach(e => parts.put(e.value, e.dir))
@@ -712,7 +771,8 @@ class PartitionedCowTable(val root: String, val partCol: String,
       s"evolvePartitioning: column '$newPartCol' not in schema")
     if (newPartCol == currentPartCol) return
     writeVersion(cur + 1, schemaAt(cur).toDDL, newPartCol,
-      entriesAt(cur), defaultsAt(cur), statsAt(cur), dvsAt(cur))
+      entriesAt(cur), defaultsAt(cur), statsAt(cur), dvsAt(cur),
+      strStatsAt(cur))
   }
 
   /** Delta-style RESTORE (`RESTORE TABLE ... TO VERSION AS OF v`):
@@ -730,7 +790,7 @@ class PartitionedCowTable(val root: String, val partCol: String,
       s"restore: no version $v at $root (never committed, or vacuumed)")
     if (v == cur) return
     writeVersion(cur + 1, schemaAt(v).toDDL, partColAt(v), entriesAt(v),
-      defaultsAt(v), statsAt(v), dvsAt(v))
+      defaultsAt(v), statsAt(v), dvsAt(v), strStatsAt(v))
   }
 
   /** Add a column — a METADATA-ONLY commit (Iceberg's add-column
@@ -753,7 +813,7 @@ class PartitionedCowTable(val root: String, val partCol: String,
     // dirs written by later commits store the column physically
     writeVersion(cur + 1, widened.toDDL, partColAt(cur), entriesAt(cur),
       defaultsAt(cur) ++ defaultSql.map(d => name -> (d, cur + 1)),
-      statsAt(cur), dvsAt(cur))
+      statsAt(cur), dvsAt(cur), strStatsAt(cur))
   }
 
   /** An empty DataFrame with the table's committed schema (safe to

@@ -508,6 +508,42 @@ class PartitionedCowTableSpec extends SparkSpec {
       .collect().map(_.getAs[String]("note")).toSet === Set("x"))
   }
 
+  test("STRING zone maps: plain filters on string stats columns prune " +
+    "lexicographically; non-ASCII comparisons stay conservative") {
+    implicit val s = spark
+    val t = new PartitionedCowTable(
+      Files.createTempDirectory("pcow_sstat").toString + "/t", "month",
+      spark, statsColumns = Seq("d", "k"))
+    t.overwrite(Seq(
+      (1L, "2020-03", "2020-03-05", 10L),
+      (2L, "2020-03", "2020-03-20", 20L),
+      (3L, "2020-04", "2020-04-02", 100L),
+      (4L, "2020-05", "2020-05-30", 1000L))
+      .toDF("pid", "month", "d", "k"))
+    // range on the STRING date column: only intersecting dirs listed
+    val r = t.read().filter(
+      col("d") >= "2020-03-10" && col("d") <= "2020-04-10")
+    assert(r.collect().map(_.getAs[Long]("pid")).toSet === Set(2L, 3L))
+    assert(t.autoPruneLedger === ((3, 2)))
+    // equality below every dir's min: zero dirs listed
+    assert(t.read().filter(col("d") === "2019-01-01").count() === 0)
+    assert(t.autoPruneLedger === ((3, 0)))
+    // both stats families prune in ONE filter (string d AND long k)
+    val b = t.read().filter(col("d") >= "2020-04-01" && col("k") < 500L)
+    assert(b.collect().map(_.getAs[Long]("pid")).toSet === Set(3L))
+    assert(t.autoPruneLedger === ((3, 1)))
+    // a non-ASCII literal never prunes (UTF-16 vs UTF-8 order can
+    // disagree) — conservative, still correct
+    assert(t.read().filter(col("d") > "世").count() === 0)
+    assert(t.autoPruneLedger === ((3, 3)))
+    // rewritten dirs recompute string stats; carried dirs keep theirs
+    t.upsert(Seq((1L, "2020-03", "2020-03-25", 11L))
+      .toDF("pid", "month", "d", "k"), Seq("pid"))
+    val u = t.read().filter(col("d") <= "2020-03-10")
+    assert(u.count() === 0) // 2020-03's min moved to 03-20
+    assert(t.autoPruneLedger === ((3, 0)))
+  }
+
   test("deletion vectors are SCOPED: untouched partitions keep their " +
     "dv list and their reads carry no anti-join") {
     val t = mk()
