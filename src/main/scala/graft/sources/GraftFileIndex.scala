@@ -237,6 +237,27 @@ object GraftFileIndex {
     case LessThan(Literal(v, _), a: AttributeReference) => cmp(d, a.name, v, ">")
     case LessThanOrEqual(a: AttributeReference, Literal(v, _)) => cmp(d, a.name, v, "<=")
     case LessThanOrEqual(Literal(v, _), a: AttributeReference) => cmp(d, a.name, v, ">=")
+    // prefix filter (col LIKE 'p%' / startsWith): strings with prefix
+    // p form the interval [p, succ(p)) where succ bumps p's last char
+    // — exact on a known partition value, interval-disjointness on
+    // string zone maps (ASCII-only, same order-agreement guard)
+    case StartsWith(a: AttributeReference, Literal(v, _)) =>
+      litStr(v) match {
+        case Some(p) if p.nonEmpty && isAscii(p) =>
+          d.exact.get(a.name) match {
+            case Some(ev) => if (ev.startsWith(p)) True else False
+            case None => d.sranges.get(a.name) match {
+              case Some((mn, mx)) if isAscii(mn) && isAscii(mx) =>
+                if (p.last >= 127) Unknown
+                else {
+                  val succ = p.init + (p.last + 1).toChar
+                  if (mx < p || mn >= succ) False else Unknown
+                }
+              case _ => Unknown
+            }
+          }
+        case _ => Unknown
+      }
     case In(a: AttributeReference, list) if list.forall(_.isInstanceOf[Literal]) =>
       list.map { case Literal(v, _) => cmp(d, a.name, v, "=") }
         .foldLeft(False: Tri)(or3)

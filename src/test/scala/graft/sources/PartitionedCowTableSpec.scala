@@ -542,6 +542,17 @@ class PartitionedCowTableSpec extends SparkSpec {
     val u = t.read().filter(col("d") <= "2020-03-10")
     assert(u.count() === 0) // 2020-03's min moved to 03-20
     assert(t.autoPruneLedger === ((3, 0)))
+    // PREFIX filter (LIKE 'p%'): exact on the partition value, and
+    // interval [p, succ(p)) on the string zone map
+    val pm = t.read().filter(col("month").startsWith("2020-0"))
+    assert(pm.count() === 4)
+    assert(t.autoPruneLedger === ((3, 3)))
+    val p1 = t.read().filter(col("month").startsWith("2020-04"))
+    assert(p1.collect().map(_.getAs[Long]("pid")).toSet === Set(3L))
+    assert(t.autoPruneLedger === ((3, 1)))
+    val pd = t.read().filter(col("d").startsWith("2020-05"))
+    assert(pd.collect().map(_.getAs[Long]("pid")).toSet === Set(4L))
+    assert(t.autoPruneLedger === ((3, 1)))
   }
 
   test("deletion vectors are SCOPED: untouched partitions keep their " +
