@@ -229,6 +229,14 @@ object GraftFileIndex {
     case Not(c) => not3(eval(c, d))
     case EqualTo(a: AttributeReference, Literal(v, _)) => cmp(d, a.name, v, "=")
     case EqualTo(Literal(v, _), a: AttributeReference) => cmp(d, a.name, v, "=")
+    // null-safe equality against a NON-null literal prunes like plain
+    // equality: null rows never satisfy it, so interval disjointness
+    // stays sound; a null literal (isnull probe) stays Unknown — zone
+    // maps don't track nulls
+    case EqualNullSafe(a: AttributeReference, Literal(v, _)) if v != null =>
+      cmp(d, a.name, v, "=")
+    case EqualNullSafe(Literal(v, _), a: AttributeReference) if v != null =>
+      cmp(d, a.name, v, "=")
     case GreaterThan(a: AttributeReference, Literal(v, _)) => cmp(d, a.name, v, ">")
     case GreaterThan(Literal(v, _), a: AttributeReference) => cmp(d, a.name, v, "<")
     case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) => cmp(d, a.name, v, ">=")

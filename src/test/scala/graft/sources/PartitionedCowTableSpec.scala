@@ -553,6 +553,10 @@ class PartitionedCowTableSpec extends SparkSpec {
     val pd = t.read().filter(col("d").startsWith("2020-05"))
     assert(pd.collect().map(_.getAs[Long]("pid")).toSet === Set(4L))
     assert(t.autoPruneLedger === ((3, 1)))
+    // null-safe equality against a non-null literal prunes like =
+    val ns = t.read().filter(col("month") <=> "2020-04")
+    assert(ns.collect().map(_.getAs[Long]("pid")).toSet === Set(3L))
+    assert(t.autoPruneLedger === ((3, 1)))
   }
 
   test("deletion vectors are SCOPED: untouched partitions keep their " +
