@@ -315,11 +315,13 @@ class PartitionedCowTable(val root: String, val partCol: String,
     */
   def readVersion(v: Int): DataFrame = readVersionWhere(v, _ => true)
 
-  /** [[readVersion]] with manifest-level partition pruning. Pruning
-    * applies only to dirs on that version's CURRENT spec; legacy-spec
-    * dirs cannot be pruned by the new spec's values and are always
-    * read (the Iceberg contract — stats-based file pruning would be
-    * the production refinement).
+  /** [[readVersion]] with manifest-level partition pruning. The
+    * explicit partFilter applies only to dirs on that version's
+    * CURRENT spec; legacy-spec dirs cannot be pruned by the new
+    * spec's values and are always listed (the Iceberg contract) —
+    * but every returned frame still scans through [[GraftFileIndex]],
+    * so plain Column filters ALSO prune any dir (legacy included) by
+    * its own recorded partition value and zone maps at plan time.
     */
   def readVersionWhere(v: Int,
                        partFilter: String => Boolean): DataFrame = {
@@ -840,8 +842,9 @@ class PartitionedCowTable(val root: String, val partCol: String,
     * upsert/merge that is a KEY semi-join — a dir migrates because a
     * touched key lives there, never because it merely shares a
     * partition value), found by one scan of legacy data only (shrinks
-    * as migration proceeds; per-file stats pruning would be the
-    * production refinement). Returns (their entries, ALL rows of
+    * as migration proceeds; the scan goes through [[GraftFileIndex]],
+    * so pushable key predicates in `mark` prune legacy dirs by their
+    * zone maps too). Returns (their entries, ALL rows of
     * those dirs) — migration rewrites whole dirs, so unrelated rows
     * ride along.
     */
