@@ -222,6 +222,13 @@ class PlanQualitySpec extends SparkSpec {
       s"scan read ${scans.map(_.metrics("numFiles").value).sum} files, " +
         s"expected $matched of $all")
     assert(tbl.autoPruneLedger == ((3, 1)))
+    // the same filter ALSO reaches the parquet reader as a pushed
+    // filter (row-group skipping inside the surviving files) — dir
+    // pruning and footer pruning compose, neither replaces the other
+    val fmt = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(fmt.contains("PushedFilters:") &&
+      fmt.contains("EqualTo(month,2020-04)"), fmt)
   }
 
   test("whole-stage codegen covers the custom expressions") {
