@@ -96,12 +96,16 @@ object Bench {
     }
     val (prevMed, prevSolo) = prevMaps()
     // Cost estimate per query: last round's suite median, else its
-    // solo number, else 0.5 s (a new query is usually sub-second; a
-    // wrong guess only mis-tiers its rep count, never breaks the
-    // budget invariant below).
+    // solo number, else 2 s. The never-seen default is deliberately
+    // PESSIMISTIC: round 11's first sitting estimated 5 new queries
+    // at 0.5 s each while they cost ~37 s together (streaming gates),
+    // and the under-reserved tail pushed the wall 6.8 s past budget;
+    // a high guess only costs a cheap new query some reps (tier 3
+    // instead of 5) for its first sitting, after which the recorded
+    // median takes over.
     def est(name: String): Double =
       prevMed.get(name).orElse(prevSolo.get(name)).filter(_ > 0)
-        .getOrElse(0.5)
+        .getOrElse(2.0)
     // Rep tiers by estimated cost: medians of 5 keep sub-second
     // queries robust to two contended reps (their spread dominates
     // round-over-round noise); 1-5 s queries get 3; heavies get 2 —
