@@ -8,13 +8,16 @@ object Bench {
     * own min corroborates (≤1.5× steady — the plan is fine, the box
     * wasn't). The published MIN is always this run's real min, so a
     * genuine ≥3× plan regression (median AND min both up) fails the
-    * min gate and reaches the headline unmasked. Pinned by BenchSpec.
+    * min gate and reaches the headline unmasked. The substituted
+    * median is clamped to >= the published min (a median strictly
+    * below its own min would be an internally inconsistent artifact
+    * row). Pinned by BenchSpec.
     */
   private[graft] def publish(med: Double, mn: Double,
                              steady: Option[Double])
       : (Double, Double, Boolean) = steady match {
     case Some(st) if med > 3 * st && mn <= 1.5 * st =>
-      (math.min(st, mn), mn, true)
+      (math.max(st, mn), mn, true)
     case _ => (med, mn, false)
   }
 

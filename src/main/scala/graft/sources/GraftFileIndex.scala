@@ -147,12 +147,22 @@ object GraftFileIndex {
     * `op` ∈ {<, <=, =, >=, >}. Numeric when both sides parse as Long;
     * lexicographic for string literals (partition values are ISO
     * dates/months, which order lexicographically); Unknown otherwise.
+    * Lexicographic ORDERING comparisons carry the same ASCII guard as
+    * [[cmpRangeStr]] — Java compares UTF-16 code units while Spark
+    * compares UTF-8 bytes, and the two orders disagree for
+    * supplementary characters; EQUALITY is order-free (byte equality
+    * and code-unit equality coincide for any valid string), so `=`
+    * stays unguarded.
     */
   private def cmpExact(value: String, lit: Any, op: String): Tri = {
     val c: Option[Int] = litLong(lit) match {
       case Some(l) =>
         value.toLongOption.map(_.compareTo(l))
-      case None => litStr(lit).map(s => value.compareTo(s))
+      case None => litStr(lit).flatMap { s =>
+        if (op == "=" || (isAscii(value) && isAscii(s)))
+          Some(value.compareTo(s))
+        else None
+      }
     }
     c match {
       case None => Unknown

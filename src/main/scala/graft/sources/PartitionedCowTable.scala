@@ -211,14 +211,26 @@ class PartitionedCowTable(val root: String, val partCol: String,
   }
 
   /** The scans of the most recent [[readConformed]], for
-    * [[autoPruneLedger]]. */
+    * [[autoPruneLedger]]. Published ONCE per read build (a complete
+    * immutable Seq swapped in after all of the read's scans are
+    * constructed), never appended in place — concurrent builds can
+    * interleave but neither ever observes a torn half-ledger.
+    */
   @volatile private var lastIndexes: Seq[GraftFileIndex] = Seq.empty
 
-  /** (dirs total, dirs opened) across the most recent read's scans,
-    * AFTER an action forced them — the plan-automatic pruning ledger:
-    * a plain `read().filter(...)` consults the manifest's partition
-    * values and zone maps through [[GraftFileIndex]], and this reports
-    * how many directories the scan actually listed.
+  /** (dirs total, dirs opened) across the most recent BUILT read's
+    * scans, AFTER an action forced them — the plan-automatic pruning
+    * ledger: a plain `read().filter(...)` consults the manifest's
+    * partition values and zone maps through [[GraftFileIndex]], and
+    * this reports how many directories the scan actually listed.
+    *
+    * HARD PRECONDITION (pinned in PartitionedCowTableSpec): the
+    * ledger attributes to the most recently BUILT read, so the
+    * caller must build → execute → query the ledger before building
+    * the NEXT read on this table. Interleaving two lazily-built
+    * reads (build A, build B, execute A, query) misattributes the
+    * ledger to B's scans; gates and specs follow the sequential
+    * protocol.
     */
   def autoPruneLedger: (Int, Int) = {
     val l = lastIndexes.map(_.lastPrune)
@@ -229,15 +241,18 @@ class PartitionedCowTable(val root: String, val partCol: String,
     * each dir's partition value + zone maps, so Spark's own pushed
     * filters prune directories at plan time (no bespoke readWhere
     * needed). Explicit-schema semantics identical to
-    * `spark.read.schema(sch).parquet(ds)`.
+    * `spark.read.schema(sch).parquet(ds)`. Appends its index to the
+    * caller's per-read buffer — shared ledger state is only touched
+    * by the one publish at the end of [[readConformed]].
     */
   private def indexedScan(v: Int, sch: StructType, ds: Seq[String],
-                          info: Map[String, GraftFileIndex.ScanDir])
+                          info: Map[String, GraftFileIndex.ScanDir],
+                          buf: scala.collection.mutable.Buffer[GraftFileIndex])
       : DataFrame = {
     val (df, idx) = GraftFileIndex.scan(spark, sch, ds.map(p =>
       info.getOrElse(p,
         GraftFileIndex.ScanDir(p, Map.empty, Map.empty))))
-    lastIndexes = lastIndexes :+ idx
+    buf += idx
     df
   }
 
@@ -265,20 +280,23 @@ class PartitionedCowTable(val root: String, val partCol: String,
           st.getOrElse(e.dir, Map.empty),
           sst.getOrElse(e.dir, Map.empty))
       }.toMap
-    lastIndexes = Seq.empty
-    if (dfl.isEmpty && dvs.isEmpty)
-      return indexedScan(v, sch, dirs, info)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[GraftFileIndex]
+    if (dfl.isEmpty && dvs.isEmpty) {
+      val df = indexedScan(v, sch, dirs, info, buf)
+      lastIndexes = buf.toSeq
+      return df
+    }
     val wv = "(?:^|/)w_(\\d{6})/".r
     def writeVer(d: String): Int =
       wv.findFirstMatchIn(d).map(_.group(1).toInt).getOrElse(Int.MaxValue)
     def relDir(d: String): String = d.stripPrefix(s"$root/")
     // one scan per (defaults, deletion-vector) signature: dirs with
     // identical conformance needs read together
-    dirs.groupBy(d => (
+    val out = dirs.groupBy(d => (
         dfl.filter(_._2._2 > writeVer(d)).keys.toSeq.sorted,
         dvs.getOrElse(relDir(d), Seq.empty).sorted))
       .map { case ((cols, dvFiles), ds) =>
-        val base = indexedScan(v, sch, ds, info)
+        val base = indexedScan(v, sch, ds, info, buf)
         val defaulted = cols.foldLeft(base)((df, c) =>
           df.withColumn(c, coalesce(col(c), expr(dfl(c)._1))))
         // deletion vectors: anti-join each key file — a vector can
@@ -295,6 +313,8 @@ class PartitionedCowTable(val root: String, val partCol: String,
           df.join(dvA, cond, "left_anti")
         }
       }.reduce(_.unionByName(_))
+    lastIndexes = buf.toSeq
+    out
   }
 
   override def read(): DataFrame = readWhere(_ => true)
@@ -441,6 +461,15 @@ class PartitionedCowTable(val root: String, val partCol: String,
     * ceil(keys / shardRows) part files instead of a forced single
     * file — a billion-key erasure must not funnel through one task.
     */
+  /** Test seam: invoked at the commit-race window (after a mutation
+    * derived its state from the current version, before it publishes)
+    * so specs can interleave a competing writer DETERMINISTICALLY —
+    * real double-thread races are flaky by construction. No-op in
+    * production; a test sets it and the body self-clears (the
+    * interleaved mutation re-enters the same window).
+    */
+  private[sources] var raceSeam: () => Unit = () => ()
+
   def deleteWhereDV(pred: Column, keys: Seq[String],
                     shardRows: Long = 8L * 1024 * 1024): Unit = {
     val cur = requireVersion
@@ -465,8 +494,20 @@ class PartitionedCowTable(val root: String, val partCol: String,
       val prev = dv0.getOrElse(e.dir, Seq.empty)
       e.dir -> (if (attach) prev :+ rel else prev)
     }.toMap
-    writeVersion(cur + 1, schemaAt(cur).toDDL, spec, entries,
-      defaultsAt(cur), statsAt(cur), dvNew, strStatsAt(cur))
+    raceSeam()
+    try {
+      writeVersion(cur + 1, schemaAt(cur).toDDL, spec, entries,
+        defaultsAt(cur), statsAt(cur), dvNew, strStatsAt(cur))
+    } catch {
+      case e: java.util.ConcurrentModificationException =>
+        // the just-written vector file is ours and no manifest
+        // references it — reclaim it in the same failure path, the
+        // commit() symmetry (an orphan would otherwise linger until
+        // vacuum)
+        try CowTable.walkDelete(Paths.get(root, rel))
+        catch { case c: Exception => e.addSuppressed(c) }
+        throw e
+    }
   }
 
   /** Deletion-vector files the current version references (audit). */
@@ -524,19 +565,24 @@ class PartitionedCowTable(val root: String, val partCol: String,
   private def touchedValues(df: DataFrame): Set[String] = {
     val vals = df.select(col(currentPartCol).cast("string")).distinct()
       .collect().map(_.getString(0)).toSet
-    // manifest keys are recovered from `__part=<value>` directory
-    // names, which Spark percent-escapes — a value that doesn't
-    // round-trip would mismatch its raw form here, leave the stale
-    // manifest entry in place, and silently duplicate rows on read.
-    // Enforce the documented constraint instead of trusting it.
+    // Path-unsafe values ROUND-TRIP: partitionBy percent-escapes them
+    // into the dir name and commit's listing unescapes them back into
+    // Entry.value (escapePathName/unescapePathName are exact
+    // inverses — '%' itself is escaped), so 'a:b' or 'x%y' are fine.
+    // What can NOT round-trip is null and the empty string — Spark
+    // writes BOTH as the __HIVE_DEFAULT_PARTITION__ sentinel dir, so
+    // the raw value is unrecoverable (and a literal sentinel string
+    // would collide with it). Reject those loudly.
     vals.foreach { v =>
       require(v != null,
         s"partition column '$partCol' contains null — not supported")
-      val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        .escapePathName(v)
-      require(esc == v,
-        s"partition value '$v' is not path-safe (escapes to '$esc'); " +
-          s"use a path-safe derivation for '$partCol' (dates/months are)")
+      require(v.nonEmpty,
+        s"partition column '$partCol' contains an empty string — " +
+          s"Spark writes it as the default-partition sentinel dir, " +
+          s"which cannot round-trip; not supported")
+      require(v != "__HIVE_DEFAULT_PARTITION__",
+        s"partition value collides with Spark's default-partition " +
+          s"sentinel — not supported")
     }
     vals
   }
@@ -591,10 +637,21 @@ class PartitionedCowTable(val root: String, val partCol: String,
     }
     val written: Seq[Entry] = {
       val listing = Files.list(Paths.get(root, wdir))
+      // Entry.value is ALWAYS the RAW partition value: partitionBy
+      // percent-escapes path-unsafe chars into the dir name (':' →
+      // '%3A'), so the listed name must be UNESCAPED back before it
+      // is compared to anything literal-side — `touched` membership,
+      // GraftFileIndex exact pruning, deleteWhereDV's scoped attach
+      // and the zone-map stats lookup all compare raw values (a
+      // value kept escaped would silently miss every one of them).
+      // Entry.dir keeps the on-disk (escaped) name.
       try listing.iterator().asScala
         .map(_.getFileName.toString)
         .filter(_.startsWith("__part="))
-        .map(n => Entry(spec, n.stripPrefix("__part="), s"$wdir/$n")).toSeq
+        .map(n => Entry(spec,
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(n.stripPrefix("__part=")),
+          s"$wdir/$n")).toSeq
       finally listing.close()
     }
     // carried minus current-spec entries being replaced (an evolved
@@ -631,10 +688,23 @@ class PartitionedCowTable(val root: String, val partCol: String,
               min(col(c).cast("long")).as(s"__mn_$c"),
               max(col(c).cast("long")).as(s"__mx_$c"))
           }
-          val rows = spark.read.parquet(s"$root/$wdir")
-            .groupBy(col("__part").cast("string").as("__part"))
-            .agg(aggs.head, aggs.tail: _*)
-            .collect()
+          // partition-type inference must be OFF for this read: the
+          // stats rows key on the RAW __part string (matched against
+          // Entry.value), and inference would coerce e.g. '0123' to
+          // int 123 or an ISO date to DateType — a normalized
+          // rendering that never matches the raw value, silently
+          // dropping the dir's zone map. Toggle the conf just around
+          // the (eagerly collected) job.
+          val infKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+          val infPrev = spark.conf.get(infKey, "true")
+          val rows =
+            try {
+              spark.conf.set(infKey, "false")
+              spark.read.parquet(s"$root/$wdir")
+                .groupBy(col("__part").cast("string").as("__part"))
+                .agg(aggs.head, aggs.tail: _*)
+                .collect()
+            } finally spark.conf.set(infKey, infPrev)
           val byValueL = rows.map { r =>
             r.getAs[String]("__part") ->
               cols.filterNot(strCols.contains).flatMap { c =>

@@ -20,10 +20,11 @@ class BenchSpec extends AnyFunSuite {
 
   test("contended median with corroborating min: median substituted, " +
     "real min kept, annotated") {
-    // median 9 s vs steady 1 s, but min 1.1 s — the box, not the plan
-    assert(Bench.publish(9.0, 1.1, Some(1.0)) === ((1.0, 1.1, true)))
-    // the published median is min(steady, this-run min)
-    assert(Bench.publish(9.0, 0.8, Some(1.0)) === ((0.8, 0.8, true)))
+    // median 9 s vs steady 1 s, but min 1.1 s — the box, not the plan;
+    // the substituted median clamps to >= the published min so the
+    // artifact row stays internally consistent (median >= min always)
+    assert(Bench.publish(9.0, 1.1, Some(1.0)) === ((1.1, 1.1, true)))
+    assert(Bench.publish(9.0, 0.8, Some(1.0)) === ((1.0, 0.8, true)))
   }
 
   test("genuine regression (median AND min up): published unmasked") {

@@ -21,19 +21,102 @@ class PartitionedCowTableSpec extends SparkSpec {
     t
   }
 
-  test("non-path-safe partition values are rejected, not silently mangled") {
+  test("non-path-safe partition values ROUND-TRIP: escaped dirs, raw " +
+    "manifest keys, raw-literal pruning, scoped DV attach (r11 ADVICE)") {
     implicit val s = spark
     val t = PartitionedCowTable(
-      Files.createTempDirectory("pcow").toString + "/t", "month")
-    // ':' percent-escapes in the __part= dir name, so the manifest key
-    // would diverge from the raw value and duplicate rows across
-    // versions — the constraint is enforced at commit time
-    val bad = Seq((1L, "2020:03", "a", false)).toDF("pid", "month", "v", "flag")
-    intercept[IllegalArgumentException] { t.overwrite(bad) }
-    val nullVal = Seq((1L, null.asInstanceOf[String], "a", false))
-      .toDF("pid", "month", "v", "flag")
-    intercept[IllegalArgumentException] { t.overwrite(nullVal) }
-    assert(!t.exists)
+      Files.createTempDirectory("pcow_esc").toString + "/t", "month")
+    // ':' and '%' percent-escape in the __part= dir name; Entry.value
+    // must come back RAW or exact pruning / scoped attach / touched
+    // membership silently miss every comparison against the raw value
+    t.overwrite(Seq(
+      (1L, "2020:03", "a", false),
+      (2L, "x%y", "b", false),
+      (3L, "2020-04", "c", false)).toDF("pid", "month", "v", "flag"))
+    assert(t.manifest.keySet == Set("2020:03", "x%y", "2020-04"))
+    // the on-disk dir really is escaped (the raw ':' is not path-safe)
+    assert(t.manifest("2020:03").contains("__part=2020%3A03"))
+    // plain read().filter on the RAW literal opens only the matching dir
+    val r = t.read().filter($"month" === "2020:03")
+      .select("v").as[String].collect()
+    assert(r.toSeq == Seq("a"))
+    assert(t.autoPruneLedger === ((3, 1)))
+    // upsert into the escaped dir replaces the key, carries the others
+    t.upsert(Seq((2L, "x%y", "B", true)).toDF("pid", "month", "v", "flag"),
+      Seq("pid"))
+    assert(t.read().filter($"month" === "x%y")
+      .select("v").as[String].head() == "B")
+    assert(t.read().count() == 3)
+    // scoped deletion vector attaches to (only) the escaped dir it hit
+    t.deleteWhereDV($"month" === "2020:03" && $"pid" === 1L, Seq("pid"))
+    assert(t.read().count() == 2)
+    assert(!t.readWhere(_ == "x%y").queryExecution.optimizedPlan
+      .toString.contains("LeftAnti"))
+    assert(t.readWhere(_ == "2020:03").queryExecution.optimizedPlan
+      .toString.contains("LeftAnti"))
+    // null / empty / the Hive sentinel can NOT round-trip (Spark
+    // writes all of them as the same default-partition dir) — loud
+    val t2 = PartitionedCowTable(
+      Files.createTempDirectory("pcow_esc2").toString + "/t", "month")
+    intercept[IllegalArgumentException] {
+      t2.overwrite(Seq((1L, null.asInstanceOf[String], "a", false))
+        .toDF("pid", "month", "v", "flag"))
+    }
+    intercept[IllegalArgumentException] {
+      t2.overwrite(Seq((1L, "", "a", false))
+        .toDF("pid", "month", "v", "flag"))
+    }
+    intercept[IllegalArgumentException] {
+      t2.overwrite(Seq((1L, "__HIVE_DEFAULT_PARTITION__", "a", false))
+        .toDF("pid", "month", "v", "flag"))
+    }
+    assert(!t2.exists)
+  }
+
+  test("deleteWhereDV losing a commit race reclaims its just-written " +
+    "vector file before rethrowing (r11 ADVICE: no orphan dv)") {
+    implicit val s = spark
+    val t = mk()
+    def dvCount: Long = {
+      val d = java.nio.file.Paths.get(t.root, "dv")
+      if (!Files.exists(d)) 0L
+      else { val l = Files.list(d); try l.count() finally l.close() }
+    }
+    // interleave a competing append at the race window: the DV commit
+    // derived from the old version, so writeVersion must throw — and
+    // the vector file it already wrote must NOT survive as an orphan
+    t.raceSeam = () => {
+      t.raceSeam = () => () // self-clear: the append commits normally
+      t.append(Seq((9L, "2020-05", "z", false))
+        .toDF("pid", "month", "v", "flag"))
+    }
+    intercept[java.util.ConcurrentModificationException] {
+      t.deleteWhereDV($"month" === "2020-03" && $"pid" === 1L, Seq("pid"))
+    }
+    assert(dvCount == 0L)
+    // the table is healthy: the interleaved append won, nothing deleted
+    assert(t.read().count() == 5)
+    assert(t.liveDvFiles.isEmpty)
+    // and a clean retry from the new base succeeds
+    t.deleteWhereDV($"month" === "2020-03" && $"pid" === 1L, Seq("pid"))
+    assert(t.read().count() == 4)
+    assert(dvCount == 1L)
+  }
+
+  test("autoPruneLedger attributes per BUILT read under the " +
+    "build-execute-query protocol (r11 ADVICE: publish-once ledger)") {
+    implicit val s = spark
+    val t = mk()
+    // cycle 1: one-dir prune
+    t.read().filter($"month" === "2020-04").count()
+    assert(t.autoPruneLedger === ((3, 1)))
+    // cycle 2 on the same table: a different filter re-publishes a
+    // complete fresh ledger (never an appended mix of both reads)
+    t.read().filter($"month" >= "2020-04").count()
+    assert(t.autoPruneLedger === ((3, 2)))
+    // unfiltered read: everything opened
+    t.read().count()
+    assert(t.autoPruneLedger === ((3, 3)))
   }
 
   test("overwrite/read roundtrip with per-partition dirs") {
