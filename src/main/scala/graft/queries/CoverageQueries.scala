@@ -4455,6 +4455,81 @@ object CoverageQueries {
         tot.toLong, kept.toLong))
         .toDF("n", "sum_cents", "min_odate", "max_odate",
           "dirs_total", "dirs_opened")
+    },
+
+    // TYPED zone maps (closes the round-11 seconds-vs-micros hazard
+    // by construction): timestamp and date stats columns record
+    // Catalyst INTERNAL units at commit — micros-since-epoch for
+    // TimestampType, days-since-epoch for DateType — and the
+    // FileIndex prunes a range ONLY when the pushed literal's
+    // dataType matches the recorded unit, so a plain DataFrame
+    // filter with timestamp/date literals opens only intersecting
+    // dirs and a unit mismatch can never wrong-prune (it goes
+    // conservative). Both ledgers + answers gated; the oracle
+    // derives the ledgers from per-month data extents.
+    "q281_typed_zone_maps" -> { (s, dir) =>
+      val root = s"${Tables.scratchBase}/graft_q281_" +
+        s"${s.sparkContext.applicationId}/${java.util.UUID.randomUUID()}"
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey").as("PID"),
+        date_format(to_date(col("o_orderdate")), "yyyy-MM").as("month"),
+        col("o_orderdate").as("ts"),
+        to_date(col("o_orderdate")).as("d"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val tbl = new graft.sources.PartitionedCowTable(
+        s"$root/t", "month", s, statsColumns = Seq("ts", "d"))
+      tbl.overwrite(o)
+      // timestamp range — pushed literals carry MICROS
+      val (tlo, thi) = ("1996-01-05 00:00:00", "1996-03-20 12:00:00")
+      val tr = tbl.read()
+        .filter(col("ts") >= tlo && col("ts") < thi)
+        .agg(count(lit(1)), sum("cents")).collect()(0)
+      val (tTot, tKept) = tbl.autoPruneLedger
+      // date range — pushed literals carry DAYS
+      val (dlo, dhi) = ("1997-11-20", "1998-02-05")
+      val dr = tbl.read().filter(col("d").between(dlo, dhi))
+        .agg(count(lit(1)), sum("cents")).collect()(0)
+      val (dTot, dKept) = tbl.autoPruneLedger
+      import s.implicits._
+      Seq((tr.getLong(0), tr.getLong(1), tTot.toLong, tKept.toLong,
+        dr.getLong(0), dr.getLong(1), dTot.toLong, dKept.toLong))
+        .toDF("t_n", "t_cents", "t_dirs_total", "t_dirs_opened",
+          "d_n", "d_cents", "d_dirs_total", "d_dirs_opened")
+    },
+
+    // DOUBLE zone maps → BBOX pruning — the reference's date+bbox hot
+    // path (eodatadownlandsatgoogsensor.py:2074-2103): a grid-cell
+    // layout records per-dir lat/lon (min, max) DOUBLES at commit,
+    // and a plain 4-way bbox filter (lat/lon range conjunction)
+    // prunes to the intersecting cells through the same FileIndex —
+    // at 100 TB an AOI query opens its cells, not the globe. The
+    // lat/lon here are deterministic functions of the order key (a
+    // synthetic footprint grid); the oracle derives the ledger from
+    // per-cell coordinate extents — data, not engine internals.
+    "q282_bbox_zone_maps" -> { (s, dir) =>
+      val root = s"${Tables.scratchBase}/graft_q282_" +
+        s"${s.sparkContext.applicationId}/${java.util.UUID.randomUUID()}"
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey").as("PID"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        ((col("o_orderkey") % 1700).cast("double") / 10.0 - 85.0)
+          .as("lat"),
+        (((col("o_orderkey") * 7) % 3600).cast("double") / 10.0 - 180.0)
+          .as("lon"))
+        .withColumn("cell", concat_ws("_",
+          floor(col("lat") / 30.0).cast("int").cast("string"),
+          floor(col("lon") / 60.0).cast("int").cast("string")))
+      val tbl = new graft.sources.PartitionedCowTable(
+        s"$root/t", "cell", s, statsColumns = Seq("lat", "lon"))
+      tbl.overwrite(o)
+      val r = tbl.read()
+        .filter(col("lat") >= 5.0 && col("lat") <= 25.0 &&
+          col("lon") >= -100.0 && col("lon") <= -30.0)
+        .agg(count(lit(1)), sum("cents")).collect()(0)
+      val (tot, kept) = tbl.autoPruneLedger
+      import s.implicits._
+      Seq((r.getLong(0), r.getLong(1), tot.toLong, kept.toLong))
+        .toDF("n", "sum_cents", "dirs_total", "dirs_opened")
     }
   )
 
@@ -7437,6 +7512,74 @@ object CoverageQueries {
         |  led.dirs_total, led.dirs_opened
         |FROM o, led
         |WHERE odate BETWEEN '1996-01-05' AND '1996-02-10'
+        |GROUP BY led.dirs_total, led.dirs_opened""".stripMargin,
+
+    // answers from the plain timestamp/date filters; both ledgers
+    // from per-month data extents (a month dir is kept iff its
+    // ts/date extent intersects the literal range — kept iff
+    // max >= lo AND min < hi for the half-open ts range, BETWEEN
+    // bounds for the date range)
+    "q281_typed_zone_maps" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS PID,
+        |    strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+        |    o_orderdate AS ts,
+        |    CAST(o_orderdate AS DATE) AS d,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |ext AS (
+        |  SELECT month, min(ts) AS mnt, max(ts) AS mxt,
+        |    min(d) AS mnd, max(d) AS mxd
+        |  FROM o GROUP BY month),
+        |tled AS (
+        |  SELECT count(*) AS t_dirs_total,
+        |    CAST(sum(CASE WHEN mxt >= TIMESTAMP '1996-01-05 00:00:00'
+        |      AND mnt < TIMESTAMP '1996-03-20 12:00:00'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS t_dirs_opened FROM ext),
+        |dled AS (
+        |  SELECT count(*) AS d_dirs_total,
+        |    CAST(sum(CASE WHEN mxd >= DATE '1997-11-20'
+        |      AND mnd <= DATE '1998-02-05'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS d_dirs_opened FROM ext),
+        |tagg AS (
+        |  SELECT count(*) AS t_n, CAST(sum(cents) AS BIGINT) AS t_cents
+        |  FROM o WHERE ts >= TIMESTAMP '1996-01-05 00:00:00'
+        |    AND ts < TIMESTAMP '1996-03-20 12:00:00'),
+        |dagg AS (
+        |  SELECT count(*) AS d_n, CAST(sum(cents) AS BIGINT) AS d_cents
+        |  FROM o
+        |  WHERE d BETWEEN DATE '1997-11-20' AND DATE '1998-02-05')
+        |SELECT t_n, t_cents, t_dirs_total, t_dirs_opened,
+        |  d_n, d_cents, d_dirs_total, d_dirs_opened
+        |FROM tagg, tled, dagg, dled""".stripMargin,
+
+    // the answer from the plain 4-way bbox filter; the ledger from
+    // per-cell lat/lon extents (a cell dir is kept iff BOTH its lat
+    // and lon extents intersect the bbox) — the synthetic footprint
+    // grid is a deterministic function of the order key, identical
+    // IEEE arithmetic on both engines
+    "q282_bbox_zone_maps" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS PID,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    CAST(o_orderkey % 1700 AS DOUBLE) / 10.0 - 85.0 AS lat,
+        |    CAST((o_orderkey * 7) % 3600 AS DOUBLE) / 10.0 - 180.0
+        |      AS lon
+        |  FROM orders),
+        |ext AS (
+        |  SELECT floor(lat / 30.0) AS cy, floor(lon / 60.0) AS cx,
+        |    min(lat) AS mnla, max(lat) AS mxla,
+        |    min(lon) AS mnlo, max(lon) AS mxlo
+        |  FROM o GROUP BY 1, 2),
+        |led AS (
+        |  SELECT count(*) AS dirs_total,
+        |    CAST(sum(CASE WHEN mxla >= 5.0 AND mnla <= 25.0
+        |      AND mxlo >= -100.0 AND mnlo <= -30.0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS dirs_opened FROM ext)
+        |SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  led.dirs_total, led.dirs_opened
+        |FROM o, led
+        |WHERE lat BETWEEN 5.0 AND 25.0 AND lon BETWEEN -100.0 AND -30.0
         |GROUP BY led.dirs_total, led.dirs_opened""".stripMargin
   )
 }

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.execution.datasources.{FileIndex,
   HadoopFsRelation, LogicalRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Manifest-backed [[FileIndex]]: the read path that makes
@@ -90,13 +90,29 @@ object GraftFileIndex {
   /** What the manifest knows about one data directory: `exact` holds
     * columns with a CONSTANT known value in the dir (the partition
     * column it was written under), `ranges` holds zone-map [min, max]
-    * per integral stats column, `sranges` per STRING stats column
+    * per long-family stats column, `sranges` per STRING stats column
     * (lexicographic bounds — pruned only for all-ASCII comparisons,
-    * where Java's UTF-16 order and Spark's UTF-8 binary order agree).
+    * where Java's UTF-16 order and Spark's UTF-8 binary order agree),
+    * `dranges` per DOUBLE-family stats column (the bbox hot path).
+    *
+    * `kinds` records each long-family column's UNIT — the Catalyst
+    * internal representation the commit side recorded: "long" (plain
+    * integral), "micros" (TimestampType — microseconds since epoch),
+    * "days" (DateType — days since epoch). [[eval]] prunes a range
+    * ONLY when the pushed literal's dataType matches the recorded
+    * kind: a TimestampType literal carries micros, and comparing it
+    * against bounds recorded in any other unit would silently prune
+    * matching dirs (wrong answers, not a perf miss). A column absent
+    * from `kinds` defaults to "long" — pre-upgrade manifests only
+    * ever recorded plain integral bounds, so a timestamp literal
+    * against such a column stays Unknown (kept), never wrongly
+    * pruned.
     */
   case class ScanDir(path: String, exact: Map[String, String],
                      ranges: Map[String, (Long, Long)],
-                     sranges: Map[String, (String, String)] = Map.empty)
+                     sranges: Map[String, (String, String)] = Map.empty,
+                     dranges: Map[String, (Double, Double)] = Map.empty,
+                     kinds: Map[String, String] = Map.empty)
 
   /** Build the DataFrame: a parquet HadoopFsRelation over the index,
     * with the committed schema as the data schema (missing columns in
@@ -137,6 +153,26 @@ object GraftFileIndex {
     case _ => None
   }
 
+  private def litDouble(v: Any): Option[Double] = v match {
+    case d: Double => Some(d)
+    case f: Float => Some(f.toDouble)
+    case _ => None
+  }
+
+  /** The zone-map UNIT a literal of this dataType compares against:
+    * Catalyst carries TimestampType as micros-since-epoch (a plain
+    * Long) and DateType as days-since-epoch (a plain Int) — the
+    * VALUE alone cannot distinguish them from integral longs, so the
+    * recorded kind must match the literal's type or the comparison
+    * is meaningless (the round-11 seconds-vs-micros hazard).
+    */
+  private def kindOf(dt: DataType): Option[String] = dt match {
+    case TimestampType | TimestampNTZType => Some("micros")
+    case DateType => Some("days")
+    case ByteType | ShortType | IntegerType | LongType => Some("long")
+    case _ => None
+  }
+
   private def litStr(v: Any): Option[String] = v match {
     case u: UTF8String => Some(u.toString)
     case s: String => Some(s)
@@ -144,9 +180,19 @@ object GraftFileIndex {
   }
 
   /** Compare an exactly-known string value against a literal under
-    * `op` ∈ {<, <=, =, >=, >}. Numeric when both sides parse as Long;
-    * lexicographic for string literals (partition values are ISO
-    * dates/months, which order lexicographically); Unknown otherwise.
+    * `op` ∈ {<, <=, =, >=, >}. The literal's DATATYPE picks the
+    * comparison domain:
+    *  - integral → numeric, when the value parses as Long;
+    *  - DateType → the literal's days-since-epoch render to the ISO
+    *    date string (zone-free and deterministic), compared
+    *    lexicographically — ISO dates order chronologically, so a
+    *    date filter prunes date-valued partition dirs;
+    *  - double/float → numeric, when the value parses as Double (a
+    *    double partition value's string form round-trips exactly —
+    *    Spark renders shortest-roundtrip);
+    *  - string → lexicographic;
+    *  - timestamp → Unknown (its string render is session-zone-
+    *    dependent; never sound to compare).
     * Lexicographic ORDERING comparisons carry the same ASCII guard as
     * [[cmpRangeStr]] — Java compares UTF-16 code units while Spark
     * compares UTF-8 bytes, and the two orders disagree for
@@ -154,15 +200,27 @@ object GraftFileIndex {
     * and code-unit equality coincide for any valid string), so `=`
     * stays unguarded.
     */
-  private def cmpExact(value: String, lit: Any, op: String): Tri = {
-    val c: Option[Int] = litLong(lit) match {
-      case Some(l) =>
-        value.toLongOption.map(_.compareTo(l))
-      case None => litStr(lit).flatMap { s =>
-        if (op == "=" || (isAscii(value) && isAscii(s)))
-          Some(value.compareTo(s))
-        else None
-      }
+  private def cmpExact(value: String, lit: Any, dt: DataType,
+                       op: String): Tri = {
+    val c: Option[Int] = dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        litLong(lit).flatMap(l => value.toLongOption.map(_.compareTo(l)))
+      case DateType =>
+        litLong(lit).map { days =>
+          val iso = java.time.LocalDate.ofEpochDay(days).toString
+          if (op == "=" || isAscii(value)) Some(value.compareTo(iso))
+          else None
+        }.getOrElse(None)
+      case DoubleType | FloatType =>
+        litDouble(lit).flatMap(d =>
+          value.toDoubleOption.map(_.compareTo(d)))
+      case StringType =>
+        litStr(lit).flatMap { s =>
+          if (op == "=" || (isAscii(value) && isAscii(s)))
+            Some(value.compareTo(s))
+          else None
+        }
+      case _ => None
     }
     c match {
       case None => Unknown
@@ -221,14 +279,53 @@ object GraftFileIndex {
       case _ => Unknown
     }
 
-  private def cmp(d: ScanDir, attr: String, lit: Any, op: String): Tri =
+  /** Double zone-map compare — [[cmpRange]]'s double-family twin
+    * (lat/lon bbox bounds, measurements). NaN disables pruning: a
+    * NaN literal satisfies no comparison anyway, and NaN bounds mean
+    * the dir holds NaNs whose ordering Spark defines but a prune
+    * must not guess about.
+    */
+  private def cmpRangeDbl(mn: Double, mx: Double, lit: Any,
+                          op: String): Tri =
+    litDouble(lit) match {
+      case Some(v) if !v.isNaN && !mn.isNaN && !mx.isNaN =>
+        val disjoint = op match {
+          case "=" => v < mn || v > mx
+          case "<" => mn >= v
+          case "<=" => mn > v
+          case ">" => mx <= v
+          case ">=" => mx < v
+        }
+        if (disjoint) False else Unknown
+      case _ => Unknown
+    }
+
+  /** Route a comparison to the dir's metadata for `attr`, keyed by
+    * the LITERAL's dataType: exact partition values compare in the
+    * literal's domain; long-family ranges prune ONLY when the
+    * recorded kind matches the literal's unit (micros/days/long —
+    * the type guard that makes a stale or foreign-unit zone map
+    * conservative instead of wrong); double ranges serve
+    * double/float literals; string ranges serve string literals.
+    */
+  private def cmp(d: ScanDir, attr: String, lit: Any, dt: DataType,
+                  op: String): Tri =
     d.exact.get(attr) match {
-      case Some(v) => cmpExact(v, lit, op)
-      case None => d.ranges.get(attr) match {
-        case Some((mn, mx)) => cmpRange(mn, mx, lit, op)
-        case None => d.sranges.get(attr) match {
+      case Some(v) => cmpExact(v, lit, dt, op)
+      case None => dt match {
+        case DoubleType | FloatType => d.dranges.get(attr) match {
+          case Some((mn, mx)) => cmpRangeDbl(mn, mx, lit, op)
+          case None => Unknown
+        }
+        case StringType => d.sranges.get(attr) match {
           case Some((mn, mx)) => cmpRangeStr(mn, mx, lit, op)
           case None => Unknown
+        }
+        case _ => d.ranges.get(attr) match {
+          case Some((mn, mx))
+            if kindOf(dt).contains(d.kinds.getOrElse(attr, "long")) =>
+            cmpRange(mn, mx, lit, op)
+          case _ => Unknown
         }
       }
     }
@@ -237,24 +334,24 @@ object GraftFileIndex {
     case And(l, r) => and3(eval(l, d), eval(r, d))
     case Or(l, r) => or3(eval(l, d), eval(r, d))
     case Not(c) => not3(eval(c, d))
-    case EqualTo(a: AttributeReference, Literal(v, _)) => cmp(d, a.name, v, "=")
-    case EqualTo(Literal(v, _), a: AttributeReference) => cmp(d, a.name, v, "=")
+    case EqualTo(a: AttributeReference, Literal(v, dt)) => cmp(d, a.name, v, dt, "=")
+    case EqualTo(Literal(v, dt), a: AttributeReference) => cmp(d, a.name, v, dt, "=")
     // null-safe equality against a NON-null literal prunes like plain
     // equality: null rows never satisfy it, so interval disjointness
     // stays sound; a null literal (isnull probe) stays Unknown — zone
     // maps don't track nulls
-    case EqualNullSafe(a: AttributeReference, Literal(v, _)) if v != null =>
-      cmp(d, a.name, v, "=")
-    case EqualNullSafe(Literal(v, _), a: AttributeReference) if v != null =>
-      cmp(d, a.name, v, "=")
-    case GreaterThan(a: AttributeReference, Literal(v, _)) => cmp(d, a.name, v, ">")
-    case GreaterThan(Literal(v, _), a: AttributeReference) => cmp(d, a.name, v, "<")
-    case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) => cmp(d, a.name, v, ">=")
-    case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) => cmp(d, a.name, v, "<=")
-    case LessThan(a: AttributeReference, Literal(v, _)) => cmp(d, a.name, v, "<")
-    case LessThan(Literal(v, _), a: AttributeReference) => cmp(d, a.name, v, ">")
-    case LessThanOrEqual(a: AttributeReference, Literal(v, _)) => cmp(d, a.name, v, "<=")
-    case LessThanOrEqual(Literal(v, _), a: AttributeReference) => cmp(d, a.name, v, ">=")
+    case EqualNullSafe(a: AttributeReference, Literal(v, dt)) if v != null =>
+      cmp(d, a.name, v, dt, "=")
+    case EqualNullSafe(Literal(v, dt), a: AttributeReference) if v != null =>
+      cmp(d, a.name, v, dt, "=")
+    case GreaterThan(a: AttributeReference, Literal(v, dt)) => cmp(d, a.name, v, dt, ">")
+    case GreaterThan(Literal(v, dt), a: AttributeReference) => cmp(d, a.name, v, dt, "<")
+    case GreaterThanOrEqual(a: AttributeReference, Literal(v, dt)) => cmp(d, a.name, v, dt, ">=")
+    case GreaterThanOrEqual(Literal(v, dt), a: AttributeReference) => cmp(d, a.name, v, dt, "<=")
+    case LessThan(a: AttributeReference, Literal(v, dt)) => cmp(d, a.name, v, dt, "<")
+    case LessThan(Literal(v, dt), a: AttributeReference) => cmp(d, a.name, v, dt, ">")
+    case LessThanOrEqual(a: AttributeReference, Literal(v, dt)) => cmp(d, a.name, v, dt, "<=")
+    case LessThanOrEqual(Literal(v, dt), a: AttributeReference) => cmp(d, a.name, v, dt, ">=")
     // prefix filter (col LIKE 'p%' / startsWith): strings with prefix
     // p form the interval [p, succ(p)) where succ bumps p's last char
     // — exact on a known partition value, interval-disjointness on
@@ -277,10 +374,12 @@ object GraftFileIndex {
         case _ => Unknown
       }
     case In(a: AttributeReference, list) if list.forall(_.isInstanceOf[Literal]) =>
-      list.map { case Literal(v, _) => cmp(d, a.name, v, "=") }
+      list.map { case Literal(v, dt) => cmp(d, a.name, v, dt, "=") }
         .foldLeft(False: Tri)(or3)
+    // InSet's values carry no per-element type — they share the
+    // attribute's dataType by construction
     case InSet(a: AttributeReference, set) =>
-      set.map(v => cmp(d, a.name, v, "=")).foldLeft(False: Tri)(or3)
+      set.map(v => cmp(d, a.name, v, a.dataType, "=")).foldLeft(False: Tri)(or3)
     // a pruning decision needs FALSE to be sound; anything we don't
     // model (casts, UDFs, null probes, column-column compares) keeps
     // the dir

@@ -8,7 +8,9 @@ import com.fasterxml.jackson.databind.ObjectMapper
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.types.{ByteType, DateType, DoubleType,
+  FloatType, IntegerType, LongType, ShortType, StringType, StructType,
+  TimestampNTZType, TimestampType}
 
 /** Partition-level copy-on-write table — the 100 TB layout promised by
   * [[CowTable]]'s scaladoc, implemented. A version is a MANIFEST
@@ -149,6 +151,43 @@ class PartitionedCowTable(val root: String, val partCol: String,
     }.toMap
   }
 
+  /** DOUBLE zone maps — [[statsColumns]] entries whose schema type is
+    * float/double record per-dir (min, max) DOUBLES at commit (lat/
+    * lon bbox bounds, measurements). [[GraftFileIndex]] prunes
+    * double/float comparison literals on them — the reference's
+    * date+bbox hot path opens only intersecting dirs.
+    */
+  private def dblStatsAt(v: Int)
+      : Map[String, Map[String, (Double, Double)]] = {
+    val node = mapper.readTree(Files.readAllBytes(
+      Paths.get(root, f"v_$v%06d.json")))
+    if (!node.has("dstats")) Map.empty
+    else node.get("dstats").fields().asScala.map { e =>
+      e.getKey -> e.getValue.fields().asScala.map { c =>
+        c.getKey -> (c.getValue.get(0).asDouble(),
+          c.getValue.get(1).asDouble())
+      }.toMap
+    }.toMap
+  }
+
+  /** column → UNIT of its long-family zone maps ("micros" for
+    * TimestampType, "days" for DateType; plain integral columns are
+    * implicit "long" and not persisted). The commit side records
+    * Catalyst INTERNAL units so a pushed literal's value compares
+    * directly, and [[GraftFileIndex]] prunes only when the literal's
+    * dataType matches the recorded kind — a manifest without this
+    * node (pre-upgrade, integral-only) defaults every column to
+    * "long", which a timestamp/date literal never matches: stale
+    * zone maps go conservative, never wrong.
+    */
+  private def kindsAt(v: Int): Map[String, String] = {
+    val node = mapper.readTree(Files.readAllBytes(
+      Paths.get(root, f"v_$v%06d.json")))
+    if (!node.has("statskinds")) Map.empty
+    else node.get("statskinds").fields().asScala
+      .map(e => e.getKey -> e.getValue.asText()).toMap
+  }
+
   /** dir → DELETION-VECTOR files (paths relative to root) in force
     * for that dir — the Delta-DV/Iceberg-delete-file idea at key
     * grain: [[deleteWhereDV]] commits a tiny key file instead of
@@ -273,12 +312,16 @@ class PartitionedCowTable(val root: String, val partCol: String,
     val dvs = dvsAt(v)
     val st = statsAt(v)
     val sst = strStatsAt(v)
+    val dst = dblStatsAt(v)
+    val knd = kindsAt(v)
     val info: Map[String, GraftFileIndex.ScanDir] =
       entriesAt(v).map { e =>
         val p = s"$root/${e.dir}"
         p -> GraftFileIndex.ScanDir(p, Map(e.pcol -> e.value),
           st.getOrElse(e.dir, Map.empty),
-          sst.getOrElse(e.dir, Map.empty))
+          sst.getOrElse(e.dir, Map.empty),
+          dst.getOrElse(e.dir, Map.empty),
+          knd)
       }.toMap
     val buf = scala.collection.mutable.ArrayBuffer.empty[GraftFileIndex]
     if (dfl.isEmpty && dvs.isEmpty) {
@@ -497,7 +540,8 @@ class PartitionedCowTable(val root: String, val partCol: String,
     raceSeam()
     try {
       writeVersion(cur + 1, schemaAt(cur).toDDL, spec, entries,
-        defaultsAt(cur), statsAt(cur), dvNew, strStatsAt(cur))
+        defaultsAt(cur), statsAt(cur), dvNew, strStatsAt(cur),
+        dblStatsAt(cur), kindsAt(cur))
     } catch {
       case e: java.util.ConcurrentModificationException =>
         // the just-written vector file is ours and no manifest
@@ -665,28 +709,67 @@ class PartitionedCowTable(val root: String, val partCol: String,
     // statsColumns is empty.
     val carriedStats = currentVersion.map(statsAt).getOrElse(Map.empty)
     val carriedSStats = currentVersion.map(strStatsAt).getOrElse(Map.empty)
+    val carriedDStats = currentVersion.map(dblStatsAt).getOrElse(Map.empty)
+    val carriedKinds = currentVersion.map(kindsAt).getOrElse(Map.empty)
     // deletion vectors ride with carried dirs; rewritten dirs read
     // THROUGH their vectors above, so the rewrite materialized them
     val carriedDvs = currentVersion.map(dvsAt).getOrElse(Map.empty)
-    // string-typed stats columns record lexicographic (min, max)
-    // STRINGS; everything else records long bounds (one footer-sized
-    // aggregate covers both families)
-    val strCols = statsColumns.filter(c => data.schema.fields.exists(
-      f => f.name == c && f.dataType == StringType))
-    val (writtenStats, writtenSStats)
+    // Each stats column records its bounds in the family its SCHEMA
+    // TYPE picks — and in Catalyst INTERNAL units for the long
+    // family, so a pushed literal's raw value compares directly:
+    //   string       → lexicographic (min, max) strings
+    //   float/double → (min, max) doubles
+    //   timestamp    → (min, max) micros-since-epoch ("micros")
+    //   date         → (min, max) days-since-epoch  ("days")
+    //   integral     → (min, max) longs             ("long")
+    // Anything else is REFUSED LOUDLY at commit (the EPSG precedent):
+    // a silently mis-unit'd zone map is a wrong-prune hazard, not a
+    // perf miss. One footer-sized aggregate covers all families.
+    def statFamily(c: String): String = {
+      val f = data.schema.fields.find(_.name == c).get
+      f.dataType match {
+        case StringType => "str"
+        case DoubleType | FloatType => "dbl"
+        case TimestampType => "micros"
+        // TIMESTAMP_NTZ's internal value IS naive micros-since-epoch
+        // — same unit as a pushed NTZ literal; recorded through a
+        // UTC-pinned cast below so the stats job is session-zone-
+        // independent
+        case TimestampNTZType => "ntzmicros"
+        case DateType => "days"
+        case ByteType | ShortType | IntegerType | LongType => "long"
+        case other => throw new IllegalArgumentException(
+          s"statsColumns: column '$c' has unsupported type " +
+            s"${other.simpleString} — supported: integral, string, " +
+            s"float/double, date, timestamp")
+      }
+    }
+    val (writtenStats, writtenSStats, writtenDStats, writtenKinds)
         : (Map[String, Map[String, (Long, Long)]],
-           Map[String, Map[String, (String, String)]]) =
-      if (statsColumns.isEmpty || written.isEmpty) (Map.empty, Map.empty)
+           Map[String, Map[String, (String, String)]],
+           Map[String, Map[String, (Double, Double)]],
+           Map[String, String]) =
+      if (statsColumns.isEmpty || written.isEmpty)
+        (Map.empty, Map.empty, Map.empty, Map.empty)
       else {
         val cols = statsColumns.filter(data.columns.contains)
-        if (cols.isEmpty) (Map.empty, Map.empty)
+        val fam = cols.map(c => c -> statFamily(c)).toMap
+        if (cols.isEmpty) (Map.empty, Map.empty, Map.empty, Map.empty)
         else {
           val aggs = cols.flatMap { c =>
-            if (strCols.contains(c)) Seq(
-              min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c"))
-            else Seq(
-              min(col(c).cast("long")).as(s"__mn_$c"),
-              max(col(c).cast("long")).as(s"__mx_$c"))
+            val e = fam(c) match {
+              case "str" => col(c)
+              case "dbl" => col(c).cast("double")
+              case "micros" => expr(s"unix_micros(`$c`)")
+              // the UTC-pinned session tz (set around the job below)
+              // makes cast(ntz as timestamp) preserve the naive
+              // micros exactly — the unit a pushed NTZ literal carries
+              case "ntzmicros" =>
+                expr(s"unix_micros(cast(`$c` as timestamp))")
+              case "days" => expr(s"unix_date(`$c`)").cast("long")
+              case _ => col(c).cast("long")
+            }
+            Seq(min(e).as(s"__mn_$c"), max(e).as(s"__mx_$c"))
           }
           // partition-type inference must be OFF for this read: the
           // stats rows key on the RAW __part string (matched against
@@ -697,17 +780,28 @@ class PartitionedCowTable(val root: String, val partCol: String,
           // the (eagerly collected) job.
           val infKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
           val infPrev = spark.conf.get(infKey, "true")
+          val tzKey = "spark.sql.session.timeZone"
+          val tzPrev = spark.conf.get(tzKey)
           val rows =
             try {
               spark.conf.set(infKey, "false")
+              // UTC-pin the NTZ→timestamp cast (no-op for every other
+              // family): recorded ntz bounds must be session-zone-
+              // independent or a reader in another zone wrong-prunes
+              spark.conf.set(tzKey, "UTC")
               spark.read.parquet(s"$root/$wdir")
                 .groupBy(col("__part").cast("string").as("__part"))
                 .agg(aggs.head, aggs.tail: _*)
                 .collect()
-            } finally spark.conf.set(infKey, infPrev)
+            } finally {
+              spark.conf.set(infKey, infPrev)
+              spark.conf.set(tzKey, tzPrev)
+            }
+          val longCols = cols.filter(c => Set("long", "micros",
+            "ntzmicros", "days").contains(fam(c)))
           val byValueL = rows.map { r =>
             r.getAs[String]("__part") ->
-              cols.filterNot(strCols.contains).flatMap { c =>
+              longCols.flatMap { c =>
                 if (r.isNullAt(r.fieldIndex(s"__mn_$c"))) None
                 else Some(c -> (r.getAs[Long](s"__mn_$c"),
                   r.getAs[Long](s"__mx_$c")))
@@ -715,22 +809,43 @@ class PartitionedCowTable(val root: String, val partCol: String,
           }.toMap
           val byValueS = rows.map { r =>
             r.getAs[String]("__part") ->
-              cols.filter(strCols.contains).flatMap { c =>
+              cols.filter(fam(_) == "str").flatMap { c =>
                 if (r.isNullAt(r.fieldIndex(s"__mn_$c"))) None
                 else Some(c -> (r.getAs[String](s"__mn_$c"),
                   r.getAs[String](s"__mx_$c")))
               }.toMap
           }.toMap
+          val byValueD = rows.map { r =>
+            r.getAs[String]("__part") ->
+              cols.filter(fam(_) == "dbl").flatMap { c =>
+                if (r.isNullAt(r.fieldIndex(s"__mn_$c"))) None
+                else Some(c -> (r.getAs[Double](s"__mn_$c"),
+                  r.getAs[Double](s"__mx_$c")))
+              }.toMap
+          }.toMap
           (written.flatMap(e =>
              byValueL.get(e.value).map(e.dir -> _)).toMap,
            written.flatMap(e =>
-             byValueS.get(e.value).map(e.dir -> _)).toMap)
+             byValueS.get(e.value).map(e.dir -> _)).toMap,
+           written.flatMap(e =>
+             byValueD.get(e.value).map(e.dir -> _)).toMap,
+           cols.flatMap(c => fam(c) match {
+             case k @ ("micros" | "days") => Some(c -> k)
+             // both timestamp flavors record micros; the literal a
+             // reader pushes for the column carries the SAME flavor
+             // as the column's (fixed) schema type, so one persisted
+             // kind serves both
+             case "ntzmicros" => Some(c -> "micros")
+             case _ => None
+           }).toMap)
         }
       }
     try {
       writeVersion(next, schemaDdl, spec, kept ++ written, defaults,
         carriedStats ++ writtenStats, carriedDvs,
-        carriedSStats ++ writtenSStats)
+        carriedSStats ++ writtenSStats,
+        carriedDStats ++ writtenDStats,
+        carriedKinds ++ writtenKinds)
     } catch {
       case e: java.util.ConcurrentModificationException =>
         // the claimed data dir is ours (the rename succeeded) and no
@@ -749,7 +864,10 @@ class PartitionedCowTable(val root: String, val partCol: String,
                              Map.empty,
                            dvs: Map[String, Seq[String]] = Map.empty,
                            sstats: Map[String,
-                             Map[String, (String, String)]] = Map.empty)
+                             Map[String, (String, String)]] = Map.empty,
+                           dstats: Map[String,
+                             Map[String, (Double, Double)]] = Map.empty,
+                           kinds: Map[String, String] = Map.empty)
       : Unit = {
     // optimistic concurrency (see CowTable.commit): a competing writer
     // advancing the pointer mid-commit means this manifest's carried
@@ -806,6 +924,22 @@ class PartitionedCowTable(val root: String, val partCol: String,
         }
       }
     }
+    val liveDStats = dstats.filter { case (d, m) =>
+      live.contains(d) && m.nonEmpty }
+    if (liveDStats.nonEmpty) {
+      val st = node.putObject("dstats")
+      liveDStats.toSeq.sortBy(_._1).foreach { case (d, cols) =>
+        val o = st.putObject(d)
+        cols.toSeq.sortBy(_._1).foreach { case (c, (lo, hi)) =>
+          val a = o.putArray(c)
+          a.add(lo); a.add(hi)
+        }
+      }
+    }
+    if (kinds.nonEmpty) {
+      val kn = node.putObject("statskinds")
+      kinds.toSeq.sortBy(_._1).foreach { case (c, k) => kn.put(c, k) }
+    }
     val parts = node.putObject("partitions")
     entries.filter(_.pcol == spec).sortBy(_.value)
       .foreach(e => parts.put(e.value, e.dir))
@@ -844,7 +978,7 @@ class PartitionedCowTable(val root: String, val partCol: String,
     if (newPartCol == currentPartCol) return
     writeVersion(cur + 1, schemaAt(cur).toDDL, newPartCol,
       entriesAt(cur), defaultsAt(cur), statsAt(cur), dvsAt(cur),
-      strStatsAt(cur))
+      strStatsAt(cur), dblStatsAt(cur), kindsAt(cur))
   }
 
   /** Delta-style RESTORE (`RESTORE TABLE ... TO VERSION AS OF v`):
@@ -862,7 +996,8 @@ class PartitionedCowTable(val root: String, val partCol: String,
       s"restore: no version $v at $root (never committed, or vacuumed)")
     if (v == cur) return
     writeVersion(cur + 1, schemaAt(v).toDDL, partColAt(v), entriesAt(v),
-      defaultsAt(v), statsAt(v), dvsAt(v), strStatsAt(v))
+      defaultsAt(v), statsAt(v), dvsAt(v), strStatsAt(v),
+      dblStatsAt(v), kindsAt(v))
   }
 
   /** Add a column — a METADATA-ONLY commit (Iceberg's add-column
@@ -885,7 +1020,8 @@ class PartitionedCowTable(val root: String, val partCol: String,
     // dirs written by later commits store the column physically
     writeVersion(cur + 1, widened.toDDL, partColAt(cur), entriesAt(cur),
       defaultsAt(cur) ++ defaultSql.map(d => name -> (d, cur + 1)),
-      statsAt(cur), dvsAt(cur), strStatsAt(cur))
+      statsAt(cur), dvsAt(cur), strStatsAt(cur),
+      dblStatsAt(cur), kindsAt(cur))
   }
 
   /** An empty DataFrame with the table's committed schema (safe to

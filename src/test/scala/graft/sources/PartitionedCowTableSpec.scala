@@ -73,6 +73,48 @@ class PartitionedCowTableSpec extends SparkSpec {
     assert(!t2.exists)
   }
 
+  test("typed stats columns record Catalyst internal units: timestamp " +
+    "prunes in micros, date in days; unsupported types refused loudly") {
+    implicit val s = spark
+    val t = new PartitionedCowTable(
+      Files.createTempDirectory("pcow_typed").toString + "/t", "month",
+      spark, statsColumns = Seq("ets", "ed"))
+    def ts(v: String) = java.sql.Timestamp.valueOf(v)
+    def dt(v: String) = java.sql.Date.valueOf(v)
+    t.overwrite(Seq(
+      (1L, "2020-03", ts("2020-03-05 10:00:00"), dt("2020-03-05")),
+      (2L, "2020-03", ts("2020-03-28 23:30:00"), dt("2020-03-28")),
+      (3L, "2020-04", ts("2020-04-07 10:00:00"), dt("2020-04-07")),
+      (4L, "2020-05", ts("2020-05-09 10:00:00"), dt("2020-05-09")))
+      .toDF("pid", "month", "ets", "ed"))
+    // the manifest records the units and micros-scale bounds
+    val json = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(t.root, "v_000000.json")))
+    assert(json.contains("\"statskinds\""))
+    assert(json.contains("\"micros\"") && json.contains("\"days\""))
+    assert(json.contains(
+      (ts("2020-03-05 10:00:00").getTime * 1000L).toString))
+    // a plain timestamp-literal range filter prunes to the one
+    // intersecting dir AND answers correctly
+    assert(t.read().filter($"ets" >= "2020-04-01 00:00:00" &&
+      $"ets" < "2020-05-01 00:00:00").count() == 1)
+    assert(t.autoPruneLedger === ((3, 1)))
+    // a DateType between-filter prunes by the days-unit bounds
+    assert(t.read().filter($"ed".between("2020-03-10", "2020-04-10"))
+      .count() == 2)
+    assert(t.autoPruneLedger === ((3, 2)))
+    // an unsupported stats-column type fails the COMMIT loudly (the
+    // EPSG refuse-loudly precedent): a silently mis-unit'd zone map
+    // would be a wrong-prune hazard, not a perf miss
+    val t2 = new PartitionedCowTable(
+      Files.createTempDirectory("pcow_typed2").toString + "/t", "month",
+      spark, statsColumns = Seq("flag"))
+    val err = intercept[IllegalArgumentException] {
+      t2.overwrite(Seq((1L, "2020-03", true)).toDF("pid", "month", "flag"))
+    }
+    assert(err.getMessage.contains("unsupported type"))
+  }
+
   test("deleteWhereDV losing a commit race reclaims its just-written " +
     "vector file before rethrowing (r11 ADVICE: no orphan dv)") {
     implicit val s = spark
