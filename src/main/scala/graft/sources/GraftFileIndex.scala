@@ -43,15 +43,46 @@ class GraftFileIndex(spark: SparkSession, sch: StructType,
 
   private val hadoopConf = spark.sessionState.newHadoopConf()
 
-  // one listing per dir at construction — the manifest IS the listing
-  // authority, this just resolves it to concrete FileStatus objects
-  private val filesByDir: Seq[(ScanDir, Seq[FileStatus])] = dirs.map { d =>
-    val p = new Path(d.path)
-    val fs = p.getFileSystem(hadoopConf)
-    val fss = fs.listStatus(p).toSeq.filter(f => f.isFile &&
-      !f.getPath.getName.startsWith("_") &&
-      !f.getPath.getName.startsWith("."))
-    d -> fss
+  // LAZY listing: the manifest is the listing authority, so pruning
+  // needs NO filesystem I/O at all — only the dirs [[listFiles]] KEEPS
+  // are ever resolved to concrete FileStatus objects, and each at most
+  // once (cached). At 100k dirs on object storage (~50 ms per list) an
+  // eager per-dir listing would cost over an hour of serial driver
+  // time per read regardless of how well the scan prunes; here the
+  // metadata plane prunes with the data plane.
+  private val listedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[FileStatus]]()
+
+  private def listDir(d: ScanDir): Array[FileStatus] =
+    listedCache.computeIfAbsent(d.path, { path =>
+      val p = new Path(path)
+      val fs = p.getFileSystem(hadoopConf)
+      fs.listStatus(p).filter(f => f.isFile &&
+        !f.getPath.getName.startsWith("_") &&
+        !f.getPath.getName.startsWith("."))
+    })
+
+  /** List `ds`, fanning out to a bounded thread pool above the same
+    * threshold Spark's `InMemoryFileIndex` uses for parallel partition
+    * discovery (`spark.sql.sources.parallelPartitionDiscovery
+    * .threshold`, default 32) — listing is pure I/O wait, so a driver-
+    * side pool of up to 32 concurrent lists collapses the metadata
+    * wall-clock by the pool width without touching executors.
+    */
+  private def listDirs(ds: Seq[ScanDir]): Unit = {
+    val missing = ds.filterNot(d => listedCache.containsKey(d.path))
+    val threshold = spark.conf.get(
+      "spark.sql.sources.parallelPartitionDiscovery.threshold", "32").toInt
+    if (missing.size > threshold) {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(missing.size, 32))
+      try missing.map { d =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = { listDir(d); () }
+        })
+      }.foreach(_.get())
+      finally pool.shutdown()
+    } else missing.foreach(listDir)
   }
 
   /** (dirs total, dirs listed) of the most recent [[listFiles]] — the
@@ -59,28 +90,49 @@ class GraftFileIndex(spark: SparkSession, sch: StructType,
     */
   @volatile var lastPrune: (Int, Int) = (dirs.size, dirs.size)
 
+  /** Every dir path this index has EVER resolved with a filesystem
+    * listing — the metadata-plane ledger: a spec proves pruned dirs
+    * are never listed by checking their absence here after the scan.
+    * All listings route through the one cache, so the key set IS the
+    * complete listing history.
+    */
+  def listedDirPaths: Set[String] = {
+    import scala.jdk.CollectionConverters._
+    listedCache.keySet().asScala.toSet
+  }
+
   override def rootPaths: Seq[Path] = dirs.map(d => new Path(d.path))
 
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression])
       : Seq[PartitionDirectory] = {
     val preds = partitionFilters ++ dataFilters
-    val kept = filesByDir.filter { case (d, _) =>
-      preds.forall(p => eval(p, d) != False)
-    }
-    lastPrune = (filesByDir.size, kept.size)
-    kept.map { case (_, fss) =>
-      PartitionDirectory(InternalRow.empty, fss.toArray)
-    }
+    // prune BEFORE listing: eval consults only manifest metadata
+    val kept = dirs.filter(d => preds.forall(p => eval(p, d) != False))
+    lastPrune = (dirs.size, kept.size)
+    listDirs(kept)
+    kept.map(d => PartitionDirectory(InternalRow.empty, listDir(d)))
   }
 
-  override def inputFiles: Array[String] =
-    filesByDir.flatMap(_._2.map(_.getPath.toString)).toArray
+  override def inputFiles: Array[String] = {
+    listDirs(dirs)
+    dirs.flatMap(d => listDir(d).map(_.getPath.toString)).toArray
+  }
 
   override def refresh(): Unit = ()
 
-  override def sizeInBytes: Long =
-    filesByDir.flatMap(_._2.map(_.getLen)).sum
+  /** Catalyst asks for this at PLAN time (join-strategy stats), so it
+    * must not trigger the full listing the lazy path just avoided:
+    * dirs whose manifest recorded a byte count (every commit since the
+    * `bytes` node landed) are served from metadata; only pre-upgrade
+    * dirs with no recorded size fall back to a (cached) listing.
+    */
+  override lazy val sizeInBytes: Long = {
+    val (known, unknown) = dirs.partition(_.bytes >= 0L)
+    listDirs(unknown)
+    known.map(_.bytes).sum +
+      unknown.map(d => listDir(d).map(_.getLen).sum).sum
+  }
 
   override def partitionSchema: StructType = StructType(Nil)
 }
@@ -107,12 +159,18 @@ object GraftFileIndex {
     * ever recorded plain integral bounds, so a timestamp literal
     * against such a column stays Unknown (kept), never wrongly
     * pruned.
+    *
+    * `bytes` is the dir's manifest-recorded total data size (-1 =
+    * unknown, pre-upgrade manifests) — it serves [[GraftFileIndex
+    * .sizeInBytes]] at plan time without a filesystem listing, the
+    * Delta AddFile.size idea.
     */
   case class ScanDir(path: String, exact: Map[String, String],
                      ranges: Map[String, (Long, Long)],
                      sranges: Map[String, (String, String)] = Map.empty,
                      dranges: Map[String, (Double, Double)] = Map.empty,
-                     kinds: Map[String, String] = Map.empty)
+                     kinds: Map[String, String] = Map.empty,
+                     bytes: Long = -1L)
 
   /** Build the DataFrame: a parquet HadoopFsRelation over the index,
     * with the committed schema as the data schema (missing columns in

@@ -170,6 +170,22 @@ class PartitionedCowTable(val root: String, val partCol: String,
     }.toMap
   }
 
+  /** dir → total DATA bytes, recorded at commit from the just-written
+    * files (carried by reference like the zone maps — an untouched
+    * dir's bytes don't change). Serves [[GraftFileIndex.sizeInBytes]]
+    * at plan time so Catalyst's join-strategy stats need no
+    * filesystem listing (the Delta AddFile.size contract); a dir
+    * absent here (pre-upgrade manifest) falls back to a cached
+    * listing in the index.
+    */
+  private def bytesAt(v: Int): Map[String, Long] = {
+    val node = mapper.readTree(Files.readAllBytes(
+      Paths.get(root, f"v_$v%06d.json")))
+    if (!node.has("bytes")) Map.empty
+    else node.get("bytes").fields().asScala
+      .map(e => e.getKey -> e.getValue.asLong()).toMap
+  }
+
   /** column → UNIT of its long-family zone maps ("micros" for
     * TimestampType, "days" for DateType; plain integral columns are
     * implicit "long" and not persisted). The commit side records
@@ -276,6 +292,15 @@ class PartitionedCowTable(val root: String, val partCol: String,
     (l.map(_._1).sum, l.map(_._2).sum)
   }
 
+  /** Every dir path the most recent BUILT read's indexes resolved
+    * with a filesystem listing — the METADATA-plane twin of
+    * [[autoPruneLedger]]: listing is lazy in [[GraftFileIndex]], so
+    * a pruned dir must never appear here (pinned in spec). Same
+    * build-execute-query sequential precondition as the prune ledger.
+    */
+  def autoListedDirs: Set[String] =
+    lastIndexes.flatMap(_.listedDirPaths).toSet
+
   /** One manifest-aware scan over `ds`: a [[GraftFileIndex]] carrying
     * each dir's partition value + zone maps, so Spark's own pushed
     * filters prune directories at plan time (no bespoke readWhere
@@ -314,6 +339,7 @@ class PartitionedCowTable(val root: String, val partCol: String,
     val sst = strStatsAt(v)
     val dst = dblStatsAt(v)
     val knd = kindsAt(v)
+    val byt = bytesAt(v)
     val info: Map[String, GraftFileIndex.ScanDir] =
       entriesAt(v).map { e =>
         val p = s"$root/${e.dir}"
@@ -321,7 +347,8 @@ class PartitionedCowTable(val root: String, val partCol: String,
           st.getOrElse(e.dir, Map.empty),
           sst.getOrElse(e.dir, Map.empty),
           dst.getOrElse(e.dir, Map.empty),
-          knd)
+          knd,
+          byt.getOrElse(e.dir, -1L))
       }.toMap
     val buf = scala.collection.mutable.ArrayBuffer.empty[GraftFileIndex]
     if (dfl.isEmpty && dvs.isEmpty) {
@@ -541,7 +568,7 @@ class PartitionedCowTable(val root: String, val partCol: String,
     try {
       writeVersion(cur + 1, schemaAt(cur).toDDL, spec, entries,
         defaultsAt(cur), statsAt(cur), dvNew, strStatsAt(cur),
-        dblStatsAt(cur), kindsAt(cur))
+        dblStatsAt(cur), kindsAt(cur), bytesAt(cur))
     } catch {
       case e: java.util.ConcurrentModificationException =>
         // the just-written vector file is ours and no manifest
@@ -631,16 +658,63 @@ class PartitionedCowTable(val root: String, val partCol: String,
     vals
   }
 
+  /** Test seam: fires after the commit's data is staged, before the
+    * claim/publish loop — the window where a competing writer's full
+    * commit lands between this writer's base snapshot and its pointer
+    * flip. Self-clearing overrides (the raceSeam pattern) let specs
+    * engineer a deterministic race.
+    */
+  private[sources] var commitSeam: () => Unit = () => ()
+
+  /** Can a commit based on `base` rebase onto `cur` (a competing
+    * writer's result) instead of aborting? Yes iff the winner left
+    * the table's METADATA contract intact (schema, partition spec,
+    * defaults, stats kinds — our staged data was conformed against
+    * base's versions of all four) AND every entry the winner changed
+    * — added, removed, re-pointed, or DV-touched — is DISJOINT from
+    * `affected`, the (specCol, value) pairs this commit read-modifies
+    * or drops. Delta's WriteSerializable reconcile, at partition
+    * grain: disjoint-partition appends compose in either order, so
+    * replaying ours on the winner's manifest commits both.
+    */
+  private def rebaseCompatible(b: Int, c: Int,
+                               affected: Set[(String, String)]): Boolean = {
+    if (schemaAt(c).toDDL != schemaAt(b).toDDL) return false
+    if (partColAt(c) != partColAt(b)) return false
+    if (defaultsAt(c) != defaultsAt(b)) return false
+    if (kindsAt(c) != kindsAt(b)) return false
+    val eb = entriesAt(b).map(e => (e.pcol, e.value) -> e.dir).toMap
+    val ec = entriesAt(c).map(e => (e.pcol, e.value) -> e.dir).toMap
+    val dvb = dvsAt(b); val dvc = dvsAt(c)
+    val changed = (eb.keySet ++ ec.keySet).filter { k =>
+      eb.get(k) != ec.get(k) ||
+        eb.get(k).flatMap(dvb.get) != ec.get(k).flatMap(dvc.get)
+    }
+    (changed & affected).isEmpty
+  }
+
   /** Core commit: write `data` as the new content of exactly the
     * partitions in `touched` (a touched partition absent from `data`
     * is dropped — it became empty); carry every untouched partition
     * from `carried`.
+    *
+    * `narrowRead` declares the commit's READ SCOPE: true means the
+    * caller read only the partitions it rewrites or drops (append,
+    * compact), so when a competing writer wins the version race with
+    * changes DISJOINT from that scope, this commit REBASES — re-reads
+    * the winner's manifest, re-derives its carried entries from it,
+    * and re-publishes under the next version — instead of aborting
+    * (bounded retries; a genuine overlap still fails loudly). A
+    * full-table-scope commit (upsert, merge, deleteWhere: their
+    * key/predicate scans read everything) never rebases — any
+    * concurrent change could invalidate what they computed.
     */
   private def commit(data0: DataFrame, touched: Set[String],
                      carried: Seq[Entry],
-                     resetSchema: Boolean = false): Unit = {
+                     resetSchema: Boolean = false,
+                     narrowRead: Boolean = false): Unit = {
     val spec = currentPartCol
-    val next = currentVersion.map(_ + 1).getOrElse(0)
+    val base0 = currentVersion
     // conform to the committed schema unless this commit SETS the
     // schema (overwrite / first write): columns [[evolveSchema]]
     // added but the caller's frame lacks materialize their default
@@ -650,209 +724,280 @@ class PartitionedCowTable(val root: String, val partCol: String,
         (data0, data0.schema.toDDL, Map.empty[String, (String, Int)])
       else (conformInput(data0), schemaAt(requireVersion).toDDL,
         defaultsAt(requireVersion))
-    val wdir = f"w_$next%06d"
+    // this commit's affected scope: the partitions it rewrites plus
+    // every entry the caller deliberately dropped (migrated legacy
+    // dirs) — a rebase is sound only when the winner touched none
+    val affected: Set[(String, String)] =
+      touched.map(v => (spec, v)) ++
+        (base0.map(entriesAt).getOrElse(Seq.empty)
+          .map(e => (e.pcol, e.value)).toSet --
+          carried.map(e => (e.pcol, e.value)).toSet)
     // stage under a writer-unique name, then claim w_<next> with a
     // no-replace rename (see CowTable.commit): two writers racing from
     // the same base both target w_<next>, and the loser's overwrite
     // could delete the winner's committed files mid-write — the
     // dir-name collision fails the loser before shared state is touched
-    val stage = s"_stage_${wdir}_${java.util.UUID.randomUUID()}"
+    val stage = s"_stage_${java.util.UUID.randomUUID()}"
     data
       .withColumn("__part", col(spec).cast("string"))
       .write.partitionBy("__part").mode("overwrite").parquet(s"$root/$stage")
-    // catch the whole FileSystemException family, not just the
-    // pre-rename existence stat's FileAlreadyExistsException: two
-    // racers passing that check together fall through to raw
-    // rename(2), which surfaces as DirectoryNotEmptyException on a
-    // non-empty claimed target (see CowTable.commit)
-    try {
-      Files.move(Paths.get(root, stage), Paths.get(root, wdir))
-    } catch {
-      case e: java.nio.file.FileSystemException =>
-        // best-effort cleanup; never mask the rename diagnosis
-        try CowTable.walkDelete(Paths.get(root, stage))
-        catch { case c: Exception => e.addSuppressed(c) }
-        val cme = new java.util.ConcurrentModificationException(
-          s"concurrent commit detected at $root: data dir $wdir " +
-            s"already claimed (competing writer from the same base; " +
-            s"rename failed with ${e.getClass.getSimpleName})")
-        cme.initCause(e)
-        throw cme
-    }
-    val written: Seq[Entry] = {
-      val listing = Files.list(Paths.get(root, wdir))
-      // Entry.value is ALWAYS the RAW partition value: partitionBy
-      // percent-escapes path-unsafe chars into the dir name (':' →
-      // '%3A'), so the listed name must be UNESCAPED back before it
-      // is compared to anything literal-side — `touched` membership,
-      // GraftFileIndex exact pruning, deleteWhereDV's scoped attach
-      // and the zone-map stats lookup all compare raw values (a
-      // value kept escaped would silently miss every one of them).
-      // Entry.dir keeps the on-disk (escaped) name.
-      try listing.iterator().asScala
-        .map(_.getFileName.toString)
-        .filter(_.startsWith("__part="))
-        .map(n => Entry(spec,
-          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-            .unescapePathName(n.stripPrefix("__part=")),
-          s"$wdir/$n")).toSeq
-      finally listing.close()
-    }
-    // carried minus current-spec entries being replaced (an evolved
-    // table's legacy entries are dropped only when explicitly absent
-    // from `carried` — the migration paths pass them pre-filtered)
-    val kept = carried.filterNot(e =>
-      e.pcol == spec && touched.contains(e.value))
-    // zone maps: carried dirs keep their recorded stats verbatim
-    // (unchanged bytes, unchanged stats); freshly-written dirs get ONE
-    // footer-sized aggregate over the new files. Zero jobs when
-    // statsColumns is empty.
-    val carriedStats = currentVersion.map(statsAt).getOrElse(Map.empty)
-    val carriedSStats = currentVersion.map(strStatsAt).getOrElse(Map.empty)
-    val carriedDStats = currentVersion.map(dblStatsAt).getOrElse(Map.empty)
-    val carriedKinds = currentVersion.map(kindsAt).getOrElse(Map.empty)
-    // deletion vectors ride with carried dirs; rewritten dirs read
-    // THROUGH their vectors above, so the rewrite materialized them
-    val carriedDvs = currentVersion.map(dvsAt).getOrElse(Map.empty)
-    // Each stats column records its bounds in the family its SCHEMA
-    // TYPE picks — and in Catalyst INTERNAL units for the long
-    // family, so a pushed literal's raw value compares directly:
-    //   string       → lexicographic (min, max) strings
-    //   float/double → (min, max) doubles
-    //   timestamp    → (min, max) micros-since-epoch ("micros")
-    //   date         → (min, max) days-since-epoch  ("days")
-    //   integral     → (min, max) longs             ("long")
-    // Anything else is REFUSED LOUDLY at commit (the EPSG precedent):
-    // a silently mis-unit'd zone map is a wrong-prune hazard, not a
-    // perf miss. One footer-sized aggregate covers all families.
-    def statFamily(c: String): String = {
-      val f = data.schema.fields.find(_.name == c).get
-      f.dataType match {
-        case StringType => "str"
-        case DoubleType | FloatType => "dbl"
-        case TimestampType => "micros"
-        // TIMESTAMP_NTZ's internal value IS naive micros-since-epoch
-        // — same unit as a pushed NTZ literal; recorded through a
-        // UTC-pinned cast below so the stats job is session-zone-
-        // independent
-        case TimestampNTZType => "ntzmicros"
-        case DateType => "days"
-        case ByteType | ShortType | IntegerType | LongType => "long"
-        case other => throw new IllegalArgumentException(
-          s"statsColumns: column '$c' has unsupported type " +
-            s"${other.simpleString} — supported: integral, string, " +
-            s"float/double, date, timestamp")
-      }
-    }
-    val (writtenStats, writtenSStats, writtenDStats, writtenKinds)
-        : (Map[String, Map[String, (Long, Long)]],
-           Map[String, Map[String, (String, String)]],
-           Map[String, Map[String, (Double, Double)]],
-           Map[String, String]) =
-      if (statsColumns.isEmpty || written.isEmpty)
-        (Map.empty, Map.empty, Map.empty, Map.empty)
-      else {
-        val cols = statsColumns.filter(data.columns.contains)
-        val fam = cols.map(c => c -> statFamily(c)).toMap
-        if (cols.isEmpty) (Map.empty, Map.empty, Map.empty, Map.empty)
-        else {
-          val aggs = cols.flatMap { c =>
-            val e = fam(c) match {
-              case "str" => col(c)
-              case "dbl" => col(c).cast("double")
-              case "micros" => expr(s"unix_micros(`$c`)")
-              // the UTC-pinned session tz (set around the job below)
-              // makes cast(ntz as timestamp) preserve the naive
-              // micros exactly — the unit a pushed NTZ literal carries
-              case "ntzmicros" =>
-                expr(s"unix_micros(cast(`$c` as timestamp))")
-              case "days" => expr(s"unix_date(`$c`)").cast("long")
-              case _ => col(c).cast("long")
-            }
-            Seq(min(e).as(s"__mn_$c"), max(e).as(s"__mx_$c"))
-          }
-          // partition-type inference must be OFF for this read: the
-          // stats rows key on the RAW __part string (matched against
-          // Entry.value), and inference would coerce e.g. '0123' to
-          // int 123 or an ISO date to DateType — a normalized
-          // rendering that never matches the raw value, silently
-          // dropping the dir's zone map. Toggle the conf just around
-          // the (eagerly collected) job.
-          val infKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
-          val infPrev = spark.conf.get(infKey, "true")
-          val tzKey = "spark.sql.session.timeZone"
-          val tzPrev = spark.conf.get(tzKey)
-          val rows =
-            try {
-              spark.conf.set(infKey, "false")
-              // UTC-pin the NTZ→timestamp cast (no-op for every other
-              // family): recorded ntz bounds must be session-zone-
-              // independent or a reader in another zone wrong-prunes
-              spark.conf.set(tzKey, "UTC")
-              spark.read.parquet(s"$root/$wdir")
-                .groupBy(col("__part").cast("string").as("__part"))
-                .agg(aggs.head, aggs.tail: _*)
-                .collect()
-            } finally {
-              spark.conf.set(infKey, infPrev)
-              spark.conf.set(tzKey, tzPrev)
-            }
-          val longCols = cols.filter(c => Set("long", "micros",
-            "ntzmicros", "days").contains(fam(c)))
-          val byValueL = rows.map { r =>
-            r.getAs[String]("__part") ->
-              longCols.flatMap { c =>
-                if (r.isNullAt(r.fieldIndex(s"__mn_$c"))) None
-                else Some(c -> (r.getAs[Long](s"__mn_$c"),
-                  r.getAs[Long](s"__mx_$c")))
-              }.toMap
-          }.toMap
-          val byValueS = rows.map { r =>
-            r.getAs[String]("__part") ->
-              cols.filter(fam(_) == "str").flatMap { c =>
-                if (r.isNullAt(r.fieldIndex(s"__mn_$c"))) None
-                else Some(c -> (r.getAs[String](s"__mn_$c"),
-                  r.getAs[String](s"__mx_$c")))
-              }.toMap
-          }.toMap
-          val byValueD = rows.map { r =>
-            r.getAs[String]("__part") ->
-              cols.filter(fam(_) == "dbl").flatMap { c =>
-                if (r.isNullAt(r.fieldIndex(s"__mn_$c"))) None
-                else Some(c -> (r.getAs[Double](s"__mn_$c"),
-                  r.getAs[Double](s"__mx_$c")))
-              }.toMap
-          }.toMap
-          (written.flatMap(e =>
-             byValueL.get(e.value).map(e.dir -> _)).toMap,
-           written.flatMap(e =>
-             byValueS.get(e.value).map(e.dir -> _)).toMap,
-           written.flatMap(e =>
-             byValueD.get(e.value).map(e.dir -> _)).toMap,
-           cols.flatMap(c => fam(c) match {
-             case k @ ("micros" | "days") => Some(c -> k)
-             // both timestamp flavors record micros; the literal a
-             // reader pushes for the column carries the SAME flavor
-             // as the column's (fixed) schema type, so one persisted
-             // kind serves both
-             case "ntzmicros" => Some(c -> "micros")
-             case _ => None
-           }).toMap)
+    commitSeam()
+    var base = base0
+    var curCarried = carried
+    var src = stage // where the staged data dir currently lives
+    var attempts = 0
+    // On a version race: rebase when eligible (narrow scope, winner
+    // disjoint, bounded attempts), abort loudly otherwise — cleaning
+    // up our staged/claimed dir, never the winner's.
+    def rebaseOrAbort(err: Throwable, cleanup: String): Unit = {
+      val cur = currentVersion
+      val ok = narrowRead && attempts < 4 && cur != base &&
+        base.isDefined && cur.isDefined &&
+        rebaseCompatible(base.get, cur.get, affected)
+      if (!ok) {
+        try CowTable.walkDelete(Paths.get(root, cleanup))
+        catch { case c: Exception => err.addSuppressed(c) }
+        err match {
+          case cme: java.util.ConcurrentModificationException => throw cme
+          case e =>
+            val cme = new java.util.ConcurrentModificationException(
+              s"concurrent commit detected at $root: data dir " +
+                s"already claimed (competing writer from the same " +
+                s"base; rename failed with ${e.getClass.getSimpleName})")
+            cme.initCause(e)
+            throw cme
         }
       }
-    try {
-      writeVersion(next, schemaDdl, spec, kept ++ written, defaults,
-        carriedStats ++ writtenStats, carriedDvs,
-        carriedSStats ++ writtenSStats,
-        carriedDStats ++ writtenDStats,
-        carriedKinds ++ writtenKinds)
-    } catch {
-      case e: java.util.ConcurrentModificationException =>
-        // the claimed data dir is ours (the rename succeeded) and no
-        // manifest references it — remove it so a clean retry from the
-        // new base isn't blocked by the orphan
-        CowTable.walkDelete(Paths.get(root, wdir))
-        throw e
+      curCarried = entriesAt(cur.get)
+        .filterNot(en => affected((en.pcol, en.value)))
+      base = cur
+      attempts += 1
+    }
+    // The whole publish step for one claimed data dir: list written
+    // entries, aggregate zone maps and byte counts, write the
+    // manifest. Returns true when committed; a version race inside
+    // writeVersion rebases (when sound) and returns false so the
+    // claim/publish loop below re-claims under the new base.
+    def publishAttempt(wdir: String): Boolean = {
+      val next = base.map(_ + 1).getOrElse(0)
+      val written: Seq[Entry] = {
+        val listing = Files.list(Paths.get(root, wdir))
+        // Entry.value is ALWAYS the RAW partition value: partitionBy
+        // percent-escapes path-unsafe chars into the dir name (':' →
+        // '%3A'), so the listed name must be UNESCAPED back before it
+        // is compared to anything literal-side — `touched` membership,
+        // GraftFileIndex exact pruning, deleteWhereDV's scoped attach
+        // and the zone-map stats lookup all compare raw values (a
+        // value kept escaped would silently miss every one of them).
+        // Entry.dir keeps the on-disk (escaped) name.
+        try listing.iterator().asScala
+          .map(_.getFileName.toString)
+          .filter(_.startsWith("__part="))
+          .map(n => Entry(spec,
+            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .unescapePathName(n.stripPrefix("__part=")),
+            s"$wdir/$n")).toSeq
+        finally listing.close()
+      }
+      // carried minus current-spec entries being replaced (an evolved
+      // table's legacy entries are dropped only when explicitly absent
+      // from `carried` — the migration paths pass them pre-filtered;
+      // after a rebase, curCarried is the winner's manifest minus this
+      // commit's affected scope)
+      val kept = curCarried.filterNot(e =>
+        e.pcol == spec && touched.contains(e.value))
+      // zone maps: carried dirs keep their recorded stats verbatim
+      // (unchanged bytes, unchanged stats); freshly-written dirs get ONE
+      // footer-sized aggregate over the new files. Zero jobs when
+      // statsColumns is empty. Read from `base` — the version this
+      // attempt publishes against.
+      val carriedStats = base.map(statsAt).getOrElse(Map.empty)
+      val carriedSStats = base.map(strStatsAt).getOrElse(Map.empty)
+      val carriedDStats = base.map(dblStatsAt).getOrElse(Map.empty)
+      val carriedKinds = base.map(kindsAt).getOrElse(Map.empty)
+      // deletion vectors ride with carried dirs; rewritten dirs read
+      // THROUGH their vectors above, so the rewrite materialized them
+      val carriedDvs = base.map(dvsAt).getOrElse(Map.empty)
+      val carriedBytes = base.map(bytesAt).getOrElse(Map.empty)
+      // per-dir data bytes from the just-written local files (the same
+      // name filter the index's listing applies) — recorded so plan-time
+      // sizeInBytes never needs a listing
+      val writtenBytes: Map[String, Long] = written.map { e =>
+        val listing = Files.list(Paths.get(root, e.dir))
+        try e.dir -> listing.iterator().asScala
+          .filter(p => Files.isRegularFile(p) &&
+            !p.getFileName.toString.startsWith("_") &&
+            !p.getFileName.toString.startsWith("."))
+          .map(Files.size).sum
+        finally listing.close()
+      }.toMap
+      // Each stats column records its bounds in the family its SCHEMA
+      // TYPE picks — and in Catalyst INTERNAL units for the long
+      // family, so a pushed literal's raw value compares directly:
+      //   string       → lexicographic (min, max) strings
+      //   float/double → (min, max) doubles
+      //   timestamp    → (min, max) micros-since-epoch ("micros")
+      //   date         → (min, max) days-since-epoch  ("days")
+      //   integral     → (min, max) longs             ("long")
+      // Anything else is REFUSED LOUDLY at commit (the EPSG precedent):
+      // a silently mis-unit'd zone map is a wrong-prune hazard, not a
+      // perf miss. One footer-sized aggregate covers all families.
+      def statFamily(c: String): String = {
+        val f = data.schema.fields.find(_.name == c).get
+        f.dataType match {
+          case StringType => "str"
+          case DoubleType | FloatType => "dbl"
+          case TimestampType => "micros"
+          // TIMESTAMP_NTZ's internal value IS naive micros-since-epoch
+          // — same unit as a pushed NTZ literal; recorded through a
+          // UTC-pinned cast below so the stats job is session-zone-
+          // independent
+          case TimestampNTZType => "ntzmicros"
+          case DateType => "days"
+          case ByteType | ShortType | IntegerType | LongType => "long"
+          case other => throw new IllegalArgumentException(
+            s"statsColumns: column '$c' has unsupported type " +
+              s"${other.simpleString} — supported: integral, string, " +
+              s"float/double, date, timestamp")
+        }
+      }
+      val (writtenStats, writtenSStats, writtenDStats, writtenKinds)
+          : (Map[String, Map[String, (Long, Long)]],
+             Map[String, Map[String, (String, String)]],
+             Map[String, Map[String, (Double, Double)]],
+             Map[String, String]) =
+        if (statsColumns.isEmpty || written.isEmpty)
+          (Map.empty, Map.empty, Map.empty, Map.empty)
+        else {
+          val cols = statsColumns.filter(data.columns.contains)
+          val fam = cols.map(c => c -> statFamily(c)).toMap
+          if (cols.isEmpty) (Map.empty, Map.empty, Map.empty, Map.empty)
+          else {
+            val aggs = cols.flatMap { c =>
+              val e = fam(c) match {
+                case "str" => col(c)
+                case "dbl" => col(c).cast("double")
+                case "micros" => expr(s"unix_micros(`$c`)")
+                // the UTC-pinned session tz (set around the job below)
+                // makes cast(ntz as timestamp) preserve the naive
+                // micros exactly — the unit a pushed NTZ literal carries
+                case "ntzmicros" =>
+                  expr(s"unix_micros(cast(`$c` as timestamp))")
+                case "days" => expr(s"unix_date(`$c`)").cast("long")
+                case _ => col(c).cast("long")
+              }
+              Seq(min(e).as(s"__mn_$c"), max(e).as(s"__mx_$c"))
+            }
+            // partition-type inference must be OFF for this read: the
+            // stats rows key on the RAW __part string (matched against
+            // Entry.value), and inference would coerce e.g. '0123' to
+            // int 123 or an ISO date to DateType — a normalized
+            // rendering that never matches the raw value, silently
+            // dropping the dir's zone map. Toggle the conf just around
+            // the (eagerly collected) job.
+            val infKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+            val infPrev = spark.conf.get(infKey, "true")
+            val tzKey = "spark.sql.session.timeZone"
+            val tzPrev = spark.conf.get(tzKey)
+            val rows =
+              try {
+                spark.conf.set(infKey, "false")
+                // UTC-pin the NTZ→timestamp cast (no-op for every other
+                // family): recorded ntz bounds must be session-zone-
+                // independent or a reader in another zone wrong-prunes
+                spark.conf.set(tzKey, "UTC")
+                spark.read.parquet(s"$root/$wdir")
+                  .groupBy(col("__part").cast("string").as("__part"))
+                  .agg(aggs.head, aggs.tail: _*)
+                  .collect()
+              } finally {
+                spark.conf.set(infKey, infPrev)
+                spark.conf.set(tzKey, tzPrev)
+              }
+            val longCols = cols.filter(c => Set("long", "micros",
+              "ntzmicros", "days").contains(fam(c)))
+            val byValueL = rows.map { r =>
+              r.getAs[String]("__part") ->
+                longCols.flatMap { c =>
+                  if (r.isNullAt(r.fieldIndex(s"__mn_$c"))) None
+                  else Some(c -> (r.getAs[Long](s"__mn_$c"),
+                    r.getAs[Long](s"__mx_$c")))
+                }.toMap
+            }.toMap
+            val byValueS = rows.map { r =>
+              r.getAs[String]("__part") ->
+                cols.filter(fam(_) == "str").flatMap { c =>
+                  if (r.isNullAt(r.fieldIndex(s"__mn_$c"))) None
+                  else Some(c -> (r.getAs[String](s"__mn_$c"),
+                    r.getAs[String](s"__mx_$c")))
+                }.toMap
+            }.toMap
+            val byValueD = rows.map { r =>
+              r.getAs[String]("__part") ->
+                cols.filter(fam(_) == "dbl").flatMap { c =>
+                  if (r.isNullAt(r.fieldIndex(s"__mn_$c"))) None
+                  else Some(c -> (r.getAs[Double](s"__mn_$c"),
+                    r.getAs[Double](s"__mx_$c")))
+                }.toMap
+            }.toMap
+            (written.flatMap(e =>
+               byValueL.get(e.value).map(e.dir -> _)).toMap,
+             written.flatMap(e =>
+               byValueS.get(e.value).map(e.dir -> _)).toMap,
+             written.flatMap(e =>
+               byValueD.get(e.value).map(e.dir -> _)).toMap,
+             cols.flatMap(c => fam(c) match {
+               case k @ ("micros" | "days") => Some(c -> k)
+               // both timestamp flavors record micros; the literal a
+               // reader pushes for the column carries the SAME flavor
+               // as the column's (fixed) schema type, so one persisted
+               // kind serves both
+               case "ntzmicros" => Some(c -> "micros")
+               case _ => None
+             }).toMap)
+          }
+        }
+      try {
+        writeVersion(next, schemaDdl, spec, kept ++ written, defaults,
+          carriedStats ++ writtenStats, carriedDvs,
+          carriedSStats ++ writtenSStats,
+          carriedDStats ++ writtenDStats,
+          carriedKinds ++ writtenKinds,
+          carriedBytes ++ writtenBytes)
+        true
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          // the claimed data dir is ours (the rename succeeded) and no
+          // manifest references it: on ABORT rebaseOrAbort removes it
+          // (a clean retry from the new base isn't blocked by the
+          // orphan); on REBASE the next claim renames it into place
+          // under the new version number — the w_NNNNNN name must match
+          // the commit version (initial-default scoping parses it)
+          src = wdir
+          rebaseOrAbort(e, wdir)
+          false
+      }
+    }
+    var committed = false
+    while (!committed) {
+      var wdir: String = null
+      var claimed = false
+      while (!claimed) {
+        wdir = f"w_${base.map(_ + 1).getOrElse(0)}%06d"
+        // catch the whole FileSystemException family, not just the
+        // pre-rename existence stat's FileAlreadyExistsException: two
+        // racers passing that check together fall through to raw
+        // rename(2), which surfaces as DirectoryNotEmptyException on a
+        // non-empty claimed target (see CowTable.commit)
+        try {
+          Files.move(Paths.get(root, src), Paths.get(root, wdir))
+          claimed = true
+        } catch {
+          case e: java.nio.file.FileSystemException =>
+            rebaseOrAbort(e, src) // throws unless rebase is sound
+        }
+      }
+      committed = publishAttempt(wdir)
     }
   }
 
@@ -867,7 +1012,8 @@ class PartitionedCowTable(val root: String, val partCol: String,
                              Map[String, (String, String)]] = Map.empty,
                            dstats: Map[String,
                              Map[String, (Double, Double)]] = Map.empty,
-                           kinds: Map[String, String] = Map.empty)
+                           kinds: Map[String, String] = Map.empty,
+                           bytes: Map[String, Long] = Map.empty)
       : Unit = {
     // optimistic concurrency (see CowTable.commit): a competing writer
     // advancing the pointer mid-commit means this manifest's carried
@@ -940,6 +1086,11 @@ class PartitionedCowTable(val root: String, val partCol: String,
       val kn = node.putObject("statskinds")
       kinds.toSeq.sortBy(_._1).foreach { case (c, k) => kn.put(c, k) }
     }
+    val liveBytes = bytes.filter { case (d, _) => live.contains(d) }
+    if (liveBytes.nonEmpty) {
+      val bn = node.putObject("bytes")
+      liveBytes.toSeq.sortBy(_._1).foreach { case (d, b) => bn.put(d, b) }
+    }
     val parts = node.putObject("partitions")
     entries.filter(_.pcol == spec).sortBy(_.value)
       .foreach(e => parts.put(e.value, e.dir))
@@ -978,7 +1129,7 @@ class PartitionedCowTable(val root: String, val partCol: String,
     if (newPartCol == currentPartCol) return
     writeVersion(cur + 1, schemaAt(cur).toDDL, newPartCol,
       entriesAt(cur), defaultsAt(cur), statsAt(cur), dvsAt(cur),
-      strStatsAt(cur), dblStatsAt(cur), kindsAt(cur))
+      strStatsAt(cur), dblStatsAt(cur), kindsAt(cur), bytesAt(cur))
   }
 
   /** Delta-style RESTORE (`RESTORE TABLE ... TO VERSION AS OF v`):
@@ -997,7 +1148,7 @@ class PartitionedCowTable(val root: String, val partCol: String,
     if (v == cur) return
     writeVersion(cur + 1, schemaAt(v).toDDL, partColAt(v), entriesAt(v),
       defaultsAt(v), statsAt(v), dvsAt(v), strStatsAt(v),
-      dblStatsAt(v), kindsAt(v))
+      dblStatsAt(v), kindsAt(v), bytesAt(v))
   }
 
   /** Add a column — a METADATA-ONLY commit (Iceberg's add-column
@@ -1021,7 +1172,7 @@ class PartitionedCowTable(val root: String, val partCol: String,
     writeVersion(cur + 1, widened.toDDL, partColAt(cur), entriesAt(cur),
       defaultsAt(cur) ++ defaultSql.map(d => name -> (d, cur + 1)),
       statsAt(cur), dvsAt(cur), strStatsAt(cur),
-      dblStatsAt(cur), kindsAt(cur))
+      dblStatsAt(cur), kindsAt(cur), bytesAt(cur))
   }
 
   /** An empty DataFrame with the table's committed schema (safe to
@@ -1096,7 +1247,7 @@ class PartitionedCowTable(val root: String, val partCol: String,
       val df = conformInput(df0)
       val touched = touchedValues(df)
       commit(readSpec(touched).unionByName(df), touched,
-        currentEntriesOrEmpty)
+        currentEntriesOrEmpty, narrowRead = true)
     }
 
   /** PK upsert (J7): incoming rows replace same-key rows; untouched
@@ -1269,7 +1420,8 @@ class PartitionedCowTable(val root: String, val partCol: String,
     if (touched.nonEmpty)
       commit(readSpec(touched).unionByName(migRows)
           .repartition(col(currentPartCol)),
-        touched, currentEntriesOrEmpty.filterNot(legacy.contains))
+        touched, currentEntriesOrEmpty.filterNot(legacy.contains),
+        narrowRead = true)
   }
 
   /** Drop every `w_*` dir and `v_*.json` no longer reachable from the

@@ -368,6 +368,74 @@ class PartitionedCowTableSpec extends SparkSpec {
     assert(vs(2L) == "A-retry" && vs.size == 4)
   }
 
+  test("concurrent DISJOINT-partition appends: the loser rebases onto " +
+    "the winner automatically and BOTH commits land; overlapping or " +
+    "schema-changing winners still abort loudly") {
+    implicit val s = spark
+    val t = mk() // v0: 2020-03, 2020-04, 2020-05
+    val t2 = PartitionedCowTable(t.root, "month")
+    // winner lands a FULL commit to a different partition while the
+    // loser sits between its base snapshot and its pointer flip —
+    // the loser's claim of w_000001 collides, sees the winner's
+    // disjoint diff, and rebases instead of aborting
+    t.commitSeam = () => {
+      t.commitSeam = () => ()
+      t2.append(Seq((9L, "2020-07", "w", false))
+        .toDF("pid", "month", "v", "flag"))
+    }
+    t.append(Seq((8L, "2020-06", "l", false))
+      .toDF("pid", "month", "v", "flag"))
+    assert(t.version == 2) // winner v1, rebased loser v2
+    assert(t.read().count() == 6)
+    assert(t.manifest.keySet == Set(
+      "2020-03", "2020-04", "2020-05", "2020-06", "2020-07"))
+    import scala.jdk.CollectionConverters._
+    def rootNames = Files.list(java.nio.file.Paths.get(t.root))
+      .iterator().asScala.map(_.getFileName.toString).toSet
+    assert(!rootNames.exists(_.startsWith("_stage_")))
+    // METADATA-ONLY winner (scoped DV on an untouched partition):
+    // the loser's data-dir claim succeeds, writeVersion races, and
+    // the rebase carries the winner's deletion vector forward
+    t.commitSeam = () => {
+      t.commitSeam = () => ()
+      t2.deleteWhereDV(col("pid") === 1L, Seq("pid")) // hits 2020-03
+    }
+    t.append(Seq((10L, "2020-08", "m", false))
+      .toDF("pid", "month", "v", "flag"))
+    assert(t.version == 4) // DV commit v3, rebased append v4
+    assert(t.read().count() == 6) // 6 − pid1 + pid10
+    assert(t.read().filter($"pid" === 1L).isEmpty)
+    assert(t.liveDvFiles.nonEmpty)
+    // OVERLAPPING appends (same partition) genuinely conflict: abort,
+    // winner intact, loser's staging cleaned
+    t.commitSeam = () => {
+      t.commitSeam = () => ()
+      t2.append(Seq((11L, "2020-06", "w2", false))
+        .toDF("pid", "month", "v", "flag"))
+    }
+    intercept[java.util.ConcurrentModificationException] {
+      t.append(Seq((12L, "2020-06", "l2", false))
+        .toDF("pid", "month", "v", "flag"))
+    }
+    assert(t.version == 5) // only the winner's commit
+    assert(t.read().filter($"month" === "2020-06")
+      .select("v").as[String].collect().toSet == Set("l", "w2"))
+    assert(!rootNames.exists(_.startsWith("_stage_")))
+    // a SCHEMA-changing winner aborts even for disjoint partitions
+    // (the loser's staged data was conformed against the old schema)
+    t.commitSeam = () => {
+      t.commitSeam = () => ()
+      t2.evolveSchema("note", "STRING", Some("'x'"))
+    }
+    intercept[java.util.ConcurrentModificationException] {
+      t.append(Seq((13L, "2020-09", "l3", false))
+        .toDF("pid", "month", "v", "flag"))
+    }
+    assert(t.version == 6) // the evolve only
+    assert(!rootNames.exists(_.startsWith("w_000007")))
+    assert(!rootNames.exists(_.startsWith("_stage_")))
+  }
+
   test("data-dir collision fails the loser without touching the winner's files") {
     implicit val s = spark
     val t = mk()
@@ -631,6 +699,42 @@ class PartitionedCowTableSpec extends SparkSpec {
     assert(t.autoPruneLedger === ((3, 1)))
     assert(t.read().filter(col("month") === "2020-03")
       .collect().map(_.getAs[String]("note")).toSet === Set("x"))
+  }
+
+  test("lazy metadata plane: pruned dirs are NEVER filesystem-listed " +
+    "on the plain read().filter path; plan-time size comes from " +
+    "manifest-recorded bytes") {
+    implicit val s = spark
+    val t = new PartitionedCowTable(
+      Files.createTempDirectory("pcow_lazy").toString + "/t", "month",
+      spark, statsColumns = Seq("k"))
+    t.overwrite(Seq(
+      (1L, "2020-03", 10L), (2L, "2020-04", 100L),
+      (3L, "2020-05", 1000L)).toDF("pid", "month", "k"))
+    // commit recorded per-dir byte counts: sizeInBytes (which Catalyst
+    // asks for at plan time) is served from the manifest, so the
+    // listing ledger below reflects ONLY listFiles decisions
+    val json = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(t.root, "v_000000.json")))
+    assert(json.contains("\"bytes\""))
+    // partition-column equality: exactly the one kept dir is listed
+    val m = t.read().filter(col("month") === "2020-04")
+    assert(m.collect().map(_.getAs[Long]("pid")).toSet === Set(2L))
+    assert(t.autoPruneLedger === ((3, 1)))
+    val listed = t.autoListedDirs
+    assert(listed.size === 1)
+    assert(listed.head.endsWith(t.manifest("2020-04")))
+    Seq("2020-03", "2020-05").foreach { v =>
+      assert(!listed.exists(_.endsWith(t.manifest(v))),
+        s"pruned dir for $v was filesystem-listed")
+    }
+    // zone-map range on the non-partition column: two dirs listed,
+    // the disjoint one never touched
+    val z = t.read().filter(col("k") >= 15L && col("k") <= 1500L)
+    assert(z.collect().map(_.getAs[Long]("pid")).toSet === Set(2L, 3L))
+    assert(t.autoPruneLedger === ((3, 2)))
+    assert(t.autoListedDirs.size === 2)
+    assert(!t.autoListedDirs.exists(_.endsWith(t.manifest("2020-03"))))
   }
 
   test("STRING zone maps: plain filters on string stats columns prune " +
