@@ -253,6 +253,56 @@ object StreamingQueries {
     (s.read.parquet(s"$base/out"), observed)
   }
 
+  /** [[runMultiBatchTwoCounted]] also returning the join's per-batch
+    * state-store row count (`numRowsTotal` of the symmetric-hash-join
+    * state operator, non-empty batches in trigger order) — q278's
+    * bounded-state observable applied to the stream-stream JOIN
+    * family: the curve must RISE while both sides buffer and FALL as
+    * the watermark evicts matched-and-closed intervals, or the join's
+    * state would grow with the stream (the 100 TB/day OOM).
+    */
+  private[graft] def runMultiBatchTwoStateCounted(s: SparkSession,
+      tag: String,
+      inputA: DataFrame, inputB: DataFrame,
+      build: (DataFrame, DataFrame) => DataFrame,
+      orderColsA: Seq[org.apache.spark.sql.Column],
+      orderColsB: Seq[org.apache.spark.sql.Column],
+      batches: Int = 3,
+      mode: String = "append"): (DataFrame, Seq[Long]) = {
+    require(batches >= 2,
+      s"runMultiBatchTwoState($tag): need >= 2 batches to exercise " +
+        s"cross-batch state, got $batches")
+    val uid = java.util.UUID.randomUUID().toString.take(8)
+    val base = s"${Tables.scratchBase}/graft_${tag}_" +
+      s"${s.sparkContext.applicationId}/$uid"
+    val sink = s"${tag}_$uid"
+    val dirA = stagedSlices(s, tag, inputA, orderColsA, batches, "inA")
+    val dirB = stagedSlices(s, tag, inputB, orderColsB, batches, "inB")
+    def src(dir: String, schema: org.apache.spark.sql.types.StructType) =
+      s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir)
+    val q = build(src(dirA, inputA.schema), src(dirB, inputB.schema))
+      .writeStream
+      .format("memory").queryName(sink)
+      .outputMode(mode)
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val nonEmpty = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+    require(nonEmpty.size >= batches,
+      s"runMultiBatchTwoState($tag): expected >= $batches non-empty " +
+        s"micro-batches, progress log shows ${nonEmpty.size}")
+    val curve = nonEmpty.map(p =>
+      p.stateOperators.headOption.map(_.numRowsTotal).getOrElse(0L))
+    s.table(sink).write.mode("overwrite").parquet(s"$base/out")
+    s.catalog.dropTempView(sink)
+    deleteRec(java.nio.file.Paths.get(s"$base/ckpt"))
+    registerDeleteOnExit(java.nio.file.Paths.get(base))
+    (s.read.parquet(s"$base/out"), curve)
+  }
+
   /** Session-scoped cache of staged slice dirs: (tag, input
     * fingerprint, batches) → the staged `in` dir. The staging job
     * (a global-window ntile sort + parquet write) costs a multi-batch
@@ -1133,6 +1183,44 @@ object StreamingQueries {
         .map { case ((u, w), i) => (i.toLong, u, w) }
         .toDF("batch", "unbounded_state_rows", "bounded_state_rows")
         .orderBy("batch")
+    },
+
+    // STATE-EVICTION curve for the stream-stream JOIN family — q278's
+    // metrics device applied to q277's shape: the symmetric-hash-join
+    // state operator's per-batch numRowsTotal must RISE while both
+    // sides buffer their interval windows and FALL as the watermark
+    // closes them, or join state grows with the stream. The oracle
+    // reproduces the whole curve closed-form from the pinned protocol
+    // (eviction in batch b uses the watermark derived from slices < b
+    // on both sides, min across sides; a left row survives while its
+    // 1h match window is still open — c_ts + 1h >= W — and a right
+    // row while future clicks could still pair it — p_ts >= W; the
+    // model is pinned on hand data by SessionWindowProbeSpec's curve
+    // probe). Subset keyed (user_id % 3) to keep the gate a curve
+    // measurement, not a second q277-sized drain.
+    "q283_join_state_eviction" -> { (s, dir) =>
+      import s.implicits._
+      val ev = t(s, dir, "events").filter(col("user_id") % 3 === 0)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("event_id").as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("purchase_id"))
+      val b = 4
+      val (_, curve) = runMultiBatchTwoStateCounted(s, "q283",
+        clicks, purchases,
+        (cs, ps) => cs.withWatermark("c_ts", "1 hour")
+          .join(ps.withWatermark("p_ts", "1 hour"),
+            expr("c_user = p_user AND p_ts >= c_ts AND " +
+              "p_ts <= c_ts + interval 1 hour"), "full_outer"),
+        orderColsA = Seq(col("c_ts"), col("click_id")),
+        orderColsB = Seq(col("p_ts"), col("purchase_id")),
+        batches = b)
+      curve.take(b).zipWithIndex
+        .map { case (n, i) => (i.toLong, n) }
+        .toDF("batch", "state_rows")
+        .orderBy("batch")
     }
   )
 
@@ -1368,6 +1456,40 @@ object StreamingQueries {
         |  u.un AS unbounded_state_rows,
         |  wc.wn AS bounded_state_rows
         |FROM u JOIN wc ON u.b = wc.b ORDER BY batch""".stripMargin,
+
+    // the join-state eviction curve replayed closed-form: batch b's
+    // eviction watermark derives from slices < b on both sides (min
+    // across sides, each minus its 1h delay — the q278 protocol); a
+    // click survives while its 1h match window is open, a purchase
+    // while future clicks could still pair it. Pinned on hand data by
+    // SessionWindowProbeSpec's curve probe.
+    "q283_join_state_eviction" ->
+      """WITH c AS MATERIALIZED (
+        |  SELECT ts AS c_ts, event_id AS click_id FROM events
+        |  WHERE event_type = 'click' AND user_id % 3 = 0),
+        |p AS MATERIALIZED (
+        |  SELECT ts AS p_ts, event_id AS purchase_id FROM events
+        |  WHERE event_type = 'purchase' AND user_id % 3 = 0),
+        |sc AS MATERIALIZED (
+        |  SELECT c_ts, ntile(4) OVER (ORDER BY c_ts, click_id) AS b
+        |  FROM c),
+        |sp AS MATERIALIZED (
+        |  SELECT p_ts, ntile(4) OVER (ORDER BY p_ts, purchase_id) AS b
+        |  FROM p),
+        |mxc AS (SELECT b, max(c_ts) AS m FROM sc GROUP BY b),
+        |mxp AS (SELECT b, max(p_ts) AS m FROM sp GROUP BY b),
+        |w AS (
+        |  SELECT m.b,
+        |    least((SELECT max(m2.m) FROM mxc m2 WHERE m2.b < m.b),
+        |          (SELECT max(m3.m) FROM mxp m3 WHERE m3.b < m.b))
+        |      - INTERVAL 1 HOUR AS w
+        |  FROM mxc m)
+        |SELECT CAST(w.b - 1 AS BIGINT) AS batch,
+        |  (SELECT count(*) FROM sc WHERE sc.b <= w.b
+        |     AND (w.w IS NULL OR sc.c_ts + INTERVAL 1 HOUR >= w.w))
+        |  + (SELECT count(*) FROM sp WHERE sp.b <= w.b
+        |     AND (w.w IS NULL OR sp.p_ts >= w.w)) AS state_rows
+        |FROM w ORDER BY batch""".stripMargin,
 
     // q177's cutoff model extended symmetrically: matches always;
     // null-purchase rows for clicks whose 1h window closed under the

@@ -117,4 +117,40 @@ class SessionWindowProbeSpec extends SparkSpec {
         if (r.isNullAt(1)) -1L else r.getLong(1))).sorted.toSeq
     assert(got === Seq((-1L, 12L), (101L, -1L), (102L, 11L)))
   }
+
+  test("full-outer join per-batch STATE curve: rises while both sides " +
+    "buffer, falls as the watermark evicts closed intervals — the " +
+    "closed-form model the q283 oracle replays") {
+    val t = (h: Int, m: Int) =>
+      Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // 3-hour-spaced singles, minute offsets so no comparison ever
+    // lands exactly on a watermark boundary; users all distinct so
+    // every row is pure buffered state (matches would not change
+    // eviction — state management is identical across join modes).
+    // Slice b's watermark-in-force for EVICTION derives from slices
+    // < b on both sides (min across sides, each minus its 1h delay):
+    //   b1: none        -> 1c + 1p buffered            = 2
+    //   b2: 23:10 (-1d) -> nothing evictable           = 4
+    //   b3: 02:10       -> c(00:10) closed, p(00:20) passed -> 6-2 = 4
+    //   b4: 05:10       -> c(03:10), p(03:20) also out -> 8-4     = 4
+    val clicks = Seq((1L, t(0, 10), 101L), (2L, t(3, 10), 102L),
+      (3L, t(6, 10), 103L), (4L, t(9, 10), 104L))
+      .toDF("c_user", "c_ts", "click_id")
+    val purchases = Seq((5L, t(0, 20), 11L), (6L, t(3, 20), 12L),
+      (7L, t(6, 20), 13L), (8L, t(9, 20), 14L))
+      .toDF("p_user", "p_ts", "purchase_id")
+    val (out, curve) = StreamingQueries.runMultiBatchTwoStateCounted(
+      spark, "fojcurve", clicks, purchases,
+      (cs, ps) => cs.withWatermark("c_ts", "1 hour")
+        .join(ps.withWatermark("p_ts", "1 hour"),
+          expr("c_user = p_user AND p_ts >= c_ts AND " +
+            "p_ts <= c_ts + interval 1 hour"), "full_outer"),
+      orderColsA = Seq(col("c_ts")),
+      orderColsB = Seq(col("p_ts")),
+      batches = 4)
+    assert(curve === Seq(2L, 4L, 4L, 4L), s"observed state curve: $curve")
+    // final watermark min(09:10, 09:20) - 1h = 08:10: everything but
+    // the last slice pair null-emitted (all rows are unmatched)
+    assert(out.count() === 6)
+  }
 }
