@@ -4530,6 +4530,95 @@ object CoverageQueries {
       import s.implicits._
       Seq((r.getLong(0), r.getLong(1), tot.toLong, kept.toLong))
         .toDF("n", "sum_cents", "dirs_total", "dirs_opened")
+    },
+
+    // BLOOM file skipping — the POINT-LOOKUP complement to q276's
+    // zone maps (Iceberg-Puffin / Delta-bloom-index contract): a
+    // high-cardinality key uncorrelated with the layout gives zone
+    // maps nothing to prune on, but a per-dir Bloom sidecar answers
+    // "definitely absent" per dir, so a PK equality filter opens only
+    // dirs that might contain the key — and a lookup of an ABSENT key
+    // opens NOTHING (the dominant case for ingest dedup probes at
+    // 100 TB). Four probes gated (min / mid / max / absent key, all
+    // derived from the data), each with answer + I/O ledger; the
+    // oracle derives every ledger from which months actually contain
+    // the key — data, not engine internals. False positives would
+    // surface as a ledger mismatch: filters are sized at fpp 1e-6,
+    // and the gate is deterministic for fixed data.
+    "q284_bloom_point_lookup" -> { (s, dir) =>
+      val root = s"${Tables.scratchBase}/graft_q284_" +
+        s"${s.sparkContext.applicationId}/${java.util.UUID.randomUUID()}"
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey").as("PID"),
+        date_format(to_date(col("o_orderdate")), "yyyy-MM").as("month"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val tbl = new graft.sources.PartitionedCowTable(
+        s"$root/t", "month", s, bloomColumns = Seq("PID"))
+      tbl.overwrite(o)
+      val mm = o.agg(min("PID"), max("PID")).collect()(0)
+      val (kmin, kmax) = (mm.getLong(0), mm.getLong(1))
+      val kmid = o.filter(col("PID") <= (kmin + kmax) / 2)
+        .agg(max("PID")).collect()(0).getLong(0)
+      import s.implicits._
+      Seq(("k_min", kmin), ("k_mid", kmid), ("k_max", kmax),
+        ("k_absent", kmax + 1)).map { case (nm, k) =>
+        val r = tbl.read().filter(col("PID") === k)
+          .agg(count(lit(1)), coalesce(sum("cents"), lit(0L)))
+          .collect()(0)
+        val (tot, kept) = tbl.autoPruneLedger
+        (nm, r.getLong(0), r.getLong(1), tot.toLong, kept.toLong)
+      }.toDF("probe", "n", "cents", "dirs_total", "dirs_opened")
+        .orderBy("probe")
+    },
+
+    // Z-ORDER clustering (Delta's OPTIMIZE ZORDER BY, as a layout
+    // choice): interleaving the bits of two normalized dimensions
+    // gives a 1-D key whose prefix is a quadtree tile, so a layout
+    // partitioned by the z-prefix makes BOTH dimensions' zone maps
+    // tight at once. The gate lays the SAME data out twice — by
+    // ingest month (the default a real lake starts with) and by
+    // 4-bit z-cell — runs the same bbox query on both, and gates
+    // both answers plus both I/O ledgers: the month layout must open
+    // (nearly) everything, the z layout only the tiles the box
+    // intersects. The z-cell is a pure codegen'd Column expression
+    // (min-max rank → magic-number bit spread → prefix), no sort, no
+    // UDF — the oracle re-derives every cell bit-for-bit in SQL.
+    "q285_zorder_clustering" -> { (s, dir) =>
+      val root = s"${Tables.scratchBase}/graft_q285_" +
+        s"${s.sparkContext.applicationId}/${java.util.UUID.randomUUID()}"
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey").as("PID"),
+        date_format(to_date(col("o_orderdate")), "yyyy-MM").as("month"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        ((col("o_orderkey") % 1700).cast("double") / 10.0 - 85.0)
+          .as("lat"),
+        (((col("o_orderkey") * 7) % 3600).cast("double") / 10.0 - 180.0)
+          .as("lon"))
+      val b = o.agg(min("lat"), max("lat"), min("lon"), max("lon"))
+        .collect()(0)
+      val oz = o.withColumn("zc", graft.functions.ZOrder.zCell(
+        col("lat"), col("lon"), lit(b.getDouble(0)), lit(b.getDouble(1)),
+        lit(b.getDouble(2)), lit(b.getDouble(3)), 4).cast("string"))
+      val tm = new graft.sources.PartitionedCowTable(
+        s"$root/m", "month", s, statsColumns = Seq("lat", "lon"))
+      tm.overwrite(oz)
+      val tz = new graft.sources.PartitionedCowTable(
+        s"$root/z", "zc", s, statsColumns = Seq("lat", "lon"))
+      tz.overwrite(oz)
+      def bbox(df: DataFrame): DataFrame = df
+        .filter(col("lat") >= 5.0 && col("lat") <= 25.0 &&
+          col("lon") >= 100.0 && col("lon") <= 160.0)
+        .agg(count(lit(1)), coalesce(sum("cents"), lit(0L)))
+      val rm = bbox(tm.read()).collect()(0)
+      val (mt, mk) = tm.autoPruneLedger
+      val rz = bbox(tz.read()).collect()(0)
+      val (zt, zk) = tz.autoPruneLedger
+      import s.implicits._
+      Seq((rm.getLong(0), rm.getLong(1), rz.getLong(0), rz.getLong(1),
+        mt.toLong, mk.toLong, zt.toLong, zk.toLong))
+        .toDF("n", "sum_cents", "z_n", "z_cents",
+          "m_dirs_total", "m_dirs_opened",
+          "z_dirs_total", "z_dirs_opened")
     }
   )
 
@@ -7580,6 +7669,91 @@ object CoverageQueries {
         |  led.dirs_total, led.dirs_opened
         |FROM o, led
         |WHERE lat BETWEEN 5.0 AND 25.0 AND lon BETWEEN -100.0 AND -30.0
-        |GROUP BY led.dirs_total, led.dirs_opened""".stripMargin
+        |GROUP BY led.dirs_total, led.dirs_opened""".stripMargin,
+
+    // every ledger from which months actually CONTAIN the key: a
+    // sound, exact Bloom opens precisely those dirs, and the absent
+    // probe opens zero
+    "q284_bloom_point_lookup" ->
+      """WITH o AS MATERIALIZED (
+        |  SELECT o_orderkey AS k,
+        |    strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |mm AS (SELECT min(k) AS kmin, max(k) AS kmax FROM o),
+        |keys AS (
+        |  SELECT 'k_min' AS probe, kmin AS k FROM mm
+        |  UNION ALL SELECT 'k_mid',
+        |    (SELECT max(o.k) FROM o, mm WHERE o.k <= (kmin + kmax) // 2)
+        |    FROM mm
+        |  UNION ALL SELECT 'k_max', kmax FROM mm
+        |  UNION ALL SELECT 'k_absent', kmax + 1 FROM mm),
+        |tot AS (SELECT count(DISTINCT month) AS dt FROM o)
+        |SELECT keys.probe,
+        |  (SELECT count(*) FROM o WHERE o.k = keys.k) AS n,
+        |  CAST(COALESCE(
+        |    (SELECT sum(cents) FROM o WHERE o.k = keys.k), 0)
+        |    AS BIGINT) AS cents,
+        |  CAST(tot.dt AS BIGINT) AS dirs_total,
+        |  (SELECT count(DISTINCT month) FROM o WHERE o.k = keys.k)
+        |    AS dirs_opened
+        |FROM keys, tot ORDER BY probe""".stripMargin,
+
+    // the exact same Morton pipeline in SQL — min-max 16-bit rank,
+    // magic-number bit spread, interleave, 4-bit prefix (IEEE ops and
+    // 64-bit integer shifts are engine-identical) — then both layouts'
+    // ledgers from per-dir lat/lon extents
+    "q285_zorder_clustering" ->
+      """WITH o AS MATERIALIZED (
+        |  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    CAST(o_orderkey % 1700 AS DOUBLE) / 10.0 - 85.0 AS lat,
+        |    CAST((o_orderkey * 7) % 3600 AS DOUBLE) / 10.0 - 180.0
+        |      AS lon
+        |  FROM orders),
+        |mm AS (SELECT min(lat) AS gmnla, max(lat) AS gmxla,
+        |              min(lon) AS gmnlo, max(lon) AS gmxlo FROM o),
+        |n16 AS (
+        |  SELECT o.*,
+        |    CAST(floor((lat - gmnla) / (gmxla - gmnla) * 65535.0)
+        |      AS BIGINT) AS ux,
+        |    CAST(floor((lon - gmnlo) / (gmxlo - gmnlo) * 65535.0)
+        |      AS BIGINT) AS uy
+        |  FROM o, mm),
+        |s1 AS (SELECT *, (ux | (ux << 8)) & 16711935 AS x1,
+        |               (uy | (uy << 8)) & 16711935 AS y1 FROM n16),
+        |s2 AS (SELECT *, (x1 | (x1 << 4)) & 252645135 AS x2,
+        |               (y1 | (y1 << 4)) & 252645135 AS y2 FROM s1),
+        |s3 AS (SELECT *, (x2 | (x2 << 2)) & 858993459 AS x3,
+        |               (y2 | (y2 << 2)) & 858993459 AS y3 FROM s2),
+        |zz AS MATERIALIZED (
+        |  SELECT *, (((x3 | (x3 << 1)) & 1431655765) |
+        |    (((y3 | (y3 << 1)) & 1431655765) << 1)) >> 28 AS zcell
+        |  FROM s3),
+        |mext AS (
+        |  SELECT month, min(lat) AS mnla, max(lat) AS mxla,
+        |    min(lon) AS mnlo, max(lon) AS mxlo FROM o GROUP BY month),
+        |zext AS (
+        |  SELECT zcell, min(lat) AS mnla, max(lat) AS mxla,
+        |    min(lon) AS mnlo, max(lon) AS mxlo FROM zz GROUP BY zcell),
+        |mled AS (
+        |  SELECT count(*) AS mt, CAST(sum(CASE WHEN mxla >= 5.0
+        |    AND mnla <= 25.0 AND mxlo >= 100.0 AND mnlo <= 160.0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS mk FROM mext),
+        |zled AS (
+        |  SELECT count(*) AS zt, CAST(sum(CASE WHEN mxla >= 5.0
+        |    AND mnla <= 25.0 AND mxlo >= 100.0 AND mnlo <= 160.0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS zk FROM zext),
+        |ans AS (
+        |  SELECT count(*) AS n, CAST(COALESCE(sum(cents), 0) AS BIGINT) AS sum_cents
+        |  FROM o WHERE lat BETWEEN 5.0 AND 25.0
+        |    AND lon BETWEEN 100.0 AND 160.0)
+        |SELECT ans.n, ans.sum_cents, ans.n AS z_n,
+        |  ans.sum_cents AS z_cents,
+        |  CAST(mled.mt AS BIGINT) AS m_dirs_total, mled.mk
+        |    AS m_dirs_opened,
+        |  CAST(zled.zt AS BIGINT) AS z_dirs_total, zled.zk
+        |    AS z_dirs_opened
+        |FROM ans, mled, zled""".stripMargin
   )
 }

@@ -164,13 +164,22 @@ object GraftFileIndex {
     * unknown, pre-upgrade manifests) — it serves [[GraftFileIndex
     * .sizeInBytes]] at plan time without a filesystem listing, the
     * Delta AddFile.size idea.
+    *
+    * `blooms` maps each Bloom-indexed column to the dir's sidecar
+    * filter file (the Iceberg-Puffin / Delta-bloom-index idea):
+    * EQUALITY literals that zone maps can't decide — a high-
+    * cardinality key uncorrelated with the layout, the PK point-
+    * lookup shape — prune to the dirs whose filter might contain the
+    * key. A Bloom answers "definitely absent" or "maybe present", so
+    * False stays sound and a false positive only costs an extra dir.
     */
   case class ScanDir(path: String, exact: Map[String, String],
                      ranges: Map[String, (Long, Long)],
                      sranges: Map[String, (String, String)] = Map.empty,
                      dranges: Map[String, (Double, Double)] = Map.empty,
                      kinds: Map[String, String] = Map.empty,
-                     bytes: Long = -1L)
+                     bytes: Long = -1L,
+                     blooms: Map[String, String] = Map.empty)
 
   /** Build the DataFrame: a parquet HadoopFsRelation over the index,
     * with the committed schema as the data schema (missing columns in
@@ -358,6 +367,54 @@ object GraftFileIndex {
       case _ => Unknown
     }
 
+  /** Driver-side cache of loaded Bloom sidecars. Sidecar files are
+    * copy-on-write like the data dirs they sit in (a rewrite makes a
+    * NEW dir with a new sidecar path), so a loaded filter never goes
+    * stale. Cleared wholesale past a size bound — each filter is
+    * metadata-sized (bits capped at commit), the bound just keeps a
+    * very long session from pinning thousands of them.
+    */
+  private val bloomCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.util.sketch.BloomFilter]()
+
+  private def loadBloom(path: String)
+      : Option[org.apache.spark.util.sketch.BloomFilter] = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) return None // conservative
+    if (bloomCache.size > 4096) bloomCache.clear()
+    Some(bloomCache.computeIfAbsent(path, { _ =>
+      val in = java.nio.file.Files.newInputStream(p)
+      try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+      finally in.close()
+    }))
+  }
+
+  /** The canonical byte rendering a Bloom records and probes — the
+    * commit side inserts `cast(col as string)` in UTF-8, so an
+    * integral literal probes its decimal render and a string literal
+    * probes itself; any other literal type is not modeled (Unknown).
+    */
+  private def bloomKey(lit: Any, dt: DataType): Option[Array[Byte]] =
+    (dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        litLong(lit).map(_.toString)
+      case StringType => litStr(lit)
+      case _ => None
+    }).map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Bloom verdict for `attr = lit` over dir `d`: False when the
+    * dir's sidecar filter proves the key absent, Unknown otherwise
+    * (might contain, no sidecar, unreadable literal type). Nulls are
+    * never inserted at commit, and a null literal never reaches here
+    * (EqualNullSafe guards v != null), so absence stays sound.
+    */
+  private def bloomCmp(d: ScanDir, attr: String, lit: Any,
+                       dt: DataType): Tri =
+    d.blooms.get(attr).flatMap(loadBloom).flatMap { bf =>
+      bloomKey(lit, dt).map(k =>
+        if (bf.mightContainBinary(k)) Unknown else False)
+    }.getOrElse(Unknown)
+
   /** Route a comparison to the dir's metadata for `attr`, keyed by
     * the LITERAL's dataType: exact partition values compare in the
     * literal's domain; long-family ranges prune ONLY when the
@@ -365,10 +422,13 @@ object GraftFileIndex {
     * the type guard that makes a stale or foreign-unit zone map
     * conservative instead of wrong); double ranges serve
     * double/float literals; string ranges serve string literals.
+    * EQUALITY additionally consults the dir's Bloom sidecar when the
+    * zone map couldn't already disprove the match — the point-lookup
+    * path where [min, max] says nothing useful.
     */
   private def cmp(d: ScanDir, attr: String, lit: Any, dt: DataType,
-                  op: String): Tri =
-    d.exact.get(attr) match {
+                  op: String): Tri = {
+    val r = d.exact.get(attr) match {
       case Some(v) => cmpExact(v, lit, dt, op)
       case None => dt match {
         case DoubleType | FloatType => d.dranges.get(attr) match {
@@ -387,6 +447,8 @@ object GraftFileIndex {
         }
       }
     }
+    if (op == "=" && r == Unknown) bloomCmp(d, attr, lit, dt) else r
+  }
 
   def eval(e: Expression, d: ScanDir): Tri = e match {
     case And(l, r) => and3(eval(l, d), eval(r, d))

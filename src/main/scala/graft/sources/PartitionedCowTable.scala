@@ -49,7 +49,8 @@ import org.apache.spark.sql.types.{ByteType, DateType, DoubleType,
   */
 class PartitionedCowTable(val root: String, val partCol: String,
                           spark: SparkSession,
-                          val statsColumns: Seq[String] = Seq.empty)
+                          val statsColumns: Seq[String] = Seq.empty,
+                          val bloomColumns: Seq[String] = Seq.empty)
     extends VersionedTable {
 
   import PartitionedCowTable.Entry
@@ -204,6 +205,26 @@ class PartitionedCowTable(val root: String, val partCol: String,
       .map(e => e.getKey -> e.getValue.asText()).toMap
   }
 
+  /** dir → columns with a BLOOM sidecar (`_bloom_<col>.bf` inside the
+    * data dir, so vacuum reclaims it with the dir and a rebase's
+    * rename carries it along). Declared [[bloomColumns]] get one
+    * filter per freshly-written dir at commit — built executor-side
+    * in one pass, bits capped so each sidecar stays metadata-sized —
+    * and [[GraftFileIndex]] prunes EQUALITY literals on them: the PK
+    * point-lookup that zone maps can't help (high-cardinality key,
+    * uncorrelated with layout) opens only dirs that might contain the
+    * key, and a lookup of an ABSENT key opens nothing. The Iceberg-
+    * Puffin / Delta-bloom-index contract.
+    */
+  private def bloomsAt(v: Int): Map[String, Seq[String]] = {
+    val node = mapper.readTree(Files.readAllBytes(
+      Paths.get(root, f"v_$v%06d.json")))
+    if (!node.has("blooms")) Map.empty
+    else node.get("blooms").fields().asScala.map { e =>
+      e.getKey -> e.getValue.elements().asScala.map(_.asText()).toSeq
+    }.toMap
+  }
+
   /** dir → DELETION-VECTOR files (paths relative to root) in force
     * for that dir — the Delta-DV/Iceberg-delete-file idea at key
     * grain: [[deleteWhereDV]] commits a tiny key file instead of
@@ -340,6 +361,7 @@ class PartitionedCowTable(val root: String, val partCol: String,
     val dst = dblStatsAt(v)
     val knd = kindsAt(v)
     val byt = bytesAt(v)
+    val blm = bloomsAt(v)
     val info: Map[String, GraftFileIndex.ScanDir] =
       entriesAt(v).map { e =>
         val p = s"$root/${e.dir}"
@@ -348,7 +370,9 @@ class PartitionedCowTable(val root: String, val partCol: String,
           sst.getOrElse(e.dir, Map.empty),
           dst.getOrElse(e.dir, Map.empty),
           knd,
-          byt.getOrElse(e.dir, -1L))
+          byt.getOrElse(e.dir, -1L),
+          blm.getOrElse(e.dir, Seq.empty)
+            .map(c => c -> s"$p/_bloom_$c.bf").toMap)
       }.toMap
     val buf = scala.collection.mutable.ArrayBuffer.empty[GraftFileIndex]
     if (dfl.isEmpty && dvs.isEmpty) {
@@ -568,7 +592,7 @@ class PartitionedCowTable(val root: String, val partCol: String,
     try {
       writeVersion(cur + 1, schemaAt(cur).toDDL, spec, entries,
         defaultsAt(cur), statsAt(cur), dvNew, strStatsAt(cur),
-        dblStatsAt(cur), kindsAt(cur), bytesAt(cur))
+        dblStatsAt(cur), kindsAt(cur), bytesAt(cur), bloomsAt(cur))
     } catch {
       case e: java.util.ConcurrentModificationException =>
         // the just-written vector file is ours and no manifest
@@ -831,6 +855,96 @@ class PartitionedCowTable(val root: String, val partCol: String,
           .map(Files.size).sum
         finally listing.close()
       }.toMap
+      // Bloom sidecars for declared bloomColumns: ONE executor-side
+      // pass over the just-written dirs builds a per-(dir, column)
+      // filter (per-partition HashMap build, then a (dir,col)-keyed
+      // merge — never a collect of values), each written as
+      // `_bloom_<col>.bf` INSIDE its data dir. Values are inserted as
+      // their cast-to-string UTF-8 bytes (the rendering the read side
+      // probes); nulls are skipped (equality with null never matches,
+      // so absence stays sound). Bits per filter are sized for fpp
+      // 1e-6 and CAPPED at 2^22 (512 KiB) — a huge dir degrades to a
+      // higher false-positive rate, never to an unbounded sidecar.
+      val carriedBlooms = base.map(bloomsAt).getOrElse(Map.empty)
+      val writtenBlooms: Map[String, Seq[String]] =
+        if (bloomColumns.isEmpty || written.isEmpty) Map.empty
+        else {
+          val cols = bloomColumns.filter(data.columns.contains)
+          cols.foreach { c =>
+            data.schema.fields.find(_.name == c).get.dataType match {
+              case StringType | ByteType | ShortType | IntegerType |
+                   LongType => ()
+              case other => throw new IllegalArgumentException(
+                s"bloomColumns: column '$c' has unsupported type " +
+                  s"${other.simpleString} — supported: integral, string" +
+                  s" (equality point-lookups; ranges belong to " +
+                  s"statsColumns)")
+            }
+          }
+          if (cols.isEmpty) Map.empty
+          else {
+            val infKey =
+              "spark.sql.sources.partitionColumnTypeInference.enabled"
+            val infPrev = spark.conf.get(infKey, "true")
+            val byDirCol =
+              try {
+                spark.conf.set(infKey, "false")
+                val src = spark.read.parquet(s"$root/$wdir")
+                  .select((col("__part").cast("string").as("__part") +:
+                    cols.map(c => col(c).cast("string").as(c))): _*)
+                val sizes = src.groupBy("__part")
+                  .agg(count(lit(1)).as("n")).collect()
+                  .map(r => r.getString(0) -> r.getLong(1)).toMap
+                val bSizes = spark.sparkContext.broadcast(sizes)
+                val nCols = cols.size
+                src.rdd.mapPartitions { it =>
+                  val acc = scala.collection.mutable.HashMap.empty[
+                    (String, Int),
+                    org.apache.spark.util.sketch.BloomFilter]
+                  it.foreach { r =>
+                    val part = r.getString(0)
+                    var i = 0
+                    while (i < nCols) {
+                      if (!r.isNullAt(i + 1)) {
+                        val bf = acc.getOrElseUpdate((part, i), {
+                          val n = math.max(1L,
+                            bSizes.value.getOrElse(part, 1L))
+                          // m = -n ln(p) / (ln 2)^2, p = 1e-9 — sized
+                          // a thousandfold under the usual 1e-6: the
+                          // sketch's 32-bit double hashing runs above
+                          // its theoretical rate on small filters, and
+                          // bits are cheap at metadata grain
+                          val bits = math.min(1L << 22, math.max(64L,
+                            math.ceil(n * 43.133).toLong))
+                          org.apache.spark.util.sketch.BloomFilter
+                            .create(n, bits)
+                        })
+                        bf.putBinary(r.getString(i + 1)
+                          .getBytes(UTF_8))
+                      }
+                      i += 1
+                    }
+                  }
+                  acc.iterator
+                }.reduceByKey { (a, b) => a.mergeInPlace(b); a }
+                  .collect()
+              } finally spark.conf.set(infKey, infPrev)
+            byDirCol.foreach { case ((part, ci), bf) =>
+              written.find(_.value == part).foreach { e =>
+                val out = Files.newOutputStream(
+                  Paths.get(root, e.dir, s"_bloom_${cols(ci)}.bf"))
+                try bf.writeTo(out) finally out.close()
+              }
+            }
+            // flag per (dir, column) actually written — an all-null
+            // column in a dir has no filter and stays unflagged
+            val presentCols: Map[String, Seq[String]] =
+              byDirCol.map(_._1).groupBy(_._1).map { case (p, ks) =>
+                p -> ks.map(k => cols(k._2)).toSeq.sorted }
+            written.flatMap(e =>
+              presentCols.get(e.value).map(e.dir -> _)).toMap
+          }
+        }
       // Each stats column records its bounds in the family its SCHEMA
       // TYPE picks — and in Catalyst INTERNAL units for the long
       // family, so a pushed literal's raw value compares directly:
@@ -963,7 +1077,8 @@ class PartitionedCowTable(val root: String, val partCol: String,
           carriedSStats ++ writtenSStats,
           carriedDStats ++ writtenDStats,
           carriedKinds ++ writtenKinds,
-          carriedBytes ++ writtenBytes)
+          carriedBytes ++ writtenBytes,
+          carriedBlooms ++ writtenBlooms)
         true
       } catch {
         case e: java.util.ConcurrentModificationException =>
@@ -1013,7 +1128,8 @@ class PartitionedCowTable(val root: String, val partCol: String,
                            dstats: Map[String,
                              Map[String, (Double, Double)]] = Map.empty,
                            kinds: Map[String, String] = Map.empty,
-                           bytes: Map[String, Long] = Map.empty)
+                           bytes: Map[String, Long] = Map.empty,
+                           blooms: Map[String, Seq[String]] = Map.empty)
       : Unit = {
     // optimistic concurrency (see CowTable.commit): a competing writer
     // advancing the pointer mid-commit means this manifest's carried
@@ -1091,6 +1207,15 @@ class PartitionedCowTable(val root: String, val partCol: String,
       val bn = node.putObject("bytes")
       liveBytes.toSeq.sortBy(_._1).foreach { case (d, b) => bn.put(d, b) }
     }
+    val liveBlooms = blooms.filter { case (d, cs) =>
+      live.contains(d) && cs.nonEmpty }
+    if (liveBlooms.nonEmpty) {
+      val bn = node.putObject("blooms")
+      liveBlooms.toSeq.sortBy(_._1).foreach { case (d, cs) =>
+        val a = bn.putArray(d)
+        cs.sorted.foreach(a.add)
+      }
+    }
     val parts = node.putObject("partitions")
     entries.filter(_.pcol == spec).sortBy(_.value)
       .foreach(e => parts.put(e.value, e.dir))
@@ -1129,7 +1254,7 @@ class PartitionedCowTable(val root: String, val partCol: String,
     if (newPartCol == currentPartCol) return
     writeVersion(cur + 1, schemaAt(cur).toDDL, newPartCol,
       entriesAt(cur), defaultsAt(cur), statsAt(cur), dvsAt(cur),
-      strStatsAt(cur), dblStatsAt(cur), kindsAt(cur), bytesAt(cur))
+      strStatsAt(cur), dblStatsAt(cur), kindsAt(cur), bytesAt(cur), bloomsAt(cur))
   }
 
   /** Delta-style RESTORE (`RESTORE TABLE ... TO VERSION AS OF v`):
@@ -1148,7 +1273,7 @@ class PartitionedCowTable(val root: String, val partCol: String,
     if (v == cur) return
     writeVersion(cur + 1, schemaAt(v).toDDL, partColAt(v), entriesAt(v),
       defaultsAt(v), statsAt(v), dvsAt(v), strStatsAt(v),
-      dblStatsAt(v), kindsAt(v), bytesAt(v))
+      dblStatsAt(v), kindsAt(v), bytesAt(v), bloomsAt(v))
   }
 
   /** Add a column — a METADATA-ONLY commit (Iceberg's add-column
@@ -1172,7 +1297,7 @@ class PartitionedCowTable(val root: String, val partCol: String,
     writeVersion(cur + 1, widened.toDDL, partColAt(cur), entriesAt(cur),
       defaultsAt(cur) ++ defaultSql.map(d => name -> (d, cur + 1)),
       statsAt(cur), dvsAt(cur), strStatsAt(cur),
-      dblStatsAt(cur), kindsAt(cur), bytesAt(cur))
+      dblStatsAt(cur), kindsAt(cur), bytesAt(cur), bloomsAt(cur))
   }
 
   /** An empty DataFrame with the table's committed schema (safe to

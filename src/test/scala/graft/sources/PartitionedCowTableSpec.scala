@@ -737,6 +737,60 @@ class PartitionedCowTableSpec extends SparkSpec {
     assert(!t.autoListedDirs.exists(_.endsWith(t.manifest("2020-03"))))
   }
 
+  test("bloom sidecars: equality point-lookups open only dirs that " +
+    "might contain the key, absent keys open NOTHING; ranges untouched; " +
+    "unsupported types refused loudly") {
+    implicit val s = spark
+    val t = new PartitionedCowTable(
+      Files.createTempDirectory("pcow_bloom").toString + "/t", "month",
+      spark, bloomColumns = Seq("pid", "tag"))
+    t.overwrite(Seq(
+      (10L, "2020-03", "a"), (11L, "2020-03", "b"),
+      (20L, "2020-04", "c"), (30L, "2020-05", null))
+      .toDF("pid", "month", "tag"))
+    // the manifest flags the sidecars and the files exist in-dir
+    val json = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(t.root, "v_000000.json")))
+    assert(json.contains("\"blooms\""))
+    assert(Files.exists(java.nio.file.Paths.get(
+      t.root, t.manifest("2020-04").split("/").mkString("/"),
+      "_bloom_pid.bf")))
+    // long-key point lookup: one dir of three
+    assert(t.read().filter($"pid" === 20L)
+      .select("tag").as[String].head() == "c")
+    assert(t.autoPruneLedger === ((3, 1)))
+    // ABSENT key: zero dirs listed, zero rows — the 100 TB win
+    assert(t.read().filter($"pid" === 999L).count() == 0)
+    assert(t.autoPruneLedger === ((3, 0)))
+    // IN-list decomposes per element (dirs holding 10 or 30)
+    assert(t.read().filter($"pid".isin(10L, 30L)).count() == 2)
+    assert(t.autoPruneLedger === ((3, 2)))
+    // string bloom column prunes the same way; the all-null tag dir
+    // has NO tag sidecar and is kept conservatively (absence of a
+    // filter is never a prune), so probes keep it plus any maybe-dir
+    assert(t.read().filter($"tag" === "b").count() == 1)
+    assert(t.autoPruneLedger === ((3, 2))) // 2020-03 + null-tag dir
+    assert(t.read().filter($"tag" === "zzz").count() == 0)
+    assert(t.autoPruneLedger === ((3, 1))) // only the null-tag dir
+    // RANGE predicates never consult blooms (equality only)
+    assert(t.read().filter($"pid" >= 11L && $"pid" <= 21L).count() == 2)
+    assert(t.autoPruneLedger === ((3, 3)))
+    // a rewrite recomputes the touched dir's filter: the new key is
+    // findable, the old dropped key prunes to nothing
+    t.upsert(Seq((21L, "2020-04", "c2")).toDF("pid", "month", "tag"),
+      Seq("pid"))
+    assert(t.read().filter($"pid" === 21L).count() == 1)
+    assert(t.autoPruneLedger === ((3, 1)))
+    // unsupported bloom-column type is refused at commit
+    val t2 = new PartitionedCowTable(
+      Files.createTempDirectory("pcow_bloom2").toString + "/t", "month",
+      spark, bloomColumns = Seq("score"))
+    val err = intercept[IllegalArgumentException] {
+      t2.overwrite(Seq((1L, "2020-03", 0.5)).toDF("pid", "month", "score"))
+    }
+    assert(err.getMessage.contains("unsupported type"))
+  }
+
   test("STRING zone maps: plain filters on string stats columns prune " +
     "lexicographically; non-ASCII comparisons stay conservative") {
     implicit val s = spark
