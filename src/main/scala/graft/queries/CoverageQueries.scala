@@ -4619,6 +4619,52 @@ object CoverageQueries {
         .toDF("n", "sum_cents", "z_n", "z_cents",
           "m_dirs_total", "m_dirs_opened",
           "z_dirs_total", "z_dirs_opened")
+    },
+
+    // INCREMENTALLY-MAINTAINED materialized aggregate — the "keep the
+    // corpus stats fresh without re-aggregating the lake" op
+    // (Materialize / Delta Live Tables territory, partition-aligned):
+    // a per-month rollup of a CoW table is maintained from the
+    // MANIFEST DIFF — a refresh re-aggregates exactly the partitions
+    // the commits since the last sync touched (pruned read), then
+    // reconciles the summary in ONE mergeSync commit. The gate builds
+    // the rollup, applies a scripted append + upsert + month delete,
+    // refreshes, and gates the final summary totals PLUS the refresh
+    // ledger (partitions recomputed/removed, summary rows
+    // inserted/updated/deleted) — every number derived closed-form
+    // from the scripted mutations in the oracle, so both the ANSWER
+    // and the INCREMENTALITY are checked.
+    "q286_incremental_rollup" -> { (s, dir) =>
+      val root = s"${Tables.scratchBase}/graft_q286_" +
+        s"${s.sparkContext.applicationId}/${java.util.UUID.randomUUID()}"
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey").as("PID"),
+        date_format(to_date(col("o_orderdate")), "yyyy-MM").as("month"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val tbl = new graft.sources.PartitionedCowTable(
+        s"$root/b", "month", s)
+      tbl.overwrite(o)
+      val ru = new graft.sources.IncrementalRollup(tbl, s"$root/s",
+        Seq("month"), Seq("n" -> count(lit(1)),
+          "cents" -> sum(col("cents"))))(s)
+      ru.refresh() // full build
+      val minM = o.agg(min("month")).collect()(0).getString(0)
+      tbl.append(o.filter(col("PID") <= 20)
+        .select((col("PID") + 1000000L).as("PID"),
+          lit("2099-01").as("month"), lit(123L).as("cents")))
+      tbl.upsert(o.filter(col("PID") <= 50)
+        .withColumn("cents", col("cents") + 1L), Seq("PID"))
+      tbl.deleteWhere(col("month") === minM)
+      val (from2, rec2, rem2, (ins2, upd2, del2)) = ru.refresh()
+      ru.summary.read()
+        .agg(count(lit(1)).as("n_months"), sum("n").as("n_rows"),
+          sum("cents").as("sum_cents"))
+        .withColumn("synced_from", lit(from2.toLong))
+        .withColumn("recomputed", lit(rec2.toLong))
+        .withColumn("removed", lit(rem2.toLong))
+        .withColumn("rows_inserted", lit(ins2))
+        .withColumn("rows_updated", lit(upd2))
+        .withColumn("rows_deleted", lit(del2))
     }
   )
 
@@ -7754,6 +7800,41 @@ object CoverageQueries {
         |    AS m_dirs_opened,
         |  CAST(zled.zt AS BIGINT) AS z_dirs_total, zled.zk
         |    AS z_dirs_opened
-        |FROM ans, mled, zled""".stripMargin
+        |FROM ans, mled, zled""".stripMargin,
+
+    // the final base state reconstructed closed-form from the
+    // scripted mutations (upsert k<=50 bumps cents, append lands in
+    // 2099-01, the earliest month is deleted whole), rolled up; the
+    // refresh ledger derived from which months those mutations touch
+    "q286_incremental_rollup" ->
+      """WITH o AS MATERIALIZED (
+        |  SELECT o_orderkey AS k,
+        |    strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |minm AS (SELECT min(month) AS m FROM o),
+        |fin AS MATERIALIZED (
+        |  SELECT k, month,
+        |    CASE WHEN k <= 50 THEN cents + 1 ELSE cents END AS cents
+        |  FROM o
+        |  UNION ALL
+        |  SELECT k + 1000000, '2099-01', 123 FROM o WHERE k <= 20),
+        |liv AS (SELECT fin.* FROM fin, minm WHERE fin.month <> minm.m),
+        |agg AS (
+        |  SELECT month, count(*) AS n, sum(cents) AS c
+        |  FROM liv GROUP BY month),
+        |chg AS (
+        |  SELECT count(DISTINCT o.month) AS nm FROM o, minm
+        |  WHERE o.k <= 50 AND o.month <> minm.m)
+        |SELECT CAST(count(*) AS BIGINT) AS n_months,
+        |  CAST(sum(n) AS BIGINT) AS n_rows,
+        |  CAST(sum(c) AS BIGINT) AS sum_cents,
+        |  CAST(0 AS BIGINT) AS synced_from,
+        |  CAST(chg.nm + 1 AS BIGINT) AS recomputed,
+        |  CAST(1 AS BIGINT) AS removed,
+        |  CAST(1 AS BIGINT) AS rows_inserted,
+        |  CAST(chg.nm AS BIGINT) AS rows_updated,
+        |  CAST(1 AS BIGINT) AS rows_deleted
+        |FROM agg, chg GROUP BY chg.nm""".stripMargin
   )
 }

@@ -489,6 +489,46 @@ class PartitionedCowTable(val root: String, val partCol: String,
   /** Current committed version number (for [[changedSince]]). */
   def version: Int = requireVersion
 
+  /** [[changedSince]] at PARTITION-VALUE grain: (changed, removed) —
+    * `changed` holds current-manifest values whose (dir, deletion
+    * vectors) identity differs from `sinceVersion`'s (rewritten,
+    * newly created, re-created, or DV-touched), `removed` holds
+    * values `sinceVersion` referenced that the current manifest no
+    * longer does (deleted empty, or dropped by overwrite). This is
+    * the change LIST a downstream incremental consumer keys its work
+    * on ([[IncrementalRollup]] re-aggregates exactly these); the
+    * row-level feed is [[changedSince]]. Requires a single-spec
+    * table across the window (no partition evolution, no legacy
+    * dirs) — a value under another spec column is not attributable
+    * to this one, so the diff refuses loudly rather than guessing.
+    */
+  def changedPartitionValuesSince(sinceVersion: Int)
+      : (Set[String], Set[String]) = {
+    val cur = requireVersion
+    require(Files.exists(Paths.get(root, f"v_$sinceVersion%06d.json")),
+      s"changedPartitionValuesSince: no version $sinceVersion at " +
+        s"$root (never committed, or vacuumed)")
+    val spec = currentPartCol
+    require(partColAt(sinceVersion) == spec,
+      s"changedPartitionValuesSince: partition spec changed " +
+        s"(${partColAt(sinceVersion)} -> $spec) across the window — " +
+        s"value-grain diff undefined")
+    val oldE = entriesAt(sinceVersion)
+    val curE = entriesAt(cur)
+    require(oldE.forall(_.pcol == spec) && curE.forall(_.pcol == spec),
+      s"changedPartitionValuesSince: legacy-spec dirs present — " +
+        s"migrate (compact) before value-grain diffing")
+    val dvO = dvsAt(sinceVersion)
+    val dvC = dvsAt(cur)
+    val om = oldE.map(e =>
+      e.value -> (e.dir, dvO.getOrElse(e.dir, Seq.empty))).toMap
+    val cm = curE.map(e =>
+      e.value -> (e.dir, dvC.getOrElse(e.dir, Seq.empty))).toMap
+    val changed = cm.collect {
+      case (v, s) if !om.get(v).contains(s) => v }.toSet
+    (changed, om.keySet -- cm.keySet)
+  }
+
   /** CDC-lite: rows of every partition whose data directory differs
     * from version `sinceVersion`'s manifest (rewritten, newly created,
     * or re-created). Untouched partitions share their directory across
