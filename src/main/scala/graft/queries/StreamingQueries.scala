@@ -1076,6 +1076,62 @@ object StreamingQueries {
     // applies a genuinely new id; final state pins data rows, ledger
     // count (0,1,2 from the drain + the new id = 4), and that the
     // replay changed nothing.
+    // q266's exactly-once recipe on the PARTITIONED lakehouse table —
+    // the shape a production streaming ingest actually runs: each
+    // micro-batch appends its rows PLUS its batchId ledger row in ONE
+    // atomic PartitionedCowTable commit (one pointer flip covers data
+    // + ledger), only the landed months rewrite (append carries
+    // untouched partitions by reference), and the append path's
+    // narrow-read scope means a concurrent maintenance commit on
+    // other months REBASES rather than failing the stream. Replay of
+    // an applied batchId (with a deliberately different payload) is a
+    // no-op; a new id applies. The gate pins rows, cents, distinct
+    // landed months, ledger count, replay no-op, and the commit count
+    // (one version per applied batch — ledger rides free).
+    "q287_partitioned_stream_sink" -> { (s, dir) =>
+      import s.implicits._
+      val uid = java.util.UUID.randomUUID().toString.take(8)
+      val root = s"${Tables.scratchBase}/graft_q287_" +
+        s"${s.sparkContext.applicationId}/$uid"
+      val sink = new graft.sources.PartitionedCowTable(
+        s"$root/sink", "month", s)
+      val base = t(s, dir, "orders").filter(col("o_orderkey") <= 300)
+        .select(lit("d").as("kind"), lit(-1L).as("bid"),
+          col("o_orderkey").as("PID"),
+          date_format(to_date(col("o_orderdate")), "yyyy-MM")
+            .as("month"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      def tick(df: DataFrame, bid: Long): Unit = {
+        val applied = sink.exists && !sink.read()
+          .filter(col("kind") === "b" && col("bid") === bid).isEmpty
+        if (!applied) {
+          val data = df.withColumn("bid", lit(bid))
+          val ledger = Seq(("b", bid, -1L, "9999-99", 0L))
+            .toDF("kind", "bid", "PID", "month", "cents")
+          sink.append(data.unionByName(ledger)) // ONE atomic commit
+        }
+      }
+      runMultiBatchForeachById(s, "q287", base,
+        orderCols = Seq(col("PID")), batches = 3) { (df, bid) =>
+        if (!df.isEmpty) tick(df, bid)
+      }
+      val before = sink.read().count()
+      tick(base.limit(50).withColumn("cents", lit(0L)), 1L) // replay
+      val replaySkipped = if (sink.read().count() == before) 1L else 0L
+      tick(base.filter(col("PID") % 10 === 0)
+        .withColumn("PID", col("PID") + 100000L), 100L) // new id
+      val out = sink.read().filter(col("kind") === "d")
+        .agg(count(lit(1)).as("n_rows"), sum("cents").as("sum_cents"),
+          countDistinct("month").as("n_months"))
+        .withColumn("n_batches_applied",
+          lit(sink.read().filter(col("kind") === "b").count()))
+        .withColumn("replay_skipped", lit(replaySkipped))
+        .withColumn("n_commits", lit(sink.version.toLong + 1L))
+        .localCheckpoint()
+      registerDeleteOnExit(java.nio.file.Paths.get(root))
+      out
+    },
+
     "q266_exactly_once_sink" -> { (s, dir) =>
       import s.implicits._
       val uid = java.util.UUID.randomUUID().toString.take(8)
@@ -1313,6 +1369,25 @@ object StreamingQueries {
     // exactly-once end state closed-form: every base row once (the
     // replay is a no-op), plus the new batch's shifted rows; 4 ledger
     // entries
+    // q266's closed form plus the partition dimension: distinct landed
+    // months from the data, one commit per applied batch
+    "q287_partitioned_stream_sink" ->
+      """WITH b AS (
+        |  SELECT o_orderkey AS PID,
+        |    strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey <= 300),
+        |x AS (SELECT PID + 100000 AS PID, month, cents FROM b
+        |      WHERE PID % 10 = 0),
+        |a AS (SELECT * FROM b UNION ALL SELECT * FROM x)
+        |SELECT count(*) AS n_rows,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(count(DISTINCT month) AS BIGINT) AS n_months,
+        |  CAST(4 AS BIGINT) AS n_batches_applied,
+        |  CAST(1 AS BIGINT) AS replay_skipped,
+        |  CAST(4 AS BIGINT) AS n_commits
+        |FROM a""".stripMargin,
+
     "q266_exactly_once_sink" ->
       """WITH b AS (
         |  SELECT o_orderkey AS PID,
