@@ -926,7 +926,7 @@ class PartitionedCowTable(val root: String, val partCol: String,
             val infKey =
               "spark.sql.sources.partitionColumnTypeInference.enabled"
             val infPrev = spark.conf.get(infKey, "true")
-            val byDirCol =
+            val writtenKeys: Array[(String, Int)] =
               try {
                 spark.conf.set(infKey, "false")
                 val src = spark.read.parquet(s"$root/$wdir")
@@ -936,6 +936,16 @@ class PartitionedCowTable(val root: String, val partCol: String,
                   .agg(count(lit(1)).as("n")).collect()
                   .map(r => r.getString(0) -> r.getLong(1)).toMap
                 val bSizes = spark.sparkContext.broadcast(sizes)
+                // value -> dir for the sidecar write; tiny (touched
+                // dirs only), broadcast so EXECUTORS write each
+                // filter straight into its dir — the merged filters
+                // never visit the driver (an overwrite of 100k dirs
+                // would otherwise collect 100k × 512 KiB there), only
+                // the (dir, column) key list comes back
+                val bDirs = spark.sparkContext.broadcast(
+                  written.map(e => e.value -> e.dir).toMap)
+                val bCols = spark.sparkContext.broadcast(cols)
+                val rootStr = root
                 val nCols = cols.size
                 src.rdd.mapPartitions { it =>
                   val acc = scala.collection.mutable.HashMap.empty[
@@ -967,19 +977,21 @@ class PartitionedCowTable(val root: String, val partCol: String,
                   }
                   acc.iterator
                 }.reduceByKey { (a, b) => a.mergeInPlace(b); a }
-                  .collect()
+                  .map { case ((part, ci), bf) =>
+                    // idempotent (create+truncate): a task retry or a
+                    // speculative twin rewrites identical bytes
+                    bDirs.value.get(part).foreach { d =>
+                      val out = Files.newOutputStream(Paths.get(
+                        rootStr, d, s"_bloom_${bCols.value(ci)}.bf"))
+                      try bf.writeTo(out) finally out.close()
+                    }
+                    (part, ci)
+                  }.collect()
               } finally spark.conf.set(infKey, infPrev)
-            byDirCol.foreach { case ((part, ci), bf) =>
-              written.find(_.value == part).foreach { e =>
-                val out = Files.newOutputStream(
-                  Paths.get(root, e.dir, s"_bloom_${cols(ci)}.bf"))
-                try bf.writeTo(out) finally out.close()
-              }
-            }
             // flag per (dir, column) actually written — an all-null
             // column in a dir has no filter and stays unflagged
             val presentCols: Map[String, Seq[String]] =
-              byDirCol.map(_._1).groupBy(_._1).map { case (p, ks) =>
+              writtenKeys.groupBy(_._1).map { case (p, ks) =>
                 p -> ks.map(k => cols(k._2)).toSeq.sorted }
             written.flatMap(e =>
               presentCols.get(e.value).map(e.dir -> _)).toMap

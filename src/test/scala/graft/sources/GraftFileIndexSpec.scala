@@ -126,4 +126,44 @@ class GraftFileIndexSpec extends AnyFunSuite {
       Literal(UTF8String.fromString(v), StringType)), d) == True)
     assert(eval(EqualTo(attr("k", StringType), lit), d) == False)
   }
+
+  test("bloom sidecar eval: EQUALITY prunes on definite absence, " +
+    "keeps on maybe; ranges, unsupported literal types, and missing " +
+    "sidecars stay Unknown") {
+    val dir = java.nio.file.Files.createTempDirectory("gfi_bloom")
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 4096L)
+    Seq("42", "hello").foreach(v =>
+      bf.putBinary(v.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    val side = dir.resolve("_bloom_k.bf")
+    val out = java.nio.file.Files.newOutputStream(side)
+    try bf.writeTo(out) finally out.close()
+    val d = ScanDir("p", Map.empty, Map.empty,
+      blooms = Map("k" -> side.toString))
+    // integral literal probes its decimal render
+    assert(eval(EqualTo(attr("k", LongType), Literal(42L, LongType)), d)
+      == Unknown) // maybe present — never a prune
+    assert(eval(EqualTo(attr("k", LongType), Literal(43L, LongType)), d)
+      == False) // definitely absent
+    // string literal probes itself; null-safe equality routes the same
+    val hello = Literal(UTF8String.fromString("hello"), StringType)
+    val nope = Literal(UTF8String.fromString("nope"), StringType)
+    assert(eval(EqualTo(attr("k", StringType), hello), d) == Unknown)
+    assert(eval(EqualNullSafe(attr("k", StringType), nope), d) == False)
+    // IN decomposes per element: one maybe keeps the dir
+    assert(eval(In(attr("k", LongType),
+      Seq(Literal(43L, LongType), Literal(42L, LongType))), d) == Unknown)
+    assert(eval(In(attr("k", LongType),
+      Seq(Literal(43L, LongType), Literal(44L, LongType))), d) == False)
+    // ranges never consult the bloom
+    assert(eval(LessThan(attr("k", LongType), Literal(43L, LongType)), d)
+      == Unknown)
+    // a double literal has no canonical byte render — not modeled
+    assert(eval(EqualTo(attr("k", DoubleType),
+      Literal(42.0, DoubleType)), d) == Unknown)
+    // missing sidecar file: conservative keep
+    val dMissing = ScanDir("p", Map.empty, Map.empty,
+      blooms = Map("k" -> dir.resolve("absent.bf").toString))
+    assert(eval(EqualTo(attr("k", LongType), Literal(43L, LongType)),
+      dMissing) == Unknown)
+  }
 }
