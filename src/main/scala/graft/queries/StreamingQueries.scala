@@ -1132,6 +1132,49 @@ object StreamingQueries {
       out
     },
 
+    // END-TO-END incremental pipeline: q287's exactly-once partitioned
+    // stream sink DRIVING q286's incremental rollup — after each
+    // micro-batch commits, the per-month summary refreshes from the
+    // manifest diff, re-aggregating ONLY the months that batch landed
+    // in. The gate pins the final summary (equal to a full rollup of
+    // everything ingested) AND the cumulative refresh ledger — the
+    // sum over batches of months-recomputed, reproduced closed-form
+    // from the deterministic PID slicing — so the 100 TB claim
+    // ("analytics stay fresh at cost O(landed partitions), not
+    // O(table)") is the measured, gated quantity.
+    "q288_streaming_rollup_maintenance" -> { (s, dir) =>
+      import s.implicits._
+      val uid = java.util.UUID.randomUUID().toString.take(8)
+      val root = s"${Tables.scratchBase}/graft_q288_" +
+        s"${s.sparkContext.applicationId}/$uid"
+      val sink = new graft.sources.PartitionedCowTable(
+        s"$root/sink", "month", s)
+      val ru = new graft.sources.IncrementalRollup(sink, s"$root/sum",
+        Seq("month"), Seq("n" -> count(lit(1)),
+          "cents" -> sum(col("cents"))))(s)
+      val base = t(s, dir, "orders").filter(col("o_orderkey") <= 300)
+        .select(col("o_orderkey").as("PID"),
+          date_format(to_date(col("o_orderdate")), "yyyy-MM")
+            .as("month"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      var recomputedTotal = 0L
+      runMultiBatchForeachById(s, "q288", base,
+        orderCols = Seq(col("PID")), batches = 3) { (df, bid) =>
+        if (!df.isEmpty) {
+          sink.append(df)
+          val (_, rec, _, _) = ru.refresh()
+          recomputedTotal += rec
+        }
+      }
+      val out = ru.summary.read()
+        .agg(count(lit(1)).as("n_months"), sum("n").as("n_rows"),
+          sum("cents").as("sum_cents"))
+        .withColumn("recomputed_total", lit(recomputedTotal))
+        .localCheckpoint()
+      registerDeleteOnExit(java.nio.file.Paths.get(root))
+      out
+    },
+
     "q266_exactly_once_sink" -> { (s, dir) =>
       import s.implicits._
       val uid = java.util.UUID.randomUUID().toString.take(8)
@@ -1369,6 +1412,29 @@ object StreamingQueries {
     // exactly-once end state closed-form: every base row once (the
     // replay is a no-op), plus the new batch's shifted rows; 4 ledger
     // entries
+    // the final summary from a full rollup of everything ingested;
+    // recomputed_total = Σ over batches of distinct months in that
+    // batch's PID slice (the deterministic ntile staging), because a
+    // refresh re-aggregates exactly the months its batch landed in
+    "q288_streaming_rollup_maintenance" ->
+      """WITH b AS MATERIALIZED (
+        |  SELECT o_orderkey AS PID,
+        |    strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    ntile(3) OVER (ORDER BY o_orderkey) AS bt
+        |  FROM orders WHERE o_orderkey <= 300),
+        |agg AS (
+        |  SELECT month, count(*) AS n, sum(cents) AS c
+        |  FROM b GROUP BY month),
+        |rec AS (
+        |  SELECT CAST(sum(nm) AS BIGINT) AS rt FROM (
+        |    SELECT bt, count(DISTINCT month) AS nm FROM b GROUP BY bt))
+        |SELECT CAST(count(*) AS BIGINT) AS n_months,
+        |  CAST(sum(n) AS BIGINT) AS n_rows,
+        |  CAST(sum(c) AS BIGINT) AS sum_cents,
+        |  rec.rt AS recomputed_total
+        |FROM agg, rec GROUP BY rec.rt""".stripMargin,
+
     // q266's closed form plus the partition dimension: distinct landed
     // months from the data, one commit per applied batch
     "q287_partitioned_stream_sink" ->
