@@ -1601,6 +1601,50 @@ class PartitionedCowTable(val root: String, val partCol: String,
         narrowRead = true)
   }
 
+  /** OPTIMIZE ZORDER BY for an EXISTING table (q285 demonstrates the
+    * layout's pruning win on fresh tables; this migrates one in
+    * place): derive a [[graft.functions.ZOrder]] prefix cell from two
+    * numeric columns, evolve the schema and partition spec to it
+    * (both metadata-only commits), then rewrite the data ONCE under
+    * the new layout — after which a bbox filter on (x, y) prunes to
+    * the quadtree tiles the box intersects instead of opening every
+    * ingest-keyed dir. Three commits total, one data job; every prior
+    * version stays time-travelable in its old shape.
+    *
+    * Rows where either coordinate is NULL land in sentinel cell -1
+    * (a partition value must be non-null); zone maps on the
+    * coordinate columns, declared via statsColumns, are recomputed
+    * per new cell dir by the rewrite commit, which is what makes the
+    * layout prune.
+    */
+  def zOrderRelayout(xCol: String, yCol: String, bits: Int,
+                     cellCol: String = "z_cell"): Unit = {
+    val sch = schemaAt(requireVersion)
+    require(sch.fieldNames.contains(xCol) &&
+      sch.fieldNames.contains(yCol),
+      s"zOrderRelayout: columns '$xCol'/'$yCol' not in schema")
+    require(!sch.fieldNames.contains(cellCol),
+      s"zOrderRelayout: cell column '$cellCol' already exists")
+    val b = read().agg(
+      min(col(xCol).cast("double")), max(col(xCol).cast("double")),
+      min(col(yCol).cast("double")), max(col(yCol).cast("double")))
+      .collect()(0)
+    require(!b.anyNull,
+      s"zOrderRelayout: '$xCol'/'$yCol' have no non-null values")
+    val cell = when(col(xCol).isNull || col(yCol).isNull, lit(-1L))
+      .otherwise(graft.functions.ZOrder.zCell(
+        col(xCol), col(yCol),
+        lit(b.getDouble(0)), lit(b.getDouble(1)),
+        lit(b.getDouble(2)), lit(b.getDouble(3)), bits))
+    evolveSchema(cellCol, "BIGINT")
+    evolvePartitioning(cellCol)
+    // the one data job: every row rewritten under its cell; carried
+    // is empty because every pre-relayout entry (now legacy under the
+    // old spec) is superseded by this commit
+    val rows = read().withColumn(cellCol, cell)
+    commit(rows, touchedValues(rows), Seq.empty)
+  }
+
   /** Drop every `w_*` dir and `v_*.json` no longer reachable from the
     * current manifest; shared dirs it still references survive.
     */

@@ -791,6 +791,48 @@ class PartitionedCowTableSpec extends SparkSpec {
     assert(err.getMessage.contains("unsupported type"))
   }
 
+  test("zOrderRelayout migrates an ingest-keyed table to z-cells in " +
+    "one data job: bbox filters prune to intersecting tiles, null " +
+    "coords land in the sentinel cell, old versions time-travel") {
+    implicit val s = spark
+    val t = new PartitionedCowTable(
+      Files.createTempDirectory("pcow_zre").toString + "/t", "month",
+      spark, statsColumns = Seq("x", "y"))
+    // 3 ingest months, coords spread over the full [0,1000]^2 plane
+    // in every month — the layout zone maps can't prune on
+    val rows = (0 until 96).map { i =>
+      (i.toLong, f"2020-${i % 3 + 1}%02d",
+        (i % 8) * 1000.0 / 7.0, (i / 8 % 4) * 1000.0 / 3.0)
+    } :+ (999L, "2020-01", Double.NaN, 0.0)
+    val df = rows.toDF("pid", "month", "x", "y")
+      .withColumn("x", when(col("pid") === 999L,
+        lit(null: java.lang.Double)).otherwise(col("x")))
+    t.overwrite(df)
+    val v0 = t.version
+    val full = t.read().filter(col("x") <= 240.0 && col("y") <= 240.0)
+      .count()
+    assert(t.autoPruneLedger === ((3, 3))) // every month intersects
+    t.zOrderRelayout("x", "y", 4)
+    // one data commit on top of the two metadata commits
+    assert(t.version == v0 + 3)
+    assert(t.legacyEntries.isEmpty) // fully migrated in the rewrite
+    assert(t.currentPartCol == "z_cell")
+    // content preserved (plus the cell column), null-coord row in -1
+    assert(t.read().count() == 97)
+    assert(t.read().filter(col("z_cell") === -1L)
+      .select("pid").as[Long].head() == 999L)
+    // the SAME bbox filter now opens only intersecting tiles
+    val zn = t.read().filter(col("x") <= 240.0 && col("y") <= 240.0)
+      .count()
+    assert(zn == full)
+    val (tot, kept) = t.autoPruneLedger
+    assert(tot > 3 && kept < tot / 2,
+      s"expected tile-pruned read, got ($tot, $kept)")
+    // pre-relayout state stays time-travelable in its old shape
+    val old = t.readVersion(v0)
+    assert(old.count() == 97 && !old.columns.contains("z_cell"))
+  }
+
   test("STRING zone maps: plain filters on string stats columns prune " +
     "lexicographically; non-ASCII comparisons stay conservative") {
     implicit val s = spark
