@@ -1583,7 +1583,8 @@ class PartitionedCowTable(val root: String, val partCol: String,
     * each partition's rows land in exactly one task. Row content is
     * unchanged (a pure layout commit); old dirs become vacuumable.
     */
-  def compact(partFilter: String => Boolean = _ => true): Unit = {
+  def compact(partFilter: String => Boolean = _ => true,
+              targetBytes: Long = 0L): Unit = {
     // compaction is also the full-migration vehicle: every remaining
     // legacy dir is rewritten under the current spec alongside the
     // selected partitions (one layout commit, row content unchanged)
@@ -1594,11 +1595,46 @@ class PartitionedCowTable(val root: String, val partCol: String,
         legacy.map(e => s"$root/${e.dir}"))
     val touched = manifest.keySet.filter(partFilter) ++
       touchedValues(migRows)
-    if (touched.nonEmpty)
-      commit(readSpec(touched).unionByName(migRows)
-          .repartition(col(currentPartCol)),
-        touched, currentEntriesOrEmpty.filterNot(legacy.contains),
-        narrowRead = true)
+    if (touched.isEmpty) return
+    val rows = readSpec(touched).unionByName(migRows)
+    // With no target, one partition = one RDD partition = ~one file
+    // (the small-file collapse). With targetBytes > 0, a partition's
+    // manifest-recorded byte count sizes its FILE FAN-OUT — a 500 GB
+    // partition must not become one 500 GB file: each row salts into
+    // one of ceil(bytes / target) buckets (a deterministic full-row
+    // hash — content decides placement, never execution order), and
+    // the (partition, salt) repartition yields ~that many files per
+    // dir. Approximate like Delta's OPTIMIZE bin-packing: hash-salt
+    // balance and shuffle-partition co-residence can merge a bucket,
+    // never split one, so file count per dir ∈ [1, ceil(b/target)].
+    // Dirs without recorded bytes (pre-upgrade) collapse to 1.
+    val shaped =
+      if (targetBytes <= 0L) rows.repartition(col(currentPartCol))
+      else {
+        val cur = requireVersion
+        val byt = bytesAt(cur)
+        import spark.implicits._
+        val nfSeq = entriesAt(cur)
+          .map(e => e.value -> math.max(1L, math.ceil(
+            byt.getOrElse(e.dir, 0L).toDouble / targetBytes).toLong))
+        val nf = nfSeq.toDF("__pv", "__nf")
+        val dataCols = rows.columns.map(col)
+        // EXPLICIT partition count (AQE coalesces a keys-only
+        // repartition of small data back to one partition, which
+        // would undo the fan-out): the total requested file count IS
+        // the right shuffle width for the rewrite
+        val width = math.min(math.max(32L, nfSeq.map(_._2).sum),
+          1000000L).toInt
+        rows.join(broadcast(nf),
+            col(currentPartCol).cast("string") === col("__pv"), "left")
+          .withColumn("__salt",
+            pmod(xxhash64(dataCols: _*), coalesce(col("__nf"), lit(1L))))
+          .repartition(width, col(currentPartCol), col("__salt"))
+          .drop("__pv", "__nf", "__salt")
+      }
+    commit(shaped, touched,
+      currentEntriesOrEmpty.filterNot(legacy.contains),
+      narrowRead = true)
   }
 
   /** OPTIMIZE ZORDER BY for an EXISTING table (q285 demonstrates the

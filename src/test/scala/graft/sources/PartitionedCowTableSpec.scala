@@ -791,6 +791,52 @@ class PartitionedCowTableSpec extends SparkSpec {
     assert(err.getMessage.contains("unsupported type"))
   }
 
+  test("compact with targetBytes fans a big partition into multiple " +
+    "files sized by the manifest byte counts; small dirs collapse to " +
+    "one; content identical") {
+    implicit val s = spark
+    val t = PartitionedCowTable(
+      Files.createTempDirectory("pcow_tgt").toString + "/t", "month")
+    // one fat month (600 rows of padded payload), two slim ones
+    val fat = (0 until 600).map(i =>
+      (i.toLong, "2020-03", "x" * 200 + i))
+    val slim = Seq((9001L, "2020-04", "a"), (9002L, "2020-05", "b"))
+    t.overwrite((fat ++ slim).toDF("pid", "month", "v")
+      .repartition(8)) // start fragmented: several files per dir
+    val rows0 = t.read().orderBy("pid").collect()
+    import scala.jdk.CollectionConverters._
+    def filesOf(value: String): Int = {
+      val listing = Files.list(java.nio.file.Paths.get(
+        t.root, t.manifest(value)))
+      try listing.iterator().asScala.count { p =>
+        val n = p.getFileName.toString
+        n.endsWith(".parquet") && !n.startsWith("_")
+      } finally listing.close()
+    }
+    assert(filesOf("2020-03") > 1) // fragmented before
+    // target ~1/4 of the fat dir's bytes -> ~4 salted files there
+    val fatBytes = {
+      val listing = Files.list(java.nio.file.Paths.get(
+        t.root, t.manifest("2020-03")))
+      try listing.iterator().asScala.filter(p =>
+        p.getFileName.toString.endsWith(".parquet"))
+        .map(Files.size(_)).sum
+      finally listing.close()
+    }
+    val target = math.max(1L, fatBytes / 4)
+    val expNf = math.ceil(fatBytes.toDouble / target).toLong // 4 or 5
+    t.compact(targetBytes = target)
+    assert(t.read().orderBy("pid").collect() === rows0)
+    val fatFiles = filesOf("2020-03")
+    assert(fatFiles >= 2 && fatFiles <= expNf,
+      s"expected 2..$expNf sized files for the fat dir, got $fatFiles")
+    assert(filesOf("2020-04") == 1 && filesOf("2020-05") == 1)
+    // default compact still collapses everything to one file per dir
+    t.compact()
+    assert(filesOf("2020-03") == 1)
+    assert(t.read().count() == 602)
+  }
+
   test("zOrderRelayout migrates an ingest-keyed table to z-cells in " +
     "one data job: bbox filters prune to intersecting tiles, null " +
     "coords land in the sentinel cell, old versions time-travel") {
