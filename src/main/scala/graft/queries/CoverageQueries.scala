@@ -4665,6 +4665,46 @@ object CoverageQueries {
         .withColumn("rows_inserted", lit(ins2))
         .withColumn("rows_updated", lit(upd2))
         .withColumn("rows_deleted", lit(del2))
+    },
+
+    // IN-PLACE Z-order re-layout (q285 shows the layout's win on
+    // fresh tables; this gates the MIGRATION): an ingest-month table
+    // relayouts to 4-bit Morton cells via two metadata commits + one
+    // data rewrite, and the SAME bbox query's I/O ledger drops from
+    // nearly-all month dirs to only the tiles the box intersects.
+    // Both ledgers, the answer, the commit count, and full migration
+    // (zero legacy dirs) are gated; the oracle re-derives the cells
+    // bit-for-bit and both ledgers from per-dir coordinate extents.
+    "q289_zorder_relayout" -> { (s, dir) =>
+      val root = s"${Tables.scratchBase}/graft_q289_" +
+        s"${s.sparkContext.applicationId}/${java.util.UUID.randomUUID()}"
+      val o = t(s, dir, "orders").select(
+        col("o_orderkey").as("PID"),
+        date_format(to_date(col("o_orderdate")), "yyyy-MM").as("month"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        ((col("o_orderkey") % 1700).cast("double") / 10.0 - 85.0)
+          .as("lat"),
+        (((col("o_orderkey") * 7) % 3600).cast("double") / 10.0 - 180.0)
+          .as("lon"))
+      val tbl = new graft.sources.PartitionedCowTable(
+        s"$root/t", "month", s, statsColumns = Seq("lat", "lon"))
+      tbl.overwrite(o)
+      def bbox(df: DataFrame): DataFrame = df
+        .filter(col("lat") >= 5.0 && col("lat") <= 25.0 &&
+          col("lon") >= 100.0 && col("lon") <= 160.0)
+        .agg(count(lit(1)), coalesce(sum("cents"), lit(0L)))
+      bbox(tbl.read()).collect()
+      val (preT, preK) = tbl.autoPruneLedger
+      tbl.zOrderRelayout("lat", "lon", 4)
+      val r = bbox(tbl.read()).collect()(0)
+      val (postT, postK) = tbl.autoPruneLedger
+      import s.implicits._
+      Seq((r.getLong(0), r.getLong(1), preT.toLong, preK.toLong,
+        postT.toLong, postK.toLong, tbl.version.toLong,
+        tbl.legacyEntries.size.toLong))
+        .toDF("n", "sum_cents", "pre_dirs_total", "pre_dirs_opened",
+          "post_dirs_total", "post_dirs_opened", "n_version",
+          "n_legacy")
     }
   )
 
@@ -7835,6 +7875,65 @@ object CoverageQueries {
         |  CAST(1 AS BIGINT) AS rows_inserted,
         |  CAST(chg.nm AS BIGINT) AS rows_updated,
         |  CAST(1 AS BIGINT) AS rows_deleted
-        |FROM agg, chg GROUP BY chg.nm""".stripMargin
+        |FROM agg, chg GROUP BY chg.nm""".stripMargin,
+
+    // q285's Morton pipeline re-derived for the MIGRATED table: pre
+    // ledger from per-month extents, post ledger from per-cell
+    // extents; 3 commits past the initial overwrite (schema + spec
+    // evolution, one rewrite), zero legacy dirs after
+    "q289_zorder_relayout" ->
+      """WITH o AS MATERIALIZED (
+        |  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    CAST(o_orderkey % 1700 AS DOUBLE) / 10.0 - 85.0 AS lat,
+        |    CAST((o_orderkey * 7) % 3600 AS DOUBLE) / 10.0 - 180.0
+        |      AS lon
+        |  FROM orders),
+        |mm AS (SELECT min(lat) AS gmnla, max(lat) AS gmxla,
+        |              min(lon) AS gmnlo, max(lon) AS gmxlo FROM o),
+        |n16 AS (
+        |  SELECT o.*,
+        |    CAST(floor((lat - gmnla) / (gmxla - gmnla) * 65535.0)
+        |      AS BIGINT) AS ux,
+        |    CAST(floor((lon - gmnlo) / (gmxlo - gmnlo) * 65535.0)
+        |      AS BIGINT) AS uy
+        |  FROM o, mm),
+        |s1 AS (SELECT *, (ux | (ux << 8)) & 16711935 AS x1,
+        |               (uy | (uy << 8)) & 16711935 AS y1 FROM n16),
+        |s2 AS (SELECT *, (x1 | (x1 << 4)) & 252645135 AS x2,
+        |               (y1 | (y1 << 4)) & 252645135 AS y2 FROM s1),
+        |s3 AS (SELECT *, (x2 | (x2 << 2)) & 858993459 AS x3,
+        |               (y2 | (y2 << 2)) & 858993459 AS y3 FROM s2),
+        |zz AS MATERIALIZED (
+        |  SELECT *, (((x3 | (x3 << 1)) & 1431655765) |
+        |    (((y3 | (y3 << 1)) & 1431655765) << 1)) >> 28 AS zcell
+        |  FROM s3),
+        |mext AS (
+        |  SELECT month, min(lat) AS mnla, max(lat) AS mxla,
+        |    min(lon) AS mnlo, max(lon) AS mxlo FROM o GROUP BY month),
+        |zext AS (
+        |  SELECT zcell, min(lat) AS mnla, max(lat) AS mxla,
+        |    min(lon) AS mnlo, max(lon) AS mxlo FROM zz GROUP BY zcell),
+        |mled AS (
+        |  SELECT count(*) AS mt, CAST(sum(CASE WHEN mxla >= 5.0
+        |    AND mnla <= 25.0 AND mxlo >= 100.0 AND mnlo <= 160.0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS mk FROM mext),
+        |zled AS (
+        |  SELECT count(*) AS zt, CAST(sum(CASE WHEN mxla >= 5.0
+        |    AND mnla <= 25.0 AND mxlo >= 100.0 AND mnlo <= 160.0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS zk FROM zext),
+        |ans AS (
+        |  SELECT count(*) AS n,
+        |    CAST(COALESCE(sum(cents), 0) AS BIGINT) AS sum_cents
+        |  FROM o WHERE lat BETWEEN 5.0 AND 25.0
+        |    AND lon BETWEEN 100.0 AND 160.0)
+        |SELECT ans.n, ans.sum_cents,
+        |  CAST(mled.mt AS BIGINT) AS pre_dirs_total,
+        |  mled.mk AS pre_dirs_opened,
+        |  CAST(zled.zt AS BIGINT) AS post_dirs_total,
+        |  zled.zk AS post_dirs_opened,
+        |  CAST(3 AS BIGINT) AS n_version,
+        |  CAST(0 AS BIGINT) AS n_legacy
+        |FROM ans, mled, zled""".stripMargin
   )
 }
