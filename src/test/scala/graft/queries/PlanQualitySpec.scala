@@ -231,6 +231,37 @@ class PlanQualitySpec extends SparkSpec {
       fmt.contains("EqualTo(month,2020-04)"), fmt)
   }
 
+  test("bloom point-lookup: the physical scan's numFiles metric is " +
+    "ZERO for an absent key and counts only the containing dir for a " +
+    "present one") {
+    import graft.sources.PartitionedCowTable
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("pq_bloom")
+      .toString + "/t"
+    val tbl = new PartitionedCowTable(root, "month", spark,
+      bloomColumns = Seq("pid"))
+    tbl.overwrite(Seq(
+      (1L, "2020-03"), (2L, "2020-04"), (3L, "2020-05"))
+      .toDF("pid", "month"))
+    def numFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.map(_.metrics("numFiles").value).sum
+    }
+    // present key: exactly the one containing dir's file is opened
+    val hit = tbl.read().filter(col("pid") === 2L)
+    assert(numFiles(hit) == 1L)
+    assert(tbl.autoPruneLedger == ((3, 1)))
+    // absent key: the plan touches ZERO files — the dominant case for
+    // ingest dedup probes at scale costs no data I/O at all
+    val miss = tbl.read().filter(col("pid") === 99L)
+    assert(miss.isEmpty)
+    assert(numFiles(miss) == 0L)
+    assert(tbl.autoPruneLedger == ((3, 0)))
+  }
+
   test("whole-stage codegen covers the custom expressions") {
     import org.apache.spark.sql.execution.WholeStageCodegenExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
