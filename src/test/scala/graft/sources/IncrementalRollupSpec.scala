@@ -83,6 +83,36 @@ class IncrementalRollupSpec extends SparkSpec {
     assert(ru.syncedVersion.contains(t.version))
   }
 
+  test("multi-dim rollup (partition col + another dim): groups stay " +
+    "partition-confined, a refresh re-aggregates one month's groups " +
+    "and leaves the rest carried") {
+    implicit val s = spark
+    val root = Files.createTempDirectory("rollup_md").toString
+    val t = PartitionedCowTable(s"$root/b", "month")
+    t.overwrite(Seq(
+      (1L, "2020-03", "a", 10L), (2L, "2020-03", "b", 20L),
+      (3L, "2020-04", "a", 100L), (4L, "2020-04", "a", 40L))
+      .toDF("pid", "month", "typ", "cents"))
+    val ru = new IncrementalRollup(t, s"$root/s", Seq("month", "typ"),
+      Seq("n" -> count(lit(1)), "cents" -> sum(col("cents"))))
+    ru.refresh()
+    def st = ru.summary.read().collect().map(r =>
+      (r.getAs[String]("month"), r.getAs[String]("typ")) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("cents"))).toMap
+    assert(st === Map(("2020-03", "a") -> (1L, 10L),
+      ("2020-03", "b") -> (1L, 20L), ("2020-04", "a") -> (2L, 140L)))
+    // a group VANISHES within a changed month (typ b rewritten to a):
+    // the partition-local re-aggregate replaces ALL of that month's
+    // groups, including dropping the dead one
+    t.upsert(Seq((2L, "2020-03", "a", 25L))
+      .toDF("pid", "month", "typ", "cents"), Seq("pid"))
+    val (_, rec, _, (ins, upd, del)) = ru.refresh()
+    assert(rec == 1) // only 2020-03 re-aggregated
+    assert((ins, upd, del) === ((0L, 1L, 1L))) // a updated, b deleted
+    assert(st === Map(("2020-03", "a") -> (2L, 35L),
+      ("2020-04", "a") -> (2L, 140L)))
+  }
+
   test("dims must include the base partition column") {
     implicit val s = spark
     val (t, _, root) = mk()
