@@ -119,6 +119,98 @@ object Multimodal {
     }
   }
 
+  case class ImageRow(media_id: Long, payload: Array[Byte])
+
+  case class ImageBands(media_id: Long, width: Int, height: Int,
+                        bands: Array[Long])
+
+  /** REAL image codec (round-13: retires the md5 stub on the decode
+    * path) — javax.imageio, dependency-free in any JVM: PNG/BMP/GIF
+    * decode to a BufferedImage and band features read actual pixels.
+    * The md5 arm ([[extractFeaturesMd5]]) REMAINS the cross-engine
+    * oracle device for the plumbing; this codec is the production
+    * decode the reference's quicklook/tilecache path runs with raster
+    * tools (eodatadownlandsatgoogsensor.py:1341-1413).
+    *
+    * One instance per partition (ImageIO scanner lookup amortized),
+    * matching the [[FakeDecoder]] execution contract exactly — the
+    * surface swap the Multimodal scaladoc promised.
+    */
+  final class ImageCodec {
+    def decode(payload: Array[Byte]): java.awt.image.BufferedImage = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      require(img != null, "ImageCodec: payload is not a decodable image")
+      img
+    }
+
+    /** Horizontal-band luminance sums over the DECODED pixels:
+      * band b = Σ (r+g+b) over rows [h·b/bands, h·(b+1)/bands).
+      * Returned as raw integer sums — exact, so a closed-form oracle
+      * over the image GENERATOR can replay them without any codec.
+      */
+    def bandSums(img: java.awt.image.BufferedImage,
+                 bands: Int): Array[Long] = {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val out = new Array[Long](bands)
+      var b = 0
+      while (b < bands) {
+        val y1 = h * (b + 1) / bands
+        var y = h * b / bands
+        var sum = 0L
+        while (y < y1) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        out(b) = sum
+        b += 1
+      }
+      out
+    }
+
+    /** Encode a w×h image from a per-row RGB function to PNG bytes —
+      * the test/demo generator for the decode path (PNG is lossless,
+      * so decode∘encode is the identity on pixels and a closed-form
+      * oracle stays exact end-to-end through the REAL codec).
+      */
+    def encodePngRows(w: Int, h: Int, rowRgb: Int => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        val c = rowRgb(y)
+        var x = 0
+        while (x < w) { img.setRGB(x, y, c); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+  }
+
+  /** Partition-parallel REAL decode: payload bytes → ImageIO decode →
+    * per-band luminance sums. Same mapPartitions shape as
+    * [[extractFeatures]]; the codec construction is per-partition.
+    */
+  def decodeBandSums(media: Dataset[ImageRow],
+                     bands: Int): Dataset[ImageBands] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val codec = new ImageCodec
+      rows.map { r =>
+        val img = codec.decode(r.payload)
+        ImageBands(r.media_id, img.getWidth, img.getHeight,
+          codec.bandSums(img, bands))
+      }
+    }
+  }
+
   /** Resize shape for images: payload → payload', meta.width/height
     * rewritten to the target box (aspect-preserving fit). The pixel
     * resample itself is the stub — a deterministic byte fold to the

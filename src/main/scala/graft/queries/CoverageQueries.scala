@@ -18,6 +18,71 @@ object CoverageQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** The CF family's shared (user, item) positive signal: customer
+    * bought part, distinct — one order-keyed equi join, the only
+    * corpus-scale work before the arms' own exchanges.
+    */
+  private def cfPositives(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_custkey").as("u"), col("o_orderkey"))
+      .join(t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"),
+          col("l_partkey").as("p")), Seq("o_orderkey"))
+      .select("u", "p").distinct()
+
+  /** Closed-form fake CMR service for q292: granule i ∈ [0, n) —
+    * product by parity, hourly time_start from 2024-01-01Z, geometry
+    * by residue (i%14=0 none+small, i%7=0 polygon ring, i%3=0 two
+    * boxes widening east by 5, else one box), links always carry a
+    * browse link FIRST so url selection is exercised. Top-level and
+    * primitive-field so the partition-per-page fan-out ships it to
+    * executors without capturing the query map.
+    */
+  private final case class CmrFormulaFetcher(n: Int)
+      extends graft.sources.PagedCatalogSource.PageFetcher {
+    import graft.sources.PagedCatalogSource.{PageRequest, PageResult}
+    private def startMs(i: Int): Long =
+      CmrFormulaFetcher.baseMs + i * 3600000L
+    private def iso(ms: Long): String =
+      java.time.Instant.ofEpochMilli(ms).toString
+    private def granule(i: Int): String = {
+      val s = (i % 50) - 25
+      val w = (i % 160) - 80
+      val geom =
+        if (i % 14 == 0) ""
+        else if (i % 7 == 0)
+          s""""polygons":[["$s.0 $w.0 $s.0 ${w + 20}.0 ${s + 10}.0 ${w + 20}.0 ${s + 10}.0 $w.0"]],"""
+        else if (i % 3 == 0)
+          s""""boxes":["$s.0 $w.0 ${s + 10}.0 ${w + 20}.0","$s.0 $w.0 ${s + 10}.0 ${w + 25}.0"],"""
+        else
+          s""""boxes":["$s.0 $w.0 ${s + 10}.0 ${w + 20}.0"],"""
+      val size = if (i % 14 == 0) 2.0 else 5.0 + (i % 10)
+      s"""{"id":"G$i","producer_granule_id":"PG$i","title":"T$i",
+         |"granule_size":$size,"online_access_flag":true,
+         |"original_format":"HDF5",
+         |"time_start":"${iso(startMs(i))}",
+         |"time_end":"${iso(startMs(i) + 1800000L)}",
+         |"updated":"${iso(startMs(i) + 3600000L)}",
+         |$geom
+         |"links":[{"type":"text/html","href":"https://browse/$i"},
+         |{"type":"application/x-hdfeos","href":"https://cat/$i"}]}"""
+        .stripMargin.replace("\n", "")
+    }
+    override def fetch(req: PageRequest): PageResult = {
+      val parity = if (req.product == "ATL03") 0 else 1
+      val eligible = (0 until n).filter(_ % 2 == parity)
+        .filter(i => req.temporalStart.forall(ts =>
+          startMs(i) > ts.getTime))
+      val page = eligible.slice((req.pageNum - 1) * req.pageSize,
+        req.pageNum * req.pageSize)
+      PageResult(page.map(granule), Some(eligible.size.toLong))
+    }
+  }
+
+  private object CmrFormulaFetcher {
+    val baseMs: Long = 1704067200000L // 2024-01-01T00:00:00Z
+  }
+
   /** Deterministic scene step for q58: succeeds unless PID % failMod
     * == 0, work-list = rows with `flagCol` unset (and `preCol` set,
     * for ordered pipelines). Top-level case class with primitive
@@ -2410,44 +2475,17 @@ object CoverageQueries {
     // needs is a basket cap — the q89 pre-flight measures exactly
     // that skew before this runs.
     "q199_item_item_cf" -> { (s, dir) =>
-      val pos = t(s, dir, "orders")
-        .select(col("o_custkey").as("u"), col("o_orderkey"))
-        .join(t(s, dir, "lineitem")
-          .select(col("l_orderkey").as("o_orderkey"),
-            col("l_partkey").as("p")), Seq("o_orderkey"))
-        .select("u", "p").distinct()
-        .localCheckpoint() // reused by the co-count and the norms
-      val nu = pos.groupBy("p").agg(count(lit(1)).as("n"))
       // pair generation is map-side array algebra over per-customer
       // baskets, NOT a self-join: saves the second full shuffle the
       // pos⋈pos form pays (measured ~65 s → ~56 s at sf1). The
       // remaining cost is the (p1,p2) count exchange itself — random
       // baskets leave the combine factor ≈1, so ~Σ basket² rows cross
-      // it once; that is the exact-CF lower bound. The skew escape is
-      // WIRED IN as q211 (md5-capped baskets, its own exact-under-cap
-      // oracle) — trade it in when the q89 pre-flight flags whale
-      // baskets.
-      val co = pos.groupBy("u").agg(sort_array(collect_list("p")).as("sp"))
-        .select(explode(expr(
-          """flatten(transform(sp, (a, i) ->
-            |  transform(slice(sp, i + 2, size(sp)), b ->
-            |    named_struct('p1', a, 'p2', b))))""".stripMargin))
-          .as("pr"))
-        .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
-        .agg(count(lit(1)).as("c"))
-      val sim = co
-        .join(nu.select(col("p").as("p1"), col("n").as("n1")), "p1")
-        .join(nu.select(col("p").as("p2"), col("n").as("n2")), "p2")
-        .select(col("p1"), col("p2"),
-          round(col("c") / sqrt(col("n1") * col("n2")), 6).as("cosine"))
-      val both = sim.unionByName(
-        sim.select(col("p2").as("p1"), col("p1").as("p2"), col("cosine")))
-      val w = Window.partitionBy("p1").orderBy(col("cosine").desc, col("p2"))
-      both.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .select(col("p1").as("part"), col("rank"),
-          col("p2").as("similar"), col("cosine"))
-        .orderBy("part", "rank")
+      // it once; that is the exact-CF lower bound. The skew escapes
+      // are WIRED IN as q211 (capped) and q227 (cap∘DIMSUM), and
+      // since r13 the q89-style pre-flight ROUTES between all three
+      // automatically (ItemItemCf.auto, gated as q290); this entry
+      // stays the exact-arm oracle anchor.
+      graft.operators.ItemItemCf.exact(cfPositives(s, dir))
     },
 
     // Referential-integrity audit across the whole star schema — the
@@ -2806,42 +2844,7 @@ object CoverageQueries {
     // mirrors it EXACTLY under the same cap — approximate vs the
     // full answer, exact vs its own contract.
     "q211_item_item_cf_capped" -> { (s, dir) =>
-      val cap = 8
-      val pos = t(s, dir, "orders")
-        .select(col("o_custkey").as("u"), col("o_orderkey"))
-        .join(t(s, dir, "lineitem")
-          .select(col("l_orderkey").as("o_orderkey"),
-            col("l_partkey").as("p")), Seq("o_orderkey"))
-        .select("u", "p").distinct()
-      val capped = pos.withColumn("rk", row_number().over(
-        Window.partitionBy("u").orderBy(
-          conv(substring(md5(concat_ws(":", lit("cap"), col("u"),
-            col("p"))), 1, 15), 16, 10).cast("long"), col("p"))))
-        .filter(col("rk") <= cap).select("u", "p")
-        .localCheckpoint() // reused by the co-count and the norms
-      val nu = capped.groupBy("p").agg(count(lit(1)).as("n"))
-      val co = capped.groupBy("u")
-        .agg(sort_array(collect_list("p")).as("sp"))
-        .select(explode(expr(
-          """flatten(transform(sp, (a, i) ->
-            |  transform(slice(sp, i + 2, size(sp)), b ->
-            |    named_struct('p1', a, 'p2', b))))""".stripMargin))
-          .as("pr"))
-        .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
-        .agg(count(lit(1)).as("c"))
-      val sim = co
-        .join(nu.select(col("p").as("p1"), col("n").as("n1")), "p1")
-        .join(nu.select(col("p").as("p2"), col("n").as("n2")), "p2")
-        .select(col("p1"), col("p2"),
-          round(col("c") / sqrt(col("n1") * col("n2")), 6).as("cosine"))
-      val both = sim.unionByName(
-        sim.select(col("p2").as("p1"), col("p1").as("p2"), col("cosine")))
-      val w = Window.partitionBy("p1").orderBy(col("cosine").desc, col("p2"))
-      both.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .select(col("p1").as("part"), col("rank"),
-          col("p2").as("similar"), col("cosine"))
-        .orderBy("part", "rank")
+      graft.operators.ItemItemCf.capped(cfPositives(s, dir), cap = 8)
     },
 
     // Chi-square test of independence + Cramér's V (Pearson 1900;
@@ -3378,55 +3381,9 @@ object CoverageQueries {
     // taken over the CAPPED sets — the arm is exact under its own
     // composed contract, like each parent.
     "q227_item_item_cf_capped_dimsum" -> { (s, dir) =>
-      val cap = 8
-      val gamma = 8.0
-      val M = 1L << 20
-      val pos = t(s, dir, "orders")
-        .select(col("o_custkey").as("u"), col("o_orderkey"))
-        .join(t(s, dir, "lineitem")
-          .select(col("l_orderkey").as("o_orderkey"),
-            col("l_partkey").as("p")), Seq("o_orderkey"))
-        .select("u", "p").distinct()
-      val capped = pos.withColumn("rk", row_number().over(
-          Window.partitionBy("u").orderBy(
-            conv(substring(md5(concat_ws(":", lit("cap"), col("u"),
-              col("p"))), 1, 15), 16, 10).cast("long"), col("p"))))
-        .filter(col("rk") <= cap).select("u", "p")
-        .localCheckpoint()
-      val nu = capped.groupBy("p").agg(count(lit(1)).as("n"))
-      val sampled = capped.join(nu, "p")
-        .groupBy("u")
-        .agg(sort_array(collect_list(struct(col("p"), col("n"))))
-          .as("sp"))
-        .select(col("u"), explode(expr(
-          """flatten(transform(sp, (a, i) ->
-            |  transform(slice(sp, i + 2, size(sp)), b ->
-            |    named_struct('p1', a.p, 'n1', a.n,
-            |                 'p2', b.p, 'n2', b.n))))""".stripMargin))
-          .as("pr"))
-        .select(col("u"), col("pr.p1").as("p1"), col("pr.n1").as("n1"),
-          col("pr.p2").as("p2"), col("pr.n2").as("n2"))
-        .withColumn("pq", round(least(lit(1.0),
-          lit(gamma) / sqrt(col("n1") * col("n2"))) * M).cast("long"))
-        .filter(col("pq") >= M ||
-          conv(substring(md5(concat_ws(":", lit("ds"), col("u"),
-            col("p1"), col("p2"))), 1, 10), 16, 10).cast("long") <
-            col("pq") * M)
-      val sim = sampled
-        .groupBy("p1", "p2", "n1", "n2", "pq")
-        .agg(count(lit(1)).as("c"))
-        .select(col("p1"), col("p2"),
-          round(col("c") * M.toDouble / col("pq") /
-            sqrt(col("n1") * col("n2")), 6).as("cosine_est"))
-      val both = sim.unionByName(sim.select(col("p2").as("p1"),
-        col("p1").as("p2"), col("cosine_est")))
-      val w = Window.partitionBy("p1")
-        .orderBy(col("cosine_est").desc, col("p2"))
-      both.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .select(col("p1").as("part"), col("rank"),
-          col("p2").as("similar"), col("cosine_est"))
-        .orderBy("part", "rank")
+      graft.operators.ItemItemCf
+        .cappedDimsum(cfPositives(s, dir), cap = 8, gamma = 8.0)
+        .withColumnRenamed("cosine", "cosine_est")
     },
 
     // Bradley–Terry preference strengths via Hunter's (2004) MM
@@ -4705,6 +4662,67 @@ object CoverageQueries {
         .toDF("n", "sum_cents", "pre_dirs_total", "pre_dirs_opened",
           "post_dirs_total", "post_dirs_opened", "n_version",
           "n_legacy")
+    },
+
+    // The reusable paged-REST catalogue source end-to-end (r12
+    // verdict item 3 — closes §2.1 S3–S5): a closed-form fake CMR
+    // service (N granules, N = |orders| so the gate scales with sf;
+    // boxes / polygon / no-geometry / multi-box cases by residue)
+    // drives PagedCatalogSource.discover — page-1 probe, partition-
+    // per-page fan-out, engine-side JSON parse with the reference's
+    // bbox-union + invalid + url rules — landed via
+    // IncrementalIngest.ingestBatch, then SWEPT AGAIN with the
+    // per-product watermark pushed into the request: the second
+    // sweep's delta is pinned at 0 in the output. Every output number
+    // replays closed-form in the oracle from range(N).
+    "q292_paged_catalog_ingest" -> { (s, dir) =>
+      val n = t(s, dir, "orders").count().toInt
+      val root = s"${Tables.scratchBase}/graft_q292_" +
+        s"${s.sparkContext.applicationId}/${java.util.UUID.randomUUID()}"
+      val table = new graft.sources.CowTable(s"$root/granules", s)
+      val until = new java.sql.Timestamp(
+        CmrFormulaFetcher.baseMs + 100000L * 3600000L)
+      val products = Seq(("ATL03", "005"), ("ATL08", "005"))
+      def sweep(): Unit = {
+        val wm = graft.streaming.IncrementalIngest
+          .watermarkPerKey(table, "product", "start_time")
+        val df = graft.sources.PagedCatalogSource.discover(
+          s, CmrFormulaFetcher(n), products, wm, until, pageSize = 100)
+        graft.streaming.IncrementalIngest.ingestBatch(table, df,
+          keys = Seq("granule_id"),
+          newestFirst = Seq(col("updated_time").desc))
+      }
+      sweep()
+      val n1 = table.read().count()
+      sweep() // watermark pushdown: the service ships nothing older
+      val resweepAdded = table.read().count() - n1
+      table.read().groupBy("product")
+        .agg(count(lit(1)).as("n_granules"),
+          sum(when(col("geom_source") === "polygons", 1L).otherwise(0L))
+            .as("n_from_polys"),
+          max("start_time").as("watermark"),
+          round(sum("south_lat"), 4).as("sum_south"),
+          round(sum("west_lon"), 4).as("sum_west"),
+          round(sum("north_lat"), 4).as("sum_north"),
+          round(sum("east_lon"), 4).as("sum_east"),
+          sum(when(col("remote_url").startsWith("https://cat/"), 1L)
+            .otherwise(0L)).as("urls_ok"))
+        .withColumn("resweep_added", lit(resweepAdded))
+        .orderBy("product")
+    },
+
+    // The CF family's AUTO regime switch (r12 verdict item 2): the
+    // q89-style pre-flight — Σ b(b−1)/2 pair emissions, the same
+    // under the cap, max basket — is WIRED INTO the operator
+    // (ItemItemCf.auto) and the route decision rides every output
+    // row. At the oracle scales the orders×lineitem basket profile
+    // fits the exact budget, so the oracle is q199's exact arm plus
+    // the same pre-flight computed in SQL (including the CASE that
+    // proves the ROUTE matches, not just the rows); the capped and
+    // cap∘DIMSUM routes are pinned against their q211/q227 contracts
+    // in ItemItemCfSpec on engineered whale baskets.
+    "q290_item_item_cf_auto" -> { (s, dir) =>
+      graft.operators.ItemItemCf.auto(cfPositives(s, dir), cap = 8)
     }
   )
 
@@ -7934,6 +7952,77 @@ object CoverageQueries {
         |  zled.zk AS post_dirs_opened,
         |  CAST(3 AS BIGINT) AS n_version,
         |  CAST(0 AS BIGINT) AS n_legacy
-        |FROM ans, mled, zled""".stripMargin
+        |FROM ans, mled, zled""".stripMargin,
+
+    // the fake service's granule formula replayed from range(N):
+    // i%14=0 dropped (no geometry, small), polygon/box union corners
+    // by residue, east widened 5 for the two-box granules, watermark
+    // = the newest start, resweep delta pinned 0
+    "q292_paged_catalog_ingest" ->
+      """WITH nn AS (SELECT count(*) AS n FROM orders),
+        |ii AS (SELECT unnest(range((SELECT n FROM nn))) AS i),
+        |g AS (
+        |  SELECT i,
+        |    CASE WHEN i % 2 = 0 THEN 'ATL03' ELSE 'ATL08' END AS product,
+        |    TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (i) HOUR
+        |      AS start_time,
+        |    CAST((i % 50) - 25 AS DOUBLE) AS south,
+        |    CAST((i % 160) - 80 AS DOUBLE) AS west,
+        |    CAST((i % 50) - 15 AS DOUBLE) AS north,
+        |    CAST((i % 160) - 60 +
+        |      CASE WHEN i % 3 = 0 AND i % 7 <> 0 THEN 5 ELSE 0 END
+        |      AS DOUBLE) AS east,
+        |    CASE WHEN i % 7 = 0 THEN 1 ELSE 0 END AS from_poly
+        |  FROM ii WHERE i % 14 <> 0)
+        |SELECT product, count(*) AS n_granules,
+        |  CAST(sum(from_poly) AS BIGINT) AS n_from_polys,
+        |  max(start_time) AS watermark,
+        |  round(sum(south), 4) AS sum_south,
+        |  round(sum(west), 4) AS sum_west,
+        |  round(sum(north), 4) AS sum_north,
+        |  round(sum(east), 4) AS sum_east,
+        |  count(*) AS urls_ok,
+        |  CAST(0 AS BIGINT) AS resweep_added
+        |FROM g GROUP BY product ORDER BY product""".stripMargin,
+
+    // the pre-flight replayed in SQL — INCLUDING the CASE routing, so
+    // a wrong route decision hash-mismatches, not just wrong rows —
+    // then q199's exact arm (the route the oracle-scale basket
+    // profile lands on) stamped with the decision columns
+    "q290_item_item_cf_auto" ->
+      """WITH pos AS MATERIALIZED (
+        |  SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS p
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |bsk AS (SELECT u, count(*) AS b FROM pos GROUP BY u),
+        |pf AS (
+        |  SELECT CAST(sum(b * (b - 1) // 2) AS BIGINT) AS pair_rows_exact,
+        |    CAST(sum(least(b, 8) * (least(b, 8) - 1) // 2) AS BIGINT)
+        |      AS pair_rows_capped,
+        |    CAST(max(b) AS BIGINT) AS max_basket
+        |  FROM bsk),
+        |dec AS (
+        |  SELECT *, CASE WHEN pair_rows_exact <= 2000000000 THEN 'exact'
+        |    WHEN pair_rows_capped <= 20000000000 THEN 'capped'
+        |    ELSE 'capped_dimsum' END AS regime FROM pf),
+        |nu AS (SELECT p, count(*) AS n FROM pos GROUP BY p),
+        |co AS (
+        |  SELECT x.p AS p1, y.p AS p2, count(*) AS c
+        |  FROM pos x JOIN pos y ON x.u = y.u AND x.p < y.p
+        |  GROUP BY 1, 2),
+        |sim AS (
+        |  SELECT co.p1, co.p2,
+        |    round(co.c / sqrt(n1.n * n2.n), 6) AS cosine
+        |  FROM co JOIN nu n1 ON n1.p = co.p1 JOIN nu n2 ON n2.p = co.p2),
+        |bo AS (
+        |  SELECT p1, p2, cosine FROM sim
+        |  UNION ALL SELECT p2, p1, cosine FROM sim),
+        |r AS (
+        |  SELECT p1, p2, cosine, row_number() OVER (
+        |    PARTITION BY p1 ORDER BY cosine DESC, p2) AS rank
+        |  FROM bo)
+        |SELECT dec.regime, dec.pair_rows_exact, dec.pair_rows_capped,
+        |  dec.max_basket, r.p1 AS part, CAST(r.rank AS INT) AS rank,
+        |  r.p2 AS similar, r.cosine
+        |FROM r, dec WHERE r.rank <= 3 ORDER BY part, rank""".stripMargin
   )
 }

@@ -85,6 +85,49 @@ object MultimodalQueries {
         .orderBy("vec_id")
     },
 
+    // q113's sibling on the REAL codec (r12 verdict item 4): a real
+    // PNG container per document (16×16, row y colored by the md5 of
+    // token y mod n — near-dup docs render near-identical images),
+    // ImageIO-decoded back to pixels, 8 centered band-luminance
+    // features from the DECODED image, then the same incremental ANN
+    // probe as q113. PNG is lossless, so the closed-form token→color
+    // arithmetic replays the whole encode→decode→feature chain in
+    // SQL with no image library — the real decode sits INSIDE the
+    // cross-engine hash gate. The 8-dim centered features kill q113's
+    // dense-4-dim stub floor: random docs no longer cosine-collide at
+    // 0.95, only genuinely similar images match (the near-dup floor
+    // the round-12 verdict asked to retire).
+    "q291_image_neardup_real" -> { (s, dir) =>
+      import s.implicits._
+      val rgbs = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"), expr(
+          """transform(sequence(0, 15), y ->
+            |  cast(conv(substring(md5(
+            |    element_at(tk, int(y % size(tk)) + 1)), 1, 6), 16, 10)
+            |  as int))""".stripMargin).as("rgbs"))
+        .as[(Long, Seq[Int])]
+      val imgs = rgbs.mapPartitions { it =>
+        val codec = new M.ImageCodec // per-partition init
+        it.map { case (id, rr) =>
+          M.ImageRow(id, codec.encodePngRows(16, 16, y => rr(y)))
+        }
+      }
+      val feats = M.decodeBandSums(imgs, 8).toDF()
+        .select(col("media_id").as("vec_id"),
+          expr("transform(bands, s -> cast(s - 12240 as double) / 65536.0D)")
+            .as("v"))
+      val batch = feats.filter(col("vec_id") % 10 === 0)
+      val corpus = feats.filter(col("vec_id") % 10 =!= 0)
+      val distinctCorpus = corpus.groupBy("v")
+        .agg(min("vec_id").as("vec_id"))
+      val cents = graft.operators.VectorOps
+        .kmeansFit(distinctCorpus, k = 8, iters = 2)
+      graft.operators.VectorOps
+        .incrementalBestMatch(batch, corpus, cents, tau = 0.95)
+        .orderBy("vec_id")
+    },
+
     // Frame sampling over the video-shaped rows: k evenly-spaced
     // deterministic frame offsets per media row (the decode of each
     // frame is the codec stub's job; the offsets, explode shape, and
@@ -205,6 +248,42 @@ object MultimodalQueries {
         |     ('0x' || substr(hex, 13, 6))::BIGINT / 16777216.0 - 0.5,
         |     ('0x' || substr(hex, 19, 6))::BIGINT / 16777216.0 - 0.5] AS v
         |  FROM m),
+        |p AS (
+        |  SELECT b.vec_id, c.vec_id AS match_id,
+        |    round(list_cosine_similarity(b.v, c.v), 6) AS cos
+        |  FROM f b, f c
+        |  WHERE b.vec_id % 10 = 0 AND c.vec_id % 10 <> 0),
+        |q AS (
+        |  SELECT vec_id, match_id, cos,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cos DESC, match_id) AS rn
+        |  FROM p WHERE cos >= 0.95)
+        |SELECT vec_id, match_id, cos FROM q WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin,
+
+    // the PNG encode→ImageIO decode→band-sum chain replayed closed
+    // form: PNG is lossless and every row's color is md5-derived from
+    // its token, so band sum b = 16·Σ lum(row) over the band's two
+    // rows — integer-exact, then the same centered dyadic scaling
+    // ((s − 12240)/2^16) and the q113 brute-force top-1
+    "q291_image_neardup_real" ->
+      """WITH d AS MATERIALIZED (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |ys AS (SELECT unnest(range(16)) AS y),
+        |rowlum AS (
+        |  SELECT d.doc_id, ys.y,
+        |    ('0x' || substr(md5(tk[(ys.y % len(tk)) + 1]), 1, 2))::BIGINT +
+        |    ('0x' || substr(md5(tk[(ys.y % len(tk)) + 1]), 3, 2))::BIGINT +
+        |    ('0x' || substr(md5(tk[(ys.y % len(tk)) + 1]), 5, 2))::BIGINT
+        |      AS lum
+        |  FROM d, ys),
+        |bs AS (
+        |  SELECT doc_id, y // 2 AS band, 16 * sum(lum) AS s
+        |  FROM rowlum GROUP BY 1, 2),
+        |f AS MATERIALIZED (
+        |  SELECT doc_id AS vec_id,
+        |    list((s - 12240) / 65536.0 ORDER BY band) AS v
+        |  FROM bs GROUP BY doc_id),
         |p AS (
         |  SELECT b.vec_id, c.vec_id AS match_id,
         |    round(list_cosine_similarity(b.v, c.v), 6) AS cos

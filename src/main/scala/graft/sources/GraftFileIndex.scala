@@ -74,14 +74,21 @@ class GraftFileIndex(spark: SparkSession, sch: StructType,
     val threshold = spark.conf.get(
       "spark.sql.sources.parallelPartitionDiscovery.threshold", "32").toInt
     if (missing.size > threshold) {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(missing.size, 32))
-      try missing.map { d =>
-        pool.submit(new java.util.concurrent.Callable[Unit] {
-          override def call(): Unit = { listDir(d); () }
-        })
-      }.foreach(_.get())
-      finally pool.shutdown()
+      missing.map { d =>
+        GraftFileIndex.listPool.submit(
+          new java.util.concurrent.Callable[Unit] {
+            override def call(): Unit = { listDir(d); () }
+          })
+      }.foreach { f =>
+        // surface the listing's REAL failure (an IOException), not the
+        // pool's ExecutionException wrapper — callers and retry logic
+        // must see the same exception type the serial path throws
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw e.getCause
+        }
+      }
     } else missing.foreach(listDir)
   }
 
@@ -138,6 +145,25 @@ class GraftFileIndex(spark: SparkSession, sch: StructType,
 }
 
 object GraftFileIndex {
+
+  /** One SHARED listing pool for every index in the JVM (daemon
+    * threads, 60 s idle reclaim): listing is pure I/O wait, and a
+    * fresh 32-thread pool per listFiles call would churn threads on
+    * every query over a wide table. Cached, not fixed: the pool
+    * shrinks to zero between scans.
+    */
+  private lazy val listPool: java.util.concurrent.ExecutorService = {
+    val tf = new java.util.concurrent.ThreadFactory {
+      private val n = new java.util.concurrent.atomic.AtomicInteger()
+      override def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, s"graft-dir-list-${n.incrementAndGet()}")
+        t.setDaemon(true); t
+      }
+    }
+    new java.util.concurrent.ThreadPoolExecutor(0, 32, 60L,
+      java.util.concurrent.TimeUnit.SECONDS,
+      new java.util.concurrent.LinkedBlockingQueue[Runnable](), tf)
+  }
 
   /** What the manifest knows about one data directory: `exact` holds
     * columns with a CONSTANT known value in the dir (the partition
@@ -367,26 +393,35 @@ object GraftFileIndex {
       case _ => Unknown
     }
 
-  /** Driver-side cache of loaded Bloom sidecars. Sidecar files are
-    * copy-on-write like the data dirs they sit in (a rewrite makes a
-    * NEW dir with a new sidecar path), so a loaded filter never goes
-    * stale. Cleared wholesale past a size bound — each filter is
+  /** Driver-side cache of loaded Bloom sidecars, keyed by
+    * (path, size, mtime). Sidecar files are copy-on-write like the
+    * data dirs they sit in (a rewrite makes a NEW dir with a new
+    * sidecar path), but path alone is not a sound identity across a
+    * table that is DELETED and recreated (or restored out-of-band) at
+    * the same root — a stale filter would return a wrong "definitely
+    * absent" and silently drop rows. The stat tuple pins the exact
+    * file version; a recreated sidecar misses the cache and reloads.
+    * Cleared wholesale past a size bound — each filter is
     * metadata-sized (bits capped at commit), the bound just keeps a
     * very long session from pinning thousands of them.
     */
   private val bloomCache = new java.util.concurrent.ConcurrentHashMap[
-    String, org.apache.spark.util.sketch.BloomFilter]()
+    (String, Long, Long), org.apache.spark.util.sketch.BloomFilter]()
 
   private def loadBloom(path: String)
       : Option[org.apache.spark.util.sketch.BloomFilter] = {
     val p = java.nio.file.Paths.get(path)
-    if (!java.nio.file.Files.exists(p)) return None // conservative
+    val attrs =
+      try java.nio.file.Files.readAttributes(
+        p, classOf[java.nio.file.attribute.BasicFileAttributes])
+      catch { case _: java.io.IOException => return None } // conservative
     if (bloomCache.size > 4096) bloomCache.clear()
-    Some(bloomCache.computeIfAbsent(path, { _ =>
-      val in = java.nio.file.Files.newInputStream(p)
-      try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
-      finally in.close()
-    }))
+    Some(bloomCache.computeIfAbsent(
+      (path, attrs.size(), attrs.lastModifiedTime().toMillis), { _ =>
+        val in = java.nio.file.Files.newInputStream(p)
+        try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+        finally in.close()
+      }))
   }
 
   /** The canonical byte rendering a Bloom records and probes — the

@@ -742,11 +742,26 @@ class PartitionedCowTable(val root: String, val partCol: String,
     * replaying ours on the winner's manifest commits both.
     */
   private def rebaseCompatible(b: Int, c: Int,
-                               affected: Set[(String, String)]): Boolean = {
-    if (schemaAt(c).toDDL != schemaAt(b).toDDL) return false
-    if (partColAt(c) != partColAt(b)) return false
-    if (defaultsAt(c) != defaultsAt(b)) return false
-    if (kindsAt(c) != kindsAt(b)) return false
+                               affected: Set[(String, String)]): Boolean =
+    winnerDelta(b, c, affected).isDefined
+
+  /** The winner's NEW-CONTENT delta when a rebase from `b` onto `c`
+    * is metadata-compatible and entry-disjoint from `affected`:
+    * Some(entries in `c` that are new or re-pointed vs `b` — the dirs
+    * whose content the loser's read snapshot never saw), None when
+    * the rebase is ineligible. DV-only changes are excluded from the
+    * returned delta (a deletion vector only SHRINKS a dir's effective
+    * content, and shrinkage can't introduce rows the loser's
+    * key-disjointness proof would have needed to see) but still count
+    * as changes for the disjointness test itself.
+    */
+  private def winnerDelta(b: Int, c: Int,
+                          affected: Set[(String, String)])
+      : Option[Seq[Entry]] = {
+    if (schemaAt(c).toDDL != schemaAt(b).toDDL) return None
+    if (partColAt(c) != partColAt(b)) return None
+    if (defaultsAt(c) != defaultsAt(b)) return None
+    if (kindsAt(c) != kindsAt(b)) return None
     val eb = entriesAt(b).map(e => (e.pcol, e.value) -> e.dir).toMap
     val ec = entriesAt(c).map(e => (e.pcol, e.value) -> e.dir).toMap
     val dvb = dvsAt(b); val dvc = dvsAt(c)
@@ -754,7 +769,10 @@ class PartitionedCowTable(val root: String, val partCol: String,
       eb.get(k) != ec.get(k) ||
         eb.get(k).flatMap(dvb.get) != ec.get(k).flatMap(dvc.get)
     }
-    (changed & affected).isEmpty
+    if ((changed & affected).nonEmpty) None
+    else Some(entriesAt(c).filter(e =>
+      changed((e.pcol, e.value)) &&
+        !eb.get((e.pcol, e.value)).contains(e.dir)))
   }
 
   /** Core commit: write `data` as the new content of exactly the
@@ -768,15 +786,29 @@ class PartitionedCowTable(val root: String, val partCol: String,
     * changes DISJOINT from that scope, this commit REBASES — re-reads
     * the winner's manifest, re-derives its carried entries from it,
     * and re-publishes under the next version — instead of aborting
-    * (bounded retries; a genuine overlap still fails loudly). A
-    * full-table-scope commit (upsert, merge, deleteWhere: their
-    * key/predicate scans read everything) never rebases — any
-    * concurrent change could invalidate what they computed.
+    * (bounded retries; a genuine overlap still fails loudly).
+    *
+    * `keyProbe` is the KEY-SCOPED middle ground for commits whose
+    * read scan covered the whole table but whose RESULT depends only
+    * on rows carrying specific keys (upsert, mergeApply): on a
+    * version race with entry-disjoint winner changes, the probe
+    * receives the winner's new-content entries and returns true iff
+    * none of their rows carry this commit's keys — exactly the
+    * condition under which the loser's staged result is still what a
+    * serial replay on the winner's table would have produced (the
+    * winner neither touched the loser's partitions — entry
+    * disjointness — nor introduced rows the loser's key-dedup scan
+    * should have seen — the probe). Predicate-scoped commits
+    * (updateWhere, deleteWhere, mergeSync) pass neither flag and
+    * still never rebase: any concurrent change could invalidate what
+    * they computed.
     */
   private def commit(data0: DataFrame, touched: Set[String],
                      carried: Seq[Entry],
                      resetSchema: Boolean = false,
-                     narrowRead: Boolean = false): Unit = {
+                     narrowRead: Boolean = false,
+                     keyProbe: Option[Seq[Entry] => Boolean] = None)
+      : Unit = {
     val spec = currentPartCol
     val base0 = currentVersion
     // conform to the committed schema unless this commit SETS the
@@ -815,9 +847,16 @@ class PartitionedCowTable(val root: String, val partCol: String,
     // up our staged/claimed dir, never the winner's.
     def rebaseOrAbort(err: Throwable, cleanup: String): Unit = {
       val cur = currentVersion
-      val ok = narrowRead && attempts < 4 && cur != base &&
-        base.isDefined && cur.isDefined &&
-        rebaseCompatible(base.get, cur.get, affected)
+      val eligible = (narrowRead || keyProbe.isDefined) &&
+        attempts < 4 && cur != base && base.isDefined && cur.isDefined
+      val delta: Option[Seq[Entry]] =
+        if (eligible) winnerDelta(base.get, cur.get, affected) else None
+      // narrow-read commits rebase on entry disjointness alone;
+      // key-scoped commits additionally prove the winner's new
+      // content carries none of their keys (one job over ONLY the
+      // winner's delta dirs, never a table rescan)
+      val ok = delta.exists(d =>
+        narrowRead || d.isEmpty || keyProbe.get(d))
       if (!ok) {
         try CowTable.walkDelete(Paths.get(root, cleanup))
         catch { case c: Exception => err.addSuppressed(c) }
@@ -1432,6 +1471,13 @@ class PartitionedCowTable(val root: String, val partCol: String,
     * evolved table, legacy dirs holding touched keys are migrated
     * whole to the current spec in the same commit (their unrelated
     * rows ride along — progressive migration, never key duplication).
+    *
+    * Concurrency: losing a version race to an entry-disjoint winner
+    * REBASES when the winner's new content provably carries none of
+    * this upsert's keys (the [[commit]] keyProbe — one semi-join over
+    * only the winner's delta dirs); interleaved upserts on different
+    * partitions therefore both land, while a same-partition or
+    * same-key race still aborts loudly.
     */
   override def upsert(updates0: DataFrame, keys: Seq[String]): Unit =
     if (!exists) overwrite(updates0)
@@ -1445,8 +1491,21 @@ class PartitionedCowTable(val root: String, val partCol: String,
         readSpec(touched).unionByName(migRows)
           .join(updates.select(keys.map(col): _*), keys, "left_anti")
           .unionByName(updates),
-        touched, currentEntriesOrEmpty.filterNot(mig.contains))
+        touched, currentEntriesOrEmpty.filterNot(mig.contains),
+        keyProbe = Some(keyDisjointProbe(updates, keys)))
     }
+
+  /** keyProbe body shared by the key-scoped mutators: true iff the
+    * winner's new-content dirs hold NO row matching `own`'s keys.
+    * Reads only the delta dirs (raw, ignoring any winner DVs — a DV
+    * only removes rows, so reading through it could only make this
+    * check PASS more often; ignoring it is the conservative side).
+    */
+  private def keyDisjointProbe(own: DataFrame, keys: Seq[String])
+      (delta: Seq[Entry]): Boolean =
+    readConformed(requireVersion, delta.map(e => s"$root/${e.dir}"))
+      .join(own.select(keys.map(col): _*), keys, "left_semi")
+      .isEmpty
 
   /** Targeted column update: partitions containing matching rows are
     * found first (pruned scan), then only those are rewritten; legacy
@@ -1513,7 +1572,11 @@ class PartitionedCowTable(val root: String, val partCol: String,
       readSpec(touched).unionByName(migRows)
         .join(touchedKeys, keys, "left_anti")
         .unionByName(data),
-      touched, currentEntriesOrEmpty.filterNot(mig.contains))
+      touched, currentEntriesOrEmpty.filterNot(mig.contains),
+      // same key-scoped result as upsert (I/U/D all key-addressed):
+      // rebase past an entry-disjoint winner whose new content holds
+      // none of this batch's keys
+      keyProbe = Some(keyDisjointProbe(ops, keys)))
   }
 
   /** Declarative reconcile — make the table's content EQUAL `source`
@@ -1614,7 +1677,12 @@ class PartitionedCowTable(val root: String, val partCol: String,
         val cur = requireVersion
         val byt = bytesAt(cur)
         import spark.implicits._
+        // current-spec entries ONLY: a legacy entry whose value string
+        // collides with a live partition value would duplicate the
+        // __pv join key and double every matching row in the rewrite.
+        // Legacy rows joining to no key fall to the coalesce(1) arm.
         val nfSeq = entriesAt(cur)
+          .filter(_.pcol == currentPartCol)
           .map(e => e.value -> math.max(1L, math.ceil(
             byt.getOrElse(e.dir, 0L).toDouble / targetBytes).toLong))
         val nf = nfSeq.toDF("__pv", "__nf")
@@ -1661,13 +1729,24 @@ class PartitionedCowTable(val root: String, val partCol: String,
       s"zOrderRelayout: columns '$xCol'/'$yCol' not in schema")
     require(!sch.fieldNames.contains(cellCol),
       s"zOrderRelayout: cell column '$cellCol' already exists")
+    // NaN is a sentinel like NULL, not data: Spark's max() ranks NaN
+    // above every double, so one NaN row would make the global bounds
+    // NaN, every norm16 NaN, and cast-to-long place all rows in cell 0
+    // with NaN zone-map bounds. Mask NaN out of the bounds aggregate
+    // and route NaN rows to the -1 cell with the NULLs.
+    def finite(c: String) = {
+      val d = col(c).cast("double")
+      when(isnan(d), lit(null)).otherwise(d)
+    }
     val b = read().agg(
-      min(col(xCol).cast("double")), max(col(xCol).cast("double")),
-      min(col(yCol).cast("double")), max(col(yCol).cast("double")))
+      min(finite(xCol)), max(finite(xCol)),
+      min(finite(yCol)), max(finite(yCol)))
       .collect()(0)
     require(!b.anyNull,
-      s"zOrderRelayout: '$xCol'/'$yCol' have no non-null values")
-    val cell = when(col(xCol).isNull || col(yCol).isNull, lit(-1L))
+      s"zOrderRelayout: '$xCol'/'$yCol' have no finite values")
+    val cell = when(col(xCol).isNull || col(yCol).isNull ||
+        isnan(col(xCol).cast("double")) ||
+        isnan(col(yCol).cast("double")), lit(-1L))
       .otherwise(graft.functions.ZOrder.zCell(
         col(xCol), col(yCol),
         lit(b.getDouble(0)), lit(b.getDouble(1)),
@@ -1684,13 +1763,37 @@ class PartitionedCowTable(val root: String, val partCol: String,
   /** Drop every `w_*` dir and `v_*.json` no longer reachable from the
     * current manifest; shared dirs it still references survive.
     */
-  /** The PROTECTED versions — current plus every tagged version that
-    * still has a manifest — and the disk footprint they pin.
+  /** The PROTECTED versions — current, every tagged version that
+    * still has a manifest, and (when `minAgeMillis` > 0) every
+    * version whose manifest is YOUNGER than the retention horizon —
+    * and the disk footprint they pin. The age guard is the
+    * concurrent-reader grace period (Delta's
+    * `deletedFileRetentionDuration` analogue): a reader that resolved
+    * its manifest just before a new commit is still streaming that
+    * version's files; reclaiming them out from under it turns a
+    * consistent snapshot read into FileNotFound mid-job. A version
+    * older than the horizon has had minAge for any in-flight reader
+    * to drain, so reclaiming it is safe for any reader whose job
+    * runtime is bounded by the horizon.
     */
-  private def protectedState(cur: Int)
+  private def protectedState(cur: Int, minAgeMillis: Long = 0L)
       : (Set[Int], Set[String], Set[String]) = {
-    val versions = (tags.values.toSet + cur).filter(v =>
+    val anchored = (tags.values.toSet + cur).filter(v =>
       Files.exists(Paths.get(root, f"v_$v%06d.json")))
+    val young: Set[Int] =
+      if (minAgeMillis <= 0L) Set.empty
+      else {
+        val horizon = System.currentTimeMillis() - minAgeMillis
+        val listing = Files.list(Paths.get(root))
+        try listing.iterator().asScala
+          .filter(p => p.getFileName.toString.matches("v_\\d{6}\\.json"))
+          .filter(p => Files.getLastModifiedTime(p).toMillis > horizon)
+          .map(_.getFileName.toString.stripPrefix("v_")
+            .stripSuffix(".json").toInt)
+          .toSet
+        finally listing.close()
+      }
+    val versions = anchored ++ young
     val dirs = versions.flatMap(v =>
       entriesAt(v).map(_.dir.split('/').head))
     val dvFiles = versions.flatMap(v =>
@@ -1735,10 +1838,22 @@ class PartitionedCowTable(val root: String, val partCol: String,
       (dd, dm, ds, dvDead)
     }.getOrElse((0L, 0L, 0L, 0L))
 
-  override def vacuum(): Unit = currentVersion.foreach { cur =>
+  override def vacuum(): Unit = vacuum(0L)
+
+  /** [[vacuum]] with a concurrent-reader grace period: versions whose
+    * manifest is younger than `minAgeMillis` are NOT reclaimed (their
+    * manifests, data dirs and deletion vectors all survive), and
+    * neither are `_stage_` dirs younger than the horizon — a young
+    * stage dir may be an IN-FLIGHT writer's parquet job, not a crash
+    * leftover. `minAgeMillis = 0` is the test-friendly immediate
+    * reclaim; production callers pass their max expected reader/job
+    * runtime (Delta defaults the analogous knob to 7 days).
+    */
+  def vacuum(minAgeMillis: Long): Unit = currentVersion.foreach { cur =>
     // tagged versions are retention anchors: their manifests, data
     // dirs and deletion vectors survive vacuum until the tag drops
-    val (versions, live, liveDv) = protectedState(cur)
+    val (versions, live, liveDv) = protectedState(cur, minAgeMillis)
+    val horizon = System.currentTimeMillis() - minAgeMillis
     val entries = {
       val listing = Files.list(Paths.get(root))
       try listing.iterator().asScala.toSeq finally listing.close()
@@ -1752,7 +1867,9 @@ class PartitionedCowTable(val root: String, val partCol: String,
       val deadManifest = n.matches("v_\\d{6}\\.json") &&
         !versions.contains(
           n.stripPrefix("v_").stripSuffix(".json").toInt)
-      val deadStage = n.startsWith("_stage_")
+      val deadStage = n.startsWith("_stage_") &&
+        (minAgeMillis <= 0L ||
+          Files.getLastModifiedTime(p).toMillis <= horizon)
       if (deadData || deadManifest || deadStage) CowTable.walkDelete(p)
     }
     val dvDir = Paths.get(root, "dv")

@@ -34,4 +34,25 @@ class BenchSpec extends AnyFunSuite {
     // min just over the 1.5× corroboration bound also publishes raw
     assert(Bench.publish(9.0, 1.6, Some(1.0)) === ((9.0, 1.6, false)))
   }
+
+  test("this-run solo re-measure is authoritative: an all-reps-" +
+    "contended suite row substitutes BOTH median and min (r12 " +
+    "verdict item 7)") {
+    // every suite rep contended (min 6.4 vs solo steady 1.7 — the
+    // q58 shape): the post-suite 3-rep solo just re-proved the plan,
+    // so neither the contended median nor the contended min may
+    // reach the headline sums the next round's rep planner reads
+    assert(Bench.publish(6.4, 6.4, Some(1.7), steadyIsThisRun = true)
+      === ((1.7, 1.7, true)))
+    // the same numbers against only LAST round's ledger stay raw —
+    // nothing this run corroborates the contention claim
+    assert(Bench.publish(6.4, 6.4, Some(1.7)) === ((6.4, 6.4, false)))
+    // a genuine regression moves the solo re-measure too (steady is
+    // this run's re-run of the SAME slow plan): med <= 3*st, raw
+    assert(Bench.publish(6.4, 6.0, Some(5.9), steadyIsThisRun = true)
+      === ((6.4, 6.0, false)))
+    // suite min in (st, 1.5st]: publish the better real measurement
+    assert(Bench.publish(9.0, 2.2, Some(1.7), steadyIsThisRun = true)
+      === ((1.7, 1.7, true)))
+  }
 }

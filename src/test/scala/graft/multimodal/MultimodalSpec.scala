@@ -81,6 +81,65 @@ class MultimodalSpec extends SparkSpec {
     assert(out.isNullAt(3))
   }
 
+  test("REAL codec: PNG encode→ImageIO decode is pixel-exact and " +
+    "band sums read actual decoded pixels (r12 verdict item 4)") {
+    val codec = new Multimodal.ImageCodec
+    // 4 rows: black, white, pure red, mid-gray
+    val colors = Array(0x000000, 0xffffff, 0xff0000, 0x808080)
+    val png = codec.encodePngRows(8, 4, y => colors(y))
+    assert(png.take(4).sameElements(
+      Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)))
+    val img = codec.decode(png)
+    assert(img.getWidth == 8 && img.getHeight == 4)
+    // lossless round-trip: every pixel bit-exact
+    for (y <- 0 until 4; x <- 0 until 8)
+      assert((img.getRGB(x, y) & 0xffffff) == colors(y))
+    // band sums (4 bands of 1 row × 8 cols): Σ(r+g+b) per band
+    val sums = codec.bandSums(img, 4)
+    assert(sums.sameElements(Array(0L, 8L * 765, 8L * 255, 8L * 384)))
+    // undecodable payload fails loudly, not silently
+    intercept[IllegalArgumentException] {
+      codec.decode("not an image".getBytes("UTF-8"))
+    }
+  }
+
+  test("REAL codec distributed decode + the stub-floor contrast: " +
+    "8-dim centered real features do not cosine-collide where the " +
+    "4-dim dense stub did") {
+    import org.apache.spark.sql.functions._
+    val codec = new Multimodal.ImageCodec
+    // 40 random-content images + one engineered near-dup pair (same
+    // rows except one)
+    val rnd = new scala.util.Random(7)
+    def rowColors(): Array[Int] = Array.fill(16)(rnd.nextInt(1 << 24))
+    val base = (0 until 40).map(i => i.toLong -> rowColors())
+    val nd = base.head._2.clone(); nd(15) = (nd(15) + 1) & 0xffffff
+    val all = base :+ (99L -> nd)
+    val rows = all.map { case (id, cols) =>
+      Multimodal.ImageRow(id, codec.encodePngRows(16, 16, y => cols(y)))
+    }
+    val ds = rows.toDS().repartition(4)
+    val bands = Multimodal.decodeBandSums(ds, 8).collect()
+      .map(b => b.media_id -> b.bands).toMap
+    assert(bands.size == 41)
+    // centered features; cosine between all pairs
+    def feat(s: Array[Long]): Array[Double] =
+      s.map(v => (v - 12240.0) / 65536.0)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    val ids = bands.keys.toSeq.sorted
+    val collisions = (for {
+      i <- ids; j <- ids if i < j
+    } yield cos(feat(bands(i)), feat(bands(j)))).count(_ >= 0.95)
+    // exactly the engineered pair (0, 99) survives the 0.95 bar; the
+    // 4-dim md5 stub measured a dense floor here (q113's documented
+    // 46.9 s sf1 artifact)
+    assert(collisions == 1)
+    assert(cos(feat(bands(0L)), feat(bands(99L))) >= 0.95)
+  }
+
   test("frame sampling explodes k offsets per row") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
