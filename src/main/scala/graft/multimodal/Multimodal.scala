@@ -188,9 +188,40 @@ object Multimodal {
         while (x < w) { img.setRGB(x, y, c); x += 1 }
         y += 1
       }
+      encodePng(img)
+    }
+
+    def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
       val bos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, "png", bos)
       bos.toByteArray
+    }
+
+    /** REAL aspect-preserving resize into a maxW×maxH box (never
+      * upscales): decode → Graphics2D bilinear draw → PNG re-encode.
+      * Returns (png bytes, new width, new height) — the production
+      * form of [[Multimodal.resize]]'s byte-fold stub, same sizing
+      * rule.
+      */
+    def resizePng(payload: Array[Byte], maxW: Int,
+                  maxH: Int): (Array[Byte], Int, Int) = {
+      val img = decode(payload)
+      val (w, h) = (img.getWidth, img.getHeight)
+      val scale = math.min(1.0,
+        math.min(maxW.toDouble / w, maxH.toDouble / h))
+      val (nw, nh) = (math.max(1, (w * scale).toInt),
+        math.max(1, (h * scale).toInt))
+      if (nw == w && nh == h) return (encodePng(img), w, h)
+      val out = new java.awt.image.BufferedImage(
+        nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, nw, nh, null)
+      } finally g.dispose()
+      (encodePng(out), nw, nh)
     }
   }
 

@@ -70,12 +70,22 @@ object CoverageQueries {
     }
     override def fetch(req: PageRequest): PageResult = {
       val parity = if (req.product == "ATL03") 0 else 1
-      val eligible = (0 until n).filter(_ % 2 == parity)
-        .filter(i => req.temporalStart.forall(ts =>
-          startMs(i) > ts.getTime))
-      val page = eligible.slice((req.pageNum - 1) * req.pageSize,
-        req.pageNum * req.pageSize)
-      PageResult(page.map(granule), Some(eligible.size.toLong))
+      // the eligible ids are an arithmetic progression (parity ids
+      // with start_time > watermark ⇔ i > floor((wm − base)/1h)), so
+      // each page is O(pageSize) index arithmetic — materializing the
+      // full id list per fetch made the sf10 gate O(N·pages)
+      val wmFloor: Long = req.temporalStart.map { ts =>
+        val k = (ts.getTime - CmrFormulaFetcher.baseMs) / 3600000L
+        k + 1 // smallest i with startMs(i) > wm
+      }.getOrElse(0L)
+      val first = // smallest eligible id of this parity
+        if (wmFloor <= parity) parity.toLong
+        else wmFloor + ((parity - wmFloor) % 2 + 2) % 2
+      val total = if (first >= n) 0L else (n - first + 1) / 2
+      val lo = first + 2L * (req.pageNum - 1) * req.pageSize
+      val page = (0 until req.pageSize).iterator
+        .map(j => lo + 2L * j).takeWhile(_ < n).map(_.toInt).toSeq
+      PageResult(page.map(granule), Some(total))
     }
   }
 
@@ -4711,6 +4721,44 @@ object CoverageQueries {
         .orderBy("product")
     },
 
+    // Incremental inverted-index maintenance (r12 verdict item 6):
+    // q118's phrase-index contract kept fresh by IncrementalRollup's
+    // manifest-diff device instead of a from-scratch rebuild — build
+    // over the documents table partitioned by source, append a
+    // deterministic batch (every 97th doc re-keyed +1e6), refresh.
+    // Only the touched sources' partials recompute (the tokenize/
+    // shingle pass runs over the delta alone) and only affected
+    // terms re-merge into the bucket-partitioned serving tier. The
+    // oracle rebuilds BOTH index states from scratch in SQL, so the
+    // banded rows prove refresh ≡ rebuild and the ledger columns
+    // (recomputed partitions, affected terms, index I/U/D) replay
+    // closed-form — the refresh ledger is part of the ANSWER.
+    "q293_incremental_inverted_index" -> { (s, dir) =>
+      implicit val sp: SparkSession = s
+      val root = s"${Tables.scratchBase}/graft_q293_" +
+        s"${s.sparkContext.applicationId}/${java.util.UUID.randomUUID()}"
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source").as("src"), col("text"))
+      val base = graft.sources.PartitionedCowTable(s"$root/base", "src")
+      base.overwrite(docs)
+      val idx = new graft.sources.IncrementalInvertedIndex(base,
+        s"$root/ix", "doc_id", "text",
+        graft.functions.GraftFunctions.tokens(_),
+        ngram = 3, topK = 5, buckets = 64)
+      idx.refresh() // full build
+      base.append(docs.filter(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("src"),
+          col("text")))
+      val (_, parts, terms, (ins, upd, del)) = idx.refresh()
+      idx.read(2, 100)
+        .withColumn("recomputed_parts", lit(parts.toLong))
+        .withColumn("affected_terms", lit(terms))
+        .withColumn("idx_inserted", lit(ins))
+        .withColumn("idx_updated", lit(upd))
+        .withColumn("idx_deleted", lit(del))
+        .orderBy("term")
+    },
+
     // The CF family's AUTO regime switch (r12 verdict item 2): the
     // q89-style pre-flight — Σ b(b−1)/2 pair emissions, the same
     // under the cap, max basket — is WIRED INTO the operator
@@ -7953,6 +8001,78 @@ object CoverageQueries {
         |  CAST(3 AS BIGINT) AS n_version,
         |  CAST(0 AS BIGINT) AS n_legacy
         |FROM ans, mled, zled""".stripMargin,
+
+    // both index states rebuilt from scratch (q118's CTE pipeline ×2,
+    // no band for the diff), ledger derived set-theoretically:
+    // recomputed = batch's distinct sources; affected = distinct
+    // final-corpus terms in those sources (append-only ⇒ old terms of
+    // touched partitions ⊆ fresh terms); I/U/D = the full-outer diff
+    "q293_incremental_inverted_index" ->
+      """WITH bat AS MATERIALIZED (
+        |  SELECT doc_id + 1000000 AS doc_id, source, text
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |tokO AS MATERIALIZED (
+        |  SELECT doc_id, source, string_split(trim(lower(text)), ' ') AS t
+        |  FROM documents
+        |  WHERE len(string_split(trim(lower(text)), ' ')) >= 3),
+        |tokF AS MATERIALIZED (
+        |  SELECT doc_id, source, string_split(trim(lower(text)), ' ') AS t
+        |  FROM (SELECT doc_id, source, text FROM documents
+        |        UNION ALL SELECT doc_id, source, text FROM bat) u
+        |  WHERE len(string_split(trim(lower(text)), ' ')) >= 3),
+        |gO AS (
+        |  SELECT doc_id, array_to_string(t[i:i+2], ' ') AS term
+        |  FROM tokO, UNNEST(range(1, len(t) - 3 + 2)) AS u(i)),
+        |gF AS MATERIALIZED (
+        |  SELECT doc_id, source, array_to_string(t[i:i+2], ' ') AS term
+        |  FROM tokF, UNNEST(range(1, len(t) - 3 + 2)) AS u(i)),
+        |tfO AS (SELECT term, doc_id, count(*) AS tf FROM gO
+        |        GROUP BY term, doc_id),
+        |tfF AS MATERIALIZED (
+        |  SELECT term, doc_id, count(*) AS tf FROM gF
+        |  GROUP BY term, doc_id),
+        |trO AS (SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT)
+        |          AS cf FROM tfO GROUP BY term),
+        |trF AS MATERIALIZED (
+        |  SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+        |  FROM tfF GROUP BY term),
+        |rkO AS (SELECT term, doc_id, row_number() OVER (
+        |    PARTITION BY term ORDER BY tf DESC, doc_id) AS rn FROM tfO),
+        |rkF AS (SELECT term, doc_id, row_number() OVER (
+        |    PARTITION BY term ORDER BY tf DESC, doc_id) AS rn FROM tfF),
+        |tpO AS (SELECT term, string_agg(CAST(doc_id AS VARCHAR), ','
+        |          ORDER BY rn) AS top_docs FROM rkO WHERE rn <= 5
+        |        GROUP BY term),
+        |tpF AS MATERIALIZED (
+        |  SELECT term, string_agg(CAST(doc_id AS VARCHAR), ','
+        |    ORDER BY rn) AS top_docs FROM rkF WHERE rn <= 5
+        |  GROUP BY term),
+        |ixO AS MATERIALIZED (
+        |  SELECT trO.term, df, cf, top_docs FROM trO
+        |  JOIN tpO USING (term)),
+        |ixF AS MATERIALIZED (
+        |  SELECT trF.term, df, cf, top_docs FROM trF
+        |  JOIN tpF USING (term)),
+        |led AS (
+        |  SELECT
+        |    (SELECT count(DISTINCT source) FROM bat) AS recomputed_parts,
+        |    (SELECT count(DISTINCT term) FROM gF WHERE source IN
+        |      (SELECT DISTINCT source FROM bat)) AS affected_terms,
+        |    (SELECT count(*) FROM ixF WHERE term NOT IN
+        |      (SELECT term FROM ixO)) AS idx_inserted,
+        |    (SELECT count(*) FROM ixF JOIN ixO USING (term)
+        |      WHERE ixF.df <> ixO.df OR ixF.cf <> ixO.cf
+        |        OR ixF.top_docs <> ixO.top_docs) AS idx_updated,
+        |    (SELECT count(*) FROM ixO WHERE term NOT IN
+        |      (SELECT term FROM ixF)) AS idx_deleted)
+        |SELECT ixF.term, ixF.df, ixF.cf, ixF.top_docs,
+        |  CAST(led.recomputed_parts AS BIGINT) AS recomputed_parts,
+        |  CAST(led.affected_terms AS BIGINT) AS affected_terms,
+        |  CAST(led.idx_inserted AS BIGINT) AS idx_inserted,
+        |  CAST(led.idx_updated AS BIGINT) AS idx_updated,
+        |  CAST(led.idx_deleted AS BIGINT) AS idx_deleted
+        |FROM ixF, led WHERE ixF.df BETWEEN 2 AND 100
+        |ORDER BY ixF.term""".stripMargin,
 
     // the fake service's granule formula replayed from range(N):
     // i%14=0 dropped (no geometry, small), polygon/box union corners

@@ -103,6 +103,25 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("REAL codec resize: aspect-preserving fit, never upscales, " +
+    "output is a decodable PNG with uniform regions preserved") {
+    val codec = new Multimodal.ImageCodec
+    // 64×32 solid mid-gray: any correct resampler preserves the color
+    val png = codec.encodePngRows(64, 32, _ => 0x808080)
+    val (smallPng, nw, nh) = codec.resizePng(png, 16, 16)
+    assert(nw == 16 && nh == 8) // 64x32 -> fit 16x16 box, aspect kept
+    val small = codec.decode(smallPng)
+    assert(small.getWidth == 16 && small.getHeight == 8)
+    // uniform input stays uniform through bilinear resample
+    for (y <- 0 until 8; x <- 0 until 16)
+      assert((small.getRGB(x, y) & 0xffffff) == 0x808080)
+    // under-box image is untouched (never upscaled)
+    val (samePng, sw, sh) = codec.resizePng(png, 128, 128)
+    assert(sw == 64 && sh == 32)
+    val same = codec.decode(samePng)
+    assert((same.getRGB(5, 5) & 0xffffff) == 0x808080)
+  }
+
   test("REAL codec distributed decode + the stub-floor contrast: " +
     "8-dim centered real features do not cosine-collide where the " +
     "4-dim dense stub did") {
