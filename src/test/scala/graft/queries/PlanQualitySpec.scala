@@ -1102,4 +1102,26 @@ class PlanQualitySpec extends SparkSpec {
     assert(windows.nonEmpty && windows.forall(_.contains("et")), p)
     assert("HashAggregate".r.findAllIn(p).length >= 2, p)
   }
+
+  // r13 ItemItemCf.preflight: the routing decision input is ONE
+  // partial-aggregated pass over per-user counts — no pair explode,
+  // no self-join, no window anywhere in its plan. A preflight that
+  // itself paid the pair cost would defeat its purpose.
+  test("ItemItemCf preflight plan: two aggregates, no explode, no " +
+    "join beyond the positives build, no window") {
+    import org.apache.spark.sql.functions._
+    val pos = graft.Tables.load(spark, dir, "orders")
+      .select(col("o_custkey").as("u"), col("o_orderkey"))
+      .join(graft.Tables.load(spark, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"),
+          col("l_partkey").as("p")), Seq("o_orderkey"))
+      .select("u", "p").distinct()
+    val pfPlan = pos.groupBy("u").agg(count(lit(1)).as("b"))
+      .agg(sum(expr("b * (b - 1) DIV 2")))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    assert(!pfPlan.contains("Generate"), pfPlan) // no explode
+    assert(!pfPlan.contains("Window"), pfPlan)
+    assert("HashAggregate".r.findAllIn(pfPlan).length >= 4, pfPlan)
+  }
 }
