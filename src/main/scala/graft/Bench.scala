@@ -102,6 +102,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // a serialization failure must FAIL THE TASK, not hang the
+      // stage: SerializationDebugger crashes on JDK17 module access
+      // (ExceptionInInitializerError) and killed the r13 sf10 sitting
+      .config("spark.serializer.extraDebugInfo", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -146,6 +150,21 @@ object Bench {
     val estTail = names.scanRight(0.0)((n, acc) => acc + est(n))
     val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     var degraded = 0
+    // Incremental artifact (round-13 lesson: the sf10 sitting that
+    // deadlocked inside q293 erased 2 h of completed measurements
+    // because the artifact was only written at loop end). Every
+    // query APPENDS its row here the moment it completes, fsync'd
+    // per line, so a hung or killed sitting still leaves every
+    // finished number on disk.
+    val progressPath = java.nio.file.Paths.get("bench_progress.jsonl")
+    try java.nio.file.Files.deleteIfExists(progressPath)
+    catch { case _: Throwable => }
+    def logProgress(row: String): Unit =
+      try java.nio.file.Files.writeString(progressPath, row + "\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] progress write failed: $e") }
     val results = names.zipWithIndex.map { case (name, i) =>
       val fn = SparkEntry.queries(name)
       val e = est(name)
@@ -164,7 +183,14 @@ object Bench {
           None
         }
       }
-      name -> (if (times.isEmpty) (-1.0, -1.0) else (median(times), times.min))
+      val row = if (times.isEmpty) (-1.0, -1.0)
+        else (median(times), times.min)
+      logProgress(s"""{"q":"$name","median":${row._1},"min":${row._2}""" +
+        s""","reps":${times.size},"elapsed":${elapsed()}""" +
+        failures.get(name).map(f => s""","failed":"${f.replace("\\", "\\\\")
+          .replace("\"", "\\\"").replaceAll("[\\n\\r\\t]", " ")}"""")
+          .getOrElse("") + "}")
+      name -> row
     }
     // Solo steady-state re-measure AFTER the suite, budget-gated and
     // deviation-gated: a heavy query's in-suite median rides whatever
@@ -197,7 +223,9 @@ object Bench {
             Some((System.nanoTime() - t0) / 1e9)
           } catch { case _: Throwable => None }
         }
-        Some(name -> (if (times.isEmpty) -1.0 else times.min))
+        val v = if (times.isEmpty) -1.0 else times.min
+        logProgress(s"""{"q":"$name","solo":$v,"elapsed":${elapsed()}}""")
+        Some(name -> v)
       }
     }
     val soloMap = solo.toMap
@@ -211,12 +239,22 @@ object Bench {
     // median and min, fails the min gate, and lands in the headline
     // unmasked instead of surviving only in the side map.
     val contended = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // Rows where the suite MIN was also >3x steady (every rep slow,
+    // not one contended rep): the steadyIsThisRun substitution still
+    // publishes the solo number, but systematic suite-context
+    // slowness (cold cache / memory pressure from interleaved
+    // queries) is a real workload effect — ship the raw suite min in
+    // `suite_slow` so the artifact distinguishes all-reps-slow from
+    // single-rep contention instead of silently biasing the headline
+    // toward warm back-to-back solo numbers.
+    val suiteSlow = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val published = results.map { case (name, (med, mn)) =>
       val thisRun = soloMap.get(name).filter(_ > 0)
       val steady = thisRun.orElse(prevSolo.get(name).filter(_ > 0))
       Bench.publish(med, mn, steady, thisRun.isDefined) match {
         case (pm, pmin, true) =>
           contended(name) = med
+          if (steady.exists(st => mn > 3 * st)) suiteSlow(name) = mn
           name -> ((pm, pmin))
         case (pm, pmin, false) => name -> ((pm, pmin))
       }
@@ -228,6 +266,7 @@ object Bench {
     val soloPrevJs = js(solo.flatMap { case (k, _) =>
       prevSolo.get(k).map(k -> _) })
     val contendedJs = js(contended.toSeq)
+    val suiteSlowJs = js(suiteSlow.toSeq)
     val failedJs = failures.map { case (k, v) =>
       s"\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"")
         .replaceAll("[\\n\\r\\t]", " ") + "\"" }
@@ -240,7 +279,7 @@ object Bench {
     // of long output, and with 250+ queries the per-query map alone
     // exceeds 2000 chars — a leading "value" would be truncated away.
     val skippedJs = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"queries":$qs,"solo":$soloJs,"solo_prev":$soloPrevJs,"contended":$contendedJs,"failed":$failedJs,"skipped":$skippedJs,"sf":"$sfDir","budget_sec":$budget,"wall_sec":${elapsed()},"degraded_reps":$degraded,"value_min_sum":$totalMin,"metric":"total","value":$total,"unit":"sec"}"""
+    val line = s"""{"queries":$qs,"solo":$soloJs,"solo_prev":$soloPrevJs,"contended":$contendedJs,"suite_slow":$suiteSlowJs,"failed":$failedJs,"skipped":$skippedJs,"sf":"$sfDir","budget_sec":$budget,"wall_sec":${elapsed()},"degraded_reps":$degraded,"value_min_sum":$totalMin,"metric":"total","value":$total,"unit":"sec"}"""
     println(line)
     // Persist the COMPLETE line to a file the driver copies whole —
     // round-over-round comparisons should not depend on what survives

@@ -79,6 +79,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // a serialization failure must FAIL THE TASK, not hang the
+      // stage: SerializationDebugger crashes on JDK17 module access
+      // (ExceptionInInitializerError) and killed the r13 sf10 sitting
+      .config("spark.serializer.extraDebugInfo", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

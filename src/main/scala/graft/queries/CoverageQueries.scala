@@ -8108,7 +8108,17 @@ object CoverageQueries {
     // the pre-flight replayed in SQL — INCLUDING the CASE routing, so
     // a wrong route decision hash-mismatches, not just wrong rows —
     // then q199's exact arm (the route the oracle-scale basket
-    // profile lands on) stamped with the decision columns
+    // profile lands on) stamped with the decision columns.
+    // SCALE CEILING (r13 advice): the row set below is ALWAYS the
+    // exact arm's, so this gate is valid only while the pre-flight
+    // routes to 'exact' — i.e. sum b(b-1)/2 ≤ 2e9 over the gate
+    // corpus. That holds through sf10 by measurement (sf0.01 ≈ 4.5e5,
+    // growth ≈ linear in SF because replicas shift u keys) and would
+    // first flip around sf~10⁴ of this corpus; if a future gate
+    // corpus crosses it, the engine is RIGHT to route to 'capped'
+    // and this oracle must gain the capped arm under the same CASE
+    // (least(b,8) pair generation) rather than being read as an
+    // engine failure.
     "q290_item_item_cf_auto" ->
       """WITH pos AS MATERIALIZED (
         |  SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS p

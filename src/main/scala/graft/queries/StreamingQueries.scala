@@ -57,18 +57,27 @@ object StreamingQueries {
     val uid = java.util.UUID.randomUUID().toString.take(8)
     val base = s"${Tables.scratchBase}/graft_${tag}_" +
       s"${s.sparkContext.applicationId}/$uid"
-    val sink = s"${tag}_$uid"
     input.write.mode("overwrite").parquet(s"$base/in")
     val stream = s.readStream.schema(input.schema).parquet(s"$base/in")
-    val q = build(stream).writeStream
-      .format("memory").queryName(sink)
+    val out = build(stream)
+    val outSchema = out.schema
+    // foreachBatch → parquet, NOT a memory sink: the memory sink
+    // collects every result row to the driver and decodes it through
+    // a row encoder — at sf10 the q95 complete-mode rollup died there
+    // with EXPRESSION_DECODING_FAILED in the r13 board sitting (and
+    // pinned a full result copy per rep besides). Executors write the
+    // sink parquet directly; the driver never holds rows. Complete
+    // mode delivers the FULL result as the one Trigger.Once batch, so
+    // overwrite-per-batch is exact for both modes.
+    val q = out.writeStream
       .outputMode(mode)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(s"$base/out")
+      }
       .option("checkpointLocation", s"$base/ckpt")
       .trigger(Trigger.Once())
       .start()
     q.awaitTermination()
-    s.table(sink).write.mode("overwrite").parquet(s"$base/out")
-    s.catalog.dropTempView(sink)
     deleteRec(java.nio.file.Paths.get(s"$base/in"))
     deleteRec(java.nio.file.Paths.get(s"$base/ckpt"))
     // $base/out must OUTLIVE this call (the returned DataFrame reads
@@ -78,7 +87,12 @@ object StreamingQueries {
     // parent-before-child and the JVM deletes in REVERSE registration
     // order, so files go before their dirs.
     registerDeleteOnExit(java.nio.file.Paths.get(base))
-    s.read.parquet(s"$base/out")
+    // a degenerate run with zero triggered batches writes no out dir;
+    // surface the operator's (empty) result, not a read error
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$base/out")))
+      s.read.parquet(s"$base/out")
+    else s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), outSchema)
   }
 
   /** Multi-batch drain — the CROSS-BATCH twin of [[runOnce]] (round-6

@@ -152,7 +152,8 @@ object GraftFileIndex {
     * every query over a wide table. Cached, not fixed: the pool
     * shrinks to zero between scans.
     */
-  private lazy val listPool: java.util.concurrent.ExecutorService = {
+  private[sources] lazy val listPool
+      : java.util.concurrent.ExecutorService = {
     val tf = new java.util.concurrent.ThreadFactory {
       private val n = new java.util.concurrent.atomic.AtomicInteger()
       override def newThread(r: Runnable): Thread = {
@@ -160,9 +161,18 @@ object GraftFileIndex {
         t.setDaemon(true); t
       }
     }
-    new java.util.concurrent.ThreadPoolExecutor(0, 32, 60L,
+    // core=32 + allowCoreThreadTimeOut, NOT core=0/max=32: a TPE only
+    // grows past corePoolSize when the queue REJECTS, and an unbounded
+    // LinkedBlockingQueue never rejects — core=0 would therefore run
+    // every listing on a single thread, silently serializing the
+    // parallel path. With core=32 each submit spawns a worker until 32
+    // exist (queueing only beyond that), and the timeout still shrinks
+    // the pool to zero between scans.
+    val pool = new java.util.concurrent.ThreadPoolExecutor(32, 32, 60L,
       java.util.concurrent.TimeUnit.SECONDS,
       new java.util.concurrent.LinkedBlockingQueue[Runnable](), tf)
+    pool.allowCoreThreadTimeOut(true)
+    pool
   }
 
   /** What the manifest knows about one data directory: `exact` holds

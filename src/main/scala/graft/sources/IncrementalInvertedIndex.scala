@@ -140,38 +140,65 @@ class IncrementalInvertedIndex(val base: PartitionedCowTable,
       case None => (base.manifest.keySet, Set.empty[String])
     }
     val touched = changed ++ removed
-    val fresh = buildPartials(base.readWhere(changed.contains))
-      .localCheckpoint() // reused: affected probe + both reconciles
-    // affected terms = what the touched partitions contribute NOW ∪
-    // what they contributed BEFORE (read from the partials tier
-    // before it is reconciled — a term whose last posting vanished
-    // must be re-merged so it falls out of the serving tier)
-    val oldTerms =
-      if (!partials.exists) fresh.select("term").limit(0)
-      else partials.readWhere(touched.contains).select("term")
-    val affected = fresh.select("term").unionByName(oldTerms)
-      .distinct().localCheckpoint()
-    val nAffected = affected.count()
-    // 1. partials tier: partition-aligned reconcile — touched base
-    //    partitions replaced wholesale, untouched carried by reference
-    if (!partials.exists) partials.overwrite(fresh)
-    else partials.mergeSync(
-      partials.read().filter(!col(pcol).isin(touched.toSeq: _*))
-        .unionByName(fresh),
-      Seq(pcol, "term"))
-    // 2. serving tier: re-merge ONLY affected terms from the updated
-    //    partials, reconcile — mergeSync rewrites only buckets whose
-    //    rows changed, and an affected-but-unchanged term diffs equal
-    //    and costs nothing
-    val recomputed = mergePartials(
-      partials.read().join(affected, Seq("term"), "left_semi"))
-    val iud =
-      if (!index.exists) { index.overwrite(recomputed); (-1L, -1L, -1L) }
-      else index.mergeSync(
-        index.read().join(affected, Seq("term"), "left_anti")
-          .unionByName(recomputed),
-        Seq("term"))
-    Files.write(syncFile, s"""{"base": $cur}""".getBytes("UTF-8"))
-    (last.getOrElse(-1), changed.size, nAffected, iud)
+    // Materialize reused intermediates to SCRATCH PARQUET, not
+    // localCheckpoint: local-checkpoint blocks live in the block
+    // manager, and in a long session under memory pressure the
+    // block/task-result path java-serializes posting structs — the
+    // r13 sf10 board died exactly there (a task result failed Java
+    // serialization, SerializationDebugger then crashed on a JDK17
+    // module-access error and the stage hung forever,
+    // BASELINE.md r13 sitting notes). Parquet scratch is spillable,
+    // survives block eviction, and is the pattern a 100 TB refresh
+    // needs anyway (the partials delta can exceed executor memory).
+    val scratch = Paths.get(indexRoot,
+      s"_refresh_${java.util.UUID.randomUUID().toString.take(8)}")
+    def materialize(df: DataFrame, tag: String): DataFrame = {
+      val p = scratch.resolve(tag).toString
+      df.write.mode("overwrite").parquet(p)
+      spark.read.parquet(p)
+    }
+    try {
+      val fresh = materialize(
+        buildPartials(base.readWhere(changed.contains)),
+        "fresh") // reused: affected probe + both reconciles
+      // affected terms = what the touched partitions contribute NOW ∪
+      // what they contributed BEFORE (read from the partials tier
+      // before it is reconciled — a term whose last posting vanished
+      // must be re-merged so it falls out of the serving tier)
+      val oldTerms =
+        if (!partials.exists) fresh.select("term").limit(0)
+        else partials.readWhere(touched.contains).select("term")
+      val affected = materialize(
+        fresh.select("term").unionByName(oldTerms).distinct(), "affected")
+      val nAffected = affected.count()
+      // 1. partials tier: partition-aligned reconcile — touched base
+      //    partitions replaced wholesale, untouched carried by
+      //    reference
+      if (!partials.exists) partials.overwrite(fresh)
+      else partials.mergeSync(
+        partials.read().filter(!col(pcol).isin(touched.toSeq: _*))
+          .unionByName(fresh),
+        Seq(pcol, "term"))
+      // 2. serving tier: re-merge ONLY affected terms from the updated
+      //    partials, reconcile — mergeSync rewrites only buckets whose
+      //    rows changed, and an affected-but-unchanged term diffs
+      //    equal and costs nothing
+      val recomputed = mergePartials(
+        partials.read().join(affected, Seq("term"), "left_semi"))
+      val iud =
+        if (!index.exists) { index.overwrite(recomputed); (-1L, -1L, -1L) }
+        else index.mergeSync(
+          index.read().join(affected, Seq("term"), "left_anti")
+            .unionByName(recomputed),
+          Seq("term"))
+      Files.write(syncFile, s"""{"base": $cur}""".getBytes("UTF-8"))
+      (last.getOrElse(-1), changed.size, nAffected, iud)
+    } finally {
+      // every consumer above ran eagerly (commits + count), so the
+      // scratch is dead here; a crash leaves it for the next refresh's
+      // fresh uuid — nothing reads a stale dir
+      try CowTable.walkDelete(scratch)
+      catch { case _: java.io.IOException => }
+    }
   }
 }

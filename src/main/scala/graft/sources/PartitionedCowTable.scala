@@ -807,7 +807,8 @@ class PartitionedCowTable(val root: String, val partCol: String,
                      carried: Seq[Entry],
                      resetSchema: Boolean = false,
                      narrowRead: Boolean = false,
-                     keyProbe: Option[Seq[Entry] => Boolean] = None)
+                     keyProbe: Option[(Seq[Entry], String) => Boolean] =
+                       None)
       : Unit = {
     val spec = currentPartCol
     val base0 = currentVersion
@@ -855,8 +856,12 @@ class PartitionedCowTable(val root: String, val partCol: String,
       // key-scoped commits additionally prove the winner's new
       // content carries none of their keys (one job over ONLY the
       // winner's delta dirs, never a table rescan)
+      // `src` is wherever this commit's staged data currently lives
+      // (the _stage_ dir, or the claimed w_ dir after a rename) —
+      // the probe reads its OWN keys from there, never from the
+      // caller's (possibly table-derived) input plan
       val ok = delta.exists(d =>
-        narrowRead || d.isEmpty || keyProbe.get(d))
+        narrowRead || d.isEmpty || keyProbe.get(d, s"$root/$src"))
       if (!ok) {
         try CowTable.walkDelete(Paths.get(root, cleanup))
         catch { case c: Exception => err.addSuppressed(c) }
@@ -1492,19 +1497,38 @@ class PartitionedCowTable(val root: String, val partCol: String,
           .join(updates.select(keys.map(col): _*), keys, "left_anti")
           .unionByName(updates),
         touched, currentEntriesOrEmpty.filterNot(mig.contains),
-        keyProbe = Some(keyDisjointProbe(updates, keys)))
+        keyProbe = Some(keyDisjointProbe(keys)))
     }
 
   /** keyProbe body shared by the key-scoped mutators: true iff the
-    * winner's new-content dirs hold NO row matching `own`'s keys.
-    * Reads only the delta dirs (raw, ignoring any winner DVs — a DV
-    * only removes rows, so reading through it could only make this
-    * check PASS more often; ignoring it is the conservative side).
+    * winner's new-content dirs hold NO row matching this commit's
+    * keys. Reads only the delta dirs (raw, ignoring any winner DVs —
+    * a DV only removes rows, so reading through it could only make
+    * this check PASS more often; ignoring it is the conservative
+    * side).
+    *
+    * The key set is read from the commit's STAGED parquet
+    * (`stagedPath`), never by re-evaluating the caller's input plan:
+    * the probe fires AFTER a winner committed, and a read-modify-
+    * write input (updates derived from this very table) or a
+    * nondeterministic one would re-evaluate against the winner's
+    * state and could probe a different key set than the one actually
+    * staged — letting a rebase pass on the wrong keys (r13 advice).
+    * The staged keys are a SUPERSET of the mutator's own keys (the
+    * staged data is the touched partitions' full post-image), so the
+    * probe is conservative: it can only refuse more rebases, never
+    * admit one the exact key set would refuse. Delete-op keys
+    * (mergeApply) are absent from the staged image, but by the
+    * never-rewrites-the-partition-column contract they live in
+    * TOUCHED partitions, where entry disjointness already refuses
+    * any winner overlap. Costs nothing off the race path: the staged
+    * files are only opened when a probe actually runs.
     */
-  private def keyDisjointProbe(own: DataFrame, keys: Seq[String])
-      (delta: Seq[Entry]): Boolean =
+  private def keyDisjointProbe(keys: Seq[String])
+      (delta: Seq[Entry], stagedPath: String): Boolean =
     readConformed(requireVersion, delta.map(e => s"$root/${e.dir}"))
-      .join(own.select(keys.map(col): _*), keys, "left_semi")
+      .join(spark.read.parquet(stagedPath).select(keys.map(col): _*),
+        keys, "left_semi")
       .isEmpty
 
   /** Targeted column update: partitions containing matching rows are
@@ -1576,7 +1600,7 @@ class PartitionedCowTable(val root: String, val partCol: String,
       // same key-scoped result as upsert (I/U/D all key-addressed):
       // rebase past an entry-disjoint winner whose new content holds
       // none of this batch's keys
-      keyProbe = Some(keyDisjointProbe(ops, keys)))
+      keyProbe = Some(keyDisjointProbe(keys)))
   }
 
   /** Declarative reconcile — make the table's content EQUAL `source`

@@ -166,4 +166,58 @@ class GraftFileIndexSpec extends AnyFunSuite {
     assert(eval(EqualTo(attr("k", LongType), Literal(43L, LongType)),
       dMissing) == Unknown)
   }
+
+  test("bloom cache invalidation on out-of-band restore: a sidecar " +
+    "REWRITTEN AT THE SAME PATH (table deleted and recreated / " +
+    "restored) misses the (path, size, mtime) cache and reloads — a " +
+    "stale cached filter would wrongly prune the restored key") {
+    val dir = java.nio.file.Files.createTempDirectory("gfi_bloom_inv")
+    val side = dir.resolve("_bloom_k.bf")
+    def writeFilter(keys: Seq[String]): Unit = {
+      val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 4096L)
+      keys.foreach(v =>
+        bf.putBinary(v.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      val out = java.nio.file.Files.newOutputStream(side)
+      try bf.writeTo(out) finally out.close()
+    }
+    writeFilter(Seq("1"))
+    val d = ScanDir("p", Map.empty, Map.empty,
+      blooms = Map("k" -> side.toString))
+    // prime the cache: 7 definitely absent under the original filter
+    assert(eval(EqualTo(attr("k", LongType), Literal(7L, LongType)), d)
+      == False)
+    // out-of-band restore: same path, new content CONTAINING 7 —
+    // bump mtime explicitly (same-millisecond rewrites are the
+    // adversarial case a wall-clock test can't rely on dodging)
+    writeFilter(Seq("7"))
+    val attrs = java.nio.file.Files.readAttributes(side,
+      classOf[java.nio.file.attribute.BasicFileAttributes])
+    java.nio.file.Files.setLastModifiedTime(side,
+      java.nio.file.attribute.FileTime.fromMillis(
+        attrs.lastModifiedTime().toMillis + 2000))
+    // the restored filter must be consulted: 7 is now maybe-present
+    assert(eval(EqualTo(attr("k", LongType), Literal(7L, LongType)), d)
+      == Unknown)
+    // and the old key is now definitely absent under the new filter
+    assert(eval(EqualTo(attr("k", LongType), Literal(1L, LongType)), d)
+      == False)
+  }
+
+  test("shared listing pool really runs up to 32 tasks CONCURRENTLY " +
+    "(r13 advice: core=0 over an unbounded queue silently serialized " +
+    "the parallel listing path to one thread)") {
+    import java.util.concurrent.{Callable, CyclicBarrier, TimeUnit}
+    // 8 tasks that each wait at a shared barrier: they can only ALL
+    // finish if 8 pool threads run at once — a serialized pool parks
+    // task 1 at the barrier forever and this times out loudly
+    val barrier = new CyclicBarrier(8)
+    val fs = (1 to 8).map { _ =>
+      GraftFileIndex.listPool.submit(new Callable[Unit] {
+        override def call(): Unit = {
+          barrier.await(20, TimeUnit.SECONDS); ()
+        }
+      })
+    }
+    fs.foreach(_.get(30, TimeUnit.SECONDS))
+  }
 }

@@ -335,6 +335,38 @@ class PartitionedCowTableSpec extends SparkSpec {
     assert(t.read().count() == 4)
   }
 
+  test("rebase probe keys come from the STAGED image, not the input " +
+    "plan: an input whose source bytes change after staging neither " +
+    "re-reads them nor flips the rebase decision (r13 advice)") {
+    implicit val s = spark
+    val t = mk() // pid 1,2 → 2020-03; pid 3 → 2020-04; pid 4 → 2020-05
+    val t2 = PartitionedCowTable(t.root, "month")
+    // loser's updates plan reads from a parquet dir on disk — the
+    // read-modify-write / nondeterministic-input stand-in: if the
+    // probe re-evaluated the plan at probe time, it would see
+    // whatever the dir holds THEN, not what was staged
+    val inDir = Files.createTempDirectory("pcow_in").toString + "/u"
+    Seq((1L, "2020-03", "L", true)).toDF("pid", "month", "v", "flag")
+      .write.parquet(inDir)
+    t.commitSeam = () => {
+      t.commitSeam = () => ()
+      // winner lands pid 3 in a disjoint partition…
+      t2.upsert(Seq((3L, "2020-04", "W", true))
+        .toDF("pid", "month", "v", "flag"), Seq("pid"))
+      // …then the loser's INPUT SOURCE is rewritten to carry the
+      // winner's key: a probe that re-evaluated the input plan would
+      // now see pid 3, refuse the (sound) rebase, and abort — or,
+      // in the inverse scenario, admit an unsound one
+      Seq((3L, "2020-04", "GHOST", true))
+        .toDF("pid", "month", "v", "flag")
+        .write.mode("overwrite").parquet(inDir)
+    }
+    t.upsert(spark.read.parquet(inDir), Seq("pid"))
+    assert(t.version == 2) // winner v1, loser REBASED as v2
+    val vs = t.read().select("pid", "v").as[(Long, String)].collect().toMap
+    assert(vs === Map(1L -> "L", 2L -> "b", 3L -> "W", 4L -> "d"))
+  }
+
   test("a second writer committing mid-flight: a CONTENT-IDENTICAL " +
     "winner is provably safe and the upsert rebases onto it; both " +
     "versions land in order") {
