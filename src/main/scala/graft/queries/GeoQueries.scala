@@ -267,6 +267,45 @@ object GeoQueries {
         .orderBy("c_custkey")
     },
 
+    // S9's CONTAINER half under the driver gate (r13 verdict item
+    // 7): the same footprints export through the self-contained
+    // GeoPackage writer (GeoPackage.exportGeoPackage — sqlite file
+    // built from scratch, GeoPackageBinary POLYGON blobs) and come
+    // back through the format-level reader; corners, fid ordering and
+    // the header stamps (application_id 'GPKG', user_version 10300)
+    // are all hash-gated against the closed-form footprints. The
+    // round-trip is driver-streamed like q56 BY DESIGN (one sqlite
+    // file is inherently single-writer; the sharded GeoJSONSeq path
+    // q101 is the beyond-guard contract), and GeoPackageSpec
+    // additionally reads the same container back through CPython's
+    // independent sqlite3.
+    "q294_geopackage_roundtrip" -> { (s, dir) =>
+      import s.implicits._
+      val fp = footprints(s, dir)
+      val path = s"${Tables.scratchBase}/graft_q294_" +
+        s"${s.sparkContext.applicationId}/fp.gpkg"
+      graft.sources.GeoPackage.exportGeoPackage(fp, path, "scenes",
+        props = Seq("c_custkey"),
+        north = "north", south = "south", east = "east", west = "west")
+      val head = java.nio.ByteBuffer.wrap(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+      val appId = new String(Array(
+        head.get(68), head.get(69), head.get(70), head.get(71)), "UTF-8")
+      val userVersion = head.getInt(60)
+      val feats = graft.sources.SqliteFile
+        .readTableWithRowids(path, "scenes")
+        .map { f =>
+          val (w, so, e, n) = graft.sources.GeoPackage.parseBbox(
+            f(2).asInstanceOf[Array[Byte]])
+          (f(3).asInstanceOf[Long], n, so, e, w)
+        }
+      s.createDataset(feats)
+        .toDF("c_custkey", "north", "south", "east", "west")
+        .withColumn("app_id", lit(appId))
+        .withColumn("gpkg_version", lit(userVersion))
+        .orderBy("c_custkey")
+    },
+
     // J3: ROI→tile-list LUT (SceneCatalog.tilesForRoi; findSensorROI,
     // eodatadownutils.py:1735-1794). Footprints carry a WRS-like
     // (path, row) grid id; per ROI polygon, the sorted distinct tile
@@ -497,6 +536,18 @@ object GeoQueries {
         |SELECT c_custkey, north, south, east, west,
         |  CAST(5 AS INT) AS n_points, true AS ring_closed
         |FROM fp ORDER BY c_custkey""".stripMargin,
+
+    // Same recomputation again — the GeoPackage writer must reproduce
+    // the footprints THROUGH the sqlite container, and the header
+    // stamps are pinned as literals.
+    "q294_geopackage_roundtrip" ->
+      """SELECT c_custkey,
+        |  CAST(c_custkey % 160 - 80 + 1 + c_custkey % 7 AS DOUBLE) AS north,
+        |  CAST(c_custkey % 160 - 80 AS DOUBLE) AS south,
+        |  CAST((c_custkey * 7) % 340 - 170 + 1 + c_custkey % 11 AS DOUBLE) AS east,
+        |  CAST((c_custkey * 7) % 340 - 170 AS DOUBLE) AS west,
+        |  'GPKG' AS app_id, CAST(10300 AS INT) AS gpkg_version
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     // Same recomputation as q56's oracle — the sharded writer must
     // reproduce the footprints THROUGH the part-file format + manifest.

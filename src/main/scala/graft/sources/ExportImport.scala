@@ -38,7 +38,7 @@ object ExportImport {
     * Uses `limit(max+1).count()` so the probe short-circuits instead of
     * scanning the full table it is trying to protect against.
     */
-  private def requireSingleFileScale(df: DataFrame, maxRows: Long,
+  private[sources] def requireSingleFileScale(df: DataFrame, maxRows: Long,
                                      api: String,
                                      alt: String =
                                        "ExportImport.exportJson (distributed part-files)"): Unit = {

@@ -56,6 +56,36 @@ class PartitionedCowTable(val root: String, val partCol: String,
   import PartitionedCowTable.Entry
 
   private val mapper = new ObjectMapper()
+
+  /** Parsed-manifest cache. Manifest files are IMMUTABLE per version
+    * (a commit writes v_N exactly once; vacuum deletes, never
+    * rewrites), but a table deleted and recreated — or restored
+    * out-of-band — at the same root reuses version numbers, so the
+    * key pins (version, file size, mtime) like the bloom sidecar
+    * cache: a recreated manifest misses and reloads. Why it exists:
+    * every accessor used to re-read + re-parse the manifest from
+    * disk, and the manifest grows with the table's DIR COUNT — worse,
+    * some call sites evaluated an accessor once per ENTRY inside a
+    * filter, making driver work O(dirs · parse(dirs)) per mutation.
+    * At sf10 (3000 dirs) that was 16 s of repeated JSON parsing per
+    * updateWhere — the q130/q126 r13 signature; at 100k dirs it would
+    * be the driver wall. With the cache a commit parses each manifest
+    * version once per content, and the per-entry sites become map
+    * lookups. Bounded (cleared wholesale past 64 versions) — nodes
+    * are metadata-sized and sessions touch a handful of versions.
+    */
+  private val nodeCache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, Long, Long), com.fasterxml.jackson.databind.JsonNode]()
+
+  private def nodeAt(v: Int): com.fasterxml.jackson.databind.JsonNode = {
+    val p = Paths.get(root, f"v_$v%06d.json")
+    val attrs = Files.readAttributes(
+      p, classOf[java.nio.file.attribute.BasicFileAttributes])
+    if (nodeCache.size > 64) nodeCache.clear()
+    nodeCache.computeIfAbsent(
+      (v, attrs.size(), attrs.lastModifiedTime().toMillis),
+      _ => mapper.readTree(Files.readAllBytes(p)))
+  }
   private def pointer = Paths.get(root, "_current")
 
   private def currentVersion: Option[Int] =
@@ -72,14 +102,18 @@ class PartitionedCowTable(val root: String, val partCol: String,
     * CURRENT spec only) — public introspection, the `DESCRIBE DETAIL`
     * analogue. Legacy-spec dirs are listed by [[legacyEntries]].
     */
-  def manifest: Map[String, String] =
-    entriesAt(requireVersion).filter(_.pcol == currentPartCol)
+  def manifest: Map[String, String] = {
+    val spec = currentPartCol
+    entriesAt(requireVersion).filter(_.pcol == spec)
       .map(e => e.value -> e.dir).toMap
+  }
 
   /** (specCol, value, dir) of every dir still on an older spec. */
-  def legacyEntries: Seq[(String, String, String)] =
-    entriesAt(requireVersion).filter(_.pcol != currentPartCol)
+  def legacyEntries: Seq[(String, String, String)] = {
+    val spec = currentPartCol
+    entriesAt(requireVersion).filter(_.pcol != spec)
       .map(e => (e.pcol, e.value, e.dir))
+  }
 
   /** The spec column NEW commits partition by — the constructor's
     * `partCol` until [[evolvePartitioning]] changes it.
@@ -88,14 +122,12 @@ class PartitionedCowTable(val root: String, val partCol: String,
     currentVersion.map(partColAt).getOrElse(partCol)
 
   private def partColAt(v: Int): String = {
-    val node = mapper.readTree(Files.readAllBytes(
-      Paths.get(root, f"v_$v%06d.json")))
+    val node = nodeAt(v)
     if (node.has("partcol")) node.get("partcol").asText() else partCol
   }
 
   private def entriesAt(v: Int): Seq[Entry] = {
-    val node = mapper.readTree(Files.readAllBytes(
-      Paths.get(root, f"v_$v%06d.json")))
+    val node = nodeAt(v)
     val spec = if (node.has("partcol")) node.get("partcol").asText()
       else partCol
     val cur = node.get("partitions").fields().asScala
@@ -110,8 +142,7 @@ class PartitionedCowTable(val root: String, val partCol: String,
   }
 
   private def schemaAt(v: Int): StructType =
-    StructType.fromDDL(mapper.readTree(Files.readAllBytes(
-      Paths.get(root, f"v_$v%06d.json"))).get("schema").asText())
+    StructType.fromDDL(nodeAt(v).get("schema").asText())
 
   /** dir → column → (min, max) ZONE MAPS for the integral columns in
     * [[statsColumns]], recorded at commit time (one extra aggregate
@@ -122,8 +153,7 @@ class PartitionedCowTable(val root: String, val partCol: String,
     * with no recorded stats for a column is kept conservatively.
     */
   private def statsAt(v: Int): Map[String, Map[String, (Long, Long)]] = {
-    val node = mapper.readTree(Files.readAllBytes(
-      Paths.get(root, f"v_$v%06d.json")))
+    val node = nodeAt(v)
     if (!node.has("stats")) Map.empty
     else node.get("stats").fields().asScala.map { e =>
       e.getKey -> e.getValue.fields().asScala.map { c =>
@@ -141,8 +171,7 @@ class PartitionedCowTable(val root: String, val partCol: String,
     */
   private def strStatsAt(v: Int)
       : Map[String, Map[String, (String, String)]] = {
-    val node = mapper.readTree(Files.readAllBytes(
-      Paths.get(root, f"v_$v%06d.json")))
+    val node = nodeAt(v)
     if (!node.has("sstats")) Map.empty
     else node.get("sstats").fields().asScala.map { e =>
       e.getKey -> e.getValue.fields().asScala.map { c =>
@@ -160,8 +189,7 @@ class PartitionedCowTable(val root: String, val partCol: String,
     */
   private def dblStatsAt(v: Int)
       : Map[String, Map[String, (Double, Double)]] = {
-    val node = mapper.readTree(Files.readAllBytes(
-      Paths.get(root, f"v_$v%06d.json")))
+    val node = nodeAt(v)
     if (!node.has("dstats")) Map.empty
     else node.get("dstats").fields().asScala.map { e =>
       e.getKey -> e.getValue.fields().asScala.map { c =>
@@ -180,8 +208,7 @@ class PartitionedCowTable(val root: String, val partCol: String,
     * listing in the index.
     */
   private def bytesAt(v: Int): Map[String, Long] = {
-    val node = mapper.readTree(Files.readAllBytes(
-      Paths.get(root, f"v_$v%06d.json")))
+    val node = nodeAt(v)
     if (!node.has("bytes")) Map.empty
     else node.get("bytes").fields().asScala
       .map(e => e.getKey -> e.getValue.asLong()).toMap
@@ -198,8 +225,7 @@ class PartitionedCowTable(val root: String, val partCol: String,
     * zone maps go conservative, never wrong.
     */
   private def kindsAt(v: Int): Map[String, String] = {
-    val node = mapper.readTree(Files.readAllBytes(
-      Paths.get(root, f"v_$v%06d.json")))
+    val node = nodeAt(v)
     if (!node.has("statskinds")) Map.empty
     else node.get("statskinds").fields().asScala
       .map(e => e.getKey -> e.getValue.asText()).toMap
@@ -217,8 +243,7 @@ class PartitionedCowTable(val root: String, val partCol: String,
     * Puffin / Delta-bloom-index contract.
     */
   private def bloomsAt(v: Int): Map[String, Seq[String]] = {
-    val node = mapper.readTree(Files.readAllBytes(
-      Paths.get(root, f"v_$v%06d.json")))
+    val node = nodeAt(v)
     if (!node.has("blooms")) Map.empty
     else node.get("blooms").fields().asScala.map { e =>
       e.getKey -> e.getValue.elements().asScala.map(_.asText()).toSeq
@@ -234,8 +259,7 @@ class PartitionedCowTable(val root: String, val partCol: String,
     * live again (new dirs never reference old vectors).
     */
   private def dvsAt(v: Int): Map[String, Seq[String]] = {
-    val node = mapper.readTree(Files.readAllBytes(
-      Paths.get(root, f"v_$v%06d.json")))
+    val node = nodeAt(v)
     if (!node.has("dvs")) Map.empty
     else node.get("dvs").fields().asScala.map { e =>
       e.getKey -> e.getValue.elements().asScala.map(_.asText()).toSeq
@@ -252,8 +276,7 @@ class PartitionedCowTable(val root: String, val partCol: String,
     * fill-everywhere behavior) so pre-upgrade manifests stay readable.
     */
   private def defaultsAt(v: Int): Map[String, (String, Int)] = {
-    val node = mapper.readTree(Files.readAllBytes(
-      Paths.get(root, f"v_$v%06d.json")))
+    val node = nodeAt(v)
     if (!node.has("defaults")) Map.empty
     else node.get("defaults").fields().asScala.map { e =>
       val n = e.getValue
@@ -803,6 +826,18 @@ class PartitionedCowTable(val root: String, val partCol: String,
     * still never rebase: any concurrent change could invalidate what
     * they computed.
     */
+  // dev-only phase timing (GRAFT_COW_TIMING=1): the mutation paths are
+  // the scale hot path; this is how the r14 O(touched-dirs) work was
+  // measured
+  private val timing = sys.env.get("GRAFT_COW_TIMING").contains("1")
+  private def tphase[T](tag: String)(f: => T): T =
+    if (!timing) f else {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[cowcommit] $tag%-22s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      r
+    }
+
   private def commit(data0: DataFrame, touched: Set[String],
                      carried: Seq[Entry],
                      resetSchema: Boolean = false,
@@ -835,9 +870,9 @@ class PartitionedCowTable(val root: String, val partCol: String,
     // could delete the winner's committed files mid-write — the
     // dir-name collision fails the loser before shared state is touched
     val stage = s"_stage_${java.util.UUID.randomUUID()}"
-    data
+    tphase("stage write")(data
       .withColumn("__part", col(spec).cast("string"))
-      .write.partitionBy("__part").mode("overwrite").parquet(s"$root/$stage")
+      .write.partitionBy("__part").mode("overwrite").parquet(s"$root/$stage"))
     commitSeam()
     var base = base0
     var curCarried = carried
@@ -888,7 +923,7 @@ class PartitionedCowTable(val root: String, val partCol: String,
     // claim/publish loop below re-claims under the new base.
     def publishAttempt(wdir: String): Boolean = {
       val next = base.map(_ + 1).getOrElse(0)
-      val written: Seq[Entry] = {
+      val written: Seq[Entry] = tphase("list written") {
         val listing = Files.list(Paths.get(root, wdir))
         // Entry.value is ALWAYS the RAW partition value: partitionBy
         // percent-escapes path-unsafe chars into the dir name (':' →
@@ -919,7 +954,8 @@ class PartitionedCowTable(val root: String, val partCol: String,
       // footer-sized aggregate over the new files. Zero jobs when
       // statsColumns is empty. Read from `base` — the version this
       // attempt publishes against.
-      val carriedStats = base.map(statsAt).getOrElse(Map.empty)
+      val carriedStats = tphase("carried maps")(
+        base.map(statsAt).getOrElse(Map.empty))
       val carriedSStats = base.map(strStatsAt).getOrElse(Map.empty)
       val carriedDStats = base.map(dblStatsAt).getOrElse(Map.empty)
       val carriedKinds = base.map(kindsAt).getOrElse(Map.empty)
@@ -930,7 +966,7 @@ class PartitionedCowTable(val root: String, val partCol: String,
       // per-dir data bytes from the just-written local files (the same
       // name filter the index's listing applies) — recorded so plan-time
       // sizeInBytes never needs a listing
-      val writtenBytes: Map[String, Long] = written.map { e =>
+      val writtenBytes: Map[String, Long] = tphase("written bytes")(written.map { e =>
         val listing = Files.list(Paths.get(root, e.dir))
         try e.dir -> listing.iterator().asScala
           .filter(p => Files.isRegularFile(p) &&
@@ -938,7 +974,7 @@ class PartitionedCowTable(val root: String, val partCol: String,
             !p.getFileName.toString.startsWith("."))
           .map(Files.size).sum
         finally listing.close()
-      }.toMap
+      }.toMap)
       // Bloom sidecars for declared bloomColumns: ONE executor-side
       // pass over the just-written dirs builds a per-(dir, column)
       // filter (per-partition HashMap build, then a (dir,col)-keyed
@@ -1168,13 +1204,14 @@ class PartitionedCowTable(val root: String, val partCol: String,
           }
         }
       try {
+        tphase("writeVersion")(
         writeVersion(next, schemaDdl, spec, kept ++ written, defaults,
           carriedStats ++ writtenStats, carriedDvs,
           carriedSStats ++ writtenSStats,
           carriedDStats ++ writtenDStats,
           carriedKinds ++ writtenKinds,
           carriedBytes ++ writtenBytes,
-          carriedBlooms ++ writtenBlooms)
+          carriedBlooms ++ writtenBlooms))
         true
       } catch {
         case e: java.util.ConcurrentModificationException =>
@@ -1428,7 +1465,8 @@ class PartitionedCowTable(val root: String, val partCol: String,
     */
   private def legacyTouching(mark: DataFrame => DataFrame)
       : (Seq[Entry], DataFrame) = {
-    val legacy = currentEntriesOrEmpty.filter(_.pcol != currentPartCol)
+    val spec = currentPartCol
+    val legacy = currentEntriesOrEmpty.filter(_.pcol != spec)
     if (legacy.isEmpty) return (Seq.empty, emptyLike())
     val hitFiles = mark(
       readConformed(requireVersion, legacy.map(e => s"$root/${e.dir}"))
@@ -1537,9 +1575,11 @@ class PartitionedCowTable(val root: String, val partCol: String,
     */
   override def updateWhere(pred: Column,
                            sets: Map[String, Column]): Unit = {
-    val (mig, migRows) = legacyTouching(_.filter(pred))
-    val touched = touchedValues(read().filter(pred)) ++
-      touchedValues(migRows)
+    val (mig, migRows) = tphase("uw legacyTouching")(
+      legacyTouching(_.filter(pred)))
+    val touched = tphase("uw touchedValues")(
+      touchedValues(read().filter(pred))) ++
+      tphase("uw touchedValues mig")(touchedValues(migRows))
     if (touched.nonEmpty) {
       val updated = sets.foldLeft(
         readSpec(touched).unionByName(migRows)) {
@@ -1646,8 +1686,9 @@ class PartitionedCowTable(val root: String, val partCol: String,
     // keys that stay behind in NON-migrated legacy dirs are unchanged
     // by construction (their dirs held no changed key) — exclude them
     // from the rewritten partitions so they aren't duplicated
+    val specR = currentPartCol
     val remain = currentEntriesOrEmpty
-      .filter(e => e.pcol != currentPartCol && !mig.contains(e))
+      .filter(e => e.pcol != specR && !mig.contains(e))
     val remainKeys =
       if (remain.isEmpty) emptyLike().select(keys.map(col): _*)
       else readConformed(requireVersion,
@@ -1675,7 +1716,8 @@ class PartitionedCowTable(val root: String, val partCol: String,
     // compaction is also the full-migration vehicle: every remaining
     // legacy dir is rewritten under the current spec alongside the
     // selected partitions (one layout commit, row content unchanged)
-    val legacy = currentEntriesOrEmpty.filter(_.pcol != currentPartCol)
+    val spec0 = currentPartCol
+    val legacy = currentEntriesOrEmpty.filter(_.pcol != spec0)
     val migRows =
       if (legacy.isEmpty) emptyLike()
       else readConformed(requireVersion,
@@ -1706,7 +1748,7 @@ class PartitionedCowTable(val root: String, val partCol: String,
         // __pv join key and double every matching row in the rewrite.
         // Legacy rows joining to no key fall to the coalesce(1) arm.
         val nfSeq = entriesAt(cur)
-          .filter(_.pcol == currentPartCol)
+          .filter(_.pcol == spec0)
           .map(e => e.value -> math.max(1L, math.ceil(
             byt.getOrElse(e.dir, 0L).toDouble / targetBytes).toLong))
         val nf = nfSeq.toDF("__pv", "__nf")
