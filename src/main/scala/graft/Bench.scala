@@ -30,6 +30,22 @@ object Bench {
     case _ => (med, mn, false)
   }
 
+  /** One bench_progress.jsonl row — the incremental artifact's unit
+    * (r13 verdict item 2: a hung query must never erase a sitting's
+    * completed measurements, so every row lands on disk the moment
+    * its query finishes). Pure so BenchSpec can pin the shape and the
+    * failure-message escaping.
+    */
+  private[graft] def progressRow(name: String, median: Double,
+                                 min: Double, reps: Int,
+                                 elapsed: Double,
+                                 failure: Option[String]): String =
+    s"""{"q":"$name","median":$median,"min":$min""" +
+      s""","reps":$reps,"elapsed":$elapsed""" +
+      failure.map(f => s""","failed":"${f.replace("\\", "\\\\")
+        .replace("\"", "\\\"").replaceAll("[\\n\\r\\t]", " ")}"""")
+        .getOrElse("") + "}"
+
   /** Parse a {"name":number,...} JSON object body found after `key`
     * in `txt` (the artifact's flat maps need no real JSON parser).
     */
@@ -185,11 +201,8 @@ object Bench {
       }
       val row = if (times.isEmpty) (-1.0, -1.0)
         else (median(times), times.min)
-      logProgress(s"""{"q":"$name","median":${row._1},"min":${row._2}""" +
-        s""","reps":${times.size},"elapsed":${elapsed()}""" +
-        failures.get(name).map(f => s""","failed":"${f.replace("\\", "\\\\")
-          .replace("\"", "\\\"").replaceAll("[\\n\\r\\t]", " ")}"""")
-          .getOrElse("") + "}")
+      logProgress(progressRow(name, row._1, row._2, times.size,
+        elapsed(), failures.get(name)))
       name -> row
     }
     // Solo steady-state re-measure AFTER the suite, budget-gated and

@@ -77,6 +77,14 @@ class PartitionedCowTable(val root: String, val partCol: String,
   private val nodeCache = new java.util.concurrent.ConcurrentHashMap[
     (Int, Long, Long), com.fasterxml.jackson.databind.JsonNode]()
 
+  /** Manifest parses actually performed (cache misses) — the ledger
+    * the O(touched-dirs) commit spec reads: a mutation's metadata
+    * work must not scale with the table's TOTAL dir count, and
+    * re-parses were exactly how it used to.
+    */
+  private[sources] val manifestParses =
+    new java.util.concurrent.atomic.AtomicLong()
+
   private def nodeAt(v: Int): com.fasterxml.jackson.databind.JsonNode = {
     val p = Paths.get(root, f"v_$v%06d.json")
     val attrs = Files.readAttributes(
@@ -84,7 +92,8 @@ class PartitionedCowTable(val root: String, val partCol: String,
     if (nodeCache.size > 64) nodeCache.clear()
     nodeCache.computeIfAbsent(
       (v, attrs.size(), attrs.lastModifiedTime().toMillis),
-      _ => mapper.readTree(Files.readAllBytes(p)))
+      _ => { manifestParses.incrementAndGet()
+        mapper.readTree(Files.readAllBytes(p)) })
   }
   private def pointer = Paths.get(root, "_current")
 
@@ -966,15 +975,36 @@ class PartitionedCowTable(val root: String, val partCol: String,
       // per-dir data bytes from the just-written local files (the same
       // name filter the index's listing applies) — recorded so plan-time
       // sizeInBytes never needs a listing
-      val writtenBytes: Map[String, Long] = tphase("written bytes")(written.map { e =>
-        val listing = Files.list(Paths.get(root, e.dir))
-        try e.dir -> listing.iterator().asScala
-          .filter(p => Files.isRegularFile(p) &&
-            !p.getFileName.toString.startsWith("_") &&
-            !p.getFileName.toString.startsWith("."))
-          .map(Files.size).sum
-        finally listing.close()
-      }.toMap)
+      val writtenBytes: Map[String, Long] = tphase("written bytes") {
+        def sizeOf(dir: String): Long = {
+          val listing = Files.list(Paths.get(root, dir))
+          try listing.iterator().asScala
+            .filter(p => Files.isRegularFile(p) &&
+              !p.getFileName.toString.startsWith("_") &&
+              !p.getFileName.toString.startsWith("."))
+            .map(Files.size).sum
+          finally listing.close()
+        }
+        // wide commits (overwrite/compact at 100k dirs) fan the per-
+        // dir listing through the shared I/O pool — serial driver
+        // listings at ~50 ms/dir on object storage would make the
+        // byte ledger the commit wall; narrow commits stay serial
+        if (written.size <= 32) written.map(e => e.dir -> sizeOf(e.dir)).toMap
+        else {
+          val fs = written.map(e => e.dir ->
+            GraftFileIndex.listPool.submit(
+              new java.util.concurrent.Callable[Long] {
+                override def call(): Long = sizeOf(e.dir)
+              }))
+          fs.map { case (d, f) =>
+            try d -> f.get()
+            catch {
+              case e: java.util.concurrent.ExecutionException =>
+                throw e.getCause
+            }
+          }.toMap
+        }
+      }
       // Bloom sidecars for declared bloomColumns: ONE executor-side
       // pass over the just-written dirs builds a per-(dir, column)
       // filter (per-partition HashMap build, then a (dir,col)-keyed

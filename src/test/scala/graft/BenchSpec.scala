@@ -55,4 +55,26 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.publish(9.0, 2.2, Some(1.7), steadyIsThisRun = true)
       === ((1.7, 1.7, true)))
   }
+
+  test("incremental progress rows (r13 verdict item 2): valid " +
+    "single-line JSON per completed query, failure messages escaped") {
+    val ok = Bench.progressRow("q95_streaming_rollup", 3.5, 3.1, 2,
+      120.25, None)
+    assert(ok == """{"q":"q95_streaming_rollup","median":3.5,""" +
+      """"min":3.1,"reps":2,"elapsed":120.25}""")
+    // a failure message with quotes, backslashes and newlines must
+    // stay one parseable JSON line (the artifact is read line-wise
+    // after a killed sitting)
+    val bad = Bench.progressRow("q293_x", -1.0, -1.0, 0, 7.0,
+      Some("IOException: path \"a\\b\"\nline2\ttab"))
+    assert(!bad.contains("\n") && !bad.contains("\t"))
+    assert(bad.contains("\"failed\":\"IOException: "))
+    // round-trips through a strict JSON parser
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val n1 = mapper.readTree(ok)
+    assert(n1.get("q").asText() == "q95_streaming_rollup" &&
+      n1.get("median").asDouble() == 3.5)
+    val n2 = mapper.readTree(bad)
+    assert(n2.get("failed").asText().startsWith("IOException"))
+  }
 }

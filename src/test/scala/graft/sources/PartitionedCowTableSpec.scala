@@ -335,6 +335,54 @@ class PartitionedCowTableSpec extends SparkSpec {
     assert(t.read().count() == 4)
   }
 
+  test("commit metadata work is O(touched dirs), not O(table dirs): " +
+    "a 1-partition append onto a 200-dir table parses each manifest " +
+    "version once and keeps untouched dirs' stats/bytes VERBATIM " +
+    "(r13 verdict item 3)") {
+    implicit val s = spark
+    val t = new PartitionedCowTable(
+      Files.createTempDirectory("pcow_od").toString + "/t", "k",
+      spark, statsColumns = Seq("v"))
+    t.overwrite((1 to 2000).map(i => (s"p${i % 200}", i.toLong))
+      .toDF("k", "v"))
+    val v0 = t.version
+    // snapshot the untouched dirs' manifest nodes (raw JSON text)
+    val manifest0 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(t.root, f"v_$v0%06d.json")), "UTF-8")
+    val parses0 = t.manifestParses.get()
+    t.append(Seq(("pNEW", 9999L)).toDF("k", "v"))
+    val parses = t.manifestParses.get() - parses0
+    // the append reads the base manifest (1 parse) and its own new
+    // manifest at most once more on the read-back paths — anything
+    // O(dirs) would show up as hundreds (the pre-r14 code parsed
+    // once PER ENTRY inside filter lambdas: 16 s at 3000 dirs)
+    assert(parses <= 4, s"append cost $parses manifest parses")
+    // untouched dirs: stats and bytes carried VERBATIM from parent
+    val v1 = t.version
+    val m0 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(t.root, f"v_$v0%06d.json")), "UTF-8")
+    assert(m0 == manifest0) // parent manifest immutable
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val (n0, n1) = (mapper.readTree(manifest0),
+      mapper.readTree(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(t.root, f"v_$v1%06d.json")), "UTF-8")))
+    import scala.jdk.CollectionConverters._
+    val dirs0 = n0.get("partitions").fields().asScala
+      .map(e => e.getKey -> e.getValue.asText()).toMap
+    val dirs1 = n1.get("partitions").fields().asScala
+      .map(e => e.getKey -> e.getValue.asText()).toMap
+    // every untouched partition still points at the SAME dir…
+    dirs0.foreach { case (k, d) => assert(dirs1(k) == d) }
+    // …and carries byte-identical stats + bytes nodes
+    (0 until 200).map(i => s"p$i").foreach { k =>
+      val d = dirs0(k)
+      assert(n1.get("stats").get(d).toString ==
+        n0.get("stats").get(d).toString)
+      assert(n1.get("bytes").get(d).asLong() ==
+        n0.get("bytes").get(d).asLong())
+    }
+  }
+
   test("rebase probe keys come from the STAGED image, not the input " +
     "plan: an input whose source bytes change after staging neither " +
     "re-reads them nor flips the rebase decision (r13 advice)") {
