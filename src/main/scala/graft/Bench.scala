@@ -196,9 +196,27 @@ object Bench {
         } catch { case ex: Throwable =>
           failures.getOrElseUpdate(name,
             s"${ex.getClass.getSimpleName}: ${Option(ex.getMessage).getOrElse("").take(200)}")
+          // a dead context fails every remaining query vacuously —
+          // abort LOUDLY; bench_progress.jsonl already holds every
+          // completed row, so the sitting is partial, not poisoned
+          if (spark.sparkContext.isStopped) {
+            logProgress(progressRow(name, -1.0, -1.0, 0, elapsed(),
+              failures.get(name)))
+            System.err.println(s"[bench] SparkContext DIED during " +
+              s"$name — aborting the sitting; completed rows are in " +
+              "bench_progress.jsonl")
+            sys.exit(2)
+          }
           None
         }
       }
+      // Inter-query hygiene: queries materialize bounded intermediates
+      // with localCheckpoint, and in a big-SF sitting those blocks
+      // accumulate across hundreds of queries until execution memory
+      // starves mid-board (two sf10 OOMs that pass solo — the blocks
+      // belong to QUERIES ALREADY MEASURED, so dropping them is free).
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       val row = if (times.isEmpty) (-1.0, -1.0)
         else (median(times), times.min)
       logProgress(progressRow(name, row._1, row._2, times.size,
