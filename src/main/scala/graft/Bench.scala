@@ -30,6 +30,21 @@ object Bench {
     case _ => (med, mn, false)
   }
 
+  /** Which of `all` runs in this sitting given the SKIP / ONLY prefix
+    * lists → (run, skipped). A name runs iff it matches some ONLY
+    * prefix (when ONLY is set) and matches no SKIP prefix; SKIP wins
+    * on conflict. Pure so BenchSpec pins the complement property:
+    * a board split into (SKIP=S) and (ONLY=S) sittings covers every
+    * query exactly once. Order of `all` is preserved in both outputs.
+    */
+  private[graft] def selectNames(all: Seq[String], skip: Set[String],
+                                 only: Option[Set[String]])
+      : (Seq[String], Seq[String]) = {
+    val skipped = all.filter(n => skip.exists(n.startsWith) ||
+      only.exists(sel => !sel.exists(n.startsWith)))
+    (all.filterNot(skipped.contains), skipped)
+  }
+
   /** One bench_progress.jsonl row — the incremental artifact's unit
     * (r13 verdict item 2: a hung query must never erase a sitting's
     * completed measurements, so every row lands on disk the moment
@@ -114,6 +129,14 @@ object Bench {
     val skip: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty)
+    // Dev-sitting ONLY list (comma-separated name prefixes): the dual
+    // of SKIP, for the complement sittings — e.g. re-measuring exactly
+    // the 81 queries a bounded board excluded without enumerating the
+    // other 213 as skips. A query runs iff it matches ONLY (when set)
+    // and does not match SKIP; everything not run ships in `skipped`.
+    val onlySel: Option[Set[String]] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -154,8 +177,7 @@ object Bench {
     def tier(e: Double): Int =
       if (e < 1.0) 5 else if (e < 5.0) 3 else 2
     val all = SparkEntry.queries.keys.toSeq.sorted
-    val skipped = all.filter(n => skip.exists(n.startsWith))
-    val names = all.filterNot(skipped.contains)
+    val (names, skipped) = Bench.selectNames(all, skip, onlySel)
     val wall0 = System.nanoTime()
     def elapsed(): Double = (System.nanoTime() - wall0) / 1e9
     // Budget invariant: before query i runs, reserve one rep's

@@ -77,4 +77,25 @@ class BenchSpec extends AnyFunSuite {
     val n2 = mapper.readTree(bad)
     assert(n2.get("failed").asText().startsWith("IOException"))
   }
+
+  test("sitting selection: SKIP and ONLY are exact complements, " +
+    "SKIP wins on conflict, order preserved") {
+    val all = Seq("q01_a", "q02_b", "q100_c", "q10_d")
+    // no filters: everything runs
+    assert(Bench.selectNames(all, Set.empty, None) ===
+      ((all, Seq.empty)))
+    // prefix semantics: "q10" skips q100_c AND q10_d
+    assert(Bench.selectNames(all, Set("q10"), None) ===
+      ((Seq("q01_a", "q02_b"), Seq("q100_c", "q10_d"))))
+    // the complement sitting: ONLY the names the first one skipped —
+    // together the two sittings cover every query exactly once
+    assert(Bench.selectNames(all, Set.empty, Some(Set("q10"))) ===
+      ((Seq("q100_c", "q10_d"), Seq("q01_a", "q02_b"))))
+    // SKIP beats ONLY when both match (a quadratic arm stays out of
+    // the complement sitting even though ONLY names its family)
+    assert(Bench.selectNames(all, Set("q100"), Some(Set("q10"))) ===
+      ((Seq("q10_d"), Seq("q01_a", "q02_b", "q100_c"))))
+    // empty ONLY set is "not set", not "run nothing"
+    assert(Bench.selectNames(all, Set.empty, None)._1 === all)
+  }
 }
