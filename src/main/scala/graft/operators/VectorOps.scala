@@ -71,6 +71,38 @@ object VectorOps {
     cents.toDF("cid", "cv").select(col("cid"), col("cv").cast("array<double>").as("cv"))
   }
 
+  /** [[kmeansFit]] with the FAISS-IVF nlist rule applied: k =
+    * max(floorK, ⌈√n⌉) cells over e's n rows. A FIXED k silently
+    * degenerates an IVF probe toward all-pairs as the corpus grows —
+    * q74's comment states the rule; the r14 sf1 sittings measured the
+    * violation (q291 on fixed k=8: 30× cost at 10× data, because 8
+    * cells over 10× the vectors admit ~every (query, cell) pair and
+    * each cell is 10× fatter). With k=⌈√n⌉ the expected cell size is
+    * √n and the probe space is O(n^1.5) — sublinear per row.
+    *
+    * Training runs on a deterministic ≤maxTrain-row stride slice of
+    * `e`: centroid quality only ever affects PRUNING, never output
+    * (the triangle bound + exact verify downstream), so the k·n·d
+    * Lloyd's passes need not see every vector — only the ASSIGNMENT
+    * pass must, and that stays where it was (the caller's n·k·d).
+    * The row count is one 1-row aggregate — bounded driver metadata,
+    * the same budget class as the k×dim centroid collect kmeansFit
+    * already performs per iteration.
+    *
+    * @param idCol id column used for the deterministic training stride
+    */
+  def kmeansFitScaled(e: DataFrame, iters: Int, floorK: Int = 16,
+                      maxTrain: Long = 65536L,
+                      idCol: String = "vec_id"): DataFrame = {
+    val n = e.count()
+    val k = math.max(floorK, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val stride = math.max(1L, n / maxTrain)
+    val train =
+      if (stride == 1L) e
+      else e.filter(pmod(col(idCol), lit(stride)) === 0)
+    kmeansFit(train, k, iters)
+  }
+
   /** The IVF probe pipeline (q35's shape) as one reusable operator:
     * assign every vector to its nearest centroid (broadcast + argmax,
     * ties to the smaller cid), probe the `nprobe` clusters nearest the

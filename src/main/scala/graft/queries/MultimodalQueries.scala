@@ -78,8 +78,12 @@ object MultimodalQueries {
       val corpus = feats.filter(col("vec_id") % 10 =!= 0)
       val distinctCorpus = corpus.groupBy("v")
         .agg(min("vec_id").as("vec_id"))
+      // nlist = ⌈√n⌉ (NOT a constant): fixed k=8 measured 30×/160× at
+      // 10× data in the r14 sf1 sittings — the probe degenerates
+      // toward all-pairs when cells stop shrinking. Exactness is the
+      // triangle bound's, so the cell count is pure performance.
       val cents = graft.operators.VectorOps
-        .kmeansFit(distinctCorpus, k = 8, iters = 2)
+        .kmeansFitScaled(distinctCorpus, iters = 2)
       graft.operators.VectorOps
         .incrementalBestMatch(batch, corpus, cents, tau = 0.95)
         .orderBy("vec_id")
@@ -121,8 +125,12 @@ object MultimodalQueries {
       val corpus = feats.filter(col("vec_id") % 10 =!= 0)
       val distinctCorpus = corpus.groupBy("v")
         .agg(min("vec_id").as("vec_id"))
+      // nlist = ⌈√n⌉ (NOT a constant): fixed k=8 measured 30×/160× at
+      // 10× data in the r14 sf1 sittings — the probe degenerates
+      // toward all-pairs when cells stop shrinking. Exactness is the
+      // triangle bound's, so the cell count is pure performance.
       val cents = graft.operators.VectorOps
-        .kmeansFit(distinctCorpus, k = 8, iters = 2)
+        .kmeansFitScaled(distinctCorpus, iters = 2)
       graft.operators.VectorOps
         .incrementalBestMatch(batch, corpus, cents, tau = 0.95)
         .orderBy("vec_id")
