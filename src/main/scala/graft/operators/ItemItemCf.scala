@@ -121,11 +121,17 @@ object ItemItemCf {
         round(col("c") / sqrt(col("n1") * col("n2")), 6).as("cosine"))
 
   /** q199's arm: exact cosines over the full baskets. */
-  def exact(pos0: DataFrame, k: Int = 3): DataFrame = {
-    val pos = pos0.localCheckpoint() // reused by co-count and norms
+  def exact(pos0: DataFrame, k: Int = 3): DataFrame =
+    exactOn(pos0.localCheckpoint(), k) // reused by co-count and norms
+
+  /** [[exact]] over an ALREADY-MATERIALIZED positives frame — the
+    * shared-scan path [[auto]] uses so the preflight and the routed
+    * arm evaluate the caller's (possibly join-heavy) input plan once,
+    * not once per action.
+    */
+  private def exactOn(pos: DataFrame, k: Int): DataFrame =
     rankTopK(cosineJoin(pairCounts(pos),
       pos.groupBy("p").agg(count(lit(1)).as("n"))), k)
-  }
 
   /** q211's arm: exact cosines over md5-capped baskets. */
   def capped(pos: DataFrame, cap: Int = 8, k: Int = 3): DataFrame = {
@@ -183,11 +189,18 @@ object ItemItemCf {
            gamma: Double = 8.0,
            exactBudget: Long = 2000000000L,
            cappedBudget: Long = 20000000000L): DataFrame = {
-    val pf = preflight(pos, cap, exactBudget, cappedBudget)
+    // materialize the positives ONCE: the preflight is its own action,
+    // so without this the caller's input plan (for q290 a join+distinct
+    // over the fact tables) is evaluated twice — once for the decision
+    // pass and again inside the routed arm (guide §1.2: don't compute
+    // things twice; the id-pair frame is exactly what exact() already
+    // checkpoints)
+    val posM = pos.localCheckpoint()
+    val pf = preflight(posM, cap, exactBudget, cappedBudget)
     val arm = pf.regime match {
-      case "exact" => exact(pos, k)
-      case "capped" => capped(pos, cap, k)
-      case _ => cappedDimsum(pos, cap, gamma, k)
+      case "exact" => exactOn(posM, k)
+      case "capped" => capped(posM, cap, k)
+      case _ => cappedDimsum(posM, cap, gamma, k)
     }
     arm.select(F.lit(pf.regime).as("regime"),
       F.lit(pf.pairRowsExact).as("pair_rows_exact"),

@@ -34,6 +34,63 @@ object StreamingQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Scale-adaptive shuffle/state partition count for one streaming
+    * drain (guide §2: derive partitioning from the input, never from a
+    * core-count constant). Stateful operators pay a FIXED per-partition
+    * per-micro-batch cost — every HDFSBackedStateStore instance writes
+    * a delta file + bookkeeping per commit, and a stream-stream join
+    * keeps four stores per partition — so with `spark.sql.shuffle
+    * .partitions` pinned to the session's core count the gates paid
+    * 32 (×4 for joins) store commits per micro-batch to move a few
+    * hundred KB; AQE cannot help because it is disabled in stateful
+    * workloads. Sized from the staged slice bytes at
+    * `spark.graft.stream.bytesPerStatePartition` (default 8 MB of
+    * compressed parquet input per partition), clamped to [1, session
+    * shuffle partitions]: a cluster sitting with shuffle partitions in
+    * the thousands and TB-scale batches scales up automatically, and
+    * the cap means this can only ever REMOVE per-partition constants
+    * relative to the session default, never oversubscribe it.
+    * State-partition count is pinned per checkpoint; every harness run
+    * uses a fresh checkpoint, so re-sizing between calls is safe.
+    */
+  private def statePartitionsFor(s: SparkSession,
+                                 stagedDirs: Seq[String]): Int = {
+    val bytes = stagedDirs.map { d =>
+      val p = java.nio.file.Paths.get(d)
+      if (!java.nio.file.Files.isDirectory(p)) 0L
+      else {
+        val walk = java.nio.file.Files.walk(p)
+        try walk.mapToLong(f =>
+          if (java.nio.file.Files.isRegularFile(f)) f.toFile.length else 0L
+        ).sum()
+        finally walk.close()
+      }
+    }.sum
+    val per = s.conf.getOption("spark.graft.stream.bytesPerStatePartition")
+      .orElse(sys.env.get("SPARK_GRAFT_STREAM_STATE_PARTITION_BYTES"))
+      .map(_.toLong).filter(_ > 0).getOrElse(8L << 20)
+    val cur = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    math.max(1, math.min(cur,
+      math.ceil(bytes.toDouble / per).toInt))
+  }
+
+  /** Run `body` (a streaming start + awaitTermination) with the
+    * session's shuffle partitions temporarily set to the drain-sized
+    * value, restoring the session default afterwards — the number of
+    * state partitions is captured from this conf when the fresh
+    * checkpoint is created. Results are partition-count-invariant
+    * (keyed state and `numRowsTotal` curves sum across partitions);
+    * only the per-batch constant changes.
+    */
+  private def withStatePartitions[T](s: SparkSession,
+                                     stagedDirs: Seq[String])(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions", "32")
+    s.conf.set("spark.sql.shuffle.partitions",
+      statePartitionsFor(s, stagedDirs).toString)
+    try body
+    finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Stage a finite DataFrame as a file stream and drain it through
     * `build` into a memory sink in one `Trigger.Once` micro-batch.
     * The sink's rows are spilled to scratch parquet and the in-memory
@@ -69,15 +126,17 @@ object StreamingQueries {
     // sink parquet directly; the driver never holds rows. Complete
     // mode delivers the FULL result as the one Trigger.Once batch, so
     // overwrite-per-batch is exact for both modes.
-    val q = out.writeStream
-      .outputMode(mode)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("overwrite").parquet(s"$base/out")
-      }
-      .option("checkpointLocation", s"$base/ckpt")
-      .trigger(Trigger.Once())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(s, Seq(s"$base/in")) {
+      val q = out.writeStream
+        .outputMode(mode)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(s"$base/out")
+        }
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.Once())
+        .start()
+      q.awaitTermination()
+    }
     deleteRec(java.nio.file.Paths.get(s"$base/in"))
     deleteRec(java.nio.file.Paths.get(s"$base/ckpt"))
     // $base/out must OUTLIVE this call (the returned DataFrame reads
@@ -155,13 +214,16 @@ object StreamingQueries {
     val stream = s.readStream.schema(input.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(inDir)
-    val q = build(stream).writeStream
-      .format("memory").queryName(sink)
-      .outputMode(mode)
-      .option("checkpointLocation", s"$base/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val q = withStatePartitions(s, Seq(inDir)) {
+      val q0 = build(stream).writeStream
+        .format("memory").queryName(sink)
+        .outputMode(mode)
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q0.awaitTermination()
+      q0
+    }
     val nonEmpty = q.recentProgress.toSeq.filter(_.numInputRows > 0)
     require(nonEmpty.size >= batches,
       s"runMultiBatchState($tag): expected >= $batches non-empty " +
@@ -197,13 +259,16 @@ object StreamingQueries {
     val stream = s.readStream.schema(input.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(inDir)
-    val q = build(stream).writeStream
-      .format("memory").queryName(sink)
-      .outputMode(mode)
-      .option("checkpointLocation", s"$base/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val q = withStatePartitions(s, Seq(inDir)) {
+      val q0 = build(stream).writeStream
+        .format("memory").queryName(sink)
+        .outputMode(mode)
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q0.awaitTermination()
+      q0
+    }
     val observed = q.recentProgress.count(_.numInputRows > 0)
     require(observed >= batches,
       s"runMultiBatch($tag): expected >= $batches non-empty " +
@@ -247,14 +312,17 @@ object StreamingQueries {
       s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(dir)
-    val q = build(src(dirA, inputA.schema), src(dirB, inputB.schema))
-      .writeStream
-      .format("memory").queryName(sink)
-      .outputMode(mode)
-      .option("checkpointLocation", s"$base/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val q = withStatePartitions(s, Seq(dirA, dirB)) {
+      val q0 = build(src(dirA, inputA.schema), src(dirB, inputB.schema))
+        .writeStream
+        .format("memory").queryName(sink)
+        .outputMode(mode)
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q0.awaitTermination()
+      q0
+    }
     val observed = q.recentProgress.count(_.numInputRows > 0)
     require(observed >= batches,
       s"runMultiBatchTwo($tag): expected >= $batches non-empty " +
@@ -296,14 +364,17 @@ object StreamingQueries {
       s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(dir)
-    val q = build(src(dirA, inputA.schema), src(dirB, inputB.schema))
-      .writeStream
-      .format("memory").queryName(sink)
-      .outputMode(mode)
-      .option("checkpointLocation", s"$base/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val q = withStatePartitions(s, Seq(dirA, dirB)) {
+      val q0 = build(src(dirA, inputA.schema), src(dirB, inputB.schema))
+        .writeStream
+        .format("memory").queryName(sink)
+        .outputMode(mode)
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q0.awaitTermination()
+      q0
+    }
     val nonEmpty = q.recentProgress.toSeq.filter(_.numInputRows > 0)
     require(nonEmpty.size >= batches,
       s"runMultiBatchTwoState($tag): expected >= $batches non-empty " +
@@ -449,13 +520,16 @@ object StreamingQueries {
     val stream = s.readStream.schema(input.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(inDir)
-    val q = stream.writeStream
-      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-                       bid: Long) => perBatchId(df, bid) }
-      .option("checkpointLocation", s"$base/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val q = withStatePartitions(s, Seq(inDir)) {
+      val q0 = stream.writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                         bid: Long) => perBatchId(df, bid) }
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q0.awaitTermination()
+      q0
+    }
     val observed = q.recentProgress.count(_.numInputRows > 0)
     require(observed >= batches,
       s"runMultiBatchForeach($tag): expected >= $batches non-empty " +
