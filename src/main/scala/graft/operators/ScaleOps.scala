@@ -207,6 +207,16 @@ object ScaleOps {
       val vertices = pairs.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
       return vertices.toSeq.sorted.map(v => (v, find(v))).toDF("id", "rep")
     }
+    // Iterative path only: lay the edge table out by the per-round
+    // join key (hash by dst + sort, explicit count so AQE cannot
+    // re-coalesce it) — every propagation round joins on dst, so the
+    // edge side pays zero exchanges and zero sorts after this one
+    // (guide §2.4); only the vertex-sized label table moves per round.
+    // The short-circuit path above never pays this extra pass.
+    val bothByDst = stage(both
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("dst"))
+      .sortWithinPartitions("dst"))
     var labels = stage(both.select(col("src").as("id")).distinct()
       .withColumn("lab", col("id")))
     def labelSum(): Long =
@@ -215,7 +225,7 @@ object ScaleOps {
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      val nbrMin = both
+      val nbrMin = bothByDst
         .join(labels.select(col("id").as("dst"), col("lab").as("nlab")),
           Seq("dst"))
         .groupBy(col("src").as("id"))

@@ -72,8 +72,11 @@ object MultimodalQueries {
           (col("n_chars") % 640 + 32).cast("int").as("width"),
           (col("n_chars") % 480 + 32).cast("int").as("height"))
         .as[M.MediaRow]
+      // materialized once: kmeans + the probe run ~6 actions over this
+      // frame (q291's rationale; narrow metadata rows)
       val feats = M.extractFeaturesMd5(media).toDF()
         .select(col("media_id").as("vec_id"), col("feature").as("v"))
+        .localCheckpoint()
       val batch = feats.filter(col("vec_id") % 10 === 0)
       val corpus = feats.filter(col("vec_id") % 10 =!= 0)
       val distinctCorpus = corpus.groupBy("v")
@@ -117,10 +120,15 @@ object MultimodalQueries {
           M.ImageRow(id, codec.encodePngRows(16, 16, y => rr(y)))
         }
       }
+      // materialize the features ONCE: kmeans + the probe run ~6
+      // actions over this frame, and without the cut every action
+      // re-paid the whole PNG encode→decode chain (guide §5 caching:
+      // reused AND expensive to recompute; 5k rows × 8 doubles)
       val feats = M.decodeBandSums(imgs, 8).toDF()
         .select(col("media_id").as("vec_id"),
           expr("transform(bands, s -> cast(s - 12240 as double) / 65536.0D)")
             .as("v"))
+        .localCheckpoint()
       val batch = feats.filter(col("vec_id") % 10 === 0)
       val corpus = feats.filter(col("vec_id") % 10 =!= 0)
       val distinctCorpus = corpus.groupBy("v")

@@ -213,6 +213,12 @@ object TextQueries {
     */
   private def subsetContainment(s: SparkSession, dir: String,
                                 strategy: String): DataFrame = {
+    // (Optimization-round probe, kept as a finding: pinning explicit
+    // partition counts on these checkpoints to defeat AQE's
+    // coalesce-to-1 was measured SLOWER at sf0.1 — wall 3.4-4.4 s
+    // serial vs 4.8-8.4 s spread — the per-task constants of ~300
+    // extra tasks outweigh the spread of this corpus's per-set work,
+    // and at big SFs the scan arrives pre-split anyway. Left serial.)
     val d = t(s, dir, "documents")
       .select(col("doc_id"), G.sortedWordSet(col("text")).as("ws"))
       .filter(size(col("ws")) > 0)
@@ -224,6 +230,12 @@ object TextQueries {
     val members = d.select("doc_id", "fp")
       .join(sets.select("fp", "sid"), "fp")
       .select(col("doc_id"), col("sid"))
+    // EXPLICIT partition count: with the count unspecified AQE
+    // re-coalesces this exchange by BYTES, and candidate rows are
+    // cheap-bytes / expensive-compute (array_except verify) — probed
+    // at sf0.1 the whole verify collapsed back to ONE task (wall ≈
+    // serial task time). A user-pinned count is exempt from AQE
+    // coalescing and scales with the session's shuffle partitions.
     val cand = containmentCandidates(sets, strategy)
       .repartition(col("sid_a"))
     val wsBySid = sets.select(col("sid"), col("ws"))
@@ -450,8 +462,16 @@ object TextQueries {
       val d = t(s, dir, "documents")
         .select(col("doc_id"), col("lang"),
           G.sortedWordSet(col("text")).as("ws"))
+      // spread the probe side BEFORE the block join: the doc table is
+      // one parquet split, and the build side broadcasts, so without
+      // this the whole pair verify ran as ONE task (probed: 4 tasks
+      // total, wall ≈ serial task time). Explicit count: AQE would
+      // coalesce a byte-sized exchange back under the per-pair
+      // jaccard compute.
       val a = d.select(col("doc_id").as("doc_a"), col("lang"),
         col("ws").as("ws_a"))
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+          col("doc_a"))
       val b = d.select(col("doc_id").as("doc_b"), col("lang"),
         col("ws").as("ws_b"))
       a.join(b, Seq("lang"))
