@@ -64,9 +64,14 @@ object StepRunner {
       .repartition(parallelism)
       .mapPartitions { pids => step.processPartition(pids) }
       .cache()
-    val nTotal = results.count()
+    // one action for both tallies (total, succeeded) instead of two
+    // full passes — the loop pays per-job driver constants 2 steps ×
+    // N ticks times, so fused counts halve that phase's job count
+    val cnt = results.toDF().agg(count(lit(1)),
+      coalesce(sum(when(col("success"), 1L).otherwise(0L)), lit(0L)))
+      .head()
+    val (nTotal, nOk) = (cnt.getLong(0), cnt.getLong(1))
     val ok = results.filter(_.success)
-    val nOk = ok.count()
     if (nOk > 0) {
       val okPids = ok.toDF().select(col("PID"))
       val updated = cat.scenes.join(okPids, Seq("PID"), "left_semi")

@@ -95,17 +95,27 @@ object PagedCatalogSource {
               s"maxPages or narrow the temporal/bbox window")
           if (nPages <= 1) spark.emptyDataset[(String, String, Int, String)]
             .toDF("product", "version", "page_num", "entry_json")
-          else
-            // partition-per-page: each task fetches exactly ONE page
-            // and the granule JSON never visits the driver — a 10k-
-            // page backfill is a 10k-task stage feeding the parse
-            // and ingest directly
+          else {
+            // parallel fan-out: pages are fetched ON EXECUTORS and the
+            // granule JSON never visits the driver. Task width is
+            // capped at 4× the cluster's core count rather than one
+            // task per page: concurrent fetches are bounded by cores
+            // either way, so partition-per-page only added a per-page
+            // task-scheduling constant (a 10k-page backfill was 10k
+            // ~RTT-sized tasks; probed at sf0.1 the 3k-page gate spent
+            // more driver time scheduling than fetching). 4×
+            // oversubscription keeps retry granularity and straggler
+            // back-fill; pages within a task fetch sequentially, as
+            // the reference's loop did for ALL of them.
+            val width = math.max(1, math.min(nPages.toInt - 1,
+              spark.sparkContext.defaultParallelism * 4))
             spark.createDataset(2 to nPages.toInt)
-              .repartition(nPages.toInt - 1)
+              .repartition(width)
               .flatMap { pn =>
                 fetcher.fetch(req0.copy(pageNum = pn)).entries
                   .map(e => (product, version, pn, e))
               }.toDF("product", "version", "page_num", "entry_json")
+          }
         case None =>
           // no hit count: the reference's sequential loop, verbatim —
           // fetch until a short/empty page, loudly bounded by maxPages

@@ -852,7 +852,8 @@ class PartitionedCowTable(val root: String, val partCol: String,
                      resetSchema: Boolean = false,
                      narrowRead: Boolean = false,
                      keyProbe: Option[(Seq[Entry], String) => Boolean] =
-                       None)
+                       None,
+                     preShaped: Boolean = false)
       : Unit = {
     val spec = currentPartCol
     val base0 = currentVersion
@@ -879,6 +880,16 @@ class PartitionedCowTable(val root: String, val partCol: String,
     // could delete the winner's committed files mid-write — the
     // dir-name collision fails the loser before shared state is touched
     val stage = s"_stage_${java.util.UUID.randomUUID()}"
+    // (Optimization-round probe, kept as a finding: hash-clustering
+    // this write by (__part, content-salt) — Iceberg's distribution-
+    // mode=hash — was measured SLOWER at gate scale (q226 5.7 → 9.6 s
+    // steady): the stage-write phase is dominated by the commit's
+    // input-side compute (the touched partitions' post-image
+    // read/union/filter), not by file fan-out, and the extra exchange
+    // + per-task writer setup cost more than the serial dynamic write
+    // saved. File-count layout remains [[compact]]'s job (targetBytes
+    // sizing), where the rewrite IS the point. preShaped is its
+    // opt-out should commit-side shaping ever return.)
     tphase("stage write")(data
       .withColumn("__part", col(spec).cast("string"))
       .write.partitionBy("__part").mode("overwrite").parquet(s"$root/$stage"))
@@ -1798,7 +1809,7 @@ class PartitionedCowTable(val root: String, val partCol: String,
       }
     commit(shaped, touched,
       currentEntriesOrEmpty.filterNot(legacy.contains),
-      narrowRead = true)
+      narrowRead = true, preShaped = true)
   }
 
   /** OPTIMIZE ZORDER BY for an EXISTING table (q285 demonstrates the
