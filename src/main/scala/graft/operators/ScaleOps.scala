@@ -207,16 +207,17 @@ object ScaleOps {
       val vertices = pairs.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
       return vertices.toSeq.sorted.map(v => (v, find(v))).toDF("id", "rep")
     }
-    // Iterative path only: lay the edge table out by the per-round
-    // join key (hash by dst + sort, explicit count so AQE cannot
-    // re-coalesce it) — every propagation round joins on dst, so the
-    // edge side pays zero exchanges and zero sorts after this one
-    // (guide §2.4); only the vertex-sized label table moves per round.
-    // The short-circuit path above never pays this extra pass.
+    // Iterative path only: pin the edge table's block parallelism
+    // before the per-round loop (explicit repartition is exempt from
+    // AQE coalescing, which otherwise collapses the tiny distinct
+    // exchange to ~1 partition and the checkpoint freezes it — every
+    // round then reads a near-serial edge side). The short-circuit
+    // path above never pays this extra pass.
     val bothByDst = stage(both
       .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt,
         col("dst"))
-      .sortWithinPartitions("dst"))
+      .sortWithinPartitions("dst")) // sorted blocks compress smaller
+      // through every round's exchange and pre-sort the SMJ runs
     var labels = stage(both.select(col("src").as("id")).distinct()
       .withColumn("lab", col("id")))
     def labelSum(): Long =

@@ -657,19 +657,23 @@ object CoverageQueries {
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
         .distinct()
-      // Lay the reused edge table out by the PER-ROUND join key once
-      // (guide §2.4: operations keyed the same way share one exchange;
-      // localCheckpoint preserves partitioning AND ordering): every
-      // power iteration joins edges on `p`, so hash+sort by p here
-      // turns 3 per-round edge exchanges+sorts into zero — only the
-      // vertex-sized rank table moves per round. Explicit count so
-      // AQE cannot re-coalesce below the join's partitioning.
+      // Pin the reused edge table's BLOCK PARALLELISM before the
+      // checkpoint (guide §2.5): AQE coalesces the byte-tiny distinct
+      // exchange to ~1 partition, localCheckpoint freezes that, and
+      // every power iteration then reads a near-serial edge side.
+      // An explicit repartition is exempt from AQE coalescing, so the
+      // checkpointed blocks carry the session's width into all 3
+      // rounds (measured 5.1 → 3.2 s at sf0.1). Under AQE the
+      // checkpoint does NOT preserve partitioning metadata, so the
+      // per-round exchange itself remains — parallel, which is the
+      // point (PlanQualitySpec pins the block-count property).
       val nShuf = s.conf.get("spark.sql.shuffle.partitions").toInt
       val edges = li.join(li.select(col("ok"), col("p").as("q")), "ok")
         .filter(col("p") =!= col("q"))
         .select("p", "q").distinct()
         .repartition(nShuf, col("p"))
-        .sortWithinPartitions("p")
+        .sortWithinPartitions("p") // sorted blocks: ~15% smaller
+        // exchanges + pre-sorted SMJ runs every round
         .localCheckpoint(true)
       val deg = edges.groupBy("p").agg(count(lit(1)).as("outdeg"))
         .localCheckpoint(true)
@@ -1936,12 +1940,12 @@ object CoverageQueries {
       val edges = li.alias("a").join(li.alias("b"),
           col("a.ok") === col("b.ok") && col("a.p") =!= col("b.p"))
         .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
-        // BFS joins edges on u every round (up to 15): hash+sort by u
-        // once so the frontier join re-shuffles only the frontier
-        // (guide §2.4; q134's device)
+        // explicit width before the checkpoint (q134's device): BFS
+        // reads this edge table up to 15 rounds, and an AQE-coalesced
+        // checkpoint would feed every round a near-serial edge side
         .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
           col("u"))
-        .sortWithinPartitions("u")
+        .sortWithinPartitions("u") // q134's note: compression + runs
         .localCheckpoint()
       val nodes = edges.select(col("u").as("node")).distinct()
         .localCheckpoint()
@@ -2271,14 +2275,16 @@ object CoverageQueries {
         col("x.o") === col("y.o") && col("x.p") < col("y.p"))
         .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
       val und = SO.stage( // reused by all rounds; DISK_ONLY under the
-        // single-JVM probe flag (see ScaleOps.stage). Laid out by the
-        // per-round join key (hash+sort by b, explicit count): 5
-        // rounds join und on b, so the edge side pays zero exchanges
-        // and zero sorts after this one (guide §2.4; q134's device)
+        // single-JVM probe flag (see ScaleOps.stage). Explicit
+        // repartition before the checkpoint (q134's device): AQE
+        // coalesces the union's tiny exchange to ~1 partition and the
+        // checkpoint freezes it, near-serializing all 5 rounds' edge
+        // side (measured 8.3 → 4.7 s at sf0.1)
         e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
           .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
             col("b"))
-          .sortWithinPartitions("b"))
+          .sortWithinPartitions("b")) // sorted blocks: smaller
+          // exchanges + pre-sorted SMJ runs every round (q134's note)
       var labels = und.select(col("a").as("node")).distinct()
         .withColumn("lbl", col("node"))
       for (_ <- 1 to rounds) {

@@ -53,8 +53,8 @@ object StreamingQueries {
     * State-partition count is pinned per checkpoint; every harness run
     * uses a fresh checkpoint, so re-sizing between calls is safe.
     */
-  private def statePartitionsFor(s: SparkSession,
-                                 stagedDirs: Seq[String]): Int = {
+  private[graft] def statePartitionsFor(s: SparkSession,
+                                        stagedDirs: Seq[String]): Int = {
     val bytes = stagedDirs.map { d =>
       val p = java.nio.file.Paths.get(d)
       if (!java.nio.file.Files.isDirectory(p)) 0L

@@ -1124,4 +1124,29 @@ class PlanQualitySpec extends SparkSpec {
     assert(!pfPlan.contains("Window"), pfPlan)
     assert("HashAggregate".r.findAllIn(pfPlan).length >= 4, pfPlan)
   }
+
+  // r14 optimization round: the iterative-graph parallelism device
+  // (q134/q190/q178, ScaleOps.connectedComponents). A reused,
+  // checkpointed edge table must NOT inherit AQE's coalesce-to-1 of
+  // its byte-tiny build exchange: an explicit repartition(N, key) is
+  // exempt from coalescing, so the checkpoint's blocks — which every
+  // iteration round re-reads — carry the session's width. Two pins:
+  // (a) the explicit form keeps N blocks; (b) the AQE-coalescible
+  // form really does collapse on data this small (if a Spark upgrade
+  // stops coalescing it, the explicit repartition becomes redundant
+  // and this documents why it exists).
+  test("checkpointed edge table keeps the pinned block width; the " +
+    "coalescible form collapses") {
+    import org.apache.spark.sql.functions._
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val base = spark.range(0, 1000)
+      .select((col("id") % 97).as("src"), (col("id") % 89).as("dst"))
+    val pinned = base.repartition(n, col("dst")).localCheckpoint()
+    assert(pinned.rdd.getNumPartitions === n)
+    val coalescible = base.distinct().localCheckpoint()
+    assert(coalescible.rdd.getNumPartitions < n,
+      s"AQE no longer coalesces the tiny distinct exchange " +
+        s"(${coalescible.rdd.getNumPartitions} >= $n partitions) — " +
+        "re-evaluate the explicit repartition in q134/q190/q178/CC")
+  }
 }
