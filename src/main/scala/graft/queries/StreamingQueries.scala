@@ -520,7 +520,14 @@ object StreamingQueries {
     val stream = s.readStream.schema(input.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(inDir)
-    val q = withStatePartitions(s, Seq(inDir)) {
+    // NO state-partition sizing here (deliberate asymmetry with the
+    // memory-sink runners): this drain has no stateful operator — the
+    // per-batch work is EXTERNAL batch jobs (CoW commits, rollup
+    // refreshes) executed inside perBatchId, and shrinking the session
+    // shuffle partitions around them serializes that batch work for
+    // zero state-store savings (measured: q288 8.1 → 13.3 s in-suite
+    // with the sizing applied here; reverted to the session value).
+    val q = {
       val q0 = stream.writeStream
         .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                          bid: Long) => perBatchId(df, bid) }
