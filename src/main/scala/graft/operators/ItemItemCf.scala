@@ -102,7 +102,18 @@ object ItemItemCf {
       .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
       .agg(count(lit(1)).as("c"))
 
-  /** Cosine + symmetrize + top-k with the 6dp-then-tiebreak rank. */
+  /** Cosine + symmetrize + top-k with the 6dp-then-tiebreak rank.
+    * (r14 optimization probe, kept as a finding: materializing `sim`
+    * before the symmetrizing union — so the two branches don't each
+    * re-run the final pair aggregation — was measured NEUTRAL-to-worse
+    * on every arm at sf0.1: AQE already reuses the pair exchange
+    * across the branches (shuffle read dropped 254→166 MB staged, so
+    * the double-pass is only the post-exchange agg), and the staged
+    * pair blocks cost 8–13 s of GC in a 4 GB driver heap on the exact
+    * arm and flat overhead on the capped arms (q211 2.2→2.8 s).
+    * Left lazy; Spark 4's partial WindowGroupLimit already bounds the
+    * union's window input map-side.)
+    */
   private def rankTopK(sim: DataFrame, k: Int): DataFrame = {
     val both = sim.unionByName(
       sim.select(col("p2").as("p1"), col("p1").as("p2"), col("cosine")))

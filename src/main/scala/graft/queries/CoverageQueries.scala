@@ -3012,6 +3012,9 @@ object CoverageQueries {
         .select(col("p1"), col("p2"),
           round(col("c") * M.toDouble / col("pq") /
             sqrt(col("n1") * col("n2")), 6).as("cosine_est"))
+      // NOT staged before the symmetrizing union: block
+      // materialization measured slower than the per-branch re-agg
+      // (ItemItemCf.rankTopK's r14 note; here 10.4 staged vs 9.6 lazy)
       val both = sim.unionByName(sim.select(col("p2").as("p1"),
         col("p1").as("p2"), col("cosine_est")))
       val w = Window.partitionBy("p1")
