@@ -30,6 +30,24 @@ object Bench {
     case _ => (med, mn, false)
   }
 
+  /** Wall-budget reservation for the post-suite solo re-measure
+    * phase (r14 verdict item 1): the r14 32-core sitting spent its
+    * whole budget in the suite (wall 1499/1500 s), the solo phase
+    * never ran, and the two heavies published contended in-suite
+    * medians ~2x their steady state — ~30 s of headline that was
+    * measurement mode, not code. Reserve the estimated solo cost up
+    * front, the same way per-rep reservation already protects the
+    * suite tail: the phase re-runs drifted >1 s queries 3x
+    * back-to-back, and in practice only the costliest few qualify,
+    * so the reserve is 3 reps of the 8 largest >1 s estimates,
+    * capped at 15% of the budget. A hot sitting now degrades a few
+    * tail REPS (the cheap, already-designed path) instead of
+    * silently dropping the numbers that carry the heavies' headline.
+    */
+  private[graft] def soloReserve(ests: Seq[Double], budget: Double): Double =
+    math.min(0.15 * budget,
+      ests.filter(_ > 1.0).sorted.takeRight(8).map(_ * 3).sum)
+
   /** Which of `all` runs in this sitting given the SKIP / ONLY prefix
     * lists → (run, skipped). A name runs iff it matches some ONLY
     * prefix (when ONLY is set) and matches no SKIP prefix; SKIP wins
@@ -186,6 +204,11 @@ object Bench {
     // always gets at least one rep, so the artifact is complete even
     // when estimates undershoot.
     val estTail = names.scanRight(0.0)((n, acc) => acc + est(n))
+    // solo-phase reservation (r14 verdict item 1; see soloReserve).
+    // Env override for dev sittings; 0 disables.
+    val soloReserveSec = sys.env.get("SPARK_GRAFT_BENCH_SOLO_RESERVE_SEC")
+      .flatMap(v => scala.util.Try(v.trim.toDouble).toOption)
+      .getOrElse(Bench.soloReserve(names.map(est), budget))
     val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     var degraded = 0
     // Incremental artifact (round-13 lesson: the sf10 sitting that
@@ -207,7 +230,7 @@ object Bench {
       val fn = SparkEntry.queries(name)
       val e = est(name)
       val planned = flatReps.getOrElse(tier(e))
-      val room = budget - elapsed() - estTail(i + 1)
+      val room = budget - soloReserveSec - elapsed() - estTail(i + 1)
       val reps = math.max(1, math.min(planned,
         if (e <= 0) planned else math.floor(room / e).toInt))
       if (reps < planned) degraded += 1
@@ -266,8 +289,13 @@ object Bench {
         med > 1.0 && steadyRef(n).forall(p => med > 1.5 * p) }
       .sortBy { case (n, (med, _)) =>
         -steadyRef(n).map(med / _).getOrElse(med) }
+    // candidates the budget could not accommodate, shipped in the
+    // artifact so a skipped solo phase is explicit, never silent
+    // (r14 verdict item 2 — the reservation above should make this
+    // list empty in a full-budget sitting)
+    val soloSkipped = scala.collection.mutable.ArrayBuffer.empty[String]
     val solo = soloCandidates.flatMap { case (name, (med, _)) =>
-      if (elapsed() + 3 * med > budget) None
+      if (elapsed() + 3 * med > budget) { soloSkipped += name; None }
       else {
         val fn = SparkEntry.queries(name)
         val times = (1 to 3).flatMap { _ =>
@@ -332,7 +360,9 @@ object Bench {
     // of long output, and with 250+ queries the per-query map alone
     // exceeds 2000 chars — a leading "value" would be truncated away.
     val skippedJs = skipped.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"queries":$qs,"solo":$soloJs,"solo_prev":$soloPrevJs,"contended":$contendedJs,"suite_slow":$suiteSlowJs,"failed":$failedJs,"skipped":$skippedJs,"sf":"$sfDir","budget_sec":$budget,"wall_sec":${elapsed()},"degraded_reps":$degraded,"value_min_sum":$totalMin,"metric":"total","value":$total,"unit":"sec"}"""
+    val soloSkippedJs = soloSkipped.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    val line = s"""{"queries":$qs,"solo":$soloJs,"solo_prev":$soloPrevJs,"solo_skipped":$soloSkippedJs,"solo_reserve_sec":$soloReserveSec,"contended":$contendedJs,"suite_slow":$suiteSlowJs,"failed":$failedJs,"skipped":$skippedJs,"sf":"$sfDir","budget_sec":$budget,"wall_sec":${elapsed()},"degraded_reps":$degraded,"value_min_sum":$totalMin,"metric":"total","value":$total,"unit":"sec"}"""
     println(line)
     // Persist the COMPLETE line to a file the driver copies whole —
     // round-over-round comparisons should not depend on what survives

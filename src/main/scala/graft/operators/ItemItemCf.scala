@@ -91,6 +91,23 @@ object ItemItemCf {
   /** Map-side pair enumeration within each user's (sorted) basket —
     * array algebra, NOT a self-join: the only exchange left is the
     * (p1,p2) count itself, the exact-CF lower bound.
+    *
+    * The count aggregates AFTER an explicit (p1,p2) repartition, not
+    * through the default partial→exchange→final pipeline (r15, guide
+    * §2.3/§2.4): pairs are enumerated per USER, so a map partition
+    * almost never sees the same (p1,p2) twice — the r14 probe measured
+    * the map-side partial aggregate at combine factor ≈ 1, i.e. one
+    * full hash pass over every pair emission (12M rows at sf0.1) that
+    * reduced nothing, and the exchange carried the un-combined rows
+    * PLUS their count column anyway. Keying the exchange ourselves
+    * moves both aggregate passes above the shuffle, where equal keys
+    * are co-located: the first pass now combines fully and the second
+    * sees only distinct pairs. The exchange itself is the same
+    * one-shuffle lower bound, 8 bytes/row narrower (no count column).
+    * On basket profiles where pairs DO repeat within map partitions
+    * the lost map-side combine costs shuffle rows — but repeated
+    * pairs are exactly what the capped/DIMSUM arms bound, and the
+    * exact arm's budget admits only sparse co-occurrence profiles.
     */
   private def pairCounts(pos: DataFrame): DataFrame =
     pos.groupBy("u").agg(sort_array(collect_list("p")).as("sp"))
@@ -99,24 +116,34 @@ object ItemItemCf {
           |  transform(slice(sp, i + 2, size(sp)), b ->
           |    named_struct('p1', a, 'p2', b))))""".stripMargin))
         .as("pr"))
-      .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+      .select(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+      .repartition(col("p1"), col("p2"))
+      .groupBy("p1", "p2")
       .agg(count(lit(1)).as("c"))
 
   /** Cosine + symmetrize + top-k with the 6dp-then-tiebreak rank.
-    * (r14 optimization probe, kept as a finding: materializing `sim`
-    * before the symmetrizing union — so the two branches don't each
-    * re-run the final pair aggregation — was measured NEUTRAL-to-worse
-    * on every arm at sf0.1: AQE already reuses the pair exchange
-    * across the branches (shuffle read dropped 254→166 MB staged, so
-    * the double-pass is only the post-exchange agg), and the staged
-    * pair blocks cost 8–13 s of GC in a 4 GB driver heap on the exact
-    * arm and flat overhead on the capped arms (q211 2.2→2.8 s).
-    * Left lazy; Spark 4's partial WindowGroupLimit already bounds the
-    * union's window input map-side.)
+    *
+    * Symmetrization is an EXPLODE of both orientations from one pass
+    * over `sim`, not a self-union (r15, guide §1.2): the union form
+    * planned the whole pair subtree TWICE — AQE reused the pair
+    * EXCHANGE across the branches, but each branch still re-ran the
+    * post-exchange aggregation and the cosine joins (r14 probe: 144 MB
+    * shuffle written, 254 MB read — every exchange read twice). The
+    * r14 staging probe (localCheckpoint before the union) fixed the
+    * double-pass but paid 8–13 s of GC materializing 12M-row blocks
+    * and was reverted; explode(array(fwd, rev)) removes the duplicate
+    * subtree STATICALLY — same two rows per similarity, one plan, no
+    * materialization. Spark 4's partial WindowGroupLimit still bounds
+    * the window input map-side, now over the exploded stream.
     */
   private def rankTopK(sim: DataFrame, k: Int): DataFrame = {
-    val both = sim.unionByName(
-      sim.select(col("p2").as("p1"), col("p1").as("p2"), col("cosine")))
+    val both = sim.select(explode(array(
+        struct(col("p1").as("a"), col("p2").as("b"),
+          col("cosine").as("cosine")),
+        struct(col("p2").as("a"), col("p1").as("b"),
+          col("cosine").as("cosine")))).as("e"))
+      .select(col("e.a").as("p1"), col("e.b").as("p2"),
+        col("e.cosine").as("cosine"))
     val w = Window.partitionBy("p1").orderBy(col("cosine").desc, col("p2"))
     both.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -180,6 +207,11 @@ object ItemItemCf {
           col("p1"), col("p2"))), 1, 10), 16, 10).cast("long") <
           col("pq") * M)
     val sim = sampled
+      // n1/n2/pq are functions of (p1,p2), so clustering by (p1,p2)
+      // satisfies the full grouping key — same post-shuffle-aggregate
+      // device as pairCounts (the sampled stream is per-user too, so
+      // its map-side combine factor is also ≈ 1)
+      .repartition(col("p1"), col("p2"))
       .groupBy("p1", "p2", "n1", "n2", "pq")
       .agg(count(lit(1)).as("c"))
       .select(col("p1"), col("p2"),

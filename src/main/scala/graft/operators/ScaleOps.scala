@@ -33,6 +33,61 @@ object ScaleOps {
     else df.localCheckpoint()
   }
 
+  /** Scale-adaptive block width for a reused, checkpointed edge table
+    * (the iterative-graph loops: q134/q178/q190 and
+    * [[connectedComponents]]'s iterative path) — the
+    * statePartitionsFor pattern applied to graph rounds (r14 verdict
+    * item 5). The r14 device pinned the FULL session width (32) on
+    * every edge checkpoint to defeat AQE's coalesce-to-1; that
+    * restored round parallelism but the driver-to-driver comparison
+    * showed the full-width repartition+sort pass costing more than
+    * three near-serial rounds saved at sf0.1 (q134 3.63→4.27 s,
+    * q190 6.62→7.77 s). Width must track EDGE VOLUME, not core
+    * count: ceil(estBytes / spark.graft.graph.bytesPerEdgePartition)
+    * (default 8 MB, conf + env `SPARK_GRAFT_GRAPH_EDGE_PARTITION_BYTES`
+    * overridable), clamped to [1, session shuffle partitions] — a
+    * cluster sitting with thousands of shuffle partitions and a
+    * TB-scale edge table scales up automatically, a gate-scale graph
+    * gets 2-4 blocks instead of 32 single-digit-MB tasks, and width 1
+    * means "keep the coalesced shape, skip the spread pass entirely".
+    * `estBytes` only needs the right ORDER (callers pass the source
+    * table's on-disk bytes, or staged row count x row width); ceil +
+    * clamp absorb small-factor error.
+    */
+  def edgeWidth(s: org.apache.spark.sql.SparkSession,
+                estBytes: Long): Int = {
+    val per = s.conf.getOption("spark.graft.graph.bytesPerEdgePartition")
+      .orElse(sys.env.get("SPARK_GRAFT_GRAPH_EDGE_PARTITION_BYTES"))
+      .flatMap { v =>
+        val parsed = scala.util.Try(v.trim.toLong).toOption.filter(_ > 0)
+        if (parsed.isEmpty) System.err.println(
+          "[graft] ignoring malformed " +
+            "spark.graft.graph.bytesPerEdgePartition / " +
+            s"SPARK_GRAFT_GRAPH_EDGE_PARTITION_BYTES value '$v' — " +
+            "using the 8 MiB default")
+        parsed
+      }.getOrElse(8L << 20)
+    val cur = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    math.max(1, math.min(cur, math.ceil(estBytes.toDouble / per).toInt))
+  }
+
+  /** Recursive on-disk byte count of a file/dir (0 when absent) — the
+    * cheap input-size proxy [[edgeWidth]] callers hand it for tables
+    * whose edge list is derived from one source scan.
+    */
+  def pathBytes(path: String): Long = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) 0L
+    else if (java.nio.file.Files.isRegularFile(p)) p.toFile.length
+    else {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.mapToLong(f =>
+        if (java.nio.file.Files.isRegularFile(f)) f.toFile.length else 0L
+      ).sum()
+      finally walk.close()
+    }
+  }
+
   /** Salted equi-join for skewed keys: the build side is replicated
     * `salt` times, the probe side scatters each row to one replica, so
     * one hot key spreads over `salt` reducers instead of one straggler
@@ -207,19 +262,30 @@ object ScaleOps {
       val vertices = pairs.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
       return vertices.toSeq.sorted.map(v => (v, find(v))).toDF("id", "rep")
     }
-    // Iterative path only: pin the edge table's block parallelism
-    // before the per-round loop (explicit repartition is exempt from
-    // AQE coalescing, which otherwise collapses the tiny distinct
+    // Iterative path only: spread the edge table's blocks before the
+    // per-round loop (explicit repartition is exempt from AQE
+    // coalescing, which otherwise collapses the tiny distinct
     // exchange to ~1 partition and the checkpoint freezes it — every
-    // round then reads a near-serial edge side). The short-circuit
-    // path above never pays this extra pass.
-    val bothByDst = stage(both
-      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt,
-        col("dst"))
-      .sortWithinPartitions("dst")) // sorted blocks compress smaller
-      // through every round's exchange and pre-sort the SMJ runs
-    var labels = stage(both.select(col("src").as("id")).distinct()
+    // round then reads a near-serial edge side). Width is SIZE-GATED
+    // ([[edgeWidth]], r14 verdict item 5): `both` is already staged,
+    // so its row count is a ~free action, and 16 bytes approximates
+    // one (long, long) row's shuffle weight. Width 1 keeps the
+    // coalesced blocks as-is — the spread pass at full session width
+    // was a measured net cost on small graphs. The short-circuit
+    // path above never pays any of this.
+    val w = edgeWidth(spark, 16L * both.count())
+    val bothByDst =
+      if (w <= 1) both
+      else stage(both.repartition(w, col("dst"))
+        .sortWithinPartitions("dst")) // sorted blocks compress smaller
+        // through every round's exchange and pre-sort the SMJ runs
+    var labels = stage(bothByDst.select(col("src").as("id")).distinct()
       .withColumn("lab", col("id")))
+    // `both` is dead once the spread copy and the label init are
+    // materialized (r14 advice: holding TWO staged copies of the edge
+    // table for the whole run doubles edge storage at exactly the
+    // scale this path targets)
+    if (!(bothByDst eq both)) both.unpersist(false)
     def labelSum(): Long =
       labels.agg(coalesce(sum("lab"), lit(0L))).head().getLong(0)
     var lastSum = labelSum()

@@ -657,22 +657,30 @@ object CoverageQueries {
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
         .distinct()
-      // Pin the reused edge table's BLOCK PARALLELISM before the
+      // Spread the reused edge table's BLOCK PARALLELISM before the
       // checkpoint (guide §2.5): AQE coalesces the byte-tiny distinct
       // exchange to ~1 partition, localCheckpoint freezes that, and
       // every power iteration then reads a near-serial edge side.
-      // An explicit repartition is exempt from AQE coalescing, so the
-      // checkpointed blocks carry the session's width into all 3
-      // rounds (measured 5.1 → 3.2 s at sf0.1). Under AQE the
-      // checkpoint does NOT preserve partitioning metadata, so the
-      // per-round exchange itself remains — parallel, which is the
-      // point (PlanQualitySpec pins the block-count property).
-      val nShuf = s.conf.get("spark.sql.shuffle.partitions").toInt
-      val edges = li.join(li.select(col("ok"), col("p").as("q")), "ok")
+      // An explicit repartition is exempt from AQE coalescing — but
+      // the r14 full-session-width form (32) was a driver-measured
+      // NET COST at sf0.1 (3.63 → 4.27 s r13→r14: the 32-wide
+      // repartition+sort pass outweighed three near-serial rounds),
+      // so r15 SIZE-GATES the width (ScaleOps.edgeWidth, the
+      // statePartitionsFor pattern): edge bytes are the same order as
+      // the lineitem scan they derive from, so the source's on-disk
+      // bytes pick 2-4 blocks at gate scale and saturate the session
+      // width on cluster-scale inputs. Width 1 skips the spread
+      // entirely (the coalesced shape was the cheaper plan there).
+      // Under AQE the checkpoint does NOT preserve partitioning
+      // metadata, so the per-round exchange itself remains — parallel,
+      // which is the point (PlanQualitySpec pins both properties).
+      val w = SO.edgeWidth(s, SO.pathBytes(s"$dir/lineitem.parquet"))
+      val edges0 = li.join(li.select(col("ok"), col("p").as("q")), "ok")
         .filter(col("p") =!= col("q"))
         .select("p", "q").distinct()
-        .repartition(nShuf, col("p"))
-        .sortWithinPartitions("p") // sorted blocks: ~15% smaller
+      val edges = (if (w <= 1) edges0
+        else edges0.repartition(w, col("p"))
+          .sortWithinPartitions("p")) // sorted blocks: ~15% smaller
         // exchanges + pre-sorted SMJ runs every round
         .localCheckpoint(true)
       val deg = edges.groupBy("p").agg(count(lit(1)).as("outdeg"))
@@ -1937,15 +1945,19 @@ object CoverageQueries {
       val li = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
         .distinct()
-      val edges = li.alias("a").join(li.alias("b"),
+      // size-gated width before the checkpoint (q134's r15 device —
+      // ScaleOps.edgeWidth from the source scan's bytes): BFS reads
+      // this edge table up to 15 rounds, and an AQE-coalesced
+      // checkpoint would feed every round a near-serial edge side;
+      // the r14 full-session-width spread was a measured net cost at
+      // gate scale, so the width tracks edge volume instead
+      val wE = SO.edgeWidth(s, SO.pathBytes(s"$dir/lineitem.parquet"))
+      val edges0 = li.alias("a").join(li.alias("b"),
           col("a.ok") === col("b.ok") && col("a.p") =!= col("b.p"))
         .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
-        // explicit width before the checkpoint (q134's device): BFS
-        // reads this edge table up to 15 rounds, and an AQE-coalesced
-        // checkpoint would feed every round a near-serial edge side
-        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
-          col("u"))
-        .sortWithinPartitions("u") // q134's note: compression + runs
+      val edges = (if (wE <= 1) edges0
+        else edges0.repartition(wE, col("u"))
+          .sortWithinPartitions("u")) // q134's note: compression + runs
         .localCheckpoint()
       val nodes = edges.select(col("u").as("node")).distinct()
         .localCheckpoint()
@@ -2274,15 +2286,20 @@ object CoverageQueries {
       val e = items.as("x").join(items.as("y"),
         col("x.o") === col("y.o") && col("x.p") < col("y.p"))
         .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
-      val und = SO.stage( // reused by all rounds; DISK_ONLY under the
-        // single-JVM probe flag (see ScaleOps.stage). Explicit
-        // repartition before the checkpoint (q134's device): AQE
-        // coalesces the union's tiny exchange to ~1 partition and the
-        // checkpoint freezes it, near-serializing all 5 rounds' edge
-        // side (measured 8.3 → 4.7 s at sf0.1)
+      // size-gated spread before the checkpoint (q134's r15 device):
+      // AQE coalesces the union's tiny exchange to ~1 partition and
+      // the checkpoint freezes it, near-serializing all 5 rounds'
+      // edge side — but the r14 full-session-width spread was itself
+      // a driver-measured net cost at sf0.1 (6.62 → 7.77 s), so the
+      // width tracks edge volume (ScaleOps.edgeWidth over the source
+      // scan's bytes; 1 = keep the coalesced shape)
+      val wE = SO.edgeWidth(s, SO.pathBytes(s"$dir/lineitem.parquet"))
+      val und0 =
         e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
-          .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
-            col("b"))
+      val und = SO.stage( // reused by all rounds; DISK_ONLY under the
+        // single-JVM probe flag (see ScaleOps.stage)
+        if (wE <= 1) und0
+        else und0.repartition(wE, col("b"))
           .sortWithinPartitions("b")) // sorted blocks: smaller
           // exchanges + pre-sorted SMJ runs every round (q134's note)
       var labels = und.select(col("a").as("node")).distinct()
@@ -3007,16 +3024,32 @@ object CoverageQueries {
             col("p1"), col("p2"))), 1, 10), 16, 10).cast("long") <
             col("pq") * M)
       val sim = sampled
+        // aggregate AFTER an explicit (p1,p2) repartition: the pair
+        // stream is per-user, so the default map-side partial agg
+        // combines ≈ nothing and just burns a hash pass over every
+        // sampled emission; post-shuffle both aggregate passes see
+        // co-located keys (ItemItemCf.pairCounts's r15 device —
+        // n1/n2/pq are functions of (p1,p2), so the narrower
+        // clustering satisfies the full grouping key)
+        .repartition(col("p1"), col("p2"))
         .groupBy("p1", "p2", "n1", "n2", "pq")
         .agg(count(lit(1)).as("c"))
         .select(col("p1"), col("p2"),
           round(col("c") * M.toDouble / col("pq") /
             sqrt(col("n1") * col("n2")), 6).as("cosine_est"))
-      // NOT staged before the symmetrizing union: block
-      // materialization measured slower than the per-branch re-agg
-      // (ItemItemCf.rankTopK's r14 note; here 10.4 staged vs 9.6 lazy)
-      val both = sim.unionByName(sim.select(col("p2").as("p1"),
-        col("p1").as("p2"), col("cosine_est")))
+      // symmetrize by EXPLODING both orientations from one pass, not
+      // a self-union (ItemItemCf.rankTopK's r15 device): the union
+      // planned the sampled-pair subtree twice — AQE reused the
+      // exchange but each branch re-ran the post-exchange aggregate —
+      // and the r14 staging probe (10.4 s staged vs 9.6 lazy) showed
+      // materializing blocks is the wrong fix at this row count
+      val both = sim.select(explode(array(
+          struct(col("p1").as("a"), col("p2").as("b"),
+            col("cosine_est").as("cosine_est")),
+          struct(col("p2").as("a"), col("p1").as("b"),
+            col("cosine_est").as("cosine_est")))).as("e"))
+        .select(col("e.a").as("p1"), col("e.b").as("p2"),
+          col("e.cosine_est").as("cosine_est"))
       val w = Window.partitionBy("p1")
         .orderBy(col("cosine_est").desc, col("p2"))
       both.withColumn("rank", row_number().over(w))

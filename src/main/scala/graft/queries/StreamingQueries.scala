@@ -66,9 +66,21 @@ object StreamingQueries {
         finally walk.close()
       }
     }.sum
+    // malformed overrides degrade LOUDLY to the default instead of
+    // throwing NumberFormatException from inside every streaming gate
+    // (r14 advice): the message names the knob so a typo'd sitting is
+    // diagnosable from stderr
     val per = s.conf.getOption("spark.graft.stream.bytesPerStatePartition")
       .orElse(sys.env.get("SPARK_GRAFT_STREAM_STATE_PARTITION_BYTES"))
-      .map(_.toLong).filter(_ > 0).getOrElse(8L << 20)
+      .flatMap { v =>
+        val parsed = scala.util.Try(v.trim.toLong).toOption.filter(_ > 0)
+        if (parsed.isEmpty) System.err.println(
+          "[graft] ignoring malformed " +
+            "spark.graft.stream.bytesPerStatePartition / " +
+            s"SPARK_GRAFT_STREAM_STATE_PARTITION_BYTES value '$v' — " +
+            "using the 8 MiB default")
+        parsed
+      }.getOrElse(8L << 20)
     val cur = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
     math.max(1, math.min(cur,
       math.ceil(bytes.toDouble / per).toInt))
@@ -81,6 +93,14 @@ object StreamingQueries {
     * checkpoint is created. Results are partition-count-invariant
     * (keyed state and `numRowsTotal` curves sum across partitions);
     * only the per-batch constant changes.
+    *
+    * SEQUENTIAL-HARNESS ASSUMPTION (r14 advice): this mutates the
+    * shared session's `spark.sql.shuffle.partitions` around the drain
+    * — a concurrent query on the same SparkSession could plan with
+    * the shrunk value, and nesting would restore the inner value.
+    * Bench/Verify/Probe run one query at a time and no gate nests
+    * drains, so the set/restore is sound here; a concurrent caller
+    * must clone the session (`s.cloneSession()`) and drain there.
     */
   private def withStatePartitions[T](s: SparkSession,
                                      stagedDirs: Seq[String])(body: => T): T = {

@@ -230,12 +230,16 @@ object TextQueries {
     val members = d.select("doc_id", "fp")
       .join(sets.select("fp", "sid"), "fp")
       .select(col("doc_id"), col("sid"))
-    // EXPLICIT partition count: with the count unspecified AQE
-    // re-coalesces this exchange by BYTES, and candidate rows are
-    // cheap-bytes / expensive-compute (array_except verify) — probed
-    // at sf0.1 the whole verify collapsed back to ONE task (wall ≈
-    // serial task time). A user-pinned count is exempt from AQE
-    // coalescing and scales with the session's shuffle partitions.
+    // Count DELIBERATELY unpinned (r14 advice — the earlier comment
+    // here claimed AQE exemption, wrongly): repartition(col) with no
+    // count is REPARTITION_BY_COL, which AQE coalesces by bytes, and
+    // the q73/q102 plan dumps show it folded into a coalescible
+    // exchange — at sf0.1 the verify does run near-serial. That is
+    // the MEASURED preference (finding above: pinning explicit counts
+    // on this family was 3.4-4.4 s serial vs 4.8-8.4 s spread — the
+    // per-task constants beat this corpus's per-set work). The
+    // repartition still keys the verify by sid_a so a bigger corpus,
+    // where AQE's byte targets stop coalescing, spreads it evenly.
     val cand = containmentCandidates(sets, strategy)
       .repartition(col("sid_a"))
     val wsBySid = sets.select(col("sid"), col("ws"))

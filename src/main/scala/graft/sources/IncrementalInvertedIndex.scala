@@ -41,8 +41,10 @@ import org.apache.spark.sql.functions._
   * under the corpus), plus the bucket-scoped index rewrite. Never a
   * corpus re-scan, never a full-index rewrite. Checkpoint discipline
   * is IncrementalRollup's: `_index_sync.json` is written AFTER the
-  * commits, so a crash replays an idempotent refresh (mergeSync
-  * no-ops on identical state).
+  * commits, so a crash replays an idempotent refresh (the serving
+  * tier's mergeSync no-ops on identical state; the partials tier's
+  * replacePartitions re-commits identical content — version bumps,
+  * content fixpoint).
   */
 class IncrementalInvertedIndex(val base: PartitionedCowTable,
                                indexRoot: String,
@@ -173,12 +175,15 @@ class IncrementalInvertedIndex(val base: PartitionedCowTable,
       val nAffected = affected.count()
       // 1. partials tier: partition-aligned reconcile — touched base
       //    partitions replaced wholesale, untouched carried by
-      //    reference
+      //    reference. replacePartitions, not mergeSync (r15, guide
+      //    §1.2): the touched set is KNOWN and fresh is their full
+      //    replacement content, so the declarative route's two full
+      //    partials reads + keyed full-outer diff (O(partition×term
+      //    rows), the r15 probe's largest partials-side cost) derived
+      //    nothing the manifest diff hadn't already said. One commit,
+      //    no read of superseded partials at all.
       if (!partials.exists) partials.overwrite(fresh)
-      else partials.mergeSync(
-        partials.read().filter(!col(pcol).isin(touched.toSeq: _*))
-          .unionByName(fresh),
-        Seq(pcol, "term"))
+      else partials.replacePartitions(touched, fresh)
       // 2. serving tier: re-merge ONLY affected terms from the updated
       //    partials, reconcile — mergeSync rewrites only buckets whose
       //    rows changed, and an affected-but-unchanged term diffs

@@ -89,7 +89,15 @@ class IncrementalRollup(val base: PartitionedCowTable,
         .unionByName(fresh)
     val iud =
       if (!summary.exists) { summary.overwrite(fresh); (-1L, -1L, -1L) }
-      else summary.mergeSync(source, dims)
+      // partition-scoped diff (r15, guide §1.2): outside `touched`
+      // the source rows ARE the summary's rows by construction (they
+      // were read from it two lines up), so the unrestricted
+      // mergeSync hashed and full-outer-joined the WHOLE summary —
+      // twice — to re-discover a change set this refresh derived
+      // from the manifest diff in the first place. The scoped form
+      // diffs only touched partitions (manifest-pruned on the table
+      // side) and returns identical I/U/D counts and content.
+      else summary.mergeSyncInPartitions(touched, source, dims)
     Files.write(syncFile, s"""{"base": $cur}""".getBytes("UTF-8"))
     (last.getOrElse(-1), changed.size, removed.size, iud)
   }

@@ -852,8 +852,7 @@ class PartitionedCowTable(val root: String, val partCol: String,
                      resetSchema: Boolean = false,
                      narrowRead: Boolean = false,
                      keyProbe: Option[(Seq[Entry], String) => Boolean] =
-                       None,
-                     preShaped: Boolean = false)
+                       None)
       : Unit = {
     val spec = currentPartCol
     val base0 = currentVersion
@@ -888,8 +887,9 @@ class PartitionedCowTable(val root: String, val partCol: String,
     // read/union/filter), not by file fan-out, and the extra exchange
     // + per-task writer setup cost more than the serial dynamic write
     // saved. File-count layout remains [[compact]]'s job (targetBytes
-    // sizing), where the rewrite IS the point. preShaped is its
-    // opt-out should commit-side shaping ever return.)
+    // sizing), where the rewrite IS the point. The probe's preShaped
+    // opt-out parameter was dead code and is gone — re-derive it from
+    // this note if commit-side shaping ever returns.)
     tphase("stage write")(data
       .withColumn("__part", col(spec).cast("string"))
       .write.partitionBy("__part").mode("overwrite").parquet(s"$root/$stage"))
@@ -1550,6 +1550,39 @@ class PartitionedCowTable(val root: String, val partCol: String,
         currentEntriesOrEmpty, narrowRead = true)
     }
 
+  /** Wholesale partition replacement — ONE commit that makes the
+    * named current-spec partitions' content equal `rows` (a value in
+    * `values` contributing no rows is dropped from the manifest; a
+    * partition value appearing in `rows` but not in `values` is
+    * replaced too — `touchedValues` over `rows` catches it, so the
+    * committed scope always covers the staged data), carrying every
+    * other partition by reference. The partition-ALIGNED maintenance
+    * reconcile (r15, guide §1.2; IncrementalInvertedIndex's partials
+    * tier): the caller already KNOWS which partitions are superseded
+    * and has their full replacement content in hand, so the
+    * declarative [[mergeSync]] route — two full table reads, a
+    * keyed full-outer diff with row hashing, two driver collects —
+    * re-derives information the caller started with, at a cost that
+    * grows with TABLE size instead of delta size. No diff, no read
+    * of superseded data at all: one pass over `rows` for the touched
+    * values plus the stage write. Refuses tables with legacy-spec
+    * dirs (replacement scope is defined in current-spec values;
+    * legacy rows would silently survive alongside the replacement).
+    */
+  def replacePartitions(values: Set[String], rows: DataFrame): Unit =
+    if (!exists) overwrite(rows)
+    else {
+      require(currentEntriesOrEmpty.forall(_.pcol == currentPartCol),
+        s"replacePartitions: $root has legacy-spec dirs — wholesale " +
+          "replacement is defined over current-spec values only; " +
+          "compact() first or use mergeSync")
+      val data = conformInput(rows)
+      // narrowRead: like append, the commit's affected scope IS the
+      // touched partitions, so an entry-disjoint winner can rebase
+      commit(data, values ++ touchedValues(data), currentEntriesOrEmpty,
+        narrowRead = true)
+    }
+
   /** PK upsert (J7): incoming rows replace same-key rows; untouched
     * PARTITIONS (not just rows) are carried by reference. On an
     * evolved table, legacy dirs holding touched keys are migrated
@@ -1695,7 +1728,37 @@ class PartitionedCowTable(val root: String, val partCol: String,
     * Same contract as upsert: a key's partition value never changes.
     */
   def mergeSync(source0: DataFrame,
-                keys: Seq[String]): (Long, Long, Long) = {
+                keys: Seq[String]): (Long, Long, Long) =
+    mergeSyncImpl(source0, keys, None)
+
+  /** [[mergeSync]] with the keyed diff RESTRICTED to the named
+    * partitions — the partition-aligned maintenance fast path (r15,
+    * guide §1.2/§2.3: don't hash and join rows that cannot have
+    * changed). Callers like [[IncrementalRollup]] build their source
+    * as `table.read().filter(untouched).unionByName(fresh)`: outside
+    * `values` the source rows ARE the table's rows by construction,
+    * so diffing them is pure overhead that grows with TABLE size
+    * instead of delta size. Here both diff sides restrict to
+    * `values` — the table side through manifest pruning
+    * ([[readWhere]], so untouched dirs are never even listed) — and
+    * the I/U/D counts, touched set and committed content are
+    * IDENTICAL to the unrestricted form exactly when the caller's
+    * assertion holds. Refuses tables with legacy-spec dirs (their
+    * rows cannot be partition-pruned, so the assertion is
+    * unverifiable); those callers use plain [[mergeSync]].
+    */
+  def mergeSyncInPartitions(values: Set[String], source0: DataFrame,
+                            keys: Seq[String]): (Long, Long, Long) = {
+    require(currentEntriesOrEmpty.forall(_.pcol == currentPartCol),
+      s"mergeSyncInPartitions: $root has legacy-spec dirs — the " +
+        "partition-scoped diff cannot prove them unchanged; use " +
+        "mergeSync")
+    mergeSyncImpl(source0, keys, Some(values))
+  }
+
+  private def mergeSyncImpl(source0: DataFrame, keys: Seq[String],
+                            scope: Option[Set[String]])
+      : (Long, Long, Long) = {
     if (!exists) { overwrite(source0); return (source0.count(), 0L, 0L) }
     val source = conformInput(source0)
     val cols = read().columns.sorted.toSeq
@@ -1706,8 +1769,14 @@ class PartitionedCowTable(val root: String, val partCol: String,
       df.select(keys.map(col) :+
         col(currentPartCol).cast("string").as(s"__v_$tag") :+
         xxhash64(cols.map(col): _*).as(s"__h_$tag"): _*)
-    val diff = hashed(source, "s")
-      .join(hashed(read(), "t"), keys, "full_outer")
+    val (srcSide, tgtSide) = scope match {
+      case Some(vs) =>
+        (source.filter(col(currentPartCol).cast("string")
+          .isInCollection(vs.toSeq)), readWhere(vs.contains))
+      case None => (source, read())
+    }
+    val diff = hashed(srcSide, "s")
+      .join(hashed(tgtSide, "t"), keys, "full_outer")
       .withColumn("__st",
         when(col("__h_t").isNull, "I")
           .when(col("__h_s").isNull, "D")
@@ -1809,7 +1878,7 @@ class PartitionedCowTable(val root: String, val partCol: String,
       }
     commit(shaped, touched,
       currentEntriesOrEmpty.filterNot(legacy.contains),
-      narrowRead = true, preShaped = true)
+      narrowRead = true)
   }
 
   /** OPTIMIZE ZORDER BY for an EXISTING table (q285 demonstrates the

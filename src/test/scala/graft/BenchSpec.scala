@@ -98,4 +98,19 @@ class BenchSpec extends AnyFunSuite {
     // empty ONLY set is "not set", not "run nothing"
     assert(Bench.selectNames(all, Set.empty, None)._1 === all)
   }
+
+  test("solo-phase reservation (r14 verdict item 1): 3 reps of the 8 " +
+    "largest >1 s estimates, capped at 15% of budget") {
+    // nothing over 1 s → nothing to re-measure → no reservation
+    assert(Bench.soloReserve(Seq(0.2, 0.9, 1.0), 1500.0) === 0.0)
+    // a handful of heavies: 3 reps each
+    assert(Bench.soloReserve(Seq(0.5, 2.0, 10.0), 1500.0) === 36.0)
+    // only the 8 largest count (the phase itself is budget-gated, so
+    // the reserve covers the worst drifters, not every mid-tier query)
+    val many = Seq.fill(20)(2.0) ++ Seq(10.0, 20.0)
+    assert(Bench.soloReserve(many, 1500.0) ===
+      3 * (10.0 + 20.0 + 6 * 2.0))
+    // the 15% cap keeps a heavy-tailed board from starving the suite
+    assert(Bench.soloReserve(Seq.fill(8)(100.0), 1500.0) === 225.0)
+  }
 }

@@ -63,4 +63,48 @@ class StatePartitionSizingSpec extends SparkSpec {
     } finally spark.conf
       .unset("spark.graft.stream.bytesPerStatePartition")
   }
+
+  test("a malformed override degrades to the 8 MB default instead of " +
+    "throwing from inside every gate (r14 advice)") {
+    val dir = dirWithBytes(100 * 1024)
+    spark.conf.set("spark.graft.stream.bytesPerStatePartition",
+      "eight-megabytes")
+    try assert(graft.queries.StreamingQueries
+      .statePartitionsFor(spark, Seq(dir)) === 1)
+    finally spark.conf
+      .unset("spark.graft.stream.bytesPerStatePartition")
+  }
+
+  // r15: the same rule applied to iterative-graph edge tables
+  // (ScaleOps.edgeWidth — q134/q178/q190/connectedComponents). Width 1
+  // means "keep the AQE-coalesced shape, skip the spread pass": the
+  // r14 full-session-width device was a driver-measured net cost at
+  // gate scale.
+  test("edgeWidth: tiny edge tables keep width 1, width grows with " +
+    "bytes and clamps at the session value") {
+    val cur = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    assert(graft.operators.ScaleOps.edgeWidth(spark, 100 * 1024) === 1)
+    assert(graft.operators.ScaleOps.edgeWidth(spark, 20L << 20) ===
+      math.min(3, cur))
+    assert(graft.operators.ScaleOps.edgeWidth(spark, 1L << 40) === cur)
+    // malformed override degrades to the default, like the streaming
+    // knob
+    spark.conf.set("spark.graft.graph.bytesPerEdgePartition", "lots")
+    try assert(graft.operators.ScaleOps.edgeWidth(spark, 100 * 1024) === 1)
+    finally spark.conf.unset("spark.graft.graph.bytesPerEdgePartition")
+  }
+
+  test("edgeWidth: per-partition byte target is conf-overridable; " +
+    "pathBytes counts files recursively and 0 when absent") {
+    spark.conf.set("spark.graft.graph.bytesPerEdgePartition",
+      (1L << 20).toString)
+    try {
+      val cur = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      assert(graft.operators.ScaleOps.edgeWidth(spark, 4L << 20) ===
+        math.min(4, cur))
+    } finally spark.conf.unset("spark.graft.graph.bytesPerEdgePartition")
+    val d = dirWithBytes(3 << 10)
+    assert(graft.operators.ScaleOps.pathBytes(d) === (3 << 10))
+    assert(graft.operators.ScaleOps.pathBytes("/nonexistent/graft") === 0L)
+  }
 }
