@@ -92,22 +92,18 @@ object ItemItemCf {
     * array algebra, NOT a self-join: the only exchange left is the
     * (p1,p2) count itself, the exact-CF lower bound.
     *
-    * The count aggregates AFTER an explicit (p1,p2) repartition, not
-    * through the default partial→exchange→final pipeline (r15, guide
-    * §2.3/§2.4): pairs are enumerated per USER, so a map partition
-    * almost never sees the same (p1,p2) twice — the r14 probe measured
-    * the map-side partial aggregate at combine factor ≈ 1, i.e. one
-    * full hash pass over every pair emission (12M rows at sf0.1) that
-    * reduced nothing, and the exchange carried the un-combined rows
-    * PLUS their count column anyway. Keying the exchange ourselves
-    * moves both aggregate passes above the shuffle, where equal keys
-    * are co-located: the first pass now combines fully and the second
-    * sees only distinct pairs. The exchange itself is the same
-    * one-shuffle lower bound, 8 bytes/row narrower (no count column).
-    * On basket profiles where pairs DO repeat within map partitions
-    * the lost map-side combine costs shuffle rows — but repeated
-    * pairs are exactly what the capped/DIMSUM arms bound, and the
-    * exact arm's budget admits only sparse co-occurrence profiles.
+    * (r15 optimization probe, kept as a finding: moving BOTH
+    * aggregate passes above an explicit (p1,p2) repartition — the
+    * "pre-bucketed pairs" idea, motivated by the map-side partial
+    * aggregate's measured combine factor ≈ 1 — was implemented and
+    * measured WORSE on every arm at sf0.1 (q290 steady taskTime
+    * 60 → 108 s, q214 60 → 72-128 s, GC 2-4 → 6-9 s/rep): the two
+    * post-shuffle hash aggregates run back-to-back in ONE stage, so
+    * each reduce task holds two live ~12M/N-entry hash maps instead
+    * of one small map-side map + one reduce map in separate stages,
+    * and the extra memory pressure cost more than the useless
+    * map-side combine pass it removed. Reverted; the default
+    * partial→exchange→final pipeline stays.)
     */
   private def pairCounts(pos: DataFrame): DataFrame =
     pos.groupBy("u").agg(sort_array(collect_list("p")).as("sp"))
@@ -117,7 +113,6 @@ object ItemItemCf {
           |    named_struct('p1', a, 'p2', b))))""".stripMargin))
         .as("pr"))
       .select(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
-      .repartition(col("p1"), col("p2"))
       .groupBy("p1", "p2")
       .agg(count(lit(1)).as("c"))
 
@@ -211,7 +206,6 @@ object ItemItemCf {
       // satisfies the full grouping key — same post-shuffle-aggregate
       // device as pairCounts (the sampled stream is per-user too, so
       // its map-side combine factor is also ≈ 1)
-      .repartition(col("p1"), col("p2"))
       .groupBy("p1", "p2", "n1", "n2", "pq")
       .agg(count(lit(1)).as("c"))
       .select(col("p1"), col("p2"),

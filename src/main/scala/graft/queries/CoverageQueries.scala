@@ -3024,14 +3024,10 @@ object CoverageQueries {
             col("p1"), col("p2"))), 1, 10), 16, 10).cast("long") <
             col("pq") * M)
       val sim = sampled
-        // aggregate AFTER an explicit (p1,p2) repartition: the pair
-        // stream is per-user, so the default map-side partial agg
-        // combines ≈ nothing and just burns a hash pass over every
-        // sampled emission; post-shuffle both aggregate passes see
-        // co-located keys (ItemItemCf.pairCounts's r15 device —
-        // n1/n2/pq are functions of (p1,p2), so the narrower
-        // clustering satisfies the full grouping key)
-        .repartition(col("p1"), col("p2"))
+        // (r15 probe, rejected: an explicit (p1,p2) repartition before
+        // this groupBy — post-shuffle double aggregation instead of
+        // the combine-factor-1 map-side partial — measured WORSE here
+        // and on every ItemItemCf arm; see pairCounts's finding note)
         .groupBy("p1", "p2", "n1", "n2", "pq")
         .agg(count(lit(1)).as("c"))
         .select(col("p1"), col("p2"),
