@@ -835,7 +835,19 @@ object StreamingQueries {
       val corpusSets = d.filter(col("doc_id") % 10 =!= 0)
         .groupBy("ws").agg(min("doc_id").as("osid"))
         .localCheckpoint()
-      val corpusIdx = IncrementalDedup.bandIndex(corpusSets, "osid", 128, 16)
+      // Spread the k=128 signature pass (r15, guide §2.5): AQE
+      // coalesces the distinct-set exchange to ~1 block at gate scale
+      // and the checkpoint freezes it, so the corpus index build (the
+      // expensive per-set minhash) ran as ONE task. The sets blocks
+      // are already materialized (MBs), so when they arrive narrower
+      // than the session width the re-spread is ~free; a corpus-scale
+      // frame arrives pre-split and skips it (block-count gate, no
+      // extra exchange at 100 TB).
+      val nShuf = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val corpusWide =
+        if (corpusSets.rdd.getNumPartitions >= nShuf) corpusSets
+        else corpusSets.repartition(nShuf, col("osid"))
+      val corpusIdx = IncrementalDedup.bandIndex(corpusWide, "osid", 128, 16)
         .localCheckpoint()
       val input = t(s, dir, "documents")
         .filter(col("doc_id") % 10 === 0)

@@ -320,6 +320,13 @@ object TextQueries {
     val members0 = d.join(sets.select(col("ws"), col("sid")), Seq("ws"))
       .select(col("sid"), col("doc_id"))
     val members = if (checkpointMaps) members0.localCheckpoint() else members0
+    // (r15 probe, rejected: spreading the checkpointed sets before
+    // the k=128 signature pass — q114's corpus-index device — was
+    // measured FLAT here, 6.8-8.4 s before vs 6.8-7.8 s after at
+    // sf0.1: q55's wall is the verify/fan-out joins and the CC
+    // short-circuit, not the signature pass. Left as-is; the lazy
+    // core (q30) additionally relies on exchange reuse across its
+    // repeated references.)
     val banded = sets
       .select(col("sid"), G.minhashSig(col("ws"), k).as("sig"))
       .select(col("sid"),
