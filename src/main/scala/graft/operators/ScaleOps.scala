@@ -53,6 +53,17 @@ object ScaleOps {
     * `estBytes` only needs the right ORDER (callers pass the source
     * table's on-disk bytes, or staged row count x row width); ceil +
     * clamp absorb small-factor error.
+    *
+    * MINIMUM-SPREAD gate (same-sitting A/B at sf0.1, cool box): a
+    * raw width of 2-3 is the worst of both worlds — the spread pass
+    * still costs a full exchange+sort of the edge table, but 2-3
+    * blocks buy almost no round parallelism over what AQE's own
+    * coalescing already leaves (q178 w=2 5.9-6.9 s vs w=1 3.4-4.2 s;
+    * q190 w=2 6.3-6.6 vs w=1 4.8-5.9). The spread only starts paying
+    * for itself when it buys >= 4 blocks (sf1, width 13: q190
+    * taskTime 403-584 s vs 481-676 unspread, shuffle 2 042 vs
+    * 2 368 MB — the sorted-block compression only exists when the
+    * spread runs). Below that the coalesced shape wins: return 1.
     */
   def edgeWidth(s: org.apache.spark.sql.SparkSession,
                 estBytes: Long): Int = {
@@ -68,7 +79,9 @@ object ScaleOps {
         parsed
       }.getOrElse(8L << 20)
     val cur = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    math.max(1, math.min(cur, math.ceil(estBytes.toDouble / per).toInt))
+    val w = math.max(1, math.min(cur,
+      math.ceil(estBytes.toDouble / per).toInt))
+    if (w < 4) 1 else w
   }
 
   /** Recursive on-disk byte count of a file/dir (0 when absent) — the

@@ -80,13 +80,18 @@ class StatePartitionSizingSpec extends SparkSpec {
   // means "keep the AQE-coalesced shape, skip the spread pass": the
   // r14 full-session-width device was a driver-measured net cost at
   // gate scale.
-  test("edgeWidth: tiny edge tables keep width 1, width grows with " +
-    "bytes and clamps at the session value") {
+  test("edgeWidth: tiny edge tables keep width 1 (including the 2-3 " +
+    "block dead zone — the spread must buy >= 4 blocks to pay for " +
+    "itself), width grows with bytes and clamps at the session value") {
     val cur = spark.conf.get("spark.sql.shuffle.partitions").toInt
     assert(graft.operators.ScaleOps.edgeWidth(spark, 100 * 1024) === 1)
-    assert(graft.operators.ScaleOps.edgeWidth(spark, 20L << 20) ===
-      math.min(3, cur))
-    assert(graft.operators.ScaleOps.edgeWidth(spark, 1L << 40) === cur)
+    // 20 MB -> raw width 3 -> below the minimum-spread gate -> 1
+    assert(graft.operators.ScaleOps.edgeWidth(spark, 20L << 20) === 1)
+    // 40 MB -> width 5, past the gate (session width permitting)
+    assert(graft.operators.ScaleOps.edgeWidth(spark, 40L << 20) ===
+      (if (cur >= 4) math.min(5, cur) else 1))
+    assert(graft.operators.ScaleOps.edgeWidth(spark, 1L << 40) ===
+      (if (cur >= 4) cur else 1))
     // malformed override degrades to the default, like the streaming
     // knob
     spark.conf.set("spark.graft.graph.bytesPerEdgePartition", "lots")
@@ -101,7 +106,7 @@ class StatePartitionSizingSpec extends SparkSpec {
     try {
       val cur = spark.conf.get("spark.sql.shuffle.partitions").toInt
       assert(graft.operators.ScaleOps.edgeWidth(spark, 4L << 20) ===
-        math.min(4, cur))
+        (if (cur >= 4) math.min(4, cur) else 1))
     } finally spark.conf.unset("spark.graft.graph.bytesPerEdgePartition")
     val d = dirWithBytes(3 << 10)
     assert(graft.operators.ScaleOps.pathBytes(d) === (3 << 10))
